@@ -1,0 +1,11 @@
+package graft.ext
+
+import graft.core.Q
+
+/** [EXT] operator registry — the training-data-pipeline surface
+  * (dedup, similarity, text analysis, events/streaming, multimodal).
+  * Modules register here as they come online.
+  */
+object Registry {
+  def all: Seq[Q] = Seq.empty
+}
