@@ -1,0 +1,170 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Determinism, Q, Tables}
+import Determinism.dsum
+
+/** [EXT] event-stream analytics over the `events` fixture (SURVEY §2.9):
+  * tumbling/sliding windows, sessionization, JSON extraction, pivot, and an
+  * as-of join. Batch forms here; the streaming form of the tumbling window
+  * lives in graft.streaming.
+  *
+  * Scale notes: all aggregations shuffle once on their group keys;
+  * sessionize/as-of use a single `user_id`-partitioned window (at 100 TB the
+  * key must be high-cardinality — it is a user id — so no salting needed).
+  */
+object EventsOps {
+
+  /** Tumbling 1-hour window aggregate (groupBy(window(ts, "1 hour")) shape,
+    * expressed via date_trunc for a portable oracle). */
+  val windowHourly: Q = Q(
+    "ext_window_hourly",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Sliding window (1 h window, 30 min slide): each event lands in exactly
+    * two windows. Uses Spark's native `window()`; the oracle reconstructs
+    * the same epoch-aligned slots arithmetically. */
+  val windowSliding: Q = Q(
+    "ext_window_sliding",
+    """SELECT make_timestamp(((epoch_us(ts) // 1800000000) - i) * 1800000000)
+      |  AS window_start,
+      |COUNT(*) AS n
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) shifts
+      |GROUP BY 1 ORDER BY window_start""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy("window_start")
+  }
+
+  /** JSON extraction from the semi-structured `props` column. */
+  val jsonExtract: Q = Q(
+    "ext_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization (30-min inactivity closes a session): lag ->
+    * boundary flag -> running sum = session index -> grouped session stats.
+    * Two window passes + one aggregation, all partitioned by user_id. */
+  val sessionize: Q = Q(
+    "ext_sessionize",
+    """SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |MIN(ts) AS t_start, MAX(ts) AS t_end,
+      |CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_seq
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |          IS NULL
+      |      THEN 1 ELSE 0 END AS is_new
+      |    FROM events) flagged) numbered
+      |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+  ) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 1800L * 1000000L
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
+        dsum(col("value")).as("total"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: one column per event_type (explicit value list — no extra
+    * distinct-values job, and the plan is a single grouped aggregate). */
+  val pivotByType: Q = Q(
+    "ext_pivot_by_type",
+    """SELECT user_id,
+      |COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val pivoted = Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    eventTypes.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L)))
+    }.orderBy("user_id")
+  }
+
+  /** As-of join: each purchase matched to the user's most recent prior
+    * click. Expressed as one pass — union the two event kinds, carry the
+    * last non-null click timestamp forward with an IGNORE NULLS window over
+    * strictly-preceding rows. No self-join, single shuffle on user_id. */
+  val asofJoin: Q = Q(
+    "ext_asof_join",
+    """SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+      |last_click_ts FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_click_ts
+      |  FROM events WHERE event_type IN ('click', 'purchase')) t
+      |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_ts",
+        when(col("event_type") === "click", col("ts")))
+      .withColumn("last_click_ts",
+        last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("last_click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  /** Approximate distinct users per type (HyperLogLog++). No SQL oracle —
+    * sketch estimates are engine-specific; the ScalaTest spec bounds the
+    * error against the exact count instead. */
+  val approxDistinct: Q = Q.noOracle("ext_approx_distinct") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(windowHourly, windowSliding, jsonExtract, sessionize,
+    pivotByType, asofJoin, approxDistinct)
+}

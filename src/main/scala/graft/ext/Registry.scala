@@ -7,5 +7,7 @@ import graft.core.Q
   * Modules register here as they come online.
   */
 object Registry {
-  def all: Seq[Q] = Seq.empty
+  def all: Seq[Q] =
+    EventsOps.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
+      Multimodal.all ++ graft.streaming.EventsStream.all
 }

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Determinism, Q}
+import Determinism.dsum
+
+/** [EXT] Structured Streaming ingestion of the `events` fixture (SURVEY
+  * §2.9): the same hourly tumbling aggregate as ext_window_hourly, but
+  * computed BY A STREAMING QUERY (file source -> watermarked window agg ->
+  * memory sink), drained synchronously so the gate can hash it against the
+  * batch oracle. Streaming and batch answers must agree — that equivalence
+  * is the point of the test.
+  */
+object EventsStream {
+
+  /** Run the streaming aggregation to completion and return the result as
+    * a batch DataFrame. */
+  def hourlyByType(spark: SparkSession, dir: String): DataFrame = {
+    // file streaming source needs the schema up front: take it from a batch
+    // read (ts arrives as nanos BIGINT under nanosAsLong, converted below)
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val name = "stream_hourly_" + UUID.randomUUID().toString.replace("-", "")
+    // the file source wants a directory: point it at the fixture dir and
+    // glob-filter down to the events table
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val withTs =
+      if (batch.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else stream
+    val agg = withTs
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Gate entry: streaming result, batch oracle. */
+  val streamHourly: Q = Q(
+    "ext_stream_hourly",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+  )(hourlyByType _)
+
+  val all: Seq[Q] = Seq(streamHourly)
+}

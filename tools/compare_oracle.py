@@ -33,6 +33,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.map(lambda v: str(v) if v is not None else None)
         elif "datetime" in str(s.dtype):
             df[c] = s.astype("datetime64[us]")
+        elif str(s.dtype) in ("int8", "int16", "int32", "uint32"):
+            df[c] = s.astype("int64")
+        elif str(s.dtype) == "float32":
+            df[c] = s.astype("float64")
     return df.reset_index(drop=True)
 
 
