@@ -1,0 +1,72 @@
+package graft.store
+
+import org.apache.spark.sql.types._
+
+/** Effective (reconciled) domain schemas — SURVEY §1.2. These follow the
+  * reference's DML, not its drifted DDL (SURVEY §0.1.1): e.g. `users` has
+  * first_name/phone/user_role (db.py:207-211), `events.is_active` exists
+  * only in UPDATEs (db.py:327), and `saved_cards` has no DDL at all
+  * (db.py:425-447).
+  */
+object Schemas {
+
+  /** MySQL TIME has no Spark analogue; the engine stores seconds since
+    * midnight (SURVEY §7.5, app.py:224-229). */
+  val users: StructType = StructType(Seq(
+    StructField("user_id", LongType, nullable = false),
+    StructField("first_name", StringType),
+    StructField("last_name", StringType),
+    StructField("phone", StringType),
+    StructField("email", StringType),
+    StructField("password_hash", StringType),
+    StructField("user_role", StringType),
+    StructField("created_at", TimestampType)))
+
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("event_name", StringType),
+    StructField("event_description", StringType),
+    StructField("event_date", TimestampType),
+    StructField("event_time_sec", IntegerType),
+    StructField("location", StringType),
+    StructField("event_type", StringType),
+    StructField("organizer_id", LongType),
+    StructField("price", DecimalType(8, 2)),
+    StructField("capacity", IntegerType),
+    StructField("is_active", BooleanType),
+    StructField("created_at", TimestampType)))
+
+  val registrations: StructType = StructType(Seq(
+    StructField("registration_id", LongType, nullable = false),
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("payment_status", StringType),
+    StructField("created_at", TimestampType)))
+
+  val payments: StructType = StructType(Seq(
+    StructField("payment_id", LongType, nullable = false),
+    StructField("user_id", LongType),
+    StructField("registration_id", LongType),
+    StructField("card_id", LongType),
+    StructField("amount", DecimalType(8, 2)),
+    StructField("payment_type", StringType),
+    StructField("payment_status", StringType),
+    StructField("payment_date", TimestampType)))
+
+  val savedCards: StructType = StructType(Seq(
+    StructField("card_id", LongType, nullable = false),
+    StructField("user_id", LongType),
+    StructField("card_holder_name", StringType),
+    StructField("card_number_encrypted", StringType),
+    StructField("cvv_encrypted", StringType),
+    StructField("expiry_date", StringType)))
+
+  /** table name -> (schema, surrogate id column) — id assignment parity
+    * with AUTO_INCREMENT/lastrowid (SURVEY §7.4). */
+  val registry: Map[String, (StructType, String)] = Map(
+    "users" -> (users, "user_id"),
+    "events" -> (events, "event_id"),
+    "registrations" -> (registrations, "registration_id"),
+    "payments" -> (payments, "payment_id"),
+    "saved_cards" -> (savedCards, "card_id"))
+}
