@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** Every registered query, in module order. */
   def registry: Seq[Q] =
-    ops.Relational.all ++ ops.TpchStyle.all ++ ext.Registry.all
+    ops.Relational.all ++ ops.TpchStyle.all ++ ops.WindowFuncs.all ++
+      ops.ScalarFuncs.all ++ ext.Registry.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
