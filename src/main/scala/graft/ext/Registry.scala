@@ -8,6 +8,8 @@ import graft.core.Q
   */
 object Registry {
   def all: Seq[Q] =
-    EventsOps.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ graft.streaming.EventsStream.all
+    EventsOps.all ++ TypedSessionize.all ++ TextAnalysis.all ++ Dedup.all ++
+      Similarity.all ++ Multimodal.all ++
+      graft.streaming.EventsStream.all ++
+      graft.streaming.StatefulSessions.all
 }
