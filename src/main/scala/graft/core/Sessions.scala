@@ -17,6 +17,10 @@ object Sessions {
     // fixture `events.ts` is parquet TIMESTAMP(NANOS): read as nanos long,
     // converted to a micros timestamp in Tables.load
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // managed-table home for the bucketed-join path (ext.BucketedJoin);
+    // keep it out of the repo working tree
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   /** Local session sized to the harness (local[N] = N executor threads in
     * one JVM; shuffle partitions match cores, not the 200 default). */

@@ -35,15 +35,11 @@ case class VecDot(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires two array<double> arguments")
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    VecDot.dot(x.toDoubleArray(), y.toDoubleArray())
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecDot.dot($a.toDoubleArray(), $b.toDoubleArray())")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.dot($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
@@ -51,12 +47,13 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 object VecDot {
-  /** Left-to-right fold, shared by interpreted and generated paths. */
-  def dot(a: Array[Double], b: Array[Double]): Double = {
-    val n = math.min(a.length, b.length)
+  /** Left-to-right fold over ArrayData in place — no per-call array
+    * allocation (this runs once per candidate pair on the hot path). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a(i) * b(i); i += 1 }
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
 
