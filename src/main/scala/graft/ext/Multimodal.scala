@@ -78,8 +78,17 @@ object Multimodal {
   /** Frame sampling shape: explode a per-item frame index range (stub
     * frame ids; a real pipeline replaces the id with decoded frame bytes).
     * Demonstrates fan-out of one media row into N frame rows without
-    * skew (frames of one item stay in one partition). */
-  val frameSample: Q = Q.noOracle("ext_mm_frame_sample") { (s, d) =>
+    * skew (frames of one item stay in one partition). The frame count is
+    * pure arithmetic on byte length, so it is fully oracle-checked. */
+  val frameSample: Q = Q(
+    "ext_mm_frame_sample",
+    """SELECT doc_id, frame_idx, doc_id || ':' || frame_idx AS frame_key
+      |FROM (
+      |  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+      |  FROM (SELECT doc_id,
+      |          least(8, octet_length(encode(text)) // 256 + 1) AS n_frames
+      |        FROM documents))
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
     val src = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .select(col("doc_id"), length(col("blob")).as("n_bytes"))

@@ -12,14 +12,25 @@ import graft.functions.VecDot.vec_dot
   *
   * Brute-force cosine is the exactness baseline (probes broadcast against
   * the corpus — at 100 TB the corpus side streams, only probes are
-  * replicated). The scale path is `annLsh`: random-hyperplane LSH buckets
-  * the corpus by sign signature so each probe only scores its bucket.
+  * replicated). The scale path is `annLsh`: random-hyperplane LSH with
+  * OR-amplification — [[LshPlanes.NumTables]] independent signature
+  * tables, candidates unioned across tables — so a neighbor is found if it
+  * matches the probe's bucket in ANY table. A single wide signature (the
+  * classic one-table mistake) has multiplicative per-bit recall decay;
+  * the multi-table union turns that into an OR, which is what makes the
+  * recall@10 >= 0.8 contract (asserted in ExtSpec vs `topkBrute`)
+  * achievable.
   *
-  * Determinism: dot products are a strictly sequential left-fold over the
-  * 64 dimensions in BOTH engines ([[graft.functions.VecDot]] in Spark,
-  * `list_reduce` in DuckDB), so the doubles are bit-identical and the
-  * ranking (rounded cosine, then vec_id) is engine-independent. Norms are
-  * computed ONCE per vector, not per pair — same arithmetic, linear cost.
+  * Determinism: hyperplanes are fixed +-1 vectors derived from md5 parity,
+  * computed ONCE on the driver ([[LshPlanes.planes]]) and embedded as
+  * array literals in both engines' plans — the DuckDB oracle receives the
+  * same values as literal lists, so bucket assignment, candidate sets and
+  * cosines are all engine-independent and the LSH operators are fully
+  * oracle-checked (round 1 left ANN as a rows-only gate). Dot products are
+  * a strictly sequential left-fold over the 64 dimensions in BOTH engines
+  * ([[graft.functions.VecDot]] in Spark, `list_reduce` in DuckDB), so the
+  * doubles are bit-identical and sign/threshold comparisons agree exactly.
+  * Norms are computed ONCE per vector, not per pair.
   */
 object Similarity {
 
@@ -75,63 +86,92 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs: label as a cheap blocking key,
-    * threshold on the ROUNDED cosine (both engines see identical rounded
-    * values, so the boundary is exact). */
-  val nearDupPairs: Q = Q(
-    "ext_embed_neardup",
-    s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
-       |  FROM embeddings),
-       |scored AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    ROUND(${dotSql("a.e", "b.e")}
-       |      / (${normSql("a.e")} * ${normSql("b.e")}), 6) AS cosine
-       |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-       |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
-       |ORDER BY id_a, id_b""".stripMargin
-  ) { (s, d) =>
-    val v = vecs(s, d)
-    val a = v.select(col("vec_id").as("id_a"), col("label"),
-      col("e").as("ea"), col("nrm").as("na"))
-    val b = v.select(col("vec_id").as("id_b"), col("label").as("label_b"),
-      col("e").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(vec_dot(s, col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-          .as("cosine"))
-      .filter(col("cosine") >= 0.9)
-      .orderBy("id_a", "id_b")
+  /** Corpus rows exploded to one row per (vec_id, table, bucket): the
+    * vector's 4-bit sign signature in each of the 16 tables. One narrow
+    * projection + explode — no shuffle; signature arithmetic happens
+    * inside whole-stage codegen via [[graft.functions.VecDot]]. */
+  private def bucketed(s: SparkSession, v: DataFrame): DataFrame = {
+    val entries = (0 until LshPlanes.NumTables).map { t =>
+      val bucket = (0 until LshPlanes.BitsPerTable).map { j =>
+        val plane = typedLit(LshPlanes.planes(t * LshPlanes.BitsPerTable + j))
+        when(vec_dot(s, col("e"), plane) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bucket.cast("long").as("bucket"))
+    }
+    v.select(col("vec_id"), explode(array(entries: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
-  private val NumPlanes = 12
+  /** DuckDB mirror of [[bucketed]]: planes as literal lists (same driver-
+    * computed values), dot via the sequential fold, bucket = sum of sign
+    * bits per 4-plane group. */
+  private def bucketedSql: String = {
+    val planeRows = LshPlanes.planes.zipWithIndex.map { case (pv, p) =>
+      s"($p, [${pv.mkString(", ")}])"
+    }.mkString(",\n    ")
+    s"""planes(p, pv) AS (VALUES
+       |    $planeRows),
+       |bits AS (
+       |  SELECT vec_id, p // ${LshPlanes.BitsPerTable} AS t,
+       |    CASE WHEN ${dotSql("e", "pv")} > 0
+       |      THEN (1 << (p % ${LshPlanes.BitsPerTable}))::BIGINT
+       |      ELSE 0::BIGINT END AS bit
+       |  FROM v CROSS JOIN planes),
+       |buckets AS (
+       |  SELECT vec_id, t, SUM(bit)::BIGINT AS bucket
+       |  FROM bits GROUP BY vec_id, t)""".stripMargin
+  }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * +-1 from a bit of md5 — reproducible with no RNG state. */
-  private def planeSign(p: Int, dim: Column): Column =
-    when(conv(substring(md5(concat(lit(s"$p:"), dim.cast("string"))), 1, 1),
-      16, 10).cast("int") % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
-
-  /** ANN via random-hyperplane LSH: 12-bit sign signature buckets the
-    * corpus; probes scan only their bucket, then exact-cosine rank inside
-    * it. Rows-only check (recall vs brute force is asserted in the
-    * ScalaTest spec, not by the SQL oracle). */
-  val annLsh: Q = Q.noOracle("ext_sim_ann_lsh") { (s, d) =>
-    // hyperplane sign vectors are literals folded at plan time
-    val planes = (0 until NumPlanes).map { p =>
-      array((0 until 64).map(i => planeSign(p, lit(i))): _*)
-    }
-    val v = vecs(s, d)
-    val sig = planes.map(pl =>
-      when(vec_dot(s, col("e"), pl) > 0, "1").otherwise("0"))
-      .reduce(concat(_, _))
-    val bucketed = v.withColumn("bucket", sig)
-    val probes = bucketed.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
-        col("nrm").as("pnrm"), col("bucket"))
-    val scored = broadcast(probes)
-      .join(bucketed, Seq("bucket"))
+  /** ANN via OR-amplified random-hyperplane LSH: a probe's candidates are
+    * every vector sharing its bucket in >= 1 of the 16 tables; candidates
+    * are then exact-cosine ranked (so returned cosines are identical to
+    * brute force — only recall, never precision, is approximate). Fully
+    * deterministic, hence fully oracle-checked. */
+  val annLsh: Q = Q(
+    "ext_sim_ann_lsh",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |${bucketedSql},
+       |probes AS (SELECT vec_id AS probe_id FROM v WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT p.probe_id, c.vec_id AS neighbor_id
+       |  FROM probes p
+       |  JOIN buckets pb ON pb.vec_id = p.probe_id
+       |  JOIN buckets c ON c.t = pb.t AND c.bucket = pb.bucket
+       |    AND c.vec_id <> p.probe_id),
+       |scored AS (
+       |  SELECT cand.probe_id, cand.neighbor_id,
+       |    ROUND(${dotSql("pe.e", "ne.e")}
+       |      / (${normSql("pe.e")} * ${normSql("ne.e")}), 6) AS cosine
+       |  FROM cand
+       |  JOIN v pe ON pe.vec_id = cand.probe_id
+       |  JOIN v ne ON ne.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+  ) { (s, d) =>
+    val v = vecs(s, d).cache()
+    val buckets = bucketed(s, v)
+    val probeBuckets = buckets.join(
+      v.filter(col("vec_id") < 5).select(col("vec_id").as("probe_id")),
+      col("vec_id") === col("probe_id"))
+      .select(col("probe_id"), col("t"), col("bucket"))
+    // candidate ids first (narrow distinct), arrays re-attached after —
+    // at scale the dedup shuffle must not carry the embedding payload
+    val cand = broadcast(probeBuckets)
+      .join(buckets, Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val probeVecs = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+        col("nrm").as("pnrm"))
+    val scored = cand
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .join(v, col("vec_id") === col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
         round(vec_dot(s, col("pe"), col("e")) / (col("pnrm") * col("nrm")), 6)
           .as("cosine"))
     scored
@@ -142,5 +182,94 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Cosine threshold for the near-duplicate pair join. 0.9 is the
+    * real-corpus setting; the fixture's vectors are isotropic noise whose
+    * densest pair sits near 0.51, so the registered operator runs at 0.5
+    * to keep the gate NON-vacuous (round 1 passed with 0 rows on both
+    * engines, which verifies nothing — see ExtSpec's planted-fixture test
+    * for the 0.9-grade behavior). */
+  private val NearDupThreshold = 0.5
+
+  /** Embedding-cosine near-duplicate pairs, LSH-blocked: candidates are
+    * pairs sharing >= 1 LSH bucket (same 16-table blocking as [[annLsh]] —
+    * NOT the round-1 label blocking, which was a disguised per-label cross
+    * join, O(n^2 / |labels|) with a small fixed label vocabulary). The
+    * blocking is part of the declared semantics and mirrored in the
+    * oracle, so the gate checks the exact candidate rule. */
+  def nearDupPairsAt(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    val v = vecs(s, d).cache()
+    val buckets = bucketed(s, v)
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(v.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(vec_dot(s, col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  val nearDupPairs: Q = Q(
+    "ext_embed_neardup",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |${bucketedSql},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a
+       |  JOIN buckets b ON b.t = a.t AND b.bucket = a.bucket
+       |    AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT cand.id_a, cand.id_b,
+       |    ROUND(${dotSql("va.e", "vb.e")}
+       |      / (${normSql("va.e")} * ${normSql("vb.e")}), 6) AS cosine
+       |  FROM cand
+       |  JOIN v va ON va.vec_id = cand.id_a
+       |  JOIN v vb ON vb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, cosine FROM scored
+       |WHERE cosine >= $NearDupThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) => nearDupPairsAt(s, d, NearDupThreshold) }
+
   val all: Seq[Q] = Seq(topkBrute, nearDupPairs, annLsh)
+}
+
+/** Fixed random-hyperplane family shared by [[Similarity.annLsh]] and
+  * [[Similarity.nearDupPairs]]: NumTables independent tables of
+  * BitsPerTable sign bits each. Components are +-1 from md5 parity of
+  * "plane:dim" — reproducible with no RNG state, and computed ONCE here on
+  * the driver (round 1 built them as per-row md5 expression trees, which
+  * bloated the plan and the runtime).
+  *
+  * Sizing: 16 x 4-bit tables. The fixture's embeddings are isotropic
+  * noise (10th-nearest-neighbor cosine ~0.25-0.4), where LSH provably
+  * cannot have both high recall and a small candidate set; 16x4 holds
+  * recall@10 >= 0.85 at every fixture scale. On a real near-duplicate
+  * corpus (neighbors at cosine >= 0.9) the same family prunes hard:
+  * P(4-bit match) = (1 - theta/pi)^4 ~ 0.54 per table for cosine-0.9
+  * pairs vs (1/2)^4 = 0.0625 for noise pairs.
+  */
+private[ext] object LshPlanes {
+  val NumTables = 16
+  val BitsPerTable = 4
+  val Dims = 64
+
+  /** planes(p)(i): the i-th component of hyperplane p. */
+  val planes: IndexedSeq[Array[Double]] =
+    (0 until NumTables * BitsPerTable).map { p =>
+      Array.tabulate(Dims) { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"$p:$i".getBytes("UTF-8"))
+        // parity of the first hex digit = parity of byte 0's high nibble
+        if (((h(0) >> 4) & 0x1) == 1) 1.0 else -1.0
+      }
+    }
 }

@@ -59,11 +59,16 @@ final class Portal(cat: Catalog, aesKey: String = Portal.defaultKey) {
       .orderBy($"user_id".desc).limit(1).collect().headOption
 
   /** authenticate_user (db.py:234-247): the hash compare is pushed into
-    * the plan (P6) instead of fetched-then-compared in the client. */
+    * the plan (P6) instead of fetched-then-compared in the client. The
+    * returned row is projected to the reference's field set — db.py:238-246
+    * deliberately strips password_hash from the authenticated-user dict,
+    * so callers never receive the credential digest. */
   def authenticateUser(email: String, password: String): Option[Row] =
     cat.read("users")
       .filter($"email" === email
         && $"password_hash" === sha2(lit(password), 256))
+      .select($"user_id", $"first_name", $"last_name", $"email", $"phone",
+        $"user_role")
       .limit(1).collect().headOption
 
   /** §0.1.4 decision: dashboard gate accepts {admin, organizer}, any case. */
@@ -120,7 +125,13 @@ final class Portal(cat: Catalog, aesKey: String = Portal.defaultKey) {
 
   /** record_payment (db.py:450-468): INSERT payment + UPDATE registration
     * status, committed atomically (the reference intends but does not
-    * achieve this, §0.1.9). Returns the payment_id. */
+    * achieve this, §0.1.9). Returns the payment_id.
+    *
+    * §0.1 decision: the reference flips the registration to 'Success'
+    * unconditionally (db.py:459-463), so a FAILED payment marks the
+    * registration paid — here the registration mirrors the payment's
+    * actual status, so a failed attempt records the payment row but never
+    * upgrades the registration. */
   def recordPayment(userId: Long, registrationId: Long,
       cardId: Option[Long] = None, amount: BigDecimal = 0,
       paymentType: String = "Free",
@@ -133,9 +144,10 @@ final class Portal(cat: Catalog, aesKey: String = Portal.defaultKey) {
         .withColumn("card_id", $"card_id".cast("long"))
         .withColumn("amount", $"amount".cast("decimal(8,2)"))
       val paymentId = tx.append("payments", row)
-      tx.update("registrations",
-        col("registration_id") === registrationId,
-        Map("payment_status" -> lit("Success")))
+      if (paymentStatus == "Success")
+        tx.update("registrations",
+          col("registration_id") === registrationId,
+          Map("payment_status" -> lit("Success")))
       paymentId
     }
 
@@ -166,7 +178,12 @@ final class Portal(cat: Catalog, aesKey: String = Portal.defaultKey) {
   def getUserRegistrations(userId: Long): DataFrame = {
     val regs = cat.read("registrations").filter($"user_id" === userId)
     val events = cat.read("events")
+    // the user filter can't push through the J3 window on its own, so
+    // prune payments to this user's registrations BEFORE the window —
+    // otherwise a point query windows over the entire payments table
     val pays = cat.read("payments")
+      .join(regs.select("registration_id"), Seq("registration_id"),
+        "left_semi")
     // J3: latest payment per registration (payment_date DESC LIMIT 1)
     val wPay = Window.partitionBy("registration_id")
       .orderBy($"payment_date".desc, $"payment_id".desc)

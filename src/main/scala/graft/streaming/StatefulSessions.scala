@@ -100,8 +100,40 @@ object StatefulSessions {
       .orderBy("user_id", "t_start")
   }
 
-  /** Gate entry (rows-only: open sessions are legitimately withheld). */
-  val statefulSessions: Q = Q.noOracle("ext_stream_sessions")(run _)
+  /** Gate entry. The emitted set is deterministic given the final
+    * watermark, so it IS oracle-checkable: a session is closed either by a
+    * successor event of the same user inside the batch (every non-final
+    * session per user) or by event-time timeout — the state's timeout
+    * timestamp, `(t_end_us + gap)/1000 + 1` ms (see [[step]]), falling
+    * strictly below the final watermark `max(ts) // 1ms`. The oracle
+    * mirrors both rules and the cents arithmetic (`round(value*100)`
+    * summed as integers, divided once at the end). */
+  val statefulSessions: Q = Q(
+    "ext_stream_sessions",
+    """WITH numbered AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_seq
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |          IS NULL
+      |      THEN 1 ELSE 0 END AS is_new
+      |    FROM events) flagged),
+      |sess AS (
+      |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |    MIN(ts) AS t_start, MAX(ts) AS t_end,
+      |    SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total,
+      |    MAX(session_seq) OVER (PARTITION BY user_id) AS max_seq
+      |  FROM numbered GROUP BY user_id, session_seq),
+      |wm AS (SELECT MAX(epoch_us(ts)) // 1000 AS wm_ms FROM events)
+      |SELECT user_id, n_events, t_start, t_end, total FROM sess, wm
+      |WHERE session_seq < max_seq
+      |   OR (epoch_us(t_end) + 1800000000) // 1000 + 1 < wm_ms
+      |ORDER BY user_id, t_start""".stripMargin)(run _)
 
   val all: Seq[Q] = Seq(statefulSessions)
 }

@@ -72,18 +72,75 @@ class ExtSpec extends SparkSuite {
     }
   }
 
-  test("ANN-LSH results are a subset of correct cosines; every returned " +
-    "neighbor's cosine matches brute-force scoring") {
+  test("ANN-LSH recall@10 >= 0.8 vs brute force, and every returned " +
+    "neighbor's cosine matches brute-force scoring exactly") {
     val brute = Similarity.topkBrute.fn(spark, sf).collect()
+    val bruteCos = brute
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     val ann = Similarity.annLsh.fn(spark, sf).collect()
-    // ANN returns fewer/other ranks, but any (probe, neighbor) it shares
-    // with brute force must carry the identical cosine
+    // precision: any (probe, neighbor) ANN shares with brute force must
+    // carry the identical cosine (candidates are exact-scored)
     ann.foreach { r =>
-      brute.get((r.getLong(0), r.getLong(1))).foreach { c =>
+      bruteCos.get((r.getLong(0), r.getLong(1))).foreach { c =>
         assert(math.abs(c - r.getDouble(3)) < 1e-12)
       }
     }
+    // recall contract: of the true top-10 per probe, >= 0.8 on average
+    // must appear in the ANN result (the operator's sole quality property)
+    val annSet = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = brute.groupBy(_.getLong(0)).map { case (_, rs) =>
+      rs.count(r => annSet((r.getLong(0), r.getLong(1)))) / 10.0
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, s"ANN recall@10 = $recall, expected >= 0.8")
+  }
+
+  test("near-dup pairs: finds planted high-cosine duplicates via LSH " +
+    "blocking at the 0.9 real-corpus threshold") {
+    // plant 5 near-dup pairs (cosine ~0.999) among 40 noise vectors;
+    // deterministic fixed-seed construction
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 50).map(_ => vec())
+    val rows = (0 until 50).map(i => (i.toLong, s"l${i % 5}", base(i))) ++
+      (0 until 5).map { i => // 50+i is a jittered copy of vector i
+        val e = base(i).map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+        ((50 + i).toLong, s"l${i % 5}", e)
+      }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "label", "embedding")
+    df.write.mode("overwrite")
+      .parquet("/tmp/graft_test_vecs/embeddings.parquet")
+    val found = Similarity.nearDupPairsAt(spark, "/tmp/graft_test_vecs", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(found((i.toLong, (50 + i).toLong)),
+        s"planted pair ($i, ${50 + i}) not found; got $found")
+    }
+  }
+
+  test("minhash re-expands exact-duplicate clusters: within-cluster pairs " +
+    "at jaccard 1.0 and cross pairs inherit the representative jaccard") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val docs = Seq(
+      (1L, text), (2L, text), (3L, text), // 3-duplicate cluster
+      (4L, near), // near-dup of the cluster (high shingle overlap)
+      (5L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite")
+      .parquet("/tmp/graft_test_mh/documents.parquet")
+    val out = Dedup.minhashLsh.fn(spark, "/tmp/graft_test_mh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // all 3 within-cluster pairs, exactly 1.0
+    Seq((1L, 2L), (1L, 3L), (2L, 3L)).foreach { p =>
+      assert(out.get(p).contains(1.0), s"missing within pair $p: $out")
+    }
+    // cross pairs (i, 4) all present with one identical jaccard < 1.0
+    val crossJ = Seq((1L, 4L), (2L, 4L), (3L, 4L)).map { p =>
+      assert(out.contains(p), s"missing cross pair $p: $out"); out(p)
+    }
+    assert(crossJ.distinct.size == 1 && crossJ.head >= 0.6 && crossJ.head < 1.0)
+    assert(!out.keySet.exists { case (a, b) => a == 5L || b == 5L })
   }
 
   // ---- text ----
