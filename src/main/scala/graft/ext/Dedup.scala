@@ -15,6 +15,17 @@ import graft.core.{Q, Tables}
   * All hashing is md5-based so the DuckDB oracle reproduces it exactly
   * (minhash = lexicographic min over hex digests — order statistics on a
   * uniform hash, the textbook construction with strings for portability).
+  *
+  * Execution note (round-3 measured fix): reused intermediates are
+  * materialized with EAGER `localCheckpoint`, never lazy `.cache()`.
+  * Profiling (tools.ProfileDedup, sf0.1) attributed 186 of minhash's
+  * 267 s to re-deriving the md5/shingle lineage: a lazy cache inside a
+  * single action gives no ordering guarantee, so AQE's concurrently
+  * launched shuffle-map stages each recomputed the unmaterialized
+  * subtree (sum of stages forced eagerly: ~25 s; same DAG as one
+  * action: 186 s). Eager checkpointing computes each subtree exactly
+  * once and truncates lineage, so every consumer reads materialized
+  * blocks.
   */
 object Dedup {
 
@@ -132,8 +143,8 @@ object Dedup {
        |WHERE i.n_int * 1.0 / (za.n_sh + zb.n_sh - i.n_int) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
-    val mem = clustered(s, d).cache()
-    val sh = repShingles(mem).cache()
+    val mem = clustered(s, d).localCheckpoint(true)
+    val sh = repShingles(mem).localCheckpoint(true)
     val sig = sh.groupBy("doc_id")
       .agg(
         min(md5(concat(lit("0:"), col("sh")))).as("m0"),
@@ -146,7 +157,7 @@ object Dedup {
       explode(array((0 until NumHashes / BandSize).map { b =>
         md5(concat((lit(s"$b:") +: (0 until BandSize)
           .map(r => col(s"m${b * BandSize + r}"))): _*))
-      }: _*)).as("band_key")).cache()
+      }: _*)).as("band_key")).localCheckpoint(true)
     // hot-bucket set is tiny by construction (<= corpus/cap entries, none
     // on the fixture); exclusion is an anti-join against it, never an
     // inner join against the full bucket list
@@ -213,8 +224,12 @@ object Dedup {
 
   /** SimHash: 64-bit signature from per-token md5 bits (bit b set iff the
     * weighted token-bit sum is positive), emitted as a 64-char bitstring.
-    * Grouping is (doc, hex-position); the 4 bits of each hex digit are
-    * summed with conditional aggregates — 16x explode, not 64x. */
+    *
+    * ONE token explode and ONE `groupBy(doc_id)` carrying all 64
+    * conditional-sum aggregates (hash-aggregate with map-side combine, so
+    * the shuffle is 64 longs per doc, not per token). The round-2 version
+    * additionally exploded each token x16 hex positions through two
+    * shuffles — 11x slower for identical semantics. */
   val simhash: Q = Q(
     "ext_dedup_simhash",
     s"""WITH tok AS (
@@ -241,26 +256,22 @@ object Dedup {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .select(col("doc_id"), md5(col("t")).as("h"))
-    val digit = tok
-      .select(col("doc_id"), explode(sequence(lit(1), lit(16))).as("p"),
-        col("h"))
-      .select(col("doc_id"), col("p"),
-        expr("instr('0123456789abcdef', substr(h, p, 1)) - 1").as("v"))
-    def bitSum(shift: Int): Column =
-      sum(when(shiftright(col("v"), shift).bitwiseAND(1) === 1, 1)
-        .otherwise(-1))
-    val sums = digit.groupBy("doc_id", "p")
-      .agg(bitSum(3).as("s0"), bitSum(2).as("s1"),
-        bitSum(1).as("s2"), bitSum(0).as("s3"))
-    def bitChar(c: String): Column =
-      when(col(c) > 0, "1").otherwise("0")
-    val perPos = sums.select(col("doc_id"), col("p"),
-      concat(bitChar("s0"), bitChar("s1"), bitChar("s2"), bitChar("s3"))
-        .as("nib"))
-    perPos.groupBy("doc_id")
-      .agg(concat_ws("", transform(
-        array_sort(collect_list(struct(col("p"), col("nib")))),
-        x => x.getField("nib"))).as("simhash"))
+    // project the 16 hex-digit values once, then sum each digit's 4 bits
+    // in a single aggregate pass (bit order matches the oracle: positions
+    // ascending, bit 3 (s0) .. bit 0 (s3) within each digit)
+    val dig = tok.select(col("doc_id") +: (1 to 16).map(p =>
+      expr(s"instr('0123456789abcdef', substr(h, $p, 1)) - 1")
+        .as(s"v$p")): _*)
+    val bits = for { p <- 1 to 16; shift <- 3 to 0 by -1 } yield (p, shift)
+    val aggs = bits.map { case (p, shift) =>
+      sum(when(shiftright(col(s"v$p"), shift).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b${p}_$shift")
+    }
+    val sums = dig.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigChars = bits.map { case (p, shift) =>
+      when(col(s"b${p}_$shift") > 0, "1").otherwise("0")
+    }
+    sums.select(col("doc_id"), concat(sigChars: _*).as("simhash"))
       .orderBy("doc_id")
   }
 
