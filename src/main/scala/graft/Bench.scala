@@ -6,11 +6,17 @@ import org.apache.spark.sql.SparkSession
   * ONE JSON line {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
   *
   * A tiny warm-up action runs first so JVM/classloader/codegen startup cost
-  * is not attributed to the first query; each query is then timed once,
-  * end-to-end (plan + execute + count).
+  * is not attributed to the first query. Each query is then timed `runs`
+  * times (default 2) end-to-end (plan + execute + count) and the MIN is
+  * reported — single-shot numbers at sub-second scale are JIT/GC noise and
+  * made round-over-round deltas meaningless. Between runs every cached
+  * Dataset AND every persisted RDD (localCheckpoint blocks survive
+  * clearCache) is dropped, so each run re-executes the full plan; only the
+  * OS page cache stays warm, which is the steady state worth measuring.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -26,6 +32,10 @@ object Bench {
       graft.core.Tables.load(spark, sfDir, t).schema
     }
 
+    def dropAllPersisted(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     val results = SparkEntry.benchQueries.map { q =>
       // amortized prep (ingest-time work) runs outside the timed window
       try q.setup.foreach(_(spark, sfDir))
@@ -33,23 +43,24 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} setup failed: ${e.getMessage}")
       }
-      val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() }
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val times = (1 to runs).map { _ =>
+        dropAllPersisted()
+        val t0 = System.nanoTime()
+        try { q.fn(spark, sfDir).count() }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries cache intermediates scoped to their own run; drop them so
-      // storage pressure never leaks into the next query's timing
-      spark.catalog.clearCache()
-      q.name -> dt
+      dropAllPersisted()
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,6 +21,11 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
       }
+      // caches AND localCheckpoint blocks are scoped to one query; the
+      // latter survive clearCache, so drop every persisted RDD explicitly
+      // (safe: the query's result is already on disk)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

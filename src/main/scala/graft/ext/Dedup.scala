@@ -314,31 +314,41 @@ object Dedup {
        |WHERE i.n_int * 1.0 / (za.n_sh + zb.n_sh - i.n_int) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
-    val mem = clustered(s, d).cache()
-    val sh = repShingles(mem).cache()
+    val mem = clustered(s, d).localCheckpoint(true)
+    val sh = repShingles(mem).localCheckpoint(true)
     // member-weighted df == the oracle's per-document df; the HOT set is
     // tiny by construction (<= total/cap shingles, none on the fixture),
-    // so exclusion is an anti-join, never an inner join on the full list
+    // so exclusion is a broadcast anti-join, never an inner join on the
+    // full list
     val hot = sh.groupBy("sh").agg(sum(col("csize")).as("df"))
       .filter(col("df") > ShingleDfCap)
       .select("sh")
-    val shOk = sh.join(hot, Seq("sh"), "left_anti")
+    val shOk = sh.join(broadcast(hot), Seq("sh"), "left_anti")
     // candidate pairs + their sub-cap intersection in ONE self-join pass
     val interOk = shOk.as("a")
       .join(shOk.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
       .agg(count(lit(1)).as("n_ok"))
-    // full intersection = sub-cap part + hot part (hot side is tiny, and
-    // pairs sharing ONLY hot shingles are not candidates: left join)
-    val interHot = sh.join(hot, Seq("sh"), "left_semi").as("a")
-      .join(sh.join(hot, Seq("sh"), "left_semi").as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
-      .agg(count(lit(1)).as("n_hot"))
-    val inter = interOk.join(interHot, Seq("rep_a", "rep_b"), "left")
+    // full intersection = sub-cap part + hot part. The hot part is NEVER
+    // a hot-row self-join (per-shingle fan-out there is >= cap^2 pairs —
+    // the exact quadratic ShingleDfCap exists to kill): instead each doc's
+    // hot shingles are aggregated into a tiny per-doc set and intersected
+    // per ALREADY-CANDIDATE pair. Pairs sharing only hot shingles are not
+    // candidates, matching the oracle's candidate rule.
+    val hotSets = sh.join(broadcast(hot), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("hs"))
+    // key-equality left joins; AQE broadcasts hotSets when it is small
+    // (it is one row per doc holding >= 1 hot shingle — potentially a
+    // large corpus fraction, so no forced broadcast)
+    val inter = interOk
+      .join(hotSets.select(col("doc_id").as("rep_a"),
+        col("hs").as("hs_a")), Seq("rep_a"), "left")
+      .join(hotSets.select(col("doc_id").as("rep_b"),
+        col("hs").as("hs_b")), Seq("rep_b"), "left")
       .select(col("rep_a"), col("rep_b"),
-        (col("n_ok") + coalesce(col("n_hot"), lit(0L))).as("n_int"))
+        (col("n_ok") + coalesce(size(array_intersect(col("hs_a"),
+          col("hs_b"))).cast("long"), lit(0L))).as("n_int"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val jac = col("n_int") * lit(1.0) /
       (col("za.n_sh") + col("zb.n_sh") - col("n_int"))

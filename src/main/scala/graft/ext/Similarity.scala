@@ -152,7 +152,8 @@ object Similarity {
        |SELECT probe_id, neighbor_id, rank, cosine FROM ranked
        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
   ) { (s, d) =>
-    val v = vecs(s, d).cache()
+    // eager for the same AQE-concurrent-recompute reason as nearDupPairsAt
+    val v = vecs(s, d).localCheckpoint(true)
     val buckets = bucketed(s, v)
     val probeBuckets = buckets.join(
       v.filter(col("vec_id") < 5).select(col("vec_id").as("probe_id")),
@@ -198,7 +199,10 @@ object Similarity {
     * oracle, so the gate checks the exact candidate rule. */
   def nearDupPairsAt(s: SparkSession, d: String,
       threshold: Double): DataFrame = {
-    val v = vecs(s, d).cache()
+    // eager materialization: v feeds four subtrees; a lazy .cache() under
+    // AQE gives no ordering guarantee and concurrent stages re-derive it
+    // (the round-3 dedup finding — same fix here)
+    val v = vecs(s, d).localCheckpoint(true)
     val buckets = bucketed(s, v)
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
@@ -206,6 +210,12 @@ object Similarity {
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+      // the pair set is narrow (two longs), so AQE coalesces its shuffle
+      // to ~1 partition — and the exact-cosine verification downstream
+      // would then run single-threaded (measured: the whole op's cost is
+      // this one stage). Spread candidates across the cluster before the
+      // compute-heavy scoring; the extra shuffle is tiny by construction.
+      .repartition(s.sparkContext.defaultParallelism)
     pairs
       .join(v.select(col("vec_id").as("id_a"), col("e").as("ea"),
         col("nrm").as("na")), Seq("id_a"))
