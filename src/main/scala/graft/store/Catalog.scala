@@ -1,10 +1,16 @@
 package graft.store
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
 import org.apache.spark.sql.functions._
 
 /** Copy-on-write table store over parquet with a single atomic manifest
@@ -14,143 +20,252 @@ import org.apache.spark.sql.functions._
   * db.py:459-463) and a two-statement payment write whose intended
   * atomicity it does not actually achieve (autocommit on, SURVEY §0.1.9).
   * Here every commit — single- or multi-table — is one atomic manifest
-  * swap: writers stage new snapshot directories, then `mv` a tmp manifest
-  * over `_manifest.json`. Readers only ever see a complete manifest, so
-  * the payment INSERT and the registration UPDATE become visible together.
+  * swap: writers stage new parquet files, then `mv` a tmp manifest over
+  * `_manifest.json`. Readers only ever see a complete manifest, so the
+  * payment INSERT and the registration UPDATE become visible together.
   *
-  * Scale notes: `update` rewrites only the target table's snapshot (Delta
-  * would rewrite matching files only; on the driver image there is no
-  * Delta, and the fixture-scale tables are single-snapshot). Surrogate ids
-  * are assigned as maxId + dense row_number over a caller-supplied stable
-  * order — never `monotonically_increasing_id`, which is partition-
-  * dependent and sparse (SURVEY §7.4).
+  * Scale design:
+  *
+  *  - '''File-level COW with key pruning.''' The manifest tracks, per
+  *    table, the live parquet FILES with their surrogate-id min/max. An
+  *    UPDATE whose predicate pins the id column (the reference's shape:
+  *    `WHERE event_id = %s`, db.py:327/459-463) rewrites only the files
+  *    whose key range can contain that id; every other file is carried
+  *    forward by reference, byte-identical. A predicate that does not
+  *    constrain the id falls back to a full rewrite — correct, just
+  *    unpruned. This is the Delta-style `UPDATE` shape without assuming
+  *    Delta on the image.
+  *  - '''Partition-safe id assignment.''' Appends assign dense ids via a
+  *    range-partitioned sort + `zipWithIndex` (per-partition counts, one
+  *    small extra job) — never a global single-partition window, which
+  *    funnels every bulk load through one task. Dense `lastrowid` parity
+  *    is preserved (SURVEY §7.4).
+  *  - '''Multi-process safety.''' `transaction` holds an OS file lock
+  *    (`FileChannel.lock` on `_manifest.lock`) for the whole
+  *    read-modify-write, so two processes sharing a root serialize their
+  *    commits instead of losing them (the reference got this from MySQL,
+  *    db.py:42-48). In-JVM reentrancy/overlap is handled by a per-root
+  *    monitor, since POSIX file locks are process-scoped.
   */
 final class Catalog(val spark: SparkSession, val root: String) {
 
   private val rootPath = Paths.get(root)
   private val manifestPath = rootPath.resolve("_manifest.json")
+  private val lockPath = rootPath.resolve("_manifest.lock")
   Files.createDirectories(rootPath)
 
   // ---- manifest ----------------------------------------------------------
 
-  /** table -> (snapshot dir name or "" for empty, max assigned id) */
-  private type Manifest = Map[String, (String, Long)]
+  /** One live parquet file: path relative to root + surrogate-id stats
+    * (minId > maxId encodes "no rows / no stats", never prunable). */
+  private[store] case class FileEntry(path: String, minId: Long, maxId: Long)
+
+  private[store] case class TableState(maxId: Long, files: Vector[FileEntry])
+
+  private type Manifest = Map[String, TableState]
+
+  private val mapper = new ObjectMapper()
 
   private def readManifest(): Manifest =
     if (!Files.exists(manifestPath)) Map.empty
     else {
-      // minimal flat JSON: {"tbl":["snap-3","17"], ...}
-      val txt = new String(Files.readAllBytes(manifestPath),
-        StandardCharsets.UTF_8)
-      """"([^"]+)":\["([^"]*)","(-?\d+)"\]""".r
-        .findAllMatchIn(txt)
-        .map(m => m.group(1) -> (m.group(2), m.group(3).toLong))
-        .toMap
+      val tree = mapper.readTree(
+        new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8))
+      tree.properties().asScala.map { e =>
+        val t = e.getValue
+        val files = t.get("files").elements().asScala.map { f =>
+          FileEntry(f.get("path").asText(), f.get("min").asLong(),
+            f.get("max").asLong())
+        }.toVector
+        e.getKey -> TableState(t.get("maxId").asLong(), files)
+      }.toMap
     }
 
   private def writeManifest(m: Manifest): Unit = {
-    val txt = m.toSeq.sortBy(_._1)
-      .map { case (t, (s, id)) => s""""$t":["$s","$id"]""" }
-      .mkString("{", ",", "}")
-    val tmp = rootPath.resolve(s"_manifest.tmp")
-    Files.write(tmp, txt.getBytes(StandardCharsets.UTF_8))
+    val rootNode = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (tbl, st) =>
+      val t: ObjectNode = rootNode.putObject(tbl)
+      t.put("maxId", st.maxId)
+      val fs: ArrayNode = t.putArray("files")
+      st.files.foreach { f =>
+        val fn = fs.addObject()
+        fn.put("path", f.path); fn.put("min", f.minId); fn.put("max", f.maxId)
+      }
+    }
+    val tmp = rootPath.resolve("_manifest.tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(rootNode))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
   // ---- reads -------------------------------------------------------------
 
-  def read(table: String): DataFrame = {
+  private def readFiles(table: String, files: Seq[FileEntry]): DataFrame = {
     val (schema, _) = Schemas.registry(table)
-    readManifest().get(table) match {
-      case Some((snap, _)) if snap.nonEmpty =>
-        spark.read.schema(schema).parquet(s"$root/$table/$snap")
-      case _ =>
-        spark.createDataFrame(spark.sparkContext
-          .emptyRDD[Row], schema)
-    }
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
   }
 
+  def read(table: String): DataFrame =
+    readFiles(table, readManifest().get(table).map(_.files).getOrElse(Nil))
+
   def maxId(table: String): Long =
-    readManifest().get(table).map(_._2).getOrElse(0L)
+    readManifest().get(table).map(_.maxId).getOrElse(0L)
+
+  /** Live file list with id stats — the pruning metadata (test hook). */
+  private[graft] def liveFiles(table: String): Seq[(String, Long, Long)] =
+    readManifest().get(table).map(_.files).getOrElse(Vector.empty)
+      .map(f => (f.path, f.minId, f.maxId))
 
   // ---- writes ------------------------------------------------------------
 
-  /** One staged write: the new snapshot is on disk but not yet visible. */
-  private case class Staged(table: String, snap: String, newMaxId: Long,
-      lastId: Long)
-
-  private var snapCounter = System.currentTimeMillis()
-
-  private def stageSnapshot(table: String, df: DataFrame,
-      newMaxId: Long, lastId: Long): Staged = {
-    snapCounter += 1
-    val snap = s"snap-$snapCounter"
-    df.write.mode("overwrite").parquet(s"$root/$table/$snap")
-    Staged(table, snap, newMaxId, lastId)
+  /** Write df as a new file group under the table dir and return its file
+    * entries with per-file id stats (one metadata-light job: group rows by
+    * their output file). The group name carries a UUID — two writers (even
+    * in different processes) must never collide on a directory. */
+  private def stageFiles(table: String, df: DataFrame,
+      idCol: String): Vector[FileEntry] = {
+    val snap = s"snap-${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"$root/$table/$snap"
+    df.write.mode("overwrite").parquet(dir)
+    val written = spark.read.schema(Schemas.registry(table)._1).parquet(dir)
+    val stats = written
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+      .collect()
+    stats.map { r =>
+      val abs = r.getString(0).stripPrefix("file://")
+      val rel = Paths.get(root).toAbsolutePath.normalize
+        .relativize(Paths.get(abs).toAbsolutePath.normalize).toString
+      FileEntry(rel, r.getLong(1), r.getLong(2))
+    }.toVector.sortBy(_.path)
   }
 
-  private def commit(staged: Seq[Staged]): Unit = {
-    val m = readManifest()
-    writeManifest(m ++ staged.map(s =>
-      s.table -> (s.snap, s.newMaxId)).toMap)
+  /** One staged table state: new full file list, not yet visible. */
+  private case class Staged(table: String, state: TableState)
+
+  /** Extract `idCol = <literal>` pinned by the predicate (either operand
+    * order, possibly under conjunctions) — the prunable reference shape
+    * `WHERE <pk> = %s`. Anything else returns None → full rewrite. The
+    * Column is resolved by analyzing it against an empty relation with
+    * the table schema (the public Spark-4 route to the expression tree).
+    */
+  private def pinnedId(table: String, predicate: Column): Option[Long] = {
+    val (schema, idCol) = Schemas.registry(table)
+    val probe = spark
+      .createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .filter(predicate)
+    val cond = probe.queryExecution.analyzed.collectFirst {
+      case f: LFilter => f.condition
+    }
+    def attrIs(e: Expression): Boolean = e match {
+      case a: Attribute => a.name.equalsIgnoreCase(idCol)
+      case _ => false
+    }
+    def litLong(e: Expression): Option[Long] =
+      if (!e.foldable) None
+      else e.eval() match {
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case _ => None
+      }
+    def walk(e: Expression): Option[Long] = e match {
+      case EqualTo(l, r) if attrIs(l) => litLong(r)
+      case EqualTo(l, r) if attrIs(r) => litLong(l)
+      case And(l, r) => walk(l).orElse(walk(r))
+      case _ => None
+    }
+    cond.flatMap(walk)
   }
 
   /** Multi-statement transaction (S7): stage every write, swap once. */
-  final class Tx private[Catalog] () {
+  final class Tx private[Catalog] (base: Manifest) {
     private[Catalog] var staged: Vector[Staged] = Vector.empty
+
+    private def curState(table: String): TableState =
+      staged.reverse.collectFirst { case Staged(`table`, st) => st }
+        .orElse(base.get(table))
+        .getOrElse(TableState(0L, Vector.empty))
+
     /** current in-tx view of a table (staged writes visible). */
     def read(table: String): DataFrame =
-      staged.reverse.find(_.table == table) match {
-        case Some(s) =>
-          spark.read.schema(Schemas.registry(table)._1)
-            .parquet(s"$root/$table/${s.snap}")
-        case None => Catalog.this.read(table)
-      }
-    private def curMaxId(table: String): Long =
-      staged.reverse.find(_.table == table).map(_.newMaxId)
-        .getOrElse(maxId(table))
+      readFiles(table, curState(table).files)
 
     /** Append rows, assigning dense surrogate ids; returns the LAST id
       * (lastrowid parity, db.py:213/345/466). `orderBy` fixes the id
-      * order for multi-row appends. */
+      * order for multi-row appends. Ids are assigned with a parallel
+      * range-partitioned sort + zipWithIndex — no global window. */
     def append(table: String, rows: DataFrame,
         orderBy: Seq[String] = Nil): Long = {
       val (schema, idCol) = Schemas.registry(table)
-      val base = curMaxId(table)
+      val prev = curState(table)
+      val baseId = prev.maxId
       val ord = if (orderBy.nonEmpty) orderBy.map(col)
         else rows.columns.map(col).toSeq
-      val withIds = rows
-        .withColumn(idCol,
-          lit(base) + row_number().over(Window.orderBy(ord: _*)))
-        .select(schema.fieldNames.map(col): _*)
-      val n = rows.count()
-      val newMax = base + n
-      val merged = Tx.this.read(table).unionByName(withIds)
-      staged :+= stageSnapshot(table, merged, newMax, newMax)
-      newMax
+      val fields = schema.fieldNames
+      val indexed = rows.orderBy(ord: _*).rdd.zipWithIndex().map {
+        case (r, i) =>
+          Row.fromSeq(fields.toIndexedSeq.map { f =>
+            if (f == idCol) baseId + i + 1 else r.getAs[Any](f)
+          })
+      }
+      val withIds = spark.createDataFrame(indexed, schema)
+      val newFiles = stageFiles(table, withIds, idCol)
+      val n = newFiles.map(f => f.maxId).maxOption.getOrElse(baseId)
+      staged :+= Staged(table, TableState(math.max(n, baseId),
+        prev.files ++ newFiles))
+      math.max(n, baseId)
     }
 
-    /** COW update: predicate + per-column assignments (S6). */
+    /** COW update: predicate + per-column assignments (S6). Files whose
+      * id range cannot contain a predicate-pinned id survive by
+      * reference; only matching files are rewritten. */
     def update(table: String, predicate: Column,
         assignments: Map[String, Column]): Unit = {
-      val cur = Tx.this.read(table)
+      val (_, idCol) = Schemas.registry(table)
+      val prev = curState(table)
+      if (prev.files.isEmpty) return
+      val (hit, carried) = pinnedId(table, predicate) match {
+        case Some(id) =>
+          prev.files.partition(f => f.minId <= id && id <= f.maxId)
+        case None => (prev.files, Vector.empty[FileEntry])
+      }
+      if (hit.isEmpty) return // pinned id outside every file's range
+      val cur = readFiles(table, hit)
       val updated = assignments.foldLeft(cur) { case (df, (c, v)) =>
         df.withColumn(c, when(predicate, v).otherwise(col(c)))
       }
-      staged :+= stageSnapshot(table, updated, curMaxId(table),
-        curMaxId(table))
+      val newFiles = stageFiles(table, updated, idCol)
+      staged :+= Staged(table, TableState(prev.maxId, carried ++ newFiles))
     }
   }
 
   /** Run `body` against a transaction; all staged writes become visible
-    * atomically at the end (or not at all if body throws). */
-  def transaction[A](body: Tx => A): A = synchronized {
-    val tx = new Tx
-    val out = body(tx)
-    commit(tx.staged)
-    out
-  }
+    * atomically at the end (or not at all if body throws). The whole
+    * read-modify-write holds the per-root monitor (in-JVM) and an OS
+    * file lock (cross-process), so concurrent writers serialize. */
+  def transaction[A](body: Tx => A): A =
+    Catalog.rootMonitor(rootPath.toAbsolutePath.normalize.toString)
+      .synchronized {
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try {
+            val tx = new Tx(readManifest())
+            val out = body(tx)
+            if (tx.staged.nonEmpty) {
+              val m = readManifest()
+              writeManifest(m ++ tx.staged.groupBy(_.table)
+                .map { case (t, ss) => t -> ss.last.state })
+            }
+            out
+          } finally lock.release()
+        } finally ch.close()
+      }
 
   /** Single-statement conveniences. */
   def append(table: String, rows: DataFrame,
@@ -160,4 +275,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def update(table: String, predicate: Column,
       assignments: Map[String, Column]): Unit =
     transaction(_.update(table, predicate, assignments))
+}
+
+object Catalog {
+  /** Per-root in-JVM monitors: POSIX file locks are process-scoped (a
+    * second lock attempt from the same JVM throws Overlapping-
+    * FileLockException instead of blocking), so same-JVM writers to one
+    * root serialize here first. */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def rootMonitor(root: String): Object =
+    monitors.computeIfAbsent(root, _ => new Object)
 }

@@ -72,4 +72,71 @@ class StoreSpec extends SparkSuite {
     }
     assert(cat.read("users").count() == 1)
   }
+
+  test("bulk append: 10k multi-partition rows get dense ids in order " +
+    "with no global window") {
+    val cat = freshCat()
+    val bulk = spark.range(10000)
+      .select(
+        concat(lit("fn"), $"id").as("first_name"), lit("L").as("last_name"),
+        lit("0123456789").as("phone"),
+        // zero-padded so the requested string order == numeric order
+        concat(lit("u"), format_string("%05d", $"id"), lit("@x.c")).as("email"),
+        lit("h").as("password_hash"), lit("user").as("user_role"),
+        lit(new java.sql.Timestamp(0L)).as("created_at"))
+      .repartition(8)
+    assert(cat.append("users", bulk, orderBy = Seq("email")) == 10000L)
+    val rows = cat.read("users")
+      .select("user_id", "email").as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10000L).toSeq, "dense ids")
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+      "id order must follow the requested orderBy")
+  }
+
+  test("two catalogs on one root: concurrent appends lose nothing " +
+    "(manifest file lock)") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cats = Seq(new Catalog(spark, root), new Catalog(spark, root))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        try cats(i % 2).append("users", user(s"t$i", s"t$i@x.c"))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"append failed: ${Option(errs.peek())}")
+    val ids = cats.head.read("users")
+      .select("user_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L, 4L)),
+      "every committed append must survive both catalogs")
+  }
+
+  test("keyed update rewrites only files whose id range matches; " +
+    "others stay byte-identical") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c").unionAll(user("b", "b@x.c")))
+    cat.append("users", user("c", "c@x.c").unionAll(user("d", "d@x.c")))
+    val before = cat.liveFiles("users")
+    assert(before.size >= 2, "two appends must produce >= 2 live files")
+    // file group from append #1 covers ids 1-2; update pins id 3
+    val untouched = before.filter { case (_, mn, mx) => mx < 3 }
+    val bytesBefore = untouched.map { case (p, _, _) =>
+      p -> Files.readAllBytes(java.nio.file.Paths.get(s"${cat.root}/$p")).toSeq
+    }.toMap
+    cat.update("users", col("user_id") === 3L,
+      Map("user_role" -> lit("admin")))
+    val after = cat.liveFiles("users")
+    bytesBefore.foreach { case (p, bytes) =>
+      assert(after.exists(_._1 == p),
+        s"non-matching file $p must be carried forward by reference")
+      assert(Files.readAllBytes(
+        java.nio.file.Paths.get(s"${cat.root}/$p")).toSeq == bytes,
+        s"non-matching file $p must stay byte-identical")
+    }
+    val roles = cat.read("users")
+      .select("user_id", "user_role").as[(Long, String)].collect().toMap
+    assert(roles(3L) == "admin" && roles(1L) == "user" &&
+      roles(2L) == "user" && roles(4L) == "user")
+  }
 }
