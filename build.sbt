@@ -26,8 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local-mode Spark = driver + all executor threads in ONE JVM: size the
-  // heap for 32 concurrent tasks + shuffle + cached relations (the round-1
-  // bench ran local[32] in 8g and spent most of ext_dedup_minhash in GC)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// local-mode Spark = driver + all executor threads in ONE JVM. The bench
+// entrypoint (run) sizes the heap for 32 concurrent tasks + shuffle +
+// cached relations at sf0.1 (the round-1 bench ran local[32] in 8g and
+// spent most of ext_dedup_minhash in GC). Tests run tiny fixtures: a
+// smaller default keeps `sbt test` viable on smaller hosts instead of
+// reserving 48g per forked JVM. SPARK_DRIVER_MEM overrides both.
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}"
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}"

@@ -18,16 +18,31 @@ object BucketedJoin {
 
   private val Buckets = 8
 
-  /** Fixture dir the bucketed copies were last written from — `prepare`
-    * is ingest-time work (the whole point of bucketing is paying the
-    * partitioning once at write time), so it only reruns when the source
-    * dir changes. */
-  @volatile private var preparedDir: String = ""
+  /** Memo key of the bucketed copies last written: warehouse dir +
+    * fixture dir + source-file (mtime, size) — so rewritten fixture
+    * content at the same path, or a different warehouse in the same JVM,
+    * triggers a re-prepare instead of silently reusing stale tables.
+    * `prepare` remains ingest-time work (the whole point of bucketing is
+    * paying the partitioning once at write time); the key only decides
+    * when "once" must happen again. */
+  @volatile private var preparedKey: String = ""
+
+  private def memoKey(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val srcs = Seq("orders.parquet", "lineitem.parquet").map { f =>
+      val p = java.nio.file.Paths.get(d, f)
+      if (java.nio.file.Files.exists(p))
+        s"$f:${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
+      else s"$f:absent"
+    }
+    (s.conf.get("spark.sql.warehouse.dir") +: d +: srcs).mkString("|")
+  }
 
   /** Write the bucketed copies for `d` unless they are already current. */
   def ensurePrepared(s: org.apache.spark.sql.SparkSession,
       d: String): Unit = synchronized {
-    if (preparedDir != d) { prepare(s, d); preparedDir = d }
+    val key = memoKey(s, d)
+    if (preparedKey != key) { prepare(s, d); preparedKey = key }
   }
 
   /** (Re)write the bucketed copies for the given fixture dir. Idempotent;

@@ -1,6 +1,9 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths}
 import java.util.UUID
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,6 +38,12 @@ object StatefulSessions {
 
   private val GapUs = 1800L * 1000000L
 
+  /** Ties round AWAY from zero (C `round`), matching DuckDB's ROUND —
+    * Scala's `math.round` is floor(x+0.5) (toward +inf on negative ties),
+    * which would diverge from the oracle on values like -0.125. */
+  private def roundHalfAway(x: Double): Long =
+    math.copySign(math.floor(math.abs(x) + 0.5), x).toLong
+
   private def step(userId: Long, evs: Iterator[Ev],
       state: GroupState[State]): Iterator[Session] = {
     if (state.hasTimedOut) {
@@ -48,12 +57,12 @@ object StatefulSessions {
       cur match {
         case Some(s) if e.tsUs - s.lastUs <= GapUs =>
           cur = Some(State(s.n + 1, s.startUs, e.tsUs,
-            s.cents + math.round(e.value * 100)))
+            s.cents + roundHalfAway(e.value * 100)))
         case Some(s) =>
           closed ::= Session(userId, s.n, s.startUs, s.lastUs, s.cents)
-          cur = Some(State(1, e.tsUs, e.tsUs, math.round(e.value * 100)))
+          cur = Some(State(1, e.tsUs, e.tsUs, roundHalfAway(e.value * 100)))
         case None =>
-          cur = Some(State(1, e.tsUs, e.tsUs, math.round(e.value * 100)))
+          cur = Some(State(1, e.tsUs, e.tsUs, roundHalfAway(e.value * 100)))
       }
     }
     cur.foreach { s =>
@@ -70,6 +79,14 @@ object StatefulSessions {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "sessions_" + UUID.randomUUID().toString.replace("-", "")
+    // ONE input file -> ONE micro-batch (no maxFilesPerTrigger limit), so
+    // no intermediate watermark can time out a session that a later batch
+    // would extend — the oracle's closed-session rule assumes exactly
+    // this. If the fixture ever splits into multiple files, the ingestion
+    // contract here must be revisited, hence the hard assert.
+    require(Files.list(Paths.get(dir)).iterator().asScala
+      .count(_.getFileName.toString == "events.parquet") == 1,
+      s"single-batch ingestion contract: expected exactly one events.parquet in $dir")
     val stream = spark.readStream.schema(batch.schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val withTs =
