@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Q
+import graft.functions.VecDot.vec_dot
+
+/** [EXT] IVF (inverted-file) approximate nearest neighbor — the second
+  * scale path next to [[Similarity.annLsh]], and the standard shape for
+  * embedding retrieval at corpus scale: partition the corpus into K cells
+  * around centroids at INGEST time, then search only the `NProbe` cells
+  * closest to each probe. Cost per probe drops from O(corpus) to
+  * O(corpus * NProbe / K) while the per-candidate scoring stays exact
+  * cosine (precision is exact on the candidate set; only recall is
+  * approximate — same contract as annLsh).
+  *
+  * Centroids here are the deterministic seed set (the K lowest vec_ids) —
+  * a 0-iteration k-means. That keeps the whole operator a pure function of
+  * the table, so the DuckDB oracle computes the identical centroids,
+  * assignments, candidate sets and cosines, and the gate hash-checks the
+  * full pipeline (a trained k-means would be better-balanced but is RNG-
+  * and-iteration-order dependent — at 100 TB you'd train centroids offline
+  * and the query shape below is unchanged). Cell assignment is a broadcast
+  * join (corpus x K tiny centroid rows) + one max_by per vector — no
+  * driver-side loop, no collect.
+  *
+  * All dot products are the strictly sequential [[graft.functions.VecDot]]
+  * fold in Spark and the equivalent `list_reduce` fold in DuckDB, so
+  * doubles are bit-identical across engines (see [[Similarity]]).
+  */
+object IvfSearch {
+
+  private val K = 32
+  private val NProbe = 4
+  private val TopK = 10
+
+  private def cents(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"),
+        col("nrm").as("cnrm"))
+
+  /** corpus assigned to cells: (vec_id, cell). Broadcast cross product
+    * against the K tiny centroid rows, then ONE partial-aggregating
+    * max_by per vector — the shuffle carries (vec_id, cell) only, never
+    * the embedding payload. Ties on equal cosine break toward the lower
+    * centroid id in BOTH engines. */
+  private def assigned(s: SparkSession, v: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents(v)))
+      .select(col("vec_id"), col("cent_id"),
+        (vec_dot(s, col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+          .as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id")))
+        .as("cell"))
+
+  /** A probe's NProbe closest cells (by cosine to the centroid, ties to
+    * the lower centroid id). */
+  private def probeCells(s: SparkSession, v: DataFrame): DataFrame = {
+    val probes = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+        col("nrm").as("pnrm"))
+    probes.crossJoin(broadcast(cents(v)))
+      .select(col("probe_id"),
+        col("cent_id"),
+        (vec_dot(s, col("pe"), col("ce")) / (col("pnrm") * col("cnrm")))
+          .as("ccos"))
+      .withColumn("crank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("crank") <= NProbe)
+      .select(col("probe_id"), col("cent_id").as("cell"))
+  }
+
+  val ivf: Q = Q(
+    "ext_sim_ivf",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < $K),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${Similarity.dotSql("v.e", "c.ce")}
+       |          / (${Similarity.normSql("v.e")} * ${Similarity.normSql("c.ce")})
+       |          DESC, c.cent_id) AS arank
+       |    FROM v CROSS JOIN cents c) s
+       |  WHERE arank = 1),
+       |pcells AS (
+       |  SELECT probe_id, cent_id AS cell FROM (
+       |    SELECT p.vec_id AS probe_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        ${Similarity.dotSql("p.e", "c.ce")}
+       |          / (${Similarity.normSql("p.e")} * ${Similarity.normSql("c.ce")})
+       |          DESC, c.cent_id) AS crank
+       |    FROM v p CROSS JOIN cents c WHERE p.vec_id < 5) r
+       |  WHERE crank <= $NProbe),
+       |cand AS (
+       |  SELECT pc.probe_id, a.vec_id AS neighbor_id
+       |  FROM pcells pc JOIN assigned a ON a.cell = pc.cell
+       |  WHERE a.vec_id <> pc.probe_id),
+       |scored AS (
+       |  SELECT cand.probe_id, cand.neighbor_id,
+       |    ROUND(${Similarity.dotSql("pe.e", "ne.e")}
+       |      / (${Similarity.normSql("pe.e")} * ${Similarity.normSql("ne.e")}),
+       |      6) AS cosine
+       |  FROM cand
+       |  JOIN v pe ON pe.vec_id = cand.probe_id
+       |  JOIN v ne ON ne.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+  ) { (s, d) => searchAt(s, d) }
+
+  /** The IVF search pipeline (exposed for the recall spec). */
+  def searchAt(s: SparkSession, d: String): DataFrame = {
+    val v = Similarity.vecs(s, d).localCheckpoint(true)
+    val cand = probeCells(s, v)
+      .join(assigned(s, v).select(col("vec_id").as("neighbor_id"),
+        col("cell")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id")
+    val probeVecs = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+        col("nrm").as("pnrm"))
+    cand
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e"), col("nrm")),
+        Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(vec_dot(s, col("pe"), col("e")) / (col("pnrm") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(ivf)
+}

@@ -9,7 +9,7 @@ import graft.core.Q
 object Registry {
   def all: Seq[Q] =
     EventsOps.all ++ TypedSessionize.all ++ TextAnalysis.all ++ Dedup.all ++
-      Similarity.all ++ Multimodal.all ++ BucketedJoin.all ++
+      Similarity.all ++ IvfSearch.all ++ Multimodal.all ++ BucketedJoin.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all
 }

@@ -38,18 +38,18 @@ object Similarity {
 
   /** vectors with their norms precomputed (norm = sqrt(dot(e,e)), IEEE
     * sqrt is correctly rounded — engine-independent). */
-  private def vecs(s: SparkSession, d: String): DataFrame = {
+  private[ext] def vecs(s: SparkSession, d: String): DataFrame = {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asD(col("embedding")).as("e"))
     v.withColumn("nrm", sqrt(vec_dot(s, col("e"), col("e"))))
   }
 
   /** DuckDB mirror: strictly sequential fold, same order as VecDot. */
-  private def dotSql(a: String, b: String): String =
+  private[ext] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
        |    i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
 
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  private[ext] def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
   /** Brute-force cosine top-k: probes (vec_id < 5) x corpus, rank by
     * (rounded cosine desc, vec_id) per probe, keep top 10. */

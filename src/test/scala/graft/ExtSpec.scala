@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, EventsOps, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventsOps, IvfSearch, Multimodal, Similarity, TextAnalysis}
 import graft.functions.RollingHash
 
 /** Behavior specs for the [EXT] operator families. The DuckDB gate checks
@@ -93,6 +93,46 @@ class ExtSpec extends SparkSuite {
     }
     val recall = recalls.sum / recalls.size
     assert(recall >= 0.8, s"ANN recall@10 = $recall, expected >= 0.8")
+  }
+
+  test("IVF: exact scoring on candidates, and a planted near-duplicate " +
+    "of a probe is always retrieved") {
+    // precision: every (probe, neighbor) IVF shares with brute force
+    // carries the identical cosine (candidates are exact-scored)
+    val brute = Similarity.topkBrute.fn(spark, sf).collect()
+    val bruteCos = brute
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ivf = IvfSearch.ivf.fn(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-12)
+      }
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 10)
+    }
+    // retrieval contract on real near-duplicates: a jittered copy of a
+    // probe (cosine ~0.999) lands in the probe's own cell neighborhood
+    // and MUST come back as its top neighbor. Noise-recall is not the
+    // IVF contract (isotropic noise spreads true neighbors uniformly
+    // over cells); finding planted duplicates is.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 60).map(_ => vec())
+    val rows = (0 until 60).map(i => (i.toLong, s"l${i % 5}", base(i))) ++
+      (0 until 5).map { i => // 60+i is a jittered copy of probe i
+        val e = base(i).map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+        ((60 + i).toLong, s"l${i % 5}", e)
+      }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "label", "embedding")
+    df.write.mode("overwrite")
+      .parquet("/tmp/graft_test_ivf/embeddings.parquet")
+    val found = IvfSearch.searchAt(spark, "/tmp/graft_test_ivf")
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { i =>
+      assert(found.get(i.toLong).contains((60 + i).toLong),
+        s"planted duplicate ${60 + i} must be probe $i's top neighbor; got $found")
+    }
   }
 
   test("near-dup pairs: finds planted high-cosine duplicates via LSH " +
