@@ -36,24 +36,60 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    val results = SparkEntry.benchQueries.map { q =>
+    // diagnostic: count task failures / stage retries silently absorbed by
+    // the scheduler (a run that looks slow but "succeeds" usually hides
+    // retries) — printed per run on stderr, not part of the JSON contract
+    val taskFails = new java.util.concurrent.atomic.AtomicLong
+    val stageRetries = new java.util.concurrent.atomic.AtomicLong
+    val stageWall = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (!te.taskInfo.successful) taskFails.incrementAndGet()
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          if (sc.stageInfo.attemptNumber() > 0) stageRetries.incrementAndGet()
+          val w = (for {s <- sc.stageInfo.submissionTime
+                        c <- sc.stageInfo.completionTime} yield c - s).getOrElse(0L)
+          stageWall.addAndGet(w)
+        }
+      })
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name substrings to run a
+    // subset (diagnostic use — the driver's gate runs the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    val selected = only match {
+      case Some(pats) =>
+        SparkEntry.benchQueries.filter(q => pats.exists(q.name.contains))
+      case None => SparkEntry.benchQueries
+    }
+    val results = selected.map { q =>
       // amortized prep (ingest-time work) runs outside the timed window
       try q.setup.foreach(_(spark, sfDir))
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} setup failed: ${e.getMessage}")
       }
+      val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      def gcMs: Long = { var t = 0L; gcBeans.forEach(b => t += b.getCollectionTime); t }
+      val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
       val times = (1 to runs).map { _ =>
         dropAllPersisted()
+        val g0 = gcMs; val j0 = jitBean.getTotalCompilationTime
         val t0 = System.nanoTime()
         try { q.fn(spark, sfDir).count() }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench]   run $dt%7.2f s  gc=+${gcMs - g0}%5d ms  jit=+${jitBean.getTotalCompilationTime - j0}%6d ms  taskFail=${taskFails.getAndSet(0)}  stageRetry=${stageRetries.getAndSet(0)}  stageWall=${stageWall.getAndSet(0) / 1e3}%7.2f s")
+        dt
       }
       dropAllPersisted()
+      System.err.println(
+        f"[bench] ${q.name}%-28s ${times.map(t => f"$t%.2f").mkString(" ")}")
       q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

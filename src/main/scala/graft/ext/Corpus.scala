@@ -1,0 +1,215 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** [EXT] corpus-preparation operators — the steps a training-data pipeline
+  * runs AROUND dedup/similarity: duplicate-cluster assignment (connected
+  * components over the near-dup pair graph), deterministic stratified
+  * sampling, vocabulary statistics, and a composed cleanse pipeline
+  * (language gate -> quality gate -> dedup) as one declarative plan.
+  *
+  * Scale notes per operator are on each member; the common rule is the one
+  * the dedup family follows: candidate generation by key-equality shuffle,
+  * per-row work inside whole-stage codegen, and `ORDER BY` only as final
+  * presentation.
+  */
+object Corpus {
+
+  import TextAnalysis.{toks, toksSql, countIn, countInSql, en}
+
+  /** Minimum-label propagation to a fixpoint: every node's label becomes
+    * the smallest doc_id reachable in the pair graph. One key-equality
+    * shuffle per round; rounds = eccentricity of each component's minimum
+    * node (near-dup clusters are shallow — boilerplate families converge
+    * in 2-3 rounds). Each round's result is checkpointed eagerly so the
+    * loop's lineage stays flat and AQE never re-derives a prior round.
+    *
+    * At 100 TB the same loop holds (labels are (long, long) rows — the
+    * shuffle is narrow no matter how wide the corpus); for graphs with
+    * deep chains swap in the large-star/small-star rounds of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SOCC'14) — same driver loop, different per-round join shape. */
+  private[graft] def propagateMinLabel(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so sum(label) strictly decreases until
+    // the fixpoint — a single scalar action per round decides convergence
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum("label")).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Duplicate-cluster assignment: connected components over the
+    * `ext_dedup_minhash` pair graph. Emits one row per document that
+    * appears in at least one near-dup pair: its cluster id (= smallest
+    * doc_id in the component) and the component's width. The oracle
+    * computes the identical fixpoint as a recursive transitive closure —
+    * fine at fixture scale, impossible at 100 TB, which is exactly why
+    * the Spark side is the iterative narrow-shuffle loop instead. */
+  val dedupClusters: Q = Q(
+    "ext_dedup_clusters",
+    s"""WITH RECURSIVE pairs AS (
+       |${Dedup.minhashPairsSqlBody}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+       |labels AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM labels ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val labels = propagateMinLabel(
+      Dedup.minhashPairs(s, d).select("doc_a", "doc_b"))
+    val widths = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels.join(widths, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-stratum sampling rates as hex-prefix bounds: a document is kept
+    * iff the first 4 hex digits of md5(doc_id) sort below the stratum's
+    * bound — '1999'/0x10000 ~ 10 % for English, '8000' = 50 % for the
+    * rest. Lexicographic compare of fixed-width hex IS numeric compare,
+    * and both engines hash the same decimal string, so membership is a
+    * pure row-local predicate: no shuffle, no RNG state, reproducible
+    * across engines, partitionings and retries (`rand()` sampling is none
+    * of those — a retried task would resample). */
+  private val enBound = "1999"
+  private val restBound = "8000"
+
+  /** Deterministic stratified sample over `documents`, stratified by
+    * `lang`. At 100 TB this is the standard "decimate the over-represented
+    * language" knob: a scan-project with a row-local predicate that
+    * pushes the `lang` filter into the parquet scan and never shuffles. */
+  val sampleStratified: Q = Q(
+    "ext_sample_stratified",
+    s"""SELECT doc_id, lang, source,
+       |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+       |FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+       |  CASE WHEN lang = 'en' THEN '$enBound' ELSE '$restBound' END
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val key = substring(md5(col("doc_id").cast("string")), 1, 4)
+    Tables.documents(s, d)
+      .filter(key < when(col("lang") === "en", enBound).otherwise(restBound))
+      .select(col("doc_id"), col("lang"), col("source"),
+        key.as("sample_key"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus vocabulary: top-100 whitespace tokens by total frequency with
+    * document frequency. The aggregate is hash-based with map-side
+    * partial aggregation, so a boilerplate token appearing everywhere
+    * arrives at the reducer as one partial row per map partition, never
+    * as raw occurrences. `count_distinct(doc_id)` is exact for oracle
+    * parity; the 100 TB variant swaps it for approx_count_distinct and
+    * keeps the identical plan shape (`ext_approx_distinct` demonstrates
+    * that tier). Top-k is a TakeOrderedAndProject over the aggregate,
+    * not a global sort. */
+  val vocabTopK: Q = Q(
+    "ext_vocab_topk",
+    s"""SELECT t AS token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents) u
+       |GROUP BY t ORDER BY tf DESC, token LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(100)
+  }
+
+  /** The composed cleanse pipeline every pretraining corpus runs, as ONE
+    * declarative plan: token gate (>= 5 tokens) -> language gate
+    * (predicted English, same marker heuristic as `ext_text_langid`) ->
+    * quality gate (same linear score as `ext_text_quality`, >= 0.5) ->
+    * exact dedup on the normalized fingerprint (keep the smallest
+    * doc_id). Composing existing operators instead of re-running them as
+    * separate jobs is the point: Catalyst fuses all four gates into one
+    * scan-project-filter, and the only shuffle is the fingerprint
+    * window — at 100 TB this runs as one pass over the corpus. */
+  val pipelineCleanse: Q = Q(
+    "ext_pipeline_cleanse",
+    s"""WITH f AS (
+       |  SELECT doc_id, text, len($toksSql) AS n_tokens,
+       |    ${countInSql(en)} AS n_stop,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+       |    ${TextAnalysis.langPredSql} AS lang_pred
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, text, n_tokens, lang_pred,
+       |    ROUND(0.5 * (n_stop * 1.0 / n_tokens)
+       |      + 0.3 * (CASE WHEN n_tokens >= 20 THEN 1.0
+       |               ELSE n_tokens / 20.0 END)
+       |      + 0.2 * (1.0 - n_punct * 1.0 / len(text)), 4) AS quality_score
+       |  FROM f WHERE n_tokens >= 5),
+       |kept AS (
+       |  SELECT doc_id, n_tokens, quality_score,
+       |    MIN(doc_id) OVER (PARTITION BY
+       |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS rep
+       |  FROM scored
+       |  WHERE lang_pred = 'en' AND quality_score >= 0.5)
+       |SELECT doc_id, n_tokens, quality_score FROM kept
+       |WHERE doc_id = rep ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val ts = toks(col("text"))
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        size(ts).cast("long").as("n_tokens"),
+        countIn(ts, en).as("n_stop"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long")
+          .as("n_punct"),
+        TextAnalysis.langPred(col("text")).as("lang_pred"))
+      .filter(col("n_tokens") >= 5)
+    val scored = f.select(col("doc_id"), col("text"), col("n_tokens"),
+      col("lang_pred"),
+      round(lit(0.5) * (col("n_stop") * lit(1.0) / col("n_tokens"))
+        + lit(0.3) * when(col("n_tokens") >= 20, 1.0)
+          .otherwise(col("n_tokens") / lit(20.0))
+        + lit(0.2) * (lit(1.0) - col("n_punct") * lit(1.0)
+          / length(col("text"))), 4).as("quality_score"))
+    val kept = scored
+      .filter(col("lang_pred") === "en" && col("quality_score") >= 0.5)
+      .withColumn("rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))))
+    kept.filter(col("doc_id") === col("rep"))
+      .select("doc_id", "n_tokens", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(dedupClusters, sampleStratified, vocabTopK, pipelineCleanse)
+}

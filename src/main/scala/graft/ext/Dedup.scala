@@ -98,18 +98,9 @@ object Dedup {
     * fixture tweak). */
   private val BucketCap = 64
 
-  /** MinHash signatures + LSH banding + Jaccard verification.
-    *
-    * Scale shape: exact-duplicate texts are collapsed to one
-    * representative FIRST (dup-heavy corpora would otherwise push k^2
-    * pairs of every k-duplicate cluster through one bucket), the
-    * shingle -> 16 seeded-md5 minhash -> band -> capped-bucket join ->
-    * Jaccard-verify pipeline runs over representatives only, and member
-    * pairs are re-expanded at the end (identical texts have identical
-    * shingle sets, so expanded pairs inherit the representative pair's
-    * jaccard; within-cluster pairs are jaccard 1.0 exactly). */
-  val minhashLsh: Q = Q(
-    "ext_dedup_minhash",
+  /** The full minhash pair pipeline as a reusable SQL body (no final
+    * ORDER BY) so [[Corpus.dedupClusters]] can embed it as a CTE. */
+  private[ext] val minhashPairsSqlBody: String =
     s"""WITH sh AS ($shingleSql),
        |sig AS (
        |  SELECT doc_id,
@@ -140,9 +131,26 @@ object Dedup {
        |FROM inter i
        |JOIN sizes za ON za.doc_id = i.doc_a
        |JOIN sizes zb ON zb.doc_id = i.doc_b
-       |WHERE i.n_int * 1.0 / (za.n_sh + zb.n_sh - i.n_int) >= 0.6
-       |ORDER BY doc_a, doc_b""".stripMargin
-  ) { (s, d) =>
+       |WHERE i.n_int * 1.0 / (za.n_sh + zb.n_sh - i.n_int) >= 0.6""".stripMargin
+
+  val minhashLsh: Q = Q(
+    "ext_dedup_minhash",
+    minhashPairsSqlBody + "\nORDER BY doc_a, doc_b"
+  ) { (s, d) => minhashPairs(s, d) }
+
+  /** MinHash signatures + LSH banding + Jaccard verification — the pair
+    * pipeline behind `ext_dedup_minhash`, also the edge set for
+    * [[Corpus.dedupClusters]]'s connected components.
+    *
+    * Scale shape: exact-duplicate texts are collapsed to one
+    * representative FIRST (dup-heavy corpora would otherwise push k^2
+    * pairs of every k-duplicate cluster through one bucket), the
+    * shingle -> 16 seeded-md5 minhash -> band -> capped-bucket join ->
+    * Jaccard-verify pipeline runs over representatives only, and member
+    * pairs are re-expanded at the end (identical texts have identical
+    * shingle sets, so expanded pairs inherit the representative pair's
+    * jaccard; within-cluster pairs are jaccard 1.0 exactly). */
+  private[ext] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val mem = clustered(s, d).localCheckpoint(true)
     val sh = repShingles(mem).localCheckpoint(true)
     val sig = sh.groupBy("doc_id")

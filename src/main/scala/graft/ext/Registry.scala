@@ -9,7 +9,9 @@ import graft.core.Q
 object Registry {
   def all: Seq[Q] =
     EventsOps.all ++ TypedSessionize.all ++ TextAnalysis.all ++ Dedup.all ++
-      Similarity.all ++ IvfSearch.all ++ Multimodal.all ++ BucketedJoin.all ++
+      Corpus.all ++ Similarity.all ++ IvfSearch.all ++ Multimodal.all ++
+      BucketedJoin.all ++
       graft.streaming.EventsStream.all ++
-      graft.streaming.StatefulSessions.all
+      graft.streaming.StatefulSessions.all ++
+      graft.streaming.StreamDedup.all
 }

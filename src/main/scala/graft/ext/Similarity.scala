@@ -152,9 +152,12 @@ object Similarity {
        |SELECT probe_id, neighbor_id, rank, cosine FROM ranked
        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
   ) { (s, d) =>
-    // eager for the same AQE-concurrent-recompute reason as nearDupPairsAt
+    // eager for the same AQE-concurrent-recompute reason as nearDupPairsAt;
+    // buckets too: it feeds BOTH the probe lookup and the candidate join,
+    // and the 64-plane projection is the op's only expensive subtree — at
+    // scale this materialization is the ingest-time LSH index itself
     val v = vecs(s, d).localCheckpoint(true)
-    val buckets = bucketed(s, v)
+    val buckets = bucketed(s, v).localCheckpoint(true)
     val probeBuckets = buckets.join(
       v.filter(col("vec_id") < 5).select(col("vec_id").as("probe_id")),
       col("vec_id") === col("probe_id"))
@@ -203,7 +206,9 @@ object Similarity {
     // AQE gives no ordering guarantee and concurrent stages re-derive it
     // (the round-3 dedup finding — same fix here)
     val v = vecs(s, d).localCheckpoint(true)
-    val buckets = bucketed(s, v)
+    // the self-join below consumes buckets TWICE — without eager
+    // materialization each side re-derives the 64-plane projection
+    val buckets = bucketed(s, v).localCheckpoint(true)
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")

@@ -19,20 +19,20 @@ object TextAnalysis {
 
   /** Whitespace tokens with empties dropped; oracle mirror:
     * `list_filter(string_split_regex(text, '\s+'), t -> t <> '')`. */
-  private def toks(text: Column): Column =
+  private[ext] def toks(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  private val toksSql =
+  private[ext] val toksSql =
     """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
 
-  private def countIn(ts: Column, words: Seq[String]): Column =
+  private[ext] def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isin(words.map(lit): _*))).cast("long")
 
-  private def countInSql(words: Seq[String]): String =
+  private[ext] def countInSql(words: Seq[String]): String =
     s"""len(list_filter($toksSql, t -> t IN (${words.mkString("'", "', '", "'")})))"""
 
   // Marker (stopword) sets per language — tiny n-gram-free heuristic.
-  private val en = Seq("the", "a", "and", "of", "to", "in", "is")
+  private[ext] val en = Seq("the", "a", "and", "of", "to", "in", "is")
   private val es = Seq("el", "la", "de", "que", "y", "un", "es")
   private val de = Seq("der", "die", "das", "und", "ist", "ein")
   private val fr = Seq("le", "les", "et", "des", "une", "est")
@@ -94,6 +94,32 @@ object TextAnalysis {
         + lit(0.2) * (lit(1.0) - punctRatio), 4).as("quality_score"))
       .orderBy("doc_id")
   }
+
+  /** The language decision as a reusable expression over `text` (used by
+    * [[langId]] and [[Corpus.pipelineCleanse]]): argmax of the marker
+    * counts with a fixed preference chain (en > es > de > fr), 'und' when
+    * nothing matches. */
+  private[ext] def langPred(text: Column): Column = {
+    val Seq(sEn, sEs, sDe, sFr) =
+      Seq(en, es, de, fr).map(ws => countIn(toks(text), ws))
+    when(sEn === 0 && sEs === 0 && sDe === 0 && sFr === 0, "und")
+      .when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+      .when(sEs >= sDe && sEs >= sFr, "es")
+      .when(sDe >= sFr, "de")
+      .otherwise("fr")
+  }
+
+  private[ext] val langPredSql: String =
+    s"""CASE
+       |  WHEN ${countInSql(en)} = 0 AND ${countInSql(es)} = 0
+       |    AND ${countInSql(de)} = 0 AND ${countInSql(fr)} = 0 THEN 'und'
+       |  WHEN ${countInSql(en)} >= ${countInSql(es)}
+       |    AND ${countInSql(en)} >= ${countInSql(de)}
+       |    AND ${countInSql(en)} >= ${countInSql(fr)} THEN 'en'
+       |  WHEN ${countInSql(es)} >= ${countInSql(de)}
+       |    AND ${countInSql(es)} >= ${countInSql(fr)} THEN 'es'
+       |  WHEN ${countInSql(de)} >= ${countInSql(fr)} THEN 'de'
+       |  ELSE 'fr' END""".stripMargin
 
   /** Language ID: per-language marker counts, argmax with a fixed
     * preference chain (en > es > de > fr), 'und' when nothing matches. */

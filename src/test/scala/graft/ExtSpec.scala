@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, EventsOps, IvfSearch, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, EventsOps, IvfSearch, Multimodal, Similarity, TextAnalysis}
 import graft.functions.RollingHash
 
 /** Behavior specs for the [EXT] operator families. The DuckDB gate checks
@@ -240,6 +240,95 @@ class ExtSpec extends SparkSuite {
       .collect().map(_.toString).sorted
     val batch = EventsOps.windowHourly.fn(spark, sf)
       .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+  }
+
+  // ---- corpus preparation ----
+
+  test("min-label propagation converges on a chain graph (needs multiple " +
+    "rounds) and labels every node with the component minimum") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val labels = Corpus.propagateMinLabel(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
+  test("dedup clusters partition the minhash pair graph: both ends of " +
+    "every pair share a cluster whose id is its smallest member") {
+    val pairs = Dedup.minhashLsh.fn(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Corpus.dedupClusters.fn(spark, sf).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) => assert(cluster(a) == cluster(b)) }
+    // cluster id is the minimum member; widths agree with membership
+    val members = rows.groupBy(_.getLong(1))
+    members.foreach { case (cid, ms) =>
+      assert(ms.map(_.getLong(0)).min == cid)
+      ms.foreach(r => assert(r.getLong(2) == ms.length.toLong))
+    }
+  }
+
+  test("stratified sample is deterministic and thins 'en' harder than " +
+    "the rest") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = Corpus.sampleStratified.fn(spark, sf).collect()
+    val s2 = Corpus.sampleStratified.fn(spark, sf).collect()
+    assert(s1.map(_.toString).sameElements(s2.map(_.toString)))
+    val kept = s1.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    // en keep-rate ~10%, others ~50% — allow generous slack on the tiny
+    // fixture, but the ordering and rough magnitude must hold
+    val enRate = kept.getOrElse("en", 0).toDouble / totals("en")
+    val restKept = (kept - "en").values.sum.toDouble
+    val restTotal = (totals - "en").values.sum.toDouble
+    assert(enRate < 0.25, s"en rate $enRate")
+    assert(restKept / restTotal > 0.3, s"rest rate ${restKept / restTotal}")
+  }
+
+  test("vocab top-k is sorted by tf desc with deterministic tie-break " +
+    "and df <= tf") {
+    val rows = Corpus.vocabTopK.fn(spark, sf).collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        val (tx, ty) = (x.getLong(1), y.getLong(1))
+        assert(tx > ty || (tx == ty && x.getString(0) < y.getString(0)))
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)
+      && r.getLong(2) >= 1L))
+  }
+
+  test("cleanse pipeline output passes every gate and is fingerprint-" +
+    "deduplicated") {
+    val rows = Corpus.pipelineCleanse.fn(spark, sf).collect()
+    assert(rows.nonEmpty, "cleanse gate must be non-vacuous on the fixture")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5L)
+      assert(r.getDouble(2) >= 0.5)
+    }
+    // each kept doc is the minimum doc_id of its normalized-text group
+    val keptIds = rows.map(_.getLong(0)).toSet
+    val fps = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val fpOf = fps.toMap
+    val groupMin = fps.groupBy(_._2).map { case (fp, xs) =>
+      fp -> xs.map(_._1).min }
+    keptIds.foreach(id => assert(groupMin(fpOf(id)) == id))
+  }
+
+  test("streaming dedup emits exactly the batch-distinct fingerprint set") {
+    val streamed = graft.streaming.StreamDedup
+      .distinctFingerprints(spark, sf).collect().map(_.getString(0))
+    val batch = graft.core.Tables.documents(spark, sf)
+      .select(md5(col("text"))).distinct()
+      .collect().map(_.getString(0)).sorted
     assert(streamed.sameElements(batch))
   }
 }
