@@ -26,8 +26,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm up: touch every fixture table's footer + run one tiny job
+    // warm up: touch every fixture table's footer + run one tiny job.
+    // The lower()+window job also pays two one-time JVM taxes outside any
+    // timed window: the ICU CollationAwareUTF8String static init (seconds;
+    // triggered by the first collation-aware string function to run) and
+    // the window MutableProjection codegen path.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(100)
+      .selectExpr("id", "lower(concat('Warm', id)) AS l")
+      .selectExpr("max(l) OVER (PARTITION BY id % 10 ORDER BY id) AS w")
+      .collect()
     graft.core.Tables.fixtureNames.foreach { t =>
       graft.core.Tables.load(spark, sfDir, t).schema
     }

@@ -14,6 +14,16 @@ object Sessions {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    // the generated-class cache defaults to 100 entries; this engine's
+    // registry compiles several hundred distinct codegen classes per pass
+    // (80+ queries x multiple stages, some huge — 64 vec_dot calls with
+    // 64-element literal arrays), so at 100 the hot classes thrash and
+    // janino recompiles INSIDE tasks: a measured intermittent 2-20 s
+    // single-threaded stall per stage (thread dumps show
+    // CodeGenerator.doCompile under Executor task launch worker; task
+    // counters show wall time with ~zero user CPU, zero GC, zero retries).
+    // Static conf — must be set before the first session is created.
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
     // fixture `events.ts` is parquet TIMESTAMP(NANOS): read as nanos long,
     // converted to a micros timestamp in Tables.load
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -21,6 +31,22 @@ object Sessions {
     // keep it out of the repo working tree
     .config("spark.sql.warehouse.dir",
       s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value after. Streaming queries use this:
+    * stateful operators pay a per-partition-per-microbatch state-store
+    * commit (file create + rename), so a 10k-row fixture stream through
+    * 32 state partitions is pure fixed overhead — 8 partitions carry the
+    * same data with a quarter of the commits. On a real cluster the
+    * stream's state partition count is sized to key cardinality at the
+    * query's FIRST start (it is sticky in the checkpoint), not to the
+    * batch session default — this helper is that sizing decision. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
 
   /** Local session sized to the harness (local[N] = N executor threads in
     * one JVM; shuffle partitions match cores, not the 200 default). */

@@ -87,12 +87,30 @@ object Corpus {
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
        |FROM labels ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val labels = propagateMinLabel(
-      Dedup.minhashPairs(s, d).select("doc_a", "doc_b"))
-    val widths = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
-    labels.join(widths, Seq("label"))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        col("n_members"))
+    // CC runs over REPRESENTATIVE pairs only — the expanded member pairs
+    // are O(k^2) per k-duplicate cluster (pure output materialization for
+    // ext_dedup_minhash, but poison as a CC edge list). Member docs then
+    // inherit their rep's component label: rep = min(member ids) and
+    // component label = min(rep ids), so the min over the expanded
+    // component is exactly the rep-level label.
+    val p = Dedup.minhashRepPipeline(s, d)
+    val repLabels = propagateMinLabel(p.repPairs
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
+    // docs in the pair graph: members of a rep with a cross pair, plus
+    // members of surviving multi-member exact clusters (within pairs)
+    val crossReps = p.repPairs.select(col("rep_a").as("rep_id"))
+      .union(p.repPairs.select(col("rep_b").as("rep_id"))).distinct()
+    val qual = crossReps.union(p.survivors).distinct()
+    val labeled = qual
+      .join(repLabels.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+      .select(col("rep_id"), coalesce(col("label"), col("rep_id"))
+        .as("cluster_id"))
+    val members = p.mem.select(col("doc_id"), col("rep_id"))
+      .join(labeled, Seq("rep_id"))
+    val widths = members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    members.join(widths, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
       .orderBy("doc_id")
   }
 
@@ -210,6 +228,38 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Salt width for the skewed aggregation below: enough splits that one
+    * hot key spreads over the cluster, few enough that the second-stage
+    * input stays tiny (keys x SaltBuckets rows). */
+  private val SaltBuckets = 16
+
+  /** Two-stage salted aggregation over a LOW-CARDINALITY skewed key
+    * (`events.event_type`, a handful of values for 10^5..10^9 rows): stage
+    * 1 aggregates on (key, salt) so no single reducer owns a hot key's
+    * full row set; stage 2 folds the SaltBuckets partials per key. The
+    * salt is derived from event_id, not rand() — deterministic under
+    * retries. Decimal partial sums re-aggregate associatively, so the
+    * result is bit-identical to the unsalted plan, which is exactly what
+    * the oracle computes (the plain GROUP BY — salting is an execution
+    * strategy, not a semantic). Spark's own partial aggregation covers
+    * mild skew; explicit salting is the declarative form of the fix when
+    * one key dominates entire partitions. */
+  val skewSaltedAgg: Q = Q(
+    "ext_skew_salted_agg",
+    """SELECT event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import graft.core.Determinism.m
+    val partial = Tables.events(s, d)
+      .groupBy(col("event_type"), (col("event_id") % SaltBuckets).as("salt"))
+      .agg(count(lit(1)).as("pn"), sum(m(col("value"))).as("pt"))
+    partial.groupBy("event_type")
+      .agg(sum(col("pn")).as("n"), sum(col("pt")).cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
-    Seq(dedupClusters, sampleStratified, vocabTopK, pipelineCleanse)
+    Seq(dedupClusters, sampleStratified, vocabTopK, pipelineCleanse,
+      skewSaltedAgg)
 }

@@ -151,6 +151,19 @@ object Dedup {
     * shingle sets, so expanded pairs inherit the representative pair's
     * jaccard; within-cluster pairs are jaccard 1.0 exactly). */
   private[ext] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val p = minhashRepPipeline(s, d)
+    expandPairs(p.repPairs, p.mem, p.survivors)
+  }
+
+  /** Rep-level intermediates of the minhash pipeline, for consumers that
+    * can work per-representative and must NOT touch the O(k^2) expanded
+    * member pairs (e.g. [[Corpus.dedupClusters]]): verified pairs between
+    * representatives, the member->rep map, and the reps whose
+    * exact-duplicate cluster survives candidate blocking. */
+  private[ext] case class RepPipeline(
+      repPairs: DataFrame, mem: DataFrame, survivors: DataFrame)
+
+  private[ext] def minhashRepPipeline(s: SparkSession, d: String): RepPipeline = {
     val mem = clustered(s, d).localCheckpoint(true)
     val sh = repShingles(mem).localCheckpoint(true)
     val sig = sh.groupBy("doc_id")
@@ -198,7 +211,7 @@ object Dedup {
     // docs); only multi-member clusters matter
     val survivors = bandsOk.filter(col("csize") >= 2)
       .select(col("doc_id").as("rep_id")).distinct()
-    expandPairs(repPairs, mem, survivors)
+    RepPipeline(repPairs, mem, survivors)
   }
 
   /** Re-expand duplicate-cluster members into the final pair output:

@@ -19,7 +19,8 @@ object EventsStream {
 
   /** Run the streaming aggregation to completion and return the result as
     * a batch DataFrame. */
-  def hourlyByType(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyByType(spark: SparkSession, dir: String): DataFrame =
+      graft.core.Sessions.withShufflePartitions(spark, 8) {
     // file streaming source needs the schema up front: take it from a batch
     // read (ts arrives as nanos BIGINT under nanosAsLong, converted below)
     val batch = spark.read.parquet(s"$dir/events.parquet")

@@ -75,7 +75,8 @@ object StatefulSessions {
 
   /** Run the stateful streaming query to completion over the fixture file
     * and return the emitted (closed) sessions. */
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  def run(spark: SparkSession, dir: String): DataFrame =
+      graft.core.Sessions.withShufflePartitions(spark, 8) {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "sessions_" + UUID.randomUUID().toString.replace("-", "")

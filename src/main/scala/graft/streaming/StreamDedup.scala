@@ -25,7 +25,8 @@ import graft.core.Q
   * deterministic regardless of which copy won. */
 object StreamDedup {
 
-  def distinctFingerprints(spark: SparkSession, dir: String): DataFrame = {
+  def distinctFingerprints(spark: SparkSession, dir: String): DataFrame =
+      graft.core.Sessions.withShufflePartitions(spark, 8) {
     val batch = spark.read.parquet(s"$dir/documents.parquet")
     val name = "stream_dedup_" + UUID.randomUUID().toString.replace("-", "")
     val stream = spark.readStream
@@ -47,6 +48,7 @@ object StreamDedup {
     finally q.stop()
     spark.table(name).select(col("fp")).orderBy("fp")
   }
+
 
   /** Gate entry: streaming dedup vs the batch DISTINCT oracle — the
     * stream must emit exactly one row per distinct content. */
