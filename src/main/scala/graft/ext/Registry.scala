@@ -10,7 +10,7 @@ object Registry {
   def all: Seq[Q] =
     EventsOps.all ++ TypedSessionize.all ++ TextAnalysis.all ++ Dedup.all ++
       Corpus.all ++ Similarity.all ++ IvfSearch.all ++ Multimodal.all ++
-      BucketedJoin.all ++
+      BucketedJoin.all ++ PartitionedScan.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++
       graft.streaming.StreamDedup.all
