@@ -165,6 +165,75 @@ object EventsOps {
       .orderBy("event_type")
   }
 
+  /** Non-equi (range) join: classify each event's value into a tier whose
+    * bounds come from a tiny dimension — the canonical banding join. The
+    * tier table BROADCASTS, so the range predicate evaluates as a
+    * broadcast nested-loop over 3 rows per event, never a shuffle or a
+    * cartesian at scale (the big side streams once). Half-open intervals
+    * [lo, hi) tile the whole double line, so every event lands in exactly
+    * one tier; boundary comparisons are exact double compares, identical
+    * in both engines. */
+  val rangeJoin: Q = Q(
+    "ext_range_join",
+    """WITH tiers(tier, lo, hi) AS (VALUES
+      |  ('low',  -1e18,  25.0),
+      |  ('mid',   25.0,  75.0),
+      |  ('high',  75.0, 1e18))
+      |SELECT t.tier, COUNT(*) AS n,
+      |CAST(SUM(CAST(e.value AS DECIMAL(10,2))) AS DOUBLE) AS total
+      |FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+      |GROUP BY t.tier ORDER BY t.tier""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val tiers = Seq(("low", -1e18, 25.0), ("mid", 25.0, 75.0),
+      ("high", 75.0, 1e18)).toDF("tier", "lo", "hi")
+    Tables.events(s, d)
+      .join(broadcast(tiers),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy("tier")
+  }
+
+  /** Per-type moment statistics with an EXPLICIT variance formula: the
+    * exact decimal power sums (n, sum x, sum x^2) are the distributed
+    * aggregate — associative, engine-exact, the moment-sketch shape that
+    * merges across 1000 executors — and the final avg/var/stddev are a
+    * fixed sequence of correctly-rounded double ops on those exact sums,
+    * written identically in both engines. Spark's builtin stddev
+    * (streaming one-pass update) would NOT reproduce across engines;
+    * explicit moments do. */
+  val valueStats: Q = Q(
+    "ext_value_stats",
+    """SELECT event_type, n,
+      |ROUND(CAST(sx AS DOUBLE) / n, 4) AS avg_value,
+      |ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |  / (n - 1), 4) AS var_value,
+      |ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |  / (n - 1)), 4) AS std_value
+      |FROM (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(10,2))) AS sx,
+      |    SUM(CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2))) AS sxx
+      |  FROM events GROUP BY event_type) m
+      |ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import Determinism.m
+    val moments = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(m(col("value"))).as("sx"),
+        sum(m(col("value")) * m(col("value"))).as("sxx"))
+    val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val variance = (sxxD - sxD * sxD / col("n")) / (col("n") - 1)
+    moments.select(col("event_type"), col("n"),
+      round(sxD / col("n"), 4).as("avg_value"),
+      round(variance, 4).as("var_value"),
+      round(sqrt(variance), 4).as("std_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(windowHourly, windowSliding, jsonExtract, sessionize,
-    pivotByType, asofJoin, approxDistinct)
+    pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats)
 }

@@ -323,6 +323,18 @@ class ExtSpec extends SparkSuite {
     keptIds.foreach(id => assert(groupMin(fpOf(id)) == id))
   }
 
+  test("range join broadcasts the tier table and covers every event " +
+    "exactly once") {
+    val df = EventsOps.rangeJoin.fn(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"tier side must broadcast:\n$plan")
+    val totalEvents = graft.core.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == totalEvents,
+      "half-open tiers must partition all events")
+  }
+
   test("streaming dedup emits exactly the batch-distinct fingerprint set") {
     val streamed = graft.streaming.StreamDedup
       .distinctFingerprints(spark, sf).collect().map(_.getString(0))
