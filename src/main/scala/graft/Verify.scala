@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (dev only; the driver passes two): comma-separated
+    // query names to run, for fast single-operator oracle iterations
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, Option.empty[Set[String]])
+      case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Sessions.tune(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -13,7 +18,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.registry.foreach { q =>
+    SparkEntry.registry.filter(q => only.forall(_.contains(q.name)))
+      .foreach { q =>
       try {
         q.setup.foreach(_(spark, sfDir))
         q.fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -18,7 +18,8 @@ import graft.core.{Q, Tables}
   */
 object Corpus {
 
-  import TextAnalysis.{toks, toksSql, countIn, countInSql, en}
+  import TextAnalysis.{toks, toksSql, countIn, countInSql, en, r4frac,
+    r4fracSql, scoreNum, scoreNumSql}
 
   /** Minimum-label propagation to a fixpoint: every node's label becomes
     * the smallest doc_id reachable in the pair graph. One key-equality
@@ -188,10 +189,9 @@ object Corpus {
        |  FROM documents),
        |scored AS (
        |  SELECT doc_id, text, n_tokens, lang_pred,
-       |    ROUND(0.5 * (n_stop * 1.0 / n_tokens)
-       |      + 0.3 * (CASE WHEN n_tokens >= 20 THEN 1.0
-       |               ELSE n_tokens / 20.0 END)
-       |      + 0.2 * (1.0 - n_punct * 1.0 / len(text)), 4) AS quality_score
+       |    ${r4fracSql(scoreNumSql("n_stop", "n_tokens", "n_punct",
+                          "len(text)"), "n_tokens * len(text)")}
+       |      AS quality_score
        |  FROM f WHERE n_tokens >= 5),
        |kept AS (
        |  SELECT doc_id, n_tokens, quality_score,
@@ -211,13 +211,11 @@ object Corpus {
           .as("n_punct"),
         TextAnalysis.langPred(col("text")).as("lang_pred"))
       .filter(col("n_tokens") >= 5)
+    val ln = length(col("text")).cast("long")
     val scored = f.select(col("doc_id"), col("text"), col("n_tokens"),
       col("lang_pred"),
-      round(lit(0.5) * (col("n_stop") * lit(1.0) / col("n_tokens"))
-        + lit(0.3) * when(col("n_tokens") >= 20, 1.0)
-          .otherwise(col("n_tokens") / lit(20.0))
-        + lit(0.2) * (lit(1.0) - col("n_punct") * lit(1.0)
-          / length(col("text"))), 4).as("quality_score"))
+      r4frac(scoreNum(col("n_stop"), col("n_tokens"), col("n_punct"), ln),
+        col("n_tokens") * ln).as("quality_score"))
     val kept = scored
       .filter(col("lang_pred") === "en" && col("quality_score") >= 0.5)
       .withColumn("rep", min(col("doc_id")).over(

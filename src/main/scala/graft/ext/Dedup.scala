@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables}
 
 /** [EXT] deduplication family over `documents` / `embeddings`:
-  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard set-similarity
-  * join, and embedding-cosine near-dup.
+  * exact (hash-groupBy), MinHash+LSH (Broder, "On the resemblance and
+  * containment of documents", SEQUENCES'97; banding per Leskovec/Rajaraman/
+  * Ullman, Mining of Massive Datasets ch. 3), SimHash (Charikar,
+  * "Similarity estimation techniques from rounding algorithms", STOC'02),
+  * n-gram Jaccard set-similarity join, and embedding-cosine near-dup.
   *
   * Scale design: nothing here is O(n^2) on the full corpus. Candidate
   * generation is always a key-equality shuffle (digest, LSH band, shared

@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.core.Q
 import graft.functions.VecDot.vec_dot
 
-/** [EXT] IVF (inverted-file) approximate nearest neighbor — the second
-  * scale path next to [[Similarity.annLsh]], and the standard shape for
+/** [EXT] IVF (inverted-file) approximate nearest neighbor (the coarse
+  * quantizer of Jegou/Douze/Schmid, "Product quantization for nearest
+  * neighbor search", TPAMI 2011) — the second scale path next to
+  * [[Similarity.annLsh]], and the standard shape for
   * embedding retrieval at corpus scale: partition the corpus into K cells
   * around centroids at INGEST time, then search only the `NProbe` cells
   * closest to each probe. Cost per probe drops from O(corpus) to

@@ -39,10 +39,22 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** One decoded media item (stub features). */
+  /** One decoded media item (stub features) + its resize plan: target
+    * dims aspect-fit into [[FitBox]] x [[FitBox]] (the standard model-
+    * input preprocessing step), computed with integer arithmetic so the
+    * plan is deterministic. */
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int,
-      dominant: Double)
+      dominant: Double, target_w: Int, target_h: Int)
+
+  private val FitBox = 224
+
+  /** Aspect-preserving fit of (w, h) into FitBox x FitBox — the longer
+    * side becomes FitBox, the shorter scales by the same integer-rounded
+    * factor (never upscaled past the box). */
+  private[ext] def fitDims(w: Int, h: Int): (Int, Int) =
+    if (w >= h) (FitBox, math.max(1, (h.toLong * FitBox / w).toInt))
+    else (math.max(1, (w.toLong * FitBox / h).toInt), FitBox)
 
   /** STUB decoder — stands in for an image/audio codec. Deterministic pure
     * function of the bytes so tests are stable; a real implementation
@@ -52,13 +64,18 @@ object Multimodal {
     var i = 0
     while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
     val pos = math.abs(h)
+    val w = 64 + (pos % 512).toInt
+    val ht = 64 + ((pos >> 9) % 512).toInt
+    val (tw, th) = fitDims(w, ht)
     MediaFeatures(
       doc_id = docId,
       n_bytes = bytes.length,
-      width = 64 + (pos % 512).toInt,
-      height = 64 + ((pos >> 9) % 512).toInt,
+      width = w,
+      height = ht,
       n_frames = 1 + (bytes.length / 1024),
-      dominant = (pos % 1000) / 1000.0)
+      dominant = (pos % 1000) / 1000.0,
+      target_w = tw,
+      target_h = th)
   }
 
   /** Decode / feature-extract pipeline: binary column in, typed features

@@ -12,9 +12,9 @@ import graft.functions.VecDot.vec_dot
   *
   * Brute-force cosine is the exactness baseline (probes broadcast against
   * the corpus — at 100 TB the corpus side streams, only probes are
-  * replicated). The scale path is `annLsh`: random-hyperplane LSH with
-  * OR-amplification — [[LshPlanes.NumTables]] independent signature
-  * tables, candidates unioned across tables — so a neighbor is found if it
+  * replicated). The scale path is `annLsh`: random-hyperplane LSH
+  * (Charikar, STOC'02) with OR-amplification — [[LshPlanes.NumTables]]
+  * independent signature tables, candidates unioned across tables — so a neighbor is found if it
   * matches the probe's bucket in ANY table. A single wide signature (the
   * classic one-table mistake) has multiplicative per-bit recall decay;
   * the multi-table union turns that into an OR, which is what makes the

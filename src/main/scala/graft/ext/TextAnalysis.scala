@@ -31,6 +31,40 @@ object TextAnalysis {
   private[ext] def countInSql(words: Seq[String]): String =
     s"""len(list_filter($toksSql, t -> t IN (${words.mkString("'", "', '", "'")})))"""
 
+  /** `ROUND(num/den, 4)` (half-up) computed exactly in integer arithmetic,
+    * for `num/den` already scaled by 10^4: `floor((2*num + den) / (2*den))`.
+    * Spark's `round` on doubles goes through the shortest-decimal string
+    * (`BigDecimal.valueOf`) while DuckDB rounds the raw binary double, so a
+    * quotient landing on a `...5` boundary rounds differently per engine —
+    * observed at sf0.1 (0.5338 vs 0.5337). With every intermediate an exact
+    * integer well under 2^53 and the final division correctly rounded, both
+    * engines produce bit-identical doubles at any scale. */
+  private[ext] def r4frac(num: Column, den: Column): Column =
+    floor((lit(2L) * num + den) / (lit(2.0) * den)) / lit(10000.0)
+
+  private[ext] def r4fracSql(num: String, den: String): String =
+    s"floor((2*($num) + ($den)) / (2.0*($den))) / 10000.0"
+
+  /** `ROUND(p/q, 4)` exact-integer form (see [[r4frac]]). */
+  private[ext] def r4(p: Column, q: Column): Column =
+    r4frac(p * lit(10000L), q)
+
+  private[ext] def r4Sql(p: String, q: String): String =
+    r4fracSql(s"($p) * 10000", q)
+
+  /** The quality linear score scaled by 10^4, as an exact integer fraction
+    * over token/punctuation counts (pair with [[r4frac]] and denominator
+    * `n_tokens * n_len`):
+    * `0.5*(ns/nt) + 0.3*min(1, nt/20) + 0.2*(1 - np/len)`. */
+  private[ext] def scoreNum(ns: Column, nt: Column, np: Column,
+      ln: Column): Column =
+    lit(5000L) * ns * ln + lit(150L) * least(nt, lit(20L)) * nt * ln +
+      lit(2000L) * (ln - np) * nt
+
+  private[ext] def scoreNumSql(ns: String, nt: String, np: String,
+      ln: String): String =
+    s"(5000*$ns*$ln + 150*LEAST($nt, 20)*$nt*$ln + 2000*($ln - $np)*$nt)"
+
   // Marker (stopword) sets per language — tiny n-gram-free heuristic.
   private[ext] val en = Seq("the", "a", "and", "of", "to", "in", "is")
   private val es = Seq("el", "la", "de", "que", "y", "un", "es")
@@ -55,17 +89,17 @@ object TextAnalysis {
   }
 
   /** Quality scoring: length / punctuation / stopword-ratio features and a
-    * linear score. All ratios are per-row IEEE arithmetic + scale-4 rounds,
-    * so they are bit-identical across engines. */
+    * linear score. Every rounded ratio goes through the exact-integer
+    * half-up form ([[r4]]/[[r4frac]]) so Spark and the oracle are
+    * bit-identical at any scale. */
   val quality: Q = Q(
     "ext_text_quality",
     s"""SELECT doc_id, n_tokens,
-       |ROUND(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
-       |ROUND(n_punct * 1.0 / len(text), 4) AS punct_ratio,
-       |ROUND(len(replace(text, ' ', '')) * 1.0 / n_tokens, 4) AS avg_word_len,
-       |ROUND(0.5 * (n_stop * 1.0 / n_tokens)
-       |  + 0.3 * (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE n_tokens / 20.0 END)
-       |  + 0.2 * (1.0 - n_punct * 1.0 / len(text)), 4) AS quality_score
+       |${r4Sql("n_stop", "n_tokens")} AS stopword_ratio,
+       |${r4Sql("n_punct", "len(text)")} AS punct_ratio,
+       |${r4Sql("len(replace(text, ' ', ''))", "n_tokens")} AS avg_word_len,
+       |${r4fracSql(scoreNumSql("n_stop", "n_tokens", "n_punct", "len(text)"),
+                    "n_tokens * len(text)")} AS quality_score
        |FROM (
        |  SELECT doc_id, text, len($toksSql) AS n_tokens,
        |    ${countInSql(en)} AS n_stop,
@@ -80,18 +114,15 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long")
           .as("n_punct"))
       .filter(col("n_tokens") > 0)
-    val stopRatio = col("n_stop") * lit(1.0) / col("n_tokens")
-    val punctRatio = col("n_punct") * lit(1.0) / length(col("text"))
+    val ln = length(col("text")).cast("long")
     f.select(
       col("doc_id"), col("n_tokens"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(length(regexp_replace(col("text"), " ", "")) * lit(1.0)
-        / col("n_tokens"), 4).as("avg_word_len"),
-      round(lit(0.5) * stopRatio
-        + lit(0.3) * when(col("n_tokens") >= 20, 1.0)
-          .otherwise(col("n_tokens") / lit(20.0))
-        + lit(0.2) * (lit(1.0) - punctRatio), 4).as("quality_score"))
+      r4(col("n_stop"), col("n_tokens")).as("stopword_ratio"),
+      r4(col("n_punct"), ln).as("punct_ratio"),
+      r4(length(regexp_replace(col("text"), " ", "")).cast("long"),
+        col("n_tokens")).as("avg_word_len"),
+      r4frac(scoreNum(col("n_stop"), col("n_tokens"), col("n_punct"), ln),
+        col("n_tokens") * ln).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -181,5 +212,76 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint)
+  /** Repetition signals (the Gopher/MassiveText quality-filter family —
+    * Rae et al., "Scaling Language Models: Methods, Analysis & Insights
+    * from Training Gopher", arXiv:2112.11446 §A1.1): fraction of token
+    * mass in the single most frequent token, in the most frequent word
+    * 2-gram, and in 2-grams occurring more than once. High values mark
+    * boilerplate / templated / degenerate documents that pretraining
+    * corpora drop.
+    *
+    * Scale shape: one token explode and one 2-gram explode, each
+    * aggregated with (doc_id, gram) then doc_id keys — both shuffles are
+    * per-document, so the plan partitions by corpus slice and survives
+    * any corpus width. Map-side partial aggregation collapses the
+    * per-doc gram counts before the exchange; the final join is
+    * doc_id-equality between two already-aggregated (narrow) sides. All
+    * ratios go through the exact-integer [[r4]] so both engines emit
+    * bit-identical doubles. */
+  val repetition: Q = Q(
+    "ext_text_repetition",
+    s"""WITH t1 AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |c1 AS (
+       |  SELECT doc_id, tok, COUNT(*) AS c FROM t1 GROUP BY doc_id, tok),
+       |u AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(MAX(c) AS BIGINT) AS top_tok
+       |  FROM c1 GROUP BY doc_id),
+       |g2 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |    i -> tk[i] || ' ' || tk[i+1])) AS gram
+       |  FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+       |  WHERE len(tk) >= 2),
+       |c2 AS (
+       |  SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+       |b AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+       |    CAST(MAX(c) AS BIGINT) AS top_2gram,
+       |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_2gram
+       |  FROM c2 GROUP BY doc_id)
+       |SELECT u.doc_id, u.n_tokens,
+       |  ${r4Sql("u.top_tok", "u.n_tokens")} AS top_token_frac,
+       |  ${r4Sql("b.top_2gram", "b.n_2grams")} AS top_2gram_frac,
+       |  ${r4Sql("b.dup_2gram", "b.n_2grams")} AS dup_2gram_frac
+       |FROM u JOIN b ON u.doc_id = b.doc_id
+       |ORDER BY u.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val uni = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), max("c").as("top_tok"))
+    val tk = toks(col("text"))
+    val bi = docs
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_2grams"), max("c").as("top_2gram"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_2gram"))
+    uni.join(bi, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(col("top_tok"), col("n_tokens")).as("top_token_frac"),
+        r4(col("top_2gram"), col("n_2grams")).as("top_2gram_frac"),
+        r4(col("dup_2gram"), col("n_2grams")).as("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, repetition)
 }

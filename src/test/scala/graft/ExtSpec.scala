@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Corpus, Dedup, EventsOps, IvfSearch, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, EventsOps, IvfSearch, Multimodal, Redact, Similarity, TextAnalysis}
 import graft.functions.RollingHash
 
 /** Behavior specs for the [EXT] operator families. The DuckDB gate checks
@@ -206,6 +206,52 @@ class ExtSpec extends SparkSuite {
     assert(out(1L) == "en" && out(2L) == "und")
   }
 
+  test("repetition signals: hand-computed fractions on a crafted doc, " +
+    "and n_tokens agrees with the token counter on the fixture") {
+    // "a a a b": top token a=3/4; 2-grams [a a, a a, a b]: top 2/3, dup 2/3
+    val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    df.write.mode("overwrite").parquet("/tmp/graft_test_docs/documents.parquet")
+    val r = TextAnalysis.repetition.fn(spark, "/tmp/graft_test_docs").head()
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.75 && r.getDouble(3) == 0.6667 &&
+      r.getDouble(4) == 0.6667)
+    val rep = TextAnalysis.repetition.fn(spark, sf)
+      .select("doc_id", "n_tokens").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val tok = TextAnalysis.tokens.fn(spark, sf)
+      .select("doc_id", "n_tokens").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // repetition drops docs with < 2 tokens; every doc it keeps must agree
+    rep.foreach { case (id, n) => assert(tok(id) == n) }
+    TextAnalysis.repetition.fn(spark, sf).collect().foreach { x =>
+      // top-fractions are > 0 by construction; dup fraction may be 0
+      assert(x.getDouble(2) > 0.0 && x.getDouble(2) <= 1.0)
+      assert(x.getDouble(3) > 0.0 && x.getDouble(3) <= 1.0)
+      assert(x.getDouble(4) >= 0.0 && x.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("pii scrub: email/phone/id precedence on crafted strings; fixture " +
+    "props lose every digit") {
+    val crafted = Seq(
+      (1L, "mail bob@example.com call 555-123-4567 ref 98765"),
+      (2L, "no pii here"),
+      (3L, "a@b.io and c@d.org")).toDF("event_id", "raw")
+    val (clean, ne, np, ni) = Redact.stages(col("raw"))
+    val out = crafted.select(col("event_id"), clean, ne, np, ni).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("mail <EMAIL> call <PHONE> ref <ID>", 1L, 1L, 1L)))
+    assert(out(2L) == (("no pii here", 0L, 0L, 0L)))
+    // email digits are consumed by the email stage, never counted as ids
+    assert(out(3L) == (("<EMAIL> and <EMAIL>", 2L, 0L, 0L)))
+    val fx = Redact.piiScrub.fn(spark, sf).limit(200).collect()
+    fx.foreach { r =>
+      assert(!r.getString(1).exists(_.isDigit))
+      assert(r.getLong(2) == 0L && r.getLong(4) > 0L)
+    }
+  }
+
   test("approx distinct is within 10% of exact") {
     val approx = EventsOps.approxDistinct.fn(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -224,6 +270,14 @@ class ExtSpec extends SparkSuite {
     val b = Multimodal.decodeFeatures.fn(spark, sf).repartition(7)
       .orderBy("doc_id").collect()
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    // resize plan: longer side pinned to the fit box, aspect preserved
+    a.foreach { r =>
+      val (w, h) = (r.getInt(2), r.getInt(3))
+      val (tw, th) = (r.getInt(6), r.getInt(7))
+      assert(math.max(tw, th) == 224)
+      if (w >= h) assert(tw == 224 && th == (h.toLong * 224 / w).toInt.max(1))
+      else assert(th == 224 && tw == (w.toLong * 224 / h).toInt.max(1))
+    }
   }
 
   test("frame sampling caps at 8 frames and keys are unique") {
