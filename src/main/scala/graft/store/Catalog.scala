@@ -220,6 +220,27 @@ final class Catalog(val spark: SparkSession, val root: String) {
       math.max(n, baseId)
     }
 
+    /** Compact a table's live file set into `numFiles` range-partitioned,
+      * id-sorted files. Every COW append/update leaves one more file
+      * group behind; over time reads pay per-file open cost and the id
+      * ranges of different groups interleave, which blunts file-level
+      * pruning (an id probe hits many overlapping ranges). Compaction is
+      * the standard maintenance pass: one range shuffle on the id column
+      * rebuilds DISJOINT per-file id ranges, so a pinned-id update or
+      * point read touches exactly one file again. Old files stay on disk
+      * until [[Catalog.vacuum]] — in-flight readers keep a consistent
+      * snapshot. */
+    def compact(table: String, numFiles: Int = 1): Unit = {
+      val (_, idCol) = Schemas.registry(table)
+      val prev = curState(table)
+      if (prev.files.size <= math.max(1, numFiles)) return
+      val all = readFiles(table, prev.files)
+        .repartitionByRange(math.max(1, numFiles), col(idCol))
+        .sortWithinPartitions(idCol)
+      val newFiles = stageFiles(table, all, idCol)
+      staged :+= Staged(table, TableState(prev.maxId, newFiles))
+    }
+
     /** COW update: predicate + per-column assignments (S6). Files whose
       * id range cannot contain a predicate-pinned id survive by
       * reference; only matching files are rewritten. */
@@ -275,6 +296,61 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def update(table: String, predicate: Column,
       assignments: Map[String, Column]): Unit =
     transaction(_.update(table, predicate, assignments))
+
+  def compact(table: String, numFiles: Int = 1): Unit =
+    transaction(_.compact(table, numFiles))
+
+  /** Delete parquet files under the table's directory that no longer
+    * appear in the manifest (left behind by COW updates and compaction).
+    * Runs under the transaction locks so no writer can commit a manifest
+    * mid-sweep. Callers must ensure no reader still holds a DataFrame
+    * over a pre-vacuum snapshot (the Delta analogue retains files for a
+    * grace window; here the contract is explicit and documented instead
+    * — the reference's MySQL tier has no such readers either). Returns
+    * the number of files deleted. */
+  def vacuum(table: String): Int = transaction { _ =>
+    val live = readManifest().get(table).map(_.files).getOrElse(Vector.empty)
+      .map(f => rootPath.resolve(f.path).toAbsolutePath.normalize).toSet
+    val tableDir = rootPath.resolve(table)
+    if (!Files.exists(tableDir)) 0
+    else {
+      // data files first: only *.parquet, never a live one (markers and
+      // .crc sidecars of partially-live groups are kept)
+      val it = Files.walk(tableDir)
+      val dead = try {
+        it.iterator().asScala
+          .filter(p => Files.isRegularFile(p)
+            && p.getFileName.toString.endsWith(".parquet"))
+          .filterNot(p => live.contains(p.toAbsolutePath.normalize))
+          .toVector
+      } finally it.close()
+      dead.foreach(Files.delete)
+      // then whole file groups with no live parquet left: their markers
+      // and sidecars go with them (deepest-first so children empty first)
+      val it2 = Files.walk(tableDir)
+      val dirs = try {
+        it2.iterator().asScala.filter(Files.isDirectory(_)).toVector
+          .sortBy(_.getNameCount)(Ordering[Int].reverse)
+      } finally it2.close()
+      dirs.filter(_ != tableDir).foreach { d =>
+        val sub = Files.walk(d)
+        val hasLive = try {
+          sub.iterator().asScala.exists(p =>
+            Files.isRegularFile(p) && live.contains(
+              p.toAbsolutePath.normalize))
+        } finally sub.close()
+        if (!hasLive) {
+          val all = Files.walk(d)
+          val victims = try {
+            all.iterator().asScala.toVector
+              .sortBy(_.getNameCount)(Ordering[Int].reverse)
+          } finally all.close()
+          victims.foreach(Files.deleteIfExists(_))
+        }
+      }
+      dead.size
+    }
+  }
 }
 
 object Catalog {

@@ -112,6 +112,33 @@ class StoreSpec extends SparkSuite {
       "every committed append must survive both catalogs")
   }
 
+  test("compact merges file groups into disjoint id ranges; vacuum " +
+    "removes only dead files and keeps every visible row") {
+    val cat = freshCat()
+    (1 to 4).foreach(i => cat.append("users", user(s"u$i", s"u$i@x.c")))
+    cat.update("users", col("user_id") === 2L,
+      Map("user_role" -> lit("admin")))
+    val before = cat.read("users")
+      .select("user_id", "user_role").as[(Long, String)].collect().toMap
+    assert(cat.liveFiles("users").size >= 4)
+    cat.compact("users", numFiles = 2)
+    val files = cat.liveFiles("users")
+    assert(files.size <= 2, s"expected <= 2 files, got ${files.size}")
+    // ranges are disjoint after the range repartition
+    files.sortBy(_._2).sliding(2).foreach {
+      case Seq((_, _, aMax), (_, bMin, _)) => assert(aMax < bMin)
+      case _ =>
+    }
+    val deleted = cat.vacuum("users")
+    assert(deleted > 0, "appends + update + compact must leave dead files")
+    val after = cat.read("users")
+      .select("user_id", "user_role").as[(Long, String)].collect().toMap
+    assert(after == before, "compact + vacuum must not change table rows")
+    assert(after(2L) == "admin")
+    // store stays writable with correct id continuation after maintenance
+    assert(cat.append("users", user("u5", "u5@x.c")) == 5L)
+  }
+
   test("keyed update rewrites only files whose id range matches; " +
     "others stay byte-identical") {
     val cat = freshCat()
