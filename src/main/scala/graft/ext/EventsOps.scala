@@ -208,9 +208,9 @@ object EventsOps {
     """SELECT event_type, n,
       |ROUND(CAST(sx AS DOUBLE) / n, 4) AS avg_value,
       |ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-      |  / (n - 1), 4) AS var_value,
+      |  / NULLIF(n - 1, 0), 4) AS var_value,
       |ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-      |  / (n - 1)), 4) AS std_value
+      |  / NULLIF(n - 1, 0)), 4) AS std_value
       |FROM (
       |  SELECT event_type, COUNT(*) AS n,
       |    SUM(CAST(value AS DECIMAL(10,2))) AS sx,
@@ -226,7 +226,10 @@ object EventsOps {
         sum(m(col("value")) * m(col("value"))).as("sxx"))
     val sxD = col("sx").cast("double")
     val sxxD = col("sxx").cast("double")
-    val variance = (sxxD - sxD * sxD / col("n")) / (col("n") - 1)
+    // NULL (not NaN/Inf) for singleton groups: n-1 == 0 -> NULL divisor in
+    // both engines, so sample var/std are NULL where they are undefined
+    val variance = (sxxD - sxD * sxD / col("n")) /
+      nullif(col("n") - 1, lit(0))
     moments.select(col("event_type"), col("n"),
       round(sxD / col("n"), 4).as("avg_value"),
       round(variance, 4).as("var_value"),

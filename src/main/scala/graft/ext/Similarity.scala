@@ -88,19 +88,16 @@ object Similarity {
 
   /** Corpus rows exploded to one row per (vec_id, table, bucket): the
     * vector's 4-bit sign signature in each of the 16 tables. One narrow
-    * projection + explode — no shuffle; signature arithmetic happens
-    * inside whole-stage codegen via [[graft.functions.VecDot]]. */
-  private def bucketed(s: SparkSession, v: DataFrame): DataFrame = {
-    val entries = (0 until LshPlanes.NumTables).map { t =>
-      val bucket = (0 until LshPlanes.BitsPerTable).map { j =>
-        val plane = typedLit(LshPlanes.planes(t * LshPlanes.BitsPerTable + j))
-        when(vec_dot(s, col("e"), plane) > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bucket.cast("long").as("bucket"))
-    }
-    v.select(col("vec_id"), explode(array(entries: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-  }
+    * projection + posexplode — no shuffle; ALL 64 plane dots happen in a
+    * single compact codegen'd expression ([[graft.functions.LshBuckets]]).
+    * Rounds 2-4 spelled this as 64 `vec_dot(e, typedLit(plane))` columns
+    * (4096 literal doubles per plan), whose analysis + oversized generated
+    * projection caused multi-second intermittent bench stalls. */
+  private def bucketed(s: SparkSession, v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+      posexplode(graft.functions.LshBuckets.lsh_buckets(s, col("e"))))
+      .select(col("vec_id"), col("pos").cast("int").as("t"),
+        col("col").as("bucket"))
 
   /** DuckDB mirror of [[bucketed]]: planes as literal lists (same driver-
     * computed values), dot via the sequential fold, bucket = sum of sign
@@ -272,7 +269,7 @@ object Similarity {
   * P(4-bit match) = (1 - theta/pi)^4 ~ 0.54 per table for cosine-0.9
   * pairs vs (1/2)^4 = 0.0625 for noise pairs.
   */
-private[ext] object LshPlanes {
+private[graft] object LshPlanes {
   val NumTables = 16
   val BitsPerTable = 4
   val Dims = 64

@@ -85,9 +85,7 @@ object StatefulSessions {
     // would extend — the oracle's closed-session rule assumes exactly
     // this. If the fixture ever splits into multiple files, the ingestion
     // contract here must be revisited, hence the hard assert.
-    require(Files.list(Paths.get(dir)).iterator().asScala
-      .count(_.getFileName.toString == "events.parquet") == 1,
-      s"single-batch ingestion contract: expected exactly one events.parquet in $dir")
+    StreamContracts.requireSingleFile(dir, "events.parquet")
     val stream = spark.readStream.schema(batch.schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val withTs =

@@ -28,6 +28,11 @@ object StreamDedup {
   def distinctFingerprints(spark: SparkSession, dir: String): DataFrame =
       graft.core.Sessions.withShufflePartitions(spark, 8) {
     val batch = spark.read.parquet(s"$dir/documents.parquet")
+    // the 10-minute watermark horizon covers far less than the synthetic
+    // 1-doc/second arrival span, so dedup across the whole corpus is only
+    // guaranteed when everything lands in one micro-batch — assert it
+    // (same contract as StatefulSessions)
+    StreamContracts.requireSingleFile(dir, "documents.parquet")
     val name = "stream_dedup_" + UUID.randomUUID().toString.replace("-", "")
     val stream = spark.readStream
       .schema(batch.schema)

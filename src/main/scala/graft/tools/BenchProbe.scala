@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Diagnostic main: runs a caller-chosen sequence of registered queries
   * (by name, comma-separated in SPARK_GRAFT_PROBE, each name optionally
-  * suffixed xN to repeat) with per-query wall time + heap/GC deltas, to
-  * attribute bench slow-windows to ordering/state rather than plans.
+  * suffixed #N to repeat, e.g. "ext_dedup_minhash#3") with per-query wall
+  * time + heap/GC deltas, to attribute bench slow-windows to
+  * ordering/state rather than plans.
   */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
