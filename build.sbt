@@ -35,3 +35,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // reserving 48g per forked JVM. SPARK_DRIVER_MEM overrides both.
 run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}"
 Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}"
+// The registry compiles several hundred LARGE Janino-generated classes per
+// bench pass; at the JDK 17 default ReservedCodeCacheSize (240 MB) the
+// code cache fills mid-bench and UseCodeCacheFlushing silently evicts hot
+// compiled methods — generated aggregate loops then run interpreted,
+// showing up as intermittent 10-50x per-task slowdowns that never
+// reproduce in isolated runs (Bench prints per-run code-cache usage on
+// stderr to keep this observable). 2g leaves eviction headroom.
+run / javaOptions += "-XX:ReservedCodeCacheSize=2g"

@@ -82,6 +82,15 @@ object Bench {
       val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       def gcMs: Long = { var t = 0L; gcBeans.forEach(b => t += b.getCollectionTime); t }
       val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+      // JIT code-cache fill level: when this saturates ReservedCodeCacheSize
+      // the JVM silently evicts hot compiled methods (see build.sbt)
+      def codeCacheMb: Long = {
+        var used = 0L
+        java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach { p =>
+          if (p.getName.startsWith("CodeHeap")) used += p.getUsage.getUsed
+        }
+        used >> 20
+      }
       val times = (1 to runs).map { _ =>
         dropAllPersisted()
         val g0 = gcMs; val j0 = jitBean.getTotalCompilationTime
@@ -92,7 +101,7 @@ object Bench {
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench]   run $dt%7.2f s  gc=+${gcMs - g0}%5d ms  jit=+${jitBean.getTotalCompilationTime - j0}%6d ms  taskFail=${taskFails.getAndSet(0)}  stageRetry=${stageRetries.getAndSet(0)}  stageWall=${stageWall.getAndSet(0) / 1e3}%7.2f s")
+        System.err.println(f"[bench]   run $dt%7.2f s  gc=+${gcMs - g0}%5d ms  jit=+${jitBean.getTotalCompilationTime - j0}%6d ms  codeCache=${codeCacheMb}%4d MB  taskFail=${taskFails.getAndSet(0)}  stageRetry=${stageRetries.getAndSet(0)}  stageWall=${stageWall.getAndSet(0) / 1e3}%7.2f s")
         dt
       }
       dropAllPersisted()

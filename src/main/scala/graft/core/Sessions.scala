@@ -24,6 +24,17 @@ object Sessions {
     // counters show wall time with ~zero user CPU, zero GC, zero retries).
     // Static conf — must be set before the first session is created.
     .config("spark.sql.codegen.cache.maxEntries", "5000")
+    // NOTE on AQE coalescing (measured, round 5): the default 1 MB
+    // minPartitionSize coalesces the dedup family's byte-small but
+    // md5-dense shuffles to ~2 partitions (probe: tasks=2 on hot stages).
+    // Lowering the floor to 16k restored 32-way parallelism and was
+    // FASTER in isolated runs (minhash 3.4 s -> 1.8 s warm), but in
+    // full-bench context it was catastrophically slower (minhash 2-5 s ->
+    // 40-240 s; per-task wall exploded ~8 s/task with low GC and a code
+    // cache far from full). The trigger is long-JVM execution state, not
+    // plan shape; until that interaction is attributed, the default floor
+    // stays — at 100 TB partitions dwarf either floor, so this is a
+    // fixture-scale tradeoff only.
     // fixture `events.ts` is parquet TIMESTAMP(NANOS): read as nanos long,
     // converted to a micros timestamp in Tables.load
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
