@@ -43,3 +43,16 @@ Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}"
 // reproduce in isolated runs (Bench prints per-run code-cache usage on
 // stderr to keep this observable). 2g leaves eviction headroom.
 run / javaOptions += "-XX:ReservedCodeCacheSize=2g"
+
+// The bench/verify contract is "print ONE JSON line"; sbt's own
+// "[success] Total time: ..." epilogue lands on stdout AFTER that line,
+// so a driver that parses the last stdout line sees sbt chrome instead of
+// the JSON (every BENCH_r*.json records "parsed": null). Suppressing the
+// success banner makes the program's final println the last stdout line.
+Global / showSuccess := false
+// ...and sbt's logger prefixes every forked-process stdout line with
+// "[info] " (stderr with "[error] "), which corrupts that JSON line too.
+// StdoutOutput inherits the parent's raw streams: the program's println
+// reaches stdout byte-identical, with no logger prefix.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
