@@ -168,7 +168,21 @@ object Dedup {
 
   private[ext] def minhashRepPipeline(s: SparkSession, d: String): RepPipeline = {
     val mem = clustered(s, d).localCheckpoint(true)
-    val sh = repShingles(mem).localCheckpoint(true)
+    // The checkpointed shingle set is partitioned by doc_id with an
+    // EXPLICIT partition count before materialization. The fp-window above
+    // leaves mem's (and so sh's) blocks at whatever width AQE coalesced
+    // that shuffle to — its byte-size heuristic sees a few MB of shingles
+    // and picks ~2 partitions, and every md5-dense consumer stage below
+    // (the 16-hash signature aggregate above all) then runs 2-wide: the
+    // bench-measured 2 s -> 25 s swings ARE that width lottery. A
+    // user-numbered repartition is never coalesced by AQE, and hashing by
+    // doc_id makes sig/sizes/intersection consumers (all keyed on doc_id)
+    // reuse the partitioning instead of re-shuffling — one shuffle here
+    // REPLACES three downstream ones, so the 100 TB plan is strictly
+    // better too.
+    val sh = repShingles(mem)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint(true)
     val sig = sh.groupBy("doc_id")
       .agg(
         min(md5(concat(lit("0:"), col("sh")))).as("m0"),
@@ -339,7 +353,15 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
     val mem = clustered(s, d).localCheckpoint(true)
-    val sh = repShingles(mem).localCheckpoint(true)
+    // partitioned by the self-join key with an explicit count: the
+    // candidate self-join below is this op's only expensive stage, and
+    // with AQE-coalesced (~2-wide) checkpoint blocks it runs serial —
+    // same width lottery as minhash (see minhashRepPipeline). Both join
+    // sides inherit this hash partitioning, so the join itself needs no
+    // exchange at all.
+    val sh = repShingles(mem)
+      .repartition(s.sparkContext.defaultParallelism, col("sh"))
+      .localCheckpoint(true)
     // member-weighted df == the oracle's per-document df; the HOT set is
     // tiny by construction (<= total/cap shingles, none on the fixture),
     // so exclusion is a broadcast anti-join, never an inner join on the
