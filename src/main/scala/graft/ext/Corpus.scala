@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
+import graft.core.Eager.EagerCheckpoint
 
 /** [EXT] corpus-preparation operators — the steps a training-data pipeline
   * runs AROUND dedup/similarity: duplicate-cluster assignment (connected
@@ -38,10 +39,10 @@ object Corpus {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     // labels only ever decrease, so sum(label) strictly decreases until
     // the fixpoint — a single scalar action per round decides convergence
     var prevSum = labels.agg(sum("label")).head.getLong(0)
@@ -53,7 +54,7 @@ object Corpus {
         .select(col("dst").as("id"), col("label"))
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .eagerCheckpoint()
       val nextSum = next.agg(sum("label")).head.getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -139,7 +140,8 @@ object Corpus {
        |  CASE WHEN lang = 'en' THEN '$enBound' ELSE '$restBound' END
        |ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val key = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val key = substring(
+      graft.functions.FastMd5.fast_md5(s, col("doc_id").cast("string")), 1, 4)
     Tables.documents(s, d)
       .filter(key < when(col("lang") === "en", enBound).otherwise(restBound))
       .select(col("doc_id"), col("lang"), col("source"),
@@ -220,7 +222,8 @@ object Corpus {
       .filter(col("lang_pred") === "en" && col("quality_score") >= 0.5)
       .withColumn("rep", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(
-          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))))
+          graft.functions.FastMd5.fast_md5(s,
+            lower(trim(regexp_replace(col("text"), "\\s+", " ")))))))
     kept.filter(col("doc_id") === col("rep"))
       .select("doc_id", "n_tokens", "quality_score")
       .orderBy("doc_id")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
+import graft.core.Eager.EagerCheckpoint
 
 /** [EXT] deduplication family over `documents` / `embeddings`:
   * exact (hash-groupBy), MinHash+LSH (Broder, "On the resemblance and
@@ -50,7 +51,8 @@ object Dedup {
   private def clustered(s: SparkSession, d: String): DataFrame = {
     val wfp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     Tables.documents(s, d)
-      .select(col("doc_id"), md5(col("text")).as("fp"),
+      .select(col("doc_id"),
+        graft.functions.FastMd5.fast_md5(s, col("text")).as("fp"),
         toks(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("rep_id", min(col("doc_id")).over(wfp))
@@ -83,10 +85,23 @@ object Dedup {
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
   ) { (s, d) =>
     Tables.documents(s, d)
-      .groupBy(md5(col("text")).as("fp"))
+      .groupBy(graft.functions.FastMd5.fast_md5(s, col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
   }
+
+  /** Shuffle width for the checkpointed shingle working sets (the
+    * explicit `repartition` in the minhash/ngram pipelines, which exists
+    * to defeat AQE's downward coalescing — see minhashRepPipeline). A
+    * fixed user count also opts out of AQE's upward sizing, so at real
+    * scale this must track data volume, not a constant: configure
+    * `graft.dedup.shuffle.partitions` to ~(shingle bytes / 128 MB) for
+    * the corpus at hand; unset, it falls back to the cluster width
+    * (defaultParallelism), which is the right floor for corpora whose
+    * shingle set is smaller than cluster-width x 128 MB. */
+  private[ext] def dedupWidth(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.shuffle.partitions").map(_.toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
 
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 rows
@@ -167,7 +182,7 @@ object Dedup {
       repPairs: DataFrame, mem: DataFrame, survivors: DataFrame)
 
   private[ext] def minhashRepPipeline(s: SparkSession, d: String): RepPipeline = {
-    val mem = clustered(s, d).localCheckpoint(true)
+    val mem = clustered(s, d).eagerCheckpoint()
     // The checkpointed shingle set is partitioned by doc_id with an
     // EXPLICIT partition count before materialization. The fp-window above
     // leaves mem's (and so sh's) blocks at whatever width AQE coalesced
@@ -178,24 +193,30 @@ object Dedup {
     // user-numbered repartition is never coalesced by AQE, and hashing by
     // doc_id makes sig/sizes/intersection consumers (all keyed on doc_id)
     // reuse the partitioning instead of re-shuffling — one shuffle here
-    // REPLACES three downstream ones, so the 100 TB plan is strictly
-    // better too.
+    // replaces three downstream ones. The count comes from dedupWidth
+    // (config knob, defaults to the cluster width) because a fixed width
+    // also opts out of AQE's UPWARD sizing: at large scale the caller
+    // sizes it to the shingle volume, it is not a constant.
     val sh = repShingles(mem)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .localCheckpoint(true)
+      .repartition(dedupWidth(s), col("doc_id"))
+      .eagerCheckpoint()
+    // fast_md5 (thread-reused digest): ~20 md5 calls per shingle make
+    // the built-in's per-row MessageDigest.getInstance the pipeline's
+    // dominant CPU term (see functions.FastMd5)
+    val m5 = (c: Column) => graft.functions.FastMd5.fast_md5(s, c)
     val sig = sh.groupBy("doc_id")
       .agg(
-        min(md5(concat(lit("0:"), col("sh")))).as("m0"),
+        min(m5(concat(lit("0:"), col("sh")))).as("m0"),
         (1 until NumHashes).map(j =>
-          min(md5(concat(lit(s"$j:"), col("sh")))).as(s"m$j"))
+          min(m5(concat(lit(s"$j:"), col("sh")))).as(s"m$j"))
           :+ first(col("csize")).as("csize"): _*)
     // one signature pass -> explode the 4 band keys; csize rides along so
     // bucket weight equals the oracle's per-document bucket size
     val bands = sig.select(col("doc_id"), col("csize"),
       explode(array((0 until NumHashes / BandSize).map { b =>
-        md5(concat((lit(s"$b:") +: (0 until BandSize)
+        m5(concat((lit(s"$b:") +: (0 until BandSize)
           .map(r => col(s"m${b * BandSize + r}"))): _*))
-      }: _*)).as("band_key")).localCheckpoint(true)
+      }: _*)).as("band_key")).eagerCheckpoint()
     // hot-bucket set is tiny by construction (<= corpus/cap entries, none
     // on the fixture); exclusion is an anti-join against it, never an
     // inner join against the full bucket list
@@ -293,7 +314,8 @@ object Dedup {
   ) { (s, d) =>
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("h"))
+      .select(col("doc_id"),
+        graft.functions.FastMd5.fast_md5(s, col("t")).as("h"))
     // project the 16 hex-digit values once, then sum each digit's 4 bits
     // in a single aggregate pass (bit order matches the oracle: positions
     // ascending, bit 3 (s0) .. bit 0 (s3) within each digit)
@@ -352,7 +374,7 @@ object Dedup {
        |WHERE i.n_int * 1.0 / (za.n_sh + zb.n_sh - i.n_int) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
-    val mem = clustered(s, d).localCheckpoint(true)
+    val mem = clustered(s, d).eagerCheckpoint()
     // partitioned by the self-join key with an explicit count: the
     // candidate self-join below is this op's only expensive stage, and
     // with AQE-coalesced (~2-wide) checkpoint blocks it runs serial —
@@ -360,8 +382,8 @@ object Dedup {
     // sides inherit this hash partitioning, so the join itself needs no
     // exchange at all.
     val sh = repShingles(mem)
-      .repartition(s.sparkContext.defaultParallelism, col("sh"))
-      .localCheckpoint(true)
+      .repartition(dedupWidth(s), col("sh"))
+      .eagerCheckpoint()
     // member-weighted df == the oracle's per-document df; the HOT set is
     // tiny by construction (<= total/cap shingles, none on the fixture),
     // so exclusion is a broadcast anti-join, never an inner join on the

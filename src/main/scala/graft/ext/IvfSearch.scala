@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Q
+import graft.core.Eager.EagerCheckpoint
 import graft.functions.VecDot.vec_dot
 
 /** [EXT] IVF (inverted-file) approximate nearest neighbor (the coarse
@@ -118,7 +119,7 @@ object IvfSearch {
 
   /** The IVF search pipeline (exposed for the recall spec). */
   def searchAt(s: SparkSession, d: String): DataFrame = {
-    val v = Similarity.vecs(s, d).localCheckpoint(true)
+    val v = Similarity.vecs(s, d).eagerCheckpoint()
     val cand = probeCells(s, v)
       .join(assigned(s, v).select(col("vec_id").as("neighbor_id"),
         col("cell")), Seq("cell"))

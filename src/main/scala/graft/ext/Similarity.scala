@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
+import graft.core.Eager.EagerCheckpoint
 import graft.functions.VecDot.vec_dot
 
 /** [EXT] similarity search over the `embeddings` fixture (64-dim float
@@ -153,8 +154,8 @@ object Similarity {
     // buckets too: it feeds BOTH the probe lookup and the candidate join,
     // and the 64-plane projection is the op's only expensive subtree — at
     // scale this materialization is the ingest-time LSH index itself
-    val v = vecs(s, d).localCheckpoint(true)
-    val buckets = bucketed(s, v).localCheckpoint(true)
+    val v = vecs(s, d).eagerCheckpoint()
+    val buckets = bucketed(s, v).eagerCheckpoint()
     val probeBuckets = buckets.join(
       v.filter(col("vec_id") < 5).select(col("vec_id").as("probe_id")),
       col("vec_id") === col("probe_id"))
@@ -202,10 +203,10 @@ object Similarity {
     // eager materialization: v feeds four subtrees; a lazy .cache() under
     // AQE gives no ordering guarantee and concurrent stages re-derive it
     // (the round-3 dedup finding — same fix here)
-    val v = vecs(s, d).localCheckpoint(true)
+    val v = vecs(s, d).eagerCheckpoint()
     // the self-join below consumes buckets TWICE — without eager
     // materialization each side re-derives the 64-plane projection
-    val buckets = bucketed(s, v).localCheckpoint(true)
+    val buckets = bucketed(s, v).eagerCheckpoint()
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")

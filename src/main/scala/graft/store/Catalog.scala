@@ -303,30 +303,44 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** Delete parquet files under the table's directory that no longer
     * appear in the manifest (left behind by COW updates and compaction).
     * Runs under the transaction locks so no writer can commit a manifest
-    * mid-sweep. Callers must ensure no reader still holds a DataFrame
-    * over a pre-vacuum snapshot (the Delta analogue retains files for a
-    * grace window; here the contract is explicit and documented instead
-    * — the reference's MySQL tier has no such readers either). Returns
-    * the number of files deleted. */
-  def vacuum(table: String): Int = transaction { _ =>
+    * mid-sweep.
+    *
+    * Reader-snapshot grace (the Delta retention-window analogue): a file
+    * is only deleted once it has been dead for at least `retainMillis`
+    * (mtime-based — COW never rewrites a file in place, so mtime is the
+    * file's creation and an upper bound on when it went dead). A reader
+    * holding a pre-vacuum DataFrame keeps resolving for the window;
+    * `retainMillis = 0` is the explicit immediate-reclaim escape hatch
+    * (same contract as Delta's `RETAIN 0 HOURS`) — with it, callers must
+    * ensure no reader still holds a pre-vacuum snapshot. The reference's
+    * MySQL tier gets this from InnoDB MVCC purge for free. Returns the
+    * number of files deleted. */
+  def vacuum(table: String,
+      retainMillis: Long = Catalog.DefaultVacuumRetainMillis): Int =
+    transaction { _ =>
     val live = readManifest().get(table).map(_.files).getOrElse(Vector.empty)
       .map(f => rootPath.resolve(f.path).toAbsolutePath.normalize).toSet
     val tableDir = rootPath.resolve(table)
     if (!Files.exists(tableDir)) 0
     else {
+      val cutoff = System.currentTimeMillis() - retainMillis
       // data files first: only *.parquet, never a live one (markers and
-      // .crc sidecars of partially-live groups are kept)
+      // .crc sidecars of partially-live groups are kept), never one still
+      // inside the retention window
       val it = Files.walk(tableDir)
       val dead = try {
         it.iterator().asScala
           .filter(p => Files.isRegularFile(p)
             && p.getFileName.toString.endsWith(".parquet"))
           .filterNot(p => live.contains(p.toAbsolutePath.normalize))
+          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
           .toVector
       } finally it.close()
       dead.foreach(Files.delete)
-      // then whole file groups with no live parquet left: their markers
-      // and sidecars go with them (deepest-first so children empty first)
+      // then whole file groups with no parquet left (live OR retained —
+      // a dir holding a file still in its grace window must survive so
+      // the snapshot reader can resolve it): their markers and sidecars
+      // go with them (deepest-first so children empty first)
       val it2 = Files.walk(tableDir)
       val dirs = try {
         it2.iterator().asScala.filter(Files.isDirectory(_)).toVector
@@ -334,12 +348,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
       } finally it2.close()
       dirs.filter(_ != tableDir).foreach { d =>
         val sub = Files.walk(d)
-        val hasLive = try {
+        val hasParquet = try {
           sub.iterator().asScala.exists(p =>
-            Files.isRegularFile(p) && live.contains(
-              p.toAbsolutePath.normalize))
+            Files.isRegularFile(p)
+              && p.getFileName.toString.endsWith(".parquet"))
         } finally sub.close()
-        if (!hasLive) {
+        if (!hasParquet) {
           val all = Files.walk(d)
           val victims = try {
             all.iterator().asScala.toVector
@@ -354,6 +368,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
 }
 
 object Catalog {
+  /** Default reader-snapshot grace for [[Catalog.vacuum]]: 10 minutes —
+    * far longer than any single query over a store this size, far shorter
+    * than Delta's 7-day default because there is no time travel to serve,
+    * only in-flight readers. */
+  val DefaultVacuumRetainMillis: Long = 10L * 60 * 1000
+
   /** Per-root in-JVM monitors: POSIX file locks are process-scoped (a
     * second lock attempt from the same JVM throws Overlapping-
     * FileLockException instead of blocking), so same-JVM writers to one

@@ -33,6 +33,28 @@ object BenchProbe {
         }
       })
 
+    // SPARK_GRAFT_PROBE_STACKS=1: sample RUNNABLE executor-task threads
+    // once a second — the in-task attribution (janino compile? md5? shuffle
+    // write?) that stage-level counters can't show
+    if (sys.env.get("SPARK_GRAFT_PROBE_STACKS").contains("1")) {
+      val t = new Thread(() => {
+        while (true) {
+          Thread.sleep(1000)
+          val now = System.currentTimeMillis()
+          Thread.getAllStackTraces.forEach { (th, frames) =>
+            if (th.getName.startsWith("Executor task launch worker")
+                && th.getState == Thread.State.RUNNABLE && frames.nonEmpty) {
+              val top = frames.take(8).map(f =>
+                s"${f.getClassName.split("\\.").takeRight(2).mkString(".")}.${f.getMethodName}")
+                .mkString(" < ")
+              println(s"[stack $now] ${th.getName.takeRight(2)}: $top")
+            }
+          }
+        }
+      })
+      t.setDaemon(true); t.start()
+    }
+
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMs: Long = {
       var t = 0L; gcBeans.forEach(b => t += b.getCollectionTime); t
@@ -50,14 +72,26 @@ object BenchProbe {
       }
       Seq.fill(rep)(n)
     }
+    // janino codegen activity per run: a mid-sequence burst of NEW
+    // compilations = codegen-cache misses (AQE replan / source drift),
+    // the prime suspect for intermittent 5-15x runs of an unchanged query
+    def janinoCompiles: (Long, Long) = {
+      import org.apache.spark.metrics.source.CodegenMetrics._
+      (METRIC_COMPILATION_TIME.getCount,
+        METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1000000L)
+    }
     names.foreach { n =>
       val q = byName(n)
       q.setup.foreach(_(spark, sfDir))
       val g0 = gcMs
+      val (jc0, _) = janinoCompiles
+      val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+      val j0 = jitBean.getTotalCompilationTime
       val t0 = System.nanoTime()
       val rows = q.fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] $n%-28s ${dt}%8.2f s  gc=+${gcMs - g0}%5d ms  heap=${heapMb}%6d MB  rows=$rows")
+      val (jc1, _) = janinoCompiles
+      println(f"[probe] $n%-28s ${dt}%8.2f s  gc=+${gcMs - g0}%5d ms  jit=+${jitBean.getTotalCompilationTime - j0}%6d ms  heap=${heapMb}%6d MB  janinoNew=${jc1 - jc0}%3d  rows=$rows")
       Thread.sleep(300) // let stage-completed events drain
       val snap = new java.util.ArrayList(stages)
       stages.clear()
@@ -68,7 +102,10 @@ object BenchProbe {
       top.foreach { case (id, nm, wall, run, nt, gc) =>
         println(f"[probe]   stage $id%4d wall=${wall / 1e3}%7.2f s taskSum=${run / 1e3}%8.2f s tasks=$nt%4d gc=${gc}%5d ms  $nm")
       }
+      // parity with Bench.dropAllPersisted: checkpoint blocks survive
+      // clearCache and would otherwise accumulate across repetitions
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }

@@ -14,6 +14,22 @@ class ExtSpec extends SparkSuite {
 
   // ---- dedup ----
 
+  test("fast_md5 is bit-identical to the built-in md5 (unicode, empty, " +
+    "long, and fixture text)") {
+    val sf = "/root/testdata/sf0.001"
+    val cases = Seq("", "a", "héllo wörld 你好", "x" * 10000,
+      "0:the quick brown fox")
+      .toDF("t")
+      .union(graft.core.Tables.documents(spark, sf)
+        .select(col("text").as("t")).limit(200))
+    val bad = cases
+      .select(md5(col("t")).as("builtin"),
+        graft.functions.FastMd5.fast_md5(spark, col("t")).as("fast"))
+      .filter(col("builtin") =!= col("fast"))
+      .count()
+    assert(bad == 0L, s"$bad fast_md5 mismatches vs built-in md5")
+  }
+
   test("exact dedup groups identical texts under one fingerprint") {
     val df = Seq(
       (1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "zz")

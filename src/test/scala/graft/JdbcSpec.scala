@@ -63,4 +63,39 @@ class JdbcSpec extends SparkSuite {
     val df = JdbcTables.read(spark, "events", "event_id")
     assert(df.count() == 0)
   }
+
+  test("write passthrough round-trip: append then keyed update " +
+    "(reference insert_*/update_* shape, db.py:202-468)") {
+    import graft.sources.JdbcWrite
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE cards (
+          |  card_id BIGINT PRIMARY KEY,
+          |  card_name VARCHAR(64),
+          |  card_status VARCHAR(16))""".stripMargin)
+    } finally conn.close()
+    val rows = (1L to 50L)
+      .map(i => (i, s"card$i", "active")).toDF(
+        "card_id", "card_name", "card_status")
+    JdbcWrite.append(spark, "cards", rows)
+    val readBack = JdbcTables.read(spark, "cards", "card_id")
+    assert(readBack.count() == 50L)
+    // keyed update: soft-delete the even ids (reference status flip)
+    val updates = (2L to 50L by 2)
+      .map(i => (i, "deleted")).toDF("card_id", "card_status")
+    val n = JdbcWrite.updateByKey(
+      spark, "cards", "card_id", Seq("card_status"), updates)
+    assert(n == 25L, s"expected 25 rows updated, got $n")
+    val statuses = JdbcTables.read(spark, "cards", "card_id")
+      .select("card_id", "card_status").as[(Long, String)]
+      .collect().toMap
+    assert(statuses(2L) == "deleted" && statuses(3L) == "active")
+    assert(statuses.values.count(_ == "deleted") == 25)
+    // appends after updates keep working (same table, fresh ids)
+    JdbcWrite.append(spark, "cards",
+      Seq((51L, "card51", "active")).toDF(
+        "card_id", "card_name", "card_status"))
+    assert(JdbcTables.read(spark, "cards", "card_id").count() == 51L)
+  }
 }

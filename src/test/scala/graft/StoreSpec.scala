@@ -129,7 +129,7 @@ class StoreSpec extends SparkSuite {
       case Seq((_, _, aMax), (_, bMin, _)) => assert(aMax < bMin)
       case _ =>
     }
-    val deleted = cat.vacuum("users")
+    val deleted = cat.vacuum("users", retainMillis = 0)
     assert(deleted > 0, "appends + update + compact must leave dead files")
     val after = cat.read("users")
       .select("user_id", "user_role").as[(Long, String)].collect().toMap
@@ -137,6 +137,23 @@ class StoreSpec extends SparkSuite {
     assert(after(2L) == "admin")
     // store stays writable with correct id continuation after maintenance
     assert(cat.append("users", user("u5", "u5@x.c")) == 5L)
+  }
+
+  test("default vacuum keeps freshly-dead files inside the retention " +
+    "window, so a pre-vacuum reader snapshot still resolves") {
+    val cat = freshCat()
+    (1 to 3).foreach(i => cat.append("users", user(s"v$i", s"v$i@x.c")))
+    // a reader plans over the current snapshot BEFORE maintenance runs
+    val snapshot = cat.read("users").select("user_id", "first_name")
+    cat.compact("users", numFiles = 1) // makes the 3 original files dead
+    val deleted = cat.vacuum("users") // default retention: files too young
+    assert(deleted == 0,
+      "files dead for seconds must survive the default retention window")
+    // the pre-vacuum snapshot still reads its (now-dead) files
+    assert(snapshot.count() == 3L)
+    // the escape hatch still reclaims immediately
+    assert(cat.vacuum("users", retainMillis = 0) > 0)
+    assert(cat.read("users").count() == 3L)
   }
 
   test("keyed update rewrites only files whose id range matches; " +
