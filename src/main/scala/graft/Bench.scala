@@ -74,7 +74,7 @@ object Bench {
   private def detailPath: java.nio.file.Path = java.nio.file.Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_QUERIES.json"))
 
-  private def fmtJson(results: Seq[(String, Double)],
+  private[graft] def fmtJson(results: Seq[(String, Double)],
       failed: Iterable[String], sfDir: String, runs: Int,
       full: Boolean): String = {
     def qMap(rs: Seq[(String, Double)]): String =

@@ -90,18 +90,25 @@ object Dedup {
       .orderBy("keep_id")
   }
 
-  /** Shuffle width for the checkpointed shingle working sets (the
-    * explicit `repartition` in the minhash/ngram pipelines, which exists
-    * to defeat AQE's downward coalescing — see minhashRepPipeline). A
-    * fixed user count also opts out of AQE's upward sizing, so at real
-    * scale this must track data volume, not a constant: configure
+  /** Optional explicit shuffle width for the checkpointed shingle
+    * working sets of the minhash/ngram pipelines. A fixed user count
+    * opts out of AQE sizing in BOTH directions, so when set it must
+    * track data volume, not a constant: configure
     * `graft.dedup.shuffle.partitions` to ~(shingle bytes / 128 MB) for
-    * the corpus at hand; unset, it falls back to the cluster width
-    * (defaultParallelism), which is the right floor for corpora whose
-    * shingle set is smaller than cluster-width x 128 MB. */
+    * the corpus at hand. Default 0 = NO explicit repartition (AQE
+    * decides) — the measured-fastest, measured-stablest setting at
+    * fixture scale; see the A/B note in minhashRepPipeline. */
   private[ext] def dedupWidth(s: SparkSession): Int =
-    s.conf.getOption("graft.dedup.shuffle.partitions").map(_.toInt)
-      .getOrElse(s.sparkContext.defaultParallelism)
+    s.conf.getOption("graft.dedup.shuffle.partitions")
+      .orElse(sys.props.get("graft.dedup.shuffle.partitions")).map(_.toInt)
+      .getOrElse(0)
+
+  /** Apply the explicit width unless the knob disables it (0). */
+  private def widthed(df: DataFrame, s: SparkSession,
+      key: Column): DataFrame = {
+    val w = dedupWidth(s)
+    if (w <= 0) df else df.repartition(w, key)
+  }
 
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 rows
@@ -183,22 +190,17 @@ object Dedup {
 
   private[ext] def minhashRepPipeline(s: SparkSession, d: String): RepPipeline = {
     val mem = clustered(s, d).eagerCheckpoint()
-    // The checkpointed shingle set is partitioned by doc_id with an
-    // EXPLICIT partition count before materialization. The fp-window above
-    // leaves mem's (and so sh's) blocks at whatever width AQE coalesced
-    // that shuffle to — its byte-size heuristic sees a few MB of shingles
-    // and picks ~2 partitions, and every md5-dense consumer stage below
-    // (the 16-hash signature aggregate above all) then runs 2-wide: the
-    // bench-measured 2 s -> 25 s swings ARE that width lottery. A
-    // user-numbered repartition is never coalesced by AQE, and hashing by
-    // doc_id makes sig/sizes/intersection consumers (all keyed on doc_id)
-    // reuse the partitioning instead of re-shuffling — one shuffle here
-    // replaces three downstream ones. The count comes from dedupWidth
-    // (config knob, defaults to the cluster width) because a fixed width
-    // also opts out of AQE's UPWARD sizing: at large scale the caller
-    // sizes it to the shingle volume, it is not a constant.
-    val sh = repShingles(mem)
-      .repartition(dedupWidth(s), col("doc_id"))
+    // No explicit repartition by default (round-6 A/B, 27 runs per arm,
+    // min-of-3, committed in bench/BENCH_ATTRIBUTION.md): with serialized
+    // checkpoints + fast_md5 the AQE-coalesced width is uniformly fast
+    // and stable (minhash 1.95-2.26 s), while the round-5 width pin
+    // produced intermittent 3-7x episodes and one stuck-slow JVM. The
+    // round-4 "width lottery" the pin was built against was a symptom of
+    // the since-fixed per-row costs, not of AQE. dedupWidth stays as the
+    // scale knob: a 100 TB corpus sets it to size shingle partitions
+    // explicitly (and gains the shuffle reuse across the doc_id-keyed
+    // consumers); the fixture default (0) lets AQE decide.
+    val sh = widthed(repShingles(mem), s, col("doc_id"))
       .eagerCheckpoint()
     // fast_md5 (thread-reused digest): ~20 md5 calls per shingle make
     // the built-in's per-row MessageDigest.getInstance the pipeline's
@@ -375,14 +377,11 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
     val mem = clustered(s, d).eagerCheckpoint()
-    // partitioned by the self-join key with an explicit count: the
-    // candidate self-join below is this op's only expensive stage, and
-    // with AQE-coalesced (~2-wide) checkpoint blocks it runs serial —
-    // same width lottery as minhash (see minhashRepPipeline). Both join
-    // sides inherit this hash partitioning, so the join itself needs no
-    // exchange at all.
-    val sh = repShingles(mem)
-      .repartition(dedupWidth(s), col("sh"))
+    // same width policy as minhashRepPipeline: no explicit repartition
+    // by default (measured round-6 A/B — ngram 1.85-2.04 s stable no-pin
+    // vs 1.9-7.3 s with the pin); at scale the dedupWidth knob restores
+    // an explicit sh-keyed width that both self-join sides inherit.
+    val sh = widthed(repShingles(mem), s, col("sh"))
       .eagerCheckpoint()
     // member-weighted df == the oracle's per-document df; the HOT set is
     // tiny by construction (<= total/cap shingles, none on the fixture),
