@@ -260,7 +260,97 @@ object Corpus {
       .orderBy("event_type")
   }
 
+  /** Domain-mixture weights: target epoch composition per `source`.
+    * > 1 upsamples (the doc repeats floor(w) times plus one more for a
+    * deterministic md5-chosen fraction), < 1 decimates. The tiers are
+    * explicit lists so the oracle mirrors them verbatim. */
+  private val MixUp = Seq("src0", "src1") // books-like: 2.25 copies
+  private val MixKeep = Seq("src2", "src3", "src4") // curated: 1.0
+  private val UpWeight = 2.25
+  private val DownWeight = 0.4 // everything else: web-like, decimate
+  // md5-prefix thresholds for the fractional parts (0.25 / 0.4 of 0x10000)
+  private val UpFracBound = "4000" // 0x4000/0x10000 = 0.25
+  private val DownFracBound = "6666" // 0x6666/0x10000 ~ 0.39999 ~ 0.4
+
+  /** Deterministic domain-mixture curation (the "data recipe" step of a
+    * training run: set each source's epoch weight, e.g. books x2.25,
+    * curated x1, web x0.4). Emits one row per kept doc with `n_copies`
+    * (>= 1) — the materialized repeat count a writer would expand at
+    * ingest. Pure row-local arithmetic on md5(doc_id): no shuffle, no
+    * RNG, identical under retries and across engines — at 100 TB this is
+    * a scan-project whose output feeds the epoch writer directly.
+    * Fractional copies use the SAME fixed-width-hex trick as
+    * [[sampleStratified]] (lexicographic compare of 4 hex digits is
+    * numeric compare of the hash fraction). */
+  val corpusMix: Q = Q(
+    "ext_corpus_mix",
+    s"""SELECT * FROM (
+       |  SELECT doc_id, source,
+       |    CASE
+       |      WHEN source IN (${MixUp.map("'" + _ + "'").mkString(",")})
+       |        THEN 2 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+       |          < '$UpFracBound' THEN 1 ELSE 0 END
+       |      WHEN source IN (${MixKeep.map("'" + _ + "'").mkString(",")})
+       |        THEN 1
+       |      ELSE CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+       |        < '$DownFracBound' THEN 1 ELSE 0 END
+       |    END AS n_copies
+       |  FROM documents) m
+       |WHERE n_copies > 0
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val key = substring(
+      graft.functions.FastMd5.fast_md5(s, col("doc_id").cast("string")), 1, 4)
+    val copies = when(col("source").isin(MixUp: _*),
+        lit(2) + when(key < UpFracBound, 1).otherwise(0))
+      .when(col("source").isin(MixKeep: _*), lit(1))
+      .otherwise(when(key < DownFracBound, 1).otherwise(0))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), copies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Distinctive key-terms per document: the top-3 tokens ranked rarest-
+    * in-corpus first (df ASC), then most-frequent-in-doc (tf DESC), then
+    * token — keyword extraction with EXACT integer ordering (tf-idf's
+    * ranking without its float logs, so the oracle hash-matches). Plan
+    * shape at 100 TB: one token explode feeding two hash aggregates (per-
+    * doc tf; corpus df with map-side combine), a term-keyed join only
+    * AFTER both sides are aggregate-compressed (df is vocabulary-sized,
+    * tf is per-doc-distinct-term-sized — both orders of magnitude below
+    * the raw token stream), and a per-doc top-k window — no global sort
+    * until the final presentation ORDER BY. */
+  val docKeyTerms: Q = Q(
+    "ext_doc_keyterms",
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |ranked AS (
+       |  SELECT tf.doc_id, tf.t AS term, tf.tf, df.df,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY df.df ASC, tf.tf DESC, tf.t) AS rk
+       |  FROM tf JOIN df ON df.t = tf.t)
+       |SELECT doc_id, term, tf, df, rk FROM ranked WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("t")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("df").asc, col("tf").desc, col("t").asc)
+    tf.join(df, "t")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+        col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   val all: Seq[Q] =
     Seq(dedupClusters, sampleStratified, vocabTopK, pipelineCleanse,
-      skewSaltedAgg)
+      skewSaltedAgg, corpusMix, docKeyTerms)
 }

@@ -430,5 +430,146 @@ object Dedup {
     expandPairs(repPairs, mem, survivors)
   }
 
-  val all: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard)
+  /** Incremental (batch-vs-index) dedup — the PRODUCTION shape at
+    * 100 TB: a daily incoming batch is admitted against the already-
+    * indexed corpus without ever re-processing the corpus pairwise. The
+    * fixture splits `documents` deterministically (doc_id % 5 == 0 is
+    * the incoming 20 %; the rest is the index). Each incoming doc gets a
+    * verdict with precedence:
+    *   'exact'  — its md5(text) already exists in the index (a narrow
+    *              fp semi-join; at scale the index side is a bloom/
+    *              fp-bucketed lookup table, not a scan);
+    *   'near'   — it shares >= 1 LSH band bucket with an indexed doc AND
+    *              shingle-Jaccard >= 0.6 verifies (band join is
+    *              incoming x index only — never index x index, which is
+    *              the whole point of incrementality; indexed band
+    *              buckets wider than [[BucketCap]] distinct docs are
+    *              excluded, same boilerplate guard as the batch op);
+    *   'accept' — otherwise (including docs too short to shingle, which
+    *              only exact-matching can reject).
+    * At scale the index's signatures/bands are PRECOMPUTED at ingest
+    * (they are exactly [[minhashRepPipeline]]'s `sig`/`bands` frames
+    * persisted); here both sides derive from the fixture in one pass so
+    * the oracle can mirror byte-for-byte. */
+  val incremental: Q = Q(
+    "ext_dedup_incremental",
+    s"""WITH doc AS (SELECT doc_id, md5(text) AS fp, $toksSql AS w
+       |  FROM documents),
+       |inc AS (SELECT * FROM doc WHERE doc_id % 5 = 0),
+       |idx AS (SELECT * FROM doc WHERE doc_id % 5 <> 0),
+       |exact_rej AS (SELECT DISTINCT i.doc_id FROM inc i
+       |  JOIN idx x ON x.fp = i.fp),
+       |ish AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - 2),
+       |    i -> array_to_string(w[i:i+2], ' ')))) AS sh
+       |  FROM inc WHERE len(w) >= 3
+       |    AND doc_id NOT IN (SELECT doc_id FROM exact_rej)),
+       |xsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - 2),
+       |    i -> array_to_string(w[i:i+2], ' ')))) AS sh
+       |  FROM idx WHERE len(w) >= 3),
+       |isig AS (SELECT doc_id,
+       |${(0 until NumHashes).map(j =>
+        s"  MIN(md5('$j:' || sh)) AS m$j").mkString(",\n")}
+       |  FROM ish GROUP BY doc_id),
+       |xsig AS (SELECT doc_id,
+       |${(0 until NumHashes).map(j =>
+        s"  MIN(md5('$j:' || sh)) AS m$j").mkString(",\n")}
+       |  FROM xsh GROUP BY doc_id),
+       |iband AS (
+       |${(0 until NumHashes / BandSize).map(b =>
+        s"  SELECT doc_id, md5('$b:' || ${(0 until BandSize).map(r =>
+          s"m${b * BandSize + r}").mkString(" || ")}) AS band_key FROM isig")
+        .mkString("\n  UNION ALL\n")}),
+       |xband AS (
+       |${(0 until NumHashes / BandSize).map(b =>
+        s"  SELECT doc_id, md5('$b:' || ${(0 until BandSize).map(r =>
+          s"m${b * BandSize + r}").mkString(" || ")}) AS band_key FROM xsig")
+        .mkString("\n  UNION ALL\n")}),
+       |xhot AS (SELECT band_key FROM xband
+       |  GROUP BY band_key HAVING COUNT(DISTINCT doc_id) > $BucketCap),
+       |cand AS (SELECT DISTINCT i.doc_id AS inc_id, x.doc_id AS idx_id
+       |  FROM iband i JOIN xband x ON x.band_key = i.band_key
+       |  WHERE i.band_key NOT IN (SELECT band_key FROM xhot)),
+       |isz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ish GROUP BY doc_id),
+       |xsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM xsh GROUP BY doc_id),
+       |inter AS (SELECT c.inc_id, c.idx_id, COUNT(*) AS n_int
+       |  FROM cand c
+       |  JOIN ish a ON a.doc_id = c.inc_id
+       |  JOIN xsh b ON b.doc_id = c.idx_id AND b.sh = a.sh
+       |  GROUP BY c.inc_id, c.idx_id),
+       |near_rej AS (SELECT DISTINCT i.inc_id AS doc_id FROM inter i
+       |  JOIN isz za ON za.doc_id = i.inc_id
+       |  JOIN xsz zb ON zb.doc_id = i.idx_id
+       |  WHERE i.n_int * 1.0 / (za.n_sh + zb.n_sh - i.n_int) >= 0.6)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM exact_rej) THEN 'exact'
+       |       WHEN doc_id IN (SELECT doc_id FROM near_rej) THEN 'near'
+       |       ELSE 'accept' END AS verdict
+       |FROM inc ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val m5 = (c: Column) => graft.functions.FastMd5.fast_md5(s, c)
+    val doc = Tables.documents(s, d)
+      .select(col("doc_id"), m5(col("text")).as("fp"),
+        toks(col("text")).as("w"))
+    val inc = doc.filter(col("doc_id") % 5 === 0).eagerCheckpoint()
+    val idx = doc.filter(col("doc_id") % 5 =!= 0).eagerCheckpoint()
+    // exact tier: narrow fp semi-join (only fp+doc_id shuffle)
+    val exactRej = inc.join(idx.select("fp"), Seq("fp"), "left_semi")
+      .select("doc_id").distinct().eagerCheckpoint()
+    def shingles(side: DataFrame): DataFrame = side
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i, lit(3)))))).as("sh"))
+    val ish = shingles(
+        inc.join(exactRej, Seq("doc_id"), "left_anti"))
+      .eagerCheckpoint()
+    val xsh = shingles(idx).eagerCheckpoint()
+    def sig(sh: DataFrame): DataFrame = sh.groupBy("doc_id")
+      .agg(min(m5(concat(lit("0:"), col("sh")))).as("m0"),
+        (1 until NumHashes).map(j =>
+          min(m5(concat(lit(s"$j:"), col("sh")))).as(s"m$j")): _*)
+    def bandsOf(sg: DataFrame): DataFrame = sg.select(col("doc_id"),
+      explode(array((0 until NumHashes / BandSize).map { b =>
+        m5(concat((lit(s"$b:") +: (0 until BandSize)
+          .map(r => col(s"m${b * BandSize + r}"))): _*))
+      }: _*)).as("band_key"))
+    val iband = bandsOf(sig(ish))
+    val xbandAll = bandsOf(sig(xsh)).eagerCheckpoint()
+    val xhot = xbandAll.groupBy("band_key")
+      .agg(countDistinct(col("doc_id")).as("bn"))
+      .filter(col("bn") > BucketCap).select("band_key")
+    val xband = xbandAll.join(broadcast(xhot), Seq("band_key"), "left_anti")
+    val cand = iband.as("i")
+      .join(xband.as("x"), col("x.band_key") === col("i.band_key"))
+      .select(col("i.doc_id").as("inc_id"), col("x.doc_id").as("idx_id"))
+      .distinct()
+    val isz = ish.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val xsz = xsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(ish.as("a"), col("a.doc_id") === col("inc_id"))
+      .join(xsh.as("b"),
+        col("b.doc_id") === col("idx_id") && col("b.sh") === col("a.sh"))
+      .groupBy("inc_id", "idx_id").agg(count(lit(1)).as("n_int"))
+    val jac = col("n_int") * lit(1.0) /
+      (col("za.n_sh") + col("zb.n_sh") - col("n_int"))
+    val nearRej = inter
+      .join(isz.as("za"), col("za.doc_id") === col("inc_id"))
+      .join(xsz.as("zb"), col("zb.doc_id") === col("idx_id"))
+      .filter(jac >= 0.6)
+      .select(col("inc_id").as("doc_id")).distinct()
+    inc.select("doc_id")
+      .join(exactRej.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(nearRej.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact")
+          .when(col("is_near") === 1, "near")
+          .otherwise("accept").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard,
+    incremental)
 }

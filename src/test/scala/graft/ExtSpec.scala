@@ -199,6 +199,30 @@ class ExtSpec extends SparkSuite {
     assert(!out.keySet.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("incremental dedup: planted exact, near, and novel incoming docs " +
+    "get the right verdicts against the index split") {
+    // split: doc_id % 5 == 0 is incoming. Index holds 1..4; incoming
+    // holds 5 (exact copy of 2), 10 (near-dup of 3: one word changed in
+    // a long shared shingle run), 15 (novel), 20 (too short to shingle,
+    // novel -> accept)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, base + " lambda"),
+      (4L, "completely different indexed content goes here now"),
+      (5L, "the quick brown fox jumps over the lazy dog today"), // = 2
+      (10L, base + " omega"), // near-dup of 3
+      (15L, "fresh unseen material with no overlap whatsoever present"),
+      (20L, "hi")
+    ).toDF("doc_id", "text")
+    df.write.mode("overwrite").parquet("/tmp/graft_test_docs/documents.parquet")
+    val out = Dedup.incremental.fn(spark, "/tmp/graft_test_docs")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(5L -> "exact", 10L -> "near",
+      15L -> "accept", 20L -> "accept"), s"got $out")
+  }
+
   // ---- text ----
 
   test("rolling hash matches the reference fold ('abc' -> 96354) and the " +
