@@ -45,7 +45,7 @@ object Corpus {
       .eagerCheckpoint()
     // labels only ever decrease, so sum(label) strictly decreases until
     // the fixpoint — a single scalar action per round decides convergence
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {
@@ -55,7 +55,7 @@ object Corpus {
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("label").as("label"))
         .eagerCheckpoint()
-      val nextSum = next.agg(sum("label")).head.getLong(0)
+      val nextSum = next.agg(sum("label")).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
@@ -266,8 +266,8 @@ object Corpus {
     * explicit lists so the oracle mirrors them verbatim. */
   private val MixUp = Seq("src0", "src1") // books-like: 2.25 copies
   private val MixKeep = Seq("src2", "src3", "src4") // curated: 1.0
-  private val UpWeight = 2.25
-  private val DownWeight = 0.4 // everything else: web-like, decimate
+  // weights: up = 2.25 copies, keep = 1, everything else (web-like)
+  // decimates to 0.4 — encoded below as integer+md5-fraction bounds
   // md5-prefix thresholds for the fractional parts (0.25 / 0.4 of 0x10000)
   private val UpFracBound = "4000" // 0x4000/0x10000 = 0.25
   private val DownFracBound = "6666" // 0x6666/0x10000 ~ 0.39999 ~ 0.4

@@ -199,6 +199,33 @@ class ExtSpec extends SparkSuite {
     assert(!out.keySet.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("corpus mix: copies match the weight tiers, and the plan is a " +
+    "scan-project (no join, no aggregate, only the presentation sort)") {
+    val out = Corpus.corpusMix.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    // upsampled sources emit 2 or 3 copies, kept exactly 1, decimated 1
+    out.foreach { case (id, src, n) =>
+      if (Seq("src0", "src1").contains(src))
+        assert(n == 2 || n == 3, s"doc $id src $src: $n")
+      else assert(n == 1, s"doc $id src $src: $n")
+    }
+    // decimated tier actually decimates: fewer rows than source docs
+    val srcDocs = graft.core.Tables.documents(spark, sf)
+      .filter(!col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .count()
+    val kept = out.count(t => !Seq("src0", "src1", "src2", "src3", "src4")
+      .contains(t._2))
+    assert(kept < srcDocs && kept > 0, s"$kept of $srcDocs web docs kept")
+    val plan = Corpus.corpusMix.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"mixture must stay a scan-project:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, // the final ORDER BY's range partitioning only
+      s"expected at most the presentation-sort exchange, got $exchanges")
+  }
+
   test("incremental dedup: planted exact, near, and novel incoming docs " +
     "get the right verdicts against the index split") {
     // split: doc_id % 5 == 0 is incoming. Index holds 1..4; incoming
