@@ -204,14 +204,20 @@ object Dedup {
       .eagerCheckpoint()
     // fast_md5 (thread-reused digest): ~20 md5 calls per shingle make
     // the built-in's per-row MessageDigest.getInstance the pipeline's
-    // dominant CPU term (see functions.FastMd5)
+    // dominant CPU term (see functions.FastMd5). The 16 min-aggregates
+    // run over BINARY digests (half the buffer compare/copy of hex
+    // strings; unsigned byte order == hex order, spec-pinned) and hex
+    // materializes once per signature, not once per shingle-hash.
     val m5 = (c: Column) => graft.functions.FastMd5.fast_md5(s, c)
+    val m5b = (c: Column) => graft.functions.FastMd5.fast_md5_bin(s, c)
     val sig = sh.groupBy("doc_id")
       .agg(
-        min(m5(concat(lit("0:"), col("sh")))).as("m0"),
+        min(m5b(concat(lit("0:"), col("sh")))).as("m0"),
         (1 until NumHashes).map(j =>
-          min(m5(concat(lit(s"$j:"), col("sh")))).as(s"m$j"))
+          min(m5b(concat(lit(s"$j:"), col("sh")))).as(s"m$j"))
           :+ first(col("csize")).as("csize"): _*)
+      .select(col("doc_id") +: (0 until NumHashes).map(j =>
+        lower(hex(col(s"m$j"))).as(s"m$j")) :+ col("csize"): _*)
     // one signature pass -> explode the 4 band keys; csize rides along so
     // bucket weight equals the oracle's per-document bucket size
     val bands = sig.select(col("doc_id"), col("csize"),
@@ -527,10 +533,15 @@ object Dedup {
         inc.join(exactRej, Seq("doc_id"), "left_anti"))
       .eagerCheckpoint()
     val xsh = shingles(idx).eagerCheckpoint()
+    // binary min-agg + one hex projection per signature (see
+    // minhashRepPipeline)
+    val m5b = (c: Column) => graft.functions.FastMd5.fast_md5_bin(s, c)
     def sig(sh: DataFrame): DataFrame = sh.groupBy("doc_id")
-      .agg(min(m5(concat(lit("0:"), col("sh")))).as("m0"),
+      .agg(min(m5b(concat(lit("0:"), col("sh")))).as("m0"),
         (1 until NumHashes).map(j =>
-          min(m5(concat(lit(s"$j:"), col("sh")))).as(s"m$j")): _*)
+          min(m5b(concat(lit(s"$j:"), col("sh")))).as(s"m$j")): _*)
+      .select(col("doc_id") +: (0 until NumHashes).map(j =>
+        lower(hex(col(s"m$j"))).as(s"m$j")): _*)
     def bandsOf(sg: DataFrame): DataFrame = sg.select(col("doc_id"),
       explode(array((0 until NumHashes / BandSize).map { b =>
         m5(concat((lit(s"$b:") +: (0 until BandSize)

@@ -52,6 +52,38 @@ case class FastMd5(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Binary-output variant of [[FastMd5]]: the raw 16-byte digest.
+  *
+  * Spark orders `BinaryType` by UNSIGNED lexicographic byte comparison,
+  * which ranks digests exactly like their lowercase-hex strings (each
+  * byte's order equals its two hex digits' order) — so `MIN(fast_md5_bin
+  * (x))` equals `unhex(MIN(md5(x)))`. The minhash signature aggregate
+  * exploits this: 16 `min` buffers carry 16-byte binaries instead of
+  * 32-char strings (half the compare/copy traffic in the hottest
+  * aggregate) and hex encoding happens once per doc-signature instead of
+  * once per shingle-hash. An ExtSpec identity test pins the ordering
+  * equivalence against the string path on fixture data. */
+case class FastMd5Bin(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "fast_md5_bin"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument")
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastMd5.digest(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastMd5.digest($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FastMd5Bin =
+    copy(child = newChild)
+}
+
 object FastMd5 {
 
   private val tl: ThreadLocal[MessageDigest] =
@@ -61,9 +93,10 @@ object FastMd5 {
 
   /** Shared by interpreted eval and generated code. `MessageDigest.digest`
     * resets the instance, so thread-local reuse is safe. */
+  def digest(s: UTF8String): Array[Byte] = tl.get().digest(s.getBytes)
+
   def hex(s: UTF8String): UTF8String = {
-    val md = tl.get()
-    val d = md.digest(s.getBytes)
+    val d = digest(s)
     val out = new Array[Byte](32)
     var i = 0
     while (i < 16) {
@@ -82,5 +115,13 @@ object FastMd5 {
       .createOrReplaceTempFunction(
         "fast_md5", exprs => FastMd5(exprs.head), "built-in")
     call_function("fast_md5", c)
+  }
+
+  def fast_md5_bin(spark: SparkSession, c: Column): Column = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(
+        "fast_md5_bin", exprs => FastMd5Bin(exprs.head), "built-in")
+    call_function("fast_md5_bin", c)
   }
 }

@@ -30,6 +30,29 @@ class ExtSpec extends SparkSuite {
     assert(bad == 0L, s"$bad fast_md5 mismatches vs built-in md5")
   }
 
+  test("binary min-digest equals hex min-digest (unsigned byte order == " +
+    "hex lexicographic order), so the binary sig aggregate is sound") {
+    val sf = "/root/testdata/sf0.001"
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val bad = toks
+      .groupBy(lit(1))
+      .agg(
+        min(graft.functions.FastMd5.fast_md5(spark, col("t"))).as("hx"),
+        lower(hex(min(graft.functions.FastMd5.fast_md5_bin(spark, col("t")))))
+          .as("bn"))
+      .filter(col("hx") =!= col("bn")).count()
+    assert(bad == 0L, "binary MIN must rank like hex MIN")
+    // and per-value identity: hex(bin) == string variant for edge inputs
+    val rows = Seq("", "a", "héllo 你好", "x" * 5000).toDF("t")
+      .select(graft.functions.FastMd5.fast_md5(spark, col("t")).as("hx"),
+        lower(hex(graft.functions.FastMd5.fast_md5_bin(spark, col("t"))))
+          .as("bn"))
+      .filter(col("hx") =!= col("bn")).count()
+    assert(rows == 0L)
+  }
+
   test("exact dedup groups identical texts under one fingerprint") {
     val df = Seq(
       (1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "zz")
