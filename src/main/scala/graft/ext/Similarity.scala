@@ -213,12 +213,13 @@ object Similarity {
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-      // the pair set is narrow (two longs), so AQE coalesces its shuffle
-      // to ~1 partition — and the exact-cosine verification downstream
-      // would then run single-threaded (measured: the whole op's cost is
-      // this one stage). Spread candidates across the cluster before the
-      // compute-heavy scoring; the extra shuffle is tiny by construction.
-      .repartition(s.sparkContext.defaultParallelism)
+    // No explicit pair repartition: round 5 added one here to spread the
+    // narrow candidate set before compute-heavy scoring, but the round-6
+    // re-measure (min-of-3, fresh JVMs, after the serialized-checkpoint
+    // and fast-md5 fixes) shows the op consistently FASTER without it —
+    // AQE's post-shuffle width no longer single-threads the verification.
+    // At real scale the scoring join shuffles on id_a/id_b anyway, which
+    // spreads candidates by itself.
     pairs
       .join(v.select(col("vec_id").as("id_a"), col("e").as("ea"),
         col("nrm").as("na")), Seq("id_a"))
