@@ -180,14 +180,23 @@ object Relational {
       |) l ON o.o_orderkey = l.l_orderkey
       |ORDER BY o.o_orderkey""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_shipdate").desc, col("l_linenumber").desc,
-        col("l_extendedprice").desc)
+    // top-1-per-group as max_by over a lexicographic struct key instead
+    // of a row_number window: a hash aggregate combines map-side (each
+    // input partition sends ONE candidate row per order key to the
+    // shuffle) where the window shape must shuffle every lineitem row and
+    // sort it inside each partition — the aggregate is the plan that
+    // survives a 100x fact table. Struct ordering is field-lexicographic
+    // in both engines, so the picked row matches the window's (shipdate,
+    // linenumber, extendedprice) DESC ranking exactly.
     val latest = Tables.lineitem(s, d)
       .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_linenumber")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "l_linenumber")
+      .groupBy("l_orderkey")
+      .agg(max_by(
+        struct(col("l_shipdate"), col("l_extendedprice")),
+        struct(col("l_shipdate"), col("l_linenumber"),
+          col("l_extendedprice"))).as("top"))
+      .select(col("l_orderkey"), col("top.l_shipdate"),
+        col("top.l_extendedprice"))
     Tables.orders(s, d).select("o_orderkey")
       .join(latest, col("o_orderkey") === col("l_orderkey"), "left")
       .select(col("o_orderkey"), col("l_shipdate").as("last_ship"),
