@@ -214,13 +214,16 @@ object Relational {
       |    ORDER BY event_id DESC) AS rn FROM events) t
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("event_id").desc)
+    // same aggregate-over-window rewrite as q_j3: event_id is the ranking
+    // key, so max_by gives the newest row with map-side combine instead
+    // of a full shuffle-sort of the fact table
     Tables.events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("user_id", "event_type")
+      .agg(max_by(struct(col("event_id"), col("value")),
+        col("event_id")).as("top"))
       .select(col("user_id"), col("event_type"),
-        col("event_id").as("last_event_id"), col("value").as("last_value"))
+        col("top.event_id").as("last_event_id"),
+        col("top.value").as("last_value"))
       .orderBy("user_id", "event_type")
   }
 
