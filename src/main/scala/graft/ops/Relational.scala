@@ -164,8 +164,9 @@ object Relational {
 
   /** J3 — latest-per-group as-of lookup, LEFT-preserving (the correlated
     * `ORDER BY payment_date DESC LIMIT 1` subquery, db.py:386-390; a parent
-    * with no children must yield NULLs). Window + row_number, one shuffle
-    * on the group key. */
+    * with no children must yield NULLs). max_by aggregate, one map-side-
+    * combined shuffle on the group key (the row_number window form, 4x
+    * slower, lives on in the oracle SQL and the §2.5 window family). */
   val j3LatestPerGroup: Q = Q(
     "q_j3_latest_per_group",
     """SELECT o.o_orderkey, l.l_shipdate AS last_ship,
