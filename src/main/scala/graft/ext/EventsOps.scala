@@ -237,6 +237,87 @@ object EventsOps {
       .orderBy("event_type")
   }
 
+  /** Strict-sequence conversion funnel view -> click -> purchase: a user
+    * advances a step only with an event STRICTLY AFTER their previous
+    * step's time (the standard product-analytics funnel, not mere set
+    * intersection). Two user-keyed joins, each against a type-filtered
+    * scan (the filter pushes into parquet): step N's frame is at most one
+    * row per user, so each join's build side shrinks monotonically — at
+    * 100 TB the events scan is the only big input and it is read once per
+    * step with its type filter. All arithmetic is timestamps + counts:
+    * exact across engines. */
+  val eventsFunnel: Q = Q(
+    "ext_events_funnel",
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'click', COUNT(*) FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', COUNT(*) FROM s3) f
+      |ORDER BY step""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    def step(prev: org.apache.spark.sql.DataFrame, prevT: String,
+        typ: String, outT: String) = ev
+      .filter(col("event_type") === typ)
+      .join(prev, Seq("user_id"))
+      .filter(col("ts") > col(prevT))
+      .groupBy("user_id").agg(min(col("ts")).as(outT))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = step(s1, "t1", "click", "t2")
+    val s3 = step(s2, "t2", "purchase", "t3")
+    def row(n: Int, typ: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("step"), lit(typ).as("event_type"),
+          col("n_users"))
+    row(1, "view", s1).unionAll(row(2, "click", s2))
+      .unionAll(row(3, "purchase", s3))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention: cohort = Monday-truncated week of a user's
+    * FIRST event; a cell counts the cohort's users active in week
+    * cohort+offset. Two hash aggregates and one user-keyed join of
+    * aggregate-compressed frames (one row per user / per user-week) —
+    * the raw event stream is scanned once. Offsets are exact integer
+    * epoch arithmetic on week-truncated timestamps, so the oracle
+    * hash-matches without date-diff rounding hazards. */
+  val eventsRetention: Q = Q(
+    "ext_events_retention",
+    """WITH firsts AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |  FROM events)
+      |SELECT f.cohort,
+      |  (CAST(epoch(a.wk) AS BIGINT) - CAST(epoch(f.cohort) AS BIGINT))
+      |    // 604800 AS week_offset, COUNT(*) AS n_users
+      |FROM active a JOIN firsts f ON f.user_id = a.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select("user_id", "ts")
+    val firsts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    active.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort"),
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort")))
+          / 604800L).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
   val all: Seq[Q] = Seq(windowHourly, windowSliding, jsonExtract, sessionize,
-    pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats)
+    pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats,
+    eventsFunnel, eventsRetention)
 }
