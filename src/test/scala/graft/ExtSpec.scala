@@ -273,6 +273,32 @@ class ExtSpec extends SparkSuite {
       15L -> "accept", 20L -> "accept"), s"got $out")
   }
 
+  test("funnel is strictly sequential: events before the previous step " +
+    "do not advance a user") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    val rows = Seq(
+      // user 1: view -> click -> purchase in order: completes all steps
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(10)),
+      (3L, 1L, "purchase", ts(20)),
+      // user 2: purchase BEFORE click: stops at click
+      (4L, 2L, "view", ts(0)), (5L, 2L, "purchase", ts(5)),
+      (6L, 2L, "click", ts(10)),
+      // user 3: click before any view: never enters the funnel's step 2
+      (7L, 3L, "click", ts(0)), (8L, 3L, "view", ts(5)),
+      // user 4: view only
+      (9L, 4L, "view", ts(0)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    rows.write.mode("overwrite")
+      .parquet("/tmp/graft_test_ev/events.parquet")
+    val out = EventsOps.eventsFunnel.fn(spark, "/tmp/graft_test_ev")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // step1: users 1,2,3,4 viewed; step2 (click after view): 1,2;
+    // step3 (purchase after that click): 1 only
+    assert(out == Map(1 -> 4L, 2 -> 2L, 3 -> 1L), s"got $out")
+  }
+
   // ---- text ----
 
   test("rolling hash matches the reference fold ('abc' -> 96354) and the " +
