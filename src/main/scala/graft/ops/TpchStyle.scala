@@ -262,5 +262,185 @@ object TpchStyle {
         / sum(rev).cast("double"), 4).as("promo_share"))
   }
 
-  val all: Seq[Q] = Seq(q1, q3, q5, q7, q10, q12, q14)
+  /** Q4-style order-priority check: EXISTS-decorrelated LEFT SEMI join.
+    * The semi join keeps the probe side narrow (orderkey+priority+date)
+    * and never multiplies rows — at 100 TB the lineitem side streams
+    * through the shuffle once and duplicate matches are dropped at the
+    * join, not re-aggregated away. */
+  val q4: Q = Q(
+    "q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |AND EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00")
+        && col("o_orderdate") < ts("1997-07-01 00:00:00"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q6-style forecast revenue: the purest scan shape — no join, one
+    * ungrouped aggregate, every predicate pushable into the parquet scan
+    * (PushedFilters shows all three). At 100 TB this is I/O-bound and
+    * benefits fully from row-group min/max skipping on l_shipdate. */
+  val q6: Q = Q(
+    "q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+      |  * CAST(l_discount AS DECIMAL(10,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |AND l_discount >= 0.05 AND l_discount <= 0.07
+      |AND l_quantity < 24""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00")
+        && col("l_shipdate") < ts("1998-01-01 00:00:00")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(sum(m(col("l_extendedprice")) * m(col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  /** Q13-style customer order-count distribution: LEFT OUTER join with a
+    * compound ON condition (the non-key predicate must stay in the join,
+    * not the WHERE, to preserve zero-order customers), then two cascaded
+    * aggregations. The second groupBy is on a tiny domain (distinct
+    * counts), so the heavy shuffle is only the first. */
+  val q13: Q = Q(
+    "q13_order_distribution",
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q18-style large-volume customers: grouped HAVING filter first (the
+    * aggregate shrinks lineitem to one row per order BEFORE any join), then
+    * join back to orders and customer for the report columns. Doing the
+    * HAVING reduction first is the 100 TB move — the join inputs are the
+    * filtered survivors, not the raw fact table. */
+  val q18: Q = Q(
+    "q18_large_volume",
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |sum_qty FROM (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 250) big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val big = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(m(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > lit(250).cast("decimal(10,2)"))
+      .select(col("l_orderkey"), col("qty_dec").cast("double").as("sum_qty"))
+    big
+      .join(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+        "o_totalprice", "sum_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Q19-style disjunctive revenue: three OR'd (brand, size, quantity)
+    * branches across a lineitem-part join. Catalyst extracts the common
+    * join key and pushes each side's disjunct columns into its scan
+    * (CNF conversion); the join itself stays a plain equi-join — the OR
+    * never degrades it to a nested loop. */
+  val q19: Q = Q(
+    "q19_disjunctive_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+      |  * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity >= 10 AND l_quantity <= 30)
+      |   OR (p_brand = 'Brand#6' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin
+  ) { (s, d) =>
+    def branch(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    val branches = branch("Brand#11", 1, 15, 1, 20) ||
+      branch("Brand#22", 10, 30, 10, 30) || branch("Brand#6", 20, 50, 20, 40)
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branches)
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"))
+  }
+
+  /** Q22-style dormant high-balance customers: scalar-average subquery
+    * (broadcast as a 1-row frame — never a driver collect) + LEFT ANTI
+    * join against priority orders, grouped by segment. The threshold
+    * average is exact decimal sum / count, one double division — the
+    * only cross-engine-safe way to compare against an aggregate of
+    * doubles (see [[graft.core.Determinism]]). */
+  val q22: Q = Q(
+    "q22_dormant_balance",
+    """WITH thr AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE)
+      |    / COUNT(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_mktsegment, COUNT(*) AS numcust,
+      |CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, thr
+      |WHERE c_acctbal > thr.avg_bal
+      |AND NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    cust
+      .join(broadcast(thr), col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val all: Seq[Q] =
+    Seq(q1, q3, q4, q5, q6, q7, q10, q12, q13, q14, q18, q19, q22)
 }
