@@ -317,7 +317,111 @@ object EventsOps {
       .orderBy("cohort", "week_offset")
   }
 
+  /** Exact discrete per-group quantiles (percentile_disc semantics: the
+    * smallest value whose cumulative rank reaches ceil(p*n)), written as
+    * an explicit rank so both engines share one definition instead of
+    * each builtin's interpolation convention. One event_type-keyed window
+    * sort + one aggregate.
+    *
+    * Scale note: exact grouped quantiles sort within each group key — fine
+    * when groups are numerous, skewed when (as here) the key domain is
+    * tiny relative to cluster width. The 100 TB path is the mergeable
+    * sketch (`approx_percentile`, one pass, no per-group sort); the spec
+    * bounds the sketch against this exact op. This oracle-checkable exact
+    * form is the baseline the sketch is graded against. */
+  val valueQuantiles: Q = Q(
+    "ext_value_quantiles",
+    """SELECT event_type,
+      |MIN(CASE WHEN rn >= CEIL(0.50 * n) THEN value END) AS p50,
+      |MIN(CASE WHEN rn >= CEIL(0.90 * n) THEN value END) AS p90,
+      |MIN(CASE WHEN rn >= CEIL(0.99 * n) THEN value END) AS p99
+      |FROM (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events) ranked
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val byType = Window.partitionBy("event_type")
+    val ranked = Tables.events(s, d)
+      .withColumn("rn",
+        row_number().over(byType.orderBy("value", "event_id")))
+      .withColumn("n", count(lit(1)).over(byType))
+    def pAt(p: Double) =
+      min(when(col("rn") >= ceil(lit(p) * col("n")), col("value")))
+    ranked.groupBy("event_type")
+      .agg(pAt(0.50).as("p50"), pAt(0.90).as("p90"), pAt(0.99).as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** Z-score anomaly detection: per-type mean/std from exact decimal
+    * power sums (the valueStats moment discipline), broadcast back onto
+    * the stream, flag |z| above threshold. The stats side is 5 rows — a
+    * broadcast join — so the event stream is scanned once and never
+    * shuffled; at 100 TB the moments aggregate is the only exchange. */
+  val eventsAnomaly: Q = Q(
+    "ext_events_anomaly",
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(10,2))) AS sx,
+      |    SUM(CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2)))
+      |      AS sxx
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, value,
+      |ROUND((value - CAST(sx AS DOUBLE) / n)
+      |  / SQRT((CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 4)
+      |  AS z
+      |FROM events e JOIN m ON e.event_type = m.event_type
+      |WHERE ABS((value - CAST(sx AS DOUBLE) / n)
+      |  / SQRT((CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))) > 2.5
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    import Determinism.m
+    val ev = Tables.events(s, d)
+    val moments = ev.groupBy(col("event_type").as("m_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(m(col("value"))).as("sx"),
+        sum(m(col("value")) * m(col("value"))).as("sxx"))
+    val mean = col("sx").cast("double") / col("n")
+    val std = sqrt((col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+      / (col("n") - 1))
+    val z = (col("value") - mean) / std
+    ev.join(broadcast(moments), col("event_type") === col("m_type"))
+      .filter(abs(z) > 2.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(z, 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** First-order event-type transition matrix (Markov counts): each
+    * user's time-ordered stream yields (prev, next) pairs via one lag
+    * window, then a grouped count over the 25-cell type x type domain.
+    * Single user-keyed shuffle — the canonical sequence-model feature
+    * extraction over clickstream data. */
+  val eventsTransitions: Q = Q(
+    "ext_events_transitions",
+    """SELECT prev_type, event_type AS next_type, COUNT(*) AS n FROM (
+      |  SELECT event_type, LAG(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events) seq
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin
+  ) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
   val all: Seq[Q] = Seq(windowHourly, windowSliding, jsonExtract, sessionize,
     pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats,
-    eventsFunnel, eventsRetention)
+    eventsFunnel, eventsRetention, valueQuantiles, eventsAnomaly,
+    eventsTransitions)
 }

@@ -402,6 +402,31 @@ object Relational {
       .orderBy("rf", "ls")
   }
 
+  /** [EXT] CUBE grouping sets — the full 2^k lattice (adds the
+    * (ALL, linestatus) slices ROLLUP omits). Same single-shuffle expand +
+    * hash-aggregate physical shape as rollup: the Expand operator
+    * replicates each input row once per grouping set BEFORE the shuffle,
+    * so map-side combine still applies and no second pass over the scan
+    * is needed. */
+  val aCube: Q = Q(
+    "q_a_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |COALESCE(l_linestatus, 'ALL') AS ls,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+      |COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+  }
+
   /** [EXT] exact COUNT(DISTINCT) — the exact side of the distinct family
     * (approx variant lives in ext.Cardinality). */
   val countDistinctExact: Q = Q(
@@ -483,7 +508,7 @@ object Relational {
     p5ConjFilter, p6HashPredicate, p7Validation, f1Sha2, j1JoinFilterSum,
     j2FactDim, j3LatestPerGroup, j4DedupLatest, j5GroupedStats,
     a1CountFilter, a2SumCoalesceEmpty, a3MaxPerGroup, a4CustomerStats,
-    o1Sort, o2Top1, o4NewestKey, setOps, jSemi, jAnti, aRollup,
+    o1Sort, o2Top1, o4NewestKey, setOps, jSemi, jAnti, aRollup, aCube,
     countDistinctExact, f6DateFormat, f7TimeOfDay, f8Compose, f9Last4,
     f10Currency)
 }
