@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** [EXT] benchmark decontamination: flag corpus documents that share
+  * word n-grams with a held-out evaluation set — the standard guard
+  * against train/test leakage in LLM data pipelines (n-gram overlap per
+  * GPT-3 appendix C / Gopher section A.3-style filtering; public
+  * methodology, applied to the fixture corpus).
+  *
+  * The "benchmark" here is a deterministic doc_id slice of `documents`
+  * standing in for an external eval corpus; in production it is a
+  * separate (small) table, which is exactly why the blocklist side
+  * BROADCASTS: eval suites are a few million n-grams at most, so the
+  * 100 TB corpus is scanned once, its shingles checked against the
+  * broadcast set map-side, and the only exchange is the final per-doc
+  * aggregate on doc_id — a narrow, high-cardinality key. No shuffle of
+  * the corpus text ever happens.
+  *
+  * Shingle width: 3 words, matching [[Dedup]]'s shingle vocabulary (the
+  * fixture texts are short synthetic sentences; production pipelines use
+  * 8-13-gram windows, which is a constant in one place). Hit counting is
+  * over each document's DISTINCT shingle set, so `n_hits / n_shingles`
+  * is a well-defined contamination fraction; both counts are emitted
+  * raw (the quotient is left to the caller — a rounded ratio of small
+  * integers is a cross-engine rounding-tie hazard, see
+  * [[graft.core.Determinism]]).
+  */
+object Decontam {
+
+  private val EvalMod = 53
+  private val NGram = 3
+
+  /** Tokens; mirror of `list_filter(string_split_regex(...))` (see
+    * TextAnalysis.toks). */
+  private def toksCol = filter(split(col("text"), "\\s+"), t => t =!= "")
+
+  private val toksSql =
+    """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
+
+  val decontam: Q = Q(
+    "ext_corpus_decontam",
+    s"""WITH tokd AS (
+       |  SELECT doc_id, $toksSql AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - ${NGram - 1}),
+       |    i -> array_to_string(w[i:i+${NGram - 1}], ' ')))) AS sh
+       |  FROM tokd WHERE len(w) >= $NGram),
+       |block AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $EvalMod = 0),
+       |corp AS (SELECT * FROM sh WHERE doc_id % $EvalMod <> 0)
+       |SELECT c.doc_id, COUNT(b.sh) AS n_hits, COUNT(*) AS n_shingles
+       |FROM corp c LEFT JOIN block b ON c.sh = b.sh
+       |GROUP BY c.doc_id HAVING COUNT(b.sh) > 0
+       |ORDER BY c.doc_id""".stripMargin
+  ) { (s, d) =>
+    val shingled = Tables.documents(s, d)
+      .select(col("doc_id"), toksCol.as("w"))
+      .filter(size(col("w")) >= NGram)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - (NGram - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(NGram)))))).as("sh"))
+    val block = shingled.filter(col("doc_id") % EvalMod === 0)
+      .select("sh").distinct()
+      .withColumn("hit", lit(1))
+    shingled.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(block), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("hit")).as("n_hits"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(decontam)
+}

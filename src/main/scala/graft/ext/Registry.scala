@@ -9,7 +9,8 @@ import graft.core.Q
 object Registry {
   def all: Seq[Q] =
     EventsOps.all ++ TypedSessionize.all ++ TextAnalysis.all ++ Dedup.all ++
-      Corpus.all ++ Redact.all ++ Similarity.all ++ IvfSearch.all ++
+      Corpus.all ++ Decontam.all ++ Redact.all ++ Similarity.all ++
+      IvfSearch.all ++
       Multimodal.all ++
       BucketedJoin.all ++ PartitionedScan.all ++
       graft.streaming.EventsStream.all ++
