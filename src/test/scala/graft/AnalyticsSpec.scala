@@ -1,0 +1,166 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Decontam, EventsOps}
+import graft.ops.{Relational, TpchStyle}
+
+/** Behavior specs for the round-7 operators: the new TPC-H plan shapes'
+  * semantics (semi/anti/outer edge cases the hash gate can't isolate),
+  * the discrete-quantile definition, anomaly flagging, transition
+  * counting, and decontamination on planted fixtures.
+  */
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeEvents(rows: Seq[(Long, String, Long, String, Double)],
+      dir: String): String = {
+    rows.map { case (id, ts, uid, typ, v) =>
+      (id, Timestamp.valueOf(ts), uid, typ, v, """{"k": 1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q4 semi join counts each order once regardless of match fanout") {
+    // cross-check against the distinct-then-inner-join formulation
+    val semi = TpchStyle.q4.fn(spark, sf)
+      .agg(sum(col("order_count"))).as[Long].head()
+    val ord = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00"))
+        && col("o_orderdate") < lit(Timestamp.valueOf("1997-07-01 00:00:00")))
+    val viaDistinct = ord
+      .join(graft.core.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate"))
+      .select("o_orderkey").distinct().count()
+    assert(semi == viaDistinct, "semi-join count must equal distinct matches")
+  }
+
+  test("q13 outer join keeps zero-order customers in the distribution") {
+    val dist = TpchStyle.q13.fn(spark, sf)
+    val total = dist.agg(sum(col("custdist"))).as[Long].head()
+    val nCust = graft.core.Tables.customer(spark, sf).count()
+    assert(total == nCust,
+      "every customer must appear in exactly one distribution bucket")
+  }
+
+  test("q22 anti join: no reported segment contains a customer with a " +
+    "priority order") {
+    // recompute the qualifying set and check disjointness directly
+    val cust = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal")
+    val withPriority = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey")).distinct()
+    val reported = TpchStyle.q22.fn(spark, sf)
+      .agg(sum(col("numcust"))).as[Long].head()
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(10,2)")).cast("double")
+        / count(lit(1))).as("avg_bal"))
+    val expected = cust.crossJoin(thr)
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(withPriority, col("o_custkey") === col("c_custkey"), "left_anti")
+      .count()
+    assert(reported == expected)
+  }
+
+  test("cube emits the full lattice: rollup rows plus the (ALL, ls) slices") {
+    val cube = Relational.aCube.fn(spark, sf)
+    val rollup = Relational.aRollup.fn(spark, sf)
+    val extra = cube.count() - rollup.count()
+    val lsDomain = graft.core.Tables.lineitem(spark, sf)
+      .select("l_linestatus").distinct().count()
+    assert(extra == lsDomain,
+      "cube must add exactly one (ALL, ls) row per linestatus value")
+    // grand total row agrees with the raw count
+    val grand = cube.filter(col("rf") === "ALL" && col("ls") === "ALL")
+      .select("n").as[Long].head()
+    assert(grand == graft.core.Tables.lineitem(spark, sf).count())
+  }
+
+  test("discrete quantiles: ceil-rank definition on a planted 1..100 group") {
+    val dir = writeEvents(
+      (1L to 100L).map(i =>
+        (i, f"2024-01-01 00:${(i - 1) / 60}%02d:${(i - 1) % 60}%02d",
+          1L, "a", i.toDouble)),
+      "/tmp/graft_test_quant")
+    val row = EventsOps.valueQuantiles.fn(spark, dir)
+      .filter(col("event_type") === "a")
+      .select("p50", "p90", "p99").as[(Double, Double, Double)].head()
+    assert(row == ((50.0, 90.0, 99.0)),
+      s"expected (50,90,99) under ceil(p*n) discrete ranks, got $row")
+  }
+
+  test("approx_percentile sketch stays within 1 rank-percent of the exact " +
+    "quantile op on the fixture (the 100 TB scale path)") {
+    val exact = EventsOps.valueQuantiles.fn(spark, sf)
+      .select("event_type", "p50").as[(String, Double)].collect().toMap
+    val approx = graft.core.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("a50"))
+      .as[(String, Double)].collect().toMap
+    val values = graft.core.Tables.events(spark, sf)
+      .select("event_type", "value").as[(String, Double)].collect()
+    for ((t, ex) <- exact) {
+      val vs = values.filter(_._1 == t).map(_._2).sorted
+      val rankOf = (x: Double) => vs.count(_ <= x).toDouble / vs.length
+      assert(math.abs(rankOf(approx(t)) - rankOf(ex)) <= 0.01,
+        s"type $t: sketch p50=${approx(t)} too far from exact $ex")
+    }
+  }
+
+  test("anomaly: a planted outlier is flagged, inliers are not") {
+    val base = (1L to 20L).map(i =>
+      (i, f"2024-01-01 00:00:${i - 1}%02d", 1L, "b", 10.0))
+    val dir = writeEvents(
+      base :+ ((21L, "2024-01-01 00:00:21", 1L, "b", 1000.0)),
+      "/tmp/graft_test_anom")
+    val flagged = EventsOps.eventsAnomaly.fn(spark, dir)
+      .select("event_id").as[Long].collect().toSet
+    assert(flagged == Set(21L),
+      s"only the planted outlier must cross |z| > 2.5, got $flagged")
+  }
+
+  test("transitions: planted sequences produce exact pair counts and " +
+    "total = events - users") {
+    val dir = writeEvents(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 00:00:01", 1L, "b", 1.0),
+      (3L, "2024-01-01 00:00:02", 1L, "a", 1.0),
+      (4L, "2024-01-01 00:00:00", 2L, "a", 1.0),
+      (5L, "2024-01-01 00:00:01", 2L, "a", 1.0)),
+      "/tmp/graft_test_trans")
+    val got = EventsOps.eventsTransitions.fn(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L), ("b", "a", 1L), ("a", "a", 1L)))
+    // conservation on the fixture: every non-first event is one transition
+    val n = EventsOps.eventsTransitions.fn(spark, sf)
+      .agg(sum(col("n"))).as[Long].head()
+    val ev = graft.core.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(n == expected)
+  }
+
+  test("decontam: shared 3-gram flags the corpus doc, disjoint doc is " +
+    "clean, eval docs never reported") {
+    Seq(
+      (53L, "alpha beta gamma delta", "en", "src0", 22L), // eval slice
+      (1L, "alpha beta gamma epsilon zeta", "en", "src1", 29L), // shares 3-gram
+      (2L, "one two three four five", "en", "src2", 23L) // disjoint
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft_test_decon/documents.parquet")
+    // rows are (doc_id, n_hits, n_shingles)
+    val full = Decontam.decontam.fn(spark, "/tmp/graft_test_decon")
+      .as[(Long, Long, Long)].collect()
+    assert(full.map(_._1).toSet == Set(1L),
+      s"only doc 1 is contaminated, got ${full.mkString(",")}")
+    val (_, hits, total) = full.head
+    assert(hits == 1L && total == 3L,
+      s"doc 1 shares exactly 'alpha beta gamma'; got hits=$hits of $total")
+  }
+}
