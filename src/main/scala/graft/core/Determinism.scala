@@ -34,7 +34,13 @@ object Determinism {
 
   /** Engine-exact `SUM(price * (1 - disc))`, output as DOUBLE. */
   def revenueSum(price: Column, disc: Column): Column =
-    sum(m(price) * (lit(1) - m(disc))).cast("double")
+    revenueDec(price, disc).cast("double")
+
+  /** Engine-exact `SUM(price * (1 - disc))` kept as DECIMAL — for
+    * consumers that need exact comparisons on the aggregate (e.g. a
+    * max-equality filter) before the single final cast to double. */
+  def revenueDec(price: Column, disc: Column): Column =
+    sum(m(price) * (lit(1) - m(disc)))
 
   /** Cross-engine average with a scale-safe round. Oracle mirror:
     * `ROUND(CAST(SUM(CAST(x AS DECIMAL(10,2))) AS DOUBLE)/COUNT(*), s)`. */

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.core.{Determinism, Q, Tables}
-import Determinism.{davg, dsum, m, revenueSum}
+import Determinism.{davg, dsum, m, revenueDec, revenueSum}
 
 /** Headline analytical queries over the TPC-H-ish fixtures — the bench
   * workload. These exercise the engine end-to-end: multi-way joins with
@@ -441,6 +441,180 @@ object TpchStyle {
       .orderBy("c_mktsegment")
   }
 
-  val all: Seq[Q] =
-    Seq(q1, q3, q4, q5, q6, q7, q10, q12, q13, q14, q18, q19, q22)
+  /** Q8-style market share: 8-table join (both nation roles), revenue
+    * share of one supplier nation per order year. The share is a ratio of
+    * two exact decimal sums divided once in double (the q14 discipline).
+    * region/nation broadcast; the fact-side joins shuffle on their keys. */
+  val q8: Q = Q(
+    "q8_market_share",
+    """SELECT o_year,
+      |ROUND(100.0 * CAST(SUM(CASE WHEN nation = 'NATION_3'
+      |    THEN CAST(l_extendedprice AS DECIMAL(10,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(10,2)))
+      |    ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE), 4)
+      |  AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    n2.n_name AS nation, l_extendedprice, l_discount
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO') all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+  ) { (s, d) =>
+    val rev = m(col("l_extendedprice")) * (lit(1) - m(col("l_discount")))
+    val n1 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey")))
+    val n2 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation")))
+    Tables.part(s, d).filter(col("p_type") === "PROMO").select("p_partkey")
+      .join(Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_orderkey",
+          "l_extendedprice", "l_discount"),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(n1, col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(n2, col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(lit(100.0)
+        * sum(when(col("nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast("decimal(21,4)"))).cast("double")
+        / sum(rev).cast("double"), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q15-style top supplier: grouped revenue, then equality against the
+    * global max. The max is computed on the EXACT DECIMAL aggregate (a
+    * double equality on computed sums would be engine-dependent) and
+    * broadcast as a 1-row frame — never collected to the driver. */
+  val q15: Q = Q(
+    "q15_top_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS total_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_dec = (SELECT MAX(total_dec) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+  ) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00")
+        && col("l_shipdate") < ts("1997-04-01 00:00:00"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(revenueDec(col("l_extendedprice"), col("l_discount"))
+        .as("total_dec"))
+    val top = rev.agg(max(col("total_dec")).as("max_dec"))
+    Tables.supplier(s, d).select("s_suppkey", "s_name")
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(top), col("total_dec") === col("max_dec"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17-style small-quantity revenue: correlated per-part average
+    * decorrelated into a grouped aggregate joined back on partkey — the
+    * fact table is reduced to one row per part BEFORE rejoining, so the
+    * "subquery" costs one extra shuffle of (partkey, avg), not a
+    * per-row probe. Final division by the constant 7.0 is a single
+    * deterministic double op (no rounding needed). */
+  val q17: Q = Q(
+    "q17_small_quantity",
+    """WITH a AS (
+      |  SELECT l_partkey AS a_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)
+      |      / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE)
+      |  / 7.0 AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN a ON a_partkey = l_partkey
+      |WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * avg_qty""".stripMargin
+  ) { (s, d) =>
+    val a = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#11").select("p_partkey")),
+        col("p_partkey") === col("l_partkey"))
+      .join(a, col("a_partkey") === col("l_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Q21-style waiting suppliers: the double-correlated EXISTS / NOT
+    * EXISTS (multi-supplier order where ONLY this supplier shipped late)
+    * decorrelated into one per-order aggregate — distinct supplier count
+    * and distinct LATE supplier count — joined back to the late lines.
+    * One extra shuffle on orderkey replaces two correlated probes; the
+    * oracle keeps the textbook EXISTS form to pin the equivalence.
+    * "Late" is shipdate > orderdate + 90 days (the fixture carries no
+    * commit/receipt dates). */
+  val q21: Q = Q(
+    "q21_waiting_supplier",
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |AND o_orderstatus = 'F'
+      |AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |AND EXISTS (SELECT 1 FROM lineitem l2
+      |  WHERE l2.l_orderkey = l1.l_orderkey
+      |  AND l2.l_suppkey <> l1.l_suppkey)
+      |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |  WHERE l3.l_orderkey = l1.l_orderkey
+      |  AND l3.l_suppkey <> l1.l_suppkey
+      |  AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+    val perOrder = li.groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey")))
+          .as("n_late_supp"))
+    li.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name",
+        "s_nationkey"), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name") === "NATION_1").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(q1, q3, q4, q5, q6, q7, q8, q10, q12, q13, q14,
+    q15, q17, q18, q19, q21, q22)
 }
