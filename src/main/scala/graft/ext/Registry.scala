@@ -15,5 +15,6 @@ object Registry {
       BucketedJoin.all ++ PartitionedScan.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++
-      graft.streaming.StreamDedup.all
+      graft.streaming.StreamDedup.all ++
+      graft.streaming.StreamJoin.all
 }
