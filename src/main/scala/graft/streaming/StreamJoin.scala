@@ -23,6 +23,11 @@ object StreamJoin {
 
   def purchaseClicks(spark: SparkSession, dir: String): DataFrame =
       graft.core.Sessions.withShufflePartitions(spark, 8) {
+    // the batch oracle describes the stream only if no watermark advance
+    // can evict a click before its purchase arrives — guaranteed when the
+    // fixture lands as one micro-batch (same contract as the other
+    // streaming oracles; see StreamContracts)
+    StreamContracts.requireSingleFile(dir, "events.parquet")
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_join_" + UUID.randomUUID().toString.replace("-", "")
     def side(typ: String, idAs: String, tsAs: String) = {
