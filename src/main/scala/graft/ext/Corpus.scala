@@ -260,6 +260,45 @@ object Corpus {
       .orderBy("event_type")
   }
 
+  /** Two-stage salted JOIN over the same low-cardinality skewed key: the
+    * dimension side is replicated once per salt bucket and the fact side
+    * salts deterministically on event_id, so the join exchange hashes on
+    * (event_type, salt) — SaltBuckets x the key domain — instead of
+    * funnelling each hot key through one task. A `merge` hint keeps the
+    * plan a real shuffle join (at fixture scale AQE would broadcast the
+    * 5-row dim and hide the exchange this op exists to demonstrate; at
+    * 100 TB the dim that needs this is the one too big to broadcast).
+    * Replication x salting never changes the join result — each fact row
+    * still meets each matching dim row exactly once — which is exactly
+    * what the plain-join oracle checks. */
+  val skewSaltedJoin: Q = Q(
+    "ext_skew_salted_join",
+    """WITH wt(w_type, w) AS (VALUES
+      |  ('click', 1.0), ('error', 5.0), ('purchase', 10.0),
+      |  ('signup', 2.0), ('view', 0.5))
+      |SELECT event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(10,2)) * CAST(w AS DECIMAL(10,2)))
+      |  AS DOUBLE) AS weighted_total
+      |FROM events JOIN wt ON event_type = w_type
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.core.Determinism.m
+    val dim = Seq(("click", 1.0), ("error", 5.0), ("purchase", 10.0),
+      ("signup", 2.0), ("view", 0.5)).toDF("w_type", "w")
+      .withColumn("w_salt",
+        explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    Tables.events(s, d)
+      .withColumn("salt", (col("event_id") % SaltBuckets).cast("int"))
+      .join(dim.hint("merge"),
+        col("event_type") === col("w_type") && col("salt") === col("w_salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(m(col("value")) * m(col("w"))).cast("double")
+          .as("weighted_total"))
+      .orderBy("event_type")
+  }
+
   /** Domain-mixture weights: target epoch composition per `source`.
     * > 1 upsamples (the doc repeats floor(w) times plus one more for a
     * deterministic md5-chosen fraction), < 1 decimates. The tiers are
@@ -352,5 +391,5 @@ object Corpus {
 
   val all: Seq[Q] =
     Seq(dedupClusters, sampleStratified, vocabTopK, pipelineCleanse,
-      skewSaltedAgg, corpusMix, docKeyTerms)
+      skewSaltedAgg, skewSaltedJoin, corpusMix, docKeyTerms)
 }

@@ -61,6 +61,27 @@ object Schemas {
     StructField("cvv_encrypted", StringType),
     StructField("expiry_date", StringType)))
 
+  /** Streaming-ingest landing table for the driver's `events` fixture
+    * stream (graft.streaming.StreamIngest): the fixture columns plus an
+    * engine-assigned surrogate id. */
+  val eventsIngest: StructType = StructType(Seq(
+    StructField("ingest_id", LongType, nullable = false),
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Committed micro-batch ledger for exactly-once streaming ingestion:
+    * one row per (query, batch_id) admitted into the store. Written in
+    * the SAME transaction as the batch's rows, so admission and data are
+    * one atomic manifest swap. */
+  val streamOffsets: StructType = StructType(Seq(
+    StructField("offset_id", LongType, nullable = false),
+    StructField("query", StringType),
+    StructField("batch_id", LongType)))
+
   /** table name -> (schema, surrogate id column) — id assignment parity
     * with AUTO_INCREMENT/lastrowid (SURVEY §7.4). */
   val registry: Map[String, (StructType, String)] = Map(
@@ -68,5 +89,7 @@ object Schemas {
     "events" -> (events, "event_id"),
     "registrations" -> (registrations, "registration_id"),
     "payments" -> (payments, "payment_id"),
-    "saved_cards" -> (savedCards, "card_id"))
+    "saved_cards" -> (savedCards, "card_id"),
+    "events_ingest" -> (eventsIngest, "ingest_id"),
+    "stream_offsets" -> (streamOffsets, "offset_id"))
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.Catalog
+
+/** [EXT] streaming ingestion INTO the COW store: `foreachBatch` landing
+  * each micro-batch in [[graft.store.Catalog]] with exactly-once batch
+  * admission.
+  *
+  * Structured Streaming's `foreachBatch` gives at-least-once delivery —
+  * after a crash the restarted query replays its last batch. The standard
+  * remedy (the txn-version pattern Delta's idempotent writes use) is to
+  * record the (query, batchId) watermark INSIDE the same transaction as
+  * the data: here the batch's rows and its `stream_offsets` ledger row
+  * are staged together and become visible in ONE atomic manifest swap, so
+  * a replayed batch is detected and skipped — no duplicates, no lost
+  * batches, regardless of where the previous attempt died.
+  *
+  * Scale shape: the admission check reads the offsets ledger (a few rows
+  * per query, file-pruned), not the data table; the append itself is the
+  * store's parallel id-assignment path. At 100 TB/day this is the shape
+  * of every warehouse streaming sink: bounded ledger, append-only data,
+  * idempotence from transactional co-commit rather than dedup scans.
+  */
+object StreamIngest {
+
+  /** Admit one micro-batch transactionally iff (query, batchId) has not
+    * been committed. Returns true when the batch landed, false when the
+    * replay guard rejected it. */
+  def commitBatch(cat: Catalog, table: String, query: String,
+      batchId: Long, rows: DataFrame): Boolean =
+    cat.transaction { tx =>
+      import rows.sparkSession.implicits._
+      val replay = tx.read("stream_offsets")
+        .filter(col("query") === query && col("batch_id") === batchId)
+        .limit(1).count() > 0 // tiny ledger: one row per committed batch
+      if (replay) false
+      else {
+        tx.append(table, rows, orderBy = Seq("event_id"))
+        tx.append("stream_offsets",
+          Seq((query, batchId)).toDF("query", "batch_id"))
+        true
+      }
+    }
+
+  /** Stream the `events` fixture into `events_ingest` and return the
+    * landed row count. Restart-safe: re-running with the same `query`
+    * name replays batch ids the ledger already holds and skips them. */
+  def ingestEvents(spark: SparkSession, dir: String, cat: Catalog,
+      query: String): Long = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val withTs =
+      if (batch.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else stream
+    val q = withTs.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        commitBatch(cat, "events_ingest", query, id, df): Unit
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    cat.read("events_ingest").count()
+  }
+}

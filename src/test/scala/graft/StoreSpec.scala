@@ -156,6 +156,29 @@ class StoreSpec extends SparkSuite {
     assert(cat.read("users").count() == 3L)
   }
 
+  test("streaming ingest lands the fixture exactly once; a replayed " +
+    "batch is rejected by the transactional offsets ledger") {
+    val cat = freshCat()
+    val n = graft.streaming.StreamIngest.ingestEvents(spark, sf, cat, "qA")
+    val fixtureN = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(n == fixtureN, s"expected $fixtureN ingested rows, got $n")
+    assert(cat.read("stream_offsets").count() >= 1L)
+    // replaying an already-committed batch id must be a no-op
+    val rows = graft.core.Tables.events(spark, sf)
+    assert(!graft.streaming.StreamIngest
+      .commitBatch(cat, "events_ingest", "qA", 0L, rows))
+    assert(cat.read("events_ingest").count() == fixtureN)
+    // a different query name owns its own batch-id space
+    assert(graft.streaming.StreamIngest
+      .commitBatch(cat, "events_ingest", "qB", 0L, rows))
+    assert(cat.read("events_ingest").count() == 2 * fixtureN)
+    // ids stayed dense across streaming + manual commits
+    assert(cat.maxId("events_ingest") == 2 * fixtureN)
+    val distinctIds = cat.read("events_ingest")
+      .select("ingest_id").distinct().count()
+    assert(distinctIds == 2 * fixtureN)
+  }
+
   test("keyed update rewrites only files whose id range matches; " +
     "others stay byte-identical") {
     val cat = freshCat()
