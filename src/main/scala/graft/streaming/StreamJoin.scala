@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object StreamJoin {
 
   def purchaseClicks(spark: SparkSession, dir: String): DataFrame =
-      graft.core.Sessions.withShufflePartitions(spark, 8) {
+      graft.core.Sessions.withShufflePartitions(spark, 4) {
     // the batch oracle describes the stream only if no watermark advance
     // can evict a click before its purchase arrives — guaranteed when the
     // fixture lands as one micro-batch (same contract as the other
