@@ -172,6 +172,39 @@ object Corpus {
       .limit(100)
   }
 
+  /** Per-document vocabulary coverage (OOV-rate audit): how many of each
+    * doc's tokens fall inside the top-100 corpus vocabulary — the
+    * tokenizer-fit signal a training pipeline tracks when choosing vocab
+    * size. The vocab is the same deterministic (tf DESC, token ASC)
+    * top-k as [[vocabTopK]]; it then BROADCASTS (a vocabulary is small by
+    * construction), so the coverage pass is a map-side membership probe
+    * and the only shuffles are the vocab aggregate and the per-doc count
+    * on doc_id. Counts are raw integers — exact in any engine; the OOV
+    * ratio is the caller's one division. */
+  val vocabCoverage: Q = Q(
+    "ext_vocab_coverage",
+    s"""WITH u AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |v AS (SELECT t AS vtok FROM (
+       |  SELECT t, COUNT(*) AS tf FROM u GROUP BY t
+       |  ORDER BY tf DESC, t LIMIT 100) top)
+       |SELECT doc_id, COUNT(*) AS n_tokens, COUNT(vtok) AS n_in_vocab
+       |FROM u LEFT JOIN v ON t = vtok
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val vocab = tokens.groupBy("t")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("t"))
+      .limit(100)
+      .select(col("t").as("vtok"))
+    tokens
+      .join(broadcast(vocab), col("t") === col("vtok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), count(col("vtok")).as("n_in_vocab"))
+      .orderBy("doc_id")
+  }
+
   /** The composed cleanse pipeline every pretraining corpus runs, as ONE
     * declarative plan: token gate (>= 5 tokens) -> language gate
     * (predicted English, same marker heuristic as `ext_text_langid`) ->
@@ -390,6 +423,7 @@ object Corpus {
   }
 
   val all: Seq[Q] =
-    Seq(dedupClusters, sampleStratified, vocabTopK, pipelineCleanse,
-      skewSaltedAgg, skewSaltedJoin, corpusMix, docKeyTerms)
+    Seq(dedupClusters, sampleStratified, vocabTopK, vocabCoverage,
+      pipelineCleanse, skewSaltedAgg, skewSaltedJoin, corpusMix,
+      docKeyTerms)
 }

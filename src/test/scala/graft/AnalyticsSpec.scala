@@ -113,6 +113,29 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("quantiles property: matches the sorted-array ceil-rank reference " +
+    "on seeded random groups with duplicates") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 500L).map { i =>
+      // 2-decimal payloads with deliberate duplicates (11 distinct values)
+      (i, f"2024-01-02 ${(i / 60) % 24}%02d:${i % 60}%02d:00",
+        i % 7, s"t${rnd.nextInt(3)}", rnd.nextInt(11) * 0.25)
+    }
+    val dir = writeEvents(rows, "/tmp/graft_test_quant_prop")
+    val got = EventsOps.valueQuantiles.fn(spark, dir)
+      .select("event_type", "p50", "p90", "p99")
+      .as[(String, Double, Double, Double)].collect()
+    val byType = rows.groupBy(_._4)
+    got.foreach { case (t, p50, p90, p99) =>
+      val vs = byType(t).map(_._5).sorted
+      def ref(p: Double) = vs(math.ceil(p * vs.length).toInt - 1)
+      assert((p50, p90, p99) == ((ref(0.5), ref(0.9), ref(0.99))),
+        s"type $t: got ($p50,$p90,$p99) expected " +
+          s"(${ref(0.5)},${ref(0.9)},${ref(0.99)}) over n=${vs.length}")
+    }
+    assert(got.length == byType.size)
+  }
+
   test("anomaly: a planted outlier is flagged, inliers are not") {
     val base = (1L to 20L).map(i =>
       (i, f"2024-01-01 00:00:${i - 1}%02d", 1L, "b", 10.0))
