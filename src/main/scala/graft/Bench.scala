@@ -44,15 +44,17 @@ object Bench {
     * the detail file): the seven TPC-H-style headliners plus the
     * scale-path LLM-pipeline ops the round verdicts track. */
   val headlineNames: Set[String] = Set(
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q7_volume_shipping", "q10_returned_items", "q12_priority_buckets",
-    "q14_promo_share",
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q7_volume_shipping", "q8_market_share",
+    "q10_returned_items", "q12_priority_buckets", "q13_order_distribution",
+    "q14_promo_share", "q18_large_volume", "q21_waiting_supplier",
     "ext_dedup_exact", "ext_dedup_minhash", "ext_dedup_simhash",
     "ext_dedup_ngram_jaccard", "ext_dedup_clusters",
     "ext_sim_topk_brute", "ext_sim_ann_lsh", "ext_sim_ivf",
     "ext_embed_neardup", "ext_pipeline_cleanse", "ext_vocab_topk",
+    "ext_corpus_decontam", "ext_skew_salted_join",
     "ext_pii_scrub", "ext_stream_sessions", "ext_stream_dedup",
-    "ext_bucketed_join")
+    "ext_stream_join", "ext_bucketed_join")
 
   /** Family key for JVM isolation — one child JVM per distinct value, in
     * first-appearance registry order. */
