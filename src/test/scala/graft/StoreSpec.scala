@@ -179,6 +179,41 @@ class StoreSpec extends SparkSuite {
     assert(distinctIds == 2 * fixtureN)
   }
 
+  test("multi-batch stream ingest: one ledger row per batch, dense ids, " +
+    "and re-running the whole stream lands nothing new") {
+    val cat = freshCat()
+    // split the fixture into 3 files -> maxFilesPerTrigger(1) gives 3
+    // genuine micro-batches
+    val srcDir = Files.createTempDirectory("graft_ingest_src").toString
+    graft.core.Tables.events(spark, sf).repartition(3)
+      .write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val fixtureN = graft.core.Tables.events(spark, sf).count()
+    def run(): Long = {
+      val batch = spark.read.parquet(s"$srcDir/events.parquet")
+      val stream = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/events.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.StreamIngest
+            .commitBatch(cat, "events_ingest", "qMulti", id, df): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      cat.read("events_ingest").count()
+    }
+    assert(run() == fixtureN)
+    val ledger = cat.read("stream_offsets")
+      .filter(col("query") === "qMulti").count()
+    assert(ledger == 3L, s"expected 3 admitted batches, got $ledger")
+    assert(cat.maxId("events_ingest") == fixtureN) // dense across batches
+    // a restart without checkpoint replays batch ids 0..2 — the ledger
+    // rejects all of them, so the store is unchanged
+    assert(run() == fixtureN)
+    assert(cat.read("stream_offsets")
+      .filter(col("query") === "qMulti").count() == 3L)
+  }
+
   test("keyed update rewrites only files whose id range matches; " +
     "others stay byte-identical") {
     val cat = freshCat()
