@@ -205,6 +205,49 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences (budget 512) by running token count in deterministic
+    * doc_id order — the step that turns a cleaned corpus into trainer
+    * input. Packing is PER SHARD (doc_id mod 32): a global greedy pack
+    * would be a single-partition window, the classic scale killer, while
+    * per-shard packing is embarrassingly parallel and is how real
+    * pipelines shard anyway (each worker packs its own slice). One
+    * shard-keyed window cumsum + one grouped aggregate; a doc whose
+    * tokens straddle a boundary starts in the sequence its PRECEDING
+    * cumulative count selects (the simple deterministic rule, mirrored
+    * exactly by the oracle's integer arithmetic). */
+  val corpusPack: Q = Q(
+    "ext_corpus_pack",
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % 32 AS shard,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT shard, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |      AS prev_cum
+       |  FROM t)
+       |SELECT shard, CAST(prev_cum // 512 AS BIGINT) AS seq_id,
+       |COUNT(*) AS n_docs,
+       |CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("prev_cum",
+        sum(col("n_tok")).over(w) - col("n_tok"))
+      .groupBy(col("shard"), expr("prev_cum div 512").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("shard", "seq_id")
+  }
+
   /** The composed cleanse pipeline every pretraining corpus runs, as ONE
     * declarative plan: token gate (>= 5 tokens) -> language gate
     * (predicted English, same marker heuristic as `ext_text_langid`) ->
@@ -425,5 +468,5 @@ object Corpus {
   val all: Seq[Q] =
     Seq(dedupClusters, sampleStratified, vocabTopK, vocabCoverage,
       pipelineCleanse, skewSaltedAgg, skewSaltedJoin, corpusMix,
-      docKeyTerms)
+      corpusPack, docKeyTerms)
 }
