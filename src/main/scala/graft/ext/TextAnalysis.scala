@@ -283,5 +283,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, repetition)
+  /** C4-style line-level dedup audit (Raffel et al., "Exploring the
+    * Limits of Transfer Learning", JMLR'20 §2.2 — public methodology):
+    * a sentence repeated anywhere in the corpus is kept only at its
+    * first occurrence (smallest doc_id, then position) and counted as
+    * removed everywhere else. The global coordination is ONE shuffle on
+    * the line fingerprint — narrow, high-cardinality md5 — and the
+    * per-doc report is a second narrow shuffle on doc_id; the full text
+    * of a line never leaves the scan. Emits per-doc kept/removed counts
+    * (the writer applies them; raw integers, engine-exact). */
+  val lineDedup: Q = Q(
+    "ext_text_line_dedup",
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, len(parts))) AS pos,
+      |    unnest(list_transform(parts, p -> trim(p))) AS line
+      |  FROM (SELECT doc_id, string_split_regex(text, '\. ') AS parts
+      |        FROM documents) t),
+      |k AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY md5(line)
+      |      ORDER BY doc_id, pos) AS rn
+      |  FROM l WHERE line <> '')
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+      |COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_removed
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val lines = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("pos0", "seg")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        trim(col("seg")).as("line"))
+      .filter(col("line") =!= "")
+    lines
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.functions.FastMd5.fast_md5(s, col("line")))
+          .orderBy("doc_id", "pos")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        count(when(col("rn") > 1, 1)).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(tokens, quality, langId, fingerprint, repetition, lineDedup)
 }

@@ -168,6 +168,26 @@ class AnalyticsSpec extends SparkSuite {
     assert(n == expected)
   }
 
+  test("line dedup: a repeated sentence survives only at its first " +
+    "(doc_id, pos) occurrence, within and across docs") {
+    Seq(
+      (1L, "common line. unique one", "en", "src0", 23L),
+      (2L, "common line. unique two. common line", "en", "src1", 36L),
+      (3L, "all fresh here", "en", "src2", 14L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft_test_linededup/documents.parquet")
+    val got = graft.ext.TextAnalysis.lineDedup
+      .fn(spark, "/tmp/graft_test_linededup")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 owns "common line" (first occurrence) -> nothing removed
+    assert(got(1L) == ((2L, 2L, 0L)))
+    // doc 2 repeats it twice (cross-doc + within-doc) -> both removed
+    assert(got(2L) == ((3L, 1L, 2L)))
+    assert(got(3L) == ((1L, 1L, 0L)))
+  }
+
   test("decontam: shared 3-gram flags the corpus doc, disjoint doc is " +
     "clean, eval docs never reported") {
     Seq(
