@@ -397,6 +397,32 @@ object EventsOps {
       .orderBy("event_id")
   }
 
+  /** Fixed-width value histogram: integer bucket arithmetic (width 25,
+    * clamped top bucket), one hash aggregate with map-side combine — the
+    * profile-a-column primitive. Bucket assignment is exact integer
+    * floor-division on 2-decimal payloads scaled to integers, so both
+    * engines bucket identically even at bin edges. */
+  val valueHistogram: Q = Q(
+    "ext_value_histogram",
+    """SELECT LEAST(CAST(FLOOR(CAST(ROUND(value * 100) AS BIGINT) / 2500)
+      |    AS BIGINT), 19) AS bucket,
+      |COUNT(*) AS n,
+      |MIN(value) AS lo, MAX(value) AS hi
+      |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    // value carries a clean 2-decimal payload: ROUND(value*100) recovers
+    // the exact integer cents in both engines (a bare CAST would truncate
+    // in Spark and round in DuckDB — 28.999..96 from 0.29*100 would land
+    // in different buckets); the bin edge compare is then integer-exact
+    val cents = round(col("value") * 100).cast("long")
+    val bucket = least(floor(cents / 2500).cast("long"), lit(19L))
+    Tables.events(s, d)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** First-order event-type transition matrix (Markov counts): each
     * user's time-ordered stream yields (prev, next) pairs via one lag
     * window, then a grouped count over the 25-cell type x type domain.
@@ -423,5 +449,5 @@ object EventsOps {
   val all: Seq[Q] = Seq(windowHourly, windowSliding, jsonExtract, sessionize,
     pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats,
     eventsFunnel, eventsRetention, valueQuantiles, eventsAnomaly,
-    eventsTransitions)
+    eventsTransitions, valueHistogram)
 }
