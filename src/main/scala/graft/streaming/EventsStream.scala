@@ -61,5 +61,42 @@ object EventsStream {
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
   )(hourlyByType _)
 
-  val all: Seq[Q] = Seq(streamHourly)
+  /** Streaming top-k: complete-mode grouped count with ORDER BY + LIMIT
+    * pushed into the streaming sink update — the live-leaderboard shape.
+    * Complete mode re-emits the full (tiny, k-bounded) result per batch;
+    * the state is one count per user, which at 100 TB/day is exactly the
+    * high-cardinality-but-bounded aggregate state Structured Streaming's
+    * state store shards across executors. */
+  def topUsers(spark: SparkSession, dir: String): DataFrame =
+      graft.core.Sessions.withShufflePartitions(spark, 4) {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val name = "stream_topk_" + UUID.randomUUID().toString.replace("-", "")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ranked = stream
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(5)
+    val q = ranked.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // the sink already holds exactly the final top-5; re-sort for the
+    // deterministic presentation order
+    spark.table(name).orderBy(col("n").desc, col("user_id"))
+  }
+
+  val streamTopK: Q = Q(
+    "ext_stream_topk",
+    """SELECT user_id, COUNT(*) AS n FROM events
+      |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5""".stripMargin
+  )(topUsers _)
+
+  val all: Seq[Q] = Seq(streamHourly, streamTopK)
 }
