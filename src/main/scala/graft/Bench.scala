@@ -130,9 +130,13 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_EXACT", famNames.mkString(","))
       pb.environment().put("SPARK_GRAFT_BENCH_DETAIL", detail.toString)
       // the dedup family keeps a residual intermittent-episode tail even
-      // in its own JVM (bench/BENCH_ATTRIBUTION.md); min-of-3 instead of
-      // min-of-2 makes one bad draw unable to set the reported number
-      if (fam == "dedup")
+      // in its own JVM (bench/BENCH_ATTRIBUTION.md); the sim family's
+      // heavy generated classes (64-plane LshBuckets, VecDot folds) leave
+      // ~1s of C2 background compile still running through run 2 (r8
+      // attribution: the r7 ann_lsh 1.81s / ivf 1.70s readings were one
+      // bad draw — same plan re-measures 0.59/0.60s). min-of-3 instead of
+      // min-of-2 makes one bad draw unable to set the reported number.
+      if (fam == "dedup" || fam == "sim")
         pb.environment().put("SPARK_GRAFT_BENCH_RUNS",
           math.max(runs, 3).toString)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
