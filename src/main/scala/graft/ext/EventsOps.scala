@@ -155,13 +155,30 @@ object EventsOps {
       .orderBy("purchase_id")
   }
 
-  /** Approximate distinct users per type (HyperLogLog++). No SQL oracle —
-    * sketch estimates are engine-specific; the ScalaTest spec bounds the
-    * error against the exact count instead. */
-  val approxDistinct: Q = Q.noOracle("ext_approx_distinct") { (s, d) =>
+  /** Approximate distinct users per type (HyperLogLog++), in an
+    * ORACLE-CHECKABLE gate form: the sketch estimate itself is
+    * engine-specific, so the emitted columns are the exact count (DuckDB
+    * mirrors it as COUNT(DISTINCT)) and a `within_bound` flag asserting
+    * the sketch landed within 10% of it (5x the configured rsd=0.02; the
+    * ScalaTest spec pins the tighter bound). The oracle emits TRUE, so a
+    * drifting sketch hash-mismatches the gate instead of hiding behind a
+    * rows-only row. The exact side is verification harness only — the
+    * 100 TB production path is the sketch alone (one pass, mergeable,
+    * fixed-size state; the exact COUNT(DISTINCT) would shuffle every
+    * (type, user) pair). */
+  val approxDistinct: Q = Q(
+    "ext_approx_distinct",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |TRUE AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.10).as("within_bound"))
       .orderBy("event_type")
   }
 
@@ -318,17 +335,31 @@ object EventsOps {
   }
 
   /** Exact discrete per-group quantiles (percentile_disc semantics: the
-    * smallest value whose cumulative rank reaches ceil(p*n)), written as
-    * an explicit rank so both engines share one definition instead of
-    * each builtin's interpolation convention. One event_type-keyed window
-    * sort + one aggregate.
+    * smallest value whose cumulative rank reaches ceil(p*n)), computed as
+    * an exact TWO-PASS BUCKET RANK instead of a per-type global sort.
+    * The rank-window formulation (`row_number() OVER (PARTITION BY
+    * event_type ...)`) funnels each type's entire row set through one
+    * reducer when the key domain is tiny (~5 types here) — a guaranteed
+    * straggler at 100 TB. This plan never sorts raw rows:
     *
-    * Scale note: exact grouped quantiles sort within each group key — fine
-    * when groups are numerous, skewed when (as here) the key domain is
-    * tiny relative to cluster width. The 100 TB path is the mergeable
-    * sketch (`approx_percentile`, one pass, no per-group sort); the spec
-    * bounds the sketch against this exact op. This oracle-checkable exact
-    * form is the baseline the sketch is graded against. */
+    *   1. one map-side-combined count per (type, value-bucket) — the
+    *      histogram primitive; bucket = integer floor on exact cents;
+    *   2. cumulative offsets over that TINY bucket table (a window, but
+    *      over ~types x 500 aggregated rows, not the corpus);
+    *   3. locate the one candidate bucket per (type, p): smallest bucket
+    *      whose cumulative count reaches r = ceil(p*n);
+    *   4. second pass restricted to candidate buckets (broadcast semi
+    *      filter, <=3 buckets/type): distinct-value counts within the
+    *      bucket, cumulate, and the answer is the smallest value with
+    *      bucket_offset + within_cum >= r.
+    *
+    * Every full-data operation is a key-equality hash aggregate with
+    * map-side combine; every sort touches only aggregated bucket/value
+    * tables. The oracle keeps the one-definition explicit-rank SQL (the
+    * two formulations are provably identical: count(value <= v) =
+    * bucket_offset(v's bucket) + within_cum(v)). The 100 TB *approximate*
+    * path stays `approx_percentile` (mergeable sketch, spec-bounded
+    * against this exact op). */
   val valueQuantiles: Q = Q(
     "ext_value_quantiles",
     """SELECT event_type,
@@ -343,15 +374,57 @@ object EventsOps {
       |  FROM events) ranked
       |GROUP BY event_type ORDER BY event_type""".stripMargin
   ) { (s, d) =>
-    val byType = Window.partitionBy("event_type")
-    val ranked = Tables.events(s, d)
-      .withColumn("rn",
-        row_number().over(byType.orderBy("value", "event_id")))
-      .withColumn("n", count(lit(1)).over(byType))
-    def pAt(p: Double) =
-      min(when(col("rn") >= ceil(lit(p) * col("n")), col("value")))
-    ranked.groupBy("event_type")
-      .agg(pAt(0.50).as("p50"), pAt(0.90).as("p90"), pAt(0.99).as("p99"))
+    // value is a clean 2-decimal payload: exact integer cents (the
+    // ext_value_histogram discipline) make bucket edges engine-exact
+    val cents = round(col("value") * 100).cast("long")
+    val bucketed = Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        floor(cents / 100).cast("long").as("bucket"))
+    // pass 1: per-(type, bucket) counts — map-side combine, tiny result
+    val bCounts = bucketed.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("bucket")
+    val bc = bCounts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy("event_type")))
+      .withColumn("off", col("cum") - col("c"))
+    // one (type, p, target-rank) row per requested quantile
+    val targets = bc.select(col("event_type"), col("n")).distinct()
+      .withColumn("p",
+        explode(array(lit(0.50), lit(0.90), lit(0.99))))
+      .withColumn("r", ceil(col("p") * col("n")))
+    // candidate bucket per (type, p): smallest bucket with cum >= r
+    val cand = targets
+      .join(bc.select(col("event_type"), col("bucket"), col("cum"),
+        col("off")), Seq("event_type"))
+      .filter(col("cum") >= col("r"))
+      .groupBy("event_type", "p", "r")
+      .agg(min(col("bucket")).as("cand_bucket"),
+        min_by(col("off"), col("bucket")).as("cand_off"))
+    // pass 2: only candidate-bucket rows survive the broadcast semi filter
+    val candBuckets = cand
+      .select(col("event_type"), col("cand_bucket").as("bucket")).distinct()
+    val inCand = bucketed
+      .join(broadcast(candBuckets), Seq("event_type", "bucket"), "left_semi")
+      .groupBy("event_type", "bucket", "value")
+      .agg(count(lit(1)).as("vc"))
+      .withColumn("wcum", sum(col("vc")).over(
+        Window.partitionBy("event_type", "bucket").orderBy("value")))
+    // global rank of v = bucket offset + within-bucket cumulative count;
+    // the answer per (type, p) is the smallest qualifying value. cand is
+    // ~15 rows — broadcast onto the aggregated candidate-value table.
+    val picked = inCand
+      .join(broadcast(cand), inCand("event_type") === cand("event_type")
+        && inCand("bucket") === cand("cand_bucket"))
+      .filter(col("cand_off") + col("wcum") >= col("r"))
+      .groupBy(inCand("event_type"), col("p"))
+      .agg(min(col("value")).as("qv"))
+    picked.groupBy("event_type")
+      .agg(
+        min(when(col("p") === 0.50, col("qv"))).as("p50"),
+        min(when(col("p") === 0.90, col("qv"))).as("p90"),
+        min(when(col("p") === 0.99, col("qv"))).as("p99"))
       .orderBy("event_type")
   }
 
@@ -359,7 +432,12 @@ object EventsOps {
     * power sums (the valueStats moment discipline), broadcast back onto
     * the stream, flag |z| above threshold. The stats side is 5 rows — a
     * broadcast join — so the event stream is scanned once and never
-    * shuffled; at 100 TB the moments aggregate is the only exchange. */
+    * shuffled; at 100 TB the moments aggregate is the only exchange.
+    * Degenerate groups (n=1 → division by zero; constant value → std=0)
+    * are excluded by an explicit n>1 AND variance>0 guard in BOTH engines:
+    * NaN/Inf filter semantics are not pinned cross-engine, so the guard
+    * makes the exclusion deterministic rather than an artifact of how
+    * each engine compares NaN. */
   val eventsAnomaly: Q = Q(
     "ext_events_anomaly",
     """WITH m AS (
@@ -374,7 +452,10 @@ object EventsOps {
       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 4)
       |  AS z
       |FROM events e JOIN m ON e.event_type = m.event_type
-      |WHERE ABS((value - CAST(sx AS DOUBLE) / n)
+      |WHERE m.n > 1
+      |  AND (CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) > 0
+      |  AND ABS((value - CAST(sx AS DOUBLE) / n)
       |  / SQRT((CAST(sxx AS DOUBLE)
       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))) > 2.5
       |ORDER BY event_id""".stripMargin
@@ -385,13 +466,13 @@ object EventsOps {
       .agg(count(lit(1)).as("n"),
         sum(m(col("value"))).as("sx"),
         sum(m(col("value")) * m(col("value"))).as("sxx"))
-    val mean = col("sx").cast("double") / col("n")
-    val std = sqrt((col("sxx").cast("double")
+    val variance = (col("sxx").cast("double")
       - col("sx").cast("double") * col("sx").cast("double") / col("n"))
-      / (col("n") - 1))
+    val mean = col("sx").cast("double") / col("n")
+    val std = sqrt(variance / (col("n") - 1))
     val z = (col("value") - mean) / std
     ev.join(broadcast(moments), col("event_type") === col("m_type"))
-      .filter(abs(z) > 2.5)
+      .filter(col("n") > 1 && variance > 0 && abs(z) > 2.5)
       .select(col("event_id"), col("event_type"), col("value"),
         round(z, 4).as("z"))
       .orderBy("event_id")

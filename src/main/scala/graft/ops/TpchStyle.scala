@@ -536,8 +536,13 @@ object TpchStyle {
     * decorrelated into a grouped aggregate joined back on partkey — the
     * fact table is reduced to one row per part BEFORE rejoining, so the
     * "subquery" costs one extra shuffle of (partkey, avg), not a
-    * per-row probe. Final division by the constant 7.0 is a single
-    * deterministic double op (no rounding needed). */
+    * per-row probe. The brand predicate is pushed INTO the decorrelated
+    * aggregate via a broadcast semi-join: only the ~1-in-25 selected
+    * parts' lineitems feed the per-part average (classic TPC-H Q17
+    * decorrelation — the later equi-join already restricts partkeys, so
+    * the result is identical while the aggregate's shuffle shrinks by
+    * the brand selectivity). Final division by the constant 7.0 is a
+    * single deterministic double op (no rounding needed). */
   val q17: Q = Q(
     "q17_small_quantity",
     """WITH a AS (
@@ -552,14 +557,16 @@ object TpchStyle {
       |JOIN a ON a_partkey = l_partkey
       |WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * avg_qty""".stripMargin
   ) { (s, d) =>
-    val a = Tables.lineitem(s, d)
+    val brandParts = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#11").select("p_partkey")
+    val pruned = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(brandParts), col("p_partkey") === col("l_partkey"),
+        "left_semi")
+    val a = pruned
       .groupBy(col("l_partkey").as("a_partkey"))
       .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-    Tables.lineitem(s, d)
-      .select("l_partkey", "l_quantity", "l_extendedprice")
-      .join(broadcast(Tables.part(s, d)
-        .filter(col("p_brand") === "Brand#11").select("p_partkey")),
-        col("p_partkey") === col("l_partkey"))
+    pruned
       .join(a, col("a_partkey") === col("l_partkey"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))

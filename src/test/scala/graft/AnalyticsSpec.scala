@@ -15,6 +15,11 @@ import graft.ops.{Relational, TpchStyle}
 class AnalyticsSpec extends SparkSuite {
   import spark.implicits._
 
+  // per-test scratch dirs (not fixed /tmp paths: two concurrent test runs
+  // on one machine must not race on a shared fixture directory)
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   private def writeEvents(rows: Seq[(Long, String, Long, String, Double)],
       dir: String): String = {
     rows.map { case (id, ts, uid, typ, v) =>
@@ -87,7 +92,7 @@ class AnalyticsSpec extends SparkSuite {
       (1L to 100L).map(i =>
         (i, f"2024-01-01 00:${(i - 1) / 60}%02d:${(i - 1) % 60}%02d",
           1L, "a", i.toDouble)),
-      "/tmp/graft_test_quant")
+      tmpDir("graft_test_quant"))
     val row = EventsOps.valueQuantiles.fn(spark, dir)
       .filter(col("event_type") === "a")
       .select("p50", "p90", "p99").as[(Double, Double, Double)].head()
@@ -121,7 +126,7 @@ class AnalyticsSpec extends SparkSuite {
       (i, f"2024-01-02 ${(i / 60) % 24}%02d:${i % 60}%02d:00",
         i % 7, s"t${rnd.nextInt(3)}", rnd.nextInt(11) * 0.25)
     }
-    val dir = writeEvents(rows, "/tmp/graft_test_quant_prop")
+    val dir = writeEvents(rows, tmpDir("graft_test_quant_prop"))
     val got = EventsOps.valueQuantiles.fn(spark, dir)
       .select("event_type", "p50", "p90", "p99")
       .as[(String, Double, Double, Double)].collect()
@@ -141,7 +146,7 @@ class AnalyticsSpec extends SparkSuite {
       (i, f"2024-01-01 00:00:${i - 1}%02d", 1L, "b", 10.0))
     val dir = writeEvents(
       base :+ ((21L, "2024-01-01 00:00:21", 1L, "b", 1000.0)),
-      "/tmp/graft_test_anom")
+      tmpDir("graft_test_anom"))
     val flagged = EventsOps.eventsAnomaly.fn(spark, dir)
       .select("event_id").as[Long].collect().toSet
     assert(flagged == Set(21L),
@@ -156,7 +161,7 @@ class AnalyticsSpec extends SparkSuite {
       (3L, "2024-01-01 00:00:02", 1L, "a", 1.0),
       (4L, "2024-01-01 00:00:00", 2L, "a", 1.0),
       (5L, "2024-01-01 00:00:01", 2L, "a", 1.0)),
-      "/tmp/graft_test_trans")
+      tmpDir("graft_test_trans"))
     val got = EventsOps.eventsTransitions.fn(spark, dir)
       .as[(String, String, Long)].collect().toSet
     assert(got == Set(("a", "b", 1L), ("b", "a", 1L), ("a", "a", 1L)))
@@ -170,15 +175,16 @@ class AnalyticsSpec extends SparkSuite {
 
   test("line dedup: a repeated sentence survives only at its first " +
     "(doc_id, pos) occurrence, within and across docs") {
+    val dir = tmpDir("graft_test_linededup")
     Seq(
       (1L, "common line. unique one", "en", "src0", 23L),
       (2L, "common line. unique two. common line", "en", "src1", 36L),
       (3L, "all fresh here", "en", "src2", 14L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite")
-      .parquet("/tmp/graft_test_linededup/documents.parquet")
+      .parquet(s"$dir/documents.parquet")
     val got = graft.ext.TextAnalysis.lineDedup
-      .fn(spark, "/tmp/graft_test_linededup")
+      .fn(spark, dir)
       .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     // doc 1 owns "common line" (first occurrence) -> nothing removed
@@ -190,15 +196,16 @@ class AnalyticsSpec extends SparkSuite {
 
   test("decontam: shared 3-gram flags the corpus doc, disjoint doc is " +
     "clean, eval docs never reported") {
+    val dir = tmpDir("graft_test_decon")
     Seq(
       (53L, "alpha beta gamma delta", "en", "src0", 22L), // eval slice
       (1L, "alpha beta gamma epsilon zeta", "en", "src1", 29L), // shares 3-gram
       (2L, "one two three four five", "en", "src2", 23L) // disjoint
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite")
-      .parquet("/tmp/graft_test_decon/documents.parquet")
+      .parquet(s"$dir/documents.parquet")
     // rows are (doc_id, n_hits, n_shingles)
-    val full = Decontam.decontam.fn(spark, "/tmp/graft_test_decon")
+    val full = Decontam.decontam.fn(spark, dir)
       .as[(Long, Long, Long)].collect()
     assert(full.map(_._1).toSet == Set(1L),
       s"only doc 1 is contaminated, got ${full.mkString(",")}")
