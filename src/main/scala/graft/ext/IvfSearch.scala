@@ -23,9 +23,10 @@ import graft.functions.VecDot.vec_dot
   * a 0-iteration k-means. That keeps the whole operator a pure function of
   * the table, so the DuckDB oracle computes the identical centroids,
   * assignments, candidate sets and cosines, and the gate hash-checks the
-  * full pipeline (a trained k-means would be better-balanced but is RNG-
-  * and-iteration-order dependent — at 100 TB you'd train centroids offline
-  * and the query shape below is unchanged). Cell assignment is a broadcast
+  * full pipeline (k-means means are parallel float sums, not bit-
+  * reproducible across engines; the trained path exists as
+  * [[trainedCentroids]]/[[searchTrained]] with a recall spec, and the
+  * query shape is identical under either quantizer). Cell assignment is a broadcast
   * join (corpus x K tiny centroid rows) + one max_by per vector — no
   * driver-side loop, no collect.
   *
@@ -49,8 +50,9 @@ object IvfSearch {
     * max_by per vector — the shuffle carries (vec_id, cell) only, never
     * the embedding payload. Ties on equal cosine break toward the lower
     * centroid id in BOTH engines. */
-  private def assigned(s: SparkSession, v: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cents(v)))
+  private def assigned(s: SparkSession, v: DataFrame,
+      c: DataFrame): DataFrame =
+    v.crossJoin(broadcast(c))
       .select(col("vec_id"), col("cent_id"),
         (vec_dot(s, col("e"), col("ce")) / (col("nrm") * col("cnrm")))
           .as("ccos"))
@@ -60,11 +62,12 @@ object IvfSearch {
 
   /** A probe's NProbe closest cells (by cosine to the centroid, ties to
     * the lower centroid id). */
-  private def probeCells(s: SparkSession, v: DataFrame): DataFrame = {
+  private def probeCells(s: SparkSession, v: DataFrame,
+      c: DataFrame): DataFrame = {
     val probes = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"),
         col("nrm").as("pnrm"))
-    probes.crossJoin(broadcast(cents(v)))
+    probes.crossJoin(broadcast(c))
       .select(col("probe_id"),
         col("cent_id"),
         (vec_dot(s, col("pe"), col("ce")) / (col("pnrm") * col("cnrm")))
@@ -73,6 +76,44 @@ object IvfSearch {
         .orderBy(col("ccos").desc, col("cent_id"))))
       .filter(col("crank") <= NProbe)
       .select(col("probe_id"), col("cent_id").as("cell"))
+  }
+
+  /** Offline-trained coarse quantizer: Lloyd's k-means over the corpus,
+    * run entirely as DataFrame aggregates — no collect, no RNG. Init is
+    * the deterministic seed set (the same K lowest vec_ids the gate op
+    * uses), iteration count is fixed, and each round is: assign every
+    * vector to its max-cosine centroid (broadcast cross product + one
+    * max_by, the [[assigned]] shape), then recompute each cell's mean
+    * per dimension (posexplode → per-(cell, dim) avg → re-form the array
+    * ordered by dim). A cell that loses all members keeps its previous
+    * centroid, so K never shrinks. Per-round state is K tiny rows,
+    * eagerly checkpointed to cut the iterative lineage — the exact shape
+    * an offline 100 TB centroid-training job has (the corpus is scanned
+    * `iters` times; centroids live in a broadcast).
+    *
+    * This is the "index you'd actually ship" path next to the gate op's
+    * 0-iteration seed quantizer (kept there for oracle parity — k-means
+    * means are parallel float sums, not bit-reproducible across engines).
+    * The recall spec asserts trained recall@10 >= the seed quantizer's
+    * on the fixture. */
+  def trainedCentroids(s: SparkSession, v: DataFrame,
+      iters: Int = 3): DataFrame = {
+    var c = cents(v).eagerCheckpoint()
+    for (_ <- 1 to iters) {
+      val assign = assigned(s, v, c)
+      val means = v.join(assign, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("mx"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("mx")))), st => st("mx")).as("me"))
+      c = c.join(means, c("cent_id") === means("cell"), "left")
+        .select(col("cent_id"),
+          coalesce(col("me"), col("ce")).as("ce"))
+        .withColumn("cnrm", sqrt(vec_dot(s, col("ce"), col("ce"))))
+        .eagerCheckpoint()
+    }
+    c
   }
 
   val ivf: Q = Q(
@@ -120,8 +161,19 @@ object IvfSearch {
   /** The IVF search pipeline (exposed for the recall spec). */
   def searchAt(s: SparkSession, d: String): DataFrame = {
     val v = Similarity.vecs(s, d).eagerCheckpoint()
-    val cand = probeCells(s, v)
-      .join(assigned(s, v).select(col("vec_id").as("neighbor_id"),
+    searchWith(s, v, cents(v))
+  }
+
+  /** IVF search with the trained quantizer (the production path). */
+  def searchTrained(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val v = Similarity.vecs(s, d).eagerCheckpoint()
+    searchWith(s, v, trainedCentroids(s, v, iters))
+  }
+
+  private def searchWith(s: SparkSession, v: DataFrame,
+      c: DataFrame): DataFrame = {
+    val cand = probeCells(s, v, c)
+      .join(assigned(s, v, c).select(col("vec_id").as("neighbor_id"),
         col("cell")), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select("probe_id", "neighbor_id")

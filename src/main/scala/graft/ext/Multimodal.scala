@@ -9,13 +9,16 @@ import graft.core.{Q, Tables}
 /** [EXT] multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata alongside.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`fakeDecode`) — what is real and
-  * tested is the Spark-side shape: binary columns, per-partition batched
-  * processing (`mapPartitions`, the Scala analogue of `mapInPandas`
-  * batching), a stable metadata schema, and partition-count-independent
-  * results. Swapping `fakeDecode` for a real codec is a one-function
-  * change.
+  * The container has no image/audio codecs, so a pixel-level decode is out
+  * of reach — but the decode STEP is real: [[decodeBytes]] walks the
+  * binary payload byte-by-byte inside `mapPartitions` (per-partition
+  * batching, the Scala analogue of `mapInPandas`; a real codec amortizes
+  * its setup exactly there) and emits byte-level statistics plus a
+  * stats-derived resize plan, all of which the DuckDB oracle reproduces
+  * from the hex encoding of the same blob — so the operator is fully
+  * hash-checked end to end, not a rows-only stub. Swapping the byte-stat
+  * loop for a codec call is a one-function change that keeps the schema,
+  * batching, and partition-invariance contract.
   */
 object Multimodal {
 
@@ -39,13 +42,14 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** One decoded media item (stub features) + its resize plan: target
-    * dims aspect-fit into [[FitBox]] x [[FitBox]] (the standard model-
-    * input preprocessing step), computed with integer arithmetic so the
-    * plan is deterministic. */
+  /** One decoded media item: byte-level payload statistics + a resize
+    * plan whose target dims aspect-fit into [[FitBox]] x [[FitBox]] (the
+    * standard model-input preprocessing step), all integer-exact so the
+    * oracle mirrors every column. */
   final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int,
-      dominant: Double, target_w: Int, target_h: Int)
+      doc_id: Long, n_bytes: Long, byte_sum: Long, byte_min: Long,
+      byte_max: Long, n_distinct: Long, n_printable: Long,
+      width: Int, height: Int, target_w: Int, target_h: Int)
 
   private val FitBox = 224
 
@@ -56,38 +60,79 @@ object Multimodal {
     if (w >= h) (FitBox, math.max(1, (h.toLong * FitBox / w).toInt))
     else (math.max(1, (w.toLong * FitBox / h).toInt), FitBox)
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic pure
-    * function of the bytes so tests are stable; a real implementation
-    * would decode `bytes` here (batch-at-a-time, inside a partition). */
-  private[ext] def fakeDecode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
-    var h = 1125899906842597L // deterministic FNV-ish fold, NOT a codec
+  /** The per-item decode: one sequential pass over the payload bytes
+    * (unsigned), the shape a real codec has — a real implementation
+    * replaces this loop with the codec call and fills width/height from
+    * the decoded header instead of the byte-stat derivation below. */
+  private[ext] def decodeBytes(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    var sum = 0L
+    var mn = if (bytes.isEmpty) 0L else 255L
+    var mx = 0L
+    var printable = 0L
+    val seen = new Array[Boolean](256)
+    var distinct = 0L
     var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    val pos = math.abs(h)
-    val w = 64 + (pos % 512).toInt
-    val ht = 64 + ((pos >> 9) % 512).toInt
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      if (b < mn) mn = b
+      if (b > mx) mx = b
+      if (b >= 32 && b <= 126) printable += 1
+      if (!seen(b)) { seen(b) = true; distinct += 1 }
+      i += 1
+    }
+    // stand-in "header" dims: derived from the payload stats with exact
+    // integer arithmetic (oracle-reproducible); a codec fills these from
+    // the real header
+    val w = (64 + sum % 512).toInt
+    val ht = (64 + (mn * 256 + mx) % 512).toInt
     val (tw, th) = fitDims(w, ht)
-    MediaFeatures(
-      doc_id = docId,
-      n_bytes = bytes.length,
-      width = w,
-      height = ht,
-      n_frames = 1 + (bytes.length / 1024),
-      dominant = (pos % 1000) / 1000.0,
-      target_w = tw,
-      target_h = th)
+    MediaFeatures(docId, bytes.length.toLong, sum, mn, mx, distinct,
+      printable, w, ht, tw, th)
   }
 
   /** Decode / feature-extract pipeline: binary column in, typed features
-    * out, batched per partition. Rows-only gate; the spec asserts values
-    * and partition-invariance. */
-  val decodeFeatures: Q = Q.noOracle("ext_mm_decode_features") { (s, d) =>
+    * out, batched per partition; fully oracle-checked (the DuckDB mirror
+    * recomputes every byte statistic from the blob's hex, and the resize
+    * plan with the same integer arithmetic). */
+  val decodeFeatures: Q = Q(
+    "ext_mm_decode_features",
+    """WITH b AS (
+      |  SELECT doc_id, lower(hex(encode(text))) AS h,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents),
+      |bytes AS (
+      |  SELECT doc_id, n, list_transform(range(0, n),
+      |    i -> (strpos('0123456789abcdef', substr(h, 2*i+1, 1))-1)*16
+      |       + (strpos('0123456789abcdef', substr(h, 2*i+2, 1))-1)) AS bl
+      |  FROM b),
+      |stats AS (
+      |  SELECT doc_id, n::BIGINT AS n_bytes,
+      |    COALESCE(list_sum(bl), 0)::BIGINT AS byte_sum,
+      |    COALESCE(list_min(bl), 0)::BIGINT AS byte_min,
+      |    COALESCE(list_max(bl), 0)::BIGINT AS byte_max,
+      |    len(list_distinct(bl))::BIGINT AS n_distinct,
+      |    len(list_filter(bl, x -> x >= 32 AND x <= 126))::BIGINT
+      |      AS n_printable
+      |  FROM bytes),
+      |dims AS (
+      |  SELECT *, 64 + byte_sum % 512 AS width,
+      |         64 + (byte_min * 256 + byte_max) % 512 AS height
+      |  FROM stats)
+      |SELECT doc_id, n_bytes, byte_sum, byte_min, byte_max, n_distinct,
+      |  n_printable, width::INT AS width, height::INT AS height,
+      |  (CASE WHEN width >= height THEN 224
+      |        ELSE greatest(1, (width * 224) // height) END)::INT AS target_w,
+      |  (CASE WHEN width >= height THEN greatest(1, (height * 224) // width)
+      |        ELSE 224 END)::INT AS target_h
+      |FROM dims ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
     val src = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
     implicit val enc = Encoders.product[MediaFeatures]
     src.mapPartitions { rows =>
       // real codecs amortize setup per batch here (open decoder once)
-      rows.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+      rows.map(r => decodeBytes(r.getLong(0), r.getAs[Array[Byte]](1)))
     }.toDF()
       .orderBy("doc_id")
   }

@@ -46,10 +46,14 @@ object StreamIngest {
     }
 
   /** Stream the `events` fixture into `events_ingest` and return the
-    * landed row count. Restart-safe: re-running with the same `query`
-    * name replays batch ids the ledger already holds and skips them. */
+    * number of rows THIS invocation landed (table growth across the run,
+    * so pre-existing rows — or a fully-replayed no-op re-run — report 0,
+    * not the table's total). Restart-safe: re-running with the same
+    * `query` name replays batch ids the ledger already holds and skips
+    * them. */
   def ingestEvents(spark: SparkSession, dir: String, cat: Catalog,
       query: String): Long = {
+    val before = cat.read("events_ingest").count() // 0 if not created yet
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val stream = spark.readStream
       .schema(batch.schema)
@@ -67,6 +71,6 @@ object StreamIngest {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    cat.read("events_ingest").count()
+    cat.read("events_ingest").count() - before
   }
 }

@@ -163,6 +163,11 @@ class StoreSpec extends SparkSuite {
     val fixtureN = spark.read.parquet(s"$sf/events.parquet").count()
     assert(n == fixtureN, s"expected $fixtureN ingested rows, got $n")
     assert(cat.read("stream_offsets").count() >= 1L)
+    // a checkpoint-free re-run replays batch id 0 -> ledger rejects it;
+    // the return value is the rows landed by THIS run (a delta), so 0
+    assert(graft.streaming.StreamIngest
+      .ingestEvents(spark, sf, cat, "qA") == 0L,
+      "a fully-replayed re-run must report a 0 landed-row delta")
     // replaying an already-committed batch id must be a no-op
     val rows = graft.core.Tables.events(spark, sf)
     assert(!graft.streaming.StreamIngest
