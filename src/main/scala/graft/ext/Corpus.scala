@@ -33,8 +33,15 @@ object Corpus {
     * shuffle is narrow no matter how wide the corpus); for graphs with
     * deep chains swap in the large-star/small-star rounds of
     * Kiveris et al., "Connected Components in MapReduce and Beyond"
-    * (SOCC'14) — same driver loop, different per-round join shape. */
-  private[graft] def propagateMinLabel(edges: DataFrame): DataFrame = {
+    * (SOCC'14) — same driver loop, different per-round join shape.
+    *
+    * Convergence within `maxRounds` is ASSERTED, not assumed: a graph
+    * whose diameter exceeds the cap (a chain longer than the round
+    * budget) throws instead of silently returning labels that are still
+    * mid-propagation — a wrong answer that would poison every downstream
+    * dedup decision. The error names the deep-chain remediation. */
+  private[graft] def propagateMinLabel(edges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
     val sym = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -48,7 +55,7 @@ object Corpus {
     var prevSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 64) {
+    while (!converged && rounds < maxRounds) {
       val viaNeighbor = sym
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label"))
@@ -61,7 +68,95 @@ object Corpus {
       labels = next
       rounds += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"propagateMinLabel did not converge within $maxRounds rounds: " +
+        "the pair graph has a component whose min-node eccentricity " +
+        "exceeds the round budget. Raise maxRounds, or use " +
+        "starContractLabels (large-star/small-star, Kiveris et al. " +
+        "SOCC'14) built for deep chains — returning mid-propagation " +
+        "labels would silently mis-cluster documents.")
     labels
+  }
+
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14) — the DEEP-CHAIN path next to [[propagateMinLabel]].
+    * Min-label propagation advances one hop per round (a d-diameter
+    * component needs d rounds); star contraction halves chain depth
+    * roughly every alternation, converging in O(log^2 n) rounds w.h.p.
+    * regardless of diameter.
+    *
+    *  - large-star (per node u over its full neighborhood): connect every
+    *    STRICTLY LARGER neighbor to m = min of the neighborhood incl. u;
+    *  - small-star (per node u over edges directed larger -> smaller):
+    *    connect u and all its smaller neighbors to that minimum.
+    *
+    * Each round is two key-equality shuffles over (long, long) edge rows
+    * (the same narrow-shuffle property as min-label propagation), each
+    * checkpointed; convergence = the small-star edge set is stable,
+    * checked with one O(1)-row (count, xxhash-sum) action, at which
+    * point components are stars centered on their minimum node. */
+  private[graft] def starContractLabels(edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    // strip self loops, normalize to larger -> smaller
+    var cur = edges
+      .select(col("doc_a").cast("long").as("a"),
+        col("doc_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+      .eagerCheckpoint()
+    val nodes = cur.select(col("u").as("id"))
+      .union(cur.select(col("v").as("id"))).distinct()
+      .eagerCheckpoint()
+    // O(1)-row convergence fingerprint: (count, XOR of 64-bit edge
+    // hashes) — XOR is commutative and cannot overflow (rows are
+    // distinct, so no pair cancels)
+    def chk(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = chk(cur)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // large-star over the symmetric neighborhood
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("nmin"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .eagerCheckpoint()
+      // small-star over larger -> smaller edges: connect u AND each of
+      // its smaller neighbors to the neighborhood minimum m = min(Γ⁻(u))
+      val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = sMins.select(col("u"), col("m").as("v")) // (u, m)
+        .union(large.join(sMins, Seq("u"))
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))) // (neighbor, m)
+        .distinct()
+        .eagerCheckpoint()
+      val next = chk(small)
+      converged = next == prev
+      prev = next
+      cur = small
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"starContractLabels did not converge within $maxRounds rounds " +
+        "(expected O(log^2 n)); refusing to return a partially " +
+        "contracted graph.")
+    // fixpoint edges form stars centered on each component minimum:
+    // label(u) = its center; centers and isolated inputs label themselves
+    nodes
+      .join(cur.groupBy("u").agg(min(col("v")).as("lbl"))
+        .withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
   }
 
   /** Duplicate-cluster assignment: connected components over the
@@ -179,8 +274,11 @@ object Corpus {
     * top-k as [[vocabTopK]]; it then BROADCASTS (a vocabulary is small by
     * construction), so the coverage pass is a map-side membership probe
     * and the only shuffles are the vocab aggregate and the per-doc count
-    * on doc_id. Counts are raw integers — exact in any engine; the OOV
-    * ratio is the caller's one division. */
+    * on doc_id. The token explode feeds BOTH the vocab aggregate and the
+    * coverage probe, so it is eagerly checkpointed once — without the
+    * materialization the corpus-wide explode (the dominant cost) would
+    * execute twice, once per consumer. Counts are raw integers — exact
+    * in any engine; the OOV ratio is the caller's one division. */
   val vocabCoverage: Q = Q(
     "ext_vocab_coverage",
     s"""WITH u AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
@@ -193,6 +291,7 @@ object Corpus {
   ) { (s, d) =>
     val tokens = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .eagerCheckpoint()
     val vocab = tokens.groupBy("t")
       .agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("t"))

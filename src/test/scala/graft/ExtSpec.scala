@@ -10,6 +10,11 @@ import graft.functions.RollingHash
   * SQL oracle cannot see (recall, error bounds, partition invariance).
   */
 class ExtSpec extends SparkSuite {
+  // per-test scratch dirs (not fixed /tmp paths: two concurrent test runs
+  // on one machine must not race on a shared fixture directory)
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   import spark.implicits._
 
   // ---- dedup ----
@@ -163,15 +168,35 @@ class ExtSpec extends SparkSuite {
         ((60 + i).toLong, s"l${i % 5}", e)
       }
     val df = spark.createDataFrame(rows).toDF("vec_id", "label", "embedding")
-    df.write.mode("overwrite")
-      .parquet("/tmp/graft_test_ivf/embeddings.parquet")
-    val found = IvfSearch.searchAt(spark, "/tmp/graft_test_ivf")
+    val dir = tmpDir("graft_test_ivf")
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val found = IvfSearch.searchAt(spark, dir)
       .filter(col("rank") === 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0 until 5).foreach { i =>
       assert(found.get(i.toLong).contains((60 + i).toLong),
         s"planted duplicate ${60 + i} must be probe $i's top neighbor; got $found")
     }
+  }
+
+  test("trained IVF centroids: k-means recall@10 vs brute force is >= " +
+    "the seed quantizer's on the fixture (the shippable-index path)") {
+    val brute = Similarity.topkBrute.fn(spark, sf).collect()
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val per = brute.groupBy(_.getLong(0)).map { case (_, rs) =>
+        rs.count(r => got((r.getLong(0), r.getLong(1)))) / 10.0
+      }
+      per.sum / per.size
+    }
+    val seed = recallOf(IvfSearch.searchAt(spark, sf))
+    val trained = recallOf(IvfSearch.searchTrained(spark, sf))
+    assert(trained >= seed,
+      s"trained recall@10 $trained must be >= seed quantizer's $seed")
+    // and training must not break the planted-duplicate contract: the
+    // same deterministic init re-run gives identical centroids/results
+    val again = recallOf(IvfSearch.searchTrained(spark, sf))
+    assert(again == trained, "trained search must be run-to-run stable")
   }
 
   test("near-dup pairs: finds planted high-cosine duplicates via LSH " +
@@ -187,9 +212,9 @@ class ExtSpec extends SparkSuite {
         ((50 + i).toLong, s"l${i % 5}", e)
       }
     val df = spark.createDataFrame(rows).toDF("vec_id", "label", "embedding")
-    df.write.mode("overwrite")
-      .parquet("/tmp/graft_test_vecs/embeddings.parquet")
-    val found = Similarity.nearDupPairsAt(spark, "/tmp/graft_test_vecs", 0.9)
+    val dir = tmpDir("graft_test_vecs")
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val found = Similarity.nearDupPairsAt(spark, dir, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (0 until 5).foreach { i =>
       assert(found((i.toLong, (50 + i).toLong)),
@@ -206,9 +231,9 @@ class ExtSpec extends SparkSuite {
       (4L, near), // near-dup of the cluster (high shingle overlap)
       (5L, "completely different words entirely unrelated content here now")
     ).toDF("doc_id", "text")
-    docs.write.mode("overwrite")
-      .parquet("/tmp/graft_test_mh/documents.parquet")
-    val out = Dedup.minhashLsh.fn(spark, "/tmp/graft_test_mh").collect()
+    val dir = tmpDir("graft_test_mh")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.minhashLsh.fn(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // all 3 within-cluster pairs, exactly 1.0
     Seq((1L, 2L), (1L, 3L), (2L, 3L)).foreach { p =>
@@ -266,8 +291,9 @@ class ExtSpec extends SparkSuite {
       (15L, "fresh unseen material with no overlap whatsoever present"),
       (20L, "hi")
     ).toDF("doc_id", "text")
-    df.write.mode("overwrite").parquet("/tmp/graft_test_docs/documents.parquet")
-    val out = Dedup.incremental.fn(spark, "/tmp/graft_test_docs")
+    val dir = tmpDir("graft_test_docs")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.incremental.fn(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(5L -> "exact", 10L -> "near",
       15L -> "accept", 20L -> "accept"), s"got $out")
@@ -290,9 +316,9 @@ class ExtSpec extends SparkSuite {
       (9L, 4L, "view", ts(0)))
       .toDF("event_id", "user_id", "event_type", "ts")
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
-    rows.write.mode("overwrite")
-      .parquet("/tmp/graft_test_ev/events.parquet")
-    val out = EventsOps.eventsFunnel.fn(spark, "/tmp/graft_test_ev")
+    val dir = tmpDir("graft_test_ev")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventsOps.eventsFunnel.fn(spark, dir)
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     // step1: users 1,2,3,4 viewed; step2 (click after view): 1,2;
     // step3 (purchase after that click): 1 only
@@ -316,8 +342,9 @@ class ExtSpec extends SparkSuite {
   test("langid: marker-heavy English text scores en; empty scores und") {
     val df = Seq((1L, "the cat and the dog of a house"), (2L, "xyzzy plugh"))
       .toDF("doc_id", "text")
-    df.write.mode("overwrite").parquet("/tmp/graft_test_docs/documents.parquet")
-    val out = TextAnalysis.langId.fn(spark, "/tmp/graft_test_docs")
+    val dir = tmpDir("graft_test_docs")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.langId.fn(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
     assert(out(1L) == "en" && out(2L) == "und")
   }
@@ -326,8 +353,9 @@ class ExtSpec extends SparkSuite {
     "and n_tokens agrees with the token counter on the fixture") {
     // "a a a b": top token a=3/4; 2-grams [a a, a a, a b]: top 2/3, dup 2/3
     val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
-    df.write.mode("overwrite").parquet("/tmp/graft_test_docs/documents.parquet")
-    val r = TextAnalysis.repetition.fn(spark, "/tmp/graft_test_docs").head()
+    val dir = tmpDir("graft_test_docs")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.repetition.fn(spark, dir).head()
     assert(r.getLong(1) == 4L)
     assert(r.getDouble(2) == 0.75 && r.getDouble(3) == 0.6667 &&
       r.getDouble(4) == 0.6667)
@@ -368,28 +396,52 @@ class ExtSpec extends SparkSuite {
     }
   }
 
-  test("approx distinct is within 10% of exact") {
-    val approx = EventsOps.approxDistinct.fn(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx distinct: gate row exposes the exact count with every " +
+    "within_bound flag true, and the raw sketch is within 10% of exact") {
+    val rows = EventsOps.approxDistinct.fn(spark, sf).collect()
     val exact = graft.core.Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct("user_id").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"exact_users must be the true distinct count for ${r.getString(0)}")
+      assert(r.getBoolean(2), s"sketch out of bound for ${r.getString(0)}")
+    }
+    // tighter direct bound on the sketch itself (rsd = 0.02 -> 10% is 5x)
+    val sketch = graft.core.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n) <= math.max(1, n / 10))
+      assert(math.abs(sketch(k) - n) <= math.max(1, n / 10))
     }
   }
 
   // ---- multimodal ----
 
-  test("decode-features stub is deterministic and partition-invariant") {
+  test("decode-features is deterministic, partition-invariant, and the " +
+    "byte stats agree with a direct recomputation") {
     val a = Multimodal.decodeFeatures.fn(spark, sf).collect()
     val b = Multimodal.decodeFeatures.fn(spark, sf).repartition(7)
       .orderBy("doc_id").collect()
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    // byte stats: re-derive from the raw text for a sample of docs
+    val text = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.filter(r => text.contains(r.getLong(0))).foreach { r =>
+      val bytes = text(r.getLong(0)).getBytes("UTF-8").map(_ & 0xff)
+      assert(r.getLong(1) == bytes.length.toLong)
+      assert(r.getLong(2) == bytes.map(_.toLong).sum)
+      assert(r.getLong(3) == (if (bytes.isEmpty) 0L else bytes.min.toLong))
+      assert(r.getLong(4) == (if (bytes.isEmpty) 0L else bytes.max.toLong))
+      assert(r.getLong(5) == bytes.distinct.length.toLong)
+      assert(r.getLong(6) == bytes.count(x => x >= 32 && x <= 126).toLong)
+    }
     // resize plan: longer side pinned to the fit box, aspect preserved
     a.foreach { r =>
-      val (w, h) = (r.getInt(2), r.getInt(3))
-      val (tw, th) = (r.getInt(6), r.getInt(7))
+      val (w, h) = (r.getInt(7), r.getInt(8))
+      val (tw, th) = (r.getInt(9), r.getInt(10))
       assert(math.max(tw, th) == 224)
       if (w >= h) assert(tw == 224 && th == (h.toLong * 224 / w).toInt.max(1))
       else assert(th == 224 && tw == (w.toLong * 224 / h).toInt.max(1))
@@ -423,6 +475,54 @@ class ExtSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 5L).forall(labels(_) == 1L))
     assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
+  test("min-label propagation converges on a planted 40-node deep chain " +
+    "within the default round budget") {
+    // a path graph 1-2-...-40 with the min at one end: the worst shape
+    // for min-label propagation (one hop of progress per round)
+    val edges = (1L until 40L).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val labels = Corpus.propagateMinLabel(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 40L).forall(labels(_) == 1L),
+      "every chain node must reach the component minimum")
+  }
+
+  test("min-label propagation FAILS LOUDLY when a chain exceeds the " +
+    "round budget instead of returning mid-propagation labels") {
+    val edges = (1L until 20L).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Corpus.propagateMinLabel(edges, maxRounds = 5)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(e.getMessage.contains("starContractLabels"),
+      "the error must name the deep-chain remediation")
+  }
+
+  test("large-star/small-star CC labels a 200-node chain (where one-hop " +
+    "min-label propagation would blow the round budget) in O(log^2 n) " +
+    "rounds, and agrees with min-label on a mixed graph") {
+    // 200-node path with the minimum at one end: diameter 199, far past
+    // propagateMinLabel's 64-round default — the deep-chain case
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Corpus.starContractLabels(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200)
+    assert((1L to 200L).forall(labels(_) == 1L),
+      "every chain node must label to the component minimum")
+    // equivalence with the shallow-graph solver on its own fixture
+    val mixed = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (7L, 7L)) // self loop must be ignored
+      .toDF("doc_a", "doc_b")
+    val star = Corpus.starContractLabels(mixed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Corpus.propagateMinLabel(
+      mixed.filter(col("doc_a") =!= col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop.forall { case (id, l) => star(id) == l },
+      s"star contraction must agree with min-label: $star vs $prop")
   }
 
   test("dedup clusters partition the minhash pair graph: both ends of " +
