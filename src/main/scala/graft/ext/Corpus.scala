@@ -166,8 +166,7 @@ object Corpus {
     * computes the identical fixpoint as a recursive transitive closure —
     * fine at fixture scale, impossible at 100 TB, which is exactly why
     * the Spark side is the iterative narrow-shuffle loop instead. */
-  val dedupClusters: Q = Q(
-    "ext_dedup_clusters",
+  private val clustersSql: String =
     s"""WITH RECURSIVE pairs AS (
        |${Dedup.minhashPairsSqlBody}),
        |edges AS (
@@ -183,7 +182,25 @@ object Corpus {
        |SELECT doc_id, cluster_id,
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
        |FROM labels ORDER BY doc_id""".stripMargin
-  ) { (s, d) =>
+
+  val dedupClusters: Q = Q(
+    "ext_dedup_clusters", clustersSql
+  ) { (s, d) => clustersWith(s, d, propagateMinLabel(_)) }
+
+  /** Same operator, same oracle, deep-chain solver: the component labels
+    * come from [[starContractLabels]] instead of one-hop min-label
+    * propagation. Registered as its own gate row so the SOCC'14 path is
+    * hash-checked against the recursive-closure oracle (not only
+    * spec-checked on planted graphs); excluded from the bench headline
+    * set — the shared minhash pipeline dominates its runtime and is
+    * already timed under ext_dedup_clusters. */
+  val dedupClustersStar: Q = Q(
+    "ext_dedup_clusters_star",
+    (s, d) => clustersWith(s, d, starContractLabels(_)),
+    Some(clustersSql), bench = false)
+
+  private def clustersWith(s: SparkSession, d: String,
+      solver: DataFrame => DataFrame): DataFrame = {
     // CC runs over REPRESENTATIVE pairs only — the expanded member pairs
     // are O(k^2) per k-duplicate cluster (pure output materialization for
     // ext_dedup_minhash, but poison as a CC edge list). Member docs then
@@ -191,7 +208,7 @@ object Corpus {
     // component label = min(rep ids), so the min over the expanded
     // component is exactly the rep-level label.
     val p = Dedup.minhashRepPipeline(s, d)
-    val repLabels = propagateMinLabel(p.repPairs
+    val repLabels = solver(p.repPairs
       .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
     // docs in the pair graph: members of a rep with a cross pair, plus
     // members of surviving multi-member exact clusters (within pairs)
@@ -273,12 +290,17 @@ object Corpus {
     * size. The vocab is the same deterministic (tf DESC, token ASC)
     * top-k as [[vocabTopK]]; it then BROADCASTS (a vocabulary is small by
     * construction), so the coverage pass is a map-side membership probe
-    * and the only shuffles are the vocab aggregate and the per-doc count
-    * on doc_id. The token explode feeds BOTH the vocab aggregate and the
-    * coverage probe, so it is eagerly checkpointed once — without the
-    * materialization the corpus-wide explode (the dominant cost) would
-    * execute twice, once per consumer. Counts are raw integers — exact
-    * in any engine; the OOV ratio is the caller's one division. */
+    * so the coverage pass is a map-side membership probe against the
+    * vocab ARRAY carried on a broadcast 1-row frame — the probe scan
+    * never explodes (per-doc counts come from `size`/`filter` over the
+    * token array in place), never joins per-token rows, and never
+    * shuffles except the vocab aggregate itself. The corpus is scanned
+    * exactly twice (vocab build + probe), the minimum for this op, with
+    * nothing materialized in between — an earlier variant checkpointed
+    * the exploded token rows to deduplicate the scan, which traded one
+    * scan for serializing the full token table and lost. Counts are raw
+    * integers — exact in any engine; the OOV ratio is the caller's one
+    * division. */
   val vocabCoverage: Q = Q(
     "ext_vocab_coverage",
     s"""WITH u AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
@@ -289,18 +311,21 @@ object Corpus {
        |FROM u LEFT JOIN v ON t = vtok
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val tokens = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .eagerCheckpoint()
-    val vocab = tokens.groupBy("t")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+    val vocabArr = docs.select(explode(col("ts")).as("t"))
+      .groupBy("t")
       .agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("t"))
       .limit(100)
-      .select(col("t").as("vtok"))
-    tokens
-      .join(broadcast(vocab), col("t") === col("vtok"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), count(col("vtok")).as("n_in_vocab"))
+      .agg(collect_list(col("t")).as("vt")) // 1 row: the vocab array
+    docs
+      .filter(size(col("ts")) > 0) // explode-parity: tokenless docs drop
+      .crossJoin(broadcast(vocabArr))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(filter(col("ts"),
+          t => array_contains(col("vt"), t))).cast("long").as("n_in_vocab"))
       .orderBy("doc_id")
   }
 
@@ -565,7 +590,7 @@ object Corpus {
   }
 
   val all: Seq[Q] =
-    Seq(dedupClusters, sampleStratified, vocabTopK, vocabCoverage,
-      pipelineCleanse, skewSaltedAgg, skewSaltedJoin, corpusMix,
-      corpusPack, docKeyTerms)
+    Seq(dedupClusters, dedupClustersStar, sampleStratified, vocabTopK,
+      vocabCoverage, pipelineCleanse, skewSaltedAgg, skewSaltedJoin,
+      corpusMix, corpusPack, docKeyTerms)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Determinism, Q, Tables}
+import graft.core.Eager.EagerCheckpoint
 import Determinism.dsum
 
 /** [EXT] event-stream analytics over the `events` fixture (SURVEY §2.9):
@@ -380,7 +381,12 @@ object EventsOps {
     val bucketed = Tables.events(s, d)
       .select(col("event_type"), col("value"),
         floor(cents / 100).cast("long").as("bucket"))
-    // pass 1: per-(type, bucket) counts — map-side combine, tiny result
+    // pass 1: per-(type, bucket) counts — map-side combine, tiny result.
+    // bc feeds the target-rank derivation AND the candidate-bucket
+    // lookup; the consumers share one physical aggregate via exchange
+    // reuse (identical canonical subtrees), so no materialization is
+    // needed — an eager checkpoint here measured SLOWER (extra job
+    // barriers) with no scan saved.
     val bCounts = bucketed.groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy("event_type").orderBy("bucket")
@@ -413,18 +419,65 @@ object EventsOps {
         Window.partitionBy("event_type", "bucket").orderBy("value")))
     // global rank of v = bucket offset + within-bucket cumulative count;
     // the answer per (type, p) is the smallest qualifying value. cand is
-    // ~15 rows — broadcast onto the aggregated candidate-value table.
+    // ~15 rows — broadcast onto the aggregated candidate-value table
+    // (columns renamed: both sides descend from the same cand subtree,
+    // so unaliased attributes would be ambiguous).
+    val candR = cand.select(col("event_type").as("c_type"), col("p"),
+      col("r"), col("cand_bucket").as("c_bucket"), col("cand_off"))
     val picked = inCand
-      .join(broadcast(cand), inCand("event_type") === cand("event_type")
-        && inCand("bucket") === cand("cand_bucket"))
+      .join(broadcast(candR), col("event_type") === col("c_type")
+        && col("bucket") === col("c_bucket"))
       .filter(col("cand_off") + col("wcum") >= col("r"))
-      .groupBy(inCand("event_type"), col("p"))
+      .groupBy(col("event_type"), col("p"))
       .agg(min(col("value")).as("qv"))
     picked.groupBy("event_type")
       .agg(
         min(when(col("p") === 0.50, col("qv"))).as("p50"),
         min(when(col("p") === 0.90, col("qv"))).as("p90"),
         min(when(col("p") === 0.99, col("qv"))).as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** The mergeable-sketch quantile path (`approx_percentile` — the
+    * operator a 100 TB cluster actually runs: one pass, fixed-size
+    * per-type state, no rank shuffle), promoted to an ORACLE-CHECKABLE
+    * gate row with the [[approxDistinct]] discipline: the sketch value
+    * itself is engine-specific, so the emitted columns are per-p
+    * `*_ok` flags asserting the estimate's TRUE rank brackets p —
+    * count(value < est)/n <= p + eps and count(value <= est)/n >= p - eps
+    * (the duplicate-safe bracketing; eps = 0.005 vs the sketch's 1e-4
+    * configured rank accuracy). Validating the sketch costs exactly one
+    * extra corpus pass against the broadcast 5-row estimate table. The
+    * oracle emits TRUE flags, so a drifting sketch hash-mismatches. */
+  val valueQuantilesApprox: Q = Q(
+    "ext_value_quantiles_approx",
+    """SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select("event_type", "value")
+    val est = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.50), lit(0.90), lit(0.99)), lit(10000)).as("est"))
+      .select(col("event_type"), col("est")(0).as("e50"),
+        col("est")(1).as("e90"), col("est")(2).as("e99"))
+    def below(e: String) = // strict rank mass below the estimate
+      sum(when(col("value") < col(e), 1L).otherwise(0L))
+    def atOrBelow(e: String) =
+      sum(when(col("value") <= col(e), 1L).otherwise(0L))
+    val ranked = ev.join(broadcast(est), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        below("e50").as("lt50"), atOrBelow("e50").as("le50"),
+        below("e90").as("lt90"), atOrBelow("e90").as("le90"),
+        below("e99").as("lt99"), atOrBelow("e99").as("le99"))
+    val eps = 0.005
+    def ok(lt: String, le: String, p: Double) =
+      (col(lt).cast("double") / col("n") <= p + eps) &&
+        (col(le).cast("double") / col("n") >= p - eps)
+    ranked.select(col("event_type"),
+      ok("lt50", "le50", 0.50).as("p50_ok"),
+      ok("lt90", "le90", 0.90).as("p90_ok"),
+      ok("lt99", "le99", 0.99).as("p99_ok"))
       .orderBy("event_type")
   }
 
@@ -529,6 +582,6 @@ object EventsOps {
 
   val all: Seq[Q] = Seq(windowHourly, windowSliding, jsonExtract, sessionize,
     pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats,
-    eventsFunnel, eventsRetention, valueQuantiles, eventsAnomaly,
-    eventsTransitions, valueHistogram)
+    eventsFunnel, eventsRetention, valueQuantiles, valueQuantilesApprox,
+    eventsAnomaly, eventsTransitions, valueHistogram)
 }

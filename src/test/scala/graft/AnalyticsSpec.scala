@@ -141,6 +141,45 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.length == byType.size)
   }
 
+  test("quantiles plan never windows over raw event rows: every Window " +
+    "operates below an Aggregate (bucket/value tables only)") {
+    val df = EventsOps.valueQuantiles.fn(spark, sf)
+    df.collect()
+    // in the optimized logical plan, walk up from every Window node: each
+    // must have an Aggregate somewhere beneath it, i.e. the sort feeding
+    // the window ran over aggregated bucket counts, not the corpus scan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => WinNode}
+    val plan = df.queryExecution.optimizedPlan
+    def windows(p: LogicalPlan): Seq[WinNode] =
+      p.collect { case w: WinNode => w }
+    val ws = windows(plan)
+    assert(ws.nonEmpty, "expected bucket-cum windows in the plan")
+    ws.foreach { w =>
+      val overAggregate = w.child.collectFirst { case a: Aggregate => a }
+      assert(overAggregate.nonEmpty,
+        s"a Window runs directly over raw rows (scale funnel):\n$w")
+    }
+  }
+
+  test("q17 computes its per-part average only over brand-pruned " +
+    "lineitems (the decorrelated aggregate is semi-join filtered)") {
+    val df = TpchStyle.q17.fn(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = df.queryExecution.optimizedPlan
+    // every aggregate over lineitem must sit above the brand semi-join —
+    // i.e. no Aggregate node whose subtree lacks a Join (the unpruned
+    // formulation aggregated the bare lineitem scan)
+    val aggs = plan.collect { case a: Aggregate => a }
+      .filterNot(_.child.collectFirst { case j: Join => j }.isEmpty)
+    val unpruned = plan.collect { case a: Aggregate => a }
+      .filter(a => a.groupingExpressions.nonEmpty &&
+        a.child.collectFirst { case j: Join => j }.isEmpty)
+    assert(aggs.nonEmpty, "expected join-filtered aggregates in q17")
+    assert(unpruned.isEmpty,
+      s"q17 still aggregates unfiltered lineitem:\n${unpruned.mkString}")
+  }
+
   test("anomaly: a planted outlier is flagged, inliers are not") {
     val base = (1L to 20L).map(i =>
       (i, f"2024-01-01 00:00:${i - 1}%02d", 1L, "b", 10.0))
