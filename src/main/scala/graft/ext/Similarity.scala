@@ -100,6 +100,27 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast("int").as("t"),
         col("col").as("bucket"))
 
+  /** The same 64 planes regrouped as 8 tables x 8-bit signatures (pair
+    * of consecutive 4-bit buckets: low nibble + high nibble * 16) — the
+    * BLOCKING family for the near-dup pair join. Blocking quality is a
+    * bucket-occupancy question: with 4-bit tables there are only 16
+    * buckets, so occupancy — and the candidate pair count — grows
+    * quadratically with the corpus (measured: 10x corpus -> 113x
+    * runtime). 8-bit tables give 256x more buckets; for genuine
+    * near-duplicates (cosine >= 0.9) per-table match probability is
+    * (1-theta/pi)^8 ~ 0.29, so 8 OR'd tables still catch >= 93% of true
+    * pairs (~1.0 at the 0.999 planted-duplicate grade), while noise
+    * collisions drop 16-fold. annLsh keeps the 16x4 family — top-k
+    * retrieval on an isotropic fixture needs the wider OR. */
+  private def bucketedWide(s: SparkSession, v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+      graft.functions.LshBuckets.lsh_buckets(s, col("e")).as("lb"))
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), " +
+          "i -> element_at(lb, 2*i+1) + element_at(lb, 2*i+2) * 16)")))
+      .select(col("vec_id"), col("pos").cast("int").as("t"),
+        col("col").as("bucket"))
+
   /** DuckDB mirror of [[bucketed]]: planes as literal lists (same driver-
     * computed values), dot via the sequential fold, bucket = sum of sign
     * bits per 4-plane group. */
@@ -119,6 +140,16 @@ object Similarity {
        |  SELECT vec_id, t, SUM(bit)::BIGINT AS bucket
        |  FROM bits GROUP BY vec_id, t)""".stripMargin
   }
+
+  /** DuckDB mirror of [[bucketedWide]]: pairs of consecutive 4-bit
+    * buckets regrouped into 8-bit signatures (even t = low nibble, odd t
+    * = high nibble * 16). Appended after [[bucketedSql]]'s CTEs. */
+  private def bucketedWideSql: String =
+    """wbuckets AS (
+      |  SELECT vec_id, t // 2 AS t,
+      |    SUM(CASE WHEN t % 2 = 0 THEN bucket ELSE bucket * 16 END)::BIGINT
+      |      AS bucket
+      |  FROM buckets GROUP BY vec_id, t // 2)""".stripMargin
 
   /** ANN via OR-amplified random-hyperplane LSH: a probe's candidates are
     * every vector sharing its bucket in >= 1 of the 16 tables; candidates
@@ -185,19 +216,23 @@ object Similarity {
   }
 
   /** Cosine threshold for the near-duplicate pair join. 0.9 is the
-    * real-corpus setting; the fixture's vectors are isotropic noise whose
-    * densest pair sits near 0.51, so the registered operator runs at 0.5
-    * to keep the gate NON-vacuous (round 1 passed with 0 rows on both
-    * engines, which verifies nothing — see ExtSpec's planted-fixture test
-    * for the 0.9-grade behavior). */
-  private val NearDupThreshold = 0.5
+    * real-corpus setting; the fixture's vectors are isotropic noise, so
+    * the registered operator runs low enough that pairs SURVIVE the
+    * 8-bit blocking at sf0.01 to keep the gate NON-vacuous (round 1
+    * passed with 0 rows on both engines, which verifies nothing; the
+    * round-8 move to 8-bit blocking dropped the old 0.5 gate back to 0
+    * rows — the densest pair passing the wide blocking sits at 0.4597).
+    * See ExtSpec's planted-fixture test for the 0.9-grade behavior. */
+  private val NearDupThreshold = 0.4
 
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: candidates are
-    * pairs sharing >= 1 LSH bucket (same 16-table blocking as [[annLsh]] —
-    * NOT the round-1 label blocking, which was a disguised per-label cross
-    * join, O(n^2 / |labels|) with a small fixed label vocabulary). The
-    * blocking is part of the declared semantics and mirrored in the
-    * oracle, so the gate checks the exact candidate rule. */
+    * pairs sharing >= 1 bucket in the 8-table x 8-bit family
+    * ([[bucketedWide]] — NOT the round-1 label blocking, which was a
+    * disguised per-label cross join, and NOT annLsh's 16x4 family, whose
+    * 16-bucket tables fill linearly with the corpus and made the pair
+    * join quadratic: measured 113x runtime at 10x rows). The blocking is
+    * part of the declared semantics and mirrored in the oracle, so the
+    * gate checks the exact candidate rule. */
   def nearDupPairsAt(s: SparkSession, d: String,
       threshold: Double): DataFrame = {
     // eager materialization: v feeds four subtrees; a lazy .cache() under
@@ -206,7 +241,7 @@ object Similarity {
     val v = vecs(s, d).eagerCheckpoint()
     // the self-join below consumes buckets TWICE — without eager
     // materialization each side re-derives the 64-plane projection
-    val buckets = bucketed(s, v).eagerCheckpoint()
+    val buckets = bucketedWide(s, v).eagerCheckpoint()
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
@@ -236,10 +271,11 @@ object Similarity {
     "ext_embed_neardup",
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |${bucketedSql},
+       |${bucketedWideSql},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM buckets a
-       |  JOIN buckets b ON b.t = a.t AND b.bucket = a.bucket
+       |  FROM wbuckets a
+       |  JOIN wbuckets b ON b.t = a.t AND b.bucket = a.bucket
        |    AND a.vec_id < b.vec_id),
        |scored AS (
        |  SELECT cand.id_a, cand.id_b,
