@@ -622,6 +622,238 @@ object TpchStyle {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(q1, q3, q4, q5, q6, q7, q8, q10, q12, q13, q14,
-    q15, q17, q18, q19, q21, q22)
+  /** Q2-style minimum-cost supplier: the textbook correlated scalar
+    * subquery (`ps_supplycost = (SELECT MIN(ps_supplycost) ...)`)
+    * decorrelated into two grouped aggregates joined on cost EQUALITY.
+    * The fixture has no partsupp table, so the part-supplier catalog is
+    * DERIVED from lineitem: supply cost of (part, supplier) := their
+    * minimum observed unit price (`l_extendedprice / l_quantity` — a
+    * single IEEE division of two raw parquet doubles, bit-identical in
+    * both engines, so the min-equality join is cross-engine exact).
+    * Plan shape at scale: the catalog aggregate shuffles once on
+    * (partkey, suppkey); the selected-part and EUROPE-supplier filters
+    * are pushed INTO it as broadcast semi-joins (the q17 discipline), so
+    * the per-part min runs over the pruned catalog, not all of it. */
+  val q2: Q = Q(
+    "q2_min_cost_supplier",
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(l_extendedprice / l_quantity) AS ps_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |pc AS (
+      |  SELECT p_partkey, p_brand, ps_cost, s_name, s_acctbal, n_name
+      |  FROM part JOIN cost ON l_partkey = p_partkey
+      |  JOIN eu ON s_suppkey = l_suppkey
+      |  WHERE p_size = 15 AND p_type = 'STANDARD'),
+      |mn AS (SELECT p_partkey AS m_partkey, MIN(ps_cost) AS min_cost
+      |  FROM pc GROUP BY p_partkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_cost
+      |FROM pc JOIN mn ON p_partkey = m_partkey AND ps_cost = min_cost
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    val selParts = Tables.part(s, d)
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_brand")
+    val eu = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val cost = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(selParts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(eu.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_cost"))
+    val pc = cost
+      .join(broadcast(selParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+    val mn = pc.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min(col("ps_cost")).as("min_cost"))
+    pc.join(mn, col("p_partkey") === col("m_partkey")
+        && col("ps_cost") === col("min_cost"))
+      .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+        "ps_cost")
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q9-style product-type profit: 5-way join (LIKE-filtered part,
+    * supplier->nation dim chain, orders for the year) grouped by
+    * (nation, year). The fixture carries no ps_supplycost, so cost is
+    * proxied as 60% of the part's retail price per unit — kept EXACT
+    * decimal end to end (raw columns -> DECIMAL, the 0.60 factor as a
+    * decimal literal, one final cast to DOUBLE) per the Determinism
+    * rules. At scale: part LIKE-filter broadcast-pruned into lineitem
+    * before the orders join; nation/supplier broadcast; one shuffle on
+    * the group keys with map-side partial aggregation. */
+  val q9: Q = Q(
+    "q9_product_profit",
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(10,2)))
+      |  - CAST(p_retailprice AS DECIMAL(10,2)) * 0.60
+      |    * CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_profit
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+  ) { (s, d) =>
+    val costFactor = lit(new java.math.BigDecimal("0.60"))
+    val profit = m(col("l_extendedprice")) * (lit(1) - m(col("l_discount"))) -
+      m(col("p_retailprice")) * costFactor * m(col("l_quantity"))
+    Tables.part(s, d).filter(col("p_name").like("%widget%"))
+      .select("p_partkey", "p_retailprice")
+      .join(Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+          "l_extendedprice", "l_discount"),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q11-style important stock: per-part value restricted to one
+    * nation's suppliers, kept when above a fraction of the scoped total.
+    * The fixture has no partsupp, so part value := shipped extended
+    * price through NATION_9 suppliers. The global-total threshold is the
+    * q15/q22 pattern — EXACT DECIMAL aggregate broadcast as a 1-row
+    * frame (never collected), compared in decimal so the HAVING cut is
+    * engine-exact. At scale the per-part aggregate shuffles once on
+    * partkey; the threshold side is a 1-row reduction of the SAME
+    * aggregate (exchange-reused, not a second scan). */
+  val q11: Q = Q(
+    "q11_important_value",
+    """WITH v AS (
+      |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(10,2)))
+      |    AS val_dec
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_9'
+      |  GROUP BY l_partkey),
+      |t AS (SELECT SUM(val_dec) * 0.001 AS thr FROM v)
+      |SELECT l_partkey AS ps_partkey, CAST(val_dec AS DOUBLE) AS part_value
+      |FROM v, t WHERE val_dec > thr
+      |ORDER BY part_value DESC, ps_partkey""".stripMargin
+  ) { (s, d) =>
+    val natSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name") === "NATION_9").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(m(col("l_extendedprice"))).as("val_dec"))
+    val thr = v.agg((sum(col("val_dec"))
+      * lit(new java.math.BigDecimal("0.001"))).as("thr"))
+    v.join(broadcast(thr), col("val_dec") > col("thr"))
+      .select(col("l_partkey").as("ps_partkey"),
+        col("val_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("ps_partkey"))
+  }
+
+  /** Q16-style supplier counts: distinct suppliers per part descriptor,
+    * excluding a blacklist via anti-join. The part-supplier catalog is
+    * again derived from lineitem; the "complaints" exclusion (the
+    * fixture has no s_comment) is negative account balance. NOT IN is
+    * safe as LEFT ANTI here because s_suppkey is non-null. At scale:
+    * blacklist and filtered parts both broadcast; the only shuffle is
+    * the distinct-count aggregate on the 3 group keys. */
+  val q16: Q = Q(
+    "q16_supplier_cnt",
+    """SELECT p_brand, p_type, p_size,
+      |COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |AND p_size IN (1, 5, 15, 25, 35, 45, 49, 50)
+      |AND l_suppkey NOT IN
+      |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+  ) { (s, d) =>
+    val selParts = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 5, 15, 25, 35, 45, 49, 50))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val blacklist = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(blacklist),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(selParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Q20-style excess-stock suppliers: the nested IN chain (suppliers ->
+    * qualifying (supplier, part) volumes -> LIKE-selected parts) as two
+    * stacked semi-joins around a HAVING aggregate — no correlated probe,
+    * no distinct blow-up: the inner aggregate reduces to one row per
+    * (supplier, part) BEFORE the supplier semi-join. Volume threshold in
+    * exact decimal. At scale the only wide shuffle is the (suppkey,
+    * partkey) aggregate over date+part-pruned lineitem. */
+  val q20: Q = Q(
+    "q20_excess_stock",
+    """SELECT s_name, s_acctbal FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE' AND s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'red%'
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 50)
+      |ORDER BY s_name""".stripMargin
+  ) { (s, d) =>
+    val redParts = Tables.part(s, d)
+      .filter(col("p_name").like("red%")).select("p_partkey")
+    val qualifying = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00")
+        && col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(m(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > lit(new java.math.BigDecimal("50")))
+      .select("l_suppkey")
+    Tables.supplier(s, d)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)
+        .select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
+  val all: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }

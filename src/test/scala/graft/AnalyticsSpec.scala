@@ -180,6 +180,59 @@ class AnalyticsSpec extends SparkSuite {
       s"q17 still aggregates unfiltered lineitem:\n${unpruned.mkString}")
   }
 
+  test("q2/q11 scan lineitem ONCE: the decorrelated min/threshold side " +
+    "rides AQE exchange reuse, not a second scan of the fact table") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.head.getName)
+      case other => other.children.flatMap(scans)
+    }
+    for (q <- Seq(TpchStyle.q2, TpchStyle.q11)) {
+      val df = q.fn(spark, sf)
+      df.collect()
+      // <= 1, not == 1: when the reused exchange's owning stage
+      // materializes first, AQE's final tree can show the original
+      // subtree zero times (both consumers print ReusedExchange) — what
+      // must never appear is a SECOND independent scan of the fact table
+      val li = scans(df.queryExecution.executedPlan)
+        .count(_ == "lineitem.parquet")
+      assert(li <= 1,
+        s"${q.name}: found $li lineitem scans in the final adaptive " +
+          "plan — the shared aggregate subtree is being recomputed " +
+          "instead of exchange-reused")
+    }
+  }
+
+  test("q2 equality-min semantics: each part's reported cost is the " +
+    "true minimum unit price among EUROPE suppliers of that part") {
+    val got = TpchStyle.q2.fn(spark, sf).collect()
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val eu = graft.core.Tables.supplier(spark, sf)
+      .join(graft.core.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.core.Tables.region(spark, sf)
+        .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val trueMin = li
+      .join(eu, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("mn"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty, "q2 must be non-vacuous on the fixture")
+    got.foreach { r =>
+      val pk = r.getLong(3)
+      assert(r.getDouble(5) == trueMin(pk),
+        s"part $pk: reported cost ${r.getDouble(5)} != min ${trueMin(pk)}")
+    }
+  }
+
   test("anomaly: a planted outlier is flagged, inliers are not") {
     val base = (1L to 20L).map(i =>
       (i, f"2024-01-01 00:00:${i - 1}%02d", 1L, "b", 10.0))
