@@ -194,5 +194,83 @@ object IvfSearch {
       .orderBy("probe_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(ivf)
+  /** Cosine threshold for [[semDedup]]'s within-cell duplicate rule. The
+    * real-corpus setting is ~0.9 (SemDeDup's epsilon); the fixture's
+    * isotropic vectors top out near 0.51 before blocking, so the gate
+    * runs low enough that the DROP side is non-vacuous after cell
+    * blocking (see the planted ExtSpec test for 0.9-grade behavior). */
+  private val SemDedupEps = 0.4
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): block by k-means cell (the SAME
+    * coarse quantizer as [[ivf]]), compare pairs only within a cell, and
+    * drop every vector that has a more-senior (lower vec_id) neighbor at
+    * cosine >= eps in its cell. Emits one verdict row per vector.
+    *
+    * This is the third blocking scheme in the similarity family — LSH
+    * buckets ([[Similarity.nearDupPairs]]) block by signature; cells
+    * block by learned geometry, which is what SemDeDup showed matters
+    * for semantic (not lexical) duplicates. Cell size is the scale knob:
+    * cells hold ~n/K vectors, so K grows with the corpus (100k+ cells at
+    * web scale per the paper) and the within-cell pair join stays
+    * O(n^2/K) TOTAL, distributed by cell. Plan shape: assignment is a
+    * broadcast-K cross + one max_by (no payload in the shuffle); the
+    * pair join carries narrow (vec_id, cell) rows and re-attaches
+    * embeddings only for the qualifying candidates' exact scoring.
+    * Seed-quantizer centroids keep the whole op a pure function of the
+    * table, so the oracle replays it exactly (same reasoning as [[ivf]];
+    * the trained path composes via [[trainedCentroids]]). */
+  val semDedup: Q = Q(
+    "ext_sim_semdedup",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < $K),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${Similarity.dotSql("v.e", "c.ce")}
+       |          / (${Similarity.normSql("v.e")} * ${Similarity.normSql("c.ce")})
+       |          DESC, c.cent_id) AS arank
+       |    FROM v CROSS JOIN cents c) s
+       |  WHERE arank = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON b.cell = a.cell AND a.vec_id < b.vec_id
+       |  JOIN v va ON va.vec_id = a.vec_id
+       |  JOIN v vb ON vb.vec_id = b.vec_id
+       |  WHERE ROUND(${Similarity.dotSql("va.e", "vb.e")}
+       |    / (${Similarity.normSql("va.e")} * ${Similarity.normSql("vb.e")}),
+       |    6) >= $SemDedupEps)
+       |SELECT asg.vec_id, asg.cell, (d.vec_id IS NULL) AS kept
+       |FROM assigned asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
+  ) { (s, d) => semDedupAt(s, d, SemDedupEps) }
+
+  /** The semantic-dedup pipeline at an explicit threshold (exposed for
+    * the planted 0.9-grade spec). */
+  def semDedupAt(s: SparkSession, d: String, eps: Double): DataFrame = {
+    val v = Similarity.vecs(s, d).eagerCheckpoint()
+    // assignment feeds the pair join twice and the verdict join once
+    val asg = assigned(s, v, cents(v)).eagerCheckpoint()
+    val dropped = asg.as("a")
+      .join(asg.as("b"),
+        col("b.cell") === col("a.cell")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .join(v.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .filter(round(vec_dot(s, col("ea"), col("eb"))
+        / (col("na") * col("nb")), 6) >= eps)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    asg.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(ivf, semDedup)
 }

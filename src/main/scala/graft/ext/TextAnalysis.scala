@@ -328,6 +328,90 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fixed keyword query for [[bm25]] — one rare term (df ~5% of docs on
+    * the fixture) and two common ones, so idf spread actually orders the
+    * results. */
+  private val Bm25Terms = Seq("dup", "spark", "query")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 top-20 retrieval (Robertson-Spärck Jones; the Okapi BM25
+    * formula as given in Robertson & Zaragoza, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond", FnTIR'09 §3.3) for a fixed
+    * keyword query — the retrieval primitive a curation pipeline runs
+    * for targeted decontamination / topic probes over a corpus.
+    *
+    * Scale shape: the token explode is filtered to the query's terms
+    * BEFORE any aggregate (the exploded stream shrinks to ~|terms|
+    * matches per doc immediately); per-doc tf is a map-side-combined
+    * hash aggregate; df and N/avgdl are term-count-sized and 1-row
+    * aggregates broadcast to the scoring join; doc length comes from a
+    * scan-local `size(tokens)` projection, never a second explode. The
+    * only corpus-wide shuffle is the tf aggregate on (doc_id, term).
+    * Top-20 is a TakeOrderedAndProject, not a global sort.
+    *
+    * Determinism: every arithmetic step is IEEE-exact on identical
+    * inputs except `ln` (libm last-ulp may differ across engines) and
+    * the <=3-term sum (order-dependent in the last ulp); both are
+    * buried by ROUND(.,4), and the rank ORDER uses the ROUNDED score
+    * with a doc_id tiebreak so ordering cannot straddle an ulp. */
+  val bm25: Q = Q(
+    "ext_text_bm25",
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |  WHERE t IN (${Bm25Terms.mkString("'", "', '", "'")})
+       |  GROUP BY doc_id, t),
+       |df AS (
+       |  SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM tok WHERE t IN (${Bm25Terms.mkString("'", "', '", "'")})
+       |  GROUP BY t),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    ROUND(SUM(
+       |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |        * tf * ($Bm25K1 + 1.0)
+       |        / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))
+       |    ), 4) AS bm25
+       |  FROM tf JOIN df ON tf.t = df.t
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, bm25 FROM scored
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val dl = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qtok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .filter(col("t").isin(Bm25Terms: _*))
+    val tf = qtok.groupBy("doc_id", "t")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df = qtok.groupBy("t")
+      .agg(countDistinct(col("doc_id")).cast("long").as("df"))
+    val contrib =
+      log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        col("tf") * (lit(Bm25K1) + 1.0) /
+        (col("tf") + lit(Bm25K1) *
+          (lit(1.0) - Bm25B + lit(Bm25B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(contrib), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] =
-    Seq(tokens, quality, langId, fingerprint, repetition, lineDedup)
+    Seq(tokens, quality, langId, fingerprint, repetition, lineDedup, bm25)
 }

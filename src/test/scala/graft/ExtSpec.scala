@@ -613,4 +613,58 @@ class ExtSpec extends SparkSuite {
       .collect().map(_.getString(0)).sorted
     assert(streamed.sameElements(batch))
   }
+
+  test("semdedup: planted near-copies land in their original's cell and " +
+    "are dropped at the 0.9 real-corpus epsilon; originals are kept") {
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 60).map(_ => vec())
+    val rows = (0 until 60).map(i => (i.toLong, s"l${i % 5}", base(i))) ++
+      (0 until 5).map { i => // 60+i is a jittered copy of vector i
+        val e = base(i).map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+        ((60 + i).toLong, s"l${i % 5}", e)
+      }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "label", "embedding")
+    val dir = tmpDir("graft_test_sem")
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = IvfSearch.semDedupAt(spark, dir, 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 65, "one verdict row per vector")
+    (0 until 5).foreach { i =>
+      assert(out(60L + i)._1 == out(i.toLong)._1,
+        s"copy ${60 + i} must share original $i's cell")
+      assert(!out(60L + i)._2, s"copy ${60 + i} must be dropped")
+      assert(out(i.toLong)._2, s"original $i must be kept")
+    }
+  }
+
+  test("bm25: rare-term density ranks first on a planted fixture, " +
+    "no-term docs never appear, and tf monotonicity holds at equal " +
+    "length") {
+    val filler = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"dup dup dup spark $filler"), // rare term x3 + common
+      (2L, s"dup spark query $filler"), // rare x1, all three terms
+      (3L, s"spark query table $filler"), // common terms only
+      (4L, s"$filler iota kappa lambda"), // no query terms
+      (5L, s"dup dup spark query $filler") // rare x2 (same len as 1)
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("graft_test_bm25")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.bm25.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val score = out.toMap
+    assert(!score.contains(4L), "a doc with no query term must not score")
+    // on a 5-doc corpus no term is truly rare (df 3-4 of 5), so BM25's
+    // saturating tf makes TERM COVERAGE dominate: all-three-terms docs
+    // outrank the single-term-dense doc — assert the model's actual
+    // guarantees, not a density-first intuition
+    assert(out.head._1 == 5L,
+      s"full coverage + doubled rarest term ranks first: ${out.toSeq}")
+    assert(score(5L) > score(2L),
+      s"adding a rarest-term occurrence must raise the score: $score")
+    assert(score(2L) > score(3L) && score(1L) > score(3L),
+      s"docs with the rarest term must outrank common-terms-only: $score")
+    out.foreach { case (_, s) => assert(s > 0.0) }
+  }
 }
