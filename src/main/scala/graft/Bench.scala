@@ -63,7 +63,8 @@ object Bench {
     else if (n.startsWith("ext_mm")) "mm"
     else if (n.startsWith("ext_dedup")) "dedup"
     else if (n.startsWith("ext_sim") || n == "ext_embed_neardup") "sim"
-    else if (n == "ext_bucketed_join" || n == "ext_partition_pruned_scan")
+    else if (n == "ext_bucketed_join" || n == "ext_partition_pruned_scan"
+      || n == "ext_zorder_scan")
       "layout"
     else if (n.startsWith("ext_text")) "text"
     else if (Set("ext_sample_stratified", "ext_vocab_topk",

@@ -12,7 +12,7 @@ object Registry {
       Corpus.all ++ Decontam.all ++ Redact.all ++ Similarity.all ++
       IvfSearch.all ++
       Multimodal.all ++
-      BucketedJoin.all ++ PartitionedScan.all ++
+      BucketedJoin.all ++ PartitionedScan.all ++ ZOrderLayout.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++
       graft.streaming.StreamDedup.all ++

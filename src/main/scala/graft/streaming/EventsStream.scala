@@ -98,5 +98,67 @@ object EventsStream {
       |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5""".stripMargin
   )(topUsers _)
 
-  val all: Seq[Q] = Seq(streamHourly, streamTopK)
+  // the static enrichment dim: event_type -> billing weight (same values
+  // as Corpus.skewSaltedAgg's dim, so the two formulations cross-check)
+  private val TypeWeights = Seq(("click", 1.0), ("error", 5.0),
+    ("purchase", 10.0), ("signup", 2.0), ("view", 0.5))
+
+  /** Stream-static enrichment: the streaming fact joined to a STATIC
+    * in-memory dim (broadcast into every micro-batch — the stateless
+    * join Structured Streaming re-plans per batch with zero state
+    * store), then a watermarked daily aggregate of the enriched rows.
+    * This is the canonical 100 TB/day ingest shape: dims live in the
+    * driver/catalog, facts stream through, and no state accumulates for
+    * the join itself (only the windowed agg keeps state, bounded by the
+    * watermark). Money math follows Determinism: weights ride as exact
+    * decimals through the weighted sum. */
+  def enrichedDaily(spark: SparkSession, dir: String): DataFrame =
+      graft.core.Sessions.withShufflePartitions(spark, 8) {
+    import spark.implicits._
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val name = "stream_enrich_" + UUID.randomUUID().toString.replace("-", "")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val withTs =
+      if (batch.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else stream
+    val dim = broadcast(TypeWeights.toDF("w_type", "w"))
+    val agg = withTs
+      .join(dim, col("event_type") === col("w_type"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Determinism.m(col("value")) * Determinism.m(col("w")))
+          .cast("double").as("weighted_total"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("window.start").as("day"), col("event_type"),
+        col("n"), col("weighted_total"))
+      .orderBy("day", "event_type")
+  }
+
+  val streamEnrich: Q = Q(
+    "ext_stream_enrich",
+    """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(10,2)) * CASE event_type
+      |  WHEN 'click' THEN CAST(1.0 AS DECIMAL(10,2))
+      |  WHEN 'error' THEN CAST(5.0 AS DECIMAL(10,2))
+      |  WHEN 'purchase' THEN CAST(10.0 AS DECIMAL(10,2))
+      |  WHEN 'signup' THEN CAST(2.0 AS DECIMAL(10,2))
+      |  WHEN 'view' THEN CAST(0.5 AS DECIMAL(10,2))
+      |  END) AS DOUBLE) AS weighted_total
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+  )(enrichedDaily _)
+
+  val all: Seq[Q] = Seq(streamHourly, streamTopK, streamEnrich)
 }

@@ -457,6 +457,22 @@ class ExtSpec extends SparkSuite {
 
   // ---- streaming ----
 
+  test("stream-static enrichment equals the batch join-aggregate") {
+    val streamed = graft.streaming.EventsStream.enrichedDaily(spark, sf)
+      .collect().map(_.toString).sorted
+    val dim = Seq(("click", 1.0), ("error", 5.0), ("purchase", 10.0),
+      ("signup", 2.0), ("view", 0.5)).toDF("w_type", "w")
+    val m = (c: org.apache.spark.sql.Column) => c.cast("decimal(10,2)")
+    val batch = graft.core.Tables.events(spark, sf)
+      .join(dim, col("event_type") === col("w_type"))
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(m(col("value")) * m(col("w"))).cast("double")
+          .as("weighted_total"))
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming hourly aggregate equals the batch aggregate") {
     val streamed = graft.streaming.EventsStream.hourlyByType(spark, sf)
       .collect().map(_.toString).sorted
