@@ -25,12 +25,8 @@ object EventsStream {
     // read (ts arrives as nanos BIGINT under nanosAsLong, converted below)
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_hourly_" + UUID.randomUUID().toString.replace("-", "")
-    // the file source wants a directory: point it at the fixture dir and
-    // glob-filter down to the events table
-    val stream = spark.readStream
-      .schema(batch.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // layout-robust source: single fixture file OR Spark-written dir
+    val stream = StreamSource.table(spark, dir, "events")
     val withTs =
       if (batch.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)
@@ -71,10 +67,7 @@ object EventsStream {
       graft.core.Sessions.withShufflePartitions(spark, 4) {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_topk_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream
-      .schema(batch.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = StreamSource.table(spark, dir, "events")
     val ranked = stream
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"))
@@ -117,10 +110,7 @@ object EventsStream {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_enrich_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream
-      .schema(batch.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = StreamSource.table(spark, dir, "events")
     val withTs =
       if (batch.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)

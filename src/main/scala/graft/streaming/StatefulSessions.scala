@@ -86,8 +86,7 @@ object StatefulSessions {
     // this. If the fixture ever splits into multiple files, the ingestion
     // contract here must be revisited, hence the hard assert.
     StreamContracts.requireSingleFile(dir, "events.parquet")
-    val stream = spark.readStream.schema(batch.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = StreamSource.table(spark, dir, "events")
     val withTs =
       if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

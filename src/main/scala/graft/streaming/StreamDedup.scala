@@ -34,10 +34,7 @@ object StreamDedup {
     // (same contract as StatefulSessions)
     StreamContracts.requireSingleFile(dir, "documents.parquet")
     val name = "stream_dedup_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream
-      .schema(batch.schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val stream = StreamSource.table(spark, dir, "documents")
     val keyed = stream
       .select(md5(col("text")).as("fp"),
         // deterministic synthetic arrival time: one doc per second

@@ -31,10 +31,7 @@ object StreamJoin {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_join_" + UUID.randomUUID().toString.replace("-", "")
     def side(typ: String, idAs: String, tsAs: String) = {
-      val stream = spark.readStream
-        .schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val stream = StreamSource.table(spark, dir, "events")
       val withTs =
         if (batch.schema("ts").dataType ==
             org.apache.spark.sql.types.LongType)
