@@ -412,6 +412,53 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Per-document mean unigram negative log-likelihood under the
+    * corpus's own token distribution — the deterministic cousin of the
+    * LM-perplexity quality filter (CCNet, Wenzek et al. LREC'20 §4.3:
+    * score text by LM NLL, drop the tail). Low = typical text; high =
+    * rare-token / degenerate documents. A unigram model keeps the score
+    * a pure function of the table (no trained weights), so the oracle
+    * replays it bit-for-bit modulo ln's last ulp, buried by ROUND(.,4)
+    * (the [[bm25]] discipline; the per-doc sum runs over DISTINCT terms
+    * tf-weighted, ~vocabulary-sized, so float-sum order noise stays
+    * orders of magnitude below the rounding grain).
+    *
+    * Scale shape: ONE token explode feeding the per-(doc, term) tf
+    * aggregate (map-side combine); the corpus distribution is a
+    * vocabulary-sized aggregate broadcast to the scoring join; the
+    * per-doc reduce shuffles (doc_id, term-count) rows only. */
+  val unigramNll: Q = Q(
+    "ext_text_unigram_nll",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |  GROUP BY doc_id, t),
+       |vocab AS (
+       |  SELECT t, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY t),
+       |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab)
+       |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |  ROUND(-SUM(tf.tf * ln(vocab.cnt / CAST(total.n AS DOUBLE)))
+       |    / SUM(tf.tf), 4) AS nll
+       |FROM tf JOIN vocab ON vocab.t = tf.t CROSS JOIN total
+       |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+  ) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val vocab = tf.groupBy("t").agg(sum(col("tf")).cast("long").as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("long").as("n"))
+    tf.join(broadcast(vocab), Seq("t"))
+      .join(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round(-sum(col("tf") * log(col("cnt") / col("n").cast("double")))
+          / sum(col("tf")), 4).as("nll"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(tokens, quality, langId, fingerprint, repetition, lineDedup, bm25)
+    Seq(tokens, quality, langId, fingerprint, repetition, lineDedup, bm25,
+      unigramNll)
 }

@@ -654,6 +654,28 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("unigram NLL: rare-token documents score higher than common-token " +
+    "documents, and a doc of one repeated corpus-dominant token scores " +
+    "the corpus minimum") {
+    // corpus: 'a' dominates; doc 3 is all rare singletons
+    val df = Seq(
+      (1L, "a a a a a a a a"), // all dominant token -> min NLL
+      (2L, "a a b b a a c a"), // mostly dominant
+      (3L, "qq ww ee rr tt yy uu ii") // all rare singletons -> max NLL
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("graft_test_nll")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.unigramNll.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L),
+      s"NLL must order dominant < mixed < rare: $out")
+    // doc 1's score is exactly -ln(p('a')) with p = 13/24 (8 a's in
+    // doc 1 + 5 in doc 2, over 24 corpus tokens)
+    val expected = BigDecimal(-math.log(13.0 / 24.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == expected, s"got ${out(1L)}, want $expected")
+  }
+
   test("bm25: rare-term density ranks first on a planted fixture, " +
     "no-term docs never appear, and tf monotonicity holds at equal " +
     "length") {
