@@ -54,7 +54,9 @@ object Bench {
     "ext_embed_neardup", "ext_pipeline_cleanse", "ext_vocab_topk",
     "ext_corpus_decontam", "ext_skew_salted_join",
     "ext_pii_scrub", "ext_stream_sessions", "ext_stream_dedup",
-    "ext_stream_join", "ext_bucketed_join")
+    "ext_stream_join", "ext_bucketed_join",
+    "ext_sim_semdedup", "ext_text_bm25", "ext_zorder_scan",
+    "ext_stream_enrich")
 
   /** Family key for JVM isolation — one child JVM per distinct value, in
     * first-appearance registry order. */
