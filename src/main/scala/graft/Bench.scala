@@ -72,7 +72,8 @@ object Bench {
     else if (Set("ext_sample_stratified", "ext_vocab_topk",
       "ext_pipeline_cleanse", "ext_skew_salted_agg", "ext_pii_scrub",
       "ext_corpus_mix", "ext_doc_keyterms", "ext_corpus_decontam",
-      "ext_skew_salted_join", "ext_vocab_coverage", "ext_corpus_pack")(n))
+      "ext_skew_salted_join", "ext_vocab_coverage", "ext_corpus_pack",
+      "ext_vocab_heavy_hitters")(n))
       "corpus"
     else if (n.startsWith("ext_")) "events"
     else if (n.matches("q\\d+_.*")) "tpch"

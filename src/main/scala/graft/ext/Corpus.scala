@@ -602,8 +602,43 @@ object Corpus {
       .orderBy("doc_id", "rk")
   }
 
+  /** Heavy-hitter tokens (true count > n/32) with the Misra-Gries
+    * sketch's guarantee surfaced as a gate-checkable flag — the
+    * `ext_approx_distinct` discipline: the oracle computes the EXACT
+    * heavy-hitter rows (term, count, found=true), and the sketch's
+    * mergeable-summaries bound (undercount <= n/65 at capacity 64, any
+    * merge order — [[graft.functions.MisraGries]]) makes `found` TRUE
+    * deterministically for every such term, whatever the partitioning.
+    * The candidate set BEYOND the guarantee is partitioning-dependent
+    * and is deliberately not emitted. At scale the sketch side shuffles
+    * 64 counters per partition instead of the token stream; the exact
+    * side exists for the gate (and is itself one map-side-combined
+    * aggregate). */
+  val vocabHeavyHitters: Q = Q(
+    "ext_vocab_heavy_hitters",
+    s"""WITH u AS (SELECT unnest($toksSql) AS t FROM documents),
+       |cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tf FROM u GROUP BY t),
+       |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM cnt)
+       |SELECT t AS token, tf, TRUE AS found
+       |FROM cnt CROSS JOIN tot WHERE tf * 32 > n
+       |ORDER BY tf DESC, token""".stripMargin
+  ) { (s, d) =>
+    val toksDf = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("t"))
+    val cnt = toksDf.groupBy("t").agg(count(lit(1)).as("tf"))
+    val tot = cnt.agg(sum(col("tf")).as("n"))
+    val sketch = toksDf
+      .agg(graft.functions.MisraGries.misra_gries(s, col("t"))
+        .as("candidates"))
+    cnt.join(broadcast(tot), col("tf") * 32 > col("n"))
+      .join(broadcast(sketch))
+      .select(col("t").as("token"), col("tf"),
+        array_contains(col("candidates"), col("token")).as("found"))
+      .orderBy(col("tf").desc, col("token"))
+  }
+
   val all: Seq[Q] =
     Seq(dedupClusters, dedupClustersStar, sampleStratified, vocabTopK,
       vocabCoverage, pipelineCleanse, skewSaltedAgg, skewSaltedJoin,
-      corpusMix, corpusPack, docKeyTerms)
+      corpusMix, corpusPack, docKeyTerms, vocabHeavyHitters)
 }

@@ -654,6 +654,38 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("misra-gries: the heavy-hitter guarantee holds under every " +
+    "partitioning (merge-order invariant), and capacity is respected") {
+    // adversarial stream: 2 genuinely heavy tokens buried in 400
+    // distinct distractors, spread over documents so partial sketches
+    // must merge to see the truth
+    val docs = (0 until 100).map { i =>
+      val heavy = "hh_alpha hh_alpha hh_beta"
+      val noise = (0 until 4).map(j => s"nz_${i}_$j").mkString(" ")
+      (i.toLong, s"$heavy $noise")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val dir = tmpDir("graft_test_mg")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // n = 700 tokens; hh_alpha 200 > 700/33, hh_beta 100 > 700/33
+    for (parts <- Seq(1, 7, 32)) {
+      val cand = graft.core.Tables.documents(spark, dir)
+        .repartition(parts)
+        .select(explode(split(col("text"), "\\s+")).as("t"))
+        .filter(col("t") =!= "")
+        .agg(graft.functions.MisraGries.misra_gries(spark, col("t")))
+        .head().getSeq[String](0).toSet
+      assert(cand.size <= graft.functions.MisraGries.DefaultK,
+        s"capacity exceeded at $parts partitions: ${cand.size}")
+      assert(cand("hh_alpha") && cand("hh_beta"),
+        s"guaranteed heavy hitters missing at $parts partitions: $cand")
+    }
+    // and the registered gate op's found column is all-true on the
+    // fixture whatever the session's parallelism did
+    val gate = Corpus.vocabHeavyHitters.fn(spark, sf).collect()
+    assert(gate.nonEmpty && gate.forall(_.getBoolean(2)))
+  }
+
   test("unigram NLL: rare-token documents score higher than common-token " +
     "documents, and a doc of one repeated corpus-dominant token scores " +
     "the corpus minimum") {
