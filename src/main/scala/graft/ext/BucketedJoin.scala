@@ -18,49 +18,19 @@ object BucketedJoin {
 
   private val Buckets = 8
 
-  /** Memo key of the bucketed copies last written: warehouse dir +
-    * fixture dir + source-file (mtime, size) — so rewritten fixture
-    * content at the same path, or a different warehouse in the same JVM,
-    * triggers a re-prepare instead of silently reusing stale tables.
-    * `prepare` remains ingest-time work (the whole point of bucketing is
-    * paying the partitioning once at write time); the key only decides
-    * when "once" must happen again. */
-  @volatile private var preparedKey: String = ""
+  /** Prepare-once machinery shared with the other layout ops
+    * ([[PreparedTables]]): bucketing is ingest-time work — the memo key
+    * only decides when "once" must happen again. */
+  private val prepared = new PreparedTables(
+    Seq("orders.parquet", "lineitem.parquet"),
+    Seq("graft_bkt_orders", "graft_bkt_lineitem"),
+    write)
 
-  private def memoKey(s: org.apache.spark.sql.SparkSession,
-      d: String): String = {
-    val srcs = Seq("orders.parquet", "lineitem.parquet").map { f =>
-      val p = java.nio.file.Paths.get(d, f)
-      if (java.nio.file.Files.exists(p))
-        s"$f:${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
-      else s"$f:absent"
-    }
-    (s.conf.get("spark.sql.warehouse.dir") +: d +: srcs).mkString("|")
-  }
-
-  /** Write the bucketed copies for `d` unless they are already current. */
   def ensurePrepared(s: org.apache.spark.sql.SparkSession,
-      d: String): Unit = synchronized {
-    val key = memoKey(s, d)
-    if (preparedKey != key) { prepare(s, d); preparedKey = key }
-  }
+      d: String): Unit = prepared.ensurePrepared(s, d)
 
-  /** (Re)write the bucketed copies for the given fixture dir. Idempotent;
-    * one managed table per (table, bucket key). */
-  def prepare(s: org.apache.spark.sql.SparkSession,
+  private def write(s: org.apache.spark.sql.SparkSession,
       d: String): Unit = {
-    // a fresh session's catalog doesn't know about a previous process's
-    // managed-table directory — drop both the entry and any orphan dir
-    Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = java.nio.file.Paths.get(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
     Tables.orders(s, d).write.mode("overwrite")
       .format("parquet").bucketBy(Buckets, "o_orderkey")
       .sortBy("o_orderkey")

@@ -633,7 +633,7 @@ object Corpus {
     cnt.join(broadcast(tot), col("tf") * 32 > col("n"))
       .join(broadcast(sketch))
       .select(col("t").as("token"), col("tf"),
-        array_contains(col("candidates"), col("token")).as("found"))
+        array_contains(col("candidates"), col("t")).as("found"))
       .orderBy(col("tf").desc, col("token"))
   }
 

@@ -22,34 +22,15 @@ object PartitionedScan {
 
   private val Day = "2024-01-15"
 
-  @volatile private var preparedKey: String = ""
+  /** Prepare-once machinery shared with the other layout ops
+    * ([[PreparedTables]]). */
+  private val prepared = new PreparedTables(
+    Seq("events.parquet"), Seq("graft_part_events"), write)
 
-  private def memoKey(s: SparkSession, d: String): String = {
-    val p = java.nio.file.Paths.get(d, "events.parquet")
-    val src =
-      if (java.nio.file.Files.exists(p))
-        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
-      else "absent"
-    s"${s.conf.get("spark.sql.warehouse.dir")}|$d|$src"
-  }
+  def ensurePrepared(s: SparkSession, d: String): Unit =
+    prepared.ensurePrepared(s, d)
 
-  /** Write the date-partitioned copy unless it is already current (same
-    * memo rule as [[BucketedJoin.ensurePrepared]]). */
-  def ensurePrepared(s: SparkSession, d: String): Unit = synchronized {
-    val key = memoKey(s, d)
-    if (preparedKey != key) { prepare(s, d); preparedKey = key }
-  }
-
-  def prepare(s: SparkSession, d: String): Unit = {
-    s.sql("DROP TABLE IF EXISTS graft_part_events")
-    val dir = java.nio.file.Paths.get(
-      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
-      "graft_part_events")
-    if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+  private def write(s: SparkSession, d: String): Unit = {
     Tables.events(s, d)
       .withColumn("event_date", to_date(col("ts")))
       .write.mode("overwrite")

@@ -353,8 +353,13 @@ object TextAnalysis {
     * Determinism: every arithmetic step is IEEE-exact on identical
     * inputs except `ln` (libm last-ulp may differ across engines) and
     * the <=3-term sum (order-dependent in the last ulp); both are
-    * buried by ROUND(.,4), and the rank ORDER uses the ROUNDED score
-    * with a doc_id tiebreak so ordering cannot straddle an ulp. */
+    * buried by a 4-decimal half-up computed as FLOOR(x*1e4 + 0.5)/1e4 —
+    * pure IEEE multiply/add/floor/divide, bit-identical in both engines
+    * on identical inputs, unlike ROUND(double, n), whose shortest-
+    * decimal (Spark) vs binary (DuckDB) semantics diverge on ...5
+    * boundaries (the documented r4frac hazard). The rank ORDER uses the
+    * rounded score with a doc_id tiebreak so ordering cannot straddle
+    * an ulp. */
   val bm25: Q = Q(
     "ext_text_bm25",
     s"""WITH dl AS (
@@ -375,11 +380,11 @@ object TextAnalysis {
        |  GROUP BY t),
        |scored AS (
        |  SELECT tf.doc_id,
-       |    ROUND(SUM(
+       |    FLOOR(SUM(
        |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
        |        * tf * ($Bm25K1 + 1.0)
        |        / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))
-       |    ), 4) AS bm25
+       |    ) * 10000 + 0.5) / 10000.0 AS bm25
        |  FROM tf JOIN df ON tf.t = df.t
        |  JOIN dl ON dl.doc_id = tf.doc_id
        |  CROSS JOIN stats
@@ -407,7 +412,7 @@ object TextAnalysis {
       .join(dl, Seq("doc_id"))
       .join(broadcast(stats))
       .groupBy("doc_id")
-      .agg(round(sum(contrib), 4).as("bm25"))
+      .agg((floor(sum(contrib) * 10000 + 0.5) / 10000.0).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
   }
@@ -418,8 +423,10 @@ object TextAnalysis {
     * score text by LM NLL, drop the tail). Low = typical text; high =
     * rare-token / degenerate documents. A unigram model keeps the score
     * a pure function of the table (no trained weights), so the oracle
-    * replays it bit-for-bit modulo ln's last ulp, buried by ROUND(.,4)
-    * (the [[bm25]] discipline; the per-doc sum runs over DISTINCT terms
+    * replays it bit-for-bit modulo ln's last ulp, buried by the same
+    * FLOOR(x*1e4 + 0.5)/1e4 half-up as [[bm25]] (pure IEEE ops — never
+    * ROUND(double, n), whose engines' semantics diverge on ...5
+    * boundaries; the per-doc sum runs over DISTINCT terms
     * tf-weighted, ~vocabulary-sized, so float-sum order noise stays
     * orders of magnitude below the rounding grain).
     *
@@ -438,8 +445,8 @@ object TextAnalysis {
        |  SELECT t, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY t),
        |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab)
        |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-       |  ROUND(-SUM(tf.tf * ln(vocab.cnt / CAST(total.n AS DOUBLE)))
-       |    / SUM(tf.tf), 4) AS nll
+       |  FLOOR(-SUM(tf.tf * ln(vocab.cnt / CAST(total.n AS DOUBLE)))
+       |    / SUM(tf.tf) * 10000 + 0.5) / 10000.0 AS nll
        |FROM tf JOIN vocab ON vocab.t = tf.t CROSS JOIN total
        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
   ) { (s, d) =>
@@ -453,8 +460,8 @@ object TextAnalysis {
       .join(broadcast(total))
       .groupBy("doc_id")
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
-        round(-sum(col("tf") * log(col("cnt") / col("n").cast("double")))
-          / sum(col("tf")), 4).as("nll"))
+        (floor(-sum(col("tf") * log(col("cnt") / col("n").cast("double")))
+          / sum(col("tf")) * 10000 + 0.5) / 10000.0).as("nll"))
       .orderBy("doc_id")
   }
 

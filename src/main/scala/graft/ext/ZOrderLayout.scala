@@ -48,35 +48,20 @@ object ZOrderLayout {
   private val PartLo = 40L; private val PartHi = 80L
   private val SuppLo = 2L; private val SuppHi = 4L
 
-  @volatile private var preparedKey: String = ""
+  /** Prepare-once machinery shared with the other layout ops
+    * ([[PreparedTables]]). */
+  private val prepared = new PreparedTables(
+    Seq("lineitem.parquet"), Seq("graft_zorder_lineitem"), write)
 
-  private def memoKey(s: SparkSession, d: String): String = {
-    val p = java.nio.file.Paths.get(d, "lineitem.parquet")
-    val src =
-      if (java.nio.file.Files.exists(p))
-        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
-      else "absent"
-    s"${s.conf.get("spark.sql.warehouse.dir")}|$d|$src"
-  }
-
-  def ensurePrepared(s: SparkSession, d: String): Unit = synchronized {
-    val key = memoKey(s, d)
-    if (preparedKey != key) { prepare(s, d); preparedKey = key }
-  }
+  def ensurePrepared(s: SparkSession, d: String): Unit =
+    prepared.ensurePrepared(s, d)
 
   /** Write the z-ordered copy: range-shuffle on the Morton value, sort
     * within partitions, drop the helper column. 32 output slices stand
     * in for the cluster's per-executor writers. */
-  def prepare(s: SparkSession, d: String): Unit = {
-    s.sql("DROP TABLE IF EXISTS graft_zorder_lineitem")
-    val dir = java.nio.file.Paths.get(
-      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
-      "graft_zorder_lineitem")
-    if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+  def prepare(s: SparkSession, d: String): Unit = prepared.prepare(s, d)
+
+  private def write(s: SparkSession, d: String): Unit = {
     Tables.lineitem(s, d)
       .withColumn("zv", zval(col("l_partkey"), col("l_suppkey")))
       .repartitionByRange(32, col("zv"))

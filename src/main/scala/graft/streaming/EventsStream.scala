@@ -26,7 +26,7 @@ object EventsStream {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_hourly_" + UUID.randomUUID().toString.replace("-", "")
     // layout-robust source: single fixture file OR Spark-written dir
-    val stream = StreamSource.table(spark, dir, "events")
+    val stream = StreamSource.table(spark, dir, "events", batch.schema)
     val withTs =
       if (batch.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)
@@ -67,7 +67,7 @@ object EventsStream {
       graft.core.Sessions.withShufflePartitions(spark, 4) {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_topk_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = StreamSource.table(spark, dir, "events")
+    val stream = StreamSource.table(spark, dir, "events", batch.schema)
     val ranked = stream
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"))
@@ -92,7 +92,7 @@ object EventsStream {
   )(topUsers _)
 
   // the static enrichment dim: event_type -> billing weight (same values
-  // as Corpus.skewSaltedAgg's dim, so the two formulations cross-check)
+  // as Corpus.skewSaltedJoin's wt dim, so the two formulations cross-check)
   private val TypeWeights = Seq(("click", 1.0), ("error", 5.0),
     ("purchase", 10.0), ("signup", 2.0), ("view", 0.5))
 
@@ -110,7 +110,7 @@ object EventsStream {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_enrich_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = StreamSource.table(spark, dir, "events")
+    val stream = StreamSource.table(spark, dir, "events", batch.schema)
     val withTs =
       if (batch.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)

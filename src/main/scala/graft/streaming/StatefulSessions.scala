@@ -85,8 +85,8 @@ object StatefulSessions {
     // would extend — the oracle's closed-session rule assumes exactly
     // this. If the fixture ever splits into multiple files, the ingestion
     // contract here must be revisited, hence the hard assert.
-    StreamContracts.requireSingleFile(dir, "events.parquet")
-    val stream = StreamSource.table(spark, dir, "events")
+    StreamContracts.requireSingleBatch(dir, "events.parquet")
+    val stream = StreamSource.table(spark, dir, "events", batch.schema)
     val withTs =
       if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -32,9 +32,9 @@ object StreamDedup {
     // 1-doc/second arrival span, so dedup across the whole corpus is only
     // guaranteed when everything lands in one micro-batch — assert it
     // (same contract as StatefulSessions)
-    StreamContracts.requireSingleFile(dir, "documents.parquet")
+    StreamContracts.requireSingleBatch(dir, "documents.parquet")
     val name = "stream_dedup_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = StreamSource.table(spark, dir, "documents")
+    val stream = StreamSource.table(spark, dir, "documents", batch.schema)
     val keyed = stream
       .select(md5(col("text")).as("fp"),
         // deterministic synthetic arrival time: one doc per second

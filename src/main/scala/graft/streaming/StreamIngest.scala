@@ -55,7 +55,7 @@ object StreamIngest {
       query: String): Long = {
     val before = cat.read("events_ingest").count() // 0 if not created yet
     val batch = spark.read.parquet(s"$dir/events.parquet")
-    val stream = StreamSource.table(spark, dir, "events")
+    val stream = StreamSource.table(spark, dir, "events", batch.schema)
     val withTs =
       if (batch.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)

@@ -27,11 +27,11 @@ object StreamJoin {
     // can evict a click before its purchase arrives — guaranteed when the
     // fixture lands as one micro-batch (same contract as the other
     // streaming oracles; see StreamContracts)
-    StreamContracts.requireSingleFile(dir, "events.parquet")
+    StreamContracts.requireSingleBatch(dir, "events.parquet")
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_join_" + UUID.randomUUID().toString.replace("-", "")
     def side(typ: String, idAs: String, tsAs: String) = {
-      val stream = StreamSource.table(spark, dir, "events")
+      val stream = StreamSource.table(spark, dir, "events", batch.schema)
       val withTs =
         if (batch.schema("ts").dataType ==
             org.apache.spark.sql.types.LongType)

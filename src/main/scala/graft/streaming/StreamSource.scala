@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Streaming read of one fixture table, robust to BOTH on-disk layouts:
   * a single parquet FILE named `<name>.parquet` (the driver fixtures) or
@@ -17,9 +18,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[streaming] object StreamSource {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** `schema` comes from the caller's batch read of the same table (every
+    * streaming op already does one for ts-type detection) — passing it in
+    * avoids a second footer-listing job per op. */
+  def table(spark: SparkSession, dir: String, name: String,
+      schema: StructType): DataFrame = {
     val path = java.nio.file.Paths.get(dir, s"$name.parquet")
-    val schema = spark.read.parquet(path.toString).schema
     if (java.nio.file.Files.isDirectory(path))
       spark.readStream.schema(schema).parquet(path.toString)
     else
