@@ -73,7 +73,8 @@ object Bench {
       "ext_pipeline_cleanse", "ext_skew_salted_agg", "ext_pii_scrub",
       "ext_corpus_mix", "ext_doc_keyterms", "ext_corpus_decontam",
       "ext_skew_salted_join", "ext_vocab_coverage", "ext_corpus_pack",
-      "ext_vocab_heavy_hitters")(n))
+      "ext_vocab_heavy_hitters", "ext_bpe_pair_counts",
+      "ext_sample_per_source")(n))
       "corpus"
     else if (n.startsWith("ext_")) "events"
     else if (n.matches("q\\d+_.*")) "tpch"

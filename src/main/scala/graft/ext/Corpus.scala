@@ -637,8 +637,88 @@ object Corpus {
       .orderBy(col("tf").desc, col("token"))
   }
 
+  /** BPE merge-pair counting — the inner loop of byte-pair-encoding
+    * tokenizer training (Gage, "A New Algorithm for Data Compression",
+    * C Users Journal 1994; Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units", ACL 2016): count adjacent
+    * symbol-pair frequencies corpus-wide and rank the merge candidates.
+    *
+    * The plan uses the compression trick every real BPE trainer uses:
+    * aggregate the token stream to (distinct word, frequency) FIRST —
+    * map-side-combined, output is vocabulary-sized regardless of corpus
+    * size — then explode character pairs over the distinct-word table
+    * only, weighting each pair by the word's frequency. At 100 TB the
+    * pair explode touches ~1e6 vocabulary rows, not ~1e12 token
+    * occurrences; the only corpus-sized shuffle is the initial word
+    * count, and the final agg keys on 2-char pairs (alphabet²-bounded)
+    * feeding a TakeOrdered top-50 — no global sort. */
+  val bpePairCounts: Q = Q(
+    "ext_bpe_pair_counts",
+    s"""WITH u AS (SELECT unnest($toksSql) AS w FROM documents),
+       |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM u GROUP BY w),
+       |pairs AS (
+       |  SELECT unnest(list_transform(range(1, length(w)),
+       |    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, freq
+       |  FROM words),
+       |agg AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM pairs GROUP BY pair)
+       |SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 50""".stripMargin
+  ) { (s, d) =>
+    val words = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      // Spark's sequence(1, 0) counts DOWN instead of returning empty,
+      // so 1-char words (pairless) must be excluded before the explode
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+  }
+
+  /** Deterministic k-per-group sample: the 8 docs per source whose
+    * md5(doc_id) hashes are smallest — a per-group bottom-k sketch
+    * ([[graft.functions.BoundedMinK]]), the "give me k example docs from
+    * every source/domain" audit step of a corpus pipeline. Hash-ordered
+    * selection makes the sample stable across runs, retries, and cluster
+    * sizes (the `ext_sample_stratified` discipline, per-group exact-k
+    * instead of per-row Bernoulli).
+    *
+    * Scale shape: the naive plan is `row_number().over(partitionBy
+    * (source))` — a funnel that sorts each source's entire row set in
+    * one task (sources are few; the round-7 quantile critique). The
+    * bottom-k aggregate replaces it with O(k) state per partition per
+    * group and map-side combine: each partition ships at most k
+    * (hash, id) pairs per source, never the row stream. */
+  val samplePerSource: Q = Q(
+    "ext_sample_per_source",
+    """WITH ranked AS (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, doc_id FROM ranked WHERE rn <= 8
+      |ORDER BY source, doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"),
+        graft.functions.FastMd5.fast_md5(s, col("doc_id").cast("string"))
+          .as("skey"),
+        col("doc_id"))
+      .groupBy("source")
+      .agg(graft.functions.BoundedMinK.bounded_min_k(
+        s, col("skey"), col("doc_id"), 8).as("ids"))
+      .select(col("source"), explode(col("ids")).as("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(dedupClusters, dedupClustersStar, sampleStratified, vocabTopK,
       vocabCoverage, pipelineCleanse, skewSaltedAgg, skewSaltedJoin,
-      corpusMix, corpusPack, docKeyTerms, vocabHeavyHitters)
+      corpusMix, corpusPack, docKeyTerms, vocabHeavyHitters,
+      bpePairCounts, samplePerSource)
 }

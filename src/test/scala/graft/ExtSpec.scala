@@ -686,6 +686,44 @@ class ExtSpec extends SparkSuite {
     assert(gate.nonEmpty && gate.forall(_.getBoolean(2)))
   }
 
+  test("bounded_min_k: exact bottom-k per group under every partitioning, " +
+    "with deterministic tie-break on equal keys") {
+    // 300 rows, 3 groups; a few deliberate key collisions so the
+    // (key, payload) composite tie-break is exercised
+    val rows = (0 until 300).map { i =>
+      val g = s"g${i % 3}"
+      val key = if (i < 6) "collide" else s"k%03d".format((i * 37) % 250)
+      (g, key, i.toLong)
+    }
+    val df = rows.toDF("grp", "skey", "id")
+    // oracle-in-Spark: per group the 8 smallest (skey, id) pairs
+    val exact = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sorted.take(8).map(_._2)
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = df.repartition(parts)
+        .groupBy("grp")
+        .agg(graft.functions.BoundedMinK.bounded_min_k(
+          spark, col("skey"), col("id"), 8).as("ids"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq)
+        .toMap
+      assert(got == exact, s"bottom-k mismatch at $parts partitions")
+    }
+  }
+
+  test("bpe pair counts: frequency-weighted adjacent pairs over distinct " +
+    "words, 1-char words contribute nothing") {
+    // words: abab(x1) -> ab,ba,ab; ab(x2) -> ab; cd(x1) -> cd; x,y 1-char
+    val df = Seq((1L, "abab ab"), (2L, "ab cd"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("graft_test_bpe")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Corpus.bpePairCounts.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("ab", 4L), ("ba", 1L), ("cd", 1L)), out.toSeq)
+  }
+
   test("unigram NLL: rare-token documents score higher than common-token " +
     "documents, and a doc of one repeated corpus-dominant token scores " +
     "the corpus minimum") {
