@@ -64,7 +64,7 @@ object Bench {
     if (n.startsWith("ext_stream")) "stream"
     else if (n.startsWith("ext_mm")) "mm"
     else if (n.startsWith("ext_dedup")) "dedup"
-    else if (n.startsWith("ext_sim") || n == "ext_embed_neardup") "sim"
+    else if (n.startsWith("ext_sim") || n.startsWith("ext_embed")) "sim"
     else if (n == "ext_bucketed_join" || n == "ext_partition_pruned_scan"
       || n == "ext_zorder_scan")
       "layout"
@@ -74,7 +74,7 @@ object Bench {
       "ext_corpus_mix", "ext_doc_keyterms", "ext_corpus_decontam",
       "ext_skew_salted_join", "ext_vocab_coverage", "ext_corpus_pack",
       "ext_vocab_heavy_hitters", "ext_bpe_pair_counts",
-      "ext_sample_per_source")(n))
+      "ext_sample_per_source", "ext_doc_chunk")(n))
       "corpus"
     else if (n.startsWith("ext_")) "events"
     else if (n.matches("q\\d+_.*")) "tpch"

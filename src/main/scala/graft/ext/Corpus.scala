@@ -716,9 +716,54 @@ object Corpus {
       .orderBy("source", "doc_id")
   }
 
+  /** Sliding-window document chunking (64-token windows, stride 48 — the
+    * retrieval-indexing / context-length-split precursor to
+    * `ext_corpus_pack`): every token lands in at least one chunk, chunk
+    * count per doc is ceil((n-64)/48)+1 (floor-of-nonneg arithmetic so
+    * both engines agree without integer-division sign rules), and each
+    * chunk is emitted as (doc_id, chunk_id, token count, content
+    * fingerprint) — the fingerprint stands in for chunk text so the gate
+    * checks content equality without shipping the corpus through the
+    * compare.
+    *
+    * Scale shape: pure scan -> generate -> project, NO shuffle anywhere
+    * but the presentation sort; fan-out is bounded by n/stride per doc.
+    * At 100 TB this is the op you want embarrassingly parallel, and it
+    * is. */
+  val docChunk: Q = Q(
+    "ext_doc_chunk",
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |ch AS (SELECT doc_id, tk,
+       |    unnest(range(0, CAST(floor(GREATEST(len(tk) - 17, 0) / 48.0)
+       |      AS BIGINT) + 1)) AS chunk_id
+       |  FROM t),
+       |s AS (SELECT doc_id, chunk_id,
+       |    tk[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS ck
+       |  FROM ch)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(ck) AS BIGINT) AS n_tok,
+       |  md5(array_to_string(ck, ' ')) AS fp
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+    val nchunks =
+      (floor(greatest(size(col("tk")) - 17, lit(0)) / 48.0) + 1).cast("long")
+    t.select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0L), nchunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("tk"), (col("chunk_id") * 48 + 1).cast("int"), lit(64))
+          .as("ck"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_tok"),
+        graft.functions.FastMd5.fast_md5(s, concat_ws(" ", col("ck")))
+          .as("fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Seq[Q] =
     Seq(dedupClusters, dedupClustersStar, sampleStratified, vocabTopK,
       vocabCoverage, pipelineCleanse, skewSaltedAgg, skewSaltedJoin,
       corpusMix, corpusPack, docKeyTerms, vocabHeavyHitters,
-      bpePairCounts, samplePerSource)
+      bpePairCounts, samplePerSource, docChunk)
 }

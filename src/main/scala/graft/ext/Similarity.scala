@@ -289,7 +289,50 @@ object Similarity {
        |ORDER BY id_a, id_b""".stripMargin
   ) { (s, d) => nearDupPairsAt(s, d, NearDupThreshold) }
 
-  val all: Seq[Q] = Seq(topkBrute, nearDupPairs, annLsh)
+  /** Embedding-sanity outlier filter: the 20 vectors least aligned with
+    * the corpus centroid (SemDeDup/DataComp-style embedding triage —
+    * degenerate or off-distribution vectors rank first). Cosine to the
+    * centroid equals cosine to the component-wise SUM (same direction),
+    * so no division by n ever happens; and the sum is computed over
+    * integer-quantized components (`round(e_i * 1e6)` as BIGINT), making
+    * it EXACT and order-independent — a float sum over rows would differ
+    * between engines and between partitionings (the Determinism rule).
+    *
+    * Scale shape: one map-side-combined 64-key aggregate (shuffle is 64
+    * rows x partitions, whatever the corpus size), the 1-row centroid
+    * broadcast back, scoring inside codegen, TakeOrdered top-20. */
+  val embedOutliers: Q = Q(
+    "ext_embed_outliers",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT i, SUM(CAST(round(e[i] * 1e6) AS BIGINT)) AS s
+       |      FROM v CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY i),
+       |cv AS (SELECT list(CAST(s AS DOUBLE) ORDER BY i) AS c FROM q),
+       |scored AS (
+       |  SELECT vec_id,
+       |    round(${dotSql("e", "c")}
+       |      / (${normSql("e")} * ${normSql("c")}), 6) AS cos_centroid
+       |  FROM v CROSS JOIN cv)
+       |SELECT vec_id, cos_centroid FROM scored
+       |ORDER BY cos_centroid, vec_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val v = vecs(s, d)
+    val cv = v
+      .select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(round(col("x") * 1e6, 0).cast("long")).as("sv"))
+      .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("ps"))
+      .select(transform(col("ps"), p => p.getField("sv").cast("double"))
+        .as("c"))
+    v.crossJoin(broadcast(cv))
+      .select(col("vec_id"),
+        round(vec_dot(s, col("e"), col("c")) /
+          (col("nrm") * sqrt(vec_dot(s, col("c"), col("c")))), 6)
+          .as("cos_centroid"))
+      .orderBy(col("cos_centroid"), col("vec_id"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(topkBrute, nearDupPairs, annLsh, embedOutliers)
 }
 
 /** Fixed random-hyperplane family shared by [[Similarity.annLsh]] and

@@ -724,6 +724,47 @@ class ExtSpec extends SparkSuite {
     assert(out.toSeq == Seq(("ab", 4L), ("ba", 1L), ("cd", 1L)), out.toSeq)
   }
 
+  test("embed outliers: integer-quantized centroid is partition-invariant " +
+    "(bit-identical scores at 1/7/32 partitions)") {
+    val sf = "/root/testdata/sf0.001"
+    val base = Similarity.embedOutliers.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(base.size == 20)
+    // float sums over rows would drift with partitioning; the BIGINT
+    // quantized sum must not
+    for (parts <- Seq(1, 7, 32)) {
+      val v = graft.core.Tables.embeddings(spark, sf).repartition(parts)
+      val dir = tmpDir("graft_test_outl")
+      v.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = Similarity.embedOutliers.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == base, s"outlier scores drifted at $parts partitions")
+    }
+  }
+
+  test("doc chunk: every token is covered, stride-48 starts, last chunk " +
+    "clamped, single chunk for short docs") {
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, mk(100)), (2L, mk(64)), (3L, mk(65)), (4L, mk(10)))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("graft_test_chunk")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Corpus.docChunk.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(c => (c._2, c._3)).toSeq).toMap
+    // 100 tokens -> [1..64], [49..100]: counts 64, 52
+    assert(byDoc(1L) == Seq((0L, 64L), (1L, 52L)), byDoc(1L))
+    // 64 exactly -> one full chunk; 65 -> second chunk holds 17 (49..65)
+    assert(byDoc(2L) == Seq((0L, 64L)))
+    assert(byDoc(3L) == Seq((0L, 64L), (1L, 17L)))
+    assert(byDoc(4L) == Seq((0L, 10L)))
+    // coverage: chunk c spans [c*48+1, c*48+n_tok]; union must reach n
+    for ((doc, n) <- Seq(1L -> 100, 2L -> 64, 3L -> 65, 4L -> 10)) {
+      val end = byDoc(doc).map { case (c, nt) => c * 48 + nt }.max
+      assert(end == n, s"doc $doc covered to $end of $n")
+    }
+  }
+
   test("unigram NLL: rare-token documents score higher than common-token " +
     "documents, and a doc of one repeated corpus-dominant token scores " +
     "the corpus minimum") {
