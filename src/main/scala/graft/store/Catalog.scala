@@ -66,12 +66,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   private val mapper = new ObjectMapper()
 
-  private def readManifest(): Manifest =
-    if (!Files.exists(manifestPath)) Map.empty
-    else {
-      val tree = mapper.readTree(
-        new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8))
-      tree.properties().asScala.map { e =>
+  private def parseManifest(bytes: Array[Byte]): Manifest = {
+    val tree = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+    tree.properties().asScala
+      .filterNot(_.getKey.startsWith("_")) // reserved keys (_version)
+      .map { e =>
         val t = e.getValue
         val files = t.get("files").elements().asScala.map { f =>
           FileEntry(f.get("path").asText(), f.get("min").asLong(),
@@ -79,10 +78,29 @@ final class Catalog(val spark: SparkSession, val root: String) {
         }.toVector
         e.getKey -> TableState(t.get("maxId").asLong(), files)
       }.toMap
+  }
+
+  private def readManifest(): Manifest =
+    if (!Files.exists(manifestPath)) Map.empty
+    else parseManifest(Files.readAllBytes(manifestPath))
+
+  /** Monotonic commit counter (0 = empty store). Every committed
+    * transaction bumps it; the snapshot it produced is readable via
+    * [[readAt]] until vacuum retires it. */
+  def version: Long =
+    if (!Files.exists(manifestPath)) 0L
+    else {
+      val tree = mapper.readTree(new String(
+        Files.readAllBytes(manifestPath), StandardCharsets.UTF_8))
+      Option(tree.get("_version")).map(_.asLong()).getOrElse(0L)
     }
 
+  private val historyDir = rootPath.resolve("_history")
+
   private def writeManifest(m: Manifest): Unit = {
+    val newVersion = version + 1
     val rootNode = mapper.createObjectNode()
+    rootNode.put("_version", newVersion)
     m.toSeq.sortBy(_._1).foreach { case (tbl, st) =>
       val t: ObjectNode = rootNode.putObject(tbl)
       t.put("maxId", st.maxId)
@@ -92,10 +110,43 @@ final class Catalog(val spark: SparkSession, val root: String) {
         fn.put("path", f.path); fn.put("min", f.minId); fn.put("max", f.maxId)
       }
     }
+    val bytes = mapper.writeValueAsBytes(rootNode)
+    // history copy FIRST, then the current-pointer swap: a crash between
+    // the two leaves an orphan history file for a version that never
+    // committed, which the next commit (same number) overwrites — the
+    // reverse order could commit a version whose snapshot is unreadable
+    Files.createDirectories(historyDir)
+    val htmp = historyDir.resolve(s"v$newVersion.json.tmp")
+    Files.write(htmp, bytes)
+    Files.move(htmp, historyDir.resolve(s"v$newVersion.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val tmp = rootPath.resolve("_manifest.tmp")
-    Files.write(tmp, mapper.writeValueAsBytes(rootNode))
+    Files.write(tmp, bytes)
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Time-travel read: the table as of commit `version` (Delta
+    * `VERSION AS OF` analogue). Serving window == the vacuum retention
+    * window: a snapshot older than `retainMillis` may have had its data
+    * files and its history manifest reclaimed, and then this throws —
+    * loudly, never a silently partial table (every referenced file is
+    * existence-checked before the scan). */
+  def readAt(table: String, version: Long): DataFrame = {
+    val hp = historyDir.resolve(s"v$version.json")
+    if (!Files.exists(hp))
+      throw new IllegalArgumentException(
+        s"snapshot v$version of '$root' is not available: never " +
+          "committed, or already vacuumed past the retention window")
+    val files = parseManifest(Files.readAllBytes(hp))
+      .get(table).map(_.files).getOrElse(Vector.empty)
+    val gone = files.filterNot(f => Files.exists(rootPath.resolve(f.path)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot v$version of '$table' references ${gone.size} " +
+          s"vacuumed file(s) (first: ${gone.head.path}); raise the " +
+          "vacuum retention window to keep older snapshots readable")
+    readFiles(table, files)
   }
 
   // ---- reads -------------------------------------------------------------
@@ -362,6 +413,20 @@ final class Catalog(val spark: SparkSession, val root: String) {
           victims.foreach(Files.deleteIfExists(_))
         }
       }
+      // retire history manifests aged past the window (never the current
+      // version): the time-travel horizon IS the vacuum retention window,
+      // so snapshot availability and file availability expire together
+      val cur = version
+      if (Files.exists(historyDir)) {
+        val hs = Files.list(historyDir)
+        try {
+          hs.iterator().asScala
+            .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
+            .filterNot(_.getFileName.toString == s"v$cur.json")
+            .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+            .foreach(Files.delete)
+        } finally hs.close()
+      }
       dead.size
     }
   }
@@ -370,8 +435,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
 object Catalog {
   /** Default reader-snapshot grace for [[Catalog.vacuum]]: 10 minutes —
     * far longer than any single query over a store this size, far shorter
-    * than Delta's 7-day default because there is no time travel to serve,
-    * only in-flight readers. */
+    * than Delta's 7-day default because the time-travel horizon served
+    * here ([[Catalog!.readAt]]) is in-flight-reader + short-audit scale,
+    * not a week of `VERSION AS OF`. Raise it per-store when older
+    * snapshots must stay readable. */
   val DefaultVacuumRetainMillis: Long = 10L * 60 * 1000
 
   /** Per-root in-JVM monitors: POSIX file locks are process-scoped (a

@@ -156,6 +156,44 @@ class StoreSpec extends SparkSuite {
     assert(cat.read("users").count() == 3L)
   }
 
+  test("time travel: readAt serves every committed snapshot until vacuum " +
+    "retires it, then fails loudly instead of returning a partial table") {
+    val cat = freshCat()
+    assert(cat.version == 0L)
+    cat.append("users", user("t1", "t1@x.c")) // v1
+    cat.append("users", user("t2", "t2@x.c")) // v2
+    cat.update("users", col("user_id") === 1L, // v3
+      Map("user_role" -> lit("admin")))
+    assert(cat.version == 3L)
+    // each version is the table as of that commit
+    assert(cat.readAt("users", 1L).count() == 1L)
+    assert(cat.readAt("users", 2L).count() == 2L)
+    val rolesV2 = cat.readAt("users", 2L)
+      .select("user_id", "user_role").as[(Long, String)].collect().toMap
+    assert(rolesV2(1L) == "user", "v2 predates the role update")
+    val rolesV3 = cat.readAt("users", 3L)
+      .select("user_id", "user_role").as[(Long, String)].collect().toMap
+    assert(rolesV3(1L) == "admin")
+    // a never-committed version is a clear error
+    intercept[IllegalArgumentException](cat.readAt("users", 99L))
+    // a multi-table transaction is ONE commit -> one version
+    cat.transaction { tx =>
+      tx.append("users", user("t3", "t3@x.c"))
+      tx.update("users", col("user_id") === 2L,
+        Map("user_role" -> lit("organizer")))
+    }
+    assert(cat.version == 4L)
+    // vacuum(0) retires old snapshots: history pruned OR files gone,
+    // either way readAt must throw, never silently drop rows
+    cat.vacuum("users", retainMillis = 0)
+    val ex = intercept[RuntimeException](cat.readAt("users", 2L).count())
+    assert(ex.isInstanceOf[IllegalArgumentException]
+      || ex.isInstanceOf[IllegalStateException])
+    // the current snapshot is always readable, before and after vacuum
+    assert(cat.readAt("users", cat.version).count() == 3L)
+    assert(cat.read("users").count() == 3L)
+  }
+
   test("streaming ingest lands the fixture exactly once; a replayed " +
     "batch is rejected by the transactional offsets ledger") {
     val cat = freshCat()
