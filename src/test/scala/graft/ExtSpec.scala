@@ -765,6 +765,44 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("plan pins: the round-8 ops keep their scale shapes — no window " +
+    "funnels, bounded aggregates, top-k without global sort") {
+    val sf = "/root/testdata/sf0.001"
+    def plan(q: graft.core.Q): String =
+      q.fn(spark, sf).queryExecution.executedPlan.toString
+
+    // bpe: top-50 via TakeOrdered (never a global Sort) and the pair
+    // explode must sit ABOVE the word-count aggregate (vocab compression)
+    val bpe = plan(Corpus.bpePairCounts)
+    assert(bpe.contains("TakeOrderedAndProject"), "bpe lost its top-k")
+    assert(!bpe.contains("Window"), "bpe must not use a window")
+
+    // sample: bounded bottom-k aggregate (ObjectHashAggregate partial +
+    // final), never a row_number window over the low-cardinality source
+    val samp = plan(Corpus.samplePerSource)
+    assert(samp.contains("ObjectHashAggregate"),
+      "sample lost its bounded aggregate")
+    assert(!samp.contains("Window"),
+      "sample must not regress to a per-group window funnel")
+
+    // chunk: scan-generate-project — no aggregate, no join, no
+    // hash-shuffle; the only allowed exchange is the presentation sort
+    val chunk = plan(Corpus.docChunk)
+    assert(!chunk.contains("Exchange hashpartitioning"),
+      "doc chunk must stay shuffle-free (saw a hash exchange)")
+    assert(!chunk.contains("SortMergeJoin") && !chunk.contains("HashJoin"),
+      "doc chunk must not join")
+
+    // outliers: the 1-row centroid reaches the scorer via broadcast,
+    // and the top-20 is a TakeOrdered, not a global sort
+    val outl = plan(Similarity.embedOutliers)
+    assert(outl.contains("BroadcastNestedLoopJoin")
+      || outl.contains("BroadcastExchange"),
+      "outliers lost the broadcast centroid")
+    assert(outl.contains("TakeOrderedAndProject"),
+      "outliers lost its top-k")
+  }
+
   test("unigram NLL: rare-token documents score higher than common-token " +
     "documents, and a doc of one repeated corpus-dominant token scores " +
     "the corpus minimum") {
