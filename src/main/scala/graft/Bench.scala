@@ -64,7 +64,8 @@ object Bench {
     if (n.startsWith("ext_stream")) "stream"
     else if (n.startsWith("ext_mm")) "mm"
     else if (n.startsWith("ext_dedup")) "dedup"
-    else if (n.startsWith("ext_sim") || n.startsWith("ext_embed")) "sim"
+    else if (n.startsWith("ext_sim") || n.startsWith("ext_embed")
+      || n == "ext_hybrid_retrieval") "sim"
     else if (n == "ext_bucketed_join" || n == "ext_partition_pruned_scan"
       || n == "ext_zorder_scan")
       "layout"

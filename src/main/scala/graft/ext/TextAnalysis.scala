@@ -465,7 +465,100 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, "Reciprocal Rank Fusion outperforms Condorcet and
+    * individual rank learning methods", SIGIR'09 — the standard RAG
+    * two-ranker fuse) of the [[bm25]] lexical top-20 and a cosine
+    * semantic top-20 against probe vector 0. RRF(d) = Σ 1/(60 + rank_d);
+    * with exactly two rankers the sum has at most two addends, so the
+    * double arithmetic is order-independent and the gate hash-matches
+    * without rounding.
+    *
+    * Scale shape: each ranker is independently scale-safe (BM25 =
+    * aggregate-compressed term join + TakeOrdered; cosine = broadcast
+    * probe + TakeOrdered); the fusion joins two CONSTANT-size (≤20 row)
+    * lists — the rank windows run over top-k output, never corpus rows. */
+  val hybridRetrieval: Q = Q(
+    "ext_hybrid_retrieval",
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |  WHERE t IN (${Bm25Terms.mkString("'", "', '", "'")})
+       |  GROUP BY doc_id, t),
+       |df AS (
+       |  SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM tok WHERE t IN (${Bm25Terms.mkString("'", "', '", "'")})
+       |  GROUP BY t),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    FLOOR(SUM(
+       |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |        * tf * ($Bm25K1 + 1.0)
+       |        / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))
+       |    ) * 10000 + 0.5) / 10000.0 AS bm25
+       |  FROM tf JOIN df ON tf.t = df.t
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY tf.doc_id),
+       |lex AS (SELECT doc_id, bm25 FROM scored
+       |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+       |lexr AS (SELECT doc_id,
+       |  ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM lex),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (SELECT e AS pe FROM v WHERE vec_id = 0),
+       |semt AS (SELECT vec_id AS doc_id,
+       |    round(${Similarity.dotSql("e", "pe")}
+       |      / (${Similarity.normSql("e")} * ${Similarity.normSql("pe")}),
+       |      6) AS cos
+       |  FROM v CROSS JOIN p WHERE vec_id <> 0),
+       |sem AS (SELECT doc_id, cos FROM semt
+       |  ORDER BY cos DESC, doc_id LIMIT 20),
+       |semr AS (SELECT doc_id,
+       |  ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r FROM sem),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r), 0)
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.r), 0) AS rrf
+       |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+       |SELECT doc_id, rrf FROM fused
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VecDot.vec_dot
+    val lex = bm25.fn(s, d) // (doc_id, bm25) top-20, already ordered
+    val lexr = lex
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r").as("rl"))
+    val v = Similarity.vecs(s, d)
+    val probe = v.filter(col("vec_id") === 0)
+      .select(col("e").as("pe"), col("nrm").as("pn"))
+    val sem = v.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(vec_dot(s, col("e"), col("pe")) / (col("nrm") * col("pn")), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(20)
+    val semr = sem
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r").as("rs"))
+    lexr.join(semr, Seq("doc_id"), "outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(tokens, quality, langId, fingerprint, repetition, lineDedup, bm25,
-      unigramNll)
+      unigramNll, hybridRetrieval)
 }

@@ -765,6 +765,29 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("hybrid retrieval: RRF ranks docs present in BOTH rankers above " +
+    "any single-ranker doc, and scores are exactly 1/(60+r) sums") {
+    val sf = "/root/testdata/sf0.001"
+    val fused = TextAnalysis.hybridRetrieval.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fused.nonEmpty && fused.size <= 20)
+    // scores must lie in the RRF range: one ranker worst = 1/80,
+    // both rankers best = 2/61
+    assert(fused.forall { case (_, s) =>
+      s >= 1.0 / 80 - 1e-12 && s <= 2.0 / 61 + 1e-12 })
+    // any doc scored above the single-list maximum 1/61 must be a
+    // genuine two-list hit, and vice versa
+    val single = 1.0 / 61
+    val both = fused.filter(_._2 > single + 1e-12).map(_._1).toSet
+    both.foreach { d =>
+      // a two-ranker doc's score decomposes as 1/(60+a) + 1/(60+b)
+      val sVal = fused.find(_._1 == d).get._2
+      val ok = (1 to 20).exists(a => (1 to 20).exists(b =>
+        math.abs(1.0 / (60 + a) + 1.0 / (60 + b) - sVal) < 1e-12))
+      assert(ok, s"doc $d score $sVal is not a valid two-ranker RRF sum")
+    }
+  }
+
   test("plan pins: the round-8 ops keep their scale shapes — no window " +
     "funnels, bounded aggregates, top-k without global sort") {
     val sf = "/root/testdata/sf0.001"
