@@ -13,6 +13,7 @@ object Registry {
       IvfSearch.all ++
       Multimodal.all ++
       BucketedJoin.all ++ PartitionedScan.all ++ ZOrderLayout.all ++
+      BloomJoin.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++
       graft.streaming.StreamDedup.all ++
