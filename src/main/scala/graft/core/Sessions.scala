@@ -38,6 +38,15 @@ object Sessions {
     // fixture `events.ts` is parquet TIMESTAMP(NANOS): read as nanos long,
     // converted to a micros timestamp in Tables.load
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fixture timestamps are timezone-naive parquet micros (the round-8
+    // regen dropped isAdjustedToUTC). Spark 4 infers those as
+    // TIMESTAMP_NTZ by default, which streaming watermarks reject
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and the store's TimestampType
+    // encoders cannot accept (LocalDateTime external type). With the
+    // session pinned to UTC above, reading them as TIMESTAMP yields the
+    // identical wall-clock values DuckDB sees — same engine-parity
+    // behavior as the earlier tz-adjusted fixtures.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // managed-table home for the bucketed-join path (ext.BucketedJoin);
     // keep it out of the repo working tree
     .config("spark.sql.warehouse.dir",
