@@ -12,6 +12,7 @@ object Registry {
       Corpus.all ++ Decontam.all ++ Redact.all ++ Similarity.all ++
       IvfSearch.all ++
       Multimodal.all ++
+      Profiling.all ++ InvertedIndex.all ++
       BucketedJoin.all ++ PartitionedScan.all ++ ZOrderLayout.all ++
       BloomJoin.all ++
       graft.streaming.EventsStream.all ++
