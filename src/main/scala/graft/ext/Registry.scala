@@ -18,5 +18,6 @@ object Registry {
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++
       graft.streaming.StreamDedup.all ++
-      graft.streaming.StreamJoin.all
+      graft.streaming.StreamJoin.all ++
+      graft.streaming.StreamFunnel.all
 }

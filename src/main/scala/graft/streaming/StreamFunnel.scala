@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Q
+
+/** [EXT] streaming CEP-style pattern detection: the strict sequence
+  * view -> click -> purchase where EACH step follows the previous within
+  * 6 hours (one constant; production tunes it per pattern), detected
+  * per user with `flatMapGroupsWithState` — the
+  * "complex event processing" shape (match-recognize / Flink CEP) that
+  * windowed aggregation cannot express, because the predicate couples
+  * each event to the per-user pattern position, not to a fixed window.
+  *
+  * == State bound (the 100 TB contract) ==
+  *
+  * Per user the state is three longs + a flag — NOT an event buffer. The
+  * sorted-order scan keeps only the latest view time and the latest
+  * VALID click time, which is sufficient: a click is pattern-valid iff
+  * the latest earlier view is within the bound (the latest view minimizes
+  * the gap), and likewise for purchases over valid clicks. Pending
+  * patterns time out one step-bound past their last progress (no later event
+  * can extend them: the watermark is already past every timestamp that
+  * could), and completed users hold a 24 h tombstone so the
+  * one-emission-per-user contract holds across that horizon — bounded
+  * state either way, enforced by event-time timeout, never by growth.
+  *
+  * == Determinism / oracle ==
+  *
+  * The emitted row per user is the EARLIEST pattern-completing purchase
+  * time, which is batch-expressible: the oracle joins the three steps
+  * with the same strict-< and step bounds and takes MIN(purchase.ts).
+  * The fixture replays as one micro-batch ([[StreamContracts]]), so no
+  * intermediate watermark can drop a late step the oracle would count.
+  */
+object StreamFunnel {
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String) {
+    def tsUs: Long = {
+      val i = ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+  }
+  /** viewUs/clickUs = latest (valid) step times, 0 = not reached;
+    * lastUs = last processed event time (timeout anchor). */
+  case class FunnelState(viewUs: Long, clickUs: Long, lastUs: Long,
+      done: Boolean)
+  case class Hit(user_id: Long, t_funnel_us: Long)
+
+  private val StepUs = 21600L * 1000000L
+  private val TombstoneUs = 24L * 3600L * 1000000L
+
+  private def step(userId: Long, evs: Iterator[Ev],
+      state: GroupState[FunnelState]): Iterator[Hit] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L, done = false))
+    var hits = List.empty[Hit]
+    evs.toSeq.sortBy(_.tsUs).foreach { e =>
+      st = st.copy(lastUs = math.max(st.lastUs, e.tsUs))
+      if (!st.done) e.event_type match {
+        case "view" =>
+          // sorted order: this is the latest view so far
+          st = st.copy(viewUs = e.tsUs)
+        case "click" if st.viewUs > 0 && e.tsUs > st.viewUs
+            && e.tsUs - st.viewUs <= StepUs =>
+          st = st.copy(clickUs = e.tsUs)
+        case "purchase" if st.clickUs > 0 && e.tsUs > st.clickUs
+            && e.tsUs - st.clickUs <= StepUs =>
+          hits ::= Hit(userId, e.tsUs)
+          st = st.copy(done = true)
+        case _ => ()
+      }
+    }
+    state.update(st)
+    state.setTimeoutTimestamp(
+      (st.lastUs + (if (st.done) TombstoneUs else StepUs)) / 1000L + 1L)
+    hits.reverseIterator
+  }
+
+  /** Run the pattern matcher to completion over the fixture stream. */
+  def run(spark: SparkSession, dir: String): DataFrame =
+      graft.core.Sessions.withShufflePartitions(spark, 8) {
+    import spark.implicits._
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val name = "funnel_" + UUID.randomUUID().toString.replace("-", "")
+    StreamContracts.requireSingleBatch(dir, "events.parquet")
+    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    val withTs =
+      if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else stream
+    implicit val evEnc = Encoders.product[Ev]
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[Hit]
+    // only the three pattern types reach the state store (filter pushes
+    // into the scan; everything else never shuffles)
+    val hits = withTs
+      .withWatermark("ts", "0 seconds")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(step)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("user_id"),
+        timestamp_micros(col("t_funnel_us")).as("t_funnel"))
+      .orderBy("user_id")
+  }
+
+  val streamFunnel: Q = Q(
+    "ext_stream_funnel",
+    """SELECT p.user_id, MIN(p.ts) AS t_funnel
+      |FROM events p
+      |JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+      |  AND c.ts < p.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000
+      |JOIN events v ON v.user_id = c.user_id AND v.event_type = 'view'
+      |  AND v.ts < c.ts AND epoch_us(c.ts) - epoch_us(v.ts) <= 21600000000
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+  ) { (s, d) => run(s, d) }
+
+  val all: Seq[Q] = Seq(streamFunnel)
+}
