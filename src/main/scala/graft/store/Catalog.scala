@@ -313,6 +313,74 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val newFiles = stageFiles(table, updated, idCol)
       staged :+= Staged(table, TableState(prev.maxId, carried ++ newFiles))
     }
+
+    /** MERGE (keyed upsert): each source row either rewrites the target
+      * rows sharing its `keyCol` value (surrogate id preserved, every
+      * non-key column taken from the source — including NULLs, which is
+      * why the matched branch tests a presence marker, not
+      * `coalesce`) or, when no target row has the key, appends with a
+      * fresh dense id. Returns (matched target rows, inserted rows).
+      *
+      * File pruning is by CONTENT, not id range: one distributed
+      * semi-join of the live table against the broadcast source keys
+      * collects the set of files that actually hold a matched key
+      * (`input_file_name`), and only those are rewritten — every other
+      * file survives by reference. At 100 TB the source batch is the
+      * small side (a CDC tick), the key semi-join is map-side against
+      * the broadcast keys, and the rewrite cost is proportional to the
+      * TOUCHED file set; pairing the table with a key-clustered layout
+      * (bucketing / z-order on the key) is what keeps that set small.
+      *
+      * Duplicate keys in the source are rejected (ambiguous merge — the
+      * same precondition Delta/Iceberg MERGE enforces). NULL source keys
+      * never match and insert as new rows. Runs inside the transaction:
+      * rewrite + append swap into the manifest atomically with the rest
+      * of the tx. */
+    def merge(table: String, source: DataFrame,
+        keyCol: String): (Long, Long) = {
+      val (schema, idCol) = Schemas.registry(table)
+      require(keyCol != idCol,
+        s"merge key must be a natural key, not the surrogate id $idCol")
+      val srcCols = schema.fieldNames.filterNot(_ == idCol).toSeq
+      val src = source.select(srcCols.map(col): _*)
+      require(src.groupBy(keyCol).count().filter(col("count") > 1).isEmpty,
+        s"ambiguous merge: source has duplicate '$keyCol' values")
+      val prev = curState(table)
+      val keys = src.select(keyCol)
+      val (nUpd, inserted) =
+        if (prev.files.isEmpty) (0L, src)
+        else {
+          val live = readFiles(table, prev.files)
+          val hitAbs = live.withColumn("__file", input_file_name())
+            .join(broadcast(keys), Seq(keyCol), "left_semi")
+            .select("__file").distinct().collect()
+            .map(_.getString(0).stripPrefix("file://"))
+          val rootAbs = Paths.get(root).toAbsolutePath.normalize
+          val hitRel = hitAbs.map(p => rootAbs.relativize(
+            Paths.get(p).toAbsolutePath.normalize).toString).toSet
+          val (hit, carried) = prev.files.partition(f => hitRel(f.path))
+          if (hit.nonEmpty) {
+            val marked = src.withColumn("__m", lit(true))
+            val applied = readFiles(table, hit).alias("t")
+              .join(broadcast(marked).alias("s"), Seq(keyCol), "left")
+              .select(schema.fieldNames.toIndexedSeq.map { f =>
+                if (f == idCol) col(s"t.$f").as(f)
+                else if (f == keyCol) col(keyCol)
+                else when(col("__m"), col(s"s.$f"))
+                  .otherwise(col(s"t.$f")).as(f)
+              }: _*)
+            val rewritten = stageFiles(table, applied, idCol)
+            staged :+= Staged(table,
+              TableState(prev.maxId, carried ++ rewritten))
+          }
+          val matched = live
+            .join(broadcast(keys), Seq(keyCol), "left_semi").count()
+          (matched, src.join(live.select(keyCol), Seq(keyCol), "left_anti"))
+        }
+      val nIns = inserted.count()
+      if (nIns > 0) append(table, inserted, orderBy = Seq(keyCol))
+      (nUpd, nIns)
+    }
   }
 
   /** Run `body` against a transaction; all staged writes become visible
@@ -347,6 +415,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def update(table: String, predicate: Column,
       assignments: Map[String, Column]): Unit =
     transaction(_.update(table, predicate, assignments))
+
+  def merge(table: String, source: DataFrame, keyCol: String): (Long, Long) =
+    transaction(_.merge(table, source, keyCol))
 
   def compact(table: String, numFiles: Int = 1): Unit =
     transaction(_.compact(table, numFiles))

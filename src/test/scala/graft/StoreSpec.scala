@@ -284,4 +284,61 @@ class StoreSpec extends SparkSuite {
     assert(roles(3L) == "admin" && roles(1L) == "user" &&
       roles(2L) == "user" && roles(4L) == "user")
   }
+
+  test("merge upserts by natural key: matched rows keep their surrogate " +
+    "id and take EVERY source column (nulls included); unmatched rows " +
+    "append with fresh dense ids") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c").unionAll(user("b", "b@x.c")))
+    val src = Seq(
+      ("a2", null.asInstanceOf[String], "0", "a@x.c", "h2", "admin",
+        new java.sql.Timestamp(0L)),
+      ("c", "L", "0", "c@x.c", "h", "user", new java.sql.Timestamp(0L)))
+      .toDF("first_name", "last_name", "phone", "email", "password_hash",
+        "user_role", "created_at")
+    val (nUpd, nIns) = cat.merge("users", src, "email")
+    assert((nUpd, nIns) == ((1L, 1L)), s"got ($nUpd, $nIns)")
+    val rows = cat.read("users")
+      .select("user_id", "email", "first_name", "last_name", "user_role")
+      .as[(Long, String, String, Option[String], String)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(rows("a@x.c") == ((1L, "a@x.c", "a2", None, "admin")),
+      s"matched row must keep id 1 and take source values: ${rows("a@x.c")}")
+    assert(rows("b@x.c")._1 == 2L && rows("b@x.c")._3 == "b",
+      "unmatched target row must be untouched")
+    assert(rows("c@x.c")._1 == 3L, "inserted row must get the next id")
+  }
+
+  test("merge rewrites ONLY files containing matched keys — untouched " +
+    "file groups survive by reference") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c")) // file group 1
+    cat.append("users", user("b", "b@x.c")) // file group 2
+    val before = cat.liveFiles("users").map(_._1).toSet
+    cat.merge("users", user("a2", "a@x.c"), "email")
+    val after = cat.liveFiles("users").map(_._1).toSet
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty,
+      s"the b-file must survive by reference:\nbefore=$before\nafter=$after")
+    val bFiles = after -- before
+    assert(bFiles.nonEmpty, "the a-file must have been rewritten")
+  }
+
+  test("merge rejects duplicate source keys (ambiguous merge), and a " +
+    "merge inside a failed transaction leaves the table unchanged") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c"))
+    intercept[IllegalArgumentException] {
+      cat.merge("users",
+        user("x", "a@x.c").unionAll(user("y", "a@x.c")), "email")
+    }
+    intercept[RuntimeException] {
+      cat.transaction { tx =>
+        tx.merge("users", user("a2", "a@x.c"), "email")
+        throw new RuntimeException("boom")
+      }
+    }
+    val a = cat.read("users").select("first_name").as[String].collect()
+    assert(a.toSeq == Seq("a"), "failed tx must not leak the merge")
+  }
 }
