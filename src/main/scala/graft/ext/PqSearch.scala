@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Q
+import graft.core.Eager.EagerCheckpoint
+
+/** [EXT] product-quantized ANN (PQ/ADC — Jegou/Douze/Schmid, "Product
+  * quantization for nearest neighbor search", TPAMI 2011, §II-III): the
+  * memory-scale path of the similarity family. The 64-dim embedding is
+  * split into M=8 subspaces of 8 dims; each subspace has its own
+  * Ks=16-codeword codebook; a vector is stored as 8 codes (4 bits each —
+  * 4 bytes against 256 bytes of float32, a 64x compression). Query-time
+  * scoring is ASYMMETRIC distance computation: the probe builds an
+  * M x Ks table of exact subspace dot products once, and every
+  * candidate's approximate cosine is M table lookups summed — the
+  * candidate's float vector is never read.
+  *
+  * == Plan shape / 100 TB ==
+  *
+  * Encoding is ingest-time work: one broadcast join of the corpus
+  * subvectors against the M x Ks codebook and a min_by per (vector,
+  * subspace) — the shuffle carries (vec_id, m, code), never floats.
+  * At query time the ADC table (M x Ks = 128 tiny rows) broadcasts; the
+  * per-candidate sum is a map-side partial aggregate over 8 narrow rows
+  * per candidate. On a real cluster the codes column lives NEXT to the
+  * corpus row (4 bytes), the table lookup is partition-local, and the
+  * only wide state is the top-k per probe. [[IvfSearch]] composes in
+  * front as the candidate generator (IVF-PQ); here the full corpus is
+  * scored so the gate pins the quantizer's own quality.
+  *
+  * == Determinism / oracle ==
+  *
+  * Codebooks are the deterministic seed set (codeword j of subspace m =
+  * subvector m of vec_id j) — the same oracle-parity tradeoff as
+  * [[IvfSearch]]'s gate op, and every float reduction (unit-normalize,
+  * sub-L2, sub-dot, the M-term ADC sum) is a strictly SEQUENTIAL fold in
+  * both engines, so assignments, scores, and ranks hash-match. A trained
+  * codebook (per-subspace Lloyd's, the [[IvfSearch.trainedCentroids]]
+  * shape run M times) slots in without changing the query plan; the spec
+  * pins planted-duplicate retrieval, which holds under either codebook.
+  */
+object PqSearch {
+
+  private val M = 8
+  private val SubD = 8
+  private val Ks = 16
+  private val NProbes = 5
+  private val TopK = 10
+
+  /** Strictly sequential fold of `f` over the zip of two SubD-dim
+    * subvectors (bit-identical to the DuckDB list_reduce mirror). */
+  private def zfold(a: Column, b: Column,
+      f: (Column, Column) => Column): Column =
+    aggregate(zip_with(a, b, f), lit(0.0), (acc, x) => acc + x)
+
+  private def l2(a: Column, b: Column): Column =
+    zfold(a, b, (x, y) => (x - y) * (x - y))
+
+  private def dot(a: Column, b: Column): Column =
+    zfold(a, b, (x, y) => x * y)
+
+  /** (vec_id, m, sv): unit-normalized subvectors, m in 0..M-1. Unit
+    * normalization first makes the ADC sum approximate COSINE directly. */
+  private def subvecs(s: SparkSession, d: String): DataFrame =
+    Similarity.vecs(s, d)
+      .select(col("vec_id"),
+        transform(col("e"), x => x / col("nrm")).as("ue"))
+      .select(col("vec_id"), col("ue"),
+        explode(sequence(lit(0), lit(M - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("ue"), col("m") * SubD + 1, lit(SubD)).as("sv"))
+
+  /** DuckDB mirrors of the sequential folds over SubD elements. */
+  private def foldSql(expr: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(
+       |      generate_series(1, $SubD), i -> $expr)),
+       |      (acc, x) -> acc + x)""".stripMargin
+  private def l2Sql(a: String, b: String): String =
+    foldSql(s"($a[i] - $b[i]) * ($a[i] - $b[i])")
+  private def dotSql(a: String, b: String): String =
+    foldSql(s"$a[i] * $b[i]")
+
+  val pq: Q = Q(
+    "ext_sim_pq",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |u AS (SELECT vec_id, list_transform(e, x ->
+       |    x / ${Similarity.normSql("e")}) AS ue FROM v),
+       |sub AS (SELECT vec_id, m, ue[$SubD*m+1 : $SubD*m+$SubD] AS sv
+       |  FROM u CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1}))
+       |    AS m) ms),
+       |cb AS (SELECT m, vec_id AS code, sv AS cw FROM sub
+       |  WHERE vec_id < $Ks),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2Sql("s.sv", "c.cw")}, c.code) AS r
+       |    FROM sub s JOIN cb c ON c.m = s.m) q WHERE r = 1),
+       |tab AS (SELECT p.vec_id AS probe_id, c.m, c.code,
+       |    ${dotSql("p.sv", "c.cw")} AS part
+       |  FROM sub p JOIN cb c ON c.m = p.m WHERE p.vec_id < $NProbes),
+       |scored AS (SELECT t.probe_id, e.vec_id AS neighbor_id,
+       |    ROUND(list_reduce(list_prepend(0.0, list(t.part ORDER BY e.m)),
+       |      (acc, x) -> acc + x), 6) AS adc
+       |  FROM enc e JOIN tab t ON t.m = e.m AND t.code = e.code
+       |  WHERE e.vec_id <> t.probe_id
+       |  GROUP BY t.probe_id, e.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored)
+       |SELECT probe_id, neighbor_id, rank, adc FROM ranked
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+  ) { (s, d) => searchAt(s, d) }
+
+  /** The PQ/ADC pipeline (exposed for the planted-duplicate spec). */
+  def searchAt(s: SparkSession, d: String): DataFrame = {
+    val subs = subvecs(s, d).eagerCheckpoint()
+    val cb = subs.filter(col("vec_id") < Ks)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cw"))
+    // ingest-time encoding: narrow (vec_id, m, code) rows only
+    val enc = subs.join(broadcast(cb), Seq("m"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("code"),
+        struct(l2(col("sv"), col("cw")), col("code"))).as("code"))
+    // query-time ADC table: M x Ks exact subspace dots per probe
+    val tab = subs.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("m"), col("sv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("probe_id"), col("m"), col("code"),
+        dot(col("sv"), col("cw")).as("part"))
+    enc.join(broadcast(tab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("m"), col("part")))),
+          st => st("part")),
+        lit(0.0), (acc, x) => acc + x), 6).as("adc"))
+      .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("probe_id", "neighbor_id", "rank", "adc")
+      .orderBy("probe_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(pq)
+}
