@@ -56,7 +56,7 @@ object Bench {
     "ext_pii_scrub", "ext_stream_sessions", "ext_stream_dedup",
     "ext_stream_join", "ext_bucketed_join",
     "ext_sim_semdedup", "ext_text_bm25", "ext_zorder_scan",
-    "ext_stream_enrich")
+    "ext_stream_enrich", "ext_sim_pq", "ext_stream_funnel")
 
   /** Family key for JVM isolation — one child JVM per distinct value, in
     * first-appearance registry order. */
@@ -75,7 +75,8 @@ object Bench {
       "ext_corpus_mix", "ext_doc_keyterms", "ext_corpus_decontam",
       "ext_skew_salted_join", "ext_vocab_coverage", "ext_corpus_pack",
       "ext_vocab_heavy_hitters", "ext_bpe_pair_counts",
-      "ext_sample_per_source", "ext_doc_chunk")(n))
+      "ext_sample_per_source", "ext_doc_chunk",
+      "ext_profile_table", "ext_split_assign")(n))
       "corpus"
     else if (n.startsWith("ext_")) "events"
     else if (n.matches("q\\d+_.*")) "tpch"

@@ -149,6 +149,59 @@ final class Catalog(val spark: SparkSession, val root: String) {
     readFiles(table, files)
   }
 
+  /** Row-level changefeed between two committed snapshots (Delta CDF /
+    * Iceberg changelog analogue): every row inserted and deleted between
+    * `fromVersion` and `toVersion`, tagged `_change_type` =
+    * 'insert' | 'delete' (an update is one delete + one insert, its old
+    * and new images). `fromVersion = 0` is the empty-store baseline, so
+    * `changesBetween(0, v)` replays the full table as inserts.
+    *
+    * Cost is proportional to the CHANGE, not the table: COW never
+    * rewrites a file in place, so a path common to both manifests is
+    * byte-identical and skipped — only files added or removed between
+    * the versions are read. Rows copied forward by a COW rewrite (the
+    * untouched residents of a rewritten file) appear on both sides and
+    * cancel in the `exceptAll` (multiset difference — duplicate rows and
+    * NULLs compare exactly). At 100 TB a CDC tick touches a handful of
+    * files; the one shuffle is the full-row-keyed exceptAll over just
+    * those files' rows. Serving window == vacuum retention, same as
+    * [[readAt]] — a reclaimed changed file fails loudly, never a
+    * silently partial feed. */
+  def changesBetween(table: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
+    def filesAt(v: Long): Vector[FileEntry] =
+      if (v == 0L) Vector.empty
+      else {
+        val hp = historyDir.resolve(s"v$v.json")
+        if (!Files.exists(hp))
+          throw new IllegalArgumentException(
+            s"snapshot v$v of '$root' is not available: never " +
+              "committed, or already vacuumed past the retention window")
+        parseManifest(Files.readAllBytes(hp))
+          .get(table).map(_.files).getOrElse(Vector.empty)
+      }
+    val from = filesAt(fromVersion)
+    val to = filesAt(toVersion)
+    val fromPaths = from.map(_.path).toSet
+    val toPaths = to.map(_.path).toSet
+    val removed = from.filterNot(f => toPaths(f.path))
+    val added = to.filterNot(f => fromPaths(f.path))
+    val gone = (removed ++ added)
+      .filterNot(f => Files.exists(rootPath.resolve(f.path)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"changefeed v$fromVersion..v$toVersion of '$table' references " +
+          s"${gone.size} vacuumed file(s) (first: ${gone.head.path}); " +
+          "raise the vacuum retention window to keep older feeds readable")
+    val oldRows = readFiles(table, removed)
+    val newRows = readFiles(table, added)
+    newRows.exceptAll(oldRows).withColumn("_change_type", lit("insert"))
+      .unionAll(
+        oldRows.exceptAll(newRows).withColumn("_change_type", lit("delete")))
+  }
+
   // ---- reads -------------------------------------------------------------
 
   private def readFiles(table: String, files: Seq[FileEntry]): DataFrame = {

@@ -341,4 +341,33 @@ class StoreSpec extends SparkSuite {
     val a = cat.read("users").select("first_name").as[String].collect()
     assert(a.toSeq == Seq("a"), "failed tx must not leak the merge")
   }
+
+  test("changefeed: inserts/deletes between versions reflect appends, " +
+    "updates (old+new image) and merges; COW-copied rows cancel out; " +
+    "v0 baseline replays the table as inserts") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c").unionAll(user("b", "b@x.c")))
+    val v1 = cat.version
+    cat.update("users", col("email") === "a@x.c",
+      Map("user_role" -> lit("admin")))
+    val v2 = cat.version
+    cat.merge("users", user("c", "c@x.c"), "email")
+    val v3 = cat.version
+    def feed(from: Long, to: Long): Set[(String, String, String)] =
+      cat.changesBetween("users", from, to)
+        .select("email", "user_role", "_change_type")
+        .as[(String, String, String)].collect().toSet
+    // the update rewrote a+b's file; b's copied row must cancel
+    assert(feed(v1, v2) == Set(("a@x.c", "admin", "insert"),
+      ("a@x.c", "user", "delete")), s"got ${feed(v1, v2)}")
+    assert(feed(v2, v3) == Set(("c@x.c", "user", "insert")))
+    // composition across versions: net change only
+    assert(feed(v1, v3) == Set(("a@x.c", "admin", "insert"),
+      ("a@x.c", "user", "delete"), ("c@x.c", "user", "insert")))
+    // empty-store baseline replays everything as inserts
+    assert(feed(0L, v1) == Set(("a@x.c", "user", "insert"),
+      ("b@x.c", "user", "insert")))
+    // identical versions -> empty feed
+    assert(feed(v2, v2).isEmpty)
+  }
 }
