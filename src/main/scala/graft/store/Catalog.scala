@@ -367,6 +367,33 @@ final class Catalog(val spark: SparkSession, val root: String) {
       staged :+= Staged(table, TableState(prev.maxId, carried ++ newFiles))
     }
 
+    /** Hard DELETE (the COW counterpart of the reference's soft-delete
+      * UPDATE): files whose id range cannot contain a predicate-pinned id
+      * survive by reference; matching files are rewritten WITHOUT the
+      * matching rows, and a rewrite left empty contributes no file.
+      * Returns the number of rows deleted. Deletes are observable in
+      * [[Catalog.changesBetween]] as 'delete' rows with no paired
+      * insert. */
+    def delete(table: String, predicate: Column): Long = {
+      val (_, idCol) = Schemas.registry(table)
+      val prev = curState(table)
+      if (prev.files.isEmpty) return 0L
+      val (hit, carried) = pinnedId(table, predicate) match {
+        case Some(id) =>
+          prev.files.partition(f => f.minId <= id && id <= f.maxId)
+        case None => (prev.files, Vector.empty[FileEntry])
+      }
+      if (hit.isEmpty) return 0L
+      val cur = readFiles(table, hit)
+      val keep = cur.filter(!coalesce(predicate, lit(false)))
+      val nDeleted = cur.count() - keep.count()
+      if (nDeleted == 0L) return 0L
+      val newFiles =
+        if (keep.isEmpty) Vector.empty else stageFiles(table, keep, idCol)
+      staged :+= Staged(table, TableState(prev.maxId, carried ++ newFiles))
+      nDeleted
+    }
+
     /** MERGE (keyed upsert): each source row either rewrites the target
       * rows sharing its `keyCol` value (surrogate id preserved, every
       * non-key column taken from the source — including NULLs, which is
@@ -471,6 +498,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   def merge(table: String, source: DataFrame, keyCol: String): (Long, Long) =
     transaction(_.merge(table, source, keyCol))
+
+  def delete(table: String, predicate: Column): Long =
+    transaction(_.delete(table, predicate))
 
   def compact(table: String, numFiles: Int = 1): Unit =
     transaction(_.compact(table, numFiles))

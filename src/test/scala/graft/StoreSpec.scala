@@ -370,4 +370,31 @@ class StoreSpec extends SparkSuite {
     // identical versions -> empty feed
     assert(feed(v2, v2).isEmpty)
   }
+
+  test("delete removes only matching rows, prunes by pinned id, drops " +
+    "empty rewrites, and surfaces as changefeed deletes") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c")) // file 1: id 1
+    cat.append("users", user("b", "b@x.c").unionAll(user("c", "c@x.c")))
+    val before = cat.liveFiles("users").map(_._1).toSet
+    val v1 = cat.version
+    // pinned-id delete: only file 1 (ids 1..1) is touched; the rewrite
+    // is empty, so the table drops to file 2 only
+    assert(cat.delete("users", col("user_id") === 1L) == 1L)
+    val after = cat.liveFiles("users").map(_._1).toSet
+    assert(after.subsetOf(before) && after.size == 1,
+      s"empty rewrite must drop the file: before=$before after=$after")
+    assert(cat.read("users").count() == 2)
+    // no-match delete is a no-op (id outside every file range)
+    assert(cat.delete("users", col("user_id") === 99L) == 0L)
+    assert(cat.version == v1 + 1, "a no-op delete must not commit")
+    // unpinned predicate: full scan path still deletes correctly
+    assert(cat.delete("users", col("email") === "c@x.c") == 1L)
+    assert(cat.read("users").select("email").as[String].collect().toSeq
+      == Seq("b@x.c"))
+    val changes = cat.changesBetween("users", v1, cat.version)
+      .select("email", "_change_type").as[(String, String)].collect().toSet
+    assert(changes == Set(("a@x.c", "delete"), ("c@x.c", "delete")),
+      s"deletes must surface in the changefeed: $changes")
+  }
 }
