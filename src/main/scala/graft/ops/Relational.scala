@@ -427,6 +427,34 @@ object Relational {
       .orderBy("rf", "ls")
   }
 
+  /** [EXT] arbitrary GROUPING SETS — the non-lattice set list neither
+    * ROLLUP nor CUBE expresses (two independent 1-D slices + grand
+    * total, NOT their cross product). Same physical shape as
+    * rollup/cube: ONE Expand (3 replicas per row, one per set) before a
+    * single shuffled hash aggregate with map-side combine — the
+    * "compute every report slice in one pass" primitive. */
+  val aGroupingSets: Q = Q(
+    "q_a_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |COALESCE(l_linestatus, 'ALL') AS ls,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+      |COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+  }
+
   /** [EXT] exact COUNT(DISTINCT) — the exact side of the distinct family
     * (approx variant lives in ext.Cardinality). */
   val countDistinctExact: Q = Q(
@@ -509,6 +537,7 @@ object Relational {
     j2FactDim, j3LatestPerGroup, j4DedupLatest, j5GroupedStats,
     a1CountFilter, a2SumCoalesceEmpty, a3MaxPerGroup, a4CustomerStats,
     o1Sort, o2Top1, o4NewestKey, setOps, jSemi, jAnti, aRollup, aCube,
+    aGroupingSets,
     countDistinctExact, f6DateFormat, f7TimeOfDay, f8Compose, f9Last4,
     f10Currency)
 }
