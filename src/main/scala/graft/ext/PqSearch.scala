@@ -113,11 +113,58 @@ object PqSearch {
        |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
   ) { (s, d) => searchAt(s, d) }
 
+  /** Seed codebook: codeword j of subspace m = subvector m of vec_id j
+    * (the oracle-parity quantizer). */
+  private def seedCodebook(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < Ks)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cw"))
+
+  /** Offline-trained codebooks: per-subspace Lloyd's k-means run as
+    * DataFrame aggregates across ALL M subspaces at once — each round is
+    * one broadcast assignment join and one per-(m, code, dim) mean, so
+    * the corpus is scanned `iters` times total, not `iters * M` times.
+    * Init is the seed codebook; a codeword that loses all members keeps
+    * its previous value (Ks never shrinks); fixed iteration count, no
+    * RNG. The training analogue of [[IvfSearch.trainedCentroids]], one
+    * level down the quantization hierarchy. Query plan is unchanged —
+    * only the broadcast codebook rows differ (the spec pins trained
+    * recall >= seed recall on the fixture). */
+  def trainedCodebook(s: SparkSession, subs: DataFrame,
+      iters: Int = 3): DataFrame = {
+    var cb = seedCodebook(subs).eagerCheckpoint()
+    for (_ <- 1 to iters) {
+      val assign = subs.join(broadcast(cb), Seq("m"))
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("code"),
+          struct(l2(col("sv"), col("cw")), col("code"))).as("code"))
+      val means = subs.join(assign, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "code", "pos").agg(avg(col("x")).as("mx"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("mx")))), st => st("mx")).as("mw"))
+      cb = cb.join(means, Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("mw"), col("cw")).as("cw"))
+        .eagerCheckpoint()
+    }
+    cb
+  }
+
   /** The PQ/ADC pipeline (exposed for the planted-duplicate spec). */
   def searchAt(s: SparkSession, d: String): DataFrame = {
     val subs = subvecs(s, d).eagerCheckpoint()
-    val cb = subs.filter(col("vec_id") < Ks)
-      .select(col("m"), col("vec_id").as("code"), col("sv").as("cw"))
+    searchWith(s, subs, seedCodebook(subs))
+  }
+
+  /** PQ search with trained codebooks (the index you'd ship). */
+  def searchTrained(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val subs = subvecs(s, d).eagerCheckpoint()
+    searchWith(s, subs, trainedCodebook(s, subs, iters))
+  }
+
+  private def searchWith(s: SparkSession, subs: DataFrame,
+      cb: DataFrame): DataFrame = {
     // ingest-time encoding: narrow (vec_id, m, code) rows only
     val enc = subs.join(broadcast(cb), Seq("m"))
       .groupBy("vec_id", "m")

