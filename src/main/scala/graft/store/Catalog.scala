@@ -385,11 +385,18 @@ final class Catalog(val spark: SparkSession, val root: String) {
       }
       if (hit.isEmpty) return 0L
       val cur = readFiles(table, hit)
-      val keep = cur.filter(!coalesce(predicate, lit(false)))
-      val nDeleted = cur.count() - keep.count()
+      // one aggregate pass yields both counts (total and matching); the
+      // only other read of the hit files is the rewrite itself
+      val counts = cur.agg(
+        count(lit(1)).as("n"),
+        count(when(coalesce(predicate, lit(false)), 1)).as("nDel"))
+        .collect()(0)
+      val nDeleted = counts.getLong(1)
       if (nDeleted == 0L) return 0L
       val newFiles =
-        if (keep.isEmpty) Vector.empty else stageFiles(table, keep, idCol)
+        if (counts.getLong(0) == nDeleted) Vector.empty
+        else stageFiles(table,
+          cur.filter(!coalesce(predicate, lit(false))), idCol)
       staged :+= Staged(table, TableState(prev.maxId, carried ++ newFiles))
       nDeleted
     }
@@ -423,7 +430,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
         s"merge key must be a natural key, not the surrogate id $idCol")
       val srcCols = schema.fieldNames.filterNot(_ == idCol).toSeq
       val src = source.select(srcCols.map(col): _*)
-      require(src.groupBy(keyCol).count().filter(col("count") > 1).isEmpty,
+      // NULL keys are exempt from the duplicate check: they can never
+      // match the same target row (NULL matches nothing), so several of
+      // them are not ambiguous — they all insert as new rows
+      require(src.filter(col(keyCol).isNotNull)
+        .groupBy(keyCol).count().filter(col("count") > 1).isEmpty,
         s"ambiguous merge: source has duplicate '$keyCol' values")
       val prev = curState(table)
       val keys = src.select(keyCol)
@@ -453,9 +464,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
             staged :+= Staged(table,
               TableState(prev.maxId, carried ++ rewritten))
           }
-          val matched = live
+          // a matched key's file is by construction a hit file, so the
+          // matched count and the inserted anti-join read ONLY the hit
+          // files — never the carried remainder of a large table
+          val hitRows = readFiles(table, hit)
+          val matched = hitRows
             .join(broadcast(keys), Seq(keyCol), "left_semi").count()
-          (matched, src.join(live.select(keyCol), Seq(keyCol), "left_anti"))
+          (matched,
+            src.join(hitRows.select(keyCol), Seq(keyCol), "left_anti"))
         }
       val nIns = inserted.count()
       if (nIns > 0) append(table, inserted, orderBy = Seq(keyCol))

@@ -45,10 +45,15 @@ object StreamFunnel {
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     }
   }
-  /** viewUs/clickUs = latest (valid) step times, 0 = not reached;
-    * lastUs = last processed event time (timeout anchor). */
-  case class FunnelState(viewUs: Long, clickUs: Long, lastUs: Long,
-      done: Boolean)
+  /** viewUs/clickUs = latest (valid) step times; prevViewUs/prevClickUs
+    * = latest STRICTLY-EARLIER ones (0 = not reached). The prev slots
+    * exist for equal-timestamp ties: the oracle's strict `<` means an
+    * event tying the latest step time must anchor on the latest
+    * strictly-earlier occurrence instead — without it the outcome would
+    * depend on tie order inside the sort and diverge from the batch
+    * oracle. lastUs = last processed event time (timeout anchor). */
+  case class FunnelState(viewUs: Long, prevViewUs: Long, clickUs: Long,
+      prevClickUs: Long, lastUs: Long, done: Boolean)
   case class Hit(user_id: Long, t_funnel_us: Long)
 
   private val StepUs = 21600L * 1000000L
@@ -57,21 +62,33 @@ object StreamFunnel {
   private def step(userId: Long, evs: Iterator[Ev],
       state: GroupState[FunnelState]): Iterator[Hit] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L, done = false))
+    var st = state.getOption
+      .getOrElse(FunnelState(0L, 0L, 0L, 0L, 0L, done = false))
     var hits = List.empty[Hit]
+    // anchor = the latest prior-step time STRICTLY before e (the gap
+    // minimizer): the latest one when it is earlier than e, else the
+    // latest strictly-earlier one (equal-timestamp tie). If the anchor
+    // fails the step bound, every earlier occurrence fails it harder.
+    def anchor(latest: Long, prev: Long, ts: Long): Long =
+      if (latest > 0 && ts > latest) latest else prev
     evs.toSeq.sortBy(_.tsUs).foreach { e =>
       st = st.copy(lastUs = math.max(st.lastUs, e.tsUs))
       if (!st.done) e.event_type match {
         case "view" =>
-          // sorted order: this is the latest view so far
-          st = st.copy(viewUs = e.tsUs)
-        case "click" if st.viewUs > 0 && e.tsUs > st.viewUs
-            && e.tsUs - st.viewUs <= StepUs =>
-          st = st.copy(clickUs = e.tsUs)
-        case "purchase" if st.clickUs > 0 && e.tsUs > st.clickUs
-            && e.tsUs - st.clickUs <= StepUs =>
-          hits ::= Hit(userId, e.tsUs)
-          st = st.copy(done = true)
+          // sorted order: a strictly-later view rotates latest -> prev;
+          // an equal-timestamp duplicate changes nothing
+          if (e.tsUs > st.viewUs)
+            st = st.copy(prevViewUs = st.viewUs, viewUs = e.tsUs)
+        case "click" =>
+          val a = anchor(st.viewUs, st.prevViewUs, e.tsUs)
+          if (a > 0 && e.tsUs - a <= StepUs && e.tsUs > st.clickUs)
+            st = st.copy(prevClickUs = st.clickUs, clickUs = e.tsUs)
+        case "purchase" =>
+          val a = anchor(st.clickUs, st.prevClickUs, e.tsUs)
+          if (a > 0 && e.tsUs - a <= StepUs) {
+            hits ::= Hit(userId, e.tsUs)
+            st = st.copy(done = true)
+          }
         case _ => ()
       }
     }
@@ -118,12 +135,12 @@ object StreamFunnel {
 
   val streamFunnel: Q = Q(
     "ext_stream_funnel",
-    """SELECT p.user_id, MIN(p.ts) AS t_funnel
+    s"""SELECT p.user_id, MIN(p.ts) AS t_funnel
       |FROM events p
       |JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
-      |  AND c.ts < p.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000
+      |  AND c.ts < p.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= $StepUs
       |JOIN events v ON v.user_id = c.user_id AND v.event_type = 'view'
-      |  AND v.ts < c.ts AND epoch_us(c.ts) - epoch_us(v.ts) <= 21600000000
+      |  AND v.ts < c.ts AND epoch_us(c.ts) - epoch_us(v.ts) <= $StepUs
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
   ) { (s, d) => run(s, d) }

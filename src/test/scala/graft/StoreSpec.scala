@@ -340,6 +340,12 @@ class StoreSpec extends SparkSuite {
     }
     val a = cat.read("users").select("first_name").as[String].collect()
     assert(a.toSeq == Seq("a"), "failed tx must not leak the merge")
+    // several NULL-key rows are NOT ambiguous: NULL matches no target
+    // row, so they all insert as new rows
+    val (nU, nI) = cat.merge("users",
+      user("n1", null).unionAll(user("n2", null)), "email")
+    assert((nU, nI) == ((0L, 2L)), s"null-key merge must insert: ($nU, $nI)")
+    assert(cat.read("users").count() == 3)
   }
 
   test("changefeed: inserts/deletes between versions reflect appends, " +

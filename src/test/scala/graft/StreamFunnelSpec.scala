@@ -41,12 +41,30 @@ class StreamFunnelSpec extends SparkSuite {
       (14L, ts(0), 6L, "view", 1.0, "{}"),
       (15L, ts(300), 6L, "view", 1.0, "{}"),
       (16L, ts(600), 6L, "click", 1.0, "{}"),
-      (17L, ts(660), 6L, "purchase", 1.0, "{}")
+      (17L, ts(660), 6L, "purchase", 1.0, "{}"),
+      // user 7: a view TIES the click at +600min (strict < excludes it),
+      // but the strictly-earlier view at +300min anchors the click
+      // -> hit at +660min regardless of tie order in the sort
+      (18L, ts(300), 7L, "view", 1.0, "{}"),
+      (19L, ts(600), 7L, "view", 1.0, "{}"),
+      (20L, ts(600), 7L, "click", 1.0, "{}"),
+      (21L, ts(660), 7L, "purchase", 1.0, "{}"),
+      // user 8: the purchase TIES the latest valid click (+600min);
+      // the strictly-earlier valid click (+300min) anchors it
+      (22L, ts(0), 8L, "view", 1.0, "{}"),
+      (23L, ts(300), 8L, "click", 1.0, "{}"),
+      (24L, ts(600), 8L, "click", 1.0, "{}"),
+      (25L, ts(600), 8L, "purchase", 1.0, "{}"),
+      // user 9: view and click tie with NO earlier view -> no hit
+      (26L, ts(600), 9L, "view", 1.0, "{}"),
+      (27L, ts(600), 9L, "click", 1.0, "{}"),
+      (28L, ts(660), 9L, "purchase", 1.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = StreamFunnel.run(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
-    assert(out == Map(1L -> ts(20), 5L -> ts(120), 6L -> ts(660)),
+    assert(out == Map(1L -> ts(20), 5L -> ts(120), 6L -> ts(660),
+      7L -> ts(660), 8L -> ts(600)),
       s"funnel hits wrong: $out")
   }
 }
