@@ -40,7 +40,7 @@ object IvfSearch {
   private val NProbe = 4
   private val TopK = 10
 
-  private def cents(v: DataFrame): DataFrame =
+  private[ext] def cents(v: DataFrame): DataFrame =
     v.filter(col("vec_id") < K)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"),
         col("nrm").as("cnrm"))
@@ -50,7 +50,7 @@ object IvfSearch {
     * max_by per vector — the shuffle carries (vec_id, cell) only, never
     * the embedding payload. Ties on equal cosine break toward the lower
     * centroid id in BOTH engines. */
-  private def assigned(s: SparkSession, v: DataFrame,
+  private[ext] def assigned(s: SparkSession, v: DataFrame,
       c: DataFrame): DataFrame =
     v.crossJoin(broadcast(c))
       .select(col("vec_id"), col("cent_id"),
@@ -62,7 +62,7 @@ object IvfSearch {
 
   /** A probe's NProbe closest cells (by cosine to the centroid, ties to
     * the lower centroid id). */
-  private def probeCells(s: SparkSession, v: DataFrame,
+  private[ext] def probeCells(s: SparkSession, v: DataFrame,
       c: DataFrame): DataFrame = {
     val probes = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"),

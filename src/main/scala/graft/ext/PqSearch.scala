@@ -65,7 +65,10 @@ object PqSearch {
   /** (vec_id, m, sv): unit-normalized subvectors, m in 0..M-1. Unit
     * normalization first makes the ADC sum approximate COSINE directly. */
   private def subvecs(s: SparkSession, d: String): DataFrame =
-    Similarity.vecs(s, d)
+    subvecsOf(Similarity.vecs(s, d))
+
+  private def subvecsOf(v: DataFrame): DataFrame =
+    v
       .select(col("vec_id"),
         transform(col("e"), x => x / col("nrm")).as("ue"))
       .select(col("vec_id"), col("ue"),
@@ -112,6 +115,48 @@ object PqSearch {
        |SELECT probe_id, neighbor_id, rank, adc FROM ranked
        |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
   ) { (s, d) => searchAt(s, d) }
+
+  /** IVF-PQ: the production composition — [[IvfSearch]]'s coarse
+    * quantizer generates each probe's candidate set (NProbe closest
+    * cells), and ADC scores ONLY those candidates from their stored
+    * codes. Per-query cost is O(corpus * NProbe / K) table lookups with
+    * no float vector reads at all: the two index structures the paper
+    * composes (IVF prunes candidates, PQ compresses residents). Exposed
+    * for the planted-duplicate spec; the gate ops pin each stage
+    * separately (`ext_sim_ivf`, `ext_sim_pq`), so the composition needs
+    * no third oracle replay of both pipelines. */
+  def searchIvfPq(s: SparkSession, d: String): DataFrame = {
+    val v = Similarity.vecs(s, d).eagerCheckpoint()
+    val cand = IvfSearch.probeCells(s, v, IvfSearch.cents(v))
+      .join(IvfSearch.assigned(s, v, IvfSearch.cents(v))
+        .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id")
+    val subs = subvecsOf(v).eagerCheckpoint()
+    val cb = seedCodebook(subs)
+    val enc = subs.join(broadcast(cb), Seq("m"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("code"),
+        struct(l2(col("sv"), col("cw")), col("code"))).as("code"))
+    val tab = subs.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("m"), col("sv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("probe_id"), col("m"), col("code"),
+        dot(col("sv"), col("cw")).as("part"))
+    cand
+      .join(enc.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(tab), Seq("probe_id", "m", "code"))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("m"), col("part")))),
+          st => st("part")),
+        lit(0.0), (acc, x) => acc + x), 6).as("adc"))
+      .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("probe_id", "neighbor_id", "rank", "adc")
+      .orderBy("probe_id", "rank")
+  }
 
   /** Seed codebook: codeword j of subspace m = subvector m of vec_id j
     * (the oracle-parity quantizer). */

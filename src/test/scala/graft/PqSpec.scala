@@ -56,6 +56,30 @@ class PqSpec extends SparkSuite {
     assert(mean >= 0.25, s"recall floor: $recalls")
   }
 
+  test("ivf-pq composition: the planted near-copy survives the coarse " +
+    "candidate pruning (same cell) and ADC still ranks it top-1") {
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 60L).map(i => (i, vec(), 0))
+    val planted = (0L until 5L).map { i =>
+      (60L + i,
+        base(i.toInt)._2.map(x => x + 0.001f * rnd.nextGaussian().toFloat),
+        0)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_test_ivfpq").toString
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top1 = PqSearch.searchIvfPq(spark, dir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { i =>
+      assert(top1(i) == 60L + i,
+        s"planted duplicate ${60 + i} must survive IVF pruning and be " +
+          s"probe $i's ADC top-1; got ${top1.get(i)}")
+    }
+  }
+
   test("pq: trained codebooks (per-subspace Lloyd's) reach at least the " +
     "seed quantizer's recall@10, and training preserves the planted-" +
     "duplicate contract") {
