@@ -18,11 +18,13 @@ import graft.core.Q
   *
   * == State bound (the 100 TB contract) ==
   *
-  * Per user the state is three longs + a flag — NOT an event buffer. The
-  * sorted-order scan keeps only the latest view time and the latest
-  * VALID click time, which is sufficient: a click is pattern-valid iff
-  * the latest earlier view is within the bound (the latest view minimizes
-  * the gap), and likewise for purchases over valid clicks. Pending
+  * Per user the state is five longs + a flag — NOT an event buffer. The
+  * sorted-order scan keeps the latest view time and the latest VALID
+  * click time plus each one's latest strictly-earlier occurrence (the
+  * tie anchors), which is sufficient: a click is pattern-valid iff the
+  * latest STRICTLY earlier view is within the bound (that view
+  * minimizes the gap), and likewise for purchases over valid clicks.
+  * Pending
   * patterns time out one step-bound past their last progress (no later event
   * can extend them: the watermark is already past every timestamp that
   * could), and completed users hold a 24 h tombstone so the
