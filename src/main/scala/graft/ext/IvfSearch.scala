@@ -170,13 +170,24 @@ object IvfSearch {
     searchWith(s, v, trainedCentroids(s, v, iters))
   }
 
-  private def searchWith(s: SparkSession, v: DataFrame,
-      c: DataFrame): DataFrame = {
-    val cand = probeCells(s, v, c)
+  /** Each probe's candidate set under quantizer `c`: the residents of
+    * its NProbe closest cells, self excluded — the coarse-pruning stage
+    * shared by IVF exact scoring and the IVF-PQ composition. */
+  private[ext] def candidates(s: SparkSession, v: DataFrame,
+      c: DataFrame): DataFrame =
+    probeCells(s, v, c)
       .join(assigned(s, v, c).select(col("vec_id").as("neighbor_id"),
         col("cell")), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select("probe_id", "neighbor_id")
+
+  /** Candidates under the seed quantizer. */
+  private[ext] def candidates(s: SparkSession, v: DataFrame): DataFrame =
+    candidates(s, v, cents(v))
+
+  private def searchWith(s: SparkSession, v: DataFrame,
+      c: DataFrame): DataFrame = {
+    val cand = candidates(s, v, c)
     val probeVecs = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"),
         col("nrm").as("pnrm"))

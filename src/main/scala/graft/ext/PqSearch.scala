@@ -39,8 +39,10 @@ import graft.core.Eager.EagerCheckpoint
   * sub-L2, sub-dot, the M-term ADC sum) is a strictly SEQUENTIAL fold in
   * both engines, so assignments, scores, and ranks hash-match. A trained
   * codebook (per-subspace Lloyd's, the [[IvfSearch.trainedCentroids]]
-  * shape run M times) slots in without changing the query plan; the spec
-  * pins planted-duplicate retrieval, which holds under either codebook.
+  * shape run M times) slots in without changing the query plan; the
+  * spec pins planted-duplicate retrieval under either codebook and that
+  * training does not collapse recall (a small tolerance absorbs
+  * double-mean nondeterminism near ranking ties).
   */
 object PqSearch {
 
@@ -121,41 +123,18 @@ object PqSearch {
     * cells), and ADC scores ONLY those candidates from their stored
     * codes. Per-query cost is O(corpus * NProbe / K) table lookups with
     * no float vector reads at all: the two index structures the paper
-    * composes (IVF prunes candidates, PQ compresses residents). Exposed
+    * composes (IVF prunes candidates, PQ compresses residents). One
+    * shared [[searchWith]] pipeline serves both paths (the composition
+    * passes the IVF candidate set; the gate op scores the full corpus),
+    * so a scoring or tie-break fix cannot diverge between them. Exposed
     * for the planted-duplicate spec; the gate ops pin each stage
     * separately (`ext_sim_ivf`, `ext_sim_pq`), so the composition needs
     * no third oracle replay of both pipelines. */
   def searchIvfPq(s: SparkSession, d: String): DataFrame = {
     val v = Similarity.vecs(s, d).eagerCheckpoint()
-    val cand = IvfSearch.probeCells(s, v, IvfSearch.cents(v))
-      .join(IvfSearch.assigned(s, v, IvfSearch.cents(v))
-        .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .select("probe_id", "neighbor_id")
     val subs = subvecsOf(v).eagerCheckpoint()
-    val cb = seedCodebook(subs)
-    val enc = subs.join(broadcast(cb), Seq("m"))
-      .groupBy("vec_id", "m")
-      .agg(min_by(col("code"),
-        struct(l2(col("sv"), col("cw")), col("code"))).as("code"))
-    val tab = subs.filter(col("vec_id") < NProbes)
-      .select(col("vec_id").as("probe_id"), col("m"), col("sv"))
-      .join(broadcast(cb), Seq("m"))
-      .select(col("probe_id"), col("m"), col("code"),
-        dot(col("sv"), col("cw")).as("part"))
-    cand
-      .join(enc.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
-      .join(broadcast(tab), Seq("probe_id", "m", "code"))
-      .groupBy("probe_id", "neighbor_id")
-      .agg(round(aggregate(
-        transform(array_sort(collect_list(struct(col("m"), col("part")))),
-          st => st("part")),
-        lit(0.0), (acc, x) => acc + x), 6).as("adc"))
-      .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
-        .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select("probe_id", "neighbor_id", "rank", "adc")
-      .orderBy("probe_id", "rank")
+    searchWith(s, subs, seedCodebook(subs),
+      candidates = Some(IvfSearch.candidates(s, v)))
   }
 
   /** Seed codebook: codeword j of subspace m = subvector m of vec_id j
@@ -172,8 +151,8 @@ object PqSearch {
     * its previous value (Ks never shrinks); fixed iteration count, no
     * RNG. The training analogue of [[IvfSearch.trainedCentroids]], one
     * level down the quantization hierarchy. Query plan is unchanged —
-    * only the broadcast codebook rows differ (the spec pins trained
-    * recall >= seed recall on the fixture). */
+    * only the broadcast codebook rows differ (the spec pins that
+    * training does not collapse recall vs the seed quantizer). */
   def trainedCodebook(s: SparkSession, subs: DataFrame,
       iters: Int = 3): DataFrame = {
     var cb = seedCodebook(subs).eagerCheckpoint()
@@ -208,8 +187,12 @@ object PqSearch {
     searchWith(s, subs, trainedCodebook(s, subs, iters))
   }
 
+  /** Shared ADC pipeline; `candidates` restricts scoring to an
+    * externally-pruned (probe_id, neighbor_id) set (the IVF-PQ
+    * composition) — None scores the full corpus. */
   private def searchWith(s: SparkSession, subs: DataFrame,
-      cb: DataFrame): DataFrame = {
+      cb: DataFrame,
+      candidates: Option[DataFrame] = None): DataFrame = {
     // ingest-time encoding: narrow (vec_id, m, code) rows only
     val enc = subs.join(broadcast(cb), Seq("m"))
       .groupBy("vec_id", "m")
@@ -221,9 +204,19 @@ object PqSearch {
       .join(broadcast(cb), Seq("m"))
       .select(col("probe_id"), col("m"), col("code"),
         dot(col("sv"), col("cw")).as("part"))
-    enc.join(broadcast(tab), Seq("m", "code"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+    val pairs = candidates match {
+      case Some(cand) => cand
+        .join(enc.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"))
+        .join(broadcast(tab), Seq("probe_id", "m", "code"))
+        .select(col("probe_id"), col("neighbor_id"), col("m"), col("part"))
+      case None => enc.join(broadcast(tab), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("m"), col("part"))
+    }
+    pairs
+      .groupBy(col("probe_id"), col("neighbor_id"))
       .agg(round(aggregate(
         transform(array_sort(collect_list(struct(col("m"), col("part")))),
           st => st("part")),

@@ -474,7 +474,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
             src.join(hitRows.select(keyCol), Seq(keyCol), "left_anti"))
         }
       val nIns = inserted.count()
-      if (nIns > 0) append(table, inserted, orderBy = Seq(keyCol))
+      // order by ALL source columns, not just the key: several NULL-key
+      // rows are legal in one merge (they all insert), and the key alone
+      // would leave their id assignment partition-order-dependent
+      if (nIns > 0)
+        append(table, inserted, orderBy = keyCol +: srcCols.filterNot(_ == keyCol))
       (nUpd, nIns)
     }
   }

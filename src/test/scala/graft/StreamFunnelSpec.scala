@@ -49,9 +49,11 @@ class StreamFunnelSpec extends SparkSuite {
       (19L, ts(600), 7L, "view", 1.0, "{}"),
       (20L, ts(600), 7L, "click", 1.0, "{}"),
       (21L, ts(660), 7L, "purchase", 1.0, "{}"),
-      // user 8: the purchase TIES the latest valid click (+600min);
-      // the strictly-earlier valid click (+300min) anchors it
+      // user 8: the purchase TIES the latest valid click (+600min, valid
+      // via view@+300); the prevClickUs rotation must keep the
+      // strictly-earlier valid click (+300min) as the purchase's anchor
       (22L, ts(0), 8L, "view", 1.0, "{}"),
+      (29L, ts(300), 8L, "view", 1.0, "{}"),
       (23L, ts(300), 8L, "click", 1.0, "{}"),
       (24L, ts(600), 8L, "click", 1.0, "{}"),
       (25L, ts(600), 8L, "purchase", 1.0, "{}"),
