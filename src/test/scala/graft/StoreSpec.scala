@@ -112,6 +112,36 @@ class StoreSpec extends SparkSuite {
       "every committed append must survive both catalogs")
   }
 
+  test("two catalogs on one root: concurrent MERGEs serialize losslessly " +
+    "(each sees the prior commit; no lost update, ids stay dense)") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cats = Seq(new Catalog(spark, root), new Catalog(spark, root))
+    cats.head.append("users", user("a", "a@x.c").unionAll(user("b", "b@x.c")))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val jobs: Seq[() => Unit] = Seq(
+      () => { cats(0).merge("users",
+        Seq(("a2", "L", "0", "a@x.c", "h", "admin",
+          new java.sql.Timestamp(0L)))
+          .toDF("first_name", "last_name", "phone", "email",
+            "password_hash", "user_role", "created_at"), "email"); () },
+      () => { cats(1).merge("users", user("c", "c@x.c"), "email"); () },
+      () => { cats(0).merge("users", user("d", "d@x.c"), "email"); () })
+    val threads = jobs.map(j => new Thread(() => {
+      try j() catch { case e: Throwable => errs.add(e) }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"merge failed: ${Option(errs.peek())}")
+    val rows = cats.head.read("users")
+      .select("email", "user_id", "user_role")
+      .as[(String, Long, String)].collect().sortBy(_._2)
+    assert(rows.length == 4, s"lost a merge: ${rows.toSeq}")
+    assert(rows.map(_._2).sameElements(Array(1L, 2L, 3L, 4L)),
+      s"ids must stay dense across serialized merges: ${rows.toSeq}")
+    val byEmail = rows.map(r => r._1 -> r._3).toMap
+    assert(byEmail("a@x.c") == "admin", "the keyed update must survive")
+    assert(byEmail.keySet == Set("a@x.c", "b@x.c", "c@x.c", "d@x.c"))
+  }
+
   test("compact merges file groups into disjoint id ranges; vacuum " +
     "removes only dead files and keeps every visible row") {
     val cat = freshCat()
