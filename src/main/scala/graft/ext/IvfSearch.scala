@@ -36,8 +36,8 @@ import graft.functions.VecDot.vec_dot
   */
 object IvfSearch {
 
-  private val K = 32
-  private val NProbe = 4
+  private[ext] val K = 32
+  private[ext] val NProbe = 4
   private val TopK = 10
 
   private[ext] def cents(v: DataFrame): DataFrame =

@@ -126,16 +126,80 @@ object PqSearch {
     * composes (IVF prunes candidates, PQ compresses residents). One
     * shared [[searchWith]] pipeline serves both paths (the composition
     * passes the IVF candidate set; the gate op scores the full corpus),
-    * so a scoring or tie-break fix cannot diverge between them. Exposed
-    * for the planted-duplicate spec; the gate ops pin each stage
-    * separately (`ext_sim_ivf`, `ext_sim_pq`), so the composition needs
-    * no third oracle replay of both pipelines. */
+    * so a scoring or tie-break fix cannot diverge between them. This IS
+    * the plan a 100 TB vector index runs, so it carries its own gate row
+    * (`ext_sim_ivfpq`) whose oracle replays BOTH stages — coarse cell
+    * assignment → NProbe candidate pruning → ADC table → top-k — not
+    * just each stage in isolation. */
   def searchIvfPq(s: SparkSession, d: String): DataFrame = {
     val v = Similarity.vecs(s, d).eagerCheckpoint()
     val subs = subvecsOf(v).eagerCheckpoint()
     searchWith(s, subs, seedCodebook(subs),
       candidates = Some(IvfSearch.candidates(s, v)))
   }
+
+  /** Gate row for the COMPOSED index ([[searchIvfPq]]) — the at-scale
+    * query plan. The oracle replays the full two-stage pipeline: the IVF
+    * stage (cell assignment + NProbe probe cells + candidate set, the
+    * `ext_sim_ivf` CTEs verbatim) feeds the PQ stage (encode + ADC table
+    * + per-candidate sum, the `ext_sim_pq` CTEs restricted to the
+    * candidate pairs). Every float reduction stays a sequential fold in
+    * both engines, so the composition hash-matches end to end. */
+  val ivfpq: Q = Q(
+    "ext_sim_ivfpq",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, e AS ce FROM v
+       |  WHERE vec_id < ${IvfSearch.K}),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${Similarity.dotSql("v.e", "c.ce")}
+       |          / (${Similarity.normSql("v.e")} * ${Similarity.normSql("c.ce")})
+       |          DESC, c.cent_id) AS arank
+       |    FROM v CROSS JOIN cents c) s
+       |  WHERE arank = 1),
+       |pcells AS (
+       |  SELECT probe_id, cent_id AS cell FROM (
+       |    SELECT p.vec_id AS probe_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        ${Similarity.dotSql("p.e", "c.ce")}
+       |          / (${Similarity.normSql("p.e")} * ${Similarity.normSql("c.ce")})
+       |          DESC, c.cent_id) AS crank
+       |    FROM v p CROSS JOIN cents c WHERE p.vec_id < $NProbes) r
+       |  WHERE crank <= ${IvfSearch.NProbe}),
+       |cand AS (
+       |  SELECT pc.probe_id, a.vec_id AS neighbor_id
+       |  FROM pcells pc JOIN assigned a ON a.cell = pc.cell
+       |  WHERE a.vec_id <> pc.probe_id),
+       |u AS (SELECT vec_id, list_transform(e, x ->
+       |    x / ${Similarity.normSql("e")}) AS ue FROM v),
+       |sub AS (SELECT vec_id, m, ue[$SubD*m+1 : $SubD*m+$SubD] AS sv
+       |  FROM u CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1}))
+       |    AS m) ms),
+       |cb AS (SELECT m, vec_id AS code, sv AS cw FROM sub
+       |  WHERE vec_id < $Ks),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2Sql("s.sv", "c.cw")}, c.code) AS r
+       |    FROM sub s JOIN cb c ON c.m = s.m) q WHERE r = 1),
+       |tab AS (SELECT p.vec_id AS probe_id, c.m, c.code,
+       |    ${dotSql("p.sv", "c.cw")} AS part
+       |  FROM sub p JOIN cb c ON c.m = p.m WHERE p.vec_id < $NProbes),
+       |scored AS (SELECT cd.probe_id, cd.neighbor_id,
+       |    ROUND(list_reduce(list_prepend(0.0, list(t.part ORDER BY e.m)),
+       |      (acc, x) -> acc + x), 6) AS adc
+       |  FROM cand cd
+       |  JOIN enc e ON e.vec_id = cd.neighbor_id
+       |  JOIN tab t ON t.probe_id = cd.probe_id
+       |    AND t.m = e.m AND t.code = e.code
+       |  GROUP BY cd.probe_id, cd.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored)
+       |SELECT probe_id, neighbor_id, rank, adc FROM ranked
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+  ) { (s, d) => searchIvfPq(s, d) }
 
   /** Seed codebook: codeword j of subspace m = subvector m of vec_id j
     * (the oracle-parity quantizer). */
@@ -228,5 +292,5 @@ object PqSearch {
       .orderBy("probe_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(pq)
+  val all: Seq[Q] = Seq(pq, ivfpq)
 }
