@@ -419,40 +419,107 @@ class ExtSpec extends SparkSuite {
 
   // ---- multimodal ----
 
-  test("decode-features is deterministic, partition-invariant, and the " +
-    "byte stats agree with a direct recomputation") {
+  test("bmp codec round-trip: generated container decodes to the " +
+    "generator's dims and cycled-pixel stats; corrupt blobs fail loudly") {
+    val text = "graft multimodal codec check éü".getBytes("UTF-8")
+    val blob = Multimodal.bmpBytes(text)
+    // independently re-read the header fields the generator wrote
+    assert(blob(0) == 'B'.toByte && blob(1) == 'M'.toByte)
+    val f = Multimodal.decodeBmp(7L, blob)
+    val tsum = text.map(_ & 0xff).map(_.toLong).sum
+    val (ew, eh) = Multimodal.bmpDims(tsum, text.length)
+    assert(f.width == ew && f.height == eh && f.bpp == 24)
+    assert(f.n_bytes == blob.length.toLong)
+    assert(f.pix_bytes == ew.toLong * 3 * eh)
+    val pix = (0 until (ew * 3 * eh)).map(i => text(i % text.length) & 0xff)
+    assert(f.pix_sum == pix.map(_.toLong).sum)
+    assert(f.pix_min == pix.min && f.pix_max == pix.max)
+    assert(f.pix_distinct == pix.distinct.length.toLong)
+    assert(f.pix_printable == pix.count(x => x >= 32 && x <= 126).toLong)
+    // malformed containers must not decode silently
+    val badMagic = blob.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(7L, badMagic))
+    val truncated = blob.dropRight(3)
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(7L, truncated))
+  }
+
+  test("decode-features parses real BMP headers: deterministic, " +
+    "partition-invariant, and dims/stats match the generator spec") {
     val a = Multimodal.decodeFeatures.fn(spark, sf).collect()
     val b = Multimodal.decodeFeatures.fn(spark, sf).repartition(7)
       .orderBy("doc_id").collect()
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
-    // byte stats: re-derive from the raw text for a sample of docs
+    // parsed dims and pixel stats: re-derive from the raw text for a
+    // sample of docs (the generator spec the oracle also replays)
     val text = graft.core.Tables.documents(spark, sf)
       .select("doc_id", "text").limit(50).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     a.filter(r => text.contains(r.getLong(0))).foreach { r =>
-      val bytes = text(r.getLong(0)).getBytes("UTF-8").map(_ & 0xff)
-      assert(r.getLong(1) == bytes.length.toLong)
-      assert(r.getLong(2) == bytes.map(_.toLong).sum)
-      assert(r.getLong(3) == (if (bytes.isEmpty) 0L else bytes.min.toLong))
-      assert(r.getLong(4) == (if (bytes.isEmpty) 0L else bytes.max.toLong))
-      assert(r.getLong(5) == bytes.distinct.length.toLong)
-      assert(r.getLong(6) == bytes.count(x => x >= 32 && x <= 126).toLong)
+      val bytes = text(r.getLong(0)).getBytes("UTF-8")
+      val tsum = bytes.map(_ & 0xff).map(_.toLong).sum
+      val (ew, eh) = Multimodal.bmpDims(tsum, bytes.length)
+      assert(r.getInt(2) == ew && r.getInt(3) == eh, s"dims for $r")
+      assert(r.getInt(4) == 24)
+      assert(r.getLong(1) == 54L + ew * 3 * eh) // file size
+      val pix = (0 until (ew * 3 * eh))
+        .map(i => if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff)
+      assert(r.getLong(6) == pix.map(_.toLong).sum)
+      assert(r.getLong(7) == pix.min.toLong && r.getLong(8) == pix.max.toLong)
     }
     // resize plan: longer side pinned to the fit box, aspect preserved
     a.foreach { r =>
-      val (w, h) = (r.getInt(7), r.getInt(8))
-      val (tw, th) = (r.getInt(9), r.getInt(10))
+      val (w, h) = (r.getInt(2), r.getInt(3))
+      val (tw, th) = (r.getInt(11), r.getInt(12))
       assert(math.max(tw, th) == 224)
       if (w >= h) assert(tw == 224 && th == (h.toLong * 224 / w).toInt.max(1))
       else assert(th == 224 && tw == (w.toLong * 224 / h).toInt.max(1))
     }
   }
 
-  test("frame sampling caps at 8 frames and keys are unique") {
+  test("y4m codec round-trip: header dims and frame count survive " +
+    "generate -> parse; a corrupt FRAME marker fails loudly") {
+    val text = "frame sampling container".getBytes("UTF-8")
+    val blob = Multimodal.y4mBytes(text)
+    assert(new String(blob.take(9), "US-ASCII") == "YUV4MPEG2")
+    val tsum = text.map(_ & 0xff).map(_.toLong).sum
+    val (ew, eh, enf) = Multimodal.y4mDims(tsum, text.length)
+    val rows = Multimodal.decodeY4m(3L, blob)
+    assert(rows.length == enf)
+    assert(rows.forall(r => r.width == ew && r.height == eh))
+    assert(rows.map(_.frame_idx) == (0L until enf.toLong))
+    // frame offsets point INTO the blob at the payload after each marker
+    rows.foreach { r =>
+      val markerStart = r.frame_off.toInt - 6
+      assert(new String(blob.slice(markerStart, markerStart + 6),
+        "US-ASCII") == "FRAME\n")
+    }
+    val bad = blob.clone()
+    bad(rows.head.frame_off.toInt - 6) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeY4m(3L, bad))
+  }
+
+  test("frame sampling parses the staged y4m containers: 1..8 frames " +
+    "per doc, per-frame sums match the cycled pixel stream") {
     val rows = Multimodal.frameSample.fn(spark, sf).collect()
     val perDoc = rows.groupBy(_.getLong(0))
-    assert(perDoc.values.forall(_.length <= 8))
-    assert(rows.map(_.getString(2)).distinct.length == rows.length)
+    assert(perDoc.values.forall(g => g.length >= 1 && g.length <= 8))
+    val text = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(30).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(r => text.contains(r.getLong(0))).foreach { r =>
+      val bytes = text(r.getLong(0)).getBytes("UTF-8")
+      val tsum = bytes.map(_ & 0xff).map(_.toLong).sum
+      val (ew, eh, enf) = Multimodal.y4mDims(tsum, bytes.length)
+      assert(r.getInt(2) == ew && r.getInt(3) == eh)
+      assert(r.getLong(1) < enf.toLong)
+      val fsz = 3 * ew * eh
+      val f = r.getLong(1)
+      val expSum = (0 until fsz).map { i =>
+        if (bytes.isEmpty) 0L
+        else (bytes(((f * fsz + i) % bytes.length).toInt) & 0xff).toLong
+      }.sum
+      assert(r.getLong(5) == expSum, s"frame_sum for $r")
+    }
   }
 
   // ---- streaming ----
