@@ -56,7 +56,8 @@ object Bench {
     "ext_pii_scrub", "ext_stream_sessions", "ext_stream_dedup",
     "ext_stream_join", "ext_bucketed_join",
     "ext_sim_semdedup", "ext_text_bm25", "ext_zorder_scan",
-    "ext_stream_enrich", "ext_sim_pq", "ext_stream_funnel")
+    "ext_stream_enrich", "ext_sim_pq", "ext_sim_ivfpq",
+    "ext_sim_ivf_trained", "ext_sim_pq_trained", "ext_stream_funnel")
 
   /** Family key for JVM isolation — one child JVM per distinct value, in
     * first-appearance registry order. */

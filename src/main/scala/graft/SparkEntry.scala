@@ -29,6 +29,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 
+  /** Bench-only entries: timed, never gate-checked. The trained-quantizer
+    * ANN paths ("the index you'd ship") involve k-means double means whose
+    * partial-merge order is not bit-reproducible across engines, so they
+    * carry recall SPECS (IvfSpec/PqSpec) instead of oracle rows — but the
+    * at-scale latency story must time the trained index, not only the
+    * seed-quantizer gate ops. */
+  def benchOnly: Seq[Q] = Seq(
+    Q.noOracle("ext_sim_ivf_trained") { (s, d) =>
+      ext.IvfSearch.searchTrained(s, d) },
+    Q.noOracle("ext_sim_pq_trained") { (s, d) =>
+      ext.PqSearch.searchTrained(s, d) })
+
   /** Queries flagged for the sf0.1 bench headline run. */
-  def benchQueries: Seq[Q] = registry.filter(_.bench)
+  def benchQueries: Seq[Q] = registry.filter(_.bench) ++ benchOnly
 }
