@@ -486,7 +486,22 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** Run `body` against a transaction; all staged writes become visible
     * atomically at the end (or not at all if body throws). The whole
     * read-modify-write holds the per-root monitor (in-JVM) and an OS
-    * file lock (cross-process), so concurrent writers serialize. */
+    * file lock (cross-process), so concurrent writers serialize.
+    *
+    * '''Lock hold time.''' The lock spans every Spark job `body` runs —
+    * a [[Tx.merge]] holds it for its duplicate-key precondition, the
+    * broadcast semi-join over the live table, the pruned-file rewrite,
+    * and the insert append, so one long merge blocks every writer on
+    * every table of the root (readers are never blocked: they read the
+    * last committed manifest). That is the deliberate
+    * serialize-all-writers design point — correctness first, one
+    * writer-visible version chain per root, no optimistic-retry
+    * machinery. The scale path is table-scoped roots (one Catalog root
+    * per hot table), not a finer lock: cross-table transactions are the
+    * reason the lock is root-wide. Preconditions that only READ (e.g.
+    * merge's duplicate-key check) could in principle run before
+    * acquisition, but would then race a concurrent writer changing the
+    * table under them — kept inside by design. */
   def transaction[A](body: Tx => A): A =
     Catalog.rootMonitor(rootPath.toAbsolutePath.normalize.toString)
       .synchronized {

@@ -38,6 +38,16 @@ import graft.core.Q
   * with the same strict-< and step bounds and takes MIN(purchase.ts).
   * The fixture replays as one micro-batch ([[StreamContracts]]), so no
   * intermediate watermark can drop a late step the oracle would count.
+  *
+  * '''One-emission horizon (contract caveat).''' The oracle's
+  * MIN-per-user equivalence is scoped to the 24 h tombstone: in a
+  * genuine multi-batch stream, a user who completes, goes silent past
+  * [[TombstoneUs]] (letting the tombstone expire), and then completes a
+  * SECOND funnel emits a second row, where the batch oracle keeps only
+  * the first. Unreachable under the pinned single-batch gate replay; a
+  * real deployment that replays history either accepts one row per
+  * (user, 24 h-separated completion) — often the wanted semantics — or
+  * dedupes at the sink by user_id.
   */
 object StreamFunnel {
 
