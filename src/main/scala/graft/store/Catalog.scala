@@ -481,6 +481,103 @@ final class Catalog(val spark: SparkSession, val root: String) {
         append(table, inserted, orderBy = keyCol +: srcCols.filterNot(_ == keyCol))
       (nUpd, nIns)
     }
+
+    /** SCD Type-2 MERGE (dimension-history upsert, Kimball type 2):
+      * apply one batch of (natural key, tracked attributes) observations
+      * effective AT `at` to a validity-interval dimension. Per batch row:
+      *
+      *   - no current row with the key → INSERT a new current version
+      *     `[at, null)`;
+      *   - a current row exists with every tracked attribute equal
+      *     (null-safe) → NO-OP, so re-applying a batch is idempotent;
+      *   - a current row exists and differs → CLOSE it (`effective_to =
+      *     at`, `is_current = false`) and INSERT the new version.
+      *
+      * Historic (non-current) rows are never touched; the closed
+      * episode's `effective_to` equals the new episode's
+      * `effective_from`, so intervals tile. Returns (closed, inserted).
+      *
+      * Scale shape is [[merge]]'s: the batch is the broadcast-small side
+      * (a dimension CDC tick), and the close-out rewrites ONLY the files
+      * holding a changed key's CURRENT row — content pruning via
+      * `input_file_name` + a broadcast semi-join on the changed keys.
+      * Pairing the dimension with a key-clustered layout keeps the
+      * touched file set small; a [[compact]] pass additionally migrates
+      * settled history out of the hot files over time. The dimension's
+      * full attribute set must equal key + tracked (checked) — an SCD2
+      * row is completely determined by its batch observation. */
+    def scd2Merge(table: String, source: DataFrame, keyCol: String,
+        tracked: Seq[String], at: java.sql.Timestamp): (Long, Long) = {
+      import graft.core.Eager.EagerCheckpoint
+      val (schema, idCol) = Schemas.registry(table)
+      val metaCols = Seq("effective_from", "effective_to", "is_current")
+      require(metaCols.forall(schema.fieldNames.contains),
+        s"'$table' is not an SCD2 dimension (needs ${metaCols.mkString(", ")})")
+      require(keyCol != idCol && !metaCols.contains(keyCol),
+        s"SCD2 key must be a natural key column, got '$keyCol'")
+      val attrs = schema.fieldNames
+        .filterNot(f => f == idCol || metaCols.contains(f))
+      require(attrs.toSet == (keyCol +: tracked).toSet,
+        s"SCD2 batch must determine the whole row: '$table' attributes " +
+          s"${attrs.mkString(", ")} vs key+tracked " +
+          s"${(keyCol +: tracked).mkString(", ")}")
+      val src = source.select((keyCol +: tracked).map(col): _*)
+      require(src.filter(col(keyCol).isNull).isEmpty,
+        "SCD2 batch has NULL natural keys")
+      require(src.groupBy(keyCol).count().filter(col("count") > 1).isEmpty,
+        s"ambiguous SCD2 batch: duplicate '$keyCol' values")
+      val prev = curState(table)
+      val live = readFiles(table, prev.files)
+      val cur = live.filter(col("is_current"))
+      // keys whose current tracked values differ from the batch's
+      // (null-safe difference on any tracked column)
+      val differs = tracked.map(a => !(col(s"t.$a") <=> col(s"s.$a")))
+        .reduce(_ || _)
+      val changedKeys = cur.alias("t")
+        .join(broadcast(src.alias("s")),
+          col(s"t.$keyCol") === col(s"s.$keyCol"))
+        .filter(differs)
+        .select(col(s"t.$keyCol").as(keyCol))
+        .eagerCheckpoint()
+      val newKeys = src.select(keyCol)
+        .join(cur.select(keyCol), Seq(keyCol), "left_anti")
+        .eagerCheckpoint()
+      val nClosed = changedKeys.count()
+      if (nClosed > 0) {
+        val hitAbs = cur.withColumn("__file", input_file_name())
+          .join(broadcast(changedKeys), Seq(keyCol), "left_semi")
+          .select("__file").distinct().collect()
+          .map(_.getString(0).stripPrefix("file://"))
+        val rootAbs = Paths.get(root).toAbsolutePath.normalize
+        val hitRel = hitAbs.map(p => rootAbs.relativize(
+          Paths.get(p).toAbsolutePath.normalize).toString).toSet
+        val (hit, carried) = prev.files.partition(f => hitRel(f.path))
+        val marked = changedKeys.withColumn("__m", lit(true))
+        val closed = readFiles(table, hit)
+          .join(broadcast(marked), Seq(keyCol), "left")
+          .withColumn("__close",
+            coalesce(col("__m"), lit(false)) && col("is_current"))
+          .withColumn("effective_to",
+            when(col("__close"), lit(at)).otherwise(col("effective_to")))
+          .withColumn("is_current",
+            when(col("__close"), lit(false)).otherwise(col("is_current")))
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+        val rewritten = stageFiles(table, closed, idCol)
+        staged :+= Staged(table, TableState(prev.maxId, carried ++ rewritten))
+      }
+      // open a new current version for brand-new AND changed keys
+      val openKeys = newKeys.unionByName(changedKeys)
+      val inserts = src
+        .join(broadcast(openKeys), Seq(keyCol), "left_semi")
+        .withColumn("effective_from", lit(at))
+        .withColumn("effective_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+        .select(schema.fieldNames.filterNot(_ == idCol).toIndexedSeq
+          .map(col): _*)
+      val nIns = inserts.count()
+      if (nIns > 0) append(table, inserts, orderBy = Seq(keyCol))
+      (nClosed, nIns)
+    }
   }
 
   /** Run `body` against a transaction; all staged writes become visible
@@ -533,6 +630,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   def merge(table: String, source: DataFrame, keyCol: String): (Long, Long) =
     transaction(_.merge(table, source, keyCol))
+
+  def scd2Merge(table: String, source: DataFrame, keyCol: String,
+      tracked: Seq[String], at: java.sql.Timestamp): (Long, Long) =
+    transaction(_.scd2Merge(table, source, keyCol, tracked, at))
 
   def delete(table: String, predicate: Column): Long =
     transaction(_.delete(table, predicate))

@@ -82,6 +82,19 @@ object Schemas {
     StructField("query", StringType),
     StructField("batch_id", LongType)))
 
+  /** SCD Type-2 user dimension ([[Catalog.Tx.scd2Merge]]): one row per
+    * value episode of the tracked attributes (user_role, email), with a
+    * validity interval and a current flag. `user_id` is the natural key;
+    * `dim_id` stays the store's dense surrogate. */
+  val usersDim: StructType = StructType(Seq(
+    StructField("dim_id", LongType, nullable = false),
+    StructField("user_id", LongType),
+    StructField("user_role", StringType),
+    StructField("email", StringType),
+    StructField("effective_from", TimestampType),
+    StructField("effective_to", TimestampType),
+    StructField("is_current", BooleanType)))
+
   /** table name -> (schema, surrogate id column) — id assignment parity
     * with AUTO_INCREMENT/lastrowid (SURVEY §7.4). */
   val registry: Map[String, (StructType, String)] = Map(
@@ -91,5 +104,6 @@ object Schemas {
     "payments" -> (payments, "payment_id"),
     "saved_cards" -> (savedCards, "card_id"),
     "events_ingest" -> (eventsIngest, "ingest_id"),
-    "stream_offsets" -> (streamOffsets, "offset_id"))
+    "stream_offsets" -> (streamOffsets, "offset_id"),
+    "users_dim" -> (usersDim, "dim_id"))
 }

@@ -433,4 +433,89 @@ class StoreSpec extends SparkSuite {
     assert(changes == Set(("a@x.c", "delete"), ("c@x.c", "delete")),
       s"deletes must surface in the changefeed: $changes")
   }
+
+  test("scd2Merge maintains validity intervals under upsert: a changed " +
+    "attribute closes the current row and opens a tiling new one, " +
+    "re-applying a batch is a no-op, and history survives time travel") {
+    val cat = freshCat()
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    def batch(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("user_id", "user_role", "email")
+    val r1 = cat.scd2Merge("users_dim",
+      batch((1L, "admin", "a@x.c"), (2L, "user", "b@x.c"),
+        (3L, "user", "c@x.c")),
+      "user_id", Seq("user_role", "email"), t1)
+    assert(r1 == ((0L, 3L)), s"first batch inserts all: $r1")
+    val v1 = cat.version
+    // batch 2: user 1 unchanged (no-op), user 2 changes role, user 4 new
+    val b2 = batch((1L, "admin", "a@x.c"), (2L, "organizer", "b@x.c"),
+      (4L, "user", "d@x.c"))
+    val r2 = cat.scd2Merge("users_dim", b2,
+      "user_id", Seq("user_role", "email"), t2)
+    assert(r2 == ((1L, 2L)), s"one close, two inserts: $r2")
+    val rows = cat.read("users_dim")
+      .select("user_id", "user_role", "effective_from", "effective_to",
+        "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getBoolean(4)))
+    // user 2: closed [t1, t2) tiling into current [t2, null)
+    val u2 = rows.filter(_._1 == 2L).sortBy(_._3)
+    assert(u2.toSeq == Seq((2L, "user", t1, t2, false),
+      (2L, "organizer", t2, null, true)), s"user 2 history: ${u2.toSeq}")
+    assert(rows.filter(_._1 == 1L).toSeq == Seq((1L, "admin", t1, null, true)),
+      "an unchanged key must not be versioned")
+    assert(rows.filter(_._1 == 3L).toSeq == Seq((3L, "user", t1, null, true)))
+    assert(rows.filter(_._1 == 4L).toSeq == Seq((4L, "user", t2, null, true)))
+    // invariant: exactly one current row per key
+    assert(rows.filter(_._5).groupBy(_._1).values.forall(_.length == 1))
+    // idempotency: the same batch again stages nothing, commits nothing
+    val files = cat.liveFiles("users_dim")
+    val vBefore = cat.version
+    assert(cat.scd2Merge("users_dim", b2,
+      "user_id", Seq("user_role", "email"), t2) == ((0L, 0L)))
+    assert(cat.liveFiles("users_dim") == files && cat.version == vBefore,
+      "idempotent re-apply must not rewrite or commit")
+    // time travel: before batch 2, user 2 was current as 'user'
+    val old = cat.readAt("users_dim", v1)
+      .filter(col("user_id") === 2L)
+      .select("user_role", "is_current").as[(String, Boolean)].collect()
+    assert(old.toSeq == Seq(("user", true)))
+    // duplicate and NULL keys are rejected (ambiguous dimension batch)
+    intercept[IllegalArgumentException] {
+      cat.scd2Merge("users_dim",
+        batch((5L, "a", "x"), (5L, "b", "y")),
+        "user_id", Seq("user_role", "email"), t2)
+    }
+    intercept[IllegalArgumentException] {
+      cat.scd2Merge("users_dim",
+        Seq((Option.empty[Long], "a", "x"))
+          .toDF("user_id", "user_role", "email"),
+        "user_id", Seq("user_role", "email"), t2)
+    }
+  }
+
+  test("scd2Merge close-out rewrites ONLY files holding a changed key's " +
+    "current row — settled file groups survive by reference") {
+    val cat = freshCat()
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val t3 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def batch(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("user_id", "user_role", "email")
+    cat.scd2Merge("users_dim", batch((1L, "admin", "a@x.c")),
+      "user_id", Seq("user_role", "email"), t1) // group 1: user 1
+    cat.scd2Merge("users_dim", batch((2L, "user", "b@x.c")),
+      "user_id", Seq("user_role", "email"), t2) // group 2: user 2
+    val before = cat.liveFiles("users_dim").map(_._1).toSet
+    // change user 2 only: group 1 (user 1's current row) must be carried
+    val r = cat.scd2Merge("users_dim", batch((2L, "organizer", "b@x.c")),
+      "user_id", Seq("user_role", "email"), t3)
+    assert(r == ((1L, 1L)))
+    val after = cat.liveFiles("users_dim").map(_._1).toSet
+    assert(before.intersect(after).nonEmpty,
+      s"user 1's file must survive by reference:\nbefore=$before\nafter=$after")
+    assert((after -- before).nonEmpty, "user 2's file must be rewritten")
+  }
 }
