@@ -60,7 +60,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * (minId > maxId encodes "no rows / no stats", never prunable). */
   private[store] case class FileEntry(path: String, minId: Long, maxId: Long)
 
-  private[store] case class TableState(maxId: Long, files: Vector[FileEntry])
+  /** Per-table manifest state. `schema = None` means the registry schema
+    * ([[Schemas.registry]]); `Some` is an EVOLVED schema ([[Tx.addColumn]])
+    * that every manifest from that commit on carries — schema versioning
+    * rides the same atomic manifest swap as the data, so a snapshot's
+    * schema and its files are always consistent (and time travel reads
+    * an old snapshot through the schema it had THEN). */
+  private[store] case class TableState(maxId: Long, files: Vector[FileEntry],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private type Manifest = Map[String, TableState]
 
@@ -76,7 +83,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
           FileEntry(f.get("path").asText(), f.get("min").asLong(),
             f.get("max").asLong())
         }.toVector
-        e.getKey -> TableState(t.get("maxId").asLong(), files)
+        val schema = Option(t.get("schema")).map(n =>
+          org.apache.spark.sql.types.DataType.fromJson(n.asText())
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        e.getKey -> TableState(t.get("maxId").asLong(), files, schema)
       }.toMap
   }
 
@@ -104,6 +114,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     m.toSeq.sortBy(_._1).foreach { case (tbl, st) =>
       val t: ObjectNode = rootNode.putObject(tbl)
       t.put("maxId", st.maxId)
+      st.schema.foreach(s => t.put("schema", s.json))
       val fs: ArrayNode = t.putArray("files")
       st.files.foreach { f =>
         val fn = fs.addObject()
@@ -138,15 +149,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(
         s"snapshot v$version of '$root' is not available: never " +
           "committed, or already vacuumed past the retention window")
-    val files = parseManifest(Files.readAllBytes(hp))
-      .get(table).map(_.files).getOrElse(Vector.empty)
+    val st = parseManifest(Files.readAllBytes(hp)).get(table)
+    val files = st.map(_.files).getOrElse(Vector.empty)
     val gone = files.filterNot(f => Files.exists(rootPath.resolve(f.path)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"snapshot v$version of '$table' references ${gone.size} " +
           s"vacuumed file(s) (first: ${gone.head.path}); raise the " +
           "vacuum retention window to keep older snapshots readable")
-    readFiles(table, files)
+    // the snapshot's OWN schema: a table evolved after `version` still
+    // time-travels to its pre-evolution shape
+    readFiles(table, files, schemaOf(st, table))
   }
 
   /** Row-level changefeed between two committed snapshots (Delta CDF /
@@ -171,19 +184,19 @@ final class Catalog(val spark: SparkSession, val root: String) {
       toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
-    def filesAt(v: Long): Vector[FileEntry] =
-      if (v == 0L) Vector.empty
+    def stateAt(v: Long): Option[TableState] =
+      if (v == 0L) None
       else {
         val hp = historyDir.resolve(s"v$v.json")
         if (!Files.exists(hp))
           throw new IllegalArgumentException(
             s"snapshot v$v of '$root' is not available: never " +
               "committed, or already vacuumed past the retention window")
-        parseManifest(Files.readAllBytes(hp))
-          .get(table).map(_.files).getOrElse(Vector.empty)
+        parseManifest(Files.readAllBytes(hp)).get(table)
       }
-    val from = filesAt(fromVersion)
-    val to = filesAt(toVersion)
+    val toState = stateAt(toVersion)
+    val from = stateAt(fromVersion).map(_.files).getOrElse(Vector.empty)
+    val to = toState.map(_.files).getOrElse(Vector.empty)
     val fromPaths = from.map(_.path).toSet
     val toPaths = to.map(_.path).toSet
     val removed = from.filterNot(f => toPaths(f.path))
@@ -195,8 +208,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
         s"changefeed v$fromVersion..v$toVersion of '$table' references " +
           s"${gone.size} vacuumed file(s) (first: ${gone.head.path}); " +
           "raise the vacuum retention window to keep older feeds readable")
-    val oldRows = readFiles(table, removed)
-    val newRows = readFiles(table, added)
+    // both sides read through the TO version's schema: a column added
+    // between the versions appears NULL-backfilled on the old image,
+    // which is the shape a CDC consumer of the evolved table expects
+    // (and exceptAll needs both sides identically shaped)
+    val sch = schemaOf(toState, table)
+    val oldRows = readFiles(table, removed, sch)
+    val newRows = readFiles(table, added, sch)
     newRows.exceptAll(oldRows).withColumn("_change_type", lit("insert"))
       .unionAll(
         oldRows.exceptAll(newRows).withColumn("_change_type", lit("delete")))
@@ -204,16 +222,24 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   // ---- reads -------------------------------------------------------------
 
-  private def readFiles(table: String, files: Seq[FileEntry]): DataFrame = {
-    val (schema, _) = Schemas.registry(table)
+  /** Effective schema of a table state: evolved override, else registry.
+    * Pre-evolution parquet files read through a widened schema NULL-
+    * backfill the added columns (parquet by-name resolution). */
+  private def schemaOf(st: Option[TableState],
+      table: String): org.apache.spark.sql.types.StructType =
+    st.flatMap(_.schema).getOrElse(Schemas.registry(table)._1)
+
+  private def readFiles(table: String, files: Seq[FileEntry],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
       spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
-  }
 
-  def read(table: String): DataFrame =
-    readFiles(table, readManifest().get(table).map(_.files).getOrElse(Nil))
+  def read(table: String): DataFrame = {
+    val st = readManifest().get(table)
+    readFiles(table, st.map(_.files).getOrElse(Nil), schemaOf(st, table))
+  }
 
   def maxId(table: String): Long =
     readManifest().get(table).map(_.maxId).getOrElse(0L)
@@ -235,7 +261,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
       java.util.UUID.randomUUID().toString.take(8)
     val dir = s"$root/$table/$snap"
     df.write.mode("overwrite").parquet(dir)
-    val written = spark.read.schema(Schemas.registry(table)._1).parquet(dir)
+    // stats re-read through df's own schema (the table's EFFECTIVE —
+    // possibly evolved — schema at this point in the transaction)
+    val written = spark.read.schema(df.schema).parquet(dir)
     val stats = written
       .groupBy(input_file_name().as("f"))
       .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
@@ -294,33 +322,69 @@ final class Catalog(val spark: SparkSession, val root: String) {
         .orElse(base.get(table))
         .getOrElse(TableState(0L, Vector.empty))
 
+    /** Effective (schema, id column) for a table under any staged or
+      * committed evolution. */
+    private def schemaIdOf(table: String)
+        : (org.apache.spark.sql.types.StructType, String) =
+      (schemaOf(Some(curState(table)), table), Schemas.registry(table)._2)
+
     /** current in-tx view of a table (staged writes visible). */
-    def read(table: String): DataFrame =
-      readFiles(table, curState(table).files)
+    def read(table: String): DataFrame = {
+      val st = curState(table)
+      readFiles(table, st.files, schemaOf(Some(st), table))
+    }
+
+    /** DDL evolution: add a nullable column to the table's schema. Pure
+      * metadata — no file is touched; pre-evolution files NULL-backfill
+      * the column on read (parquet by-name resolution), and the widened
+      * schema commits in the SAME atomic manifest swap as any data
+      * staged in this transaction. Time travel to an earlier version
+      * still reads the pre-evolution shape ([[Catalog.readAt]]). */
+    def addColumn(table: String,
+        field: org.apache.spark.sql.types.StructField): Unit = {
+      require(field.nullable,
+        s"added column '${field.name}' must be nullable: existing rows " +
+          "have no value for it (NULL backfill)")
+      val prev = curState(table)
+      val (schema, _) = schemaIdOf(table)
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+        s"column '${field.name}' already exists on '$table'")
+      staged :+= Staged(table, prev.copy(schema =
+        Some(org.apache.spark.sql.types.StructType(schema.fields :+ field))))
+    }
 
     /** Append rows, assigning dense surrogate ids; returns the LAST id
       * (lastrowid parity, db.py:213/345/466). `orderBy` fixes the id
       * order for multi-row appends. Ids are assigned with a parallel
-      * range-partitioned sort + zipWithIndex — no global window. */
+      * range-partitioned sort + zipWithIndex — no global window.
+      * Columns the batch does not carry (e.g. a later-added column when
+      * an old-shape producer writes) must be nullable and backfill
+      * NULL. */
     def append(table: String, rows: DataFrame,
         orderBy: Seq[String] = Nil): Long = {
-      val (schema, idCol) = Schemas.registry(table)
+      val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       val baseId = prev.maxId
+      val have = rows.columns.toSet
+      schema.fields.filterNot(f => f.name == idCol || have(f.name))
+        .foreach(f => require(f.nullable,
+          s"append to '$table' is missing non-nullable column '${f.name}'"))
       val ord = if (orderBy.nonEmpty) orderBy.map(col)
         else rows.columns.map(col).toSeq
       val fields = schema.fieldNames
       val indexed = rows.orderBy(ord: _*).rdd.zipWithIndex().map {
         case (r, i) =>
           Row.fromSeq(fields.toIndexedSeq.map { f =>
-            if (f == idCol) baseId + i + 1 else r.getAs[Any](f)
+            if (f == idCol) baseId + i + 1
+            else if (!have(f)) null
+            else r.getAs[Any](f)
           })
       }
       val withIds = spark.createDataFrame(indexed, schema)
       val newFiles = stageFiles(table, withIds, idCol)
       val n = newFiles.map(f => f.maxId).maxOption.getOrElse(baseId)
-      staged :+= Staged(table, TableState(math.max(n, baseId),
-        prev.files ++ newFiles))
+      staged :+= Staged(table, prev.copy(maxId = math.max(n, baseId),
+        files = prev.files ++ newFiles))
       math.max(n, baseId)
     }
 
@@ -335,14 +399,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * until [[Catalog.vacuum]] — in-flight readers keep a consistent
       * snapshot. */
     def compact(table: String, numFiles: Int = 1): Unit = {
-      val (_, idCol) = Schemas.registry(table)
+      val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       if (prev.files.size <= math.max(1, numFiles)) return
-      val all = readFiles(table, prev.files)
+      val all = readFiles(table, prev.files, schema)
         .repartitionByRange(math.max(1, numFiles), col(idCol))
         .sortWithinPartitions(idCol)
       val newFiles = stageFiles(table, all, idCol)
-      staged :+= Staged(table, TableState(prev.maxId, newFiles))
+      staged :+= Staged(table, prev.copy(files = newFiles))
     }
 
     /** COW update: predicate + per-column assignments (S6). Files whose
@@ -350,7 +414,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * reference; only matching files are rewritten. */
     def update(table: String, predicate: Column,
         assignments: Map[String, Column]): Unit = {
-      val (_, idCol) = Schemas.registry(table)
+      val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       if (prev.files.isEmpty) return
       val (hit, carried) = pinnedId(table, predicate) match {
@@ -359,12 +423,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
         case None => (prev.files, Vector.empty[FileEntry])
       }
       if (hit.isEmpty) return // pinned id outside every file's range
-      val cur = readFiles(table, hit)
+      val cur = readFiles(table, hit, schema)
       val updated = assignments.foldLeft(cur) { case (df, (c, v)) =>
         df.withColumn(c, when(predicate, v).otherwise(col(c)))
       }
       val newFiles = stageFiles(table, updated, idCol)
-      staged :+= Staged(table, TableState(prev.maxId, carried ++ newFiles))
+      staged :+= Staged(table, prev.copy(files = carried ++ newFiles))
     }
 
     /** Hard DELETE (the COW counterpart of the reference's soft-delete
@@ -375,7 +439,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * [[Catalog.changesBetween]] as 'delete' rows with no paired
       * insert. */
     def delete(table: String, predicate: Column): Long = {
-      val (_, idCol) = Schemas.registry(table)
+      val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       if (prev.files.isEmpty) return 0L
       val (hit, carried) = pinnedId(table, predicate) match {
@@ -384,7 +448,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         case None => (prev.files, Vector.empty[FileEntry])
       }
       if (hit.isEmpty) return 0L
-      val cur = readFiles(table, hit)
+      val cur = readFiles(table, hit, schema)
       // one aggregate pass yields both counts (total and matching); the
       // only other read of the hit files is the rewrite itself
       val counts = cur.agg(
@@ -397,7 +461,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         if (counts.getLong(0) == nDeleted) Vector.empty
         else stageFiles(table,
           cur.filter(!coalesce(predicate, lit(false))), idCol)
-      staged :+= Staged(table, TableState(prev.maxId, carried ++ newFiles))
+      staged :+= Staged(table, prev.copy(files = carried ++ newFiles))
       nDeleted
     }
 
@@ -425,7 +489,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * of the tx. */
     def merge(table: String, source: DataFrame,
         keyCol: String): (Long, Long) = {
-      val (schema, idCol) = Schemas.registry(table)
+      val (schema, idCol) = schemaIdOf(table)
       require(keyCol != idCol,
         s"merge key must be a natural key, not the surrogate id $idCol")
       val srcCols = schema.fieldNames.filterNot(_ == idCol).toSeq
@@ -441,7 +505,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val (nUpd, inserted) =
         if (prev.files.isEmpty) (0L, src)
         else {
-          val live = readFiles(table, prev.files)
+          val live = readFiles(table, prev.files, schema)
           val hitAbs = live.withColumn("__file", input_file_name())
             .join(broadcast(keys), Seq(keyCol), "left_semi")
             .select("__file").distinct().collect()
@@ -452,7 +516,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           val (hit, carried) = prev.files.partition(f => hitRel(f.path))
           if (hit.nonEmpty) {
             val marked = src.withColumn("__m", lit(true))
-            val applied = readFiles(table, hit).alias("t")
+            val applied = readFiles(table, hit, schema).alias("t")
               .join(broadcast(marked).alias("s"), Seq(keyCol), "left")
               .select(schema.fieldNames.toIndexedSeq.map { f =>
                 if (f == idCol) col(s"t.$f").as(f)
@@ -462,12 +526,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
               }: _*)
             val rewritten = stageFiles(table, applied, idCol)
             staged :+= Staged(table,
-              TableState(prev.maxId, carried ++ rewritten))
+              prev.copy(files = carried ++ rewritten))
           }
           // a matched key's file is by construction a hit file, so the
           // matched count and the inserted anti-join read ONLY the hit
           // files — never the carried remainder of a large table
-          val hitRows = readFiles(table, hit)
+          val hitRows = readFiles(table, hit, schema)
           val matched = hitRows
             .join(broadcast(keys), Seq(keyCol), "left_semi").count()
           (matched,
@@ -527,7 +591,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       require(src.groupBy(keyCol).count().filter(col("count") > 1).isEmpty,
         s"ambiguous SCD2 batch: duplicate '$keyCol' values")
       val prev = curState(table)
-      val live = readFiles(table, prev.files)
+      val live = readFiles(table, prev.files, schema)
       val cur = live.filter(col("is_current"))
       // keys whose current tracked values differ from the batch's
       // (null-safe difference on any tracked column)
@@ -553,7 +617,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           Paths.get(p).toAbsolutePath.normalize).toString).toSet
         val (hit, carried) = prev.files.partition(f => hitRel(f.path))
         val marked = changedKeys.withColumn("__m", lit(true))
-        val closed = readFiles(table, hit)
+        val closed = readFiles(table, hit, schema)
           .join(broadcast(marked), Seq(keyCol), "left")
           .withColumn("__close",
             coalesce(col("__m"), lit(false)) && col("is_current"))
@@ -563,7 +627,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
             when(col("__close"), lit(false)).otherwise(col("is_current")))
           .select(schema.fieldNames.toIndexedSeq.map(col): _*)
         val rewritten = stageFiles(table, closed, idCol)
-        staged :+= Staged(table, TableState(prev.maxId, carried ++ rewritten))
+        staged :+= Staged(table, prev.copy(files = carried ++ rewritten))
       }
       // open a new current version for brand-new AND changed keys
       val openKeys = newKeys.unionByName(changedKeys)

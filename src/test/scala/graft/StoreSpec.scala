@@ -496,6 +496,63 @@ class StoreSpec extends SparkSuite {
     }
   }
 
+  test("schema evolution: addColumn widens with NULL backfill, old-shape " +
+    "producers keep working, and time travel crosses the boundary with " +
+    "each snapshot's own schema") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c"))
+    val v1 = cat.version
+    // widen: pure metadata commit, no file rewritten
+    val filesBefore = cat.liveFiles("users")
+    cat.transaction(_.addColumn("users", StructField("loyalty_tier",
+      StringType)))
+    assert(cat.liveFiles("users") == filesBefore,
+      "addColumn must not touch data files")
+    val widened = cat.read("users")
+    assert(widened.columns.contains("loyalty_tier"))
+    assert(widened.select("loyalty_tier").as[Option[String]]
+      .collect().toSeq == Seq(None), "pre-evolution rows backfill NULL")
+    // old-shape producer (no loyalty_tier column) still appends
+    cat.append("users", user("b", "b@x.c"))
+    // new-shape producer writes the column
+    cat.append("users",
+      Seq(("c", "L", "0123456789", "c@x.c", "h", "user",
+        new java.sql.Timestamp(0L), "gold"))
+        .toDF("first_name", "last_name", "phone", "email", "password_hash",
+          "user_role", "created_at", "loyalty_tier"))
+    val tiers = cat.read("users").select("email", "loyalty_tier")
+      .as[(String, Option[String])].collect().toMap
+    assert(tiers == Map("a@x.c" -> None, "b@x.c" -> None,
+      "c@x.c" -> Some("gold")), s"tiers: $tiers")
+    // DML through the widened schema reaches pre-evolution rows
+    cat.update("users", col("email") === "a@x.c",
+      Map("loyalty_tier" -> lit("silver")))
+    assert(cat.read("users").filter(col("email") === "a@x.c")
+      .select("loyalty_tier").as[String].collect().toSeq == Seq("silver"))
+    // time travel: the v1 snapshot keeps its pre-evolution shape
+    assert(!cat.readAt("users", v1).columns.contains("loyalty_tier"),
+      "old snapshots read through their own schema")
+    // the widened schema survives a fresh Catalog on the same root
+    // (manifest-persisted, not in-memory)
+    val cat2 = new Catalog(spark, cat.root)
+    assert(cat2.read("users").columns.contains("loyalty_tier"))
+    // guards: duplicate and non-nullable additions are rejected
+    intercept[IllegalArgumentException] {
+      cat.transaction(_.addColumn("users",
+        StructField("LOYALTY_TIER", StringType)))
+    }
+    intercept[IllegalArgumentException] {
+      cat.transaction(_.addColumn("users",
+        StructField("must_have", StringType, nullable = false)))
+    }
+    // changefeed across the boundary: both images read through the TO
+    // schema, so the feed is well-formed with NULL-backfilled old rows
+    val feed = cat.changesBetween("users", v1, cat.version)
+    assert(feed.columns.contains("loyalty_tier"))
+    assert(feed.filter(col("_change_type") === "insert").count() >= 2)
+  }
+
   test("scd2Merge close-out rewrites ONLY files holding a changed key's " +
     "current row — settled file groups survive by reference") {
     val cat = freshCat()
