@@ -138,6 +138,59 @@ object PqSearch {
       candidates = Some(IvfSearch.candidates(s, v)))
   }
 
+  // -------------------------------------------- ingest-staged index path
+
+  /** Ingest-time index build ([[PreparedTables]] memo): the PQ code
+    * table (vec_id, m, code — 4 bits of payload per row) and the IVF
+    * cell assignment (vec_id, cell), both pure functions of the corpus
+    * under the seed quantizers. This is the "codes live NEXT to the
+    * corpus row" layout the scaladoc above describes: at 100 TB both
+    * tables are columns written at ingest, and a query never reads a
+    * float vector except its own probe's. */
+  private val preparedIndex = new PreparedTables(
+    Seq("embeddings.parquet"), Seq("graft_pq_codes", "graft_ivf_cells"),
+    writeIndex)
+
+  def ensureIndexed(s: SparkSession, d: String): Unit =
+    preparedIndex.ensurePrepared(s, d)
+
+  private def writeIndex(s: SparkSession, d: String): Unit = {
+    val v = Similarity.vecs(s, d).eagerCheckpoint()
+    val subs = subvecsOf(v).eagerCheckpoint()
+    encode(subs, seedCodebook(subs))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_pq_codes")
+    IvfSearch.assigned(s, v, IvfSearch.cents(v))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_ivf_cells")
+  }
+
+  /** The PRODUCTION query shape: both index structures come from the
+    * staged tables; query-time work is the probe's own cell ranking
+    * (probe × K tiny centroid rows), the candidate join against the
+    * staged cell assignment, and ADC lookups against the staged codes.
+    * The only embedding reads are `vec_id < K` (probes + centroids +
+    * codebook rows — a pushed-down point slice of the corpus).
+    * Results are IDENTICAL to [[searchIvfPq]] (same quantizers, same
+    * scoring tail — shared [[searchWith]]); a spec pins the
+    * equivalence, and the gate oracle replays the same two stages. */
+  def searchIvfPqIndexed(s: SparkSession, d: String): DataFrame = {
+    ensureIndexed(s, d)
+    val v = Similarity.vecs(s, d)
+    // probes (< NProbes=5), codebook rows (< Ks=16) and centroids
+    // (< K=32) all sit inside the vec_id < K slice: one pushed-down
+    // point read of the corpus serves every query-time float need
+    val smallSubs = subvecsOf(v.filter(col("vec_id") < IvfSearch.K))
+      .eagerCheckpoint()
+    val cand = IvfSearch.probeCells(s, v, IvfSearch.cents(v))
+      .join(s.table("graft_ivf_cells")
+        .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id")
+    searchWith(s, smallSubs, seedCodebook(smallSubs),
+      candidates = Some(cand), encOpt = Some(s.table("graft_pq_codes")))
+  }
+
   /** Gate row for the COMPOSED index ([[searchIvfPq]]) — the at-scale
     * query plan. The oracle replays the full two-stage pipeline: the IVF
     * stage (cell assignment + NProbe probe cells + candidate set, the
@@ -199,7 +252,8 @@ object PqSearch {
        |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored)
        |SELECT probe_id, neighbor_id, rank, adc FROM ranked
        |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
-  ) { (s, d) => searchIvfPq(s, d) }
+  ) { (s, d) => searchIvfPqIndexed(s, d) }
+    .copy(setup = Some(ensureIndexed _))
 
   /** Seed codebook: codeword j of subspace m = subvector m of vec_id j
     * (the oracle-parity quantizer). */
@@ -251,17 +305,24 @@ object PqSearch {
     searchWith(s, subs, trainedCodebook(s, subs, iters))
   }
 
-  /** Shared ADC pipeline; `candidates` restricts scoring to an
-    * externally-pruned (probe_id, neighbor_id) set (the IVF-PQ
-    * composition) — None scores the full corpus. */
-  private def searchWith(s: SparkSession, subs: DataFrame,
-      cb: DataFrame,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    // ingest-time encoding: narrow (vec_id, m, code) rows only
-    val enc = subs.join(broadcast(cb), Seq("m"))
+  /** Ingest-time encoding: each (vector, subspace) takes its min-L2
+    * codeword — narrow (vec_id, m, code) rows only. */
+  private def encode(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("m"))
       .groupBy("vec_id", "m")
       .agg(min_by(col("code"),
         struct(l2(col("sv"), col("cw")), col("code"))).as("code"))
+
+  /** Shared ADC pipeline; `candidates` restricts scoring to an
+    * externally-pruned (probe_id, neighbor_id) set (the IVF-PQ
+    * composition) — None scores the full corpus. `encOpt` supplies a
+    * pre-staged code table (the indexed path); None encodes `subs`
+    * inline. */
+  private def searchWith(s: SparkSession, subs: DataFrame,
+      cb: DataFrame,
+      candidates: Option[DataFrame] = None,
+      encOpt: Option[DataFrame] = None): DataFrame = {
+    val enc = encOpt.getOrElse(encode(subs, cb))
     // query-time ADC table: M x Ks exact subspace dots per probe
     val tab = subs.filter(col("vec_id") < NProbes)
       .select(col("vec_id").as("probe_id"), col("m"), col("sv"))

@@ -80,6 +80,18 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("ivf-pq: the ingest-staged index path returns exactly the inline " +
+    "composition's rows (shared quantizers and scoring tail)") {
+    val d = "/root/testdata/sf0.01"
+    val inlineRows = PqSearch.searchIvfPq(spark, d)
+      .collect().map(_.toString).sorted
+    val indexedRows = PqSearch.searchIvfPqIndexed(spark, d)
+      .collect().map(_.toString).sorted
+    assert(indexedRows.length == inlineRows.length
+      && indexedRows.sameElements(inlineRows),
+      s"indexed (${indexedRows.length}) vs inline (${inlineRows.length})")
+  }
+
   test("pq: trained codebooks (per-subspace Lloyd's) must not collapse " +
     "recall@10 vs the seed quantizer (tolerance for double-mean " +
     "nondeterminism near ties)") {
