@@ -111,6 +111,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val newVersion = version + 1
     val rootNode = mapper.createObjectNode()
     rootNode.put("_version", newVersion)
+    rootNode.put("_committedAtMs", System.currentTimeMillis())
     m.toSeq.sortBy(_._1).foreach { case (tbl, st) =>
       val t: ObjectNode = rootNode.putObject(tbl)
       t.put("maxId", st.maxId)
@@ -136,6 +137,45 @@ final class Catalog(val spark: SparkSession, val root: String) {
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Latest version committed at or before `tsMillis` (Delta
+    * `TIMESTAMP AS OF` resolution). Commit times are stamped INSIDE the
+    * manifest (`_committedAtMs`; history-file mtime is the fallback for
+    * pre-upgrade manifests), monotone because writers serialize under
+    * the transaction locks. Throws if no snapshot existed yet, or if
+    * every snapshot old enough has been vacuumed past the retention
+    * window — never silently resolves to a different point in time. */
+  def versionAsOf(tsMillis: Long): Long = {
+    if (!Files.exists(historyDir))
+      throw new IllegalArgumentException(
+        s"no snapshot of '$root' existed at $tsMillis (empty store)")
+    val hs = Files.list(historyDir)
+    val candidates = try {
+      hs.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+        .map { p =>
+          val v = p.getFileName.toString.stripPrefix("v")
+            .stripSuffix(".json").toLong
+          val tree = mapper.readTree(Files.readAllBytes(p))
+          val at = Option(tree.get("_committedAtMs")).map(_.asLong())
+            .getOrElse(Files.getLastModifiedTime(p).toMillis)
+          (v, at)
+        }.toVector
+    } finally hs.close()
+    val eligible = candidates.filter(_._2 <= tsMillis)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"no snapshot of '$root' existed at $tsMillis (earliest " +
+          s"available: ${candidates.map(_._2).minOption.getOrElse(-1L)}; " +
+          "older snapshots may have been vacuumed)")
+    eligible.maxBy(_._1)._1
+  }
+
+  /** Time-travel read by wall-clock time (Delta `TIMESTAMP AS OF`
+    * analogue): the table as the latest commit at or before
+    * `tsMillis` left it. Same serving window as [[readAt]]. */
+  def readAsOf(table: String, tsMillis: Long): DataFrame =
+    readAt(table, versionAsOf(tsMillis))
 
   /** Time-travel read: the table as of commit `version` (Delta
     * `VERSION AS OF` analogue). Serving window == the vacuum retention
@@ -218,6 +258,37 @@ final class Catalog(val spark: SparkSession, val root: String) {
     newRows.exceptAll(oldRows).withColumn("_change_type", lit("insert"))
       .unionAll(
         oldRows.exceptAll(newRows).withColumn("_change_type", lit("delete")))
+  }
+
+  /** [[changesBetween]] with UPDATE PAIRING (the Delta CDF
+    * `update_preimage`/`update_postimage` shape): a surrogate id
+    * appearing on BOTH sides of the feed is one logical UPDATE — its
+    * delete row becomes the preimage and its insert row the postimage;
+    * ids on one side only stay plain 'insert'/'delete'. Sound because
+    * surrogate ids are never reused (dense, monotone) and each id
+    * appears at most once per snapshot — so at most once per feed side.
+    * One extra id-keyed aggregate + join over the (already change-
+    * proportional) feed. */
+  def changesWithUpdates(table: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val idCol = Schemas.registry(table)._2
+    val feed = changesBetween(table, fromVersion, toVersion)
+    val bothSides = feed.groupBy(idCol)
+      .agg(
+        max(when(col("_change_type") === "insert", 1).otherwise(0))
+          .as("__i"),
+        max(when(col("_change_type") === "delete", 1).otherwise(0))
+          .as("__d"))
+      .filter(col("__i") === 1 && col("__d") === 1)
+      .select(col(idCol), lit(true).as("__u"))
+    feed.join(bothSides, Seq(idCol), "left")
+      .withColumn("_change_type",
+        when(col("__u") && col("_change_type") === "delete",
+          lit("update_preimage"))
+          .when(col("__u") && col("_change_type") === "insert",
+            lit("update_postimage"))
+          .otherwise(col("_change_type")))
+      .drop("__u")
   }
 
   // ---- reads -------------------------------------------------------------

@@ -434,6 +434,48 @@ class StoreSpec extends SparkSuite {
       s"deletes must surface in the changefeed: $changes")
   }
 
+  test("timestamp time travel: readAsOf resolves the latest commit at " +
+    "or before the given wall-clock time, and fails loudly outside the " +
+    "committed range") {
+    val cat = freshCat()
+    intercept[IllegalArgumentException] {
+      cat.versionAsOf(System.currentTimeMillis()) // empty store
+    }
+    cat.append("users", user("a", "a@x.c"))
+    Thread.sleep(15)
+    val t = System.currentTimeMillis()
+    Thread.sleep(15)
+    cat.append("users", user("b", "b@x.c"))
+    assert(cat.readAsOf("users", t).count() == 1,
+      "between the commits, only the first snapshot existed")
+    assert(cat.readAsOf("users", System.currentTimeMillis()).count() == 2)
+    intercept[IllegalArgumentException] {
+      cat.versionAsOf(t - 3600L * 1000) // before any commit
+    }
+  }
+
+  test("changesWithUpdates pairs an id on both feed sides into " +
+    "update_preimage/update_postimage; one-sided rows stay " +
+    "insert/delete") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c").unionAll(user("b", "b@x.c")))
+    val v1 = cat.version
+    cat.transaction { tx =>
+      tx.update("users", col("email") === "a@x.c",
+        Map("first_name" -> lit("a2")))
+      tx.delete("users", col("email") === "b@x.c")
+      tx.append("users", user("c", "c@x.c"))
+    }
+    val feed = cat.changesWithUpdates("users", v1, cat.version)
+      .select("email", "first_name", "_change_type")
+      .as[(String, String, String)].collect().toSet
+    assert(feed == Set(
+      ("a@x.c", "a", "update_preimage"),
+      ("a@x.c", "a2", "update_postimage"),
+      ("b@x.c", "b", "delete"),
+      ("c@x.c", "c", "insert")), s"paired feed: $feed")
+  }
+
   test("scd2Merge maintains validity intervals under upsert: a changed " +
     "attribute closes the current row and opens a tiling new one, " +
     "re-applying a batch is a no-op, and history survives time travel") {
