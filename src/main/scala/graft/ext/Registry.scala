@@ -10,7 +10,7 @@ object Registry {
   def all: Seq[Q] =
     EventsOps.all ++ TypedSessionize.all ++ TextAnalysis.all ++ Dedup.all ++
       Corpus.all ++ Decontam.all ++ Redact.all ++ Similarity.all ++
-      IvfSearch.all ++ PqSearch.all ++
+      IvfSearch.all ++ PqSearch.all ++ Quantize.all ++
       Multimodal.all ++
       Profiling.all ++ InvertedIndex.all ++
       BucketedJoin.all ++ PartitionedScan.all ++ ZOrderLayout.all ++

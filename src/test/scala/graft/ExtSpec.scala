@@ -417,6 +417,21 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("uint8 embedding quantization: round-trip MAE stays under half a " +
+    "quantization step and codes stay in range") {
+    val rows = graft.ext.Quantize.quantize.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vmin, vmax) = (r.getDouble(2), r.getDouble(3))
+      val mae = r.getDouble(7)
+      val halfStep = (vmax - vmin) / 255.0 / 2.0
+      assert(mae <= halfStep + 1e-6,
+        s"MAE $mae exceeds half-step $halfStep: $r")
+      assert(r.getInt(5) >= 0 && r.getInt(6) <= 255, s"code range: $r")
+      assert(r.getInt(1) == 64)
+    }
+  }
+
   // ---- multimodal ----
 
   test("bmp codec round-trip: generated container decodes to the " +
