@@ -417,6 +417,19 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("scd2 history plan: both window passes share ONE keyed exchange " +
+    "(plus only the final ORDER BY's range exchange)") {
+    val plan = graft.ext.Scd2.history.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashed = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val ranged = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(hashed == 1,
+      s"change-detection and interval windows must reuse one keyed " +
+        s"shuffle; got $hashed hash exchanges:\n$plan")
+    assert(ranged == 1, // only the final ORDER BY
+      s"unexpected range exchanges ($ranged):\n$plan")
+  }
+
   test("uint8 embedding quantization: round-trip MAE stays under half a " +
     "quantization step and codes stay in range") {
     val rows = graft.ext.Quantize.quantize.fn(spark, sf).collect()
