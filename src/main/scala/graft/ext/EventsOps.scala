@@ -580,8 +580,60 @@ object EventsOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Time-series gap fill / resampling: the dense hourly grid over the
+    * events span — every (event_type, hour) slot between the global min
+    * and max hour, zero-filled where no events landed. The grid is built
+    * declaratively (bounds aggregate -> broadcast -> `sequence` +
+    * `explode` against the 5-row type frame), so it never materializes
+    * driver-side; the only event-volume work is the same hourly
+    * pre-aggregate `ext_window_hourly` runs, and the join that stitches
+    * grid to counts is between two POST-aggregate frames (types x hours
+    * vs distinct non-empty slots — both tiny next to the raw events,
+    * broadcastable at any corpus scale where hours grow like time, not
+    * data). The standard prep for sequence models / anomaly detectors
+    * that need an evenly-spaced series, missing buckets as real zeros. */
+  val gapFill: Q = Q(
+    "ext_events_gap_fill",
+    """WITH bounds AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+      |         date_trunc('hour', MAX(ts)) AS hi FROM events),
+      |hours AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+      |    AS window_start FROM bounds),
+      |types(event_type) AS (VALUES
+      |  ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+      |counts AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT t.event_type, hrs.window_start, COALESCE(c.n, 0) AS n
+      |FROM hours hrs CROSS JOIN types t
+      |LEFT JOIN counts c
+      |  ON c.h = hrs.window_start AND c.event_type = t.event_type
+      |ORDER BY t.event_type, hrs.window_start""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = eventTypes.toDF("event_type")
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+          .as("window_start"))
+    grid.join(counts,
+        grid("window_start") === counts("h")
+          && grid("event_type") === counts("event_type"), "left")
+      .select(grid("event_type"), col("window_start"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "window_start")
+  }
+
   val all: Seq[Q] = Seq(windowHourly, windowSliding, jsonExtract, sessionize,
     pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats,
     eventsFunnel, eventsRetention, valueQuantiles, valueQuantilesApprox,
-    eventsAnomaly, eventsTransitions, valueHistogram)
+    eventsAnomaly, eventsTransitions, valueHistogram, gapFill)
 }

@@ -14,7 +14,7 @@ object Registry {
       Multimodal.all ++
       Profiling.all ++ InvertedIndex.all ++
       BucketedJoin.all ++ PartitionedScan.all ++ ZOrderLayout.all ++
-      BloomJoin.all ++ StoreFeed.all ++ Scd2.all ++
+      BloomJoin.all ++ StoreFeed.all ++ Scd2.all ++ IncrView.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++
       graft.streaming.StreamDedup.all ++
