@@ -581,6 +581,68 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-SPAN detection — the substring-granularity dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), re-shaped for Spark: instead of a corpus-wide
+    * suffix array (their single-machine structure), every K=32-char
+    * span is digested in place (codegen'd [[graft.functions.FastMd5Bin]]
+    * — 16-byte binary keys, half the shuffle width of hex) and duplicate
+    * spans are found by plain key-equality aggregation: per-doc DISTINCT
+    * digests -> document frequency -> semi-join back. Emits, per
+    * document, its distinct-span count and how many of those spans occur
+    * in at least one OTHER document (the trim candidates).
+    *
+    * Scale: fan-out is len(text) rows per doc — the same multiplier the
+    * shingle pipelines above carry — but each exploded row narrows to
+    * (doc_id, 16-byte digest) before any exchange, and the map-side
+    * partial of the DISTINCT collapses repeats within a doc. All three
+    * downstream steps (df, n_spans, dup join-back) are digest- or
+    * doc-keyed shuffles with no skew (digests are uniform); at 100 TB
+    * the digest would narrow further to 8 bytes with a residual verify
+    * pass on collisions. The oracle replays the exact pipeline with
+    * DuckDB's own md5 — identical bytes in, identical duplicate sets
+    * out. */
+  val substringSpans: Q = Q(
+    "ext_dedup_substring",
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 31))
+      |    AS i
+      |  FROM documents WHERE length(text) >= 32),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, md5(substring(text, CAST(i AS INTEGER), 32))
+      |    AS g
+      |  FROM pos),
+      |df AS (SELECT g, COUNT(*) AS ndocs FROM grams GROUP BY g),
+      |spans AS (SELECT doc_id, COUNT(*) AS n_spans FROM grams
+      |  GROUP BY doc_id),
+      |dups AS (SELECT gr.doc_id, COUNT(*) AS dup_spans
+      |  FROM grams gr JOIN df ON df.g = gr.g
+      |  WHERE df.ndocs > 1 GROUP BY gr.doc_id)
+      |SELECT s.doc_id, s.n_spans, COALESCE(d.dup_spans, 0) AS dup_spans
+      |FROM spans s LEFT JOIN dups d ON d.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+  ) { (s, d) =>
+    val K = 32
+    val m5b = (c: Column) => graft.functions.FastMd5.fast_md5_bin(s, c)
+    val grams = Tables.documents(s, d)
+      .filter(length(col("text")) >= K)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")) - lit(K - 1)),
+        i => col("text").substr(i, lit(K)))).as("span"))
+      .select(col("doc_id"), m5b(col("span")).as("g"))
+      .distinct()
+      .eagerCheckpoint()
+    val hot = grams.groupBy("g").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") > 1).select("g")
+    val nSpans = grams.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dups = grams.join(hot, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+    nSpans.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard,
-    incremental)
+    incremental, substringSpans)
 }
