@@ -57,8 +57,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
   // ---- manifest ----------------------------------------------------------
 
   /** One live parquet file: path relative to root + surrogate-id stats
-    * (minId > maxId encodes "no rows / no stats", never prunable). */
-  private[store] case class FileEntry(path: String, minId: Long, maxId: Long)
+    * (minId > maxId encodes "no rows / no stats", never prunable) +
+    * optional per-column value stats for the table's designated
+    * [[Schemas.statsColumns]] (Delta-style data skipping: values are
+    * normalized to an orderable Long — epoch micros for timestamps, the
+    * value itself for integral columns). A column absent from the map
+    * has no stats and is never pruned on — correctness cannot depend on
+    * stats presence. */
+  private[store] case class FileEntry(path: String, minId: Long,
+      maxId: Long, cols: Map[String, (Long, Long)] = Map.empty)
 
   /** Per-table manifest state. `schema = None` means the registry schema
     * ([[Schemas.registry]]); `Some` is an EVOLVED schema ([[Tx.addColumn]])
@@ -80,8 +87,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
       .map { e =>
         val t = e.getValue
         val files = t.get("files").elements().asScala.map { f =>
+          val cols = Option(f.get("cols")).map { cn =>
+            cn.properties().asScala.map { ce =>
+              ce.getKey -> (ce.getValue.get(0).asLong(),
+                ce.getValue.get(1).asLong())
+            }.toMap
+          }.getOrElse(Map.empty[String, (Long, Long)])
           FileEntry(f.get("path").asText(), f.get("min").asLong(),
-            f.get("max").asLong())
+            f.get("max").asLong(), cols)
         }.toVector
         val schema = Option(t.get("schema")).map(n =>
           org.apache.spark.sql.types.DataType.fromJson(n.asText())
@@ -120,6 +133,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
       st.files.foreach { f =>
         val fn = fs.addObject()
         fn.put("path", f.path); fn.put("min", f.minId); fn.put("max", f.maxId)
+        if (f.cols.nonEmpty) {
+          val cn = fn.putObject("cols")
+          f.cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            val arr = cn.putArray(c); arr.add(mn); arr.add(mx)
+          }
+        }
       }
     }
     val bytes = mapper.writeValueAsBytes(rootNode)
@@ -315,6 +334,44 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def maxId(table: String): Long =
     readManifest().get(table).map(_.maxId).getOrElse(0L)
 
+  /** Data-skipping read: rows with `column` in [lo, hi] (inclusive; Long
+    * domain per [[statLong]] — epoch micros for timestamps). Files whose
+    * manifest min/max range provably misses [lo, hi] are never opened;
+    * files WITHOUT stats for the column are conservatively kept, and the
+    * exact predicate is re-applied to the surviving rows — so the result
+    * is correct whether or not any file could be skipped. The manifest
+    * overlap test is a driver-side walk of the (bounded) file list, the
+    * same metadata pass [[liveFiles]] pruning already does for ids. */
+  def readRange(table: String, column: String, lo: Long, hi: Long)
+      : DataFrame = {
+    val st = readManifest().get(table)
+    val files = st.map(_.files).getOrElse(Vector.empty)
+    val kept = files.filter(_.cols.get(column)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val schema = schemaOf(st, table)
+    val scanned = readFiles(table, kept, schema)
+    val c = statLong(scanned, column).getOrElse(col(column).cast("long"))
+    scanned.filter(c >= lo && c <= hi)
+  }
+
+  /** Timestamp-column overload (inclusive instant range). */
+  def readRange(table: String, column: String,
+      lo: java.time.Instant, hi: java.time.Instant): DataFrame =
+    readRange(table, column,
+      lo.getEpochSecond * 1000000L + lo.getNano / 1000L,
+      hi.getEpochSecond * 1000000L + hi.getNano / 1000L)
+
+  /** Files [[readRange]] would open for the given range vs the live
+    * total (test hook for the skipping behavior). */
+  private[graft] def rangeFiles(table: String, column: String,
+      lo: Long, hi: Long): (Seq[String], Int) = {
+    val files = readManifest().get(table).map(_.files)
+      .getOrElse(Vector.empty)
+    (files.filter(_.cols.get(column)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi }).map(_.path),
+      files.size)
+  }
+
   /** Live file list with id stats — the pruning metadata (test hook). */
   private[graft] def liveFiles(table: String): Seq[(String, Long, Long)] =
     readManifest().get(table).map(_.files).getOrElse(Vector.empty)
@@ -335,17 +392,47 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // stats re-read through df's own schema (the table's EFFECTIVE —
     // possibly evolved — schema at this point in the transaction)
     val written = spark.read.schema(df.schema).parquet(dir)
+    // value stats ride the SAME single job as the id stats: one extra
+    // min/max agg pair per designated column present in this schema
+    val statCols = Schemas.statsColumns.getOrElse(table, Nil)
+      .filter(c => df.schema.fieldNames.contains(c))
+      .filter(c => statLong(df, c).isDefined)
+    val aggs =
+      min(col(idCol)).as("mn") +: max(col(idCol)).as("mx") +:
+        statCols.flatMap { c =>
+          val lc = statLong(df, c).get
+          Seq(min(lc).as(s"mn_$c"), max(lc).as(s"mx_$c"))
+        }
     val stats = written
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
     stats.map { r =>
       val abs = r.getString(0).stripPrefix("file://")
       val rel = Paths.get(root).toAbsolutePath.normalize
         .relativize(Paths.get(abs).toAbsolutePath.normalize).toString
-      FileEntry(rel, r.getLong(1), r.getLong(2))
+      val cols = statCols.flatMap { c =>
+        val (mnI, mxI) = (r.fieldIndex(s"mn_$c"), r.fieldIndex(s"mx_$c"))
+        if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+        else Some(c -> (r.getLong(mnI), r.getLong(mxI)))
+      }.toMap
+      FileEntry(rel, r.getLong(1), r.getLong(2), cols)
     }.toVector.sortBy(_.path)
   }
+
+  /** Orderable-Long normalization of a designated stats column: epoch
+    * micros for timestamps, the value for integral types; None (no
+    * stats, never pruned) otherwise. */
+  private def statLong(df: DataFrame, c: String):
+      Option[org.apache.spark.sql.Column] =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        Some(unix_micros(col(c)))
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType =>
+        Some(col(c).cast("long"))
+      case _ => None
+    }
 
   /** One staged table state: new full file list, not yet visible. */
   private case class Staged(table: String, state: TableState)

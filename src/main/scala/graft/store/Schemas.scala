@@ -97,6 +97,18 @@ object Schemas {
 
   /** table name -> (schema, surrogate id column) — id assignment parity
     * with AUTO_INCREMENT/lastrowid (SURVEY §7.4). */
+  /** Columns that carry per-file min/max value stats in the catalog
+    * manifest (Delta-style data skipping, [[Catalog.readRange]]): the
+    * time columns range queries actually filter on. Stats are collected
+    * in the same single job that computes id stats at stage time; a
+    * table/column not listed here simply has no skipping — never a
+    * correctness difference. */
+  val statsColumns: Map[String, Seq[String]] = Map(
+    "events" -> Seq("event_date"),
+    "registrations" -> Seq("created_at"),
+    "payments" -> Seq("payment_date"),
+    "events_ingest" -> Seq("ts"))
+
   val registry: Map[String, (StructType, String)] = Map(
     "users" -> (users, "user_id"),
     "events" -> (events, "event_id"),

@@ -617,4 +617,37 @@ class StoreSpec extends SparkSuite {
       s"user 1's file must survive by reference:\nbefore=$before\nafter=$after")
     assert((after -- before).nonEmpty, "user 2's file must be rewritten")
   }
+
+  test("data skipping: readRange opens only files whose event_date stats " +
+    "overlap the range, and matches the full-scan filter") {
+    val cat = freshCat()
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    def batch(month: Int) = (1 to 10).map(i =>
+        (f"e$month-$i", ts(f"2024-$month%02d-${i}%02d" + "T12:00:00Z")))
+      .toDF("event_name", "event_date")
+    (1 to 3).foreach(m => cat.append("events", batch(m)))
+    val lo = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-02-29T23:59:59Z")
+    val (loUs, hiUs) = (lo.getEpochSecond * 1000000L,
+      hi.getEpochSecond * 1000000L)
+    val (kept, total) = cat.rangeFiles("events", "event_date", loUs, hiUs)
+    assert(kept.size < total,
+      s"February range must skip Jan/Mar files: kept ${kept.size}/$total")
+    val pruned = cat.readRange("events", "event_date", lo, hi)
+      .select("event_name").as[String].collect().sorted.toSeq
+    val full = cat.read("events")
+      .filter(col("event_date") >= lit(ts("2024-02-01T00:00:00Z"))
+        && col("event_date") <= lit(ts("2024-02-29T23:59:59Z")))
+      .select("event_name").as[String].collect().sorted.toSeq
+    assert(pruned == full && pruned.size == 10,
+      s"pruned read must equal full-scan filter: $pruned vs $full")
+    // a rewrite (update) must re-derive stats for the rewritten files:
+    // move one February event into April, then the Feb range must lose it
+    cat.update("events", col("event_name") === "e2-5",
+      Map("event_date" -> lit(ts("2024-04-05T12:00:00Z"))))
+    val afterMove = cat.readRange("events", "event_date", lo, hi)
+      .select("event_name").as[String].collect().toSet
+    assert(!afterMove.contains("e2-5") && afterMove.size == 9,
+      s"moved row must leave the range: $afterMove")
+  }
 }
