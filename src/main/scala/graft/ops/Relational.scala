@@ -381,6 +381,49 @@ object Relational {
       .select("c_custkey").orderBy("c_custkey")
   }
 
+  /** [EXT] FULL OUTER join — the period-over-period reconciliation shape
+    * (churned / new / retained customers across two order years). Both
+    * inputs are already-aggregated per-customer counts, so the outer
+    * join runs over two post-shuffle frames that share the custkey
+    * partitioning (one exchange each, no re-shuffle for the join), and
+    * every output column is null-folded so both engines order and hash
+    * identically. */
+  val jFullOuter: Q = Q(
+    "q_j_full_outer",
+    """WITH a AS (SELECT o_custkey, COUNT(*) AS n95 FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  GROUP BY o_custkey),
+      |b AS (SELECT o_custkey, COUNT(*) AS n96 FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY o_custkey)
+      |SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+      |COALESCE(a.n95, 0) AS n95, COALESCE(b.n96, 0) AS n96,
+      |CASE WHEN a.o_custkey IS NULL THEN 'new'
+      |     WHEN b.o_custkey IS NULL THEN 'churned'
+      |     ELSE 'retained' END AS status
+      |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+      |ORDER BY custkey""".stripMargin
+  ) { (s, d) =>
+    def yearCounts(y: Int, as: String) = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(
+          s"$y-01-01 00:00:00"))
+        && col("o_orderdate") < lit(java.sql.Timestamp.valueOf(
+          s"${y + 1}-01-01 00:00:00")))
+      .groupBy("o_custkey").agg(count(lit(1)).as(as))
+    val a = yearCounts(1995, "n95")
+    val b = yearCounts(1996, "n96")
+    a.join(b, a("o_custkey") === b("o_custkey"), "full_outer")
+      .select(coalesce(a("o_custkey"), b("o_custkey")).as("custkey"),
+        coalesce(col("n95"), lit(0L)).as("n95"),
+        coalesce(col("n96"), lit(0L)).as("n96"),
+        when(a("o_custkey").isNull, "new")
+          .when(b("o_custkey").isNull, "churned")
+          .otherwise("retained").as("status"))
+      .orderBy("custkey")
+  }
+
   /** [EXT] ROLLUP grouping sets; NULL group keys folded to 'ALL' so the
     * sort order is engine-independent. */
   val aRollup: Q = Q(
@@ -536,7 +579,8 @@ object Relational {
     p5ConjFilter, p6HashPredicate, p7Validation, f1Sha2, j1JoinFilterSum,
     j2FactDim, j3LatestPerGroup, j4DedupLatest, j5GroupedStats,
     a1CountFilter, a2SumCoalesceEmpty, a3MaxPerGroup, a4CustomerStats,
-    o1Sort, o2Top1, o4NewestKey, setOps, jSemi, jAnti, aRollup, aCube,
+    o1Sort, o2Top1, o4NewestKey, setOps, jSemi, jAnti, jFullOuter,
+    aRollup, aCube,
     aGroupingSets,
     countDistinctExact, f6DateFormat, f7TimeOfDay, f8Compose, f9Last4,
     f10Currency)
