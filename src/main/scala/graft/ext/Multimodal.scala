@@ -234,10 +234,115 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------- wav
+
+  /** Generator spec for the audio blobs (replayed by the oracle):
+    * canonical 44-byte RIFF/WAVE header + unsigned 8-bit PCM samples
+    * cycling the text bytes. Rate/channels/length are integer arithmetic
+    * on the text stats. */
+  private[graft] def wavSpec(textSum: Long, textLen: Int): (Int, Int, Int) =
+    ((8000 + (textSum % 9) * 1000).toInt, // sample rate 8k..16k
+      (1 + textSum % 2).toInt,            // mono / stereo
+      64 + textLen % 192)                 // samples per channel
+
+  /** A real RIFF/WAVE file (PCM, 8-bit unsigned). Stage-time only. */
+  private[graft] def wavBytes(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val (sr, ch, nsamp) = wavSpec(sumBytes(text), n)
+    val dlen = ch * nsamp
+    val out = new Array[Byte](44 + dlen)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach {
+        case (b, i) => out(off + i) = b }
+    tag(0, "RIFF"); le32(4, 36 + dlen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    le16(20, 1)          // PCM
+    le16(22, ch)
+    le32(24, sr)
+    le32(28, sr * ch)    // byte rate (8-bit: 1 byte/sample)
+    le16(32, ch)         // block align
+    le16(34, 8)          // bits per sample
+    tag(36, "data"); le32(40, dlen)
+    var i = 0
+    while (i < dlen) {
+      out(44 + i) = if (n == 0) 0 else text(i % n)
+      i += 1
+    }
+    out
+  }
+
+  /** One decoded audio clip: chunk-walked format fields + integer
+    * amplitude statistics over the PCM payload (sq-sum centered at the
+    * 8-bit midpoint 128 — the loudness/DC features an audio-quality
+    * filter computes before resampling for a model). */
+  final case class WavFeatures(
+      doc_id: Long, n_bytes: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_samples: Long, duration_ms: Long,
+      amp_sum: Long, amp_sqsum: Long, amp_min: Long, amp_max: Long)
+
+  /** Parse the RIFF container with a REAL chunk walk (not fixed offsets
+    * past the RIFF header): find `fmt ` and `data` wherever they sit,
+    * loudly failing on anything malformed — then compute amplitude
+    * statistics over the PCM payload. Pure function of the blob. */
+  private[graft] def decodeWav(docId: Long, b: Array[Byte]): WavFeatures = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $docId: not a RIFF/WAVE blob")
+    require(le32(4) == b.length - 8, s"doc $docId: RIFF size mismatch")
+    var pos = 12
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+      val t = tag(pos); val len = le32(pos + 4)
+      require(pos + 8 + len <= b.length,
+        s"doc $docId: chunk '$t' overruns the container")
+      if (t == "fmt ") fmtOff = pos + 8
+      else if (t == "data") { dataOff = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(fmtOff >= 0 && dataOff >= 0,
+      s"doc $docId: missing fmt/data chunk")
+    require(le16(fmtOff) == 1 && le16(fmtOff + 14) == 8,
+      s"doc $docId: not 8-bit PCM")
+    val ch = le16(fmtOff + 2)
+    val sr = le32(fmtOff + 4)
+    var sum = 0L; var sq = 0L
+    var mn = if (dataLen == 0) 0L else 255L
+    var mx = 0L
+    var i = dataOff
+    while (i < dataOff + dataLen) {
+      val v = b(i) & 0xff
+      sum += v
+      val c = v - 128; sq += (c * c).toLong
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    val nsamp = dataLen.toLong / ch
+    WavFeatures(docId, b.length.toLong, sr, ch, 8, nsamp,
+      nsamp * 1000L / sr, sum, sq, mn, mx)
+  }
+
   // ------------------------------------------------------------- stage
 
   private val prepared = new PreparedTables(
-    Seq("documents.parquet"), Seq("graft_media", "graft_video"), write)
+    Seq("documents.parquet"),
+    Seq("graft_media", "graft_video", "graft_audio"), write)
 
   def ensurePrepared(s: SparkSession, d: String): Unit =
     prepared.ensurePrepared(s, d)
@@ -257,6 +362,10 @@ object Multimodal {
       rows.map(r => (r.getLong(0), y4mBytes(r.getAs[Array[Byte]](1))))
     }.toDF("doc_id", "blob")
       .write.mode("overwrite").format("parquet").saveAsTable("graft_video")
+    docs.mapPartitions { rows =>
+      rows.map(r => (r.getLong(0), wavBytes(r.getAs[Array[Byte]](1))))
+    }.toDF("doc_id", "blob")
+      .write.mode("overwrite").format("parquet").saveAsTable("graft_audio")
   }
 
   /** The hex→byte-list CTEs shared by both oracles: documents' UTF-8
@@ -346,5 +455,41 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }.copy(setup = Some(ensurePrepared _))
 
-  val all: Seq[Q] = Seq(binaryMeta, decodeFeatures, frameSample)
+  /** Audio decode / feature-extract: staged RIFF/WAVE blobs in, typed
+    * audio features out. Spark chunk-walks the real container; the
+    * oracle replays the generator spec (rate/channels/length from text
+    * stats, samples = cycled text bytes) so every parsed field and every
+    * amplitude statistic is hash-checked. */
+  val audioFeatures: Q = Q(
+    "ext_mm_audio_features",
+    s"""WITH $OracleTextBytes,
+       |spec AS (SELECT doc_id, n, bl,
+       |    (8000 + (tsum % 9) * 1000)::INT AS sample_rate,
+       |    (1 + tsum % 2)::INT AS channels,
+       |    (64 + n % 192)::BIGINT AS nsamp FROM g),
+       |pcm AS (SELECT doc_id, n, sample_rate, channels, nsamp,
+       |    channels * nsamp AS dlen,
+       |    list_transform(range(0, channels * nsamp),
+       |      i -> CASE WHEN n = 0 THEN 0 ELSE bl[(i % n) + 1] END) AS sl
+       |  FROM spec)
+       |SELECT doc_id, (44 + dlen)::BIGINT AS n_bytes, sample_rate,
+       |  channels, 8::INT AS bits, nsamp AS n_samples,
+       |  (nsamp * 1000 // sample_rate)::BIGINT AS duration_ms,
+       |  COALESCE(list_sum(sl), 0)::BIGINT AS amp_sum,
+       |  COALESCE(list_sum(list_transform(sl,
+       |    x -> (x - 128) * (x - 128))), 0)::BIGINT AS amp_sqsum,
+       |  COALESCE(list_min(sl), 0)::BIGINT AS amp_min,
+       |  COALESCE(list_max(sl), 0)::BIGINT AS amp_max
+       |FROM pcm ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    ensurePrepared(s, d)
+    implicit val enc = Encoders.product[WavFeatures]
+    s.table("graft_audio").mapPartitions { rows =>
+      rows.map(r => decodeWav(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }.toDF()
+      .orderBy("doc_id")
+  }.copy(setup = Some(ensurePrepared _))
+
+  val all: Seq[Q] = Seq(binaryMeta, decodeFeatures, frameSample,
+    audioFeatures)
 }
