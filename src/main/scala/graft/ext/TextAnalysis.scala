@@ -558,7 +558,50 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Subword tokenization — greedy longest-match vocabulary encode (the
+    * MaxMatch/WordPiece apply step; the learn step is `ext_bpe_pair
+    * _counts`) via the codegen'd [[graft.functions.SubwordEncode]]
+    * expression, gate-checked on the corpus-wide token histogram (top
+    * 100 by frequency), which pins the exact token STREAM, not just
+    * counts. The oracle replays the same greedy loop as a recursive CTE
+    * over per-DISTINCT-word states, weighting by word frequency — an
+    * optimization the Spark side doesn't need: encode is a pre-shuffle
+    * codegen'd projection, and the only exchange is the token-count
+    * partial aggregate feeding a TakeOrderedAndProject. The single
+    * source for the vocabulary is [[graft.functions.SubwordEncode.
+    * Vocab]], interpolated into this SQL. */
+  val subwordTokenize: Q = Q(
+    "ext_tokenize_subword",
+    s"""WITH RECURSIVE vocab(v) AS (
+       |  SELECT unnest([${graft.functions.SubwordEncode.Vocab
+            .map(v => s"'$v'").mkString(", ")}])),
+       |words AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+       |    AS w FROM documents),
+       |dw AS (SELECT w, COUNT(*) AS wn FROM words GROUP BY w),
+       |steps(w, rem, tok) AS (
+       |  SELECT w, w, CAST(NULL AS VARCHAR) FROM dw
+       |  UNION ALL
+       |  SELECT w, substr(rem, length(tok2) + 1), tok2 FROM (
+       |    SELECT w, rem, (SELECT max_by(v, length(v)) FROM vocab
+       |      WHERE starts_with(rem, v)) AS tok2
+       |    FROM steps WHERE rem <> '') s
+       |  WHERE tok2 IS NOT NULL),
+       |toks AS (SELECT w, tok FROM steps WHERE tok IS NOT NULL)
+       |SELECT t.tok AS token, CAST(SUM(dw.wn) AS BIGINT) AS n
+       |FROM toks t JOIN dw USING (w)
+       |GROUP BY t.tok ORDER BY n DESC, token LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    val enc = (c: Column) =>
+      graft.functions.SubwordEncode.subword_encode(s, c)
+    Tables.documents(s, d)
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .select(explode(enc(col("w"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(100)
+  }
+
   val all: Seq[Q] =
     Seq(tokens, quality, langId, fingerprint, repetition, lineDedup, bm25,
-      unigramNll, hybridRetrieval)
+      unigramNll, hybridRetrieval, subwordTokenize)
 }
