@@ -57,7 +57,9 @@ object Bench {
     "ext_stream_join", "ext_bucketed_join",
     "ext_sim_semdedup", "ext_text_bm25", "ext_zorder_scan",
     "ext_stream_enrich", "ext_sim_pq", "ext_sim_ivfpq",
-    "ext_sim_ivf_trained", "ext_sim_pq_trained", "ext_stream_funnel")
+    "ext_sim_ivf_trained", "ext_sim_pq_trained", "ext_stream_funnel",
+    "ext_dedup_substring", "ext_tokenize_subword", "ext_incr_view_maintain",
+    "ext_stream_left_join")
 
   /** Family key for JVM isolation — one child JVM per distinct value, in
     * first-appearance registry order. */
@@ -70,14 +72,15 @@ object Bench {
     else if (n == "ext_bucketed_join" || n == "ext_partition_pruned_scan"
       || n == "ext_zorder_scan")
       "layout"
-    else if (n.startsWith("ext_text")) "text"
+    else if (n.startsWith("ext_text") || n == "ext_tokenize_subword") "text"
     else if (Set("ext_sample_stratified", "ext_vocab_topk",
       "ext_pipeline_cleanse", "ext_skew_salted_agg", "ext_pii_scrub",
       "ext_corpus_mix", "ext_doc_keyterms", "ext_corpus_decontam",
       "ext_skew_salted_join", "ext_vocab_coverage", "ext_corpus_pack",
       "ext_vocab_heavy_hitters", "ext_bpe_pair_counts",
       "ext_sample_per_source", "ext_doc_chunk",
-      "ext_profile_table", "ext_split_assign")(n))
+      "ext_profile_table", "ext_split_assign",
+      "ext_corpus_mix_temperature")(n))
       "corpus"
     else if (n.startsWith("ext_")) "events"
     else if (n.matches("q\\d+_.*")) "tpch"

@@ -761,9 +761,56 @@ object Corpus {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Temperature-based mixture reweighting (T=2, the multilingual/
+    * multi-source balancing rule of Conneau & Lample NeurIPS'19 and
+    * Arivazhagan et al. '19): per-source sampling weight ∝ p^(1/T) =
+    * sqrt(p), flattening the size distribution so small sources are
+    * upsampled relative to their raw share. p is the source's CHARACTER
+    * share (token-budget proxy), not doc count. T=2 keeps every float
+    * step engine-exact: IEEE sqrt and division are correctly rounded,
+    * the normalization denominator sums 6-rounded weights as exact
+    * decimals, and each output rounds once ([[graft.core.Determinism]]
+    * rule 3 applied to a non-money pipeline). One map-side-combined
+    * groupBy(source); every later frame is sources-sized — the schedule
+    * feeds `ext_corpus_mix`'s per-doc up/downsampling at any corpus
+    * scale. */
+  val mixTemperature: Q = Q(
+    "ext_corpus_mix_temperature",
+    """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM s),
+      |w AS (SELECT source, n_docs, n_chars,
+      |    ROUND(SQRT(CAST(n_chars AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+      |      AS w_temp
+      |  FROM s CROSS JOIN t),
+      |d AS (SELECT CAST(SUM(CAST(w_temp AS DECIMAL(12,6))) AS DOUBLE)
+      |    AS denom FROM w)
+      |SELECT source, n_docs, n_chars, w_temp,
+      |ROUND(w_temp / denom, 6) AS share_temp
+      |FROM w CROSS JOIN d ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val bySource = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+    val tot = bySource.agg(sum(col("n_chars")).as("tot"))
+    val w = bySource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        round(sqrt(col("n_chars").cast("double")
+          / col("tot").cast("double")), 6).as("w_temp"))
+    val denom = w.agg(
+      sum(col("w_temp").cast(org.apache.spark.sql.types.DecimalType(12, 6)))
+        .cast("double").as("denom"))
+    w.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("w_temp"),
+        round(col("w_temp") / col("denom"), 6).as("share_temp"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(dedupClusters, dedupClustersStar, sampleStratified, vocabTopK,
       vocabCoverage, pipelineCleanse, skewSaltedAgg, skewSaltedJoin,
       corpusMix, corpusPack, docKeyTerms, vocabHeavyHitters,
-      bpePairCounts, samplePerSource, docChunk)
+      bpePairCounts, samplePerSource, docChunk, mixTemperature)
 }

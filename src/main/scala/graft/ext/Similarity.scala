@@ -332,7 +332,91 @@ object Similarity {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(topkBrute, nearDupPairs, annLsh, embedOutliers)
+  private val PrefixDims = 16
+
+  /** Prefix-dim sequential-fold dot (the first [[PrefixDims]] of 64) —
+    * the DuckDB mirror of `vec_dot(slice(e, 1, 16), ...)`. */
+  private def pdotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(
+       |    generate_series(1, $PrefixDims), i -> $a[i] * $b[i])),
+       |    (acc, x) -> acc + x)""".stripMargin
+  private def pnormSql(a: String): String = s"sqrt(${pdotSql(a, a)})"
+
+  /** Two-stage coarse-to-fine retrieval on PREFIX dimensions
+    * (Matryoshka-style, Kusupati et al. NeurIPS'22): stage 1 scores the
+    * whole corpus with only the first 16 of 64 dims — a quarter of the
+    * FLOPs and, at rest, a quarter of the bytes streamed (a real
+    * deployment materializes the prefix slice as its own column/index; at
+    * 100 TB the coarse pass is the only corpus-wide scan and it reads
+    * 16-dim rows) — keeping 32 candidates per probe; stage 2 re-ranks
+    * only those candidates with the exact full-dim cosine. Candidate and
+    * final ranks both break ties by id over 6-rounded scores, and every
+    * float reduction is the same sequential fold in both engines, so the
+    * full two-stage pipeline hash-matches. */
+  val prefixRerank: Q = Q(
+    "ext_sim_prefix_rerank",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, e AS pe FROM v
+       |  WHERE vec_id < 5),
+       |coarse AS (
+       |  SELECT probe_id, vec_id AS neighbor_id,
+       |    ROUND(${pdotSql("pe", "e")}
+       |      / (${pnormSql("pe")} * ${pnormSql("e")}), 6) AS pcos
+       |  FROM probes JOIN v ON vec_id <> probe_id),
+       |cand AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY pcos DESC, neighbor_id) AS prank FROM coarse) c
+       |  WHERE prank <= 32),
+       |exact AS (
+       |  SELECT c.probe_id, c.neighbor_id,
+       |    ROUND(${dotSql("p.pe", "n.e")}
+       |      / (${normSql("p.pe")} * ${normSql("n.e")}), 6) AS cosine
+       |  FROM cand c
+       |  JOIN probes p ON p.probe_id = c.probe_id
+       |  JOIN v n ON n.vec_id = c.neighbor_id)
+       |SELECT probe_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM exact) r
+       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  ) { (s, d) =>
+    val p16 = (c: Column) => slice(c, 1, PrefixDims)
+    val v = vecs(s, d)
+    val probes = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+        col("nrm").as("pnrm"), p16(col("e")).as("pe16"))
+      .withColumn("pnrm16", sqrt(vec_dot(s, col("pe16"), col("pe16"))))
+    // the ONLY corpus-wide pass: prefix slice + prefix norm per vector
+    val corpus16 = v.select(col("vec_id"), p16(col("e")).as("e16"))
+      .withColumn("nrm16", sqrt(vec_dot(s, col("e16"), col("e16"))))
+    val coarse = broadcast(
+        probes.select("probe_id", "pe16", "pnrm16"))
+      .join(corpus16, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(vec_dot(s, col("pe16"), col("e16"))
+          / (col("pnrm16") * col("nrm16")), 6).as("pcos"))
+    val cand = coarse
+      .withColumn("prank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("pcos").desc, col("neighbor_id"))))
+      .filter(col("prank") <= 32)
+      .select("probe_id", "neighbor_id")
+    val exact = cand
+      .join(broadcast(probes.select("probe_id", "pe", "pnrm")),
+        Seq("probe_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e"),
+        col("nrm")), Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(vec_dot(s, col("pe"), col("e"))
+          / (col("pnrm") * col("nrm")), 6).as("cosine"))
+    exact
+      .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(topkBrute, nearDupPairs, annLsh, embedOutliers,
+    prefixRerank)
 }
 
 /** Fixed random-hyperplane family shared by [[Similarity.annLsh]] and

@@ -57,6 +57,50 @@ object EventsStream {
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
   )(hourlyByType _)
 
+  /** Streaming SLIDING-window aggregate (1 h window, 30 min slide): each
+    * event lands in exactly two overlapping windows — the moving-average
+    * shape of live dashboards. Overlap multiplies only the AGGREGATE
+    * state (2 tiny rows per slot), never the input: Spark assigns each
+    * row its window set before the shuffle, so at 100 TB/day the cost
+    * over tumbling is one extra state row per window per key, all still
+    * watermark-bounded. Batch twin: `ext_window_sliding`. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+      graft.core.Sessions.withShufflePartitions(spark, 8) {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val name = "stream_sliding_" + UUID.randomUUID().toString.replace("-", "")
+    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    val withTs =
+      if (batch.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else stream
+    val agg = withTs
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy("window_start")
+  }
+
+  /** Gate entry: the streaming sliding window against the same epoch-slot
+    * arithmetic oracle as the batch twin. */
+  val streamSliding: Q = Q(
+    "ext_stream_sliding",
+    """SELECT make_timestamp(((epoch_us(ts) // 1800000000) - i) * 1800000000)
+      |  AS window_start,
+      |COUNT(*) AS n
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) shifts
+      |GROUP BY 1 ORDER BY window_start""".stripMargin
+  )(slidingCounts _)
+
   /** Streaming top-k: complete-mode grouped count with ORDER BY + LIMIT
     * pushed into the streaming sink update — the live-leaderboard shape.
     * Complete mode re-emits the full (tiny, k-bounded) result per batch;
@@ -150,5 +194,6 @@ object EventsStream {
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
   )(enrichedDaily _)
 
-  val all: Seq[Q] = Seq(streamHourly, streamTopK, streamEnrich)
+  val all: Seq[Q] = Seq(streamHourly, streamTopK, streamEnrich,
+    streamSliding)
 }
