@@ -624,22 +624,32 @@ object Dedup {
   ) { (s, d) =>
     val K = 32
     val m5b = (c: Column) => graft.functions.FastMd5.fast_md5_bin(s, c)
+    // Distribute the NARROW doc rows BEFORE the ~len(text)x fan-out: the
+    // explode+digest stage must parallelize on rows, not on file splits
+    // (the 10x sweep caught a single-split fixture feeding one 32 s
+    // task). One tiny keyed shuffle of (doc_id, text) buys full-width
+    // gram generation — at 100 TB this is the same rule per split.
     val grams = Tables.documents(s, d)
       .filter(length(col("text")) >= K)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), length(col("text")) - lit(K - 1)),
         i => col("text").substr(i, lit(K)))).as("span"))
       .select(col("doc_id"), m5b(col("span")).as("g"))
       .distinct()
-      .eagerCheckpoint()
-    val hot = grams.groupBy("g").agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") > 1).select("g")
-    val nSpans = grams.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val dups = grams.join(hot, Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
-    nSpans.join(dups, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
-        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+    // Document frequency as a WINDOW count over the digest partition:
+    // one g-keyed exchange annotates every (doc, gram) row with its
+    // gram's ndocs, and BOTH outputs (total spans, duplicated spans)
+    // then fall out of a single doc-keyed aggregate — no checkpoint, no
+    // df-side aggregate, no semi-join back (the 10x sweep timed the
+    // join-back formulation at 4x this plan's cost).
+    grams
+      .withColumn("ndocs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("ndocs") > 1, 1)).as("dup_spans"))
       .orderBy("doc_id")
   }
 

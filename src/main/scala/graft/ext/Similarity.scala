@@ -345,11 +345,13 @@ object Similarity {
   /** Two-stage coarse-to-fine retrieval on PREFIX dimensions
     * (Matryoshka-style, Kusupati et al. NeurIPS'22): stage 1 scores the
     * whole corpus with only the first 16 of 64 dims — a quarter of the
-    * FLOPs and, at rest, a quarter of the bytes streamed (a real
-    * deployment materializes the prefix slice as its own column/index; at
-    * 100 TB the coarse pass is the only corpus-wide scan and it reads
-    * 16-dim rows) — keeping 32 candidates per probe; stage 2 re-ranks
-    * only those candidates with the exact full-dim cosine. Candidate and
+    * FLOPs and, with the prefix slice materialized as its own column (as
+    * a real deployment would), a quarter of the bytes streamed — keeping
+    * 32 candidates per probe; stage 2 re-ranks only those candidates
+    * with the exact full-dim cosine. In a production vector store stage
+    * 2 is id-keyed point access; the fixture plan streams the corpus
+    * once more but hash-joins it against the broadcast 160-row candidate
+    * set, so nothing re-materializes or shuffles. Candidate and
     * final ranks both break ties by id over 6-rounded scores, and every
     * float reduction is the same sequential fold in both engines, so the
     * full two-stage pipeline hash-matches. */
