@@ -593,7 +593,11 @@ object TextAnalysis {
   ) { (s, d) =>
     val enc = (c: Column) =>
       graft.functions.SubwordEncode.subword_encode(s, c)
+    // row-parallel fan-out (same rule as ext_dedup_substring): the word
+    // explode + encode must not ride a single file split's partition
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
       .select(explode(expr(
         "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .select(explode(enc(col("w"))).as("token"))
