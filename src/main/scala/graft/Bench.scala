@@ -80,7 +80,7 @@ object Bench {
       "ext_vocab_heavy_hitters", "ext_bpe_pair_counts",
       "ext_sample_per_source", "ext_doc_chunk",
       "ext_profile_table", "ext_split_assign",
-      "ext_corpus_mix_temperature")(n))
+      "ext_corpus_mix_temperature", "ext_fuzzy_lookup")(n))
       "corpus"
     else if (n.startsWith("ext_")) "events"
     else if (n.matches("q\\d+_.*")) "tpch"

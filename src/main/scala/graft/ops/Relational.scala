@@ -424,6 +424,48 @@ object Relational {
       .orderBy("custkey")
   }
 
+  private val FuzzyProbes = Seq("smal ring", "red wdget", "blu bolt",
+    "hot gearr", "small gizmoo", "grene bracket", "pruple cable",
+    "xyzzy nothing", "blue blot", "rde widget")
+
+  /** [EXT] typo-tolerant dictionary lookup (fuzzy match / query
+    * correction): each misspelled probe resolves to its closest
+    * catalog name by edit distance (ties by name), dropped when nothing
+    * is within distance 3. The dictionary side is DISTINCT p_name — a
+    * vocabulary-sized frame no matter how large the part catalog (the
+    * aggregate compresses the corpus before any distance work), and the
+    * probe side broadcasts, so the cross product is (probes x
+    * vocabulary), never (probes x rows). At a larger vocabulary the
+    * prefilter would be an n-gram/length-band block before the DP; the
+    * plan shape — aggregate-compress, broadcast probes, rank per probe —
+    * is unchanged. Both engines implement unit-cost Levenshtein
+    * identically, so distances are integer-exact. */
+  val fuzzyLookup: Q = Q(
+    "ext_fuzzy_lookup",
+    s"""WITH probes(q) AS (VALUES
+       |  ${FuzzyProbes.map(p => s"('$p')").mkString(", ")}),
+       |names AS (SELECT DISTINCT p_name FROM part),
+       |scored AS (SELECT q, p_name, levenshtein(q, p_name) AS d
+       |  FROM probes CROSS JOIN names)
+       |SELECT q, p_name AS best_match, d FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, p_name)
+       |    AS rn FROM scored) r
+       |WHERE rn = 1 AND d <= 3 ORDER BY q""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val probes = FuzzyProbes.toDF("q")
+    val names = Tables.part(s, d).select("p_name").distinct()
+    broadcast(probes).crossJoin(names)
+      .select(col("q"), col("p_name"),
+        levenshtein(col("q"), col("p_name")).as("d"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q")
+          .orderBy(col("d"), col("p_name"))))
+      .filter(col("rn") === 1 && col("d") <= 3)
+      .select(col("q"), col("p_name").as("best_match"), col("d"))
+      .orderBy("q")
+  }
+
   /** [EXT] ROLLUP grouping sets; NULL group keys folded to 'ALL' so the
     * sort order is engine-independent. */
   val aRollup: Q = Q(
@@ -580,7 +622,7 @@ object Relational {
     j2FactDim, j3LatestPerGroup, j4DedupLatest, j5GroupedStats,
     a1CountFilter, a2SumCoalesceEmpty, a3MaxPerGroup, a4CustomerStats,
     o1Sort, o2Top1, o4NewestKey, setOps, jSemi, jAnti, jFullOuter,
-    aRollup, aCube,
+    fuzzyLookup, aRollup, aCube,
     aGroupingSets,
     countDistinctExact, f6DateFormat, f7TimeOfDay, f8Compose, f9Last4,
     f10Currency)
