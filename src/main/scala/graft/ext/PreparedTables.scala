@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * ops have. One implementation so a fix to the memo rule or the
   * orphan-directory cleanup cannot silently miss a sibling.
   */
-private[ext] final class PreparedTables(
+private[graft] final class PreparedTables(
     sourceFiles: Seq[String],
     managedTables: Seq[String],
     writer: (SparkSession, String) => Unit) {
