@@ -424,6 +424,32 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** [EXT] NULL-semantics corner: null-safe equality join (`<=>` /
+    * IS NOT DISTINCT FROM — the join that MATCHES null keys instead of
+    * dropping them) plus grouping on a nullable key and explicit
+    * NULLS FIRST presentation order, pinned identically in both
+    * engines. The nullable key is derived (NULLIF) so the row exercises
+    * the semantics against real data without depending on fixture
+    * nulls. */
+  val nullSemantics: Q = Q(
+    "q_null_semantics",
+    """WITH o AS (SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS pri
+      |  FROM orders),
+      |keys(k) AS (SELECT unnest(['1-URGENT', CAST(NULL AS VARCHAR)]))
+      |SELECT k.k AS key_pri, COUNT(*) AS n
+      |FROM keys k JOIN o ON o.pri IS NOT DISTINCT FROM k.k
+      |GROUP BY k.k ORDER BY key_pri NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pri"))
+    val keys = Seq(Some("1-URGENT"), Option.empty[String]).toDF("k")
+    broadcast(keys).join(o, col("pri") <=> col("k"))
+      .groupBy(col("k").as("key_pri"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("key_pri").asc_nulls_first)
+  }
+
   private val FuzzyProbes = Seq("smal ring", "red wdget", "blu bolt",
     "hot gearr", "small gizmoo", "grene bracket", "pruple cable",
     "xyzzy nothing", "blue blot", "rde widget")
@@ -622,7 +648,7 @@ object Relational {
     j2FactDim, j3LatestPerGroup, j4DedupLatest, j5GroupedStats,
     a1CountFilter, a2SumCoalesceEmpty, a3MaxPerGroup, a4CustomerStats,
     o1Sort, o2Top1, o4NewestKey, setOps, jSemi, jAnti, jFullOuter,
-    fuzzyLookup, aRollup, aCube,
+    fuzzyLookup, nullSemantics, aRollup, aCube,
     aGroupingSets,
     countDistinctExact, f6DateFormat, f7TimeOfDay, f8Compose, f9Last4,
     f10Currency)

@@ -921,6 +921,40 @@ class ExtSpec extends SparkSuite {
       "outliers lost its top-k")
   }
 
+  test("plan pins (round 9): incremental view scans only the delta " +
+    "(pushed watermark literal) and equals the full recompute; the " +
+    "fan-out ops keep their row-parallel exchange") {
+    val sf = "/root/testdata/sf0.001"
+    // the serving plan must push the watermark into the events scan —
+    // the delta-only property the operator exists for
+    val mv = graft.ext.IncrView.refreshedView(spark, sf)
+    val plan = mv.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"incr view lost its pushed watermark filter:\n$plan")
+    // and the merged result must equal a from-scratch full aggregate
+    import graft.core.Determinism.m
+    val full = graft.core.Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(m(col("value"))).cast("double").as("total"))
+      .orderBy("day", "event_type")
+      .collect().toSeq
+    assert(mv.collect().toSeq == full,
+      "incremental merge diverged from the full recompute")
+
+    // fan-out ops: the explode must sit above a row exchange, never
+    // directly on the file-split scan (the 10x sweep's single-task trap)
+    Seq(Dedup.substringSpans, TextAnalysis.subwordTokenize).foreach { q =>
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      // bottom-most hash exchange must sit BELOW the bottom-most
+      // Generate in the top-down plan print (i.e. feed the explode)
+      val gen = p.lastIndexOf("Generate")
+      val exch = p.lastIndexOf("Exchange hashpartitioning")
+      assert(gen >= 0 && exch > gen,
+        s"${q.name}: expected a row exchange feeding the explode\n$p")
+    }
+  }
+
   test("unigram NLL: rare-token documents score higher than common-token " +
     "documents, and a doc of one repeated corpus-dominant token scores " +
     "the corpus minimum") {
