@@ -59,7 +59,7 @@ object Bench {
     "ext_stream_enrich", "ext_sim_pq", "ext_sim_ivfpq",
     "ext_sim_ivf_trained", "ext_sim_pq_trained", "ext_stream_funnel",
     "ext_dedup_substring", "ext_tokenize_subword", "ext_incr_view_maintain",
-    "ext_stream_left_join")
+    "ext_stream_left_join", "ext_star_denorm", "ext_dq_audit")
 
   /** Family key for JVM isolation — one child JVM per distinct value, in
     * first-appearance registry order. */
@@ -80,8 +80,12 @@ object Bench {
       "ext_vocab_heavy_hitters", "ext_bpe_pair_counts",
       "ext_sample_per_source", "ext_doc_chunk",
       "ext_profile_table", "ext_split_assign",
-      "ext_corpus_mix_temperature", "ext_fuzzy_lookup")(n))
+      "ext_corpus_mix_temperature", "ext_fuzzy_lookup",
+      "ext_sample_weighted")(n))
       "corpus"
+    else if (Set("ext_star_denorm", "ext_date_dim", "ext_dq_audit",
+      "ext_unpivot")(n))
+      "warehouse"
     else if (n.startsWith("ext_")) "events"
     else if (n.matches("q\\d+_.*")) "tpch"
     else "core"
@@ -147,7 +151,11 @@ object Bench {
       // attribution: the r7 ann_lsh 1.81s / ivf 1.70s readings were one
       // bad draw — same plan re-measures 0.59/0.60s). min-of-3 instead of
       // min-of-2 makes one bad draw unable to set the reported number.
-      if (fam == "dedup" || fam == "sim")
+      // r9 follow-up: the same one-bad-draw episodes surfaced in the tpch
+      // family (q18 1.90s in-family vs 0.81s isolated, identical plan) and
+      // layout (zorder 0.40 vs 0.16) once the registry grew past ~150
+      // queries — extend the min-of-3 guard to them.
+      if (Set("dedup", "sim", "tpch", "layout")(fam))
         pb.environment().put("SPARK_GRAFT_BENCH_RUNS",
           math.max(runs, 3).toString)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)

@@ -15,6 +15,7 @@ object Registry {
       Profiling.all ++ InvertedIndex.all ++
       BucketedJoin.all ++ PartitionedScan.all ++ ZOrderLayout.all ++
       BloomJoin.all ++ StoreFeed.all ++ Scd2.all ++ IncrView.all ++
+      Warehouse.all ++ Attribution.all ++ LangModel.all ++
       graft.sources.JsonlIngest.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++

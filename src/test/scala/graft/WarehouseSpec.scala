@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Warehouse
+
+/** Plan and invariant pins for the dimensional-warehouse ops. */
+class WarehouseSpec extends SparkSuite {
+
+  test("star denorm: one shuffle join, every dimension hop broadcast") {
+    val df = Warehouse.starDenorm.fn(spark, sf)
+    df.collect()
+    // AQE's rendering carries Final + Initial sections; pin the final one
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    // the five dimension hops must all be broadcast; at fixture scale AQE
+    // may legally convert the tiny fact join to a sixth broadcast
+    assert(nBroadcast >= 5,
+      s"expected >=5 broadcast dimension joins, got $nBroadcast:\n$plan")
+    // at most the lineitem |><| orders join may shuffle
+    val nOther = ("SortMergeJoin".r.findAllIn(plan).size
+      + "ShuffledHashJoin".r.findAllIn(plan).size)
+    assert(nOther <= 1,
+      s"expected at most 1 shuffled fact join, got $nOther:\n$plan")
+  }
+
+  test("star denorm: row count equals lineitem (dims are total functions)") {
+    val n = Warehouse.starDenorm.fn(spark, sf).count()
+    val li = graft.core.Tables.lineitem(spark, sf).count()
+    assert(n == li, s"denormalized fact must be row-for-row: $n vs $li")
+  }
+
+  test("date dim: contiguous days, ISO weekday cycle, month-end flags") {
+    val rows = Warehouse.dateDim.fn(spark, sf).collect()
+    assert(rows.length > 365)
+    val dates = rows.map(_.getAs[String]("d_date"))
+    assert(dates.sorted.sameElements(dates), "must be date-ordered")
+    // contiguity: row count equals day span between endpoints
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(dates.head),
+      java.time.LocalDate.parse(dates.last)) + 1
+    assert(span == rows.length, s"gaps in calendar: $span vs ${rows.length}")
+    // ISO weekday advances mod 7 along consecutive days
+    val dows = rows.map(_.getAs[Long]("d_isodow"))
+    dows.sliding(2).foreach { case Array(a, b) =>
+      assert(b == a % 7 + 1, s"weekday cycle broken: $a -> $b")
+    }
+    val jan1 = rows.find(_.getAs[String]("d_date") == "1996-01-31").get
+    assert(jan1.getAs[Boolean]("d_is_month_end"))
+    assert(jan1.getAs[String]("d_month_name") == "January")
+  }
+
+  test("dq audit: clean fixture yields zero violations on keyed checks") {
+    val m = Warehouse.dqAudit.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"))).toMap
+    assert(m.keySet.size == 7)
+    // fixture generator emits referentially-intact keyed data
+    assert(m("pk_unique_orders")._2 == 0)
+    assert(m("fk_orders_customer")._2 == 0)
+    assert(m("fk_lineitem_orders")._2 == 0)
+    assert(m("enum_orderstatus")._2 == 0)
+    // every check audited the full table it names
+    assert(m("pk_unique_orders")._1 == m("enum_orderstatus")._1)
+    assert(m("range_discount")._1 == m("nonneg_extendedprice")._1)
+  }
+
+  test("unpivot: 4x row expansion, per-metric sums match the wide table") {
+    val long = Warehouse.unpivot.fn(spark, sf)
+    val li = graft.core.Tables.lineitem(spark, sf)
+    assert(long.count() == 4 * li.count())
+    val qtyLong = long.filter(col("metric") === "quantity")
+      .agg(sum("amount")).head.getDouble(0)
+    val qtyWide = li.agg(sum("l_quantity")).head.getDouble(0)
+    assert(math.abs(qtyLong - qtyWide) < 1e-6)
+  }
+}
