@@ -449,7 +449,12 @@ object TextAnalysis {
        |    / SUM(tf.tf) * 10000 + 0.5) / 10000.0 AS nll
        |FROM tf JOIN vocab ON vocab.t = tf.t CROSS JOIN total
        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => nllPerDoc(s, d).orderBy("doc_id") }
+
+  /** (doc_id, n_tokens, nll) frame behind [[unigramNll]] — shared with
+    * [[LangModel.curriculumBuckets]]'s difficulty ordering. */
+  private[ext] def nllPerDoc(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .groupBy("doc_id", "t")
@@ -462,8 +467,25 @@ object TextAnalysis {
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
         (floor(-sum(col("tf") * log(col("cnt") / col("n").cast("double")))
           / sum(col("tf")) * 10000 + 0.5) / 10000.0).as("nll"))
-      .orderBy("doc_id")
   }
+
+  /** The oracle CTE computing (doc_id, n_tokens, nll) — [[nllPerDoc]]'s
+    * SQL mirror, shared with the curriculum oracle. */
+  private[ext] val nllPerDocSql: String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |  GROUP BY doc_id, t),
+       |vocab AS (
+       |  SELECT t, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY t),
+       |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+       |nlls AS (
+       |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |    FLOOR(-SUM(tf.tf * ln(vocab.cnt / CAST(total.n AS DOUBLE)))
+       |      / SUM(tf.tf) * 10000 + 0.5) / 10000.0 AS nll
+       |  FROM tf JOIN vocab ON vocab.t = tf.t CROSS JOIN total
+       |  GROUP BY tf.doc_id)""".stripMargin
 
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher, "Reciprocal Rank Fusion outperforms Condorcet and
