@@ -170,6 +170,48 @@ object IvfSearch {
     searchWith(s, v, trainedCentroids(s, v, iters))
   }
 
+  // ------------------------------------------ ingest-staged trained index
+
+  /** Ingest-time staging of the TRAINED quantizer ([[PreparedTables]]
+    * memo): Lloyd's training and the corpus cell assignment both happen
+    * when the index is built, not when a query runs — the cost model
+    * every production vector index has. The staged tables are the K tiny
+    * trained centroids and the (vec_id, cell) assignment. */
+  private val preparedTrained = new PreparedTables(
+    Seq("embeddings.parquet"),
+    Seq("graft_ivf_trained_cents", "graft_ivf_trained_cells"),
+    writeTrained)
+
+  def ensureTrained(s: SparkSession, d: String): Unit =
+    preparedTrained.ensurePrepared(s, d)
+
+  private def writeTrained(s: SparkSession, d: String): Unit = {
+    val v = Similarity.vecs(s, d).eagerCheckpoint()
+    val c = trainedCentroids(s, v, 3)
+    c.write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_ivf_trained_cents")
+    assigned(s, v, c).write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_ivf_trained_cells")
+  }
+
+  /** Query against the staged trained index: query-time work is the
+    * probe-to-centroid ranking (probes × K tiny staged rows), the
+    * candidate join against the staged cell assignment, and the exact
+    * rerank of the candidate-bounded corpus reads. Results are
+    * IDENTICAL to [[searchTrained]] (double arrays round-trip parquet
+    * bit-exactly; every downstream step is shared) — spec-pinned. */
+  def searchTrainedIndexed(s: SparkSession, d: String): DataFrame = {
+    ensureTrained(s, d)
+    val v = Similarity.vecs(s, d)
+    val c = s.table("graft_ivf_trained_cents")
+    val cand = probeCells(s, v, c)
+      .join(s.table("graft_ivf_trained_cells")
+        .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id")
+    scoreCandidates(s, v, cand)
+  }
+
   /** Each probe's candidate set under quantizer `c`: the residents of
     * its NProbe closest cells, self excluded — the coarse-pruning stage
     * shared by IVF exact scoring and the IVF-PQ composition. */
@@ -186,8 +228,13 @@ object IvfSearch {
     candidates(s, v, cents(v))
 
   private def searchWith(s: SparkSession, v: DataFrame,
-      c: DataFrame): DataFrame = {
-    val cand = candidates(s, v, c)
+      c: DataFrame): DataFrame =
+    scoreCandidates(s, v, candidates(s, v, c))
+
+  /** Exact-cosine rerank of an externally-derived candidate set — the
+    * scoring tail shared by the inline and ingest-staged IVF paths. */
+  private def scoreCandidates(s: SparkSession, v: DataFrame,
+      cand: DataFrame): DataFrame = {
     val probeVecs = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"),
         col("nrm").as("pnrm"))

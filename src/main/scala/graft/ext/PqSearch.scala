@@ -305,6 +305,42 @@ object PqSearch {
     searchWith(s, subs, trainedCodebook(s, subs, iters))
   }
 
+  /** Ingest-time staging of the TRAINED product quantizer: codebook
+    * training (k-means per subspace) and corpus encoding both happen at
+    * index build — the staged tables are the M×Ks trained codewords and
+    * the narrow (vec_id, m, code) code table. Mirrors [[preparedIndex]]
+    * for the seed-quantizer composition. */
+  private val preparedTrainedPq = new PreparedTables(
+    Seq("embeddings.parquet"),
+    Seq("graft_pq_trained_cb", "graft_pq_trained_codes"),
+    writeTrainedPq)
+
+  def ensureTrainedPq(s: SparkSession, d: String): Unit =
+    preparedTrainedPq.ensurePrepared(s, d)
+
+  private def writeTrainedPq(s: SparkSession, d: String): Unit = {
+    val subs = subvecs(s, d).eagerCheckpoint()
+    val cb = trainedCodebook(s, subs, 3)
+    cb.write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_pq_trained_cb")
+    encode(subs, cb).write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_pq_trained_codes")
+  }
+
+  /** Query against the staged trained PQ index: query-time work is the
+    * probe ADC table (probe subvectors × the staged broadcast codebook)
+    * plus the code-table scoring sum — no training, no corpus encode,
+    * no corpus float reads beyond the probes' own rows. Results are
+    * IDENTICAL to [[searchTrained]] (shared [[searchWith]] tail; double
+    * arrays round-trip parquet bit-exactly) — spec-pinned. */
+  def searchTrainedIndexed(s: SparkSession, d: String): DataFrame = {
+    ensureTrainedPq(s, d)
+    val probeSubs = subvecsOf(
+      Similarity.vecs(s, d).filter(col("vec_id") < NProbes))
+    searchWith(s, probeSubs, s.table("graft_pq_trained_cb"),
+      encOpt = Some(s.table("graft_pq_trained_codes")))
+  }
+
   /** Ingest-time encoding: each (vector, subspace) takes its min-L2
     * codeword — narrow (vec_id, m, code) rows only. */
   private def encode(subs: DataFrame, cb: DataFrame): DataFrame =

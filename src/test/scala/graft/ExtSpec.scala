@@ -197,6 +197,14 @@ class ExtSpec extends SparkSuite {
     // same deterministic init re-run gives identical centroids/results
     val again = recallOf(IvfSearch.searchTrained(spark, sf))
     assert(again == trained, "trained search must be run-to-run stable")
+    // the ingest-staged trained index (the benched path) must return
+    // exactly the inline trained results — double arrays round-trip
+    // parquet bit-exactly and every downstream step is shared
+    val inline = IvfSearch.searchTrained(spark, sf).collect().map(_.toString)
+    val staged = IvfSearch.searchTrainedIndexed(spark, sf).collect()
+      .map(_.toString)
+    assert(staged.sameElements(inline),
+      s"staged (${staged.length}) vs inline (${inline.length})")
   }
 
   test("near-dup pairs: finds planted high-cosine duplicates via LSH " +

@@ -116,4 +116,14 @@ class PqSpec extends SparkSuite {
     assert(trained >= seed - 0.1 && trained >= 0.25,
       s"training must not lose recall: seed $seed, trained $trained")
   }
+
+  test("pq: ingest-staged trained index returns exactly the inline " +
+    "trained results (benched path = spec'd path)") {
+    val d = "/root/testdata/sf0.001"
+    val inline = PqSearch.searchTrained(spark, d).collect().map(_.toString)
+    val staged = PqSearch.searchTrainedIndexed(spark, d).collect()
+      .map(_.toString)
+    assert(staged.sameElements(inline),
+      s"staged (${staged.length}) vs inline (${inline.length})")
+  }
 }
