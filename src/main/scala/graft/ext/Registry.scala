@@ -21,5 +21,6 @@ object Registry {
       graft.streaming.StatefulSessions.all ++
       graft.streaming.StreamDedup.all ++
       graft.streaming.StreamJoin.all ++
-      graft.streaming.StreamFunnel.all
+      graft.streaming.StreamFunnel.all ++
+      graft.streaming.StreamAttribution.all
 }

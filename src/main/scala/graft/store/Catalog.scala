@@ -74,7 +74,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * schema and its files are always consistent (and time travel reads
     * an old snapshot through the schema it had THEN). */
   private[store] case class TableState(maxId: Long, files: Vector[FileEntry],
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      checks: Map[String, String] = Map.empty)
 
   private type Manifest = Map[String, TableState]
 
@@ -99,7 +100,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
         val schema = Option(t.get("schema")).map(n =>
           org.apache.spark.sql.types.DataType.fromJson(n.asText())
             .asInstanceOf[org.apache.spark.sql.types.StructType])
-        e.getKey -> TableState(t.get("maxId").asLong(), files, schema)
+        val checks = Option(t.get("checks")).map { cn =>
+          cn.properties().asScala
+            .map(ce => ce.getKey -> ce.getValue.asText()).toMap
+        }.getOrElse(Map.empty[String, String])
+        e.getKey -> TableState(t.get("maxId").asLong(), files, schema, checks)
       }.toMap
   }
 
@@ -129,6 +134,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val t: ObjectNode = rootNode.putObject(tbl)
       t.put("maxId", st.maxId)
       st.schema.foreach(s => t.put("schema", s.json))
+      if (st.checks.nonEmpty) {
+        val cn = t.putObject("checks")
+        st.checks.toSeq.sortBy(_._1).foreach { case (n, e) => cn.put(n, e) }
+      }
       val fs: ArrayNode = t.putArray("files")
       st.files.foreach { f =>
         val fn = fs.addObject()
@@ -498,6 +507,52 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * schema commits in the SAME atomic manifest swap as any data
       * staged in this transaction. Time travel to an earlier version
       * still reads the pre-evolution shape ([[Catalog.readAt]]). */
+    /** Declare a CHECK constraint (Delta `ADD CONSTRAINT` analogue):
+      * `constraint` is a boolean SQL expression over the table's
+      * columns. Existing rows are validated FIRST (one scan — the price
+      * Delta pays too); from this commit on every append/update/merge
+      * validates its newly-written rows before the manifest swap, so a
+      * violating write fails loudly and atomically (nothing lands).
+      * ANSI CHECK semantics: NULL evaluates as pass (unknown). The
+      * constraint text is versioned IN the manifest, so time travel and
+      * changefeeds see the constraint set each snapshot actually had.
+      * Constraints must reference DATA columns only — the engine-owned
+      * surrogate id is absent from a merge's source batch, so an
+      * id-referencing check fails analysis there (loudly). */
+    def addCheck(table: String, name: String, constraint: String): Unit = {
+      val (schema, _) = schemaIdOf(table)
+      val prev = curState(table)
+      require(!prev.checks.contains(name),
+        s"check '$name' already exists on '$table'")
+      if (prev.files.nonEmpty) {
+        val bad = readFiles(table, prev.files, schema)
+          .filter(!coalesce(expr(constraint), lit(true))).count()
+        require(bad == 0L,
+          s"cannot add check '$name' to '$table': $bad existing rows " +
+            s"violate ($constraint)")
+      }
+      staged :+= Staged(table,
+        prev.copy(checks = prev.checks + (name -> constraint)))
+    }
+
+    /** Validate `df` (rows about to be written) against the table's
+      * effective CHECK set — ONE aggregate pass computing every check's
+      * violation count together. */
+    private def enforceChecks(table: String, df: DataFrame): Unit = {
+      val checks = curState(table).checks
+      if (checks.isEmpty) return
+      val aggs = checks.toSeq.sortBy(_._1).map { case (n, e) =>
+        count(when(!coalesce(expr(e), lit(true)), 1)).as(n)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      checks.keys.toSeq.sorted.foreach { n =>
+        val bad = row.getAs[Long](n)
+        require(bad == 0L,
+          s"check '$n' on '$table' violated by $bad incoming rows " +
+            s"(${checks(n)})")
+      }
+    }
+
     def addColumn(table: String,
         field: org.apache.spark.sql.types.StructField): Unit = {
       require(field.nullable,
@@ -539,6 +594,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           })
       }
       val withIds = spark.createDataFrame(indexed, schema)
+      enforceChecks(table, withIds)
       val newFiles = stageFiles(table, withIds, idCol)
       val n = newFiles.map(f => f.maxId).maxOption.getOrElse(baseId)
       staged :+= Staged(table, prev.copy(maxId = math.max(n, baseId),
@@ -585,6 +641,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val updated = assignments.foldLeft(cur) { case (df, (c, v)) =>
         df.withColumn(c, when(predicate, v).otherwise(col(c)))
       }
+      enforceChecks(table, updated)
       val newFiles = stageFiles(table, updated, idCol)
       staged :+= Staged(table, prev.copy(files = carried ++ newFiles))
     }
@@ -658,6 +715,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
       require(src.filter(col(keyCol).isNotNull)
         .groupBy(keyCol).count().filter(col("count") > 1).isEmpty,
         s"ambiguous merge: source has duplicate '$keyCol' values")
+      // every newly-written value in a merge comes from the source batch
+      // (matched rewrites take source columns; inserts ARE source rows),
+      // so validating src once covers both branches — surviving target
+      // rows were validated by their own writing commit
+      enforceChecks(table, src)
       val prev = curState(table)
       val keys = src.select(keyCol)
       val (nUpd, inserted) =
@@ -852,6 +914,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   def merge(table: String, source: DataFrame, keyCol: String): (Long, Long) =
     transaction(_.merge(table, source, keyCol))
+
+  def addCheck(table: String, name: String, constraint: String): Unit =
+    transaction(_.addCheck(table, name, constraint))
 
   def scd2Merge(table: String, source: DataFrame, keyCol: String,
       tracked: Seq[String], at: java.sql.Timestamp): (Long, Long) =

@@ -650,4 +650,43 @@ class StoreSpec extends SparkSuite {
     assert(!afterMove.contains("e2-5") && afterMove.size == 9,
       s"moved row must leave the range: $afterMove")
   }
+
+  test("CHECK constraints: enforced on append/update/merge, versioned " +
+    "in the manifest, rejected when existing data violates") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c"))
+    // declaring a check existing data violates must fail
+    intercept[IllegalArgumentException] {
+      cat.addCheck("users", "role_domain", "user_role = 'admin'")
+    }
+    cat.addCheck("users", "phone_len", "length(phone) = 10")
+    cat.addCheck("users", "email_at", "email LIKE '%@%'")
+    // a violating append aborts BEFORE commit: nothing lands
+    val bad = Seq(("b", "L", "123", "b@x.c", "h", "user",
+      new java.sql.Timestamp(0L)))
+      .toDF("first_name", "last_name", "phone", "email", "password_hash",
+        "user_role", "created_at")
+    intercept[IllegalArgumentException] { cat.append("users", bad) }
+    assert(cat.read("users").count() == 1)
+    // a violating update aborts too
+    intercept[IllegalArgumentException] {
+      cat.update("users", col("email") === "a@x.c",
+        Map("phone" -> lit("00")))
+    }
+    // a violating merge source aborts
+    intercept[IllegalArgumentException] { cat.merge("users", bad, "email") }
+    // valid writes still flow, and a SECOND catalog on the same root
+    // sees the manifest-versioned checks (no in-memory state involved)
+    cat.append("users", user("c", "c@x.c"))
+    val cat2 = new Catalog(spark, cat.root)
+    intercept[IllegalArgumentException] { cat2.append("users", bad) }
+    assert(cat2.read("users").count() == 2)
+    // NULL evaluates as pass (ANSI CHECK): a row with NULL phone lands
+    val withNull = Seq(("d", "L", null.asInstanceOf[String], "d@x.c", "h",
+      "user", new java.sql.Timestamp(0L)))
+      .toDF("first_name", "last_name", "phone", "email", "password_hash",
+        "user_role", "created_at")
+    cat2.append("users", withNull)
+    assert(cat2.read("users").count() == 3)
+  }
 }
