@@ -68,7 +68,7 @@ object Bench {
     else if (n.startsWith("ext_mm")) "mm"
     else if (n.startsWith("ext_dedup")) "dedup"
     else if (n.startsWith("ext_sim") || n.startsWith("ext_embed")
-      || n == "ext_hybrid_retrieval") "sim"
+      || n == "ext_hybrid_retrieval" || n == "ext_vec_array_funcs") "sim"
     else if (n == "ext_bucketed_join" || n == "ext_partition_pruned_scan"
       || n == "ext_zorder_scan")
       "layout"
@@ -84,7 +84,7 @@ object Bench {
       "ext_sample_weighted")(n))
       "corpus"
     else if (Set("ext_star_denorm", "ext_date_dim", "ext_dq_audit",
-      "ext_unpivot")(n))
+      "ext_unpivot", "ext_skyline_2d")(n))
       "warehouse"
     else if (n.startsWith("ext_")) "events"
     else if (n.matches("q\\d+_.*")) "tpch"
