@@ -365,23 +365,47 @@ object PqSearch {
       .join(broadcast(cb), Seq("m"))
       .select(col("probe_id"), col("m"), col("code"),
         dot(col("sv"), col("cw")).as("part"))
-    val pairs = candidates match {
+    val scored = candidates match {
       case Some(cand) => cand
         .join(enc.withColumnRenamed("vec_id", "neighbor_id"),
           Seq("neighbor_id"))
         .join(broadcast(tab), Seq("probe_id", "m", "code"))
         .select(col("probe_id"), col("neighbor_id"), col("m"), col("part"))
-      case None => enc.join(broadcast(tab), Seq("m", "code"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          col("m"), col("part"))
+        .groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(round(aggregate(
+          transform(array_sort(collect_list(struct(col("m"), col("part")))),
+            st => st("part")),
+          lit(0.0), (acc, x) => acc + x), 6).as("adc"))
+      case None =>
+        // Full-corpus ADC in the layout the paper actually runs: the M
+        // codes ride TOGETHER as one per-vector array (one groupBy over
+        // the narrow code rows — at a real ingest they are written wide),
+        // the probe's M x Ks table becomes one flat lookup array indexed
+        // m*Ks+code, and scoring is M element_at lookups folded in m
+        // order — bit-identical to the sorted-collect fold (same parts,
+        // same ascending-m addition order), but with NO code-to-table
+        // join and NO per-(probe,neighbor) groupBy shuffle: the only
+        // shuffles left are the per-vector code widening and the top-k.
+        val wide = enc.groupBy("vec_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("m"), col("code")))),
+            st => st("code")).as("codes"))
+        val adcArr = tab.groupBy("probe_id")
+          .agg(transform(
+            array_sort(collect_list(
+              struct(col("m"), col("code"), col("part")))),
+            st => st("part")).as("adc_tab"))
+        val fold = aggregate(
+          transform(sequence(lit(0), lit(M - 1)), mm =>
+            element_at(col("adc_tab"),
+              (mm * Ks + element_at(col("codes"), mm + 1) + 1)
+                .cast("int"))),
+          lit(0.0), (acc, x) => acc + x)
+        wide.join(broadcast(adcArr), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            round(fold, 6).as("adc"))
     }
-    pairs
-      .groupBy(col("probe_id"), col("neighbor_id"))
-      .agg(round(aggregate(
-        transform(array_sort(collect_list(struct(col("m"), col("part")))),
-          st => st("part")),
-        lit(0.0), (acc, x) => acc + x), 6).as("adc"))
+    scored
       .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
         .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
       .filter(col("rank") <= TopK)
