@@ -81,7 +81,7 @@ object Bench {
       "ext_sample_per_source", "ext_doc_chunk",
       "ext_profile_table", "ext_split_assign",
       "ext_corpus_mix_temperature", "ext_fuzzy_lookup",
-      "ext_sample_weighted")(n))
+      "ext_sample_weighted", "ext_vocab_cms")(n))
       "corpus"
     else if (Set("ext_star_denorm", "ext_date_dim", "ext_dq_audit",
       "ext_unpivot", "ext_skyline_2d")(n))

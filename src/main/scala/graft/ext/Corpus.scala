@@ -808,9 +808,50 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** Count-Min point-frequency estimates audited against exact counts:
+    * the 30 most frequent tokens (deterministic (tf DESC, token) order)
+    * each carry a `within_bound` flag — estimate >= exact (CMS never
+    * undercounts; a hard guarantee) and overshoot <= 4N/width (the
+    * eps-N band; probabilistic per the sketch literature, deterministic
+    * here because sketch, seeds, and fixture are all fixed). The oracle
+    * recomputes the exact counts and pins the flag TRUE, the same
+    * exact-vs-sketch gate contract as `ext_approx_distinct`.
+    *
+    * Scale shape: the sketch build is ONE mergeable aggregate
+    * ([[graft.functions.CountMinAgg]]) — each partition ships a
+    * depth x width counter matrix, never tokens; the estimate probe is
+    * 30 report rows against the broadcast 1-row sketch. N comes from
+    * summing one sketch row (every token lands exactly once per row), so
+    * no extra corpus pass. */
+  val vocabCms: Q = Q(
+    "ext_vocab_cms",
+    s"""WITH tok AS (SELECT unnest($toksSql) AS t FROM documents),
+       |top AS (SELECT t AS token, COUNT(*) AS exact FROM tok
+       |  GROUP BY 1 ORDER BY exact DESC, token LIMIT 30)
+       |SELECT token, exact, TRUE AS within_bound
+       |FROM top ORDER BY exact DESC, token""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.CountMin
+    val W = CountMin.DefaultWidth
+    val toksDf = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("t"))
+    val sk = toksDf.agg(CountMin.count_min(s, col("t")).as("cms"))
+    val top = toksDf.groupBy(col("t")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("t")).limit(30)
+    top.crossJoin(broadcast(sk))
+      .withColumn("est", CountMin.cms_estimate(s, col("cms"), col("t")))
+      .withColumn("n_total",
+        aggregate(slice(col("cms"), 1, W), lit(0L), (a, x) => a + x))
+      .select(col("t").as("token"), col("exact"),
+        (col("est") >= col("exact") &&
+          (col("est") - col("exact")) * W <= col("n_total") * 4)
+          .as("within_bound"))
+      .orderBy(col("exact").desc, col("token"))
+  }
+
   val all: Seq[Q] =
     Seq(dedupClusters, dedupClustersStar, sampleStratified, vocabTopK,
       vocabCoverage, pipelineCleanse, skewSaltedAgg, skewSaltedJoin,
       corpusMix, corpusPack, docKeyTerms, vocabHeavyHitters,
-      bpePairCounts, samplePerSource, docChunk, mixTemperature)
+      bpePairCounts, samplePerSource, docChunk, mixTemperature, vocabCms)
 }
