@@ -862,6 +862,46 @@ final class Catalog(val spark: SparkSession, val root: String) {
       if (nIns > 0) append(table, inserts, orderBy = Seq(keyCol))
       (nClosed, nIns)
     }
+
+    /** Stage a full-root state rewind (see [[Catalog.restoreTo]]):
+      * every table in `hist` takes its historical state verbatim;
+      * tables that exist now but not then are staged empty. */
+    private[Catalog] def restoreStates(hist: Manifest): Unit = {
+      hist.foreach { case (t, st) => staged :+= Staged(t, st) }
+      val nowTables = base.keySet ++ staged.map(_.table)
+      (nowTables -- hist.keySet).foreach(t =>
+        staged :+= Staged(t, TableState(0L, Vector.empty)))
+    }
+  }
+
+  /** RESTORE to a committed snapshot (Delta `RESTORE ... VERSION AS OF`
+    * analogue, root-wide to match the store's cross-table transaction
+    * scope): stages every table's state back to what snapshot `version`
+    * recorded, as a NEW commit — the version chain only ever moves
+    * forward, so the restore itself is time-travelable and shows up in
+    * the changefeed like any other commit. Tables created after
+    * `version` are restored to empty (they did not exist then); maxId
+    * rewinds with the state, so dense-id assignment resumes from the
+    * restored high-water mark. COW makes this pure manifest surgery:
+    * no file is read, copied, or rewritten — but every file the old
+    * snapshot references must still exist, so a vacuum past the
+    * retention window fails the restore loudly (same guard as
+    * [[readAt]]). */
+  def restoreTo(version: Long): Unit = transaction { tx =>
+    val hp = historyDir.resolve(s"v$version.json")
+    if (!Files.exists(hp))
+      throw new IllegalArgumentException(
+        s"cannot restore '$root' to v$version: never committed, or " +
+          "already vacuumed past the retention window")
+    val hist = parseManifest(Files.readAllBytes(hp))
+    val gone = hist.values.flatMap(_.files)
+      .filterNot(f => Files.exists(rootPath.resolve(f.path)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore '$root' to v$version: ${gone.size} referenced " +
+          s"file(s) vacuumed (first: ${gone.head.path}); raise the " +
+          "vacuum retention window to keep snapshots restorable")
+    tx.restoreStates(hist)
   }
 
   /** Run `body` against a transaction; all staged writes become visible

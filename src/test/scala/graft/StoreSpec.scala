@@ -689,4 +689,36 @@ class StoreSpec extends SparkSuite {
     cat2.append("users", withNull)
     assert(cat2.read("users").count() == 3)
   }
+
+  test("restoreTo rewinds state as a NEW commit: contents, maxId, and " +
+    "later-created tables revert; history stays readable; ids resume " +
+    "from the restored high-water mark") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c")) // v1
+    cat.append("users", user("b", "b@x.c")) // v2
+    cat.update("users", col("email") === "a@x.c",
+      Map("user_role" -> lit("admin"))) // v3
+    cat.append("events", Seq(("E", "d",
+      new java.sql.Timestamp(1000L), 60, "loc", "t", 1L,
+      new java.math.BigDecimal("1.00"), 10, true,
+      new java.sql.Timestamp(0L)))
+      .toDF("event_name", "event_description", "event_date",
+        "event_time_sec", "location", "event_type", "organizer_id",
+        "price", "capacity", "is_active", "created_at")) // v4
+    val vNow = cat.version
+    cat.restoreTo(1L) // v5
+    assert(cat.version == vNow + 1, "restore must be a forward commit")
+    // v1 state: one user, unmodified role, no events
+    val rows = cat.read("users")
+      .select("email", "user_role").as[(String, String)].collect()
+    assert(rows.toSeq == Seq(("a@x.c", "user")))
+    assert(cat.read("events").count() == 0,
+      "table created after the restored version must revert to empty")
+    // pre-restore snapshots still time-travel
+    assert(cat.readAt("users", vNow).count() == 2)
+    // dense ids resume from the RESTORED maxId: next user gets id 2
+    assert(cat.append("users", user("c", "c@x.c")) == 2L)
+    // restore to a never-committed version fails loudly
+    intercept[IllegalArgumentException] { cat.restoreTo(99L) }
+  }
 }
