@@ -16,7 +16,7 @@ object Registry {
       BucketedJoin.all ++ PartitionedScan.all ++ ZOrderLayout.all ++
       BloomJoin.all ++ StoreFeed.all ++ Scd2.all ++ IncrView.all ++
       Warehouse.all ++ Attribution.all ++ LangModel.all ++
-      Skyline.all ++ Intervals.all ++ VecFuncs.all ++
+      Skyline.all ++ Intervals.all ++ VecFuncs.all ++ Stats.all ++
       graft.sources.JsonlIngest.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++

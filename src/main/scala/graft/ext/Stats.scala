@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** [EXT] statistical-test operators — the experiment-analysis queries an
+  * event warehouse serves (is event mix independent of time of day? did
+  * variant A out-earn variant B?), computed with cross-engine-exact
+  * arithmetic: every aggregate is integer/decimal (order-independent),
+  * and every IEEE double step runs in ONE fixed evaluation order per
+  * cell plus a single explicitly-ordered fold — so the test statistics
+  * hash-match DuckDB bit-for-bit with no rounding crutch.
+  *
+  * Scale shape: both tests reduce the fact table to a tiny
+  * sufficient-statistics frame FIRST (a map-side-combined aggregate:
+  * 5x24 contingency cells, or 2 group-moment rows); all double math
+  * happens on that frame. At 100 TB the scan cost is one aggregate
+  * pass; the statistics are O(cells), never O(rows).
+  */
+object Stats {
+
+  /** Pearson chi-square test of independence between event_type and
+    * hour-of-day. Cells, row/column totals, and N are exact integers;
+    * each cell's expected count and term are fixed-order IEEE doubles;
+    * the 120-term sum is a sequential fold in (event_type, hour) order —
+    * `list_reduce` mirrors it exactly. */
+  val chi2: Q = Q(
+    "ext_stats_chi2",
+    """WITH cells AS (
+      |  SELECT event_type AS et, CAST(hour(ts) AS BIGINT) AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT et, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT hr, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      |terms AS (
+      |  SELECT cells.et, cells.hr,
+      |    (o - CAST(r * c AS DOUBLE) / n) * (o - CAST(r * c AS DOUBLE) / n)
+      |      / (CAST(r * c AS DOUBLE) / n) AS term
+      |  FROM cells JOIN rt USING (et) JOIN ct USING (hr) CROSS JOIN n)
+      |SELECT
+      |  list_reduce(list_prepend(0.0, list(term ORDER BY et, hr)),
+      |    (acc, x) -> acc + x) AS chi2,
+      |  (SELECT CAST((COUNT(DISTINCT et) - 1) * (COUNT(DISTINCT hr) - 1)
+      |     AS BIGINT) FROM cells) AS dof,
+      |  (SELECT n FROM n) AS n_obs
+      |FROM terms""".stripMargin
+  ) { (s, d) =>
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type").as("et"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("et").agg(sum(col("o")).as("r"))
+    val ct = cells.groupBy("hr").agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      ((count_distinct(col("et")) - 1) *
+        (count_distinct(col("hr")) - 1)).as("dof"))
+    val e = (col("r") * col("c")).cast("double") / col("n")
+    val terms = cells
+      .join(broadcast(rt), Seq("et")).join(broadcast(ct), Seq("hr"))
+      .crossJoin(broadcast(n))
+      .select(col("et"), col("hr"), col("dof"), col("n"),
+        ((col("o") - e) * (col("o") - e) / e).as("term"))
+    terms.groupBy(col("dof"), col("n").as("n_obs"))
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("et"), col("hr"),
+            col("term")))),
+          st => st("term")),
+        lit(0.0), (acc, x) => acc + x).as("chi2"))
+      .select(col("chi2"), col("dof"), col("n_obs"))
+  }
+
+  /** Welch's unequal-variance t-test: purchase vs click event values.
+    * Group moments (n, sum, sum of squares) are exact decimals — the
+    * fixture's 2-decimal payloads square to exact (20,4) decimals, so
+    * the moment aggregates are order-independent; the mean/variance/t
+    * chain is then a fixed sequence of scalar IEEE ops both engines
+    * evaluate identically. Emits the Welch-Satterthwaite df too. */
+  val welch: Q = Q(
+    "ext_stats_welch",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(value AS DECIMAL(10,2)) *
+      |             CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS ss
+      |  FROM events WHERE event_type IN ('purchase', 'click')
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT
+      |    a.n AS n_a, b.n AS n_b,
+      |    a.s / a.n AS mean_a, b.s / b.n AS mean_b,
+      |    (a.ss - (a.s / a.n) * a.s) / (a.n - 1) AS var_a,
+      |    (b.ss - (b.s / b.n) * b.s) / (b.n - 1) AS var_b
+      |  FROM g a CROSS JOIN g b
+      |  WHERE a.event_type = 'purchase' AND b.event_type = 'click')
+      |SELECT n_a, n_b, mean_a, mean_b,
+      |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+      |  (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) /
+      |    ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
+      |     (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS welch_df
+      |FROM w""".stripMargin
+  ) { (s, d) =>
+    val dec = col("value").cast("decimal(10,2)")
+    val g = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s"),
+        sum(dec * dec).cast("double").as("ss"))
+    val a = g.filter(col("event_type") === "purchase")
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
+    val b = g.filter(col("event_type") === "click")
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
+    val meanA = col("s_a") / col("n_a")
+    val meanB = col("s_b") / col("n_b")
+    val varA = (col("ss_a") - meanA * col("s_a")) / (col("n_a") - 1)
+    val varB = (col("ss_b") - meanB * col("s_b")) / (col("n_b") - 1)
+    val seA = varA / col("n_a")
+    val seB = varB / col("n_b")
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        meanA.as("mean_a"), meanB.as("mean_b"),
+        ((meanA - meanB) / sqrt(seA + seB)).as("t_stat"),
+        ((seA + seB) * (seA + seB) /
+          (seA * seA / (col("n_a") - 1) +
+            seB * seB / (col("n_b") - 1))).as("welch_df"))
+  }
+
+  def all: Seq[Q] = Seq(chi2, welch)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Statistical-test operators: verify the statistics against a local
+  * straight-line recomputation from the raw fixture (the DuckDB gate
+  * proves cross-engine equality; this proves the FORMULA is the one the
+  * textbooks define, independent of both engines' plans).
+  */
+class StatsSpec extends SparkSuite {
+
+  test("chi2 matches a local recomputation from raw cells, dof is " +
+    "(types-1)x(hours-1), and the statistic is non-negative") {
+    val cells = graft.core.Tables.events(spark, sf)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .count().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+    val n = cells.map(_._2).sum.toDouble
+    val rt = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+    val expected = cells.sortBy(_._1).map { case ((et, hr), o) =>
+      val e = rt(et).toDouble * ct(hr).toDouble / n
+      (o - e) * (o - e) / e
+    }.sum
+    val row = graft.ext.Stats.chi2.fn(spark, sf).collect()(0)
+    val (chi2, dof, nObs) = (row.getDouble(0), row.getLong(1), row.getLong(2))
+    assert(math.abs(chi2 - expected) < 1e-6 * math.max(1.0, expected),
+      s"chi2 $chi2 vs local $expected")
+    assert(chi2 >= 0.0)
+    assert(dof == (rt.size - 1).toLong * (ct.size - 1).toLong)
+    assert(nObs == n.toLong)
+  }
+
+  test("welch t: moments match a local recomputation and df lands " +
+    "between min(n)-1 and n_a+n_b-2 (Welch-Satterthwaite bounds)") {
+    val vals = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    def moments(et: String) = {
+      val xs = vals.filter(_._1 == et).map(_._2)
+      val nn = xs.length
+      val s = xs.sum.toDouble
+      val m = s / nn
+      (nn, m, xs.map(x => x * x).sum.toDouble)
+    }
+    val (na, ma, _) = moments("purchase")
+    val (nb, mb, _) = moments("click")
+    val row = graft.ext.Stats.welch.fn(spark, sf).collect()(0)
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(math.abs(row.getDouble(2) - ma) < 1e-9)
+    assert(math.abs(row.getDouble(3) - mb) < 1e-9)
+    val df = row.getDouble(5)
+    assert(df >= math.min(na, nb) - 1 && df <= na + nb - 2,
+      s"welch df $df outside [${math.min(na, nb) - 1}, ${na + nb - 2}]")
+    assert(!row.getDouble(4).isNaN)
+  }
+}
