@@ -863,6 +863,48 @@ final class Catalog(val spark: SparkSession, val root: String) {
       (nClosed, nIns)
     }
 
+    /** Dynamic range overwrite (Delta `replaceWhere` / dynamic-partition-
+      * overwrite analogue, the batch partition-reload shape): atomically
+      * replace exactly the rows whose stats column `column` falls inside
+      * the inclusive normalized range [lo, hi] with `rows`, in one
+      * commit. Delta's contract is enforced: every incoming row must
+      * land inside the range (a reload cannot smuggle rows into other
+      * partitions). File pruning is the same stats skipping
+      * [[readRange]] uses — a file whose [min,max] window misses the
+      * range survives by reference (never read, never rewritten), so
+      * reloading one day of a year-partitioned fact costs one day's
+      * files + the new data, not the table. Rows with NULL in `column`
+      * are outside every range: kept on the target side, rejected on
+      * the source side. Returns (rows deleted, last assigned id). */
+    def replaceWhere(table: String, column: String, lo: Long, hi: Long,
+        rows: DataFrame): (Long, Long) = {
+      val (schema, idCol) = schemaIdOf(table)
+      val prev = curState(table)
+      val rc = statLong(rows, column).getOrElse(
+        throw new IllegalArgumentException(
+          s"replaceWhere needs an integral/timestamp column, got " +
+            s"'$column' of ${rows.schema(column).dataType}"))
+      val bad = rows.filter(rc.isNull || rc < lo || rc > hi).count()
+      require(bad == 0,
+        s"replaceWhere: $bad source row(s) outside [$lo, $hi] on '$column'")
+      val (hit, carried) = prev.files.partition(_.cols.get(column)
+        .forall { case (mn, mx) => mx >= lo && mn <= hi })
+      val nDeleted = if (hit.isEmpty) 0L else {
+        val cur = readFiles(table, hit, schema)
+        val c = statLong(cur, column).get
+        val inRange = c.isNotNull && c >= lo && c <= hi
+        val counts = cur.agg(count(lit(1)).as("n"),
+          count(when(inRange, 1)).as("nDel")).collect()(0)
+        val newFiles =
+          if (counts.getLong(0) == counts.getLong(1)) Vector.empty
+          else stageFiles(table, cur.filter(!inRange), idCol)
+        staged :+= Staged(table, prev.copy(files = carried ++ newFiles))
+        counts.getLong(1)
+      }
+      val lastId = append(table, rows)
+      (nDeleted, lastId)
+    }
+
     /** Stage a full-root state rewind (see [[Catalog.restoreTo]]):
       * every table in `hist` takes its historical state verbatim;
       * tables that exist now but not then are staged empty. */
@@ -967,6 +1009,18 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   def compact(table: String, numFiles: Int = 1): Unit =
     transaction(_.compact(table, numFiles))
+
+  def replaceWhere(table: String, column: String, lo: Long, hi: Long,
+      rows: DataFrame): (Long, Long) =
+    transaction(_.replaceWhere(table, column, lo, hi, rows))
+
+  /** Timestamp-column overload (inclusive instant range). */
+  def replaceWhere(table: String, column: String,
+      lo: java.time.Instant, hi: java.time.Instant,
+      rows: DataFrame): (Long, Long) =
+    replaceWhere(table, column,
+      lo.getEpochSecond * 1000000L + lo.getNano / 1000L,
+      hi.getEpochSecond * 1000000L + hi.getNano / 1000L, rows)
 
   /** Delete parquet files under the table's directory that no longer
     * appear in the manifest (left behind by COW updates and compaction).

@@ -721,4 +721,44 @@ class StoreSpec extends SparkSuite {
     // restore to a never-committed version fails loudly
     intercept[IllegalArgumentException] { cat.restoreTo(99L) }
   }
+
+  test("replaceWhere reloads exactly the target range: out-of-range files " +
+    "survive by reference, in-range rows are replaced, and a source row " +
+    "outside the range aborts the whole commit") {
+    val cat = freshCat()
+    def ev(name: String, dayMs: Long) = Seq((name, "d",
+      new java.sql.Timestamp(dayMs), 60, "loc", "t", 1L,
+      new java.math.BigDecimal("1.00"), 10, true,
+      new java.sql.Timestamp(0L)))
+      .toDF("event_name", "event_description", "event_date",
+        "event_time_sec", "location", "event_type", "organizer_id",
+        "price", "capacity", "is_active", "created_at")
+    val day = 86400000L
+    cat.append("events", ev("d1a", 1 * day)) // file 1: day 1
+    cat.append("events", ev("d2a", 2 * day)) // file 2: day 2
+    cat.append("events", ev("d3a", 3 * day)) // file 3: day 3
+    val before = cat.liveFiles("events").map(_._1).toSet
+    // reload day 2 with two fresh rows
+    val (nDel, lastId) = cat.replaceWhere("events", "event_date",
+      java.time.Instant.ofEpochMilli(2 * day),
+      java.time.Instant.ofEpochMilli(3 * day - 1),
+      ev("d2b", 2 * day).unionAll(ev("d2c", 2 * day + 3600000L)))
+    assert(nDel == 1L && lastId == 5L)
+    val names = cat.read("events").select("event_name")
+      .as[String].collect().sorted
+    assert(names.sameElements(Array("d1a", "d2b", "d2c", "d3a")))
+    // the day-1 and day-3 files are the SAME paths as before the reload
+    val after = cat.liveFiles("events").map(_._1).toSet
+    assert(before.intersect(after).size == 2,
+      s"expected 2 untouched files carried by reference, " +
+        s"got ${before.intersect(after).size}")
+    // containment: a source row outside the range aborts atomically
+    intercept[IllegalArgumentException] {
+      cat.replaceWhere("events", "event_date",
+        java.time.Instant.ofEpochMilli(2 * day),
+        java.time.Instant.ofEpochMilli(3 * day - 1),
+        ev("smuggled", 10 * day))
+    }
+    assert(cat.read("events").count() == 4, "failed reload must change nothing")
+  }
 }
