@@ -632,8 +632,48 @@ object EventsOps {
       .orderBy("event_type", "window_start")
   }
 
+  /** Per-user exponentially-weighted moving average of event values
+    * (alpha = 0.2): s_1 = v_1, s_i = 0.2 v_i + 0.8 s_{i-1}. The
+    * recurrence depends on EVERY prior value, so no window frame or
+    * commutative aggregate expresses it — this is the sequential-fold
+    * tier: collect each user's (ts, event_id)-ordered values and fold
+    * once, left to right. DuckDB's seedless `list_reduce` starts from
+    * the first element; the Spark fold seeds with element 1 and folds
+    * the rest, the identical chain of IEEE ops — so the smoothed values
+    * hash-match with no rounding crutch.
+    *
+    * Scale shape: one keyed shuffle (user_id); per-entity state is that
+    * entity's own sequence (the same bound typed sessionization carries
+    * — fine for per-user event streams, not for unbounded single keys).
+    * The fold itself is O(n) per user with zero further shuffles.
+    */
+  val eventsEwma: Q = Q(
+    "ext_events_ewma",
+    """WITH seq AS (
+      |  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id)
+      |    AS vs
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+      |  list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma
+      |FROM seq ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val seq = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))),
+        st => st("value")).as("vs"))
+    seq.select(col("user_id"),
+        size(col("vs")).cast("long").as("n_events"),
+        aggregate(
+          slice(col("vs"), lit(2), greatest(size(col("vs")) - 1, lit(0))),
+          element_at(col("vs"), 1),
+          (acc, x) => lit(0.2) * x + lit(0.8) * acc).as("ewma"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(windowHourly, windowSliding, jsonExtract, sessionize,
     pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats,
     eventsFunnel, eventsRetention, valueQuantiles, valueQuantilesApprox,
-    eventsAnomaly, eventsTransitions, valueHistogram, gapFill)
+    eventsAnomaly, eventsTransitions, valueHistogram, gapFill, eventsEwma)
 }

@@ -56,4 +56,25 @@ class StatsSpec extends SparkSuite {
       s"welch df $df outside [${math.min(na, nb) - 1}, ${na + nb - 2}]")
     assert(!row.getDouble(4).isNaN)
   }
+
+  test("ewma equals a local left-to-right recurrence per user and stays " +
+    "inside that user's value envelope") {
+    val evs = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3))))
+    val expected = evs.groupBy(_._1).map { case (u, rows) =>
+      val vs = rows.map(_._2).sortBy(t => (t._1, t._2)).map(_._3)
+      u -> vs.tail.foldLeft(vs.head)((acc, x) => 0.2 * x + 0.8 * acc)
+    }
+    val got = graft.ext.EventsOps.eventsEwma.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, e) =>
+      assert(math.abs(got(u) - e) < 1e-12, s"user $u: ${got(u)} vs $e")
+      val vs = evs.filter(_._1 == u).map(_._2._3)
+      assert(got(u) >= vs.min - 1e-12 && got(u) <= vs.max + 1e-12)
+    }
+  }
 }
