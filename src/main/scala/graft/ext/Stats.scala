@@ -129,5 +129,62 @@ object Stats {
             seB * seB / (col("n_b") - 1))).as("welch_df"))
   }
 
-  def all: Seq[Q] = Seq(chi2, welch)
+  /** Pearson correlation matrix over the lineitem measures (quantity,
+    * extendedprice, discount, tax): ALL sufficient statistics — n, four
+    * sums, four sums of squares, six cross-products — come from ONE
+    * map-side-combined aggregate pass in exact decimal (order-independent
+    * however the scan is partitioned); each of the six correlations is
+    * then a fixed scalar IEEE chain over singly-cast doubles. The
+    * profiling companion to `ext_profile_table`: O(rows) scan, O(1)
+    * math, six output rows. */
+  val corr: Q = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def dsumSql(x: String) =
+      s"CAST(SUM(CAST($x AS DECIMAL(10,2))) AS DOUBLE) AS s_$x"
+    def dssSql(x: String) =
+      s"CAST(SUM(CAST($x AS DECIMAL(10,2)) * CAST($x AS DECIMAL(10,2)))" +
+        s" AS DOUBLE) AS ss_$x"
+    def dxySql(x: String, y: String) =
+      s"CAST(SUM(CAST($x AS DECIMAL(10,2)) * CAST($y AS DECIMAL(10,2)))" +
+        s" AS DOUBLE) AS sp_${x}_$y"
+    def corrSql(x: String, y: String) =
+      s"(n * sp_${x}_$y - s_$x * s_$y) / " +
+        s"(sqrt(n * ss_$x - s_$x * s_$x) * sqrt(n * ss_$y - s_$y * s_$y))"
+    Q(
+      "ext_stats_corr",
+      s"""WITH m AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${cols.map(dsumSql).mkString(",\n    ")},
+         |    ${cols.map(dssSql).mkString(",\n    ")},
+         |    ${pairs.map { case (x, y) => dxySql(x, y) }
+        .mkString(",\n    ")}
+         |  FROM lineitem)
+         |${pairs.map { case (x, y) =>
+        s"SELECT '$x' AS col_x, '$y' AS col_y, ${corrSql(x, y)} AS corr " +
+          "FROM m" }.mkString("\nUNION ALL\n")}
+         |ORDER BY col_x, col_y""".stripMargin
+    ) { (s, d) =>
+      def dec(x: String) = col(x).cast("decimal(10,2)")
+      val aggs =
+        Seq(count(lit(1)).cast("double").as("n")) ++
+          cols.map(x => sum(dec(x)).cast("double").as(s"s_$x")) ++
+          cols.map(x => sum(dec(x) * dec(x)).cast("double").as(s"ss_$x")) ++
+          pairs.map { case (x, y) =>
+            sum(dec(x) * dec(y)).cast("double").as(s"sp_${x}_$y") }
+      val m = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = pairs.map { case (x, y) =>
+        m.select(lit(x).as("col_x"), lit(y).as("col_y"),
+          ((col("n") * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y")) /
+            (sqrt(col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")) *
+              sqrt(col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"))))
+            .as("corr"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("col_x", "col_y")
+    }
+  }
+
+  def all: Seq[Q] = Seq(chi2, welch, corr)
 }

@@ -57,6 +57,34 @@ class StatsSpec extends SparkSuite {
     assert(!row.getDouble(4).isNaN)
   }
 
+  test("correlation matrix matches a local recomputation and stays in " +
+    "[-1, 1]") {
+    val data = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax")).collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)).map(v => BigDecimal(v)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    def corrOf(i: Int, j: Int): Double = {
+      val n = data.length.toDouble
+      val (sx, sy) = (data.map(_(i)).sum, data.map(_(j)).sum)
+      val sxx = data.map(v => v(i) * v(i)).sum
+      val syy = data.map(v => v(j) * v(j)).sum
+      val sxy = data.map(v => v(i) * v(j)).sum
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val got = graft.ext.Stats.corr.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    got.foreach { case ((x, y), c) =>
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+      val local = corrOf(names.indexOf(x), names.indexOf(y))
+      assert(math.abs(c - local) < 1e-6, s"corr($x,$y): $c vs $local")
+    }
+  }
+
   test("ewma equals a local left-to-right recurrence per user and stays " +
     "inside that user's value envelope") {
     val evs = graft.core.Tables.events(spark, sf)
