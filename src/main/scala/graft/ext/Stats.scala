@@ -186,5 +186,71 @@ object Stats {
     }
   }
 
-  def all: Seq[Q] = Seq(chi2, welch, corr)
+  /** Mann-Whitney U (Wilcoxon rank-sum) test, purchase vs click values —
+    * the nonparametric companion to [[welch]]. The fixture's 2-decimal
+    * values tie heavily, so ranks are computed on the COMPRESSED
+    * distinct-value frame: per-value group counts (one aggregate over
+    * the scan), a running cumulative count ordered by value (window
+    * over |distinct values| rows, never the fact table), and average
+    * ranks via the doubled integer 2*avgrank = 2*cumBefore + c + 1 — so
+    * the rank sum is a pure BIGINT aggregate (order-independent), and
+    * the z statistic (with the standard tie correction) is one fixed
+    * scalar IEEE chain at the end. */
+  val mannWhitney: Q = Q(
+    "ext_stats_mannwhitney",
+    """WITH vals AS (
+      |  SELECT CAST(value AS DECIMAL(10,2)) AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |pv AS (
+      |  SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM vals GROUP BY 1),
+      |rk AS (
+      |  SELECT c1, c,
+      |    COALESCE(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM pv),
+      |agg AS (
+      |  SELECT
+      |    CAST(SUM(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(c - c1) AS BIGINT) AS n2,
+      |    CAST(SUM(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1x2,
+      |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+      |  FROM rk)
+      |SELECT n1, n2,
+      |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
+      |  (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+      |    - CAST(n1 * n2 AS DOUBLE) / 2) /
+      |  sqrt(CAST(n1 * n2 AS DOUBLE) / 12 *
+      |    (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+      |      (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))) AS z_stat
+      |FROM agg""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("value").cast("decimal(10,2)").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"))
+    val pv = vals.groupBy("v")
+      .agg(sum(col("g1")).as("c1"), count(lit(1)).as("c"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rk = pv.withColumn("cb", coalesce(sum(col("c")).over(wCum), lit(0L)))
+    val agg = rk.agg(
+      sum(col("c1")).as("n1"),
+      sum(col("c") - col("c1")).as("n2"),
+      sum(col("c1") * (lit(2) * col("cb") + col("c") + 1)).as("r1x2"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+    val u = (col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") / 2
+    val mu = (col("n1") * col("n2")).cast("double") / 2
+    val n = col("n1") + col("n2")
+    val variance = (col("n1") * col("n2")).cast("double") / 12 *
+      ((n + 1).cast("double") -
+        col("ties").cast("double") / (n.cast("double") * (n - 1)))
+    agg.select(col("n1"), col("n2"), u.as("u_stat"),
+      ((u - mu) / sqrt(variance)).as("z_stat"))
+  }
+
+  def all: Seq[Q] = Seq(chi2, welch, corr, mannWhitney)
 }

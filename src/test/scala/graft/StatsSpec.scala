@@ -57,6 +57,31 @@ class StatsSpec extends SparkSuite {
     assert(!row.getDouble(4).isNaN)
   }
 
+  test("mann-whitney U matches a local average-rank recomputation, and " +
+    "U stays within [0, n1*n2]") {
+    val vals = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        col("value").cast("decimal(10,2)")).collect()
+      .map(r => (r.getString(0) == "purchase", r.getDecimal(1)))
+    val sorted = vals.sortBy(_._2)
+    // average ranks with ties
+    val rankOf = sorted.map(_._2).distinct.map { v =>
+      val idxs = sorted.zipWithIndex.filter(_._1._2 == v).map(_._2 + 1)
+      v -> idxs.map(_.toDouble).sum / idxs.length
+    }.toMap
+    val r1 = vals.filter(_._1).map(v => rankOf(v._2)).sum
+    val n1 = vals.count(_._1).toLong
+    val n2 = vals.length - n1
+    val expectedU = r1 - n1 * (n1 + 1) / 2.0
+    val row = graft.ext.Stats.mannWhitney.fn(spark, sf).collect()(0)
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+    assert(math.abs(row.getDouble(2) - expectedU) < 1e-6,
+      s"U ${row.getDouble(2)} vs local $expectedU")
+    assert(row.getDouble(2) >= 0 && row.getDouble(2) <= n1.toDouble * n2)
+    assert(!row.getDouble(3).isNaN)
+  }
+
   test("correlation matrix matches a local recomputation and stays in " +
     "[-1, 1]") {
     val data = graft.core.Tables.lineitem(spark, sf)
