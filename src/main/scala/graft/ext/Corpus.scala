@@ -199,6 +199,104 @@ object Corpus {
     (s, d) => clustersWith(s, d, starContractLabels(_)),
     Some(clustersSql), bench = false)
 
+  /** Frontier BFS to the fixpoint over a symmetric edge list
+    * (`a` -> `b` string columns): returns (id, hops) minimum distances
+    * from `src`. One narrow key-equality shuffle per round; distances
+    * only ever decrease, so an O(1)-row (count, sum) action decides
+    * convergence; exceeding the round budget THROWS (same contract as
+    * [[propagateMinLabel]] — mid-propagation distances are wrong
+    * answers). */
+  private[graft] def bfsDistances(s: SparkSession, sym: DataFrame,
+      src: String, maxRounds: Int = 64): DataFrame = {
+    import s.implicits._
+    var dist = Seq((src, 0L)).toDF("id", "hops").eagerCheckpoint()
+    var prev = (0L, -1L) // (count, sum-of-hops) fingerprint
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val viaEdge = dist
+        .join(sym.withColumnRenamed("a", "id"), Seq("id"))
+        .select(col("b").as("id"), (col("hops") + 1).as("hops"))
+      val next = dist.union(viaEdge)
+        .groupBy("id").agg(min("hops").as("hops"))
+        .eagerCheckpoint()
+      val r = next.agg(count(lit(1)), sum("hops")).head()
+      val cur = (r.getLong(0), r.getLong(1))
+      converged = cur == prev
+      prev = cur
+      dist = next
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"bfsDistances did not converge within $maxRounds rounds: the " +
+        "source's eccentricity exceeds the round budget; raise it — " +
+        "mid-propagation distances are wrong answers")
+    dist
+  }
+
+  /** Single-source BFS hop distances over the token-adjacency graph
+    * (tokens linked when adjacent in any document — the word graph of
+    * the corpus), seeded at the most frequent token ((tf DESC, token) —
+    * deterministic). The fixture's ~31-word vocabulary makes its word
+    * graph near-complete (every real distance is 0/1), so the gate row
+    * pins cross-engine equality while DEPTH is proven on planted chain
+    * graphs in the spec — the same division of labor as the CC rows
+    * over the (equally shallow) fixture pair graph. The third
+    * member of the iterative-graph tier (min-label CC, star
+    * contraction, now distances): each round is one narrow key-equality
+    * shuffle expanding the frontier by a hop; distances only ever
+    * decrease, so an O(1)-row (count, sum) action decides convergence,
+    * and exceeding the round budget THROWS (mid-propagation distances
+    * are wrong answers, same contract as [[propagateMinLabel]]). The
+    * gate compares distances up to hop 32; the oracle replays the
+    * fixpoint as a bounded recursive walk — feasible at fixture scale,
+    * hopeless at 100 TB, which is exactly why the Spark side is the
+    * frontier loop. Edge building is array-local (the bigram zip of
+    * `ext_text_bigram_lm`); nothing touches the token stream after the
+    * distinct-edge aggregate. */
+  val graphBfs: Q = Q(
+    "ext_graph_bfs",
+    (s, d) => {
+      val HopCap = 32
+      val tokDf = Tables.documents(s, d)
+        .select(toks(col("text")).as("ts"))
+      val edges = tokDf.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts)-2)," +
+            " i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("bg"))
+        .select(col("bg.w1").as("a"), col("bg.w2").as("b"))
+      val sym = edges
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
+        .distinct().eagerCheckpoint()
+      val src = tokDf.select(explode(col("ts")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(1)
+        .head().getString(0)
+      bfsDistances(s, sym, src)
+        .filter(col("hops") <= HopCap)
+        .select(col("id").as("token"), col("hops")).orderBy("token")
+    },
+    Some(s"""WITH RECURSIVE tok AS (
+       |  SELECT $toksSql AS ts FROM documents),
+       |bg AS (
+       |  SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+       |  FROM tok WHERE len(ts) >= 2),
+       |edges AS (
+       |  SELECT DISTINCT w1 AS src, w2 AS dst FROM bg
+       |  UNION
+       |  SELECT DISTINCT w2, w1 FROM bg),
+       |s0 AS (
+       |  SELECT t AS src FROM (SELECT unnest($toksSql) AS t FROM documents)
+       |  GROUP BY t ORDER BY COUNT(*) DESC, t LIMIT 1),
+       |walk(id, hops) AS (
+       |  SELECT src, 0 FROM s0
+       |  UNION
+       |  SELECT e.dst, w.hops + 1 FROM walk w
+       |  JOIN edges e ON e.src = w.id WHERE w.hops < 32)
+       |SELECT id AS token, CAST(MIN(hops) AS BIGINT) AS hops
+       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   private def clustersWith(s: SparkSession, d: String,
       solver: DataFrame => DataFrame): DataFrame = {
     // CC runs over REPRESENTATIVE pairs only — the expanded member pairs
@@ -853,5 +951,5 @@ object Corpus {
     Seq(dedupClusters, dedupClustersStar, sampleStratified, vocabTopK,
       vocabCoverage, pipelineCleanse, skewSaltedAgg, skewSaltedJoin,
       corpusMix, corpusPack, docKeyTerms, vocabHeavyHitters,
-      bpePairCounts, samplePerSource, docChunk, mixTemperature, vocabCms)
+      bpePairCounts, samplePerSource, docChunk, mixTemperature, vocabCms, graphBfs)
 }

@@ -40,6 +40,29 @@ class AssocRulesSpec extends SparkSuite {
     }
   }
 
+  test("bfs distances: a planted 50-node chain resolves exact hop " +
+    "counts, a disconnected island is unreachable, and a too-deep " +
+    "chain throws instead of returning partial distances") {
+    import spark.implicits._
+    // chain n0 - n1 - ... - n49 plus island x0 - x1
+    val chain = (0 until 49).map(i => (s"n$i", s"n${i + 1}"))
+    val island = Seq(("x0", "x1"))
+    val edges = (chain ++ island).toDF("a", "b")
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val got = graft.ext.Corpus.bfsDistances(spark, sym, "n0")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until 50).foreach(i =>
+      assert(got(s"n$i") == i.toLong, s"n$i at ${got(s"n$i")}"))
+    assert(!got.contains("x0") && !got.contains("x1"),
+      "the island must be unreachable from n0")
+    // depth guard: a chain longer than the round budget throws
+    val deep = (0 until 30).map(i => (s"d$i", s"d${i + 1}")).toDF("a", "b")
+    val deepSym = deep.union(deep.select(col("b").as("a"), col("a").as("b")))
+    intercept[IllegalStateException] {
+      graft.ext.Corpus.bfsDistances(spark, deepSym, "d0", maxRounds = 10)
+    }
+  }
+
   test("plan: pair expansion is array-local — no sort-merge join, no " +
     "basket-keyed item self-join; only broadcast support lookups") {
     val plan = graft.ext.AssocRules.rules.fn(spark, sf)
