@@ -9,6 +9,18 @@ import org.apache.spark.sql.SparkSession
   * changes — the ingest-time cost model the 100 TB versions of these
   * ops have. One implementation so a fix to the memo rule or the
   * orphan-directory cleanup cannot silently miss a sibling.
+  *
+  * '''Single-process assumption.''' The memo is in-JVM; every fresh
+  * process re-stages on first use (drop + rewrite), which is idempotent
+  * alone but NOT safe against a concurrent graft process sharing the
+  * same warehouse dir (one deletes while the other reads/writes — e.g.
+  * `sbt test` and `graft.Verify` racing in one checkout produces stale
+  * reads). The driver, bench harness (sequential child JVMs), and
+  * Verify all run staging single-process by construction; keep dev
+  * runs that share a warehouse sequential too. A cross-process memo
+  * would need an on-disk key + OS lock + catalog re-registration
+  * (bucketing metadata included) — not worth the surface while every
+  * production path stages at ingest, once.
   */
 private[graft] final class PreparedTables(
     sourceFiles: Seq[String],
