@@ -24,5 +24,6 @@ object Registry {
       graft.streaming.StreamDedup.all ++
       graft.streaming.StreamJoin.all ++
       graft.streaming.StreamFunnel.all ++
-      graft.streaming.StreamAttribution.all
+      graft.streaming.StreamAttribution.all ++
+      graft.streaming.StreamEwma.all
 }

@@ -110,6 +110,18 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("streaming ewma replays to exactly the batch ewma result " +
+    "(bit-identical running values under the single-batch contract)") {
+    val batch = graft.ext.EventsOps.eventsEwma.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val stream = graft.streaming.StreamEwma.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(stream == batch,
+      s"stream and batch EWMA diverge on ${
+        (stream.keySet ++ batch.keySet)
+          .filter(k => stream.get(k) != batch.get(k)).take(3)}")
+  }
+
   test("ewma equals a local left-to-right recurrence per user and stays " +
     "inside that user's value envelope") {
     val evs = graft.core.Tables.events(spark, sf)
