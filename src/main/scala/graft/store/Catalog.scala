@@ -566,6 +566,27 @@ final class Catalog(val spark: SparkSession, val root: String) {
         Some(org.apache.spark.sql.types.StructType(schema.fields :+ field))))
     }
 
+    /** Schema evolution, narrowing half (Delta DROP COLUMN analogue):
+      * a pure-metadata commit removing `name` from the table's schema.
+      * No file is rewritten — existing parquet keeps the column's bytes
+      * and every read PROJECTS the manifest schema, so the column
+      * simply stops existing from this version on, while time travel
+      * to an earlier snapshot still reads it (per-snapshot schemas ride
+      * the manifest, the [[addColumn]] contract). The surrogate id
+      * column cannot be dropped (dense-id assignment and file pruning
+      * key on it), and dropping an absent column fails loudly. */
+    def dropColumn(table: String, name: String): Unit = {
+      val prev = curState(table)
+      val (schema, idCol) = schemaIdOf(table)
+      require(!name.equalsIgnoreCase(idCol),
+        s"cannot drop surrogate id column '$idCol' of '$table'")
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' does not exist on '$table'")
+      staged :+= Staged(table, prev.copy(schema =
+        Some(org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name.equalsIgnoreCase(name))))))
+    }
+
     /** Append rows, assigning dense surrogate ids; returns the LAST id
       * (lastrowid parity, db.py:213/345/466). `orderBy` fixes the id
       * order for multi-row appends. Ids are assigned with a parallel
@@ -999,6 +1020,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   def addCheck(table: String, name: String, constraint: String): Unit =
     transaction(_.addCheck(table, name, constraint))
+
+  def dropColumn(table: String, name: String): Unit =
+    transaction(_.dropColumn(table, name))
 
   def scd2Merge(table: String, source: DataFrame, keyCol: String,
       tracked: Seq[String], at: java.sql.Timestamp): (Long, Long) =

@@ -722,6 +722,38 @@ class StoreSpec extends SparkSuite {
     intercept[IllegalArgumentException] { cat.restoreTo(99L) }
   }
 
+  test("dropColumn is a pure-metadata narrowing: the column vanishes " +
+    "from reads, survives in time travel, old-shape producers still " +
+    "append, and id/absent columns are protected") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c")) // v1 (has phone)
+    val vBefore = cat.version
+    val filesBefore = cat.liveFiles("users").map(_._1).toSet
+    cat.dropColumn("users", "phone") // v2, metadata only
+    assert(cat.liveFiles("users").map(_._1).toSet == filesBefore,
+      "drop must not rewrite any file")
+    assert(!cat.read("users").columns.contains("phone"))
+    // time travel to the pre-drop snapshot still reads the column
+    assert(cat.readAt("users", vBefore).columns.contains("phone"))
+    assert(cat.readAt("users", vBefore)
+      .select("phone").as[String].collect()(0) == "0123456789")
+    // an old-shape producer (still sending phone) appends fine: the
+    // extra column is projected away by the schema-aligned write
+    cat.append("users", user("b", "b@x.c"))
+    assert(cat.read("users").count() == 2)
+    assert(!cat.read("users").columns.contains("phone"))
+    // updates rewrite through the narrowed schema
+    cat.update("users", col("email") === "a@x.c",
+      Map("user_role" -> lit("admin")))
+    assert(cat.read("users").filter(col("user_role") === "admin")
+      .count() == 1)
+    // guards
+    intercept[IllegalArgumentException] {
+      cat.dropColumn("users", "user_id") }
+    intercept[IllegalArgumentException] {
+      cat.dropColumn("users", "no_such_col") }
+  }
+
   test("replaceWhere reloads exactly the target range: out-of-range files " +
     "survive by reference, in-range rows are replaced, and a source row " +
     "outside the range aborts the whole commit") {
