@@ -252,5 +252,88 @@ object Stats {
       ((u - mu) / sqrt(variance)).as("z_stat"))
   }
 
-  def all: Seq[Q] = Seq(chi2, welch, corr, mannWhitney)
+  /** Interpolated percentiles (ANSI PERCENTILE_CONT p=0.5/0.9/0.99 of
+    * event value per event_type) — the continuous companion to the
+    * discrete `ext_value_quantiles`, same two-pass bucket-rank scale
+    * shape: per-(type, value) counts compress the scan, cumulative
+    * ranks run over the distinct-value frame (never a per-type global
+    * sort), and each target h=(n-1)p resolves its two bracketing values
+    * by a range probe of the compressed frame against 3 broadcast
+    * target rows per type. The interpolation v_lo + frac·(v_hi - v_lo)
+    * is a fixed IEEE chain over singly-cast decimals, mirrored verbatim
+    * in the oracle (NOT DuckDB's quantile_cont — the explicit SQL runs
+    * the identical arithmetic, so results hash-match bit-for-bit). */
+  val percentileCont: Q = Q(
+    "ext_value_percentile_cont",
+    """WITH pv AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(10,2)) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT event_type, v, c,
+      |    COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      |  FROM pv),
+      |nn AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM pv
+      |  GROUP BY 1),
+      |tgt AS (
+      |  SELECT event_type, n, p,
+      |    CAST(n - 1 AS DOUBLE) * p AS h,
+      |    CAST(floor(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) AS ilo,
+      |    LEAST(CAST(floor(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) + 1,
+      |      n - 1) AS ihi
+      |  FROM nn CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p)),
+      |vlo AS (
+      |  SELECT t.event_type, t.p, t.h, t.ilo, t.ihi, r.v AS v_lo
+      |  FROM tgt t JOIN rk r ON r.event_type = t.event_type
+      |    AND t.ilo >= r.lo AND t.ilo < r.hi),
+      |vhi AS (
+      |  SELECT t.event_type, t.p, r.v AS v_hi
+      |  FROM tgt t JOIN rk r ON r.event_type = t.event_type
+      |    AND t.ihi >= r.lo AND t.ihi < r.hi)
+      |SELECT l.event_type, l.p,
+      |  CAST(l.v_lo AS DOUBLE) + (l.h - l.ilo) *
+      |    (CAST(h2.v_hi AS DOUBLE) - CAST(l.v_lo AS DOUBLE)) AS pct
+      |FROM vlo l JOIN vhi h2
+      |  ON h2.event_type = l.event_type AND h2.p = l.p
+      |ORDER BY l.event_type, l.p""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pv = Tables.events(s, d)
+      .groupBy(col("event_type"), col("value").cast("decimal(10,2)").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wPrev = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCur = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rk = pv
+      .withColumn("lo", coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .withColumn("hi", sum(col("c")).over(wCur))
+    val nn = pv.groupBy("event_type").agg(sum(col("c")).as("n"))
+    val h = (col("n") - 1).cast("double") * col("p")
+    val ps = s.range(1)
+      .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+    val tgt = nn.crossJoin(broadcast(ps))
+      .withColumn("h", h)
+      .withColumn("ilo", floor(h).cast("long"))
+      .withColumn("ihi", least(floor(h).cast("long") + 1, col("n") - 1))
+    val vlo = rk.join(broadcast(tgt), Seq("event_type"))
+      .filter(col("ilo") >= col("lo") && col("ilo") < col("hi"))
+      .select(col("event_type"), col("p"), col("h"), col("ilo"),
+        col("ihi"), col("v").as("v_lo"))
+    val vhi = rk.join(broadcast(tgt.select("event_type", "p", "ihi")),
+        Seq("event_type"))
+      .filter(col("ihi") >= col("lo") && col("ihi") < col("hi"))
+      .select(col("event_type"), col("p"), col("v").as("v_hi"))
+    vlo.join(vhi, Seq("event_type", "p"))
+      .select(col("event_type"), col("p"),
+        (col("v_lo").cast("double") + (col("h") - col("ilo")) *
+          (col("v_hi").cast("double") - col("v_lo").cast("double")))
+          .as("pct"))
+      .orderBy("event_type", "p")
+  }
+
+  def all: Seq[Q] = Seq(chi2, welch, corr, mannWhitney, percentileCont)
 }

@@ -110,6 +110,27 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("percentile_cont matches a local sorted-array interpolation for " +
+    "every (type, p)") {
+    val byType = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), col("value").cast("decimal(10,2)"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue()))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    def local(vs: Array[Double], p: Double): Double = {
+      val h = (vs.length - 1).toDouble * p
+      val lo = math.floor(h).toInt
+      val hi = math.min(lo + 1, vs.length - 1)
+      vs(lo) + (h - lo) * (vs(hi) - vs(lo))
+    }
+    val got = graft.ext.Stats.percentileCont.fn(spark, sf).collect()
+    assert(got.length == byType.size * 3)
+    got.foreach { r =>
+      val (t, p, v) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val e = local(byType(t), p)
+      assert(math.abs(v - e) < 1e-9, s"pct($t, $p): $v vs local $e")
+    }
+  }
+
   test("streaming ewma replays to exactly the batch ewma result " +
     "(bit-identical running values under the single-batch contract)") {
     val batch = graft.ext.EventsOps.eventsEwma.fn(spark, sf).collect()
