@@ -335,5 +335,57 @@ object Stats {
       .orderBy("event_type", "p")
   }
 
-  def all: Seq[Q] = Seq(chi2, welch, corr, mannWhitney, percentileCont)
+  /** q-digest sketched quantiles per event_type, audited against exact
+    * ranks: the DETERMINISTIC-bound member of the quantile family
+    * (exact two-pass, approx_percentile, interpolated — and now a
+    * custom mergeable summary whose rank error <= (log2 U / k) n is a
+    * worst-case theorem, so the oracle pins `within_bound` TRUE
+    * unconditionally). Build is ONE mergeable aggregate
+    * ([[graft.functions.QDigestAgg]]) — each partition ships O(k)
+    * (node, count) longs, never values; the driver touches only the
+    * per-type summary payloads (the sketch IS the broadcast-scale
+    * artifact), and the bound audit is a second map-side-combined pass
+    * over the compressed (type, cents) frame. */
+  val qdigestQuantiles: Q = Q(
+    "ext_value_qdigest",
+    """WITH qs AS (SELECT unnest([0.5, 0.9]) AS q),
+      |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, q, n, TRUE AS within_bound
+      |FROM n CROSS JOIN qs ORDER BY event_type, q""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.QDigest
+    val cents = (col("value").cast("decimal(10,2)") * 100).cast("long")
+    val ev = Tables.events(s, d).select(col("event_type"), cents.as("c"))
+    val sketches = ev.groupBy("event_type")
+      .agg(QDigest.qdigest(s, col("c")).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> QDigest.flatOf(r.get(1)))
+    import s.implicits._
+    val targets = sketches.flatMap { case (t, flat) =>
+      Seq(0.5, 0.9).map(q =>
+        (t, q, QDigest.estimate(flat, q, QDigest.DefaultLogU)))
+    }.toSeq.toDF("event_type", "q", "est")
+    val pv = ev.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val epsN = lit(QDigest.DefaultLogU.toDouble / QDigest.DefaultK) *
+      col("n")
+    val target = ceil(col("q") * col("n"))
+    pv.join(broadcast(targets), Seq("event_type"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(
+        sum(when(col("c") < col("est"), col("cnt")).otherwise(0L))
+          .as("lo"),
+        sum(when(col("c") <= col("est"), col("cnt")).otherwise(0L))
+          .as("hi"),
+        sum(col("cnt")).as("n"))
+      .select(col("event_type"), col("q"), col("n"),
+        (greatest(lit(0.0),
+          greatest(col("lo") + 1 - target, target - col("hi"))) <= epsN)
+          .as("within_bound"))
+      .orderBy("event_type", "q")
+  }
+
+  def all: Seq[Q] =
+    Seq(chi2, welch, corr, mannWhitney, percentileCont, qdigestQuantiles)
 }

@@ -43,4 +43,50 @@ class CountMinSpec extends SparkSuite {
       .count()
     assert(under == 0L, s"$under tokens undercounted — CMS guarantee broken")
   }
+
+  // ---- q-digest ----
+
+  import graft.functions.QDigest
+
+  private def centsDf = graft.core.Tables.events(spark, sf)
+    .select((col("value").cast("decimal(10,2)") * 100).cast("long").as("c"))
+
+  test("qdigest: rank bound holds under BOTH 1-partition and " +
+    "32-partition merge trees, counts conserve n, and the summary " +
+    "stays O(k)") {
+    val vals = centsDf.collect().map(_.getLong(0)).sorted
+    val n = vals.length.toLong
+    val epsN = QDigest.DefaultLogU.toDouble / QDigest.DefaultK * n
+    Seq(1, 32).foreach { parts =>
+      val flat = QDigest.flatOf(centsDf.repartition(parts)
+        .agg(QDigest.qdigest(spark, col("c"))).collect()(0).get(0))
+      assert(flat.length / 2 <= 3 * QDigest.DefaultK,
+        s"summary has ${flat.length / 2} entries at $parts partitions")
+      assert(flat.grouped(2).map(_(1)).sum == n,
+        "sketch counts must conserve n")
+      Seq(0.25, 0.5, 0.75, 0.9, 0.99).foreach { q =>
+        val est = QDigest.estimate(flat, q, QDigest.DefaultLogU)
+        val lo = vals.count(_ < est).toLong
+        val hi = vals.count(_ <= est).toLong
+        val target = math.ceil(q * n)
+        val dist = math.max(0.0, math.max(lo + 1 - target, target - hi))
+        assert(dist <= epsN,
+          s"q=$q at $parts parts: est $est rank [$lo,$hi] vs target " +
+            s"$target exceeds eps*n=$epsN")
+      }
+    }
+  }
+
+  test("qdigest recovers the exact median of a planted uniform ramp " +
+    "within the deterministic bound") {
+    import spark.implicits._
+    val n = 10000
+    val df = (0 until n).map(_.toLong).toDF("c")
+    val flat = QDigest.flatOf(
+      df.agg(QDigest.qdigest(spark, col("c"))).collect()(0).get(0))
+    val est = QDigest.estimate(flat, 0.5, QDigest.DefaultLogU)
+    val epsN = QDigest.DefaultLogU.toDouble / QDigest.DefaultK * n
+    assert(math.abs(est - n / 2.0) <= epsN + 1,
+      s"median estimate $est vs ${n / 2} (eps*n=$epsN)")
+  }
 }
