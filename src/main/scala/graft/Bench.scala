@@ -84,7 +84,8 @@ object Bench {
       "ext_sample_weighted", "ext_vocab_cms")(n))
       "corpus"
     else if (Set("ext_star_denorm", "ext_date_dim", "ext_dq_audit",
-      "ext_unpivot", "ext_skyline_2d")(n))
+      "ext_unpivot", "ext_skyline_2d", "ext_pareto_share",
+      "ext_rfm_segments")(n))
       "warehouse"
     else if (n.startsWith("ext_")) "events"
     else if (n.matches("q\\d+_.*")) "tpch"

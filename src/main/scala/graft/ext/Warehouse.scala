@@ -228,5 +228,113 @@ object Warehouse {
       .orderBy("l_orderkey", "l_linenumber", "metric")
   }
 
-  def all: Seq[Q] = Seq(starDenorm, dateDim, dqAudit, unpivot)
+  /** Revenue concentration (the 80/20 question): how many customers
+    * produce 80% of order revenue, plus the top customer's share. All
+    * threshold logic is EXACT — per-customer revenue sums in decimal,
+    * and "cumulative >= 80% of total" is tested as cum*5 >= total*4
+    * (pure decimal comparison, no 0.8 double ever enters the
+    * cutoff) — so the crossing row is unambiguous cross-engine; the
+    * two output shares are each one final IEEE division.
+    *
+    * Scale shape: the fact scan collapses to a per-customer aggregate
+    * FIRST; the cumulative window sorts only the customer-count frame
+    * (thousands of times smaller than orders), the same post-aggregate
+    * window budget as `ext_events_retention`. */
+  val paretoShare: Q = Q(
+    "ext_pareto_share",
+    """WITH rev AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT SUM(r) AS total, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |  MAX(r) AS top1 FROM rev),
+      |cum AS (
+      |  SELECT r, SUM(r) OVER (ORDER BY r DESC, o_custkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM rev)
+      |SELECT t.n_cust AS n_customers,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cum CROSS JOIN tot
+      |    WHERE (c - r) * 5 < total * 4) AS n_top80,
+      |  CAST((SELECT COUNT(*) FROM cum CROSS JOIN tot
+      |    WHERE (c - r) * 5 < total * 4) AS DOUBLE) / t.n_cust
+      |    AS top80_frac,
+      |  CAST(t.top1 AS DOUBLE) / CAST(t.total AS DOUBLE) AS top1_share
+      |FROM tot t""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("r"))
+    val tot = rev.agg(sum(col("r")).as("total"),
+      count(lit(1)).as("n_cust"), max(col("r")).as("top1"))
+    val w = Window.orderBy(col("r").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = rev.withColumn("c", sum(col("r")).over(w))
+    val n80 = cum.crossJoin(broadcast(tot))
+      .filter((col("c") - col("r")) * 5 < col("total") * 4)
+      .agg(count(lit(1)).as("n_top80"))
+    tot.crossJoin(broadcast(n80))
+      .select(col("n_cust").as("n_customers"), col("n_top80"),
+        (col("n_top80").cast("double") / col("n_cust")).as("top80_frac"),
+        (col("top1").cast("double") / col("total").cast("double"))
+          .as("top1_share"))
+  }
+
+  /** RFM segmentation — recency / frequency / monetary quintiles per
+    * customer, the classic CRM scoring query. Recency is integer days
+    * from the corpus max order date (exact), frequency an exact count,
+    * monetary an exact decimal sum; each dimension quintiles via
+    * ntile(5) with a total (metric, custkey) tie order so the bucketing
+    * is deterministic cross-engine. Emits the segment census (125
+    * possible codes), not per-customer rows — the rollup a dashboard
+    * reads. Scale: one fact aggregate, three ntile windows over the
+    * customer-count frame, one tiny census aggregate. */
+  val rfm: Q = Q(
+    "ext_rfm_segments",
+    """WITH m AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |cust AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', MAX(o_orderdate), (SELECT mx FROM m))
+      |      AS BIGINT) AS rec_days,
+      |    CAST(COUNT(*) AS BIGINT) AS freq,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS mon
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT o_custkey,
+      |    CAST(ntile(5) OVER (ORDER BY rec_days, o_custkey) AS BIGINT)
+      |      AS r_score,
+      |    CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT)
+      |      AS f_score,
+      |    CAST(ntile(5) OVER (ORDER BY mon DESC, o_custkey) AS BIGINT)
+      |      AS m_score
+      |  FROM cust)
+      |SELECT r_score, f_score, m_score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM scored GROUP BY 1, 2, 3
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(s, d)
+    val mx = orders.agg(max(col("o_orderdate")).as("mx"))
+    val cust = orders.groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("mon"))
+      .crossJoin(broadcast(mx))
+      .select(col("o_custkey"),
+        datediff(col("mx"), col("last_order")).cast("long").as("rec_days"),
+        col("freq"), col("mon"))
+    val scored = cust.select(col("o_custkey"),
+      ntile(5).over(Window.orderBy(col("rec_days"), col("o_custkey")))
+        .cast("long").as("r_score"),
+      ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey")))
+        .cast("long").as("f_score"),
+      ntile(5).over(Window.orderBy(col("mon").desc, col("o_custkey")))
+        .cast("long").as("m_score"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  def all: Seq[Q] =
+    Seq(starDenorm, dateDim, dqAudit, unpivot, paretoShare, rfm)
 }

@@ -75,4 +75,41 @@ class WarehouseSpec extends SparkSuite {
     val qtyWide = li.agg(sum("l_quantity")).head.getDouble(0)
     assert(math.abs(qtyLong - qtyWide) < 1e-6)
   }
+
+  test("pareto share: the counted prefix is the MINIMAL set reaching " +
+    "80% of revenue (one fewer customer falls short)") {
+    import org.apache.spark.sql.functions.col
+    val revs = graft.core.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions
+        .sum(col("o_totalprice").cast("decimal(12,2)")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+      .sortBy { case (k, r) => (r.negate, k) } // desc revenue, asc key
+    val total = revs.map(_._2).reduce(_ add _)
+    val row = graft.ext.Warehouse.paretoShare.fn(spark, sf).collect()(0)
+    val (nCust, n80) = (row.getLong(0), row.getLong(1))
+    assert(nCust == revs.length)
+    assert(n80 >= 1 && n80 <= nCust)
+    def cumAt(k: Int) = revs.take(k).map(_._2).reduce(_ add _)
+    // prefix of n80 reaches 80%: cum*5 >= total*4
+    assert(cumAt(n80.toInt).multiply(java.math.BigDecimal.valueOf(5))
+      .compareTo(total.multiply(java.math.BigDecimal.valueOf(4))) >= 0)
+    // one fewer does not
+    if (n80 > 1)
+      assert(cumAt(n80.toInt - 1).multiply(java.math.BigDecimal.valueOf(5))
+        .compareTo(total.multiply(java.math.BigDecimal.valueOf(4))) < 0)
+  }
+
+  test("rfm census: scores are quintiles 1..5 and segment counts sum " +
+    "to the customer count") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = graft.ext.Warehouse.rfm.fn(spark, sf).collect()
+    val nCust = graft.core.Tables.orders(spark, sf)
+      .agg(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum == nCust)
+    rows.foreach { r =>
+      (0 to 2).foreach(i =>
+        assert(r.getLong(i) >= 1 && r.getLong(i) <= 5))
+    }
+  }
 }
