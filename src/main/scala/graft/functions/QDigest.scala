@@ -198,6 +198,41 @@ object QDigest {
     call_function(s"qdigest_${logU}_$k", c)
   }
 
+  /** Build a sketch from raw values without a session — the exact
+    * update/compress path the aggregate runs, exposed for property
+    * tests that exercise the deterministic bound on arbitrary inputs
+    * and merge trees. */
+  def sketchOf(values: Seq[Long], logU: Int = DefaultLogU,
+      k: Int = DefaultK): mutable.LongMap[Long] = {
+    val U = 1L << logU
+    val buf = mutable.LongMap.empty[Long]
+    values.foreach { x =>
+      require(x >= 0 && x < U)
+      val leaf = U + x
+      buf.update(leaf, buf.getOrElse(leaf, 0L) + 1L)
+      if (buf.size > 6 * k) compress(buf, logU, k)
+    }
+    compress(buf, logU, k)
+    buf
+  }
+
+  /** Merge two sketches (count-sum + compress) — the aggregate's merge. */
+  def mergeSketch(a: mutable.LongMap[Long], b: mutable.LongMap[Long],
+      logU: Int = DefaultLogU, k: Int = DefaultK): mutable.LongMap[Long] = {
+    b.foreach { case (id, c) => a.update(id, a.getOrElse(id, 0L) + c) }
+    compress(a, logU, k)
+    a
+  }
+
+  /** Flatten a sketch map to the aggregate's (id, count) array form. */
+  def flatten(buf: mutable.LongMap[Long]): Array[Long] = {
+    val ids = buf.keys.toArray.sorted
+    val flat = new Array[Long](ids.length * 2)
+    var i = 0
+    ids.foreach { id => flat(i) = id; flat(i + 1) = buf(id); i += 2 }
+    flat
+  }
+
   /** Decode a sketch column collected to the driver. */
   def flatOf(a: Any): Array[Long] = a match {
     case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[Long]).toArray
