@@ -85,7 +85,7 @@ object Bench {
       "corpus"
     else if (Set("ext_star_denorm", "ext_date_dim", "ext_dq_audit",
       "ext_unpivot", "ext_skyline_2d", "ext_pareto_share",
-      "ext_rfm_segments")(n))
+      "ext_rfm_segments", "ext_cohort_ltv")(n))
       "warehouse"
     else if (n.startsWith("ext_")) "events"
     else if (n.matches("q\\d+_.*")) "tpch"

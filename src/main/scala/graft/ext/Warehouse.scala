@@ -335,6 +335,63 @@ object Warehouse {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Cohort LTV curves: cumulative purchase revenue per signup cohort
+    * (week of first event) by week offset, with per-user LTV — the
+    * money companion to `ext_events_retention`'s user counts, the
+    * curve every growth dashboard plots. Revenue accumulates in exact
+    * decimal over the (cohort, offset) frame; the cumulative window
+    * and both divisions run on the tiny post-aggregate frame
+    * (cohorts × offsets), never the event stream; cohort sizes ride a
+    * second small aggregate broadcast back.
+    */
+  val cohortLtv: Q = Q(
+    "ext_cohort_ltv",
+    """WITH firsts AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM firsts GROUP BY 1),
+      |rev AS (
+      |  SELECT f.cohort,
+      |    (CAST(epoch(date_trunc('week', e.ts)) AS BIGINT)
+      |      - CAST(epoch(f.cohort) AS BIGINT)) // 604800 AS week_offset,
+      |    SUM(CAST(e.value AS DECIMAL(10,2))) AS wk_rev
+      |  FROM events e JOIN firsts f ON f.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort, week_offset,
+      |    SUM(wk_rev) OVER (PARTITION BY cohort ORDER BY week_offset
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      |  FROM rev)
+      |SELECT c.cohort, c.week_offset, s.n_users,
+      |  CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+      |  CAST(c.cum_rev AS DOUBLE) / s.n_users AS ltv_per_user
+      |FROM cum c JOIN sizes s ON s.cohort = c.cohort
+      |ORDER BY c.cohort, c.week_offset""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val firsts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(firsts, Seq("user_id"))
+      .groupBy(col("cohort"),
+        ((unix_timestamp(date_trunc("week", col("ts"))) -
+          unix_timestamp(col("cohort"))) / 604800L).cast("long")
+          .as("week_offset"))
+      .agg(sum(col("value").cast("decimal(10,2)")).as("wk_rev"))
+    val wCum = Window.partitionBy("cohort").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_rev", sum(col("wk_rev")).over(wCum))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("week_offset"), col("n_users"),
+        col("cum_rev").cast("double").as("cum_revenue"),
+        (col("cum_rev").cast("double") / col("n_users"))
+          .as("ltv_per_user"))
+      .orderBy("cohort", "week_offset")
+  }
+
   def all: Seq[Q] =
-    Seq(starDenorm, dateDim, dqAudit, unpivot, paretoShare, rfm)
+    Seq(starDenorm, dateDim, dqAudit, unpivot, paretoShare, rfm, cohortLtv)
 }
