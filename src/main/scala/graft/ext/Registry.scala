@@ -25,5 +25,6 @@ object Registry {
       graft.streaming.StreamJoin.all ++
       graft.streaming.StreamFunnel.all ++
       graft.streaming.StreamAttribution.all ++
-      graft.streaming.StreamEwma.all
+      graft.streaming.StreamEwma.all ++
+      graft.streaming.StreamAnomaly.all
 }
