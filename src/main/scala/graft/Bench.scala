@@ -253,8 +253,12 @@ object Bench {
     // subset (diagnostic use — the driver's gate runs the full set).
     val selected = sys.env.get("SPARK_GRAFT_BENCH_EXACT") match {
       case Some(ex) =>
+        // EXACT may name any registered query, including bench=false
+        // gate-only rows — the 10x sweep times those through the same
+        // min-of-N protocol even though the headline bench skips them
         val want = ex.split(",").toSet
-        SparkEntry.benchQueries.filter(q => want(q.name))
+        (SparkEntry.registry ++ SparkEntry.benchOnly)
+          .filter(q => want(q.name))
       case None => sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
         case Some(pats0) =>
           val pats = pats0.split(",").toSeq.filter(_.nonEmpty)

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Graph ops verified against straight-line local recomputations from the
+  * raw fixture (the DuckDB gate proves cross-engine equality; this proves
+  * the graph math itself — triangle count by adjacency-set intersection,
+  * PageRank by a scalar fixed-point simulation).
+  */
+class GraphSpec extends SparkSuite {
+
+  private lazy val localEdges: Set[(Long, Long)] = {
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+  }
+
+  test("triangle count equals brute-force adjacency-set intersection " +
+    "and the wedge census matches sum C(deg,2)") {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    localEdges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    // each triangle counted once: for edge (a,b) with a<b, common
+    // neighbors c>b close a triangle exactly once
+    val bruteTri = localEdges.iterator.map { case (a, b) =>
+      (adj(a) & adj(b)).count(_ > b).toLong
+    }.sum
+    val bruteWedges = adj.values.map(s =>
+      s.size.toLong * (s.size - 1) / 2).sum
+    val row = graft.ext.Graph.triangles.fn(spark, sf).collect()(0)
+    assert(row.getAs[Long]("nodes") == adj.size.toLong)
+    assert(row.getAs[Long]("edges") == localEdges.size.toLong)
+    assert(row.getAs[Long]("triangles") == bruteTri,
+      s"spark ${row.getAs[Long]("triangles")} vs brute $bruteTri")
+    assert(row.getAs[Long]("wedges") == bruteWedges)
+    assert(row.getAs[Long]("clustering_ppm") ==
+      bruteTri * 3000000L / bruteWedges)
+  }
+
+  test("pagerank top-20 equals a scalar fixed-point simulation, ranks " +
+    "are positive and descending") {
+    val sym = localEdges.toSeq.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val n = deg.size.toLong
+    val scale = 1000000000L
+    val base = scale * 15L / 100L / n
+    var rank = deg.map { case (v, _) => v -> scale / n }
+    for (_ <- 1 to 10) {
+      val incoming = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) * 85L / (100L * deg(u)) }.sum
+      }
+      rank = deg.map { case (v, _) => v -> (base + incoming(v)) }
+    }
+    val expected = rank.toSeq.sortBy { case (v, r) => (-r, v) }.take(20)
+    val got = graft.ext.Graph.pagerank.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"spark $got vs local $expected")
+    assert(got.map(_._2).forall(_ > 0))
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+  }
+}
