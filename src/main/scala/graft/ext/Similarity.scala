@@ -417,8 +417,48 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Index-quality evaluation as a first-class query: recall@10 of the
+    * LSH index ([[annLsh]]) against brute-force ground truth
+    * ([[topkBrute]]), per probe. This is the metric a vector-index
+    * deployment monitors continuously — both sides are deterministic
+    * pipelines already mirrored in SQL, so the evaluation itself is
+    * oracle-checked end-to-end (the oracle literally re-runs both
+    * pipelines as nested CTEs and intersects them). recall_pct is
+    * integer (hits * 100 / truth_k) so the hash contract is float-free.
+    *
+    * Scale shape: the eval joins two top-k result sets (probes x k rows
+    * each), so its cost is the two underlying searches; the intersection
+    * is a key-equality join on (probe, neighbor) over k-bounded rows. */
+  val evalRecall: Q = Q(
+    "ext_eval_ann_recall",
+    s"""WITH brute AS (${topkBrute.oracle.get}),
+       |lsh AS (${annLsh.oracle.get}),
+       |hits AS (
+       |  SELECT b.probe_id,
+       |    CAST(COUNT(*) AS BIGINT) AS truth_k,
+       |    CAST(COUNT(l.neighbor_id) AS BIGINT) AS hits
+       |  FROM brute b
+       |  LEFT JOIN lsh l ON l.probe_id = b.probe_id
+       |    AND l.neighbor_id = b.neighbor_id
+       |  GROUP BY b.probe_id)
+       |SELECT probe_id, truth_k, hits,
+       |  hits * 100 // truth_k AS recall_pct
+       |FROM hits ORDER BY probe_id""".stripMargin
+  ) { (s, d) =>
+    val brute = topkBrute.fn(s, d).select("probe_id", "neighbor_id")
+    val lshHit = annLsh.fn(s, d)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+    brute
+      .join(lshHit, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("truth_k"), count(col("hit")).as("hits"))
+      .select(col("probe_id"), col("truth_k"), col("hits"),
+        expr("hits * 100 div truth_k").as("recall_pct"))
+      .orderBy("probe_id")
+  }
+
   val all: Seq[Q] = Seq(topkBrute, nearDupPairs, annLsh, embedOutliers,
-    prefixRerank)
+    prefixRerank, evalRecall)
 }
 
 /** Fixed random-hyperplane family shared by [[Similarity.annLsh]] and

@@ -139,6 +139,25 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.8, s"ANN recall@10 = $recall, expected >= 0.8")
   }
 
+  test("ext_eval_ann_recall agrees with a local set-intersection of the " +
+    "two result sets, truth_k = 10, recall_pct integral") {
+    val brute = Similarity.topkBrute.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val annSet = Similarity.annLsh.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val localHits = brute.groupBy(_._1).map { case (p, rs) =>
+      p -> rs.count(annSet).toLong }
+    val out = Similarity.evalRecall.fn(spark, sf).collect()
+    assert(out.length == localHits.size)
+    out.foreach { r =>
+      val (p, tk, h, pct) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tk == 10L, s"probe $p truth_k $tk")
+      assert(h == localHits(p), s"probe $p hits $h vs ${localHits(p)}")
+      assert(pct == h * 100L / tk)
+    }
+  }
+
   test("IVF: exact scoring on candidates, and a planted near-duplicate " +
     "of a probe is always retrieved") {
     // precision: every (probe, neighbor) IVF shares with brute force
