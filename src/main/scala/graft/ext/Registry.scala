@@ -17,7 +17,7 @@ object Registry {
       BloomJoin.all ++ StoreFeed.all ++ Scd2.all ++ IncrView.all ++
       Warehouse.all ++ Attribution.all ++ LangModel.all ++
       Skyline.all ++ Intervals.all ++ VecFuncs.all ++ Stats.all ++
-      AssocRules.all ++ Graph.all ++ KmvDistinct.all ++
+      AssocRules.all ++ Graph.all ++ KmvDistinct.all ++ TimeSeries.all ++
       graft.sources.JsonlIngest.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++

@@ -1,0 +1,168 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** [EXT] time-series diagnostics over daily aggregates — the
+  * seasonality/drift questions an events warehouse answers about its own
+  * metrics (is revenue autocorrelated week-over-week? when did the daily
+  * mean shift?).
+  *
+  * Cross-engine exactness contract (the [[Stats]] discipline): the heavy
+  * reduction is an exact DECIMAL aggregate (order-independent), the
+  * series then lives in one O(days) array, and every IEEE-double step is
+  * either a fixed per-element expression or ONE explicitly-ordered
+  * sequential fold — so both engines produce bit-identical statistics.
+  *
+  * Scale shape: one map-side-combined aggregate pass reduces the fact
+  * table to the daily frame; everything after is O(days), not O(rows).
+  * The CUSUM windows run unpartitioned BY DESIGN: they order the daily
+  * frame (hundreds to thousands of rows at any corpus scale), never raw
+  * events.
+  */
+object TimeSeries {
+
+  /** Autocorrelation of daily order revenue at lags 1..7.
+    *
+    * acf(k) = sum_t (x_t - m)(x_{t+k} - m) / sum_t (x_t - m)^2 with both
+    * sums as sequential folds in day order; m = exact total / n in one
+    * double division. The lag-7 row is the weekly-seasonality probe.
+    */
+  val acf: Q = Q(
+    "ext_stats_acf",
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |ser AS (
+      |  SELECT list(CAST(rev AS DOUBLE) ORDER BY day) AS xs,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS m
+      |  FROM daily),
+      |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+      |num AS (
+      |  SELECT lag, n,
+      |    list_reduce(list_prepend(0.0,
+      |      list_transform(generate_series(1, CAST(n - lag AS INTEGER)),
+      |        i -> (xs[i] - m) * (xs[i + lag] - m))),
+      |      (acc, x) -> acc + x) AS num,
+      |    list_reduce(list_prepend(0.0,
+      |      list_transform(generate_series(1, CAST(n AS INTEGER)),
+      |        i -> (xs[i] - m) * (xs[i] - m))),
+      |      (acc, x) -> acc + x) AS den
+      |  FROM ser CROSS JOIN lags)
+      |SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+      |  num / den AS acf
+      |FROM num ORDER BY lag""".stripMargin
+  ) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+    val ser = daily.agg(
+      transform(array_sort(collect_list(struct(col("day"), col("rev")))),
+        st => st("rev").cast("double")).as("xs"),
+      count(lit(1)).as("n"),
+      (sum(col("rev")).cast("double") / count(lit(1))).as("m"))
+    ser
+      .select(col("xs"), col("n"), col("m"),
+        explode(sequence(lit(1L), lit(7L))).as("lag"))
+      .select(col("lag"), col("n").as("n_days"),
+        (aggregate(
+          transform(sequence(lit(1L), col("n") - col("lag")),
+            i => (element_at(col("xs"), i.cast("int")) - col("m")) *
+              (element_at(col("xs"), (i + col("lag")).cast("int"))
+                - col("m"))),
+          lit(0.0), (acc, x) => acc + x) /
+        aggregate(
+          transform(sequence(lit(1L), col("n")),
+            i => {
+              val e = element_at(col("xs"), i.cast("int")) - col("m")
+              e * e
+            }),
+          lit(0.0), (acc, x) => acc + x)).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** CUSUM mean-shift detection over daily event value totals.
+    *
+    * Deviation is kept integer-exact by clearing the mean's division:
+    * d_t = n * x_t - total (DECIMAL — n * daily minus grand total, both
+    * exact), so d_t > 0 iff day t is above the period mean. The classic
+    * recursions S+_t = max(0, S+_{t-1} + d_t) and
+    * S-_t = min(0, S-_{t-1} + d_t) unroll to prefix-sum-minus-running-
+    * extremum closed forms — P_t - min_{j<=t} P_j and P_t - max_{j<=t}
+    * P_j — so the whole detector is two exact decimal window functions,
+    * no recursion, no doubles anywhere. A day flags when its cumulative
+    * drift exceeds THRESH_DAYS x (n x mean daily total) = THRESH_DAYS x
+    * total, i.e. the series has drifted by more than five average days'
+    * worth of value.
+    */
+  val cusum: Q = Q(
+    "ext_changepoint_cusum",
+    """WITH daily AS (
+      |  SELECT ts::DATE AS day,
+      |    SUM(CAST(value AS DECIMAL(10,2))) AS x
+      |  FROM events GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS total FROM daily),
+      |dev AS (
+      |  SELECT day, x, n * x - total AS d
+      |  FROM daily CROSS JOIN tot),
+      |pre1 AS (
+      |  SELECT day, x,
+      |    SUM(d) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM dev),
+      |pre AS (
+      |  SELECT day, x, p,
+      |    -- running extrema over P_0 = 0 (empty prefix) too, else the
+      |    -- closed form diverges from the recursion on a high first day
+      |    CASE WHEN MIN(p) OVER w > 0 THEN 0::DECIMAL(38,2)
+      |      ELSE MIN(p) OVER w END AS pmin,
+      |    CASE WHEN MAX(p) OVER w < 0 THEN 0::DECIMAL(38,2)
+      |      ELSE MAX(p) OVER w END AS pmax,
+      |    (SELECT total FROM tot) AS total
+      |  FROM pre1 WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(x AS DOUBLE) AS daily_value,
+      |  CAST(CASE WHEN p - pmin > 0 THEN p - pmin
+      |    ELSE 0::DECIMAL(38,2) END AS DOUBLE) AS s_pos,
+      |  CAST(CASE WHEN p - pmax < 0 THEN p - pmax
+      |    ELSE 0::DECIMAL(38,2) END AS DOUBLE) AS s_neg,
+      |  CASE WHEN p - pmin > 5 * total OR pmax - p > 5 * total
+      |    THEN 1 ELSE 0 END AS shift_flag
+      |FROM pre ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(col("value").cast("decimal(10,2)")).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = daily.crossJoin(broadcast(tot))
+      .withColumn("d", col("n") * col("x") - col("total"))
+      .withColumn("p", sum(col("d")).over(w))
+      // extrema include the empty prefix P_0 = 0: without it the closed
+      // form under-reports a drift that starts on day one
+      .withColumn("pmin", least(min(col("p")).over(w), lit(0)))
+      .withColumn("pmax", greatest(max(col("p")).over(w), lit(0)))
+    // exact decimal math inside; ONE cast to double at the output
+    // boundary (decimal -> nearest double is deterministic in both
+    // engines; DuckDB's pandas bridge reads every DECIMAL as float64,
+    // so the boundary type must be double — the repo-wide money rule)
+    dev.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x").cast("double").as("daily_value"),
+        greatest(col("p") - col("pmin"), lit(0)).cast("double").as("s_pos"),
+        least(col("p") - col("pmax"), lit(0)).cast("double").as("s_neg"),
+        when(greatest(col("p") - col("pmin"), lit(0)) > lit(5) * col("total")
+            || -least(col("p") - col("pmax"), lit(0)) >
+              lit(5) * col("total"), 1L)
+          .otherwise(0L).as("shift_flag"))
+      .orderBy("day")
+  }
+
+  def all: Seq[Q] = Seq(acf, cusum)
+}
