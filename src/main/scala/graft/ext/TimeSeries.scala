@@ -164,5 +164,73 @@ object TimeSeries {
       .orderBy("day")
   }
 
-  def all: Seq[Q] = Seq(acf, cusum)
+  /** Holt double-exponential (level+trend) forecast of daily revenue,
+    * horizons 1..7. alpha = 0.5, beta = 0.3; init l_1 = x_1,
+    * b_1 = x_2 - x_1; fold over x_3..x_n.
+    *
+    * Cross-engine exactness: the recursion's state is a 2-element double
+    * array [l, b] folded in day order with IDENTICAL arithmetic shape on
+    * both sides (DuckDB 1.0's list_reduce has no initial-value arg and
+    * requires acc/element type equality, so the init state is PREPENDED
+    * and each observation is wrapped as [x, 0.0] — the b slot of
+    * elements is ignored by the lambda). l_t appears twice in the b_t
+    * update; both engines duplicate the same sub-expression rather than
+    * naming it, keeping the IEEE op sequence identical.
+    */
+  val holt: Q = Q(
+    "ext_forecast_holt",
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |ser AS (
+      |  SELECT list(CAST(rev AS DOUBLE) ORDER BY day) AS xs,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM daily),
+      |fit AS (
+      |  SELECT n,
+      |    list_reduce(
+      |      list_prepend([xs[1], xs[2] - xs[1]],
+      |        list_transform(xs[3:], x -> [x, 0.0])),
+      |      (acc, e) -> [
+      |        0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+      |        0.3 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+      |          + 0.7 * acc[2]]) AS st
+      |  FROM ser),
+      |h AS (SELECT unnest(generate_series(1, 7)) AS horizon)
+      |SELECT CAST(horizon AS BIGINT) AS horizon, n AS n_days,
+      |  st[1] AS level, st[2] AS trend,
+      |  st[1] + CAST(horizon AS DOUBLE) * st[2] AS forecast
+      |FROM fit CROSS JOIN h ORDER BY horizon""".stripMargin
+  ) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+    val ser = daily.agg(
+      transform(array_sort(collect_list(struct(col("day"), col("rev")))),
+        st => st("rev").cast("double")).as("xs"),
+      count(lit(1)).as("n"))
+    val fit = ser.select(col("n"), expr(
+      """aggregate(
+        |  slice(xs, 3, greatest(size(xs) - 2, 0)),
+        |  array(element_at(xs, 1),
+        |        element_at(xs, 2) - element_at(xs, 1)),
+        |  (acc, x) -> array(
+        |    0.5d * x + 0.5d * (element_at(acc, 1) + element_at(acc, 2)),
+        |    0.3d * ((0.5d * x + 0.5d * (element_at(acc, 1)
+        |        + element_at(acc, 2))) - element_at(acc, 1))
+        |      + 0.7d * element_at(acc, 2))) """.stripMargin).as("st"))
+    fit
+      .select(col("n"), col("st"),
+        explode(sequence(lit(1L), lit(7L))).as("horizon"))
+      .select(col("horizon"), col("n").as("n_days"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        (element_at(col("st"), 1) +
+          col("horizon").cast("double") * element_at(col("st"), 2))
+          .as("forecast"))
+      .orderBy("horizon")
+  }
+
+  def all: Seq[Q] = Seq(acf, cusum, holt)
 }
