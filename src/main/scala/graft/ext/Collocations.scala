@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+import TextAnalysis.{toks, toksSql}
+
+/** [EXT] corpus-level lexical statistics: collocation mining (PMI-lift
+  * term pairs) and the vocabulary growth curve (Heaps' law) — the two
+  * curves a tokenizer/vocab-budget decision reads off a new corpus.
+  *
+  * Both ops keep every count exact-integer and express the one ratio
+  * each needs in parts-per-million integer arithmetic, so the rows are
+  * BIGINT-exact across engines (the [[SkewAudit]] discipline).
+  */
+object Collocations {
+
+  private val TopVocab = 50
+  private val MinCodocs = 5
+
+  /** Top-20 within-document collocations among the TopVocab most
+    * frequent terms, ranked by PMI-lift in ppm:
+    * lift = P(a,b) / (P(a) P(b)) = c_ab * n_docs / (df_a * df_b).
+    *
+    * Scale shape: the candidate vocabulary is capped (top-50 by df,
+    * term-asc tiebreak) and BROADCAST, so the per-doc pair expansion is
+    * bounded by C(50,2) regardless of corpus size; document bodies
+    * never ride a shuffle (the doc->term frame is terms only). This is
+    * the standard collocation-mining shape (Manning & Schuetze ch. 5)
+    * with the df cap making it corpus-scale-safe.
+    */
+  val collocations: Q = Q(
+    "ext_text_collocations",
+    s"""WITH tokd AS (
+       |  SELECT DISTINCT doc_id, unnest($toksSql) AS t FROM documents),
+       |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tokd
+       |       GROUP BY t),
+       |top AS (SELECT t, df FROM df ORDER BY df DESC, t LIMIT $TopVocab),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |dt AS (SELECT tokd.doc_id, tokd.t, top.df FROM tokd
+       |       JOIN top ON top.t = tokd.t),
+       |pairs AS (
+       |  SELECT x.t AS a, y.t AS b, x.df AS df_a, y.df AS df_b,
+       |    CAST(COUNT(*) AS BIGINT) AS c_ab
+       |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.t < y.t
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT a, b, df_a, df_b, c_ab,
+       |  CAST(c_ab * n_docs * 1000000 // (df_a * df_b) AS BIGINT)
+       |    AS lift_ppm
+       |FROM pairs CROSS JOIN n
+       |WHERE c_ab >= $MinCodocs
+       |ORDER BY lift_ppm DESC, a, b LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val tokd = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text"))))
+        .as("t"))
+    val df = tokd.groupBy("t").agg(count(lit(1)).as("df"))
+    val top = df.orderBy(col("df").desc, col("t")).limit(TopVocab)
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val dt = tokd.join(broadcast(top), Seq("t"))
+    val pairs = dt.as("x").join(dt.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("a"), col("y.t").as("b"),
+        col("x.df").as("df_a"), col("y.df").as("df_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs.filter(col("c_ab") >= MinCodocs)
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("df_a"), col("df_b"), col("c_ab"),
+        expr("c_ab * n_docs * 1000000 div (df_a * df_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("a"), col("b")).limit(20)
+  }
+
+  /** Vocabulary growth (Heaps' law) curve, sampled at 10 equal
+    * doc-id-RANGE checkpoints: d_k = min + (max - min) * k / 10. Using
+    * the value range instead of rank deciles keeps the op window-free —
+    * each checkpoint is three conditional aggregates (docs, tokens,
+    * first-occurrence terms <= d_k), so nothing ranks or sorts the doc
+    * frame at any scale. vocab_k counts terms whose FIRST occurrence
+    * (min doc_id) is within the prefix — exactly the "new types seen so
+    * far" census Heaps' law describes.
+    */
+  val vocabGrowth: Q = Q(
+    "ext_vocab_growth",
+    s"""WITH docs AS (
+       |  SELECT doc_id, len($toksSql) AS n_toks FROM documents),
+       |ft AS (
+       |  SELECT t, MIN(doc_id) AS first_doc FROM (
+       |    SELECT doc_id, unnest($toksSql) AS t FROM documents) x
+       |  GROUP BY t),
+       |span AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM docs),
+       |ck AS (
+       |  SELECT k, lo + (hi - lo) * k // 10 AS cut
+       |  FROM span CROSS JOIN
+       |    (SELECT unnest(generate_series(1, 10)) AS k))
+       |SELECT CAST(ck.k AS BIGINT) AS k, ck.cut AS cutoff_doc_id,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM docs
+       |     WHERE doc_id <= ck.cut) AS docs_k,
+       |  (SELECT CAST(SUM(n_toks) AS BIGINT) FROM docs
+       |     WHERE doc_id <= ck.cut) AS tokens_k,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ft
+       |     WHERE first_doc <= ck.cut) AS vocab_k
+       |FROM ck ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long")
+        .as("n_toks"))
+    val ft = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .groupBy("t").agg(min(col("doc_id")).as("first_doc"))
+    val span = docs.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val ck = span.select(explode(sequence(lit(1L), lit(10L))).as("k"),
+        col("lo"), col("hi"))
+      .select(col("k"), expr("lo + (hi - lo) * k div 10").as("cut"))
+    val byCut = docs.crossJoin(broadcast(ck))
+      .filter(col("doc_id") <= col("cut"))
+      .groupBy("k", "cut")
+      .agg(count(lit(1)).as("docs_k"), sum(col("n_toks")).as("tokens_k"))
+    val vocab = ft.crossJoin(broadcast(ck))
+      .filter(col("first_doc") <= col("cut"))
+      .groupBy("k").agg(count(lit(1)).as("vocab_k"))
+    byCut.join(vocab, Seq("k"))
+      .select(col("k"), col("cut").as("cutoff_doc_id"), col("docs_k"),
+        col("tokens_k"), col("vocab_k"))
+      .orderBy("k")
+  }
+
+  def all: Seq[Q] = Seq(collocations, vocabGrowth)
+}

@@ -18,7 +18,7 @@ object Registry {
       Warehouse.all ++ Attribution.all ++ LangModel.all ++
       Skyline.all ++ Intervals.all ++ VecFuncs.all ++ Stats.all ++
       AssocRules.all ++ Graph.all ++ KmvDistinct.all ++ TimeSeries.all ++
-      ClickPaths.all ++ SkewAudit.all ++
+      ClickPaths.all ++ SkewAudit.all ++ Collocations.all ++
       graft.sources.JsonlIngest.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++
