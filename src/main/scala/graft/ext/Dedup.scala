@@ -653,6 +653,136 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Minhash-estimator calibration: for every LSH candidate pair, the
+    * signature-match count (0..16 slots agreeing — the sketch's Jaccard
+    * estimate, E[matches/16] = J) against the EXACT shingle Jaccard,
+    * aggregated per match-count bucket. The output is the calibration
+    * curve a dedup-threshold decision reads: bucket k's mean exact
+    * Jaccard should track k/16, monotone in k. The counterpart of
+    * [[Similarity.evalRecall]] for the minhash family — both sides are
+    * deterministic, so the estimator-quality evaluation is itself
+    * oracle-checked (integer ppm; the sole mean is an integer division).
+    *
+    * Runs per raw document (no exact-duplicate collapsing): this op
+    * measures the SKETCH, so the rep optimization of the production
+    * pipeline would only hide within-cluster jaccard-1.0 mass.
+    */
+  val minhashCalibration: Q = Q(
+    "ext_dedup_minhash_calibration",
+    s"""WITH sh AS ($shingleSql),
+       |sig AS (
+       |  SELECT doc_id,
+       |${(0 until NumHashes).map(j =>
+        s"    MIN(md5('$j:' || sh)) AS m$j").mkString(",\n")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |${(0 until NumHashes / BandSize).map(b =>
+        s"  SELECT doc_id, md5('$b:' || ${(0 until BandSize).map(r =>
+          s"m${b * BandSize + r}").mkString(" || ")}) AS band_key FROM sig")
+        .mkString("\n  UNION ALL\n")}),
+       |bsz AS (SELECT band_key, COUNT(*) AS bn FROM bands GROUP BY band_key),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN bsz z ON z.band_key = a.band_key
+       |  WHERE z.bn <= $BucketCap),
+       |mm AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(${(0 until NumHashes).map(j =>
+        s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")} AS BIGINT) AS n_match
+       |  FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+       |  JOIN sig b ON b.doc_id = c.doc_b),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+       |          FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_int
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT m.n_match,
+       |    CAST(COALESCE(i.n_int, 0) * 1000000
+       |      // (za.n_sh + zb.n_sh - COALESCE(i.n_int, 0)) AS BIGINT)
+       |      AS exact_ppm
+       |  FROM mm m
+       |  LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+       |  JOIN sizes za ON za.doc_id = m.doc_a
+       |  JOIN sizes zb ON zb.doc_id = m.doc_b)
+       |SELECT n_match, n_match * 62500 AS est_ppm,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm,
+       |  MIN(exact_ppm) AS min_exact_ppm,
+       |  MAX(exact_ppm) AS max_exact_ppm
+       |FROM pp GROUP BY n_match ORDER BY n_match""".stripMargin
+  ) { (s, d) =>
+    val m5 = (c: Column) => graft.functions.FastMd5.fast_md5(s, c)
+    val m5b = (c: Column) => graft.functions.FastMd5.fast_md5_bin(s, c)
+    val shRaw = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i, lit(3)))))).as("sh"))
+      .eagerCheckpoint()
+    val sig = shRaw.groupBy("doc_id")
+      .agg(min(m5b(concat(lit("0:"), col("sh")))).as("m0"),
+        (1 until NumHashes).map(j =>
+          min(m5b(concat(lit(s"$j:"), col("sh")))).as(s"m$j")): _*)
+      .select(col("doc_id") +: (0 until NumHashes).map(j =>
+        lower(hex(col(s"m$j"))).as(s"m$j")): _*)
+      .eagerCheckpoint()
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until NumHashes / BandSize).map { b =>
+        m5(concat((lit(s"$b:") +: (0 until BandSize)
+          .map(r => col(s"m${b * BandSize + r}"))): _*))
+      }: _*)).as("band_key"))
+    val hot = bands.groupBy("band_key")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > BucketCap)
+      .select("band_key")
+    val bandsOk = bands.join(hot, Seq("band_key"), "left_anti")
+    val cand = bandsOk.as("a").join(bandsOk.as("b"),
+        col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().eagerCheckpoint()
+    val nMatch = (0 until NumHashes).map(j =>
+      when(col(s"a.m$j") === col(s"b.m$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val mm = cand
+      .join(sig.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(sig.as("b"), col("b.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+    val sizes = shRaw.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(shRaw.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(shRaw.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.sh") === col("sa.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_int"))
+    val pp = mm
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")),
+        col("da") === col("doc_a"))
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")),
+        col("db") === col("doc_b"))
+      .select(col("n_match"),
+        expr("coalesce(n_int, 0) * 1000000 div " +
+          "(na + nb - coalesce(n_int, 0))").as("exact_ppm"))
+    pp.groupBy("n_match")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("cast(sum(exact_ppm) div count(1) as bigint)")
+          .as("mean_exact_ppm"),
+        min(col("exact_ppm")).as("min_exact_ppm"),
+        max(col("exact_ppm")).as("max_exact_ppm"))
+      .select(col("n_match"), (col("n_match") * 62500L).as("est_ppm"),
+        col("n_pairs"), col("mean_exact_ppm"), col("min_exact_ppm"),
+        col("max_exact_ppm"))
+      .orderBy("n_match")
+  }
+
   val all: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard,
-    incremental, substringSpans)
+    incremental, substringSpans, minhashCalibration)
 }

@@ -139,6 +139,22 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.8, s"ANN recall@10 = $recall, expected >= 0.8")
   }
 
+  test("minhash calibration: mean exact jaccard is monotone in the " +
+    "match count and every bucket respects its min/max envelope") {
+    val rows = Dedup.minhashCalibration.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (nm, est, np, mean, mn, mx) =>
+      assert(nm >= 0 && nm <= 16 && est == nm * 62500L && np >= 1)
+      assert(mn <= mean && mean <= mx)
+      assert(mn >= 0 && mx <= 1000000L)
+    }
+    val means = rows.map(_._4)
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      s"calibration curve not monotone: ${means.toSeq}")
+  }
+
   test("ext_eval_ann_recall agrees with a local set-intersection of the " +
     "two result sets, truth_k = 10, recall_pct integral") {
     val brute = Similarity.topkBrute.fn(spark, sf).collect()
