@@ -392,6 +392,65 @@ object Warehouse {
       .orderBy("cohort", "week_offset")
   }
 
+  /** Monthly open-order backlog curve: an order OPENS in its order month
+    * and CLOSES in the month of its last lineitem shipment (orders with
+    * no lineitems close in their own month). backlog_m = running
+    * sum(opened - closed) = orders still open at month-end — the classic
+    * operational WIP curve.
+    *
+    * Scale shape: one orderkey-join (the natural co-partitioned TPC-H
+    * join), one max-aggregate per order, then ALL window work happens on
+    * the ~80-row month frame (each order contributes two +-1 deltas,
+    * aggregated map-side) — the running sum never sees order rows.
+    */
+  val backlogCurve: Q = Q(
+    "ext_backlog_curve",
+    """WITH closes AS (
+      |  SELECT o.o_orderkey, o.o_orderdate,
+      |    COALESCE(MAX(l.l_shipdate), o.o_orderdate) AS close_ts
+      |  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS m, 1 AS opened,
+      |    0 AS closed
+      |  FROM closes
+      |  UNION ALL
+      |  SELECT strftime(close_ts, '%Y-%m'), 0, 1 FROM closes),
+      |monthly AS (
+      |  SELECT m, CAST(SUM(opened) AS BIGINT) AS opened,
+      |    CAST(SUM(closed) AS BIGINT) AS closed
+      |  FROM deltas GROUP BY m)
+      |SELECT m AS month, opened, closed,
+      |  CAST(SUM(opened - closed) OVER (ORDER BY m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS backlog
+      |FROM monthly ORDER BY month""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val closes = Tables.orders(s, d).as("o")
+      .join(Tables.lineitem(s, d).as("l"),
+        col("l.l_orderkey") === col("o.o_orderkey"), "left")
+      .groupBy(col("o.o_orderkey"), col("o.o_orderdate"))
+      .agg(coalesce(max(col("l.l_shipdate")), first(col("o.o_orderdate")))
+        .as("close_ts"))
+    val deltas = closes.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        lit(1L).as("opened"), lit(0L).as("closed"))
+      .unionAll(closes.select(
+        date_format(col("close_ts"), "yyyy-MM").as("m"),
+        lit(0L).as("opened"), lit(1L).as("closed")))
+    val monthly = deltas.groupBy("m")
+      .agg(sum(col("opened")).as("opened"), sum(col("closed")).as("closed"))
+    monthly
+      .withColumn("backlog", sum(col("opened") - col("closed")).over(
+        Window.orderBy("m").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("long"))
+      .select(col("m").as("month"), col("opened"), col("closed"),
+        col("backlog"))
+      .orderBy("month")
+  }
+
   def all: Seq[Q] =
-    Seq(starDenorm, dateDim, dqAudit, unpivot, paretoShare, rfm, cohortLtv)
+    Seq(starDenorm, dateDim, dqAudit, unpivot, paretoShare, rfm, cohortLtv,
+      backlogCurve)
 }

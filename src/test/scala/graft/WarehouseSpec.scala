@@ -112,4 +112,20 @@ class WarehouseSpec extends SparkSuite {
         assert(r.getLong(i) >= 1 && r.getLong(i) <= 5))
     }
   }
+
+  test("backlog curve: conservation (sum opened = sum closed), backlog " +
+    "non-negative, ends at zero, and matches a local replay") {
+    val rows = graft.ext.Warehouse.backlogCurve.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    assert(rows.map(_._2).sum == rows.map(_._3).sum,
+      "every opened order must eventually close")
+    var bl = 0L
+    rows.foreach { case (m, o, c, b) =>
+      bl += o - c
+      assert(b == bl, s"$m backlog $b vs replay $bl")
+      assert(b >= 0, s"$m negative backlog")
+    }
+    assert(rows.last._4 == 0L, "curve must end fully drained")
+  }
 }
