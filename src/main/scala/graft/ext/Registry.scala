@@ -27,5 +27,6 @@ object Registry {
       graft.streaming.StreamFunnel.all ++
       graft.streaming.StreamAttribution.all ++
       graft.streaming.StreamEwma.all ++
-      graft.streaming.StreamAnomaly.all
+      graft.streaming.StreamAnomaly.all ++
+      graft.streaming.StreamKmv.all
 }
