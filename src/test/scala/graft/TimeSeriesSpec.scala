@@ -59,4 +59,26 @@ class TimeSeriesSpec extends SparkSuite {
       assert(r.getDouble(2) >= 0.0 && r.getDouble(3) <= 0.0)
     }
   }
+
+  test("mad outliers: top-5 deviations match a local recomputation and " +
+    "the flag fires iff |x - med| > 4.4478 MAD") {
+    val daily = graft.core.Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(col("value").cast("decimal(10,2)")).as("x"))
+      .collect().map(r => (r.getDate(0).toString, BigDecimal(r.getDecimal(1))))
+      .sortBy(_._1)
+    def lowerMedian(vs: Seq[BigDecimal]): BigDecimal =
+      vs.sorted.apply((vs.size + 1) / 2 - 1)
+    val med = lowerMedian(daily.map(_._2))
+    val mad = lowerMedian(daily.map { case (_, x) => (x - med).abs })
+    val di = daily.map { case (d, x) =>
+      (d, ((x - med).abs * 100).toLongExact) }
+    val mi = (mad * 100).toLongExact
+    val local = di.map { case (d, dv) =>
+      (d, dv * 1000000L / mi, if (dv * 10000L > mi * 44478L) 1L else 0L) }
+      .sortBy { case (d, ppm, _) => (-ppm, d) }.take(5).toSeq
+    val got = graft.ext.TimeSeries.madOutliers.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == local, s"spark $got vs local $local")
+  }
 }
