@@ -50,5 +50,66 @@ object ClickPaths {
       .orderBy(col("n").desc, col("path")).limit(20)
   }
 
-  def all: Seq[Q] = Seq(sessionPaths)
+  /** Funnel conversion latency: per user, seconds from FIRST view to the
+    * first purchase AFTER it; the summary row is the latency
+    * distribution (exact lower-percentile p50/p90 over the sorted
+    * converting-user array, integer mean by floor division) — the
+    * time-to-convert companion of `ext_events_funnel`'s conversion
+    * counts. All integer seconds; the percentile contract is the lower
+    * median (element (n+1)/2), engine-exact, no interpolation.
+    *
+    * Scale shape: one user_id-keyed aggregate reduces the stream to a
+    * first-view/first-purchase row per user; the distribution sorts the
+    * CONVERTING-user array only (bounded by user count, tiny next to
+    * the event stream at any scale).
+    */
+  val funnelLatency: Q = Q(
+    "ext_funnel_latency",
+    """WITH fv AS (
+      |  SELECT user_id, MIN(ts) AS first_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |fp AS (
+      |  SELECT e.user_id, MIN(e.ts) AS first_purchase
+      |  FROM events e JOIN fv ON fv.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      |  GROUP BY 1),
+      |lat AS (
+      |  SELECT fv.user_id,
+      |    CAST(epoch_us(fp.first_purchase) - epoch_us(fv.first_view)
+      |      AS BIGINT) // 1000000 AS lat_s
+      |  FROM fv JOIN fp ON fp.user_id = fv.user_id),
+      |arr AS (SELECT list(lat_s ORDER BY lat_s) AS ls,
+      |               CAST(COUNT(*) AS BIGINT) AS n_conv,
+      |               CAST(SUM(lat_s) AS BIGINT) AS tot FROM lat),
+      |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers FROM fv)
+      |SELECT n_viewers, n_conv,
+      |  ls[(CAST(n_conv AS INTEGER) + 1) // 2] AS p50_s,
+      |  ls[(CAST(n_conv AS INTEGER) * 9 + 9) // 10] AS p90_s,
+      |  ls[CAST(n_conv AS INTEGER)] AS max_s,
+      |  tot // n_conv AS mean_s
+      |FROM arr CROSS JOIN u""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fv, Seq("user_id"))
+      .filter(col("ts") >= col("first_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+    val lat = fv.join(fp, Seq("user_id"))
+      .select(expr("cast((unix_micros(first_purchase) - " +
+        "unix_micros(first_view)) div 1000000 as bigint)").as("lat_s"))
+    val arr = lat.agg(sort_array(collect_list(col("lat_s"))).as("ls"),
+      count(lit(1)).as("n_conv"), sum(col("lat_s")).as("tot"))
+    val u = fv.agg(count(lit(1)).as("n_viewers"))
+    arr.crossJoin(broadcast(u))
+      .select(col("n_viewers"), col("n_conv"),
+        expr("element_at(ls, cast((n_conv + 1) div 2 as int))").as("p50_s"),
+        expr("element_at(ls, cast((n_conv * 9 + 9) div 10 as int))")
+          .as("p90_s"),
+        expr("element_at(ls, cast(n_conv as int))").as("max_s"),
+        expr("cast(tot div n_conv as bigint)").as("mean_s"))
+  }
+
+  def all: Seq[Q] = Seq(sessionPaths, funnelLatency)
 }

@@ -386,6 +386,84 @@ object Stats {
       .orderBy("event_type", "q")
   }
 
+  /** Kolmogorov-Smirnov two-sample test (purchase vs click values) with
+    * the statistic kept EXACT: D = max |F1(v) - F2(v)| over the pooled
+    * support equals max |c1(v)·n2 − c2(v)·n1| / (n1·n2), and the
+    * numerator/denominator are pure BIGINTs — no doubles anywhere, no
+    * rank windows over raw rows. The cumulative counts run over the
+    * COMPRESSED distinct-value frame (the [[mannWhitney]] shape): values
+    * aggregate to (value, c1, c2) first, one ordered window walks
+    * |distinct values| rows, and the max is an integer aggregate. The
+    * op emits D in exact ppm plus the raw fraction, and the classic
+    * large-sample 5% rejection rule D >= 1.358·sqrt((n1+n2)/(n1·n2))
+    * squared and cross-multiplied into the integer inequality
+    * dnum² · 10⁶ >= 1358² · (n1+n2) · n1 · n2 — evaluated in
+    * DECIMAL(38,0)/HUGEINT because dnum²·10⁶ exceeds i64 beyond the
+    * fixture scale.
+    */
+  val ksTest: Q = Q(
+    "ext_stats_ks",
+    """WITH vals AS (
+      |  SELECT CAST(value AS DECIMAL(10,2)) AS v,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c2
+      |  FROM events WHERE event_type IN ('purchase', 'click')
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT v,
+      |    SUM(c1) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+      |    SUM(c2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      |  FROM vals),
+      |tot AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(c2) AS BIGINT) AS n2 FROM vals),
+      |d AS (
+      |  SELECT MAX(abs(CAST(f1 AS BIGINT) * n2
+      |    - CAST(f2 AS BIGINT) * n1)) AS dnum
+      |  FROM cum CROSS JOIN tot)
+      |SELECT n1, n2, dnum AS d_num, n1 * n2 AS d_den,
+      |  CAST(dnum * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm,
+      |  CAST(CASE WHEN dnum::HUGEINT * dnum * 1000000 >=
+      |    1844164::HUGEINT * (n1 + n2) * n1 * n2 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS reject_5pct
+      |FROM d CROSS JOIN tot""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("value").cast("decimal(10,2)").as("v"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+    val tot = vals.agg(sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"))
+    val dnum = cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+        .cast("long").as("dnum"))
+    dnum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"), col("dnum").as("d_num"),
+        (col("n1") * col("n2")).as("d_den"),
+        expr("cast(dnum * 1000000 div (n1 * n2) as bigint)").as("d_ppm"),
+        // the squared critical-value comparison exceeds i64 at 10x the
+        // fixture (dnum^2 * 1e6 ~ 1.6e23): exact DECIMAL(38,0) on the
+        // Spark side, HUGEINT in the oracle
+        expr("cast(case when cast(dnum as decimal(38,0)) * dnum * 1000000" +
+          " >= cast(1844164 as decimal(38,0)) * (n1 + n2) * n1 * n2 " +
+          "then 1 else 0 end as bigint)").as("reject_5pct"))
+  }
+
   def all: Seq[Q] =
-    Seq(chi2, welch, corr, mannWhitney, percentileCont, qdigestQuantiles)
+    Seq(chi2, welch, corr, mannWhitney, percentileCont, qdigestQuantiles,
+      ksTest)
 }

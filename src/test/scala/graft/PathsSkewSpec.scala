@@ -70,4 +70,33 @@ class PathsSkewSpec extends SparkSuite {
     assert(row.getLong(3) == cnts.last)
     assert(row.getLong(5) == cut.head)
   }
+
+  test("funnel latency matches a local first-view/first-purchase replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val byUser = ev.groupBy(_._1)
+    val lats = byUser.toSeq.flatMap { case (_, rows) =>
+      val views = rows.filter(_._3 == "view").map(r => us(r._2))
+      if (views.isEmpty) None
+      else {
+        val fv = views.min
+        val ps = rows.filter(r => r._3 == "purchase"
+          && us(r._2) >= fv).map(r => us(r._2))
+        ps.minOption.map(fp => (fp - fv) / 1000000L)
+      }
+    }.sorted
+    val r = graft.ext.ClickPaths.funnelLatency.fn(spark, sf).collect()(0)
+    val nViewers = byUser.count(_._2.exists(_._3 == "view")).toLong
+    assert(r.getLong(0) == nViewers)
+    assert(r.getLong(1) == lats.size.toLong)
+    assert(r.getLong(2) == lats((lats.size + 1) / 2 - 1))
+    assert(r.getLong(3) == lats((lats.size * 9 + 9) / 10 - 1))
+    assert(r.getLong(4) == lats.last)
+    assert(r.getLong(5) == lats.sum / lats.size)
+  }
 }

@@ -163,4 +163,30 @@ class StatsSpec extends SparkSuite {
       assert(got(u) >= vs.min - 1e-12 && got(u) <= vs.max + 1e-12)
     }
   }
+
+  test("ks two-sample: D equals the brute max CDF gap as an exact " +
+    "fraction, and the 5% flag matches the asymptotic rule") {
+    val vals = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val p = vals.filter(_._1 == "purchase").map(_._2).sorted
+    val c = vals.filter(_._1 == "click").map(_._2).sorted
+    val support = (p ++ c).distinct.sorted
+    val dnum = support.map { v =>
+      val f1 = p.count(_ <= v).toLong
+      val f2 = c.count(_ <= v).toLong
+      (f1 * c.length - f2 * p.length).abs
+    }.max
+    val r = graft.ext.Stats.ksTest.fn(spark, sf).collect()(0)
+    assert(r.getLong(0) == p.length.toLong)
+    assert(r.getLong(1) == c.length.toLong)
+    assert(r.getLong(2) == dnum, s"d_num ${r.getLong(2)} vs $dnum")
+    assert(r.getLong(4) == dnum * 1000000L / (p.length.toLong * c.length))
+    val d = dnum.toDouble / (p.length.toLong * c.length)
+    val crit = 1.358 * math.sqrt(
+      (p.length + c.length).toDouble / (p.length.toLong * c.length))
+    assert(r.getLong(5) == (if (d >= crit) 1L else 0L))
+  }
 }
