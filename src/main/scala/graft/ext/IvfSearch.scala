@@ -330,5 +330,40 @@ object IvfSearch {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(ivf, semDedup)
+  /** IVF index-quality evaluation — recall@10 vs brute-force truth, the
+    * [[Similarity.evalRecall]] contract applied to the inverted-file
+    * index: both pipelines are deterministic and SQL-mirrored, so the
+    * oracle re-runs them as nested CTEs and intersects. Together with
+    * the LSH row this makes every gate-checked ANN family carry an
+    * oracle-checked quality metric, not just a spec. */
+  val evalRecall: Q = Q(
+    "ext_eval_ivf_recall",
+    s"""WITH brute AS (${Similarity.topkBrute.oracle.get}),
+       |ivfq AS (${ivf.oracle.get}),
+       |hits AS (
+       |  SELECT b.probe_id,
+       |    CAST(COUNT(*) AS BIGINT) AS truth_k,
+       |    CAST(COUNT(l.neighbor_id) AS BIGINT) AS hits
+       |  FROM brute b
+       |  LEFT JOIN ivfq l ON l.probe_id = b.probe_id
+       |    AND l.neighbor_id = b.neighbor_id
+       |  GROUP BY b.probe_id)
+       |SELECT probe_id, truth_k, hits,
+       |  hits * 100 // truth_k AS recall_pct
+       |FROM hits ORDER BY probe_id""".stripMargin
+  ) { (s, d) =>
+    val brute = Similarity.topkBrute.fn(s, d)
+      .select("probe_id", "neighbor_id")
+    val ivfHit = ivf.fn(s, d)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+    brute
+      .join(ivfHit, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("truth_k"), count(col("hit")).as("hits"))
+      .select(col("probe_id"), col("truth_k"), col("hits"),
+        expr("hits * 100 div truth_k").as("recall_pct"))
+      .orderBy("probe_id")
+  }
+
+  val all: Seq[Q] = Seq(ivf, semDedup, evalRecall)
 }

@@ -139,6 +139,22 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.8, s"ANN recall@10 = $recall, expected >= 0.8")
   }
 
+  test("ext_eval_ivf_recall agrees with a local set-intersection of " +
+    "brute truth and the IVF result") {
+    val brute = Similarity.topkBrute.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivfSet = IvfSearch.ivf.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val localHits = brute.groupBy(_._1).map { case (p, rs) =>
+      p -> rs.count(ivfSet).toLong }
+    val out = IvfSearch.evalRecall.fn(spark, sf).collect()
+    assert(out.length == localHits.size)
+    out.foreach { r =>
+      assert(r.getLong(2) == localHits(r.getLong(0)))
+      assert(r.getLong(3) == r.getLong(2) * 100L / r.getLong(1))
+    }
+  }
+
   test("minhash calibration: mean exact jaccard is monotone in the " +
     "match count and every bucket respects its min/max envelope") {
     val rows = Dedup.minhashCalibration.fn(spark, sf).collect()
