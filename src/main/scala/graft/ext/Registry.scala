@@ -19,6 +19,7 @@ object Registry {
       Skyline.all ++ Intervals.all ++ VecFuncs.all ++ Stats.all ++
       AssocRules.all ++ Graph.all ++ KmvDistinct.all ++ TimeSeries.all ++
       ClickPaths.all ++ SkewAudit.all ++ Collocations.all ++
+      PcaPower.all ++
       graft.sources.JsonlIngest.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++
