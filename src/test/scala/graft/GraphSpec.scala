@@ -44,6 +44,24 @@ class GraphSpec extends SparkSuite {
       bruteTri * 3000000L / bruteWedges)
   }
 
+  test("triangle plan: the count stage joins via BROADCAST adjacency " +
+    "arrays — no sort-merge wedge join anywhere") {
+    val plan = graft.ext.Graph.triangles.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"adjacency must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"wedge self-join resurfaced as a sort-merge join:\n$plan")
+  }
+
+  test("collocations plan: the top-50 vocabulary joins via broadcast, " +
+    "so the pair expansion is bounded by the capped vocab") {
+    val plan = graft.ext.Collocations.collocations.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"capped vocab must broadcast:\n$plan")
+  }
+
   test("pagerank top-20 equals a scalar fixed-point simulation, ranks " +
     "are positive and descending") {
     val sym = localEdges.toSeq.flatMap { case (a, b) =>
