@@ -305,5 +305,74 @@ object TimeSeries {
       .orderBy(col("dev_mad_ppm").desc, col("day")).limit(5)
   }
 
-  def all: Seq[Q] = Seq(acf, cusum, holt, madOutliers)
+  /** Walk-forward backtest of [[holt]]: for each of the last 12 days,
+    * fit on the strict prefix and predict one step ahead; emit forecast
+    * vs actual and the absolute error. This is the evaluation row for
+    * the forecast op (the [[graft.ext.Similarity.evalRecall]] theme:
+    * every model-like op carries an oracle-checked quality metric).
+    * Each cutoff's fold replays the identical IEEE chain as [[holt]] on
+    * the prefix, so every row is engine-exact; per-cutoff errors are
+    * independent fixed chains (no cross-row float accumulation).
+    */
+  val holtBacktest: Q = Q(
+    "ext_forecast_backtest",
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |ser AS (
+      |  SELECT list(CAST(rev AS DOUBLE) ORDER BY day) AS xs,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM daily),
+      |cuts AS (
+      |  SELECT n, xs, n - 12 + CAST(k AS BIGINT) AS c
+      |  FROM ser CROSS JOIN
+      |    (SELECT unnest(generate_series(0, 11)) AS k)),
+      |fit AS (
+      |  SELECT c, n,
+      |    list_reduce(
+      |      list_prepend([xs[1], xs[2] - xs[1]],
+      |        list_transform(xs[3:CAST(c AS INTEGER)], x -> [x, 0.0])),
+      |      (acc, e) -> [
+      |        0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+      |        0.3 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+      |          + 0.7 * acc[2]]) AS st,
+      |    xs[CAST(c AS INTEGER) + 1] AS actual
+      |  FROM cuts WHERE c >= 3 AND c < n)
+      |SELECT c AS fit_days, st[1] + st[2] AS forecast, actual,
+      |  abs(st[1] + st[2] - actual) AS abs_err
+      |FROM fit ORDER BY fit_days""".stripMargin
+  ) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+    val ser = daily.agg(
+      transform(array_sort(collect_list(struct(col("day"), col("rev")))),
+        st => st("rev").cast("double")).as("xs"),
+      count(lit(1)).as("n"))
+    val cuts = ser.select(col("xs"), col("n"),
+        explode(sequence(lit(0L), lit(11L))).as("k"))
+      .select(col("xs"), col("n"), (col("n") - 12 + col("k")).as("c"))
+      .filter(col("c") >= 3 && col("c") < col("n"))
+    cuts.select(col("c"), expr(
+        """aggregate(
+          |  slice(xs, 3, greatest(cast(c as int) - 2, 0)),
+          |  array(element_at(xs, 1),
+          |        element_at(xs, 2) - element_at(xs, 1)),
+          |  (acc, x) -> array(
+          |    0.5d * x + 0.5d * (element_at(acc, 1) + element_at(acc, 2)),
+          |    0.3d * ((0.5d * x + 0.5d * (element_at(acc, 1)
+          |        + element_at(acc, 2))) - element_at(acc, 1))
+          |      + 0.7d * element_at(acc, 2))) """.stripMargin).as("st"),
+        expr("element_at(xs, cast(c as int) + 1)").as("actual"))
+      .select(col("c").as("fit_days"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2))
+          .as("forecast"),
+        col("actual"),
+        abs(element_at(col("st"), 1) + element_at(col("st"), 2)
+          - col("actual")).as("abs_err"))
+      .orderBy("fit_days")
+  }
+
+  def all: Seq[Q] = Seq(acf, cusum, holt, madOutliers, holtBacktest)
 }

@@ -60,6 +60,35 @@ class TimeSeriesSpec extends SparkSuite {
     }
   }
 
+  test("holt backtest: each cutoff's forecast equals a local prefix " +
+    "fold, and abs_err is consistent") {
+    val daily = graft.core.Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+      .collect().map(r => (r.getDate(0).toString, r.getDecimal(1)
+        .doubleValue)).sortBy(_._1).map(_._2)
+    def fit(c: Int): (Double, Double) = {
+      var l = daily(0); var b = daily(1) - daily(0)
+      daily.slice(2, c).foreach { x =>
+        val lNew = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * ((0.5 * x + 0.5 * (l + b)) - l) + 0.7 * b
+        l = lNew
+      }
+      (l, b)
+    }
+    val rows = graft.ext.TimeSeries.holtBacktest.fn(spark, sf).collect()
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      val c = r.getLong(0).toInt
+      val (l, b) = fit(c)
+      assert(math.abs(r.getDouble(1) - (l + b)) < 1e-9 *
+        math.max(1.0, math.abs(l + b)), s"cutoff $c forecast")
+      assert(math.abs(r.getDouble(2) - daily(c)) < 1e-9)
+      assert(math.abs(r.getDouble(3) -
+        math.abs(r.getDouble(1) - r.getDouble(2))) < 1e-12)
+    }
+  }
+
   test("mad outliers: top-5 deviations match a local recomputation and " +
     "the flag fires iff |x - med| > 4.4478 MAD") {
     val daily = graft.core.Tables.events(spark, sf)
