@@ -68,7 +68,9 @@ object Bench {
     else if (n.startsWith("ext_mm")) "mm"
     else if (n.startsWith("ext_dedup")) "dedup"
     else if (n.startsWith("ext_sim") || n.startsWith("ext_embed")
+      || n.startsWith("ext_eval") // recall evals re-run the sim pipelines
       || n == "ext_hybrid_retrieval" || n == "ext_vec_array_funcs") "sim"
+    else if (n.startsWith("ext_graph")) "graph"
     else if (n == "ext_bucketed_join" || n == "ext_partition_pruned_scan"
       || n == "ext_zorder_scan")
       "layout"
