@@ -111,5 +111,47 @@ object ClickPaths {
         expr("cast(tot div n_conv as bigint)").as("mean_s"))
   }
 
-  def all: Seq[Q] = Seq(sessionPaths, funnelLatency)
+  /** Engagement stickiness at the stream head: DAU / WAU (7 d) / MAU
+    * (30 d) distinct users anchored on the LAST event day, plus the
+    * classic DAU/MAU and WAU/MAU ratios in integer ppm. Exact distinct
+    * counts (the observability contract at gate; a 100 TB deployment
+    * swaps in the KMV sketch of `ext_kmv_distinct` for the same three
+    * windows). One broadcast bounds row + three conditional distinct
+    * aggregates — no per-day window, no self-join.
+    */
+  val stickiness: Q = Q(
+    "ext_events_stickiness",
+    """WITH ref AS (SELECT MAX(ts::DATE) AS d0 FROM events),
+      |agg AS (
+      |  SELECT
+      |    CAST(COUNT(DISTINCT CASE WHEN ts::DATE = d0
+      |      THEN user_id END) AS BIGINT) AS dau,
+      |    CAST(COUNT(DISTINCT CASE WHEN ts::DATE >= d0 - 6
+      |      THEN user_id END) AS BIGINT) AS wau,
+      |    CAST(COUNT(DISTINCT CASE WHEN ts::DATE >= d0 - 29
+      |      THEN user_id END) AS BIGINT) AS mau,
+      |    strftime(MAX(d0), '%Y-%m-%d') AS ref_day
+      |  FROM events CROSS JOIN ref)
+      |SELECT ref_day, dau, wau, mau,
+      |  dau * 1000000 // mau AS dau_mau_ppm,
+      |  wau * 1000000 // mau AS wau_mau_ppm
+      |FROM agg""".stripMargin
+  ) { (s, d) =>
+    val ref = Tables.events(s, d)
+      .agg(max(col("ts").cast("date")).as("d0"))
+    Tables.events(s, d).crossJoin(broadcast(ref))
+      .agg(
+        count_distinct(when(col("ts").cast("date") === col("d0"),
+          col("user_id"))).as("dau"),
+        count_distinct(when(col("ts").cast("date") >=
+          date_sub(col("d0"), 6), col("user_id"))).as("wau"),
+        count_distinct(when(col("ts").cast("date") >=
+          date_sub(col("d0"), 29), col("user_id"))).as("mau"),
+        date_format(max(col("d0")), "yyyy-MM-dd").as("ref_day"))
+      .select(col("ref_day"), col("dau"), col("wau"), col("mau"),
+        expr("dau * 1000000 div mau").as("dau_mau_ppm"),
+        expr("wau * 1000000 div mau").as("wau_mau_ppm"))
+  }
+
+  def all: Seq[Q] = Seq(sessionPaths, funnelLatency, stickiness)
 }

@@ -125,5 +125,89 @@ object Collocations {
       .orderBy("k")
   }
 
-  def all: Seq[Q] = Seq(collocations, vocabGrowth)
+  /** Zipf's-law fit over the top-100 vocabulary: OLS slope/intercept/r²
+    * of ln(freq) on ln(rank) — the companion diagnostic to
+    * [[vocabGrowth]] (Heaps up, Zipf down: together they size a
+    * tokenizer's vocabulary budget). Counts and ranks are exact
+    * integers with a deterministic (cnt DESC, term) tiebreak; the five
+    * regression sums fold in rank order with identical IEEE chains both
+    * engines (the [[Stats]] chi2 discipline — ln is the established
+    * cross-engine-exact transcendental, the `ext_text_bm25` precedent).
+    */
+  val zipfFit: Q = Q(
+    "ext_vocab_zipf",
+    s"""WITH cnts AS (
+       |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest($toksSql) AS t FROM documents) x
+       |  GROUP BY t),
+       |ranked AS (
+       |  SELECT row_number() OVER (ORDER BY c DESC, t) AS r, c
+       |  FROM cnts ORDER BY c DESC, t LIMIT 100),
+       |pts AS (
+       |  SELECT list(ln(CAST(r AS DOUBLE)) ORDER BY r) AS xs,
+       |    list(ln(CAST(c AS DOUBLE)) ORDER BY r) AS ys,
+       |    CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM ranked),
+       |sums AS (
+       |  SELECT m, xs, ys,
+       |    list_reduce(list_prepend(0.0, xs), (a, x) -> a + x) AS sx,
+       |    list_reduce(list_prepend(0.0, ys), (a, x) -> a + x) AS sy,
+       |    list_reduce(list_prepend(0.0, list_transform(
+       |      generate_series(1, CAST(m AS INTEGER)),
+       |      i -> xs[i] * ys[i])), (a, x) -> a + x) AS sxy,
+       |    list_reduce(list_prepend(0.0, list_transform(
+       |      generate_series(1, CAST(m AS INTEGER)),
+       |      i -> xs[i] * xs[i])), (a, x) -> a + x) AS sxx,
+       |    list_reduce(list_prepend(0.0, list_transform(
+       |      generate_series(1, CAST(m AS INTEGER)),
+       |      i -> ys[i] * ys[i])), (a, x) -> a + x) AS syy
+       |  FROM pts)
+       |SELECT m AS n_terms_fit,
+       |  ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+       |  ROUND((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m,
+       |    6) AS intercept,
+       |  ROUND(((m * sxy - sx * sy) * (m * sxy - sx * sy))
+       |    / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+       |FROM sums""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cnts = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val ranked = cnts
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("t"))))
+      .orderBy(col("c").desc, col("t")).limit(100)
+    val pts = ranked.agg(
+      transform(array_sort(collect_list(struct(col("r"), col("c")))),
+        st => log(st("r").cast("double"))).as("xs"),
+      transform(array_sort(collect_list(struct(col("r"), col("c")))),
+        st => log(st("c").cast("double"))).as("ys"),
+      count(lit(1)).as("m"))
+    def fold(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0), (a, x) => a + x)
+    val sums = pts.select(col("m"), col("xs"), col("ys"),
+      fold(col("xs")).as("sx"), fold(col("ys")).as("sy"),
+      fold(expr("transform(sequence(1, cast(m as int)), " +
+        "i -> element_at(xs, i) * element_at(ys, i))")).as("sxy"),
+      fold(expr("transform(sequence(1, cast(m as int)), " +
+        "i -> element_at(xs, i) * element_at(xs, i))")).as("sxx"),
+      fold(expr("transform(sequence(1, cast(m as int)), " +
+        "i -> element_at(ys, i) * element_at(ys, i))")).as("syy"))
+    // ROUND(.,6) at the boundary: DuckDB's ln and Java's Math.log differ
+    // in the last ulp for some inputs (measured 2.7e-15 relative on this
+    // fixture) — the annLsh cosine precedent absorbs it
+    sums.select(col("m").as("n_terms_fit"),
+      round((col("m") * col("sxy") - col("sx") * col("sy"))
+        / (col("m") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - (col("m") * col("sxy") - col("sx") * col("sy"))
+        / (col("m") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+        / col("m"), 6).as("intercept"),
+      round(((col("m") * col("sxy") - col("sx") * col("sy"))
+        * (col("m") * col("sxy") - col("sx") * col("sy")))
+        / ((col("m") * col("sxx") - col("sx") * col("sx"))
+          * (col("m") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  def all: Seq[Q] = Seq(collocations, vocabGrowth, zipfFit)
 }

@@ -31,6 +31,30 @@ class CollocationsSpec extends SparkSuite {
     assert(got == local, s"spark $got\nvs local $local")
   }
 
+  test("zipf fit equals a local OLS over the top-100 ranks and the " +
+    "slope is negative") {
+    val cnts = docTokens.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => (t, xs.size.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(100)
+    val xs = cnts.indices.map(i => math.log((i + 1).toDouble))
+    val ys = cnts.map { case (_, c) => math.log(c.toDouble) }
+    val m = cnts.size.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val syy = ys.map(a => a * a).sum
+    val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / m
+    val r2 = (m * sxy - sx * sy) * (m * sxy - sx * sy) /
+      ((m * sxx - sx * sx) * (m * syy - sy * sy))
+    val r = graft.ext.Collocations.zipfFit.fn(spark, sf).collect()(0)
+    assert(r.getLong(0) == cnts.size.toLong)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-5)
+    assert(math.abs(r.getDouble(2) - intercept) < 1e-5)
+    assert(math.abs(r.getDouble(3) - r2) < 1e-5)
+    assert(r.getDouble(1) < 0.0, "zipf slope must be negative")
+  }
+
   test("vocab growth curve is monotone, ends at the full-corpus census, " +
     "and vocab never exceeds cumulative tokens") {
     val rows = graft.ext.Collocations.vocabGrowth.fn(spark, sf).collect()

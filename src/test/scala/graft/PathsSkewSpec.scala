@@ -71,6 +71,24 @@ class PathsSkewSpec extends SparkSuite {
     assert(row.getLong(5) == cut.head)
   }
 
+  test("stickiness: dau <= wau <= mau, ratios consistent, counts match " +
+    "a local census") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date").as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val d0 = ev.map(_._2).maxBy(_.toEpochDay)
+    def users(days: Int) = ev.filter(
+      _._2.toEpochDay >= d0.toEpochDay - (days - 1)).map(_._1).distinct.size
+    val r = graft.ext.ClickPaths.stickiness.fn(spark, sf).collect()(0)
+    assert(r.getString(0) == d0.toString)
+    assert(r.getLong(1) == users(1).toLong)
+    assert(r.getLong(2) == users(7).toLong)
+    assert(r.getLong(3) == users(30).toLong)
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+    assert(r.getLong(4) == r.getLong(1) * 1000000L / r.getLong(3))
+    assert(r.getLong(5) == r.getLong(2) * 1000000L / r.getLong(3))
+  }
+
   test("funnel latency matches a local first-view/first-purchase replay") {
     val ev = graft.core.Tables.events(spark, sf)
       .select("user_id", "ts", "event_type").collect()
