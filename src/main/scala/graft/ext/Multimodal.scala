@@ -490,6 +490,77 @@ object Multimodal {
       .orderBy("doc_id")
   }.copy(setup = Some(ensurePrepared _))
 
+  /** One decoded channel's statistics (24-bpp BGR: channel 0 = blue). */
+  final case class ChannelStats(doc_id: Long, channel: Int, c_bytes: Long,
+      c_sum: Long, c_min: Long, c_max: Long)
+
+  /** Per-channel pixel statistics — the channel loop a real image
+    * pipeline runs (mean-per-channel normalization, grayscale checks).
+    * Parses the same header as [[decodeBmp]], then walks the payload
+    * with stride 3 per channel; BMP rows here are padding-free (the
+    * generator's width is a multiple of 4, so the row stride w*3 is
+    * divisible by 3 and channel = payload index mod 3 globally — the
+    * property the oracle's replay relies on). Emits 3 rows per image. */
+  private[graft] def decodeChannels(docId: Long,
+      b: Array[Byte]): Seq[ChannelStats] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    require(b.length >= BmpHeaderLen && b(0) == 'B' && b(1) == 'M',
+      s"doc $docId: not a BMP blob")
+    val off = le32(10)
+    val npix = b.length - off
+    require(npix % 3 == 0, s"doc $docId: payload not channel-aligned")
+    (0 until 3).map { c =>
+      var i = off + c
+      var sum = 0L
+      var mn = if (npix == 0) 0L else 255L
+      var mx = 0L
+      var cnt = 0L
+      while (i < b.length) {
+        val v = b(i) & 0xff
+        sum += v; cnt += 1
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 3
+      }
+      ChannelStats(docId, c, cnt, sum, mn, mx)
+    }
+  }
+
+  /** Gate row: per-channel stats, oracle-replayed from the generator
+    * spec (byte i of the payload cycles the text; channel = i mod 3). */
+  val channelStats: Q = Q(
+    "ext_mm_channel_stats",
+    s"""WITH $OracleTextBytes,
+       |dims AS (SELECT doc_id, n, bl,
+       |    (4 * (1 + tsum % 32))::INT AS width,
+       |    (1 + n % 24)::INT AS height FROM g),
+       |px AS (SELECT doc_id, n, bl,
+       |    width * 3 * height AS npix FROM dims),
+       |ch AS (SELECT doc_id, npix, n, bl,
+       |    unnest([0, 1, 2]) AS channel FROM px),
+       |cl AS (SELECT doc_id, channel,
+       |    list_transform(range(0, npix // 3),
+       |      k -> CASE WHEN n = 0 THEN 0
+       |           ELSE bl[((3 * k + channel) % n) + 1] END) AS cs
+       |  FROM ch)
+       |SELECT doc_id, channel::INT AS channel,
+       |  len(cs)::BIGINT AS c_bytes,
+       |  COALESCE(list_sum(cs), 0)::BIGINT AS c_sum,
+       |  COALESCE(list_min(cs), 0)::BIGINT AS c_min,
+       |  COALESCE(list_max(cs), 0)::BIGINT AS c_max
+       |FROM cl ORDER BY doc_id, channel""".stripMargin
+  ) { (s, d) =>
+    ensurePrepared(s, d)
+    implicit val enc = Encoders.product[ChannelStats]
+    s.table("graft_media").mapPartitions { rows =>
+      rows.flatMap(r => decodeChannels(r.getLong(0),
+        r.getAs[Array[Byte]](1)))
+    }.toDF()
+      .orderBy("doc_id", "channel")
+  }.copy(setup = Some(ensurePrepared _))
+
   val all: Seq[Q] = Seq(binaryMeta, decodeFeatures, frameSample,
-    audioFeatures)
+    audioFeatures, channelStats)
 }

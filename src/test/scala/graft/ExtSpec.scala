@@ -139,6 +139,28 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.8, s"ANN recall@10 = $recall, expected >= 0.8")
   }
 
+  test("channel stats: the three channels partition the pixel payload " +
+    "exactly (sums and counts reconcile with the whole-image decode)") {
+    val whole = Multimodal.decodeFeatures.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(5), r.getLong(6))).toMap
+    val chans = Multimodal.channelStats.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byDoc = chans.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(0, 1, 2))
+      val (pixBytes, pixSum) = whole(doc)
+      assert(rows.map(_._3).sum == pixBytes,
+        s"doc $doc channel bytes don't partition the payload")
+      assert(rows.map(_._4).sum == pixSum,
+        s"doc $doc channel sums don't reconcile")
+      rows.foreach { case (_, _, cb, cs, mn, mx) =>
+        assert(mn <= mx && cs >= mn * cb && cs <= mx * cb)
+      }
+    }
+  }
+
   test("ext_eval_ivf_recall agrees with a local set-intersection of " +
     "brute truth and the IVF result") {
     val brute = Similarity.topkBrute.fn(spark, sf).collect()
