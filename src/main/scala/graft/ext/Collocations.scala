@@ -209,5 +209,59 @@ object Collocations {
           * (col("m") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
-  def all: Seq[Q] = Seq(collocations, vocabGrowth, zipfFit)
+  /** Gini coefficient of document lengths — the corpus-inequality
+    * number a mixing/packing decision reads (0 = uniform lengths,
+    * -> 1 = a few giant docs dominate). Exact integer arithmetic on the
+    * COMPRESSED (length, count) frame (the mann-whitney shape): with
+    * cumBefore docs shorter than a length v held by c docs,
+    * num = SUM v·(2·c·cumBefore + c·(c+1) − c·(n+1)) and
+    * den = n·SUM(v·c) give G = num/den exactly; emitted as integer ppm
+    * with the final multiply in DECIMAL(38,0)/HUGEINT (num·10⁶ grazes
+    * i64 at fixture scale already). The rank window walks distinct
+    * length values, never the doc frame.
+    */
+  val lengthGini: Q = Q(
+    "ext_corpus_len_gini",
+    """WITH lc AS (
+      |  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1),
+      |cum AS (
+      |  SELECT v, c,
+      |    COALESCE(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM lc),
+      |tot AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(v * c) AS BIGINT) AS s FROM lc),
+      |g AS (
+      |  SELECT CAST(SUM(v * (2 * c * cum_before + c * (c + 1)
+      |      - c * (n + 1))) AS BIGINT) AS num,
+      |    MAX(n) AS n, MAX(s) AS s
+      |  FROM cum CROSS JOIN tot)
+      |SELECT n AS n_docs, s AS total_chars,
+      |  CAST(num::HUGEINT * 1000000 // (n::HUGEINT * s) AS BIGINT)
+      |    AS gini_ppm
+      |FROM g""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val lc = Tables.documents(s, d)
+      .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+    val cum = lc.withColumn("cum_before",
+      coalesce(sum(col("c")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = lc.agg(sum(col("c")).cast("long").as("n"),
+      sum(col("v") * col("c")).cast("long").as("s"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        sum(col("v") * (lit(2) * col("c") * col("cum_before")
+          + col("c") * (col("c") + 1) - col("c") * (col("n") + 1)))
+          .cast("long").as("num"),
+        max(col("n")).as("n"), max(col("s")).as("s"))
+      .select(col("n").as("n_docs"), col("s").as("total_chars"),
+        expr("cast(cast(num as decimal(38,0)) * 1000000 div " +
+          "(cast(n as decimal(38,0)) * s) as bigint)").as("gini_ppm"))
+  }
+
+  def all: Seq[Q] = Seq(collocations, vocabGrowth, zipfFit, lengthGini)
 }

@@ -55,6 +55,21 @@ class CollocationsSpec extends SparkSuite {
     assert(r.getDouble(1) < 0.0, "zipf slope must be negative")
   }
 
+  test("length gini equals the brute mean-absolute-difference " +
+    "definition and sits in [0, 1)") {
+    val lens = graft.core.Tables.documents(spark, sf)
+      .select("n_chars").collect().map(_.getLong(0))
+    val n = lens.length.toLong
+    val s = lens.sum
+    val mad = (for (a <- lens; b <- lens) yield (a - b).abs).map(BigInt(_)).sum
+    val brute = mad * 1000000 / (BigInt(2) * n * s) // G = MAD/(2 n mu)
+    val r = graft.ext.Collocations.lengthGini.fn(spark, sf).collect()(0)
+    assert(r.getLong(0) == n && r.getLong(1) == s)
+    assert(BigInt(r.getLong(2)) == brute,
+      s"gini ${r.getLong(2)} vs brute $brute")
+    assert(r.getLong(2) >= 0 && r.getLong(2) < 1000000)
+  }
+
   test("vocab growth curve is monotone, ends at the full-corpus census, " +
     "and vocab never exceeds cumulative tokens") {
     val rows = graft.ext.Collocations.vocabGrowth.fn(spark, sf).collect()
