@@ -450,7 +450,94 @@ object Warehouse {
       .orderBy("month")
   }
 
+  /** Inter-order arrival gaps: days between consecutive orders per
+    * customer (lag over ONE o_custkey-keyed sort), summarized as the
+    * exact lower-percentile p25/p50/p75/p90 over the sorted gap array
+    * plus integer mean — the purchase-cadence number behind
+    * replenishment/churn models. All integer days; the gap frame is
+    * bounded by order count, the percentile array by gap count.
+    */
+  val interarrival: Q = Q(
+    "ext_orders_interarrival",
+    """WITH gaps AS (
+      |  SELECT datediff('day',
+      |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate) AS gap_d
+      |  FROM orders),
+      |g AS (SELECT CAST(gap_d AS BIGINT) AS gap_d FROM gaps
+      |      WHERE gap_d IS NOT NULL),
+      |arr AS (SELECT list(gap_d ORDER BY gap_d) AS gs,
+      |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(gap_d) AS BIGINT) AS tot
+      |  FROM g)
+      |SELECT n AS n_gaps,
+      |  gs[(CAST(n AS INTEGER) + 3) // 4] AS p25_d,
+      |  gs[(CAST(n AS INTEGER) + 1) // 2] AS p50_d,
+      |  gs[(CAST(n AS INTEGER) * 3 + 3) // 4] AS p75_d,
+      |  gs[(CAST(n AS INTEGER) * 9 + 9) // 10] AS p90_d,
+      |  tot // n AS mean_d
+      |FROM arr""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val gaps = Tables.orders(s, d)
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("o_orderdate"), col("prev")).cast("long")
+        .as("gap_d"))
+    gaps.agg(sort_array(collect_list(col("gap_d"))).as("gs"),
+        count(lit(1)).as("n"), sum(col("gap_d")).as("tot"))
+      .select(col("n").as("n_gaps"),
+        expr("element_at(gs, cast((n + 3) div 4 as int))").as("p25_d"),
+        expr("element_at(gs, cast((n + 1) div 2 as int))").as("p50_d"),
+        expr("element_at(gs, cast((n * 3 + 3) div 4 as int))").as("p75_d"),
+        expr("element_at(gs, cast((n * 9 + 9) div 10 as int))").as("p90_d"),
+        expr("cast(tot div n as bigint)").as("mean_d"))
+  }
+
+  /** Supplier-concentration HHI per part: Herfindahl-Hirschman index of
+    * quantity shares in integer ppm — HHI = SUM q_s² · 10⁶ // (SUM q)²,
+    * exact with the squares in DECIMAL(38,0)/HUGEINT. The top-10 most
+    * concentrated multi-supplier parts (single-supplier parts are
+    * trivially 10⁶ and censored) — the sourcing-risk companion to
+    * `ext_pareto_share`/`ext_corpus_len_gini`'s inequality family.
+    * Quantities are the fixture's integral doubles, cast via round to
+    * exact BIGINT units.
+    */
+  val supplierHhi: Q = Q(
+    "ext_supplier_hhi",
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(round(SUM(l_quantity)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT l_partkey,
+      |    CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |    CAST(SUM(q) AS BIGINT) AS tot,
+      |    CAST(SUM(q::HUGEINT * q) AS HUGEINT) AS sq
+      |  FROM ps GROUP BY 1)
+      |SELECT l_partkey, n_suppliers, tot AS total_qty,
+      |  CAST(sq * 1000000 // (tot::HUGEINT * tot) AS BIGINT) AS hhi_ppm
+      |FROM agg WHERE n_suppliers >= 2
+      |ORDER BY hhi_ppm DESC, l_partkey LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    val ps = Tables.lineitem(s, d)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(round(sum(col("l_quantity"))).cast("long").as("q"))
+    val agg = ps.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("q")).cast("long").as("tot"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("sq"))
+    agg.filter(col("n_suppliers") >= 2)
+      .select(col("l_partkey"), col("n_suppliers"),
+        col("tot").as("total_qty"),
+        expr("cast(sq * 1000000 div (cast(tot as decimal(38,0)) * tot) " +
+          "as bigint)").as("hhi_ppm"))
+      .orderBy(col("hhi_ppm").desc, col("l_partkey")).limit(10)
+  }
+
   def all: Seq[Q] =
     Seq(starDenorm, dateDim, dqAudit, unpivot, paretoShare, rfm, cohortLtv,
-      backlogCurve)
+      backlogCurve, interarrival, supplierHhi)
 }

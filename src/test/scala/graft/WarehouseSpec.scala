@@ -128,4 +128,42 @@ class WarehouseSpec extends SparkSuite {
     }
     assert(rows.last._4 == 0L, "curve must end fully drained")
   }
+
+  test("interarrival percentiles match a local lag-and-sort replay") {
+    val orders = graft.core.Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val gaps = orders.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2.getTime, r._3))
+      sorted.zip(sorted.tail).map { case (a, b) =>
+        (b._2.getTime - a._2.getTime) / 86400000L }
+    }.toSeq.sorted
+    val r = graft.ext.Warehouse.interarrival.fn(spark, sf).collect()(0)
+    val n = gaps.size
+    assert(r.getLong(0) == n.toLong)
+    assert(r.getLong(1) == gaps((n + 3) / 4 - 1))
+    assert(r.getLong(2) == gaps((n + 1) / 2 - 1))
+    assert(r.getLong(3) == gaps((n * 3 + 3) / 4 - 1))
+    assert(r.getLong(4) == gaps((n * 9 + 9) / 10 - 1))
+    assert(r.getLong(5) == gaps.sum / n)
+  }
+
+  test("supplier hhi: bounds 1/n <= hhi <= 1, and a local recomputation " +
+    "agrees for every returned part") {
+    val rows = graft.ext.Warehouse.supplierHhi.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (part, ns, tot, hhi) =>
+      val qs = li.filter(_._1 == part).groupBy(_._2)
+        .map { case (_, xs) => math.round(xs.map(_._3).sum) }.toSeq
+      assert(qs.size.toLong == ns && qs.sum == tot)
+      val local = qs.map(q => BigInt(q) * q).sum * 1000000 /
+        (BigInt(tot) * tot)
+      assert(BigInt(hhi) == local, s"part $part hhi $hhi vs $local")
+      assert(hhi <= 1000000L && hhi >= 1000000L / ns)
+    }
+  }
 }
