@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact lower-percentile (percentile_disc) summaries over a BIGINT value
+  * column WITHOUT ever materializing the value multiset in one aggregation
+  * buffer — the shared two-pass bucket-rank plan first built for
+  * `ext_value_quantiles` ([[EventsOps]]), factored out so every percentile
+  * consumer (`ext_orders_interarrival`, `ext_funnel_latency`) runs the
+  * same scale-safe shape instead of `sort_array(collect_list(...))`
+  * (which is O(row count) memory in a SINGLE task and OOMs at 100 TB).
+  *
+  * Plan shape — every full-data operation is a key-equality hash aggregate
+  * with map-side combine; every sort/window touches only aggregated
+  * bucket/value tables:
+  *
+  *   1. pass 1: per-bucket (count, sum, max) — the histogram primitive.
+  *      The caller picks `bucketOf` so the bucket DOMAIN is bounded by a
+  *      fixed attribute of the data (calendar span in days, latency span
+  *      in hours), never by row count;
+  *   2. cumulative counts over that tiny bucket frame (a global-order
+  *      window, but over the bucket domain, not the corpus);
+  *   3. per requested rank r = f(n): the single candidate bucket =
+  *      smallest bucket whose cumulative count reaches r;
+  *   4. pass 2 restricted to candidate-bucket rows (broadcast semi
+  *      filter): distinct-value counts within each candidate bucket,
+  *      within-bucket cumulate, answer = smallest value with
+  *      bucket_offset + within_cum >= r.
+  *
+  * Identity to the sorted-array formulation (what the DuckDB oracles
+  * keep): element_at(sorted values, r) is the smallest value v with
+  * count(values <= v) >= r, and count(values <= v) decomposes exactly as
+  * bucket_offset(bucket(v)) + within_bucket_cum(v).
+  *
+  * Rank expressions are SQL strings over the count column `n` (e.g.
+  * `"(n + 1) div 2"` for the lower median) so the integer-division
+  * semantics stay pinned to the oracle's `//` on positive BIGINTs.
+  */
+object BucketRank {
+
+  /** @param vals     input frame; only `valueCol` is read
+    * @param valueCol long-valued column to summarize
+    * @param bucketOf value -> bucket id; bucket domain must be bounded by
+    *                 a data attribute (time span), not by row count
+    * @param ranks    (outputColumn, rankExprOverN) pairs; each expression
+    *                 is SQL over the BIGINT row count `n` yielding a
+    *                 1-based target rank
+    * @return one row: `n`, `tot` (sum), `max_v`, plus one BIGINT column
+    *         per requested rank holding the exact lower-percentile value
+    */
+  def lowerPercentiles(
+      vals: DataFrame,
+      valueCol: String,
+      bucketOf: Column => Column,
+      ranks: Seq[(String, String)]): DataFrame = {
+    val base = vals.select(col(valueCol).as("v"),
+      bucketOf(col(valueCol)).cast("long").as("bkt"))
+
+    // pass 1: per-bucket histogram — map-side combine, bucket-domain-sized
+    val bCounts = base.groupBy("bkt")
+      .agg(count(lit(1)).as("c"), sum(col("v")).cast("long").as("sv"),
+        max(col("v")).as("mx"))
+    val bc = bCounts
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("bkt")))
+      .withColumn("off", col("cum") - col("c"))
+    val totals = bCounts.agg(sum(col("c")).cast("long").as("n"),
+      sum(col("sv")).cast("long").as("tot"), max(col("mx")).as("max_v"))
+
+    // one (rank-name, target-rank) row per requested percentile
+    val targets = totals.select(col("n"),
+        explode(array(ranks.map { case (nm, re) =>
+          struct(lit(nm).as("rname"), expr(re).cast("long").as("r"))
+        }: _*)).as("t"))
+      .select(col("t.rname").as("rname"), col("t.r").as("r"))
+
+    // candidate bucket per rank: smallest bucket whose cum reaches r.
+    // Non-equi join, but both sides are aggregate-compressed (|ranks| x
+    // bucket domain) — a broadcast nested loop over tiny frames.
+    val cand = broadcast(targets)
+      .join(bc.select(col("bkt"), col("cum"), col("off")),
+        col("cum") >= col("r"))
+      .groupBy("rname", "r")
+      .agg(min(col("bkt")).as("cand_bkt"),
+        min_by(col("off"), col("bkt")).as("cand_off"))
+
+    // pass 2: only candidate-bucket rows survive the broadcast semi filter
+    val candB = cand.select(col("cand_bkt").as("bkt")).distinct()
+    val inCand = base
+      .join(broadcast(candB), Seq("bkt"), "left_semi")
+      .groupBy("bkt", "v").agg(count(lit(1)).as("vc"))
+      .withColumn("wcum", sum(col("vc")).over(
+        Window.partitionBy("bkt").orderBy("v")))
+    val candR = cand.select(col("rname"), col("r"),
+      col("cand_bkt"), col("cand_off"))
+    val picked = inCand
+      .join(broadcast(candR), col("bkt") === col("cand_bkt"))
+      .filter(col("cand_off") + col("wcum") >= col("r"))
+      .groupBy("rname").agg(min(col("v")).as("pv"))
+
+    // pivot the |ranks| answer rows onto the 1-row totals frame
+    val pivotCols = ranks.map { case (nm, _) =>
+      min(when(col("rname") === nm, col("pv"))).as(nm)
+    }
+    val pivoted = picked.agg(pivotCols.head, pivotCols.tail: _*)
+    totals.crossJoin(broadcast(pivoted))
+  }
+}

@@ -59,9 +59,14 @@ object ClickPaths {
     * median (element (n+1)/2), engine-exact, no interpolation.
     *
     * Scale shape: one user_id-keyed aggregate reduces the stream to a
-    * first-view/first-purchase row per user; the distribution sorts the
-    * CONVERTING-user array only (bounded by user count, tiny next to
-    * the event stream at any scale).
+    * first-view/first-purchase row per user; the distribution runs
+    * through [[BucketRank.lowerPercentiles]] (two-pass bucket-rank,
+    * hour-granular buckets — the bucket domain is the latency span in
+    * hours, bounded by the observation window, never by user count).
+    * The previous `sort_array(collect_list(...))` form was bounded by
+    * CONVERTING users — fine at fixture, but still one task's buffer
+    * holding every converting user at 100 TB; migrated alongside
+    * `ext_orders_interarrival` to the shared scale-safe shape.
     */
   val funnelLatency: Q = Q(
     "ext_funnel_latency",
@@ -99,16 +104,14 @@ object ClickPaths {
     val lat = fv.join(fp, Seq("user_id"))
       .select(expr("cast((unix_micros(first_purchase) - " +
         "unix_micros(first_view)) div 1000000 as bigint)").as("lat_s"))
-    val arr = lat.agg(sort_array(collect_list(col("lat_s"))).as("ls"),
-      count(lit(1)).as("n_conv"), sum(col("lat_s")).as("tot"))
+    val dist = BucketRank.lowerPercentiles(lat, "lat_s",
+      v => floor(v / 3600L), // hour buckets; lat_s >= 0 by construction
+      Seq("p50_s" -> "(n + 1) div 2", "p90_s" -> "(n * 9 + 9) div 10"))
     val u = fv.agg(count(lit(1)).as("n_viewers"))
-    arr.crossJoin(broadcast(u))
-      .select(col("n_viewers"), col("n_conv"),
-        expr("element_at(ls, cast((n_conv + 1) div 2 as int))").as("p50_s"),
-        expr("element_at(ls, cast((n_conv * 9 + 9) div 10 as int))")
-          .as("p90_s"),
-        expr("element_at(ls, cast(n_conv as int))").as("max_s"),
-        expr("cast(tot div n_conv as bigint)").as("mean_s"))
+    dist.crossJoin(broadcast(u))
+      .select(col("n_viewers"), col("n").as("n_conv"),
+        col("p50_s"), col("p90_s"), col("max_v").as("max_s"),
+        expr("cast(tot div n as bigint)").as("mean_s"))
   }
 
   /** Engagement stickiness at the stream head: DAU / WAU (7 d) / MAU

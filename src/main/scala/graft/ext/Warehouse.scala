@@ -22,13 +22,20 @@ object Warehouse {
 
   /** Star-schema denormalization: the one big fact-build join pipeline.
     *
-    * Plan shape at scale: lineitem |><| orders is the only real shuffle
-    * (both sides large, keyed on orderkey — at 100 TB this is a sort-merge
-    * join you'd co-bucket, see [[BucketedJoin]]); every dimension hop
-    * (customer, nation, region, part, supplier) is an explicit
-    * `broadcast()` hash join, so the six-table pipeline costs ONE exchange
-    * plus map-side lookups. Money stays decimal through the arithmetic and
-    * is cast to double once at the end ([[Determinism]] rule 3).
+    * Plan shape at scale: lineitem |><| orders is the only guaranteed
+    * shuffle (both sides large, keyed on orderkey — at 100 TB this is a
+    * sort-merge join you'd co-bucket, see [[BucketedJoin]]). Broadcast
+    * pins are applied ONLY to the genuinely bounded dimensions —
+    * nation (25 rows), region (5), supplier (fact/10'000 by the TPC-H
+    * ratios) — whose size is a constant or a vanishing fraction at any
+    * scale. customer and part are NOT pinned: customer scales with
+    * orders and part with lineitem/30, so at the 100 TB operating point
+    * they are multi-GB tables and a forced `broadcast()` OOMs the
+    * driver; AQE / `autoBroadcastJoinThreshold` size-gates them instead
+    * (broadcast while they fit, shuffle join once they don't — the
+    * co-bucketed layout of [[BucketedJoin]] is the at-scale shape).
+    * Money stays decimal through the arithmetic and is cast to double
+    * once at the end ([[Determinism]] rule 3).
     */
   val starDenorm: Q = Q(
     "ext_star_denorm",
@@ -52,13 +59,13 @@ object Warehouse {
     import Determinism.m
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)),
+      .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)),
         col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)),
         col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(Tables.part(s, d)),
+      .join(Tables.part(s, d),
         col("l_partkey") === col("p_partkey"))
       .join(broadcast(Tables.supplier(s, d)),
         col("l_suppkey") === col("s_suppkey"))
@@ -452,10 +459,19 @@ object Warehouse {
 
   /** Inter-order arrival gaps: days between consecutive orders per
     * customer (lag over ONE o_custkey-keyed sort), summarized as the
-    * exact lower-percentile p25/p50/p75/p90 over the sorted gap array
-    * plus integer mean — the purchase-cadence number behind
-    * replenishment/churn models. All integer days; the gap frame is
-    * bounded by order count, the percentile array by gap count.
+    * exact lower-percentile p25/p50/p75/p90 plus integer mean — the
+    * purchase-cadence number behind replenishment/churn models.
+    *
+    * Percentiles run through [[BucketRank.lowerPercentiles]] (the
+    * two-pass bucket-rank plan, NOT `sort_array(collect_list(...))` —
+    * the array form funnels every order-to-order gap in the fact table
+    * into one aggregation buffer, O(#orders) memory in a single task,
+    * an OOM at 100 TB). Here the bucket IS the gap value: gaps are
+    * integer DAYS, so the bucket domain is bounded by the calendar span
+    * (a few thousand at any fact size) and pass 2's within-bucket step
+    * degenerates to a no-op — same candidate-bucket plan, one distinct
+    * value per bucket. The oracle keeps the sorted-array SQL; the two
+    * formulations are provably identical (see [[BucketRank]]).
     */
   val interarrival: Q = Q(
     "ext_orders_interarrival",
@@ -486,13 +502,11 @@ object Warehouse {
       .filter(col("prev").isNotNull)
       .select(datediff(col("o_orderdate"), col("prev")).cast("long")
         .as("gap_d"))
-    gaps.agg(sort_array(collect_list(col("gap_d"))).as("gs"),
-        count(lit(1)).as("n"), sum(col("gap_d")).as("tot"))
-      .select(col("n").as("n_gaps"),
-        expr("element_at(gs, cast((n + 3) div 4 as int))").as("p25_d"),
-        expr("element_at(gs, cast((n + 1) div 2 as int))").as("p50_d"),
-        expr("element_at(gs, cast((n * 3 + 3) div 4 as int))").as("p75_d"),
-        expr("element_at(gs, cast((n * 9 + 9) div 10 as int))").as("p90_d"),
+    BucketRank.lowerPercentiles(gaps, "gap_d", identity,
+        Seq("p25_d" -> "(n + 3) div 4", "p50_d" -> "(n + 1) div 2",
+          "p75_d" -> "(n * 3 + 3) div 4", "p90_d" -> "(n * 9 + 9) div 10"))
+      .select(col("n").as("n_gaps"), col("p25_d"), col("p50_d"),
+        col("p75_d"), col("p90_d"),
         expr("cast(tot div n as bigint)").as("mean_d"))
   }
 

@@ -89,6 +89,14 @@ class PathsSkewSpec extends SparkSuite {
     assert(r.getLong(5) == r.getLong(2) * 1000000L / r.getLong(3))
   }
 
+  test("funnel latency plan holds no user-sized array aggregate " +
+    "(bucket-rank percentiles, no collect_list)") {
+    val plan = graft.ext.ClickPaths.funnelLatency.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
+      s"percentile must stay bucket-rank, not a global array:\n$plan")
+  }
+
   test("funnel latency matches a local first-view/first-purchase replay") {
     val ev = graft.core.Tables.events(spark, sf)
       .select("user_id", "ts", "event_type").collect()

@@ -25,6 +25,19 @@ class WarehouseSpec extends SparkSuite {
       s"expected at most 1 shuffled fact join, got $nOther:\n$plan")
   }
 
+  test("star denorm: broadcast is PINNED only on bounded dims (nation/" +
+    "region/supplier); customer and part are size-gated, not forced") {
+    // customer scales with orders and part with lineitem/30 — a forced
+    // broadcast() on either OOMs at the 100 TB operating point. The pin:
+    // exactly 3 broadcast hints survive analysis (the executed-plan
+    // broadcasts above come from AQE/size thresholds, which is the point).
+    val analyzed = Warehouse.starDenorm.fn(spark, sf)
+      .queryExecution.analyzed.toString
+    val nHints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(nHints == 3,
+      s"expected exactly 3 pinned broadcast hints, got $nHints:\n$analyzed")
+  }
+
   test("star denorm: row count equals lineitem (dims are total functions)") {
     val n = Warehouse.starDenorm.fn(spark, sf).count()
     val li = graft.core.Tables.lineitem(spark, sf).count()
@@ -127,6 +140,14 @@ class WarehouseSpec extends SparkSuite {
       assert(b >= 0, s"$m negative backlog")
     }
     assert(rows.last._4 == 0L, "curve must end fully drained")
+  }
+
+  test("interarrival plan holds no fact-sized array aggregate " +
+    "(bucket-rank percentiles, no collect_list)") {
+    val plan = graft.ext.Warehouse.interarrival.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
+      s"percentile must stay bucket-rank, not a global array:\n$plan")
   }
 
   test("interarrival percentiles match a local lag-and-sort replay") {
