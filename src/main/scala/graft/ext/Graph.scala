@@ -142,6 +142,21 @@ object Graph {
     * independent of partitioning or summation order. Mass leaks a few
     * units per round to the floors; that is part of the declared
     * semantics and both engines leak identically.
+    *
+    * Loop plan (the co-partitioned shape this scaladoc used to only
+    * prescribe): the degree-weighted edge table `w = (s, t, outdeg(s))`
+    * is built ONCE, hash-partitioned on `s`, sorted within partitions,
+    * and checkpointed — `LogicalRDD` preserves both partitioning and
+    * ordering, so in every round the rank |><| edge join finds the edge
+    * side already clustered AND sorted: the EDGE-SIZED relation is never
+    * exchanged or re-sorted inside the loop. Each round moves only
+    * node-sized data: the rank vector into the join (checkpoint keeps it
+    * hash-partitioned on `v` from the previous round's aggregate) and
+    * the map-side-combined partial sums into the per-round aggregate
+    * exchange. Pre-joining outdeg into `w` also deletes the per-round
+    * deg join the previous version paid. GraphSpec pins the shape: no
+    * Exchange and no Sort sits above the edge-table scan in a round's
+    * plan.
     */
   val pagerank: Q = Q(
     "ext_graph_pagerank",
@@ -172,41 +187,61 @@ object Graph {
          |ORDER BY rank DESC, part_id LIMIT 20""".stripMargin
     }
   ) { (s, d) =>
+    val (w, r0, n) = prInputs(s, d)
+    val base = (PrScale * 15L / 100L) / n
+    var ranks = r0
+    for (_ <- 1 to PrIters)
+      ranks = prRound(ranks, w, base).eagerCheckpoint()
+    ranks.orderBy(col("rank").desc, col("v"))
+      .limit(20)
+      .select(col("v").as("part_id"), col("rank").as("rank_e9"))
+  }
+
+  /** Loop inputs: the static degree-weighted edge table `w(s, t, dg)` —
+    * partitioned on src, sorted within partitions, checkpointed so every
+    * round's join reuses the layout with zero edge-sized exchanges or
+    * sorts — plus the matching-partitioned initial rank vector and the
+    * node count. Exposed for GraphSpec's loop-shape pin.
+    */
+  private[graft] def prInputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Long) = {
     val e0 = edges(s, d)
     val sym = e0.select(col("a").as("s"), col("b").as("t"))
       .union(e0.select(col("b").as("s"), col("a").as("t")))
       .eagerCheckpoint()
     val deg = sym.groupBy(col("s").as("v")).agg(count(lit(1)).as("dg"))
       .eagerCheckpoint()
-    val n = deg.count()
-    val base = (PrScale * 15L / 100L) / n
-    var ranks = deg.select(col("v"), lit(PrScale / n).as("rank"))
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = sym
+      .join(deg.select(col("v").as("s"), col("dg")), Seq("s"))
+      .repartition(p, col("s"))
+      .sortWithinPartitions("s")
       .eagerCheckpoint()
-    for (_ <- 1 to PrIters) {
-      ranks = ranks
-        .join(sym, col("v") === col("s"))
-        .join(deg.select(col("v").as("dv"), col("dg")),
-          col("v") === col("dv"))
-        .groupBy(col("t").as("tv"))
-        .agg(expr(s"cast($base + sum((rank * 85) div (100 * dg)) as bigint)")
-          .as("rank"))
-        .select(col("tv").as("v"), col("rank"))
-        .eagerCheckpoint()
-    }
-    ranks.orderBy(col("rank").desc, col("v"))
-      .limit(20)
-      .select(col("v").as("part_id"), col("rank").as("rank_e9"))
+    val r0 = deg.select(col("v"), lit(PrScale / deg.count()).as("rank"))
+      .repartition(p, col("v"))
+      .sortWithinPartitions("v")
+      .eagerCheckpoint()
+    (w, r0, deg.count())
   }
+
+  /** One synchronous rank round: rank |><| w on the static src layout,
+    * then a node-sized aggregate on the destination. */
+  private[graft] def prRound(ranks: DataFrame, w: DataFrame,
+      base: Long): DataFrame =
+    ranks
+      .join(w, col("v") === col("s"))
+      .groupBy(col("t").as("tv"))
+      .agg(expr(s"cast($base + sum((rank * 85) div (100 * dg)) as bigint)")
+        .as("rank"))
+      .select(col("tv").as("v"), col("rank"))
 
   /** Triangles is benched (2.0x runtime at 10x rows after the
     * adjacency-intersection rewrite — the first wedge-self-join draft ran
-    * 15.5x/37.7s and was replaced, see [[triangles]]). PageRank is
-    * gate-only (the graphBfs precedent): its cost is 10 synchronous
-    * shuffle rounds whose fixture-scale time (11.7 s at sf0.1, 3.3x at
-    * 10x rows — sublinear, swept) measures iteration-loop fixed cost,
-    * not plan quality; at cluster scale the loop co-partitions ranks
-    * with the static edge list and each round is one local join + one
-    * aggregate exchange.
+    * 15.5x/37.7s and was replaced, see [[triangles]]). PageRank is now
+    * ALSO benched: the round-10 co-partitioned loop (see [[pagerank]])
+    * moved the edge table out of the per-round shuffle entirely, so the
+    * measured time is the honest iteration cost (node-sized exchanges
+    * only), not a re-shuffle artifact.
     */
-  def all: Seq[Q] = Seq(triangles, pagerank.copy(bench = false))
+  def all: Seq[Q] = Seq(triangles, pagerank)
 }

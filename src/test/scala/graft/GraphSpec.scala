@@ -62,6 +62,37 @@ class GraphSpec extends SparkSuite {
       s"capped vocab must broadcast:\n$plan")
   }
 
+  test("pagerank loop shape: the edge table is never exchanged or " +
+    "sorted inside a round — only node-sized data moves") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val (w, r0, n) = graft.ext.Graph.prInputs(spark, sf)
+    val base = 1000000000L * 15L / 100L / n
+    val round = graft.ext.Graph.prRound(r0, w, base)
+    // pre-AQE static plan: this is where EnsureRequirements decides
+    // whether the checkpointed layouts are honored (AQE can only improve)
+    val plan = round.queryExecution.sparkPlan
+    // the w scan must surface its checkpointed hash partitioning
+    def plainChainScan(p: SparkPlan): Option[RDDScanExec] = p match {
+      case r: RDDScanExec => Some(r)
+      case pr: ProjectExec => plainChainScan(pr.child)
+      case f: FilterExec => plainChainScan(f.child)
+      case _ => None
+    }
+    // an Exchange or Sort sitting DIRECTLY above the edge-table scan
+    // (output carries dg) means the static layout was not reused
+    val offenders = plan.collect {
+      case e: ShuffleExchangeExec => plainChainScan(e.child)
+      case so: SortExec => plainChainScan(so.child)
+    }.flatten.filter(_.output.exists(_.name == "dg"))
+    assert(offenders.isEmpty,
+      s"edge table re-shuffled/re-sorted inside the loop:\n$plan")
+    // one round moves node-sized data only: at most the aggregate
+    // exchange plus a rank-vector exchange — never a third
+    val nEx = plan.collect { case e: ShuffleExchangeExec => e }.size
+    assert(nEx <= 2, s"expected <=2 node-sized exchanges per round:\n$plan")
+  }
+
   test("pagerank top-20 equals a scalar fixed-point simulation, ranks " +
     "are positive and descending") {
     val sym = localEdges.toSeq.flatMap { case (a, b) =>
