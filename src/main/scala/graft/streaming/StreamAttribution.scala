@@ -28,11 +28,15 @@ import graft.core.{Determinism, Q}
   *
   * In-group events sort by (ts, event_id) — exactly the batch window's
   * ROWS frame order — so an equal-timestamp touch counts iff its
-  * event_id precedes the purchase's, matching the oracle bit-for-bit.
-  * Attributed purchases land in a memory sink; the per-channel rollup
-  * is a batch aggregate over it (decimal-exact revenue). Single-batch
-  * replay contract as [[StreamFunnel]]; the horizon caveat is the same
-  * and unreachable under the pinned gate.
+  * event_id precedes the purchase's, matching the oracle bit-for-bit;
+  * across micro-batches the carried state IS the latest touch, so the
+  * fold chains exactly. Attributed purchases land in a memory sink;
+  * the per-channel rollup is a batch aggregate over it (decimal-exact
+  * revenue). Credits are emitted once per purchase ON ARRIVAL, so the
+  * rollup is batching-invariant by construction; the fixture replays in
+  * [[StreamReplay.Batches]] time-ordered micro-batches. Replay-equals-
+  * batch needs no fixture user silent past the 7 d reap horizon (true:
+  * max per-user gap ~4.1 d at sf0.01, asserted in StreamingReplaySpec).
   */
 object StreamAttribution {
 
@@ -76,8 +80,7 @@ object StreamAttribution {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "attr_" + UUID.randomUUID().toString.replace("-", "")
-    StreamContracts.requireSingleBatch(dir, "events.parquet")
-    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    val stream = StreamReplay.source(spark, dir, batch.schema)
     val withTs =
       if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -102,8 +105,10 @@ object StreamAttribution {
         GroupStateTimeout.EventTimeTimeout)(step)
     val q = credits.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     spark.table(name)
       .groupBy("channel")
       .agg(count(lit(1)).as("n_purchases"),

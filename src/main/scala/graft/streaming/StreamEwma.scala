@@ -21,15 +21,19 @@ import graft.core.Q
   * == Determinism / oracle ==
   *
   * In-group events fold in (ts, event_id) order — the same total order
-  * as the batch op's sorted array — and each step is the identical IEEE
-  * chain, so after the single-batch fixture replay the emitted running
-  * values ARE the batch results bit-for-bit; the gate reuses the batch
-  * oracle verbatim. The op emits each user's running (n, ewma) once per
-  * micro-batch; under multi-batch replay a user would emit one row per
-  * batch touching them (a live metric stream, deduped downstream by
-  * keying the sink on user_id) — the pinned gate replays one batch, so
-  * the contract is exercised exactly ([[StreamContracts]] guard, same
-  * as [[StreamAttribution]]).
+  * as the batch op's sorted array — and across micro-batches the state
+  * carries the running (ewma, n) forward, so the chained fold is the
+  * identical IEEE chain and the final per-user value IS the batch
+  * result bit-for-bit; the gate reuses the batch oracle verbatim. The
+  * fixture replays in [[StreamReplay.Batches]] time-ordered
+  * micro-batches; the op emits each user's running (n, ewma) once per
+  * batch touching them (a live metric stream), and the sink is keyed by
+  * user_id keeping the latest row — exactly how a metric store consumes
+  * such a stream. Replay-equals-batch holds because no fixture user is
+  * silent past the 7 d reap horizon (max per-user gap ~4.1 d at sf0.01,
+  * asserted in StreamingReplaySpec); a user reaped mid-history would
+  * legitimately restart their fold, which is the op's declared
+  * semantics, not the oracle's.
   */
 object StreamEwma {
 
@@ -64,8 +68,7 @@ object StreamEwma {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "ewma_" + UUID.randomUUID().toString.replace("-", "")
-    StreamContracts.requireSingleBatch(dir, "events.parquet")
-    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    val stream = StreamReplay.source(spark, dir, batch.schema)
     val withTs =
       if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -82,10 +85,16 @@ object StreamEwma {
         GroupStateTimeout.EventTimeTimeout)(step)
     val q = rows.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
+    // keyed sink: one live row per user, the latest (highest n) wins —
+    // n is strictly increasing per user, so max_by is unambiguous
     spark.table(name)
-      .select(col("user_id"), col("n_events"), col("ewma"))
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("ewma"), col("n_events")).as("ewma"))
       .orderBy("user_id")
   }
 

@@ -36,18 +36,20 @@ import graft.core.Q
   * The emitted row per user is the EARLIEST pattern-completing purchase
   * time, which is batch-expressible: the oracle joins the three steps
   * with the same strict-< and step bounds and takes MIN(purchase.ts).
-  * The fixture replays as one micro-batch ([[StreamContracts]]), so no
-  * intermediate watermark can drop a late step the oracle would count.
+  * The fixture replays in [[StreamReplay.Batches]] time-ordered
+  * micro-batches ([[StreamReplay]]), so watermark advances, pending
+  * timeouts, and tombstone expiry all fire mid-stream — the state
+  * handoff itself is what the gate checks, not one in-group sort.
   *
-  * '''One-emission horizon (contract caveat).''' The oracle's
-  * MIN-per-user equivalence is scoped to the 24 h tombstone: in a
-  * genuine multi-batch stream, a user who completes, goes silent past
-  * [[TombstoneUs]] (letting the tombstone expire), and then completes a
-  * SECOND funnel emits a second row, where the batch oracle keeps only
-  * the first. Unreachable under the pinned single-batch gate replay; a
-  * real deployment that replays history either accepts one row per
-  * (user, 24 h-separated completion) — often the wanted semantics — or
-  * dedupes at the sink by user_id.
+  * '''One-emission contract (was: horizon caveat).''' The stream emits
+  * one row per (user, tombstone-separated completion): a user who
+  * completes, goes silent past [[TombstoneUs]] (letting the tombstone
+  * expire), and completes a SECOND funnel emits again — bounded state
+  * requires forgetting completed users eventually. The oracle's
+  * first-completion (MIN-per-user) semantics are realized at the sink,
+  * which is keyed by user and keeps the earliest completion; under the
+  * 30 d fixture span tombstones genuinely expire between batches, so
+  * the sink rule is load-bearing, not decorative.
   */
 object StreamFunnel {
 
@@ -110,14 +112,26 @@ object StreamFunnel {
     hits.reverseIterator
   }
 
-  /** Run the pattern matcher to completion over the fixture stream. */
+  /** Run the pattern matcher to completion over the fixture stream —
+    * replayed in [[StreamReplay.Batches]] time-ordered micro-batches, so
+    * watermark advances and timeouts fire mid-stream like a real
+    * deployment — and apply the keyed first-completion sink rule. */
   def run(spark: SparkSession, dir: String): DataFrame =
+    rawHits(spark, dir)
+      .groupBy("user_id")
+      .agg(timestamp_micros(min(col("t_funnel_us"))).as("t_funnel"))
+      .orderBy("user_id")
+
+  /** The raw emission stream (one row per (user, tombstone-separated
+    * completion)) — exposed pre-dedupe so StreamingReplaySpec can pin
+    * that tombstone expiry + re-completion really re-emits, and that
+    * [[run]]'s keyed sink is therefore load-bearing. */
+  private[graft] def rawHits(spark: SparkSession, dir: String): DataFrame =
       graft.core.Sessions.withShufflePartitions(spark, 8) {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "funnel_" + UUID.randomUUID().toString.replace("-", "")
-    StreamContracts.requireSingleBatch(dir, "events.parquet")
-    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    val stream = StreamReplay.source(spark, dir, batch.schema)
     val withTs =
       if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -137,12 +151,11 @@ object StreamFunnel {
         GroupStateTimeout.EventTimeTimeout)(step)
     val q = hits.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     spark.table(name)
-      .select(col("user_id"),
-        timestamp_micros(col("t_funnel_us")).as("t_funnel"))
-      .orderBy("user_id")
   }
 
   val streamFunnel: Q = Q(
