@@ -95,6 +95,18 @@ object Schemas {
     StructField("effective_to", TimestampType),
     StructField("is_current", BooleanType)))
 
+  /** LSH band-key index over `documents`
+    * ([[graft.ext.IndexMaintain]]): four rows per indexed document, one
+    * per minhash band. `idx_key` = doc_id * 4 + band is unique per row,
+    * so re-indexing a changed document is one keyed [[Catalog.Tx.merge]]
+    * upsert (stale band keys rewritten in place, new docs inserted). */
+  val lshIndex: StructType = StructType(Seq(
+    StructField("row_id", LongType, nullable = false),
+    StructField("idx_key", LongType),
+    StructField("doc_id", LongType),
+    StructField("band", IntegerType),
+    StructField("band_key", StringType)))
+
   /** table name -> (schema, surrogate id column) — id assignment parity
     * with AUTO_INCREMENT/lastrowid (SURVEY §7.4). */
   /** Columns that carry per-file min/max value stats in the catalog
@@ -117,5 +129,6 @@ object Schemas {
     "saved_cards" -> (savedCards, "card_id"),
     "events_ingest" -> (eventsIngest, "ingest_id"),
     "stream_offsets" -> (streamOffsets, "offset_id"),
-    "users_dim" -> (usersDim, "dim_id"))
+    "users_dim" -> (usersDim, "dim_id"),
+    "lsh_index" -> (lshIndex, "row_id"))
 }
