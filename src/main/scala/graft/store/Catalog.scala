@@ -40,12 +40,15 @@ import org.apache.spark.sql.functions._
   *    small extra job) — never a global single-partition window, which
   *    funnels every bulk load through one task. Dense `lastrowid` parity
   *    is preserved (SURVEY §7.4).
-  *  - '''Multi-process safety.''' `transaction` holds an OS file lock
-  *    (`FileChannel.lock` on `_manifest.lock`) for the whole
-  *    read-modify-write, so two processes sharing a root serialize their
-  *    commits instead of losing them (the reference got this from MySQL,
-  *    db.py:42-48). In-JVM reentrancy/overlap is handled by a per-root
-  *    monitor, since POSIX file locks are process-scoped.
+  *  - '''Multi-process safety, optimistic concurrency.''' A transaction
+  *    body runs against a snapshot with NO lock held; the OS file lock
+  *    (`FileChannel.lock` on `_manifest.lock`) plus a per-root in-JVM
+  *    monitor guard only the commit's validate-and-swap, which checks
+  *    that no staged table was committed concurrently (conflict =>
+  *    [[Catalog.ConcurrentWriteException]], Delta/Iceberg-style OCC).
+  *    Writers on disjoint tables of one root proceed fully in parallel;
+  *    two processes sharing a root never lose a commit (the reference
+  *    got this from MySQL, db.py:42-48).
   */
 final class Catalog(val spark: SparkSession, val root: String) {
 
@@ -169,8 +172,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** Latest version committed at or before `tsMillis` (Delta
     * `TIMESTAMP AS OF` resolution). Commit times are stamped INSIDE the
     * manifest (`_committedAtMs`; history-file mtime is the fallback for
-    * pre-upgrade manifests), monotone because writers serialize under
-    * the transaction locks. Throws if no snapshot existed yet, or if
+    * pre-upgrade manifests), monotone because commits serialize under
+    * the commit lock (OCC: only the validate-and-swap holds it). Throws if no snapshot existed yet, or if
     * every snapshot old enough has been vacuumed past the retention
     * window — never silently resolves to a different point in time. */
   def versionAsOf(tsMillis: Long): Long = {
@@ -968,75 +971,108 @@ final class Catalog(val spark: SparkSession, val root: String) {
   }
 
   /** Run `body` against a transaction; all staged writes become visible
-    * atomically at the end (or not at all if body throws). The whole
-    * read-modify-write holds the per-root monitor (in-JVM) and an OS
-    * file lock (cross-process), so concurrent writers serialize.
+    * atomically at the end (or not at all if body throws).
     *
-    * '''Lock hold time.''' The lock spans every Spark job `body` runs —
-    * a [[Tx.merge]] holds it for its duplicate-key precondition, the
-    * broadcast semi-join over the live table, the pruned-file rewrite,
-    * and the insert append, so one long merge blocks every writer on
-    * every table of the root (readers are never blocked: they read the
-    * last committed manifest). That is the deliberate
-    * serialize-all-writers design point — correctness first, one
-    * writer-visible version chain per root, no optimistic-retry
-    * machinery. The scale path is table-scoped roots (one Catalog root
-    * per hot table), not a finer lock: cross-table transactions are the
-    * reason the lock is root-wide. Preconditions that only READ (e.g.
-    * merge's duplicate-key check) could in principle run before
-    * acquisition, but would then race a concurrent writer changing the
-    * table under them — kept inside by design. */
-  def transaction[A](body: Tx => A): A =
-    Catalog.rootMonitor(rootPath.toAbsolutePath.normalize.toString)
-      .synchronized {
-        val ch = java.nio.channels.FileChannel.open(lockPath,
-          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-        try {
-          val lock = ch.lock()
+    * '''Optimistic concurrency (round-10 lock scoping).''' `body` runs
+    * against a SNAPSHOT manifest with NO lock held — every Spark job a
+    * [[Tx.merge]] runs (duplicate-key precondition, broadcast semi-join
+    * over the live table, pruned-file rewrite, insert append) stages
+    * uniquely-named files without blocking any other writer. The
+    * per-root monitor (in-JVM) + OS file lock (cross-process) are held
+    * only for the commit: re-read the current manifest, verify that
+    * every table THIS transaction staged is byte-identical to the
+    * snapshot it read (no concurrent commit touched it), and swap the
+    * staged states in — milliseconds, independent of how much data the
+    * transaction wrote. Writers on DISJOINT tables therefore never
+    * serialize behind a long merge; writers on the SAME table conflict,
+    * and the loser fails loudly with [[Catalog.ConcurrentWriteException]]
+    * (its staged files are unreferenced and reclaimed by [[vacuum]]).
+    * This is the Delta/Iceberg OCC model; the single-statement
+    * conveniences below retry a bounded number of times because
+    * re-running their one-op body against the fresh snapshot is always
+    * safe, while multi-statement `transaction` callers own their retry
+    * (re-running an arbitrary body is theirs to reason about).
+    *
+    * Conflict detection is whole-table-state equality — conservative by
+    * design: any concurrent commit to a staged table (data, schema
+    * evolution, or CHECK set) aborts, so a check added concurrently can
+    * never be bypassed by in-flight rows validated against the old set.
+    * '''Vacuum caveat''': with OCC, an in-flight transaction's staged
+    * files are on disk but unreferenced; `vacuum(retainMillis = 0)` now
+    * additionally requires no in-flight WRITER (the default retention
+    * window already protects them — staged files are brand new). */
+  def transaction[A](body: Tx => A): A = {
+    val base = readManifest()
+    val tx = new Tx(base)
+    val out = body(tx)
+    if (tx.staged.nonEmpty)
+      Catalog.rootMonitor(rootPath.toAbsolutePath.normalize.toString)
+        .synchronized {
+          val ch = java.nio.channels.FileChannel.open(lockPath,
+            StandardOpenOption.CREATE, StandardOpenOption.WRITE)
           try {
-            val tx = new Tx(readManifest())
-            val out = body(tx)
-            if (tx.staged.nonEmpty) {
-              val m = readManifest()
-              writeManifest(m ++ tx.staged.groupBy(_.table)
+            val lock = ch.lock()
+            try {
+              val cur = readManifest()
+              tx.staged.map(_.table).distinct.foreach { t =>
+                if (cur.get(t) != base.get(t))
+                  throw new Catalog.ConcurrentWriteException(
+                    s"table '$t' of '$root' was committed concurrently " +
+                      "since this transaction's snapshot; re-run against " +
+                      "the new state")
+              }
+              writeManifest(cur ++ tx.staged.groupBy(_.table)
                 .map { case (t, ss) => t -> ss.last.state })
-            }
-            out
-          } finally lock.release()
-        } finally ch.close()
-      }
+            } finally lock.release()
+          } finally ch.close()
+        }
+    out
+  }
 
-  /** Single-statement conveniences. */
+  /** Bounded conflict retry for the one-op conveniences: the body is
+    * self-contained, so re-staging against the fresh snapshot is safe;
+    * the failed attempt's files are unreferenced (vacuum reclaims). */
+  private def retried[A](body: Tx => A): A = {
+    val maxAttempts = 8
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return transaction(body)
+      catch { case _: Catalog.ConcurrentWriteException => attempt += 1 }
+    }
+    transaction(body)
+  }
+
+  /** Single-statement conveniences (conflict-retried, see [[retried]]). */
   def append(table: String, rows: DataFrame,
       orderBy: Seq[String] = Nil): Long =
-    transaction(_.append(table, rows, orderBy))
+    retried(_.append(table, rows, orderBy))
 
   def update(table: String, predicate: Column,
       assignments: Map[String, Column]): Unit =
-    transaction(_.update(table, predicate, assignments))
+    retried(_.update(table, predicate, assignments))
 
   def merge(table: String, source: DataFrame, keyCol: String): (Long, Long) =
-    transaction(_.merge(table, source, keyCol))
+    retried(_.merge(table, source, keyCol))
 
   def addCheck(table: String, name: String, constraint: String): Unit =
-    transaction(_.addCheck(table, name, constraint))
+    retried(_.addCheck(table, name, constraint))
 
   def dropColumn(table: String, name: String): Unit =
-    transaction(_.dropColumn(table, name))
+    retried(_.dropColumn(table, name))
 
   def scd2Merge(table: String, source: DataFrame, keyCol: String,
       tracked: Seq[String], at: java.sql.Timestamp): (Long, Long) =
-    transaction(_.scd2Merge(table, source, keyCol, tracked, at))
+    retried(_.scd2Merge(table, source, keyCol, tracked, at))
 
   def delete(table: String, predicate: Column): Long =
-    transaction(_.delete(table, predicate))
+    retried(_.delete(table, predicate))
 
   def compact(table: String, numFiles: Int = 1): Unit =
-    transaction(_.compact(table, numFiles))
+    retried(_.compact(table, numFiles))
 
   def replaceWhere(table: String, column: String, lo: Long, hi: Long,
       rows: DataFrame): (Long, Long) =
-    transaction(_.replaceWhere(table, column, lo, hi, rows))
+    retried(_.replaceWhere(table, column, lo, hi, rows))
 
   /** Timestamp-column overload (inclusive instant range). */
   def replaceWhere(table: String, column: String,
@@ -1128,6 +1164,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
 }
 
 object Catalog {
+  /** Thrown by [[Catalog!.transaction]] when a table this transaction
+    * staged was committed concurrently since its snapshot (OCC conflict).
+    * The transaction's staged files are unreferenced; re-run the body
+    * against the new state (the one-op conveniences do so themselves). */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
   /** Default reader-snapshot grace for [[Catalog.vacuum]]: 10 minutes —
     * far longer than any single query over a store this size, far shorter
     * than Delta's 7-day default because the time-travel horizon served

@@ -142,6 +142,68 @@ class StoreSpec extends SparkSuite {
     assert(byEmail.keySet == Set("a@x.c", "b@x.c", "c@x.c", "d@x.c"))
   }
 
+  test("OCC lock scope: a writer on a DISJOINT table commits while a " +
+    "long transaction is still mid-body (no root-wide serialization)") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val catA = new Catalog(spark, root)
+    val catB = new Catalog(spark, root)
+    catA.append("users", user("a", "a@x.c"))
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // writer A: a "long merge" on users — parks mid-body after staging
+    val a = new Thread(() => {
+      try catA.transaction { tx =>
+        tx.merge("users", user("a2", "a@x.c"), "email")
+        entered.countDown()
+        release.await()
+      } catch { case e: Throwable => errs.add(e); entered.countDown() }
+    })
+    a.start()
+    assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    // writer B on a DIFFERENT table must commit while A is parked —
+    // under the old root-wide lock this deadlocks until release
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val b = new Thread(() => {
+      try { catB.append("events_ingest",
+        Seq((1L, new java.sql.Timestamp(0L), 1L, "view", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value",
+            "props")); bDone.countDown() }
+      catch { case e: Throwable => errs.add(e); bDone.countDown() }
+    })
+    b.start()
+    assert(bDone.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "disjoint-table writer must not serialize behind the parked merge")
+    assert(catB.read("events_ingest").count() == 1L,
+      "B's commit must be visible while A is still mid-body")
+    release.countDown(); a.join(60000)
+    assert(errs.isEmpty, s"unexpected failure: ${Option(errs.peek())}")
+    // A's merge committed cleanly after release (no conflict: different
+    // tables) and B's earlier commit survived the swap
+    val roles = catA.read("users")
+      .select("email", "first_name").as[(String, String)].collect().toMap
+    assert(roles("a@x.c") == "a2", "parked merge must still commit")
+    assert(catB.read("events_ingest").count() == 1L)
+  }
+
+  test("OCC conflict: two transactions staging the SAME table — the " +
+    "second to commit fails loudly with ConcurrentWriteException") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c"))
+    intercept[Catalog.ConcurrentWriteException] {
+      cat.transaction { tx =>
+        tx.append("users", user("b", "b@x.c"))
+        // a full commit lands on the same table mid-body
+        cat.append("users", user("c", "c@x.c"))
+      }
+    }
+    // the winner's row is visible; the loser staged nothing
+    val emails = cat.read("users")
+      .select("email").as[String].collect().toSet
+    assert(emails == Set("a@x.c", "c@x.c"),
+      s"loser must abort cleanly, winner must survive: $emails")
+  }
+
   test("compact merges file groups into disjoint id ranges; vacuum " +
     "removes only dead files and keeps every visible row") {
     val cat = freshCat()
