@@ -778,6 +778,100 @@ object Corpus {
       .limit(50)
   }
 
+  private val BpeRounds = 12
+
+  /** Iterative BPE TRAINER — the k-round merge loop on top of
+    * [[bpePairCounts]]'s single-round ranking (Sennrich et al. ACL 2016
+    * training loop): each round picks the corpus-wide most frequent
+    * adjacent symbol pair (ties broken lexicographically) and merges it
+    * greedily left-to-right in every word's symbol sequence; the output
+    * is the learned merge list (round, lhs, rhs, cnt) — the artifact a
+    * tokenizer ships.
+    *
+    * Scale shape: the corpus is compressed to (distinct word, freq)
+    * ONCE (the only corpus-sized shuffle); every round then runs over
+    * the VOCABULARY table — a pair count + argmax (alphabet²-bounded
+    * aggregate, 1-row collect) and one array-local fold rewriting the
+    * symbol arrays — so k rounds cost k vocabulary passes, never k
+    * token-stream passes. The greedy merge is a left fold: `x` joins
+    * the accumulator's last symbol iff (last, x) = (lhs, rhs); the
+    * merged symbol lhs||rhs can never equal lhs (rhs nonempty), so the
+    * fold cannot cascade — it is exactly the non-overlapping
+    * left-to-right merge. The oracle replays the identical k rounds as
+    * chained MATERIALIZED CTEs (the fixed-point PageRank discipline)
+    * with the same fold via list_reduce. */
+  val bpeTrain: Q = Q(
+    "ext_bpe_train",
+    {
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""p$r AS (
+           |  SELECT u.p.a AS a, u.p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(list_transform(range(1, len(syms)),
+           |      i -> {'a': syms[CAST(i AS INTEGER)],
+           |            'b': syms[CAST(i AS INTEGER) + 1]})) AS p, freq
+           |    FROM v${r - 1} WHERE len(syms) >= 2) u
+           |  GROUP BY 1, 2),
+           |best$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r
+           |  ORDER BY cnt DESC, a, b LIMIT 1),
+           |v$r AS MATERIALIZED (
+           |  SELECT freq, list_reduce(
+           |    list_prepend(CAST([] AS VARCHAR[]),
+           |      list_transform(syms, s -> [s])),
+           |    (acc, x) -> CASE WHEN len(acc) > 0
+           |        AND acc[-1] = ba$r AND x[1] = bb$r
+           |      THEN list_append(acc[1:len(acc)-1], ba$r || bb$r)
+           |      ELSE list_append(acc, x[1]) END) AS syms
+           |  FROM v${r - 1} CROSS JOIN
+           |    (SELECT a AS ba$r, b AS bb$r FROM best$r) j$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH u0 AS (SELECT unnest($toksSql) AS w FROM documents),
+         |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM u0 GROUP BY w),
+         |v0 AS MATERIALIZED (SELECT freq,
+         |  list_transform(range(1, length(w) + 1),
+         |    i -> substr(w, CAST(i AS INTEGER), 1)) AS syms FROM words),
+         |$rounds
+         |${(1 to BpeRounds).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, " +
+              s"cnt FROM best$r").mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin
+    }
+  ) { (s, d) =>
+    import graft.core.Eager.EagerCheckpoint
+    val words = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var vocab = words.select(col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+      .eagerCheckpoint()
+    val merges = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] as a, syms[i] as b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r.toLong, a, b, cnt))
+      // greedy left-to-right merge as a fold; lit() carries the corpus
+      // strings safely (never spliced into SQL text)
+      vocab = vocab.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0
+                && try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))))
+        .eagerCheckpoint()
+    }
+    import s.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "cnt").orderBy("round")
+  }
+
   /** Deterministic k-per-group sample: the 8 docs per source whose
     * md5(doc_id) hashes are smallest — a per-group bottom-k sketch
     * ([[graft.functions.BoundedMinK]]), the "give me k example docs from
@@ -951,5 +1045,6 @@ object Corpus {
     Seq(dedupClusters, dedupClustersStar, sampleStratified, vocabTopK,
       vocabCoverage, pipelineCleanse, skewSaltedAgg, skewSaltedJoin,
       corpusMix, corpusPack, docKeyTerms, vocabHeavyHitters,
-      bpePairCounts, samplePerSource, docChunk, mixTemperature, vocabCms, graphBfs)
+      bpePairCounts, bpeTrain, samplePerSource, docChunk, mixTemperature,
+      vocabCms, graphBfs)
 }
