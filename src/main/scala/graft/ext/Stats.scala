@@ -355,7 +355,17 @@ object Stats {
       |FROM n CROSS JOIN qs ORDER BY event_type, q""".stripMargin
   ) { (s, d) =>
     import graft.functions.QDigest
-    val cents = (col("value").cast("decimal(10,2)") * 100).cast("long")
+    // domain guard at the CALLER (ADVICE round 9): the q-digest universe
+    // is [0, 2^logU) and the aggregate's own require() would kill the
+    // job mid-task with an unattributable message; failing here names
+    // the op and the offending value before the sketch ever sees it
+    val rawCents = (col("value").cast("decimal(10,2)") * 100).cast("long")
+    val cents = when(
+      rawCents >= 0L && rawCents < (1L << QDigest.DefaultLogU), rawCents)
+      .otherwise(expr("cast(raise_error(concat('ext_value_qdigest: " +
+        "event value out of the sketch universe [0, 2^" +
+        s"${QDigest.DefaultLogU}) cents: ', cast(value as string))) " +
+        "as bigint)"))
     val ev = Tables.events(s, d).select(col("event_type"), cents.as("c"))
     val sketches = ev.groupBy("event_type")
       .agg(QDigest.qdigest(s, col("c")).as("sk"))
@@ -457,8 +467,17 @@ object Stats {
         expr("cast(dnum * 1000000 div (n1 * n2) as bigint)").as("d_ppm"),
         // the squared critical-value comparison exceeds i64 at 10x the
         // fixture (dnum^2 * 1e6 ~ 1.6e23): exact DECIMAL(38,0) on the
-        // Spark side, HUGEINT in the oracle
-        expr("cast(case when cast(dnum as decimal(38,0)) * dnum * 1000000" +
+        // Spark side, HUGEINT in the oracle. Past n1*n2 ~ 1e16 even
+        // DECIMAL(38,0) overflows — and non-ANSI Spark would then yield
+        // NULL and silently report reject=0 while DuckDB errors. Guard
+        // the bound LOUDLY so both engines fail the same way; a corpus
+        // that big should use the asymptotic form, not exact integers.
+        expr("cast(case when cast(n1 as decimal(38,0)) * n2 > " +
+          "cast(10000000000000000 as decimal(38,0)) then " +
+          "cast(raise_error('ks reject_5pct: n1*n2 > 1e16 overflows the " +
+          "exact DECIMAL(38,0) critical-value comparison; use the " +
+          "asymptotic form at this scale') as bigint) " +
+          "when cast(dnum as decimal(38,0)) * dnum * 1000000" +
           " >= cast(1844164 as decimal(38,0)) * (n1 + n2) * n1 * n2 " +
           "then 1 else 0 end as bigint)").as("reject_5pct"))
   }

@@ -69,7 +69,14 @@ object TimeSeries {
         explode(sequence(lit(1L), lit(7L))).as("lag"))
       .select(col("lag"), col("n").as("n_days"),
         (aggregate(
-          transform(sequence(lit(1L), col("n") - col("lag")),
+          transform(
+            // guard: for n <= lag Spark's sequence(1, n - lag) counts
+            // DOWN ([1, 0, ...] — element_at(xs, 0) then errors) where
+            // DuckDB's generate_series is empty; pin the empty list so
+            // short corpora yield acf = 0 identically in both engines
+            when(col("n") > col("lag"),
+              sequence(lit(1L), col("n") - col("lag")))
+              .otherwise(array().cast("array<bigint>")),
             i => (element_at(col("xs"), i.cast("int")) - col("m")) *
               (element_at(col("xs"), (i + col("lag")).cast("int"))
                 - col("m"))),

@@ -128,6 +128,13 @@ case class CountMinEstimate(
 
   override protected def nullSafeEval(sk: Any, term: Any): Any = {
     val arr = sk.asInstanceOf[ArrayData]
+    // geometry guard: a sketch built with a different (depth, width)
+    // would otherwise be probed at silently wrong cells (or bounds-throw
+    // mid-query with no indication of the cause)
+    require(arr.numElements() == depth * width,
+      s"$prettyName geometry mismatch: sketch has ${arr.numElements()} " +
+        s"cells, expected depth*width = ${depth * width} " +
+        s"($depth x $width) — probe and build must share one geometry")
     val u = term.asInstanceOf[UTF8String]
     var est = Long.MaxValue
     var d = 0

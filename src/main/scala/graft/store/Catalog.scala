@@ -904,11 +904,19 @@ final class Catalog(val spark: SparkSession, val root: String) {
         rows: DataFrame): (Long, Long) = {
       val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
-      val rc = statLong(rows, column).getOrElse(
+      // materialize the source ONCE before validating: a
+      // non-deterministic source (sample / shuffle-dependent) must not
+      // pass the range check on one evaluation and append different
+      // rows on the next — validation and append see the same bytes
+      val src = {
+        import graft.core.Eager.EagerCheckpoint
+        rows.eagerCheckpoint()
+      }
+      val rc = statLong(src, column).getOrElse(
         throw new IllegalArgumentException(
           s"replaceWhere needs an integral/timestamp column, got " +
-            s"'$column' of ${rows.schema(column).dataType}"))
-      val bad = rows.filter(rc.isNull || rc < lo || rc > hi).count()
+            s"'$column' of ${src.schema(column).dataType}"))
+      val bad = src.filter(rc.isNull || rc < lo || rc > hi).count()
       require(bad == 0,
         s"replaceWhere: $bad source row(s) outside [$lo, $hi] on '$column'")
       val (hit, carried) = prev.files.partition(_.cols.get(column)
@@ -925,7 +933,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         staged :+= Staged(table, prev.copy(files = carried ++ newFiles))
         counts.getLong(1)
       }
-      val lastId = append(table, rows)
+      val lastId = append(table, src)
       (nDeleted, lastId)
     }
 

@@ -77,6 +77,25 @@ class CountMinSpec extends SparkSuite {
     }
   }
 
+  test("cms_estimate rejects a sketch with mismatched geometry loudly " +
+    "instead of probing wrong cells") {
+    import spark.implicits._
+    // a "sketch" array of the wrong length must fail with the geometry
+    // message, not ArrayIndexOutOfBounds or a silent wrong estimate
+    val truncated = Seq(Seq.fill(16)(0L)).toDF("cms")
+      .withColumn("t", org.apache.spark.sql.functions.lit("x"))
+    val e = intercept[Exception] {
+      truncated.select(
+        graft.functions.CountMin.cms_estimate(spark, col("cms"), col("t")))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("geometry mismatch")),
+      s"expected the geometry guard, got: $e")
+  }
+
   test("qdigest recovers the exact median of a planted uniform ramp " +
     "within the deterministic bound") {
     import spark.implicits._
