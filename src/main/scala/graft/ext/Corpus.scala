@@ -800,43 +800,44 @@ object Corpus {
     * left-to-right merge. The oracle replays the identical k rounds as
     * chained MATERIALIZED CTEs (the fixed-point PageRank discipline)
     * with the same fold via list_reduce. */
-  val bpeTrain: Q = Q(
-    "ext_bpe_train",
-    {
-      val rounds = (1 to BpeRounds).map { r =>
-        s"""p$r AS (
-           |  SELECT u.p.a AS a, u.p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-           |  FROM (SELECT unnest(list_transform(range(1, len(syms)),
-           |      i -> {'a': syms[CAST(i AS INTEGER)],
-           |            'b': syms[CAST(i AS INTEGER) + 1]})) AS p, freq
-           |    FROM v${r - 1} WHERE len(syms) >= 2) u
-           |  GROUP BY 1, 2),
-           |best$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r
-           |  ORDER BY cnt DESC, a, b LIMIT 1),
-           |v$r AS MATERIALIZED (
-           |  SELECT freq, list_reduce(
-           |    list_prepend(CAST([] AS VARCHAR[]),
-           |      list_transform(syms, s -> [s])),
-           |    (acc, x) -> CASE WHEN len(acc) > 0
-           |        AND acc[-1] = ba$r AND x[1] = bb$r
-           |      THEN list_append(acc[1:len(acc)-1], ba$r || bb$r)
-           |      ELSE list_append(acc, x[1]) END) AS syms
-           |  FROM v${r - 1} CROSS JOIN
-           |    (SELECT a AS ba$r, b AS bb$r FROM best$r) j$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH u0 AS (SELECT unnest($toksSql) AS w FROM documents),
-         |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
-         |  FROM u0 GROUP BY w),
-         |v0 AS MATERIALIZED (SELECT freq,
-         |  list_transform(range(1, length(w) + 1),
-         |    i -> substr(w, CAST(i AS INTEGER), 1)) AS syms FROM words),
-         |$rounds
-         |${(1 to BpeRounds).map(r =>
-            s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, " +
-              s"cnt FROM best$r").mkString("\nUNION ALL\n")}
-         |ORDER BY round""".stripMargin
-    }
-  ) { (s, d) =>
+  /** The k-round CTE chain shared by the trainer and vocab oracles:
+    * rounds 1..k of (pair count, argmax, fold-merge), ending at v$k. */
+  private def bpeRoundsSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT u.p.a AS a, u.p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_transform(range(1, len(syms)),
+         |      i -> {'a': syms[CAST(i AS INTEGER)],
+         |            'b': syms[CAST(i AS INTEGER) + 1]})) AS p, freq
+         |    FROM v${r - 1} WHERE len(syms) >= 2) u
+         |  GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT freq, list_reduce(
+         |    list_prepend(CAST([] AS VARCHAR[]),
+         |      list_transform(syms, s -> [s])),
+         |    (acc, x) -> CASE WHEN len(acc) > 0
+         |        AND acc[-1] = ba$r AND x[1] = bb$r
+         |      THEN list_append(acc[1:len(acc)-1], ba$r || bb$r)
+         |      ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM v${r - 1} CROSS JOIN
+         |    (SELECT a AS ba$r, b AS bb$r FROM best$r) j$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u0 AS (SELECT unnest($toksSql) AS w FROM documents),
+       |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM u0 GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT freq,
+       |  list_transform(range(1, length(w) + 1),
+       |    i -> substr(w, CAST(i AS INTEGER), 1)) AS syms FROM words),
+       |$rounds""".stripMargin
+  }
+
+  /** The k-round training loop shared by [[bpeTrain]] and [[bpeVocab]]:
+    * returns the learned merge list and the post-merge vocabulary
+    * (freq, syms) frame. */
+  private def bpeLoop(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     import graft.core.Eager.EagerCheckpoint
     val words = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("w"))
@@ -868,8 +869,41 @@ object Corpus {
               .otherwise(concat(acc, array(x)))))
         .eagerCheckpoint()
     }
+    (merges.toSeq, vocab)
+  }
+
+  val bpeTrain: Q = Q(
+    "ext_bpe_train",
+    s"""$bpeRoundsSql
+       |${(1 to BpeRounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, " +
+            s"cnt FROM best$r").mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  ) { (s, d) =>
+    val (merges, _) = bpeLoop(s, d)
     import s.implicits._
-    merges.toSeq.toDF("round", "lhs", "rhs", "cnt").orderBy("round")
+    merges.toDF("round", "lhs", "rhs", "cnt").orderBy("round")
+  }
+
+  /** The ENCODE half of tokenizer training — apply the learned merges
+    * and emit the resulting subword vocabulary: every symbol of the
+    * post-merge word table weighted by word frequency, top 30 by corpus
+    * frequency. Closes the train -> encode loop ([[bpeTrain]] learns
+    * the merge list; this is what shipping it does to the corpus).
+    * Same scale shape: the encode "pass" IS the trainer's final
+    * vocabulary state — symbol emission is an array-local explode over
+    * the (word, freq) table, never the token stream. */
+  val bpeVocab: Q = Q(
+    "ext_bpe_vocab",
+    s"""$bpeRoundsSql
+       |SELECT u.s AS symbol, CAST(SUM(freq) AS BIGINT) AS freq
+       |FROM (SELECT unnest(syms) AS s, freq FROM v$BpeRounds) u
+       |GROUP BY 1 ORDER BY freq DESC, symbol LIMIT 30""".stripMargin
+  ) { (s, d) =>
+    val (_, vocab) = bpeLoop(s, d)
+    vocab.select(col("freq"), explode(col("syms")).as("symbol"))
+      .groupBy("symbol").agg(sum(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("symbol")).limit(30)
   }
 
   /** Deterministic k-per-group sample: the 8 docs per source whose
@@ -1045,6 +1079,6 @@ object Corpus {
     Seq(dedupClusters, dedupClustersStar, sampleStratified, vocabTopK,
       vocabCoverage, pipelineCleanse, skewSaltedAgg, skewSaltedJoin,
       corpusMix, corpusPack, docKeyTerms, vocabHeavyHitters,
-      bpePairCounts, bpeTrain, samplePerSource, docChunk, mixTemperature,
-      vocabCms, graphBfs)
+      bpePairCounts, bpeTrain, bpeVocab, samplePerSource, docChunk,
+      mixTemperature, vocabCms, graphBfs)
 }

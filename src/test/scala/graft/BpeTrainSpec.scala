@@ -44,5 +44,16 @@ class BpeTrainSpec extends SparkSuite {
     assert(got.forall(_._4 > 0))
     assert(got.map(m => (m._2, m._3)).distinct.size == got.size,
       "a pair must never be learned twice: once merged it cannot recur")
+
+    // the encode half: the emitted subword vocabulary must equal the
+    // local replay's post-merge symbol census
+    val localVocab = vocab.flatMap { case (syms, f) => syms.map(_ -> f) }
+      .groupBy(_._1).map { case (sym, xs) => (sym, xs.map(_._2).sum) }
+      .toSeq.sortBy { case (sym, f) => (-f, sym) }.take(30)
+    val gotVocab = graft.ext.Corpus.bpeVocab.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotVocab == localVocab, s"spark $gotVocab vs local $localVocab")
+    assert(gotVocab.exists(_._1.length > 1),
+      "top subwords must include at least one learned multi-char unit")
   }
 }
