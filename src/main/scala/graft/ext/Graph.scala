@@ -191,7 +191,11 @@ object Graph {
     val base = (PrScale * 15L / 100L) / n
     var ranks = r0
     for (_ <- 1 to PrIters)
-      ranks = prRound(ranks, w, base).eagerCheckpoint()
+      ranks = prRound(ranks, w, base)
+    // one unrolled plan: each r_i feeds only r_{i+1} (linear lineage, no
+    // recompute) and the static checkpointed w is scanned per round with
+    // no exchange — so the whole loop is ONE job instead of ten
+    // checkpoint-barriered jobs
     ranks.orderBy(col("rank").desc, col("v"))
       .limit(20)
       .select(col("v").as("part_id"), col("rank").as("rank_e9"))
