@@ -47,6 +47,10 @@ object BucketRank {
     * @param ranks    (outputColumn, rankExprOverN) pairs; each expression
     *                 is SQL over the BIGINT row count `n` yielding a
     *                 1-based target rank
+    * @param identityBuckets true when `bucketOf` is the identity (the
+    *                 value domain itself is bounded): the candidate
+    *                 bucket IS the answer, so the second input pass is
+    *                 skipped entirely — one scan total
     * @return one row: `n`, `tot` (sum), `max_v`, plus one BIGINT column
     *         per requested rank holding the exact lower-percentile value
     */
@@ -54,7 +58,8 @@ object BucketRank {
       vals: DataFrame,
       valueCol: String,
       bucketOf: Column => Column,
-      ranks: Seq[(String, String)]): DataFrame = {
+      ranks: Seq[(String, String)],
+      identityBuckets: Boolean = false): DataFrame = {
     val base = vals.select(col(valueCol).as("v"),
       bucketOf(col(valueCol)).cast("long").as("bkt"))
 
@@ -85,19 +90,26 @@ object BucketRank {
       .agg(min(col("bkt")).as("cand_bkt"),
         min_by(col("off"), col("bkt")).as("cand_off"))
 
-    // pass 2: only candidate-bucket rows survive the broadcast semi filter
-    val candB = cand.select(col("cand_bkt").as("bkt")).distinct()
-    val inCand = base
-      .join(broadcast(candB), Seq("bkt"), "left_semi")
-      .groupBy("bkt", "v").agg(count(lit(1)).as("vc"))
-      .withColumn("wcum", sum(col("vc")).over(
-        Window.partitionBy("bkt").orderBy("v")))
-    val candR = cand.select(col("rname"), col("r"),
-      col("cand_bkt"), col("cand_off"))
-    val picked = inCand
-      .join(broadcast(candR), col("bkt") === col("cand_bkt"))
-      .filter(col("cand_off") + col("wcum") >= col("r"))
-      .groupBy("rname").agg(min(col("v")).as("pv"))
+    // pass 2: only candidate-bucket rows survive the broadcast semi
+    // filter. With identity buckets (bucket == value) the candidate
+    // bucket already IS the smallest qualifying value — no second pass.
+    val picked =
+      if (identityBuckets)
+        cand.select(col("rname"), col("cand_bkt").as("pv"))
+      else {
+        val candB = cand.select(col("cand_bkt").as("bkt")).distinct()
+        val inCand = base
+          .join(broadcast(candB), Seq("bkt"), "left_semi")
+          .groupBy("bkt", "v").agg(count(lit(1)).as("vc"))
+          .withColumn("wcum", sum(col("vc")).over(
+            Window.partitionBy("bkt").orderBy("v")))
+        val candR = cand.select(col("rname"), col("r"),
+          col("cand_bkt"), col("cand_off"))
+        inCand
+          .join(broadcast(candR), col("bkt") === col("cand_bkt"))
+          .filter(col("cand_off") + col("wcum") >= col("r"))
+          .groupBy("rname").agg(min(col("v")).as("pv"))
+      }
 
     // pivot the |ranks| answer rows onto the 1-row totals frame
     val pivotCols = ranks.map { case (nm, _) =>

@@ -33,8 +33,9 @@ import graft.core.Eager._
   *    PageRank sums doubles in shuffle order and is not bit-stable; the
   *    fixed-point formulation is, which is what lets the gate hash-check
   *    it. Ten synchronous iterations, each one join + one aggregate on
-  *    the static edge list (at cluster scale: co-partition ranks and
-  *    edges on src so the join is shuffle-free after the first round).
+  *    the static edge list — ranks and edges ARE co-partitioned on src
+  *    (implemented round 10, see [[pagerank]]): the edge relation is
+  *    partitioned+sorted once and never exchanged inside the loop.
   */
 object Graph {
 

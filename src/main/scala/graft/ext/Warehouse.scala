@@ -504,7 +504,8 @@ object Warehouse {
         .as("gap_d"))
     BucketRank.lowerPercentiles(gaps, "gap_d", identity,
         Seq("p25_d" -> "(n + 3) div 4", "p50_d" -> "(n + 1) div 2",
-          "p75_d" -> "(n * 3 + 3) div 4", "p90_d" -> "(n * 9 + 9) div 10"))
+          "p75_d" -> "(n * 3 + 3) div 4", "p90_d" -> "(n * 9 + 9) div 10"),
+        identityBuckets = true)
       .select(col("n").as("n_gaps"), col("p25_d"), col("p50_d"),
         col("p75_d"), col("p90_d"),
         expr("cast(tot div n as bigint)").as("mean_d"))
