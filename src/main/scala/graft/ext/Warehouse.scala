@@ -244,9 +244,15 @@ object Warehouse {
     * two output shares are each one final IEEE division.
     *
     * Scale shape: the fact scan collapses to a per-customer aggregate
-    * FIRST; the cumulative window sorts only the customer-count frame
-    * (thousands of times smaller than orders), the same post-aggregate
-    * window budget as `ext_events_retention`. */
+    * FIRST; the cumulative sum then runs through
+    * [[BucketRank.rankAndExclSum]] ($10k revenue buckets): per-bucket
+    * decimal sums aggregate map-side, ONE window walks the bounded
+    * bucket frame for offsets, and each bucket's rows sort only within
+    * their bucket — the per-customer frame never funnels through a
+    * single-task global window (it is aggregate-compressed but still
+    * grows with customers at 100 TB). Decimal addition is
+    * associative-exact, so the re-grouped cumulative equals the
+    * single-window form bit-for-bit (the oracle keeps that form). */
   val paretoShare: Q = Q(
     "ext_pareto_share",
     """WITH rev AS (
@@ -267,17 +273,25 @@ object Warehouse {
       |  CAST(t.top1 AS DOUBLE) / CAST(t.total AS DOUBLE) AS top1_share
       |FROM tot t""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
+    import graft.core.Eager.EagerCheckpoint
+    // the per-customer frame feeds totals, bucket counts, and the
+    // ranked pass — materialize it once (at scale: entity aggregate
+    // written once per load, the BucketedJoin discipline)
     val rev = Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("r"))
+      .eagerCheckpoint()
     val tot = rev.agg(sum(col("r")).as("total"),
       count(lit(1)).as("n_cust"), max(col("r")).as("top1"))
-    val w = Window.orderBy(col("r").desc, col("o_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = rev.withColumn("c", sum(col("r")).over(w))
-    val n80 = cum.crossJoin(broadcast(tot))
-      .filter((col("c") - col("r")) * 5 < col("total") * 4)
+    // exclusive running revenue in (r desc, custkey) order, computed
+    // bucket-distributed instead of via one global window
+    val ranked = BucketRank.rankAndExclSum(rev,
+      b1 = floor(col("r") / 10000).cast("long"), b1Desc = true,
+      b2 = lit(0L),
+      order = Seq(col("r").desc, col("o_custkey")),
+      weight = Some(col("r")))
+    val n80 = ranked.crossJoin(broadcast(tot))
+      .filter(col("excl") * 5 < col("total") * 4)
       .agg(count(lit(1)).as("n_top80"))
     tot.crossJoin(broadcast(n80))
       .select(col("n_cust").as("n_customers"), col("n_top80"),
@@ -293,8 +307,18 @@ object Warehouse {
     * ntile(5) with a total (metric, custkey) tie order so the bucketing
     * is deterministic cross-engine. Emits the segment census (125
     * possible codes), not per-customer rows — the rollup a dashboard
-    * reads. Scale: one fact aggregate, three ntile windows over the
-    * customer-count frame, one tiny census aggregate. */
+    * reads.
+    *
+    * Scale: one fact aggregate, then each dimension's GLOBAL row rank
+    * comes from [[BucketRank.rankAndExclSum]] instead of a single-task
+    * ntile window over the per-customer frame (which grows with
+    * customers at 100 TB): recency/frequency bucket on their bounded
+    * value domains (calendar days, per-customer order counts) with a
+    * 64-way custkey split spreading heavy ties, monetary on $10k value
+    * buckets; the quintile is then pure arithmetic on (rank, n)
+    * ([[BucketRank.ntileFromRank]], the exact ANSI ntile formula). The
+    * oracle keeps the ntile window — the two forms are provably the
+    * same total order. */
   val rfm: Q = Q(
     "ext_rfm_segments",
     """WITH m AS (SELECT MAX(o_orderdate) AS mx FROM orders),
@@ -319,10 +343,9 @@ object Warehouse {
       |FROM scored GROUP BY 1, 2, 3
       |ORDER BY r_score, f_score, m_score""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val orders = Tables.orders(s, d)
     val mx = orders.agg(max(col("o_orderdate")).as("mx"))
-    val cust = orders.groupBy("o_custkey")
+    val custRaw = orders.groupBy("o_custkey")
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(12,2)")).as("mon"))
@@ -330,14 +353,34 @@ object Warehouse {
       .select(col("o_custkey"),
         datediff(col("mx"), col("last_order")).cast("long").as("rec_days"),
         col("freq"), col("mon"))
-    val scored = cust.select(col("o_custkey"),
-      ntile(5).over(Window.orderBy(col("rec_days"), col("o_custkey")))
-        .cast("long").as("r_score"),
-      ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey")))
-        .cast("long").as("f_score"),
-      ntile(5).over(Window.orderBy(col("mon").desc, col("o_custkey")))
-        .cast("long").as("m_score"))
-    scored.groupBy("r_score", "f_score", "m_score")
+    val bounds = custRaw.agg(count(lit(1)).as("nc"),
+      max(col("o_custkey")).as("mxck"))
+    // 64-way monotone custkey split: spreads heavy value-ties across
+    // partitions while preserving the (value, custkey) total order
+    import graft.core.Eager.EagerCheckpoint
+    val cust = custRaw.crossJoin(broadcast(bounds))
+      .withColumn("ckchunk",
+        floor(col("o_custkey").cast("decimal(38,0)") * 64 /
+          (col("mxck") + 1)).cast("long"))
+      .eagerCheckpoint() // scored three ways below — derive once
+    val rRank = BucketRank.rankAndExclSum(cust,
+      b1 = col("rec_days"), b1Desc = false, b2 = col("ckchunk"),
+      order = Seq(col("o_custkey")), weight = None)
+      .withColumnRenamed("rk", "rk_r")
+    val fRank = BucketRank.rankAndExclSum(rRank,
+      b1 = col("freq"), b1Desc = true, b2 = col("ckchunk"),
+      order = Seq(col("o_custkey")), weight = None)
+      .withColumnRenamed("rk", "rk_f")
+    val mRank = BucketRank.rankAndExclSum(fRank,
+      b1 = floor(col("mon") / 10000).cast("long"), b1Desc = true,
+      b2 = lit(0L),
+      order = Seq(col("mon").desc, col("o_custkey")), weight = None)
+      .withColumnRenamed("rk", "rk_m")
+    mRank.select(
+        BucketRank.ntileFromRank(col("rk_r"), col("nc"), 5).as("r_score"),
+        BucketRank.ntileFromRank(col("rk_f"), col("nc"), 5).as("f_score"),
+        BucketRank.ntileFromRank(col("rk_m"), col("nc"), 5).as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("r_score", "f_score", "m_score")
   }
