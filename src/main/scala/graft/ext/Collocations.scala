@@ -174,10 +174,12 @@ object Collocations {
     val cnts = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    val ranked = cnts
+    // top-100 FIRST (TakeOrderedAndProject — distributed), then rank
+    // inside the 100-row frame: ranking before the limit would sort the
+    // whole vocabulary through one window task for the same 100 ranks
+    val ranked = cnts.orderBy(col("c").desc, col("t")).limit(100)
       .withColumn("r", row_number().over(
         Window.orderBy(col("c").desc, col("t"))))
-      .orderBy(col("c").desc, col("t")).limit(100)
     val pts = ranked.agg(
       transform(array_sort(collect_list(struct(col("r"), col("c")))),
         st => log(st("r").cast("double"))).as("xs"),

@@ -13,13 +13,20 @@ import graft.core.{Q, Tables}
   * thermometer).
   *
   * Per audited key: distinct key count, total rows, max group size,
-  * exact p99 group size (rank over the AGGREGATED per-key frame — tiny),
-  * and skew_ratio_ppm = max/avg in parts-per-million by pure integer
-  * arithmetic (max * n_keys * 1e6 // rows), so the whole row is
-  * BIGINT-exact. Scale shape: one map-side-combined count per key
-  * column; the distribution math runs on the per-key frames, never the
-  * fact rows.
-  */
+  * exact p99 group size, and skew_ratio_ppm = max/avg in
+  * parts-per-million by pure integer arithmetic
+  * (max * n_keys * 1e6 // rows), so the whole row is BIGINT-exact.
+  *
+  * Scale shape (round-10 rewrite): the per-key count frame is
+  * entity-sized (users/orders/customers — it GROWS at 100 TB), so the
+  * p99 never ranks it directly; the frame compresses to the COUNT
+  * HISTOGRAM (c -> how many keys have count c, bounded by the max
+  * group size — a data attribute), and the rank thresholds evaluate on
+  * its cumulative sums. Provably identical to the oracle's
+  * row_number() form: ranks of the (c, k)-ordered rows depend only on
+  * c (the k tiebreak never crosses a c boundary), a c-group spans
+  * ranks (cum-kc, cum], and the p99_below / p99_cnt CASEs reduce to
+  * boundary tests on those spans. */
 object SkewAudit {
 
   private case class KeyAudit(table: String, column: String)
@@ -51,18 +58,24 @@ object SkewAudit {
     import org.apache.spark.sql.expressions.Window
     val per = Tables.load(s, d, k.table)
       .groupBy(col(k.column).as("k")).agg(count(lit(1)).as("c"))
-    val ranked = per
-      .withColumn("rnk", row_number().over(Window.orderBy("c", "k")))
-      .withColumn("n_k", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-    ranked.agg(
-        count(lit(1)).as("n_keys"),
-        sum(col("c")).cast("long").as("n_rows"),
-        max(col("c")).cast("long").as("max_cnt"),
-        max(when(col("rnk") * 100 >= col("n_k") * 99, lit(null))
-          .otherwise(col("c"))).cast("long").as("p99_below"),
-        min(when(col("rnk") * 100 >= col("n_k") * 99, col("c")))
+    // count histogram: bounded by the max group size, never entity count
+    val hist = per.groupBy("c").agg(count(lit(1)).as("kc"))
+    val cum = hist.withColumn("cum",
+      sum(col("kc")).over(Window.orderBy("c")))
+    val tot = hist.agg(sum(col("kc")).cast("long").as("n_keys"),
+      sum(col("c") * col("kc")).cast("long").as("n_rows"),
+      max(col("c")).cast("long").as("max_cnt"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n_keys")).as("n_keys"),
+        max(col("n_rows")).as("n_rows"),
+        max(col("max_cnt")).as("max_cnt"),
+        // a c-group spans ranks (cum-kc, cum]; it holds a sub-p99 row
+        // iff its first rank is below the threshold, and reaches the
+        // p99 rank iff its last rank does
+        max(when((col("cum") - col("kc") + 1) * 100 < col("n_keys") * 99,
+          col("c"))).cast("long").as("p99_below"),
+        min(when(col("cum") * 100 >= col("n_keys") * 99, col("c")))
           .cast("long").as("p99_cnt"))
       .select(lit(s"${k.table}.${k.column}").as("key_name"),
         col("n_keys"), col("n_rows"), col("max_cnt"), col("p99_below"),
