@@ -457,8 +457,84 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining", ACL 2019 — absolute-margin variant): for
+    * each non-English probe document, the best English document by
+    * embedding cosine, scored by the margin over the runner-up
+    * (cos1 - cos2) — the standard signal for mining translation pairs
+    * from comparable corpora; high margin = the match is uniquely good,
+    * not just the nearest of a dense blob.
+    *
+    * Scale shape (the [[topkBrute]] discipline): probes are the bounded
+    * broadcast side, the English corpus STREAMS — no per-probe window
+    * ever sees corpus-sized rows and nothing collects: best and
+    * runner-up come from two map-side-combined max-of-struct aggregates
+    * ((cos, -en_id) lexicographic max = the (cos DESC, en_id) window's
+    * rank-1 row; excluding it and re-maxing = rank 2). The production
+    * path swaps the brute scorer for the [[annLsh]] candidate
+    * generator and computes the margin over the candidate set. */
+  val bitextMine: Q = Q(
+    "ext_bitext_mine",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dl AS (SELECT doc_id, lang FROM documents),
+       |src AS (
+       |  SELECT vec_id AS src_id, lang AS src_lang, e AS pe
+       |  FROM v JOIN dl ON dl.doc_id = v.vec_id
+       |  WHERE lang <> 'en' AND vec_id < 100),
+       |en AS (
+       |  SELECT vec_id AS en_id, e
+       |  FROM v JOIN dl ON dl.doc_id = v.vec_id WHERE lang = 'en'),
+       |scored AS (
+       |  SELECT src_id, src_lang, en_id,
+       |    ROUND(${dotSql("pe", "e")} / (${normSql("pe")} * ${normSql("e")}),
+       |      6) AS cos
+       |  FROM src CROSS JOIN en),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY src_id
+       |    ORDER BY cos DESC, en_id) AS rn FROM scored),
+       |b1 AS (SELECT src_id, src_lang, en_id, cos FROM ranked WHERE rn = 1),
+       |b2 AS (SELECT src_id, cos AS cos2 FROM ranked WHERE rn = 2)
+       |SELECT b1.src_id, b1.src_lang, b1.en_id, b1.cos AS cos_best,
+       |  ROUND(b1.cos - b2.cos2, 6) AS margin
+       |FROM b1 JOIN b2 ON b2.src_id = b1.src_id
+       |ORDER BY margin DESC, b1.src_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val dl = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val v = vecs(s, d)
+    val src = v.join(dl, col("vec_id") === col("doc_id"))
+      .filter(col("lang") =!= "en" && col("vec_id") < 100)
+      .select(col("vec_id").as("src_id"), col("lang").as("src_lang"),
+        col("e").as("pe"), col("nrm").as("pn"))
+    val en = v.join(dl, col("vec_id") === col("doc_id"))
+      .filter(col("lang") === "en")
+      .select(col("vec_id").as("en_id"), col("e"), col("nrm"))
+    val scored = broadcast(src).join(en)
+      .select(col("src_id"), col("src_lang"), col("en_id"),
+        round(vec_dot(s, col("pe"), col("e")) / (col("pn") * col("nrm")), 6)
+          .as("cos"))
+      .eagerCheckpoint() // read twice: best pass + runner-up pass
+    val best = scored.groupBy("src_id", "src_lang")
+      .agg(max(struct(col("cos").as("c"), (-col("en_id")).as("ni")))
+        .as("b"))
+      .select(col("src_id"), col("src_lang"),
+        col("b.c").as("cos_best"), (-col("b.ni")).as("en_id"))
+    val second = scored
+      .join(broadcast(best.select(col("src_id"),
+        col("cos_best").as("bc"), col("en_id").as("bi"))), Seq("src_id"))
+      .filter(!(col("cos") === col("bc") && col("en_id") === col("bi")))
+      .groupBy("src_id")
+      .agg(max(struct(col("cos").as("c"), (-col("en_id")).as("ni")))
+        .as("b2"))
+      .select(col("src_id"), col("b2.c").as("cos2"))
+    best.join(second, Seq("src_id"))
+      .select(col("src_id"), col("src_lang"), col("en_id"),
+        col("cos_best"), round(col("cos_best") - col("cos2"), 6)
+          .as("margin"))
+      .orderBy(col("margin").desc, col("src_id")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(topkBrute, nearDupPairs, annLsh, embedOutliers,
-    prefixRerank, evalRecall)
+    prefixRerank, evalRecall, bitextMine)
 }
 
 /** Fixed random-hyperplane family shared by [[Similarity.annLsh]] and
