@@ -93,6 +93,31 @@ class GraphSpec extends SparkSuite {
     assert(nEx <= 2, s"expected <=2 node-sized exchanges per round:\n$plan")
   }
 
+  test("pagerank SHIPPED unrolled plan: ten rounds, zero edge-sized " +
+    "exchanges — only node-sized aggregate exchanges") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = graft.ext.Graph.pagerank.fn(spark, sf)
+      .queryExecution.sparkPlan
+    def plainChainScan(p: SparkPlan): Option[RDDScanExec] = p match {
+      case r: RDDScanExec => Some(r)
+      case pr: ProjectExec => plainChainScan(pr.child)
+      case f: FilterExec => plainChainScan(f.child)
+      case _ => None
+    }
+    val offenders = plan.collect {
+      case e: ShuffleExchangeExec => plainChainScan(e.child)
+      case so: SortExec => plainChainScan(so.child)
+    }.flatten.filter(_.output.exists(_.name == "dg"))
+    assert(offenders.isEmpty,
+      s"edge table re-shuffled/re-sorted inside the shipped loop:\n$plan")
+    val nEx = plan.collect { case e: ShuffleExchangeExec => e }.size
+    // 10 aggregate exchanges + the final top-20 ordering; nothing per
+    // round beyond the node-sized aggregate
+    assert(nEx <= 12, s"expected <=12 exchanges across the loop, got " +
+      s"$nEx:\n$plan")
+  }
+
   test("pagerank top-20 equals a scalar fixed-point simulation, ranks " +
     "are positive and descending") {
     val sym = localEdges.toSeq.flatMap { case (a, b) =>
