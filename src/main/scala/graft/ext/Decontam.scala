@@ -75,5 +75,57 @@ object Decontam {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(decontam)
+  /** Split-leakage audit — the OTHER half of train/test hygiene:
+    * [[decontam]] guards against an EXTERNAL eval set; this guards the
+    * pipeline's OWN held-out split against near-duplicate leakage. The
+    * verified minhash near-dup pairs ([[Dedup.minhashPairs]], jaccard
+    * >= 0.6 — the exact pair set of `ext_dedup_minhash`) are joined to
+    * the deterministic split assignment of `ext_split_assign`
+    * (md5-prefix bounds) and rolled up per (split_a, split_b): any row
+    * with split_a != split_b is a leak — a test/val document whose
+    * near-duplicate sits in train, silently inflating eval scores. The
+    * census shape (counts + max jaccard per class) is the dashboard
+    * row; the leaking pair LIST is the same join without the rollup.
+    *
+    * Scale shape: inherits the dedup family's skew-bounded candidate
+    * pipeline wholesale (capped LSH buckets, rep-collapsed exact
+    * clusters); the split label is a row-local md5 projection and the
+    * rollup keys on a 3x3 class space — the audit adds ONE broadcast-
+    * scale join and a tiny aggregate on top of pairs the pipeline
+    * already computes. */
+  val splitLeakage: Q = Q(
+    "ext_split_leakage",
+    s"""WITH pairs AS (
+       |${Dedup.minhashPairsSqlBody}),
+       |sp AS (SELECT doc_id,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '028f'
+       |         THEN 'test'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '051e'
+       |         THEN 'val'
+       |       ELSE 'train' END AS split FROM documents)
+       |SELECT sa.split AS split_a, sb.split AS split_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  MAX(p.jaccard) AS max_jaccard
+       |FROM pairs p
+       |JOIN sp sa ON sa.doc_id = p.doc_a
+       |JOIN sp sb ON sb.doc_id = p.doc_b
+       |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+  ) { (s, d) =>
+    val sp = Tables.documents(s, d).select(col("doc_id"),
+      when(substring(graft.functions.FastMd5.fast_md5(s,
+        col("doc_id").cast("string")), 1, 4) < "028f", "test")
+        .when(substring(graft.functions.FastMd5.fast_md5(s,
+          col("doc_id").cast("string")), 1, 4) < "051e", "val")
+        .otherwise("train").as("split"))
+    Dedup.minhashPairs(s, d)
+      .join(sp.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val all: Seq[Q] = Seq(decontam, splitLeakage)
 }
