@@ -426,9 +426,10 @@ object Multimodal {
     * frame with the header dims, byte offset, and frame byte sum. Fan-out
     * of one media row into N frame rows without skew (frames of one item
     * stay in one partition). */
-  val frameSample: Q = Q(
-    "ext_mm_frame_sample",
-    s"""WITH $OracleTextBytes,
+  /** y4m frame CTE chain shared by [[frameSample]] and [[sceneCuts]]:
+    * replays the generator spec down to per-frame byte sums. */
+  private def y4mFramesSql: String =
+    s"""$OracleTextBytes,
        |dims AS (SELECT doc_id, n, bl,
        |    (2 + n % 6)::INT AS width,
        |    (2 + tsum % 4)::INT AS height,
@@ -438,14 +439,21 @@ object Multimodal {
        |           ' F25:1 Ip A1:1 C444') + 1 AS hlen,
        |    3 * width * height AS fsz FROM dims),
        |frames AS (SELECT doc_id, n, bl, width, height, hlen, fsz,
-       |    unnest(generate_series(0, nf - 1)) AS frame_idx FROM hdr)
-       |SELECT doc_id, frame_idx::BIGINT AS frame_idx, width, height,
-       |  (hlen + frame_idx * (6 + fsz) + 6)::BIGINT AS frame_off,
+       |    unnest(generate_series(0, nf - 1)) AS frame_idx FROM hdr),
+       |fsum AS (SELECT doc_id, frame_idx, width, height, hlen, fsz,
        |  COALESCE(list_sum(list_transform(range(0, fsz),
        |    i -> CASE WHEN n = 0 THEN 0
        |         ELSE bl[((frame_idx * fsz + i) % n) + 1] END)), 0)::BIGINT
        |    AS frame_sum
-       |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
+       |  FROM frames)""".stripMargin
+
+  val frameSample: Q = Q(
+    "ext_mm_frame_sample",
+    s"""WITH $y4mFramesSql
+       |SELECT doc_id, frame_idx::BIGINT AS frame_idx, width, height,
+       |  (hlen + frame_idx * (6 + fsz) + 6)::BIGINT AS frame_off,
+       |  frame_sum
+       |FROM fsum ORDER BY doc_id, frame_idx""".stripMargin
   ) { (s, d) =>
     ensurePrepared(s, d)
     implicit val enc = Encoders.product[FrameRow]
@@ -453,6 +461,49 @@ object Multimodal {
       rows.flatMap(r => decodeY4m(r.getLong(0), r.getAs[Array[Byte]](1)))
     }.toDF()
       .orderBy("doc_id", "frame_idx")
+  }.copy(setup = Some(ensurePrepared _))
+
+  /** Scene-cut detection over the parsed video frames — the shot-
+    * boundary step of a video curation pipeline (threshold detector on
+    * consecutive-frame difference; real pipelines difference decoded
+    * luma histograms, this stages the same plumbing over the container-
+    * parsed frame sums). A cut fires when the absolute frame-sum jump
+    * exceeds 3 x frame-size (mean per-pixel jump > 3 byte units) —
+    * integer-exact in both engines. Per video: frame count, cut count,
+    * and the largest jump.
+    *
+    * Scale shape: frames of one video stay in one partition (the
+    * [[frameSample]] fan-out); the lag window partitions BY VIDEO
+    * (bounded by frames-per-video, never corpus-sized) and the rollup
+    * keys on doc_id. */
+  val sceneCuts: Q = Q(
+    "ext_mm_scene_cuts",
+    s"""WITH $y4mFramesSql,
+       |difs AS (SELECT doc_id, fsz, frame_sum,
+       |    frame_sum - lag(frame_sum) OVER (PARTITION BY doc_id
+       |      ORDER BY frame_idx) AS dlt
+       |  FROM fsum)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(COUNT(*) FILTER (WHERE abs(dlt) > 3 * fsz) AS BIGINT)
+       |    AS n_cuts,
+       |  CAST(COALESCE(MAX(abs(dlt)), 0) AS BIGINT) AS max_jump
+       |FROM difs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    ensurePrepared(s, d)
+    import org.apache.spark.sql.expressions.Window
+    implicit val enc = Encoders.product[FrameRow]
+    val frames = s.table("graft_video").mapPartitions { rows =>
+      rows.flatMap(r => decodeY4m(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }.toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("dlt", col("frame_sum") - lag(col("frame_sum"), 1).over(w))
+      .withColumn("fsz", lit(3) * col("width") * col("height"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(abs(col("dlt")) > col("fsz") * 3, 1)).as("n_cuts"),
+        coalesce(max(abs(col("dlt"))), lit(0L)).cast("long").as("max_jump"))
+      .orderBy("doc_id")
   }.copy(setup = Some(ensurePrepared _))
 
   /** Audio decode / feature-extract: staged RIFF/WAVE blobs in, typed
@@ -562,5 +613,5 @@ object Multimodal {
   }.copy(setup = Some(ensurePrepared _))
 
   val all: Seq[Q] = Seq(binaryMeta, decodeFeatures, frameSample,
-    audioFeatures, channelStats)
+    sceneCuts, audioFeatures, channelStats)
 }

@@ -607,6 +607,28 @@ class ExtSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.decodeY4m(3L, bad))
   }
 
+  test("scene cuts equal a local replay over the parsed frames, and " +
+    "the census conserves frames") {
+    val frames = Multimodal.frameSample.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(5)))
+    val expected = frames.groupBy(_._1).map { case (doc, fs) =>
+      val sorted = fs.sortBy(_._2)
+      val fsz = 3L * sorted.head._3 * sorted.head._4
+      val jumps = sorted.map(_._5).sliding(2).collect {
+        case Array(a, b) => math.abs(b - a) }.toSeq
+      (doc, sorted.length.toLong,
+        jumps.count(_ > 3 * fsz).toLong,
+        if (jumps.isEmpty) 0L else jumps.max)
+    }.toSeq.sortBy(_._1)
+    val got = Multimodal.sceneCuts.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected, s"first diff: ${
+      got.zip(expected).find { case (a, b) => a != b }}")
+    assert(got.map(_._2).sum == frames.length.toLong)
+  }
+
   test("frame sampling parses the staged y4m containers: 1..8 frames " +
     "per doc, per-frame sums match the cycled pixel stream") {
     val rows = Multimodal.frameSample.fn(spark, sf).collect()
