@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
+import graft.core.Eager.EagerCheckpoint
 
 /** [EXT] clickstream path mining: the top event-type TRIGRAM paths across
   * all users — the "what do users actually do, three steps at a time"
@@ -101,9 +102,12 @@ object ClickPaths {
       .join(fv, Seq("user_id"))
       .filter(col("ts") >= col("first_view"))
       .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+    // converting-user-sized; BOTH bucket-rank passes read it, so derive
+    // the two keyed aggregates + join once
     val lat = fv.join(fp, Seq("user_id"))
       .select(expr("cast((unix_micros(first_purchase) - " +
         "unix_micros(first_view)) div 1000000 as bigint)").as("lat_s"))
+      .eagerCheckpoint()
     val dist = BucketRank.lowerPercentiles(lat, "lat_s",
       v => floor(v / 3600L), // hour buckets; lat_s >= 0 by construction
       Seq("p50_s" -> "(n + 1) div 2", "p90_s" -> "(n * 9 + 9) div 10"))
