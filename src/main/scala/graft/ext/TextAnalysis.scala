@@ -188,6 +188,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID CONFUSION MATRIX — the estimator-quality row for
+    * [[langId]] (the `ext_eval_ann_recall` discipline applied to a
+    * classifier): predictions joined to the fixture's ground-truth
+    * `lang` column, rolled up per (true, predicted) class. The fixture
+    * contains `zh` documents the stopword heuristic has no class for —
+    * those rows land off-diagonal by construction, which is exactly the
+    * honesty this row exists to keep visible (a production pipeline
+    * gates classifier upgrades on this matrix).
+    *
+    * Scale shape: per-doc scoring is row-local ([[langId]]); the join
+    * key is doc_id (narrow, high-cardinality) and the rollup keys on a
+    * (langs+1)^2 class space — one corpus scan, one tiny aggregate. */
+  val langIdConfusion: Q = Q(
+    "ext_langid_confusion",
+    s"""WITH preds AS (
+       |${langId.oracle.get})
+       |SELECT d.lang AS lang_true, p.lang_pred,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM preds p JOIN documents d ON d.doc_id = p.doc_id
+       |GROUP BY 1, 2 ORDER BY lang_true, lang_pred""".stripMargin
+  ) { (s, d) =>
+    langId.fn(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_true", "lang_pred")
+  }
+
   /** Fingerprints: (a) md5 of the whitespace-normalized text, (b) md5 of
     * the sorted token bag (order-insensitive), (c) the Karp-Rabin rolling
     * hash — a native codegen Expression ([[graft.functions.RollingHash]]),
@@ -628,6 +657,6 @@ object TextAnalysis {
   }
 
   val all: Seq[Q] =
-    Seq(tokens, quality, langId, fingerprint, repetition, lineDedup, bm25,
-      unigramNll, hybridRetrieval, subwordTokenize)
+    Seq(tokens, quality, langId, langIdConfusion, fingerprint, repetition,
+      lineDedup, bm25, unigramNll, hybridRetrieval, subwordTokenize)
 }

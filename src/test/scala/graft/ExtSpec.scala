@@ -430,6 +430,26 @@ class ExtSpec extends SparkSuite {
     assert(out(1L) == "en" && out(2L) == "und")
   }
 
+  test("langid confusion matrix: conserves the corpus, rolls up the " +
+    "predictions exactly, and keeps the zh blind spot visible") {
+    val preds = TextAnalysis.langId.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    val truth = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = truth.toSeq
+      .map { case (id, t) => (t, preds(id)) }
+      .groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.size.toLong) }
+      .toSeq.sortBy { case (t, p, _) => (t, p) }
+    val got = TextAnalysis.langIdConfusion.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == truth.size.toLong, "census must conserve")
+    // the heuristic has no zh class: every zh row must sit off-diagonal
+    assert(got.filter(_._1 == "zh").forall(_._2 != "zh"))
+    assert(got.exists(_._1 == "zh"), "fixture zh docs must appear")
+  }
+
   test("repetition signals: hand-computed fractions on a crafted doc, " +
     "and n_tokens agrees with the token counter on the fixture") {
     // "a a a b": top token a=3/4; 2-grams [a a, a a, a b]: top 2/3, dup 2/3
