@@ -365,5 +365,45 @@ object IvfSearch {
       .orderBy("probe_id")
   }
 
-  val all: Seq[Q] = Seq(ivf, semDedup, evalRecall)
+  /** IVF index-health audit — the cell-occupancy histogram a vector-DB
+    * operator reads before tuning K/NProbe: one row per used cell with
+    * its member count and corpus share in ppm (exact integer division).
+    * Occupancy skew is THE operational failure mode of an IVF index (a
+    * hot cell makes every probe of it scan a disproportionate slice and
+    * starves recall in the cold cells); this is the [[SkewAudit]]
+    * thermometer applied to the index structure itself. Scale shape:
+    * the assignment is the ingest artifact ([[assigned]] — broadcast
+    * centroids, the shuffle carries (vec_id, cell) only); the audit is
+    * one map-side-combined count over it plus a broadcast 1-row total. */
+  val ivfStats: Q = Q(
+    "ext_sim_ivf_stats",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < $K),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${Similarity.dotSql("v.e", "c.ce")}
+       |          / (${Similarity.normSql("v.e")} * ${Similarity.normSql("c.ce")})
+       |          DESC, c.cent_id) AS arank
+       |    FROM v CROSS JOIN cents c) s
+       |  WHERE arank = 1),
+       |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM assigned GROUP BY cell),
+       |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n FROM occ)
+       |SELECT cell, n_vectors,
+       |  CAST(n_vectors * 1000000 // n AS BIGINT) AS share_ppm
+       |FROM occ CROSS JOIN tot ORDER BY cell""".stripMargin
+  ) { (s, d) =>
+    val v = Similarity.vecs(s, d).eagerCheckpoint()
+    val occ = assigned(s, v, cents(v))
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val tot = occ.agg(sum(col("n_vectors")).cast("long").as("n"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        expr("cast(n_vectors * 1000000 div n as bigint)").as("share_ppm"))
+      .orderBy("cell")
+  }
+
+  val all: Seq[Q] = Seq(ivf, semDedup, evalRecall, ivfStats)
 }

@@ -8,6 +8,35 @@ import org.apache.spark.sql.functions._
   */
 class BitextSpec extends SparkSuite {
 
+  test("ivf occupancy audit equals a local argmax-assignment census " +
+    "and conserves the corpus") {
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var dab = 0.0; var da = 0.0; var db = 0.0
+      (0 until 64).foreach { i =>
+        dab += a(i) * b(i); da += a(i) * a(i); db += b(i) * b(i)
+      }
+      dab / (math.sqrt(da) * math.sqrt(db))
+    }
+    val cents = vecs.filter(_._1 < 32)
+    val localOcc = vecs.map { case (_, e) =>
+      cents.map { case (cid, ce) => (cid, cos(e, ce)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+    }.groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val got = graft.ext.IvfSearch.ivfStats.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => r._1 -> r._2).toMap == localOcc)
+    assert(got.map(_._2).sum == vecs.length.toLong, "census conserves")
+    got.foreach { case (cell, n, ppm) =>
+      assert(cell >= 0 && cell < 32 && n > 0)
+      assert(ppm == n * 1000000L / vecs.length)
+    }
+  }
+
   test("mined pairs equal a local best/runner-up cosine replay") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select("doc_id", "lang").collect()
