@@ -595,7 +595,70 @@ object Warehouse {
       .orderBy(col("hhi_ppm").desc, col("l_partkey")).limit(10)
   }
 
+  /** Order-to-ship latency distribution per order priority — the
+    * fulfillment-SLA dashboard row (did URGENT actually ship faster?):
+    * exact lower-percentile p50/p90, max, and integer mean of
+    * `l_shipdate - o_orderdate` in days, per priority class.
+    *
+    * Scale shape: lineitem |><| orders on orderkey is the ONE fact
+    * shuffle (the co-bucketable star join); the distribution then runs
+    * on the per-(priority, gap-day) HISTOGRAM — bounded by priorities x
+    * the calendar span, never by fact rows — with cumulative windows
+    * partitioned per priority over day-domain frames (the
+    * `ext_value_quantiles` grouped bucket-rank discipline, identity
+    * buckets). gap >= 0 by construction, so the integer mean's `div`
+    * agrees across engines (truncation == floor on non-negatives). */
+  val shipDelay: Q = Q(
+    "ext_ship_delay",
+    """WITH g AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+      |      AS gap_d
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |h AS (SELECT priority, gap_d, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM g GROUP BY 1, 2),
+      |cum AS (SELECT priority, gap_d, c,
+      |    SUM(c) OVER (PARTITION BY priority ORDER BY gap_d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM h),
+      |tot AS (SELECT priority, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(gap_d * c) AS BIGINT) AS tot,
+      |    CAST(MAX(gap_d) AS BIGINT) AS max_d
+      |  FROM h GROUP BY 1)
+      |SELECT t.priority AS priority, t.n AS n_items,
+      |  MIN(CASE WHEN cum >= (t.n + 1) // 2 THEN gap_d END) AS p50_d,
+      |  MIN(CASE WHEN cum >= (t.n * 9 + 9) // 10 THEN gap_d END) AS p90_d,
+      |  t.max_d, CAST(t.tot // t.n AS BIGINT) AS mean_d
+      |FROM cum JOIN tot t USING (priority)
+      |GROUP BY t.priority, t.n, t.max_d, t.tot
+      |ORDER BY t.priority""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("gap_d"))
+    val h = g.groupBy("priority", "gap_d").agg(count(lit(1)).as("c"))
+    val cum = h.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy("priority").orderBy("gap_d")))
+    val tot = h.groupBy("priority")
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(col("gap_d") * col("c")).cast("long").as("tot"),
+        max(col("gap_d")).as("max_d"))
+    cum.join(broadcast(tot), Seq("priority"))
+      .groupBy("priority")
+      .agg(max(col("n")).as("n_items"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("gap_d")))
+          .as("p50_d"),
+        min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("gap_d")))
+          .as("p90_d"),
+        max(col("max_d")).as("max_d"),
+        max(expr("cast(tot div n as bigint)")).as("mean_d"))
+      .orderBy("priority")
+  }
+
   def all: Seq[Q] =
     Seq(starDenorm, dateDim, dqAudit, unpivot, paretoShare, rfm, cohortLtv,
-      backlogCurve, interarrival, supplierHhi)
+      backlogCurve, interarrival, supplierHhi, shipDelay)
 }

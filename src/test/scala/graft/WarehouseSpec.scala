@@ -169,6 +169,33 @@ class WarehouseSpec extends SparkSuite {
     assert(r.getLong(5) == gaps.sum / n)
   }
 
+  test("ship delay percentiles match a local join-and-sort replay " +
+    "per priority") {
+    val orders = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getTimestamp(2)))
+      .toMap
+    val gaps = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate").collect()
+      .map { r =>
+        val (pri, od) = orders(r.getLong(0))
+        (pri, (r.getTimestamp(1).getTime - od.getTime) / 86400000L)
+      }
+    val expected = gaps.groupBy(_._1).map { case (pri, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      (pri, n.toLong, sorted((n + 1) / 2 - 1), sorted((n * 9 + 9) / 10 - 1),
+        sorted.last, sorted.sum / n)
+    }.toSeq.sortBy(_._1)
+    val got = graft.ext.Warehouse.shipDelay.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"spark $got vs local $expected")
+    got.foreach { case (_, n, p50, p90, mx, mean) =>
+      assert(n > 0 && p50 <= p90 && p90 <= mx && mean >= 0)
+    }
+  }
+
   test("supplier hhi: bounds 1/n <= hhi <= 1, and a local recomputation " +
     "agrees for every returned part") {
     val rows = graft.ext.Warehouse.supplierHhi.fn(spark, sf).collect()
