@@ -26,7 +26,7 @@ object EventsStream {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_hourly_" + UUID.randomUUID().toString.replace("-", "")
     // layout-robust source: single fixture file OR Spark-written dir
-    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    val stream = StreamReplay.source(spark, dir, batch.schema)
     val withTs =
       if (batch.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)
@@ -41,8 +41,10 @@ object EventsStream {
       .format("memory")
       .queryName(name)
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     spark.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
@@ -68,7 +70,7 @@ object EventsStream {
       graft.core.Sessions.withShufflePartitions(spark, 8) {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_sliding_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    val stream = StreamReplay.source(spark, dir, batch.schema)
     val withTs =
       if (batch.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)
@@ -83,8 +85,10 @@ object EventsStream {
       .format("memory")
       .queryName(name)
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     spark.table(name)
       .select(col("window.start").as("window_start"), col("n"))
       .orderBy("window_start")
@@ -111,7 +115,7 @@ object EventsStream {
       graft.core.Sessions.withShufflePartitions(spark, 4) {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_topk_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    val stream = StreamReplay.source(spark, dir, batch.schema)
     val ranked = stream
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"))
@@ -122,8 +126,10 @@ object EventsStream {
       .format("memory")
       .queryName(name)
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     // the sink already holds exactly the final top-5; re-sort for the
     // deterministic presentation order
     spark.table(name).orderBy(col("n").desc, col("user_id"))
@@ -154,7 +160,7 @@ object EventsStream {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_enrich_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    val stream = StreamReplay.source(spark, dir, batch.schema)
     val withTs =
       if (batch.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)
@@ -173,8 +179,10 @@ object EventsStream {
       .format("memory")
       .queryName(name)
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     spark.table(name)
       .select(col("window.start").as("day"), col("event_type"),
         col("n"), col("weighted_total"))

@@ -19,9 +19,10 @@ import graft.core.{Q, Tables}
   * A session closes when the event-time watermark passes its last event +
   * gap; closed sessions are emitted in Append mode. Sessions still open at
   * end-of-input are held in state (correct streaming semantics — they may
-  * yet grow), so the gate records rows-only and the spec asserts the
-  * emitted set is exactly the batch sessions whose close precedes the
-  * final watermark.
+  * yet grow), so the oracle compares exactly the closed set: every
+  * non-final session per user plus final sessions whose timeout precedes
+  * the final watermark. The fixture replays in [[StreamReplay.Batches]]
+  * time-ordered micro-batches, so mid-stream timeouts really fire.
   */
 object StatefulSessions {
 
@@ -80,13 +81,12 @@ object StatefulSessions {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "sessions_" + UUID.randomUUID().toString.replace("-", "")
-    // ONE input file -> ONE micro-batch (no maxFilesPerTrigger limit), so
-    // no intermediate watermark can time out a session that a later batch
-    // would extend — the oracle's closed-session rule assumes exactly
-    // this. If the fixture ever splits into multiple files, the ingestion
-    // contract here must be revisited, hence the hard assert.
-    StreamContracts.requireSingleBatch(dir, "events.parquet")
-    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    // multi-batch replay (StreamReplay): a mid-stream timeout closes a
+    // session only when the watermark passes last+gap, and any event that
+    // could still have extended it (ts <= last+gap < watermark) sorts
+    // before the watermark frontier, so it already arrived — sessions
+    // closed across real batch boundaries equal the batch oracle's set
+    val stream = StreamReplay.source(spark, dir, batch.schema)
     val withTs =
       if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -105,8 +105,10 @@ object StatefulSessions {
         GroupStateTimeout.EventTimeTimeout)(step)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     spark.table(name)
       .select(col("user_id"), col("n_events"),
         timestamp_micros(col("t_start_us")).as("t_start"),

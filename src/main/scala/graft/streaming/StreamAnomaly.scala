@@ -26,8 +26,12 @@ import graft.core.Q
   * timeout needed. In-group events fold in (ts, event_id) order and
   * the z chain is a fixed sequence of IEEE ops mirrored verbatim in
   * the oracle's exclusive-prefix window SQL, so the per-type anomaly
-  * census hash-matches the batch oracle exactly. Single-batch gate
-  * contract as the other stateful rows ([[StreamContracts]]).
+  * census hash-matches the batch oracle exactly. The fixture replays in
+  * [[StreamReplay.Batches]] time-ordered micro-batches; prefix-moment
+  * state is slicing-invariant (the fold order is the same total order
+  * regardless of where batch boundaries fall), and the sink SUMS the
+  * per-batch census deltas, so the multi-batch replay proves the
+  * invariance instead of assuming it.
   */
 object StreamAnomaly {
 
@@ -67,8 +71,7 @@ object StreamAnomaly {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "zan_" + UUID.randomUUID().toString.replace("-", "")
-    StreamContracts.requireSingleBatch(dir, "events.parquet")
-    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    val stream = StreamReplay.source(spark, dir, batch.schema)
     val withTs =
       if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -86,8 +89,10 @@ object StreamAnomaly {
         GroupStateTimeout.NoTimeout)(step)
     val q = census.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     spark.table(name)
       .groupBy("event_type")
       .agg(sum(col("n_events")).as("n_events"),

@@ -17,37 +17,50 @@ import graft.core.Q
   * `dropDuplicates` would grow state forever).
   *
   * The fixture has no arrival time, so one is derived deterministically
-  * from doc_id (fixture docs are a single replay batch; the watermark
-  * semantics are exercised, the horizon never truncates — same single-
-  * batch contract as [[StatefulSessions]], asserted there). The emitted
-  * row per fingerprint is the FIRST arrival, which is racy under parallel
-  * replay — so the gate projects the fingerprint set only, which is
-  * deterministic regardless of which copy won. */
+  * from doc_id (one doc per second). The fixture replays in
+  * [[StreamReplay.Batches]] doc_id-ordered micro-batches, so fingerprint
+  * state really is admitted in one batch and matched against in later
+  * ones, with the watermark advancing (and evicting) between batches.
+  * `dropDuplicatesWithinWatermark` only guarantees dedup of copies
+  * arriving within the watermark DELAY of each other — that is the
+  * production contract (size the horizon to the duplicate-arrival SLA) —
+  * so the gate sizes the delay to the fixture's measured max
+  * same-fingerprint arrival span (one tiny batch aggregate, the analogue
+  * of knowing your ingest SLA): every duplicate pair is inside the
+  * horizon, and the emitted set equals the batch DISTINCT oracle. The
+  * emitted row per fingerprint is the FIRST arrival, which is racy under
+  * parallel replay — so the gate projects the fingerprint set only,
+  * which is deterministic regardless of which copy won. */
 object StreamDedup {
 
   def distinctFingerprints(spark: SparkSession, dir: String): DataFrame =
       graft.core.Sessions.withShufflePartitions(spark, 8) {
     val batch = spark.read.parquet(s"$dir/documents.parquet")
-    // the 10-minute watermark horizon covers far less than the synthetic
-    // 1-doc/second arrival span, so dedup across the whole corpus is only
-    // guaranteed when everything lands in one micro-batch — assert it
-    // (same contract as StatefulSessions)
-    StreamContracts.requireSingleBatch(dir, "documents.parquet")
+    // horizon = the fixture's max duplicate-arrival span (seconds, since
+    // arrival is 1 doc/s) + slack — the dedup window the op guarantees
+    val maxSpanSec = batch
+      .groupBy(md5(col("text")))
+      .agg((max(col("doc_id")) - min(col("doc_id"))).as("span"))
+      .agg(max(col("span")))
+      .head().getLong(0)
     val name = "stream_dedup_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = StreamSource.table(spark, dir, "documents", batch.schema)
+    val stream = StreamReplay.sourceFor(spark, dir, "documents",
+      Seq("doc_id"), batch.schema)
     val keyed = stream
       .select(md5(col("text")).as("fp"),
         // deterministic synthetic arrival time: one doc per second
         timestamp_seconds(lit(1704067200L) + col("doc_id")).as("arrival_ts"))
-      .withWatermark("arrival_ts", "10 minutes")
+      .withWatermark("arrival_ts", s"${maxSpanSec + 60} seconds")
       .dropDuplicatesWithinWatermark("fp")
     val q = keyed.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(name)
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     spark.table(name).select(col("fp")).orderBy("fp")
   }
 

@@ -55,7 +55,9 @@ object StreamIngest {
       query: String): Long = {
     val before = cat.read("events_ingest").count() // 0 if not created yet
     val batch = spark.read.parquet(s"$dir/events.parquet")
-    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    // multi-batch replay: the (query, batchId) ledger is exercised with
+    // THREE distinct batch ids per run, so a replayed run must skip each
+    val stream = StreamReplay.source(spark, dir, batch.schema)
     val withTs =
       if (batch.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)
@@ -66,8 +68,10 @@ object StreamIngest {
         commitBatch(cat, "events_ingest", query, id, df): Unit
       }
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     cat.read("events_ingest").count() - before
   }
 }

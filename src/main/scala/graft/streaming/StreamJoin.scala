@@ -23,15 +23,15 @@ object StreamJoin {
 
   def purchaseClicks(spark: SparkSession, dir: String): DataFrame =
       graft.core.Sessions.withShufflePartitions(spark, 4) {
-    // the batch oracle describes the stream only if no watermark advance
-    // can evict a click before its purchase arrives — guaranteed when the
-    // fixture lands as one micro-batch (same contract as the other
-    // streaming oracles; see StreamContracts)
-    StreamContracts.requireSingleBatch(dir, "events.parquet")
+    // multi-batch replay (StreamReplay): the time-ordered split keeps the
+    // batch oracle exact because a click is only evicted once the
+    // purchase-side watermark passes c_ts + 1 h, and every later-batch
+    // purchase sorts at-or-after that watermark frontier — so join state
+    // is genuinely filled, matched, and evicted ACROSS micro-batches
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_join_" + UUID.randomUUID().toString.replace("-", "")
     def side(typ: String, idAs: String, tsAs: String) = {
-      val stream = StreamSource.table(spark, dir, "events", batch.schema)
+      val stream = StreamReplay.source(spark, dir, batch.schema)
       val withTs =
         if (batch.schema("ts").dataType ==
             org.apache.spark.sql.types.LongType)
@@ -53,8 +53,10 @@ object StreamJoin {
       .format("memory")
       .queryName(name)
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     spark.table(name)
       .select(col("purchase_id_user").as("user_id"), col("purchase_id"),
         col("click_id"))
@@ -67,8 +69,11 @@ object StreamJoin {
     * identically) when none do. The outer side is what makes this the
     * hard streaming shape: a "no match" is only knowable once the
     * WATERMARK has passed the purchase's whole click window, so the
-    * engine holds the purchase in state and emits the null row in the
-    * watermark-advance (no-data) micro-batch that follows the data.
+    * engine holds the purchase in state and emits the null row in a
+    * later watermark-advance micro-batch. Under the [[StreamReplay]]
+    * 3-batch replay those flushes happen between real data batches for
+    * early purchases and in the trailing no-data batch for the rest —
+    * the production shape, not the single-batch degenerate case.
     *
     * Horizon contract: a purchase younger than the watermark delay never
     * reaches that provably-unmatched point before the fixture stream
@@ -84,11 +89,10 @@ object StreamJoin {
     * closes, which the same watermark bounds. */
   def purchaseClicksLeft(spark: SparkSession, dir: String): DataFrame =
       graft.core.Sessions.withShufflePartitions(spark, 4) {
-    StreamContracts.requireSingleBatch(dir, "events.parquet")
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "stream_ljoin_" + UUID.randomUUID().toString.replace("-", "")
     def side(typ: String, idAs: String, tsAs: String) = {
-      val stream = StreamSource.table(spark, dir, "events", batch.schema)
+      val stream = StreamReplay.source(spark, dir, batch.schema)
       val withTs =
         if (batch.schema("ts").dataType ==
             org.apache.spark.sql.types.LongType)
@@ -111,8 +115,10 @@ object StreamJoin {
       .format("memory")
       .queryName(name)
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
     // closed horizon: compare only purchases the final watermark provably
     // passed (batch max ts is the harness stand-in for "now")
     val maxTsUs = batch

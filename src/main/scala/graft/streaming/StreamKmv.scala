@@ -22,13 +22,16 @@ import graft.core.Q
   * == Determinism / oracle ==
   *
   * The hash (md5 of "user_id|day", first 12 hex digits) and the
-  * (k-1)*2^48/h_k integer estimator are the batch op's exactly, so after
-  * the single-batch fixture replay the emitted rows equal the per-type
-  * rows of `ext_kmv_distinct` and the DuckDB oracle recomputes them from
-  * scratch. The group-key domain is the bounded event_type enum (5
+  * (k-1)*2^48/h_k integer estimator are the batch op's exactly, so the
+  * final per-type state equals the per-type rows of `ext_kmv_distinct`
+  * and the DuckDB oracle recomputes them from scratch. The fixture
+  * replays in [[StreamReplay.Batches]] time-ordered micro-batches —
+  * because the admit is commutative/idempotent the final state is
+  * batching-invariant, and the multi-batch gate PROVES it rather than
+  * assuming it. The group-key domain is the bounded event_type enum (5
   * values), so state never needs reaping (NoTimeout); each group emits
   * its current estimate once per micro-batch touching it — a live
-  * metric stream, keyed by event_type downstream.
+  * metric stream, keyed by event_type in the sink (latest n_seen wins).
   */
 object StreamKmv {
 
@@ -37,22 +40,26 @@ object StreamKmv {
   private val EstNum = (K - 1).toLong * HashRange
 
   case class HEv(event_type: String, h: Long)
-  case class KmvState(hashes: Seq[Long])
-  case class KmvRow(event_type: String, n_kept: Long, kth_hash: Long,
-      est_distinct: Long)
+  case class KmvState(hashes: Seq[Long], seen: Long)
+  case class KmvRow(event_type: String, n_seen: Long, n_kept: Long,
+      kth_hash: Long, est_distinct: Long)
 
   private def step(et: String, evs: Iterator[HEv],
       state: GroupState[KmvState]): Iterator[KmvRow] = {
-    val prev = state.getOption.map(_.hashes).getOrElse(Seq.empty)
+    val prev = state.getOption.getOrElse(KmvState(Seq.empty, 0L))
     // set-union + trim: commutative, idempotent, order-independent
-    val merged = (prev.iterator ++ evs.map(_.h))
+    var admitted = 0L
+    val merged = (prev.hashes.iterator ++ evs.map { e => admitted += 1; e.h })
       .foldLeft(scala.collection.immutable.TreeSet.empty[Long])(_ + _)
       .take(K).toSeq
-    state.update(KmvState(merged))
+    val seen = prev.seen + admitted
+    state.update(KmvState(merged, seen))
     val nKept = merged.size.toLong
     val kth = if (merged.size == K) merged.last else -1L
     val est = if (merged.size < K) nKept else EstNum / kth
-    Iterator.single(KmvRow(et, nKept, kth, est))
+    // n_seen (events admitted so far) strictly increases with every
+    // emission of a group, so a keyed sink can pick the latest estimate
+    Iterator.single(KmvRow(et, seen, nKept, kth, est))
   }
 
   def run(spark: SparkSession, dir: String): DataFrame =
@@ -60,8 +67,7 @@ object StreamKmv {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val name = "kmv_" + UUID.randomUUID().toString.replace("-", "")
-    StreamContracts.requireSingleBatch(dir, "events.parquet")
-    val stream = StreamSource.table(spark, dir, "events", batch.schema)
+    val stream = StreamReplay.source(spark, dir, batch.schema)
     val withTs =
       if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -81,11 +87,18 @@ object StreamKmv {
         GroupStateTimeout.NoTimeout)(step)
     val q = rows.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
+    // keyed sink: one live row per type, the latest (highest n_seen) wins
     spark.table(name)
-      .select(col("event_type"), col("n_kept"), col("kth_hash"),
-        col("est_distinct"))
+      .groupBy("event_type")
+      .agg(max_by(struct(col("n_kept"), col("kth_hash"),
+        col("est_distinct")), col("n_seen")).as("r"))
+      .select(col("event_type"), col("r.n_kept").as("n_kept"),
+        col("r.kth_hash").as("kth_hash"),
+        col("r.est_distinct").as("est_distinct"))
       .orderBy("event_type")
   }
 
