@@ -52,7 +52,9 @@ object BucketRank {
     *                 bucket IS the answer, so the second input pass is
     *                 skipped entirely — one scan total
     * @return one row: `n`, `tot` (sum), `max_v`, plus one BIGINT column
-    *         per requested rank holding the exact lower-percentile value
+    *         per requested rank holding the exact lower-percentile value.
+    *         EMPTY input raises (`raise_error`) instead of returning an
+    *         all-NULL row callers would silently propagate.
     */
   def lowerPercentiles(
       vals: DataFrame,
@@ -70,7 +72,15 @@ object BucketRank {
     val bc = bCounts
       .withColumn("cum", sum(col("c")).over(Window.orderBy("bkt")))
       .withColumn("off", col("cum") - col("c"))
-    val totals = bCounts.agg(sum(col("c")).cast("long").as("n"),
+    // empty-input guard: SUM/MAX over zero buckets yield one all-NULL row
+    // that callers would silently propagate through `tot div n`-style
+    // expressions (the retired sort_array form failed loudly via
+    // element_at) — keep the failure attributable instead
+    val nGuarded = when(sum(col("c")).isNotNull, sum(col("c")))
+      .otherwise(expr("cast(raise_error('BucketRank.lowerPercentiles: " +
+        "empty input — no rows to rank (a degenerate fixture upstream?)')" +
+        " as bigint)"))
+    val totals = bCounts.agg(nGuarded.cast("long").as("n"),
       sum(col("sv")).cast("long").as("tot"), max(col("mx")).as("max_v"))
 
     // one (rank-name, target-rank) row per requested percentile

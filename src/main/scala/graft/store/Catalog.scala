@@ -487,6 +487,53 @@ final class Catalog(val spark: SparkSession, val root: String) {
   final class Tx private[Catalog] (base: Manifest) {
     private[Catalog] var staged: Vector[Staged] = Vector.empty
 
+    /** Tables this transaction READ through [[read]] — validated at
+      * commit exactly like written tables (state equality), so a body
+      * that read dimension A and wrote fact B cannot commit against a
+      * concurrently-changed A (write skew). This is Delta's
+      * 'Serializable' level for cross-table read-write dependencies;
+      * without it OCC gives only WriteSerializable. */
+    private[Catalog] var readTables: Set[String] = Set.empty
+
+    /** Tables whose staged write DEPENDS on the whole live table (merge
+      * and SCD2 read every live file to split matched/new keys; check
+      * addition validates all existing rows) — these never file-level
+      * reconcile: any concurrent commit to the table conflicts. Ops
+      * whose read set is contained in the files they REMOVE (append:
+      * nothing; pinned update/delete and replaceWhere: exactly the hit
+      * files; compact: everything, but it also removes everything) are
+      * safely reconcilable. */
+    private[Catalog] var strictTables: Set[String] = Set.empty
+
+    /** Per-table id shift applied by a commit-time rebase (see
+      * [[Catalog!.transaction]]): ids returned DURING the body are
+      * provisional; `shiftOf` after commit yields the delta to the
+      * final ids. The single-statement conveniences apply it for their
+      * return values. */
+    private[Catalog] var idShifts: Map[String, Long] = Map.empty
+    private[Catalog] def shiftOf(table: String): Long =
+      idShifts.getOrElse(table, 0L)
+
+    /** Writer lease: a marker file under `_leases/` created before the
+      * FIRST byte this transaction stages, deleted when the transaction
+      * ends (commit or abort). [[Catalog.vacuum]] never reclaims files
+      * newer than the oldest active lease, so an in-flight writer's
+      * staged-but-unreferenced files are structurally vacuum-proof —
+      * including under `retainMillis = 0` and under bodies that outlive
+      * the default retention window. */
+    private[Catalog] var lease: Option[java.nio.file.Path] = None
+    private[Catalog] def ensureLease(): Unit = if (lease.isEmpty) {
+      val dir = rootPath.resolve(Catalog.LeaseDirName)
+      Files.createDirectories(dir)
+      val p = dir.resolve(java.util.UUID.randomUUID().toString + ".lease")
+      Files.write(p, Array.emptyByteArray)
+      lease = Some(p)
+    }
+    private[Catalog] def releaseLease(): Unit = {
+      lease.foreach(Files.deleteIfExists(_))
+      lease = None
+    }
+
     private def curState(table: String): TableState =
       staged.reverse.collectFirst { case Staged(`table`, st) => st }
         .orElse(base.get(table))
@@ -498,8 +545,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
         : (org.apache.spark.sql.types.StructType, String) =
       (schemaOf(Some(curState(table)), table), Schemas.registry(table)._2)
 
-    /** current in-tx view of a table (staged writes visible). */
+    /** current in-tx view of a table (staged writes visible). Reading
+      * registers the table in this transaction's read set: commit
+      * validates read tables exactly like written ones, so decisions
+      * the body based on this view cannot be invalidated by a
+      * concurrent commit (serializable, not just write-serializable). */
     def read(table: String): DataFrame = {
+      readTables += table
       val st = curState(table)
       readFiles(table, st.files, schemaOf(Some(st), table))
     }
@@ -523,6 +575,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * surrogate id is absent from a merge's source batch, so an
       * id-referencing check fails analysis there (loudly). */
     def addCheck(table: String, name: String, constraint: String): Unit = {
+      ensureLease(); strictTables += table
       val (schema, _) = schemaIdOf(table)
       val prev = curState(table)
       require(!prev.checks.contains(name),
@@ -558,6 +611,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
     def addColumn(table: String,
         field: org.apache.spark.sql.types.StructField): Unit = {
+      ensureLease(); strictTables += table
       require(field.nullable,
         s"added column '${field.name}' must be nullable: existing rows " +
           "have no value for it (NULL backfill)")
@@ -579,6 +633,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * column cannot be dropped (dense-id assignment and file pruning
       * key on it), and dropping an absent column fails loudly. */
     def dropColumn(table: String, name: String): Unit = {
+      ensureLease(); strictTables += table
       val prev = curState(table)
       val (schema, idCol) = schemaIdOf(table)
       require(!name.equalsIgnoreCase(idCol),
@@ -599,6 +654,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * NULL. */
     def append(table: String, rows: DataFrame,
         orderBy: Seq[String] = Nil): Long = {
+      ensureLease()
       val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       val baseId = prev.maxId
@@ -637,6 +693,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * until [[Catalog.vacuum]] — in-flight readers keep a consistent
       * snapshot. */
     def compact(table: String, numFiles: Int = 1): Unit = {
+      ensureLease()
       val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       if (prev.files.size <= math.max(1, numFiles)) return
@@ -652,6 +709,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * reference; only matching files are rewritten. */
     def update(table: String, predicate: Column,
         assignments: Map[String, Column]): Unit = {
+      ensureLease()
       val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       if (prev.files.isEmpty) return
@@ -678,6 +736,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * [[Catalog.changesBetween]] as 'delete' rows with no paired
       * insert. */
     def delete(table: String, predicate: Column): Long = {
+      ensureLease()
       val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       if (prev.files.isEmpty) return 0L
@@ -728,6 +787,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * of the tx. */
     def merge(table: String, source: DataFrame,
         keyCol: String): (Long, Long) = {
+      ensureLease(); strictTables += table
       val (schema, idCol) = schemaIdOf(table)
       require(keyCol != idCol,
         s"merge key must be a natural key, not the surrogate id $idCol")
@@ -817,6 +877,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     def scd2Merge(table: String, source: DataFrame, keyCol: String,
         tracked: Seq[String], at: java.sql.Timestamp): (Long, Long) = {
       import graft.core.Eager.EagerCheckpoint
+      ensureLease(); strictTables += table
       val (schema, idCol) = Schemas.registry(table)
       val metaCols = Seq("effective_from", "effective_to", "is_current")
       require(metaCols.forall(schema.fieldNames.contains),
@@ -902,6 +963,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * the source side. Returns (rows deleted, last assigned id). */
     def replaceWhere(table: String, column: String, lo: Long, hi: Long,
         rows: DataFrame): (Long, Long) = {
+      ensureLease()
       val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       // materialize the source ONCE before validating: a
@@ -941,10 +1003,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * every table in `hist` takes its historical state verbatim;
       * tables that exist now but not then are staged empty. */
     private[Catalog] def restoreStates(hist: Manifest): Unit = {
+      ensureLease()
       hist.foreach { case (t, st) => staged :+= Staged(t, st) }
       val nowTables = base.keySet ++ staged.map(_.table)
       (nowTables -- hist.keySet).foreach(t =>
         staged :+= Staged(t, TableState(0L, Vector.empty)))
+      strictTables ++= staged.map(_.table)
     }
   }
 
@@ -1001,40 +1065,139 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * safe, while multi-statement `transaction` callers own their retry
     * (re-running an arbitrary body is theirs to reason about).
     *
-    * Conflict detection is whole-table-state equality — conservative by
-    * design: any concurrent commit to a staged table (data, schema
-    * evolution, or CHECK set) aborts, so a check added concurrently can
-    * never be bypassed by in-flight rows validated against the old set.
-    * '''Vacuum caveat''': with OCC, an in-flight transaction's staged
-    * files are on disk but unreferenced; `vacuum(retainMillis = 0)` now
-    * additionally requires no in-flight WRITER (the default retention
-    * window already protects them — staged files are brand new). */
+    * Conflict detection is FILE-level (round 11): a concurrent commit
+    * to a staged table aborts only when the two commits fail to
+    * commute — overlapping file rewrites, schema/CHECK changes, ops
+    * whose staged bytes depend on the whole live table (merge/SCD2),
+    * or concurrent id allocation inside a multi-table body. Commuting
+    * commits (two loaders reloading two different days, an append
+    * beside a pinned update) are RECONCILED under the lock — the
+    * transaction's file delta replays onto the current state, with a
+    * commit-time id rebase when both sides appended — so neither
+    * writer re-runs its body (see [[reconcile]]). Cross-table
+    * read-write dependencies stay serializable: tables read via
+    * [[Tx.read]] but not written are validated by state equality at
+    * commit, so a body that read dimension A and wrote fact B aborts
+    * if A changed under it (no write skew).
+    *
+    * '''Vacuum''': an in-flight transaction's staged files are on disk
+    * but unreferenced; they are protected STRUCTURALLY by writer
+    * leases — vacuum (any retention, including 0) never deletes files
+    * newer than the oldest active lease (see [[vacuum]]). */
   def transaction[A](body: Tx => A): A = {
     val base = readManifest()
     val tx = new Tx(base)
-    val out = body(tx)
-    if (tx.staged.nonEmpty)
-      Catalog.rootMonitor(rootPath.toAbsolutePath.normalize.toString)
-        .synchronized {
-          val ch = java.nio.channels.FileChannel.open(lockPath,
-            StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-          try {
-            val lock = ch.lock()
+    try {
+      val out = body(tx)
+      if (tx.staged.nonEmpty)
+        Catalog.rootMonitor(rootPath.toAbsolutePath.normalize.toString)
+          .synchronized {
+            val ch = java.nio.channels.FileChannel.open(lockPath,
+              StandardOpenOption.CREATE, StandardOpenOption.WRITE)
             try {
-              val cur = readManifest()
-              tx.staged.map(_.table).distinct.foreach { t =>
-                if (cur.get(t) != base.get(t))
-                  throw new Catalog.ConcurrentWriteException(
-                    s"table '$t' of '$root' was committed concurrently " +
-                      "since this transaction's snapshot; re-run against " +
-                      "the new state")
-              }
-              writeManifest(cur ++ tx.staged.groupBy(_.table)
-                .map { case (t, ss) => t -> ss.last.state })
-            } finally lock.release()
-          } finally ch.close()
-        }
-    out
+              val lock = ch.lock()
+              try {
+                val cur = readManifest()
+                val stagedFinal = tx.staged.groupBy(_.table)
+                  .map { case (t, ss) => t -> ss.last.state }
+                // read-set serializability: a table this tx READ (and
+                // based decisions on) but did not write must be
+                // unchanged — otherwise write skew
+                (tx.readTables -- stagedFinal.keySet).foreach { t =>
+                  if (cur.get(t) != base.get(t))
+                    throw new Catalog.ConcurrentWriteException(
+                      s"table '$t' of '$root', READ by this transaction, " +
+                        "was committed concurrently since its snapshot; " +
+                        "re-run against the new state")
+                }
+                val merged = stagedFinal.map { case (t, st) =>
+                  if (cur.get(t) == base.get(t)) t -> st
+                  else t -> reconcile(tx, stagedFinal.size, t,
+                    base.get(t), cur.get(t), st)
+                }
+                writeManifest(cur ++ merged)
+              } finally lock.release()
+            } finally ch.close()
+          }
+      out
+    } finally tx.releaseLease()
+  }
+
+  /** File-level OCC reconciliation (Delta-style commit rebase): called
+    * under the commit locks when table `t` changed between this
+    * transaction's snapshot (`baseOpt`) and the current manifest
+    * (`curOpt`). The transaction's delta — files it removed, files it
+    * added, ids it allocated — is replayed onto the CURRENT state iff
+    * the two commits are commutative:
+    *
+    *  - neither side touched the table's schema or CHECK set (a check
+    *    added concurrently can never be bypassed by rows validated
+    *    against the old set);
+    *  - the file sets they rewrote/deleted are DISJOINT (two loaders
+    *    reloading two different days via [[Tx.replaceWhere]], an append
+    *    landing beside a pinned update). Overlap = a true write-write
+    *    conflict, [[Catalog.ConcurrentWriteException]];
+    *  - the op's read set was contained in the files it removed
+    *    ([[Tx.strictTables]] marks the ops — merge/SCD2/addCheck —
+    *    whose staged bytes depend on the WHOLE live table; they never
+    *    reconcile).
+    *
+    * If both sides allocated surrogate ids, this transaction's new rows
+    * are ID-REBASED: its added files are rewritten with ids shifted
+    * past the concurrent high-water mark (only ids above the snapshot
+    * maxId shift — rows carried through a COW rewrite keep theirs), so
+    * ids stay dense and unique with NO body re-run. The rebase touches
+    * only this transaction's own new data — milliseconds-to-seconds for
+    * a batch, never proportional to the table. It is refused for
+    * multi-table transactions ([[Catalog.ConcurrentWriteException]]):
+    * the engine cannot see id values the body may have copied into
+    * OTHER tables' staged rows (foreign keys), and shifting one side
+    * would corrupt the other. Ids returned during such a rebased body
+    * are provisional; the single-statement conveniences return the
+    * FINAL (shifted) ids. */
+  private def reconcile(tx: Tx, nStagedTables: Int, table: String,
+      baseOpt: Option[TableState], curOpt: Option[TableState],
+      st: TableState): TableState = {
+    def conflict(why: String): Nothing =
+      throw new Catalog.ConcurrentWriteException(
+        s"table '$table' of '$root' was committed concurrently since " +
+          s"this transaction's snapshot ($why); re-run against the new " +
+          "state")
+    if (tx.strictTables.contains(table))
+      conflict("whole-table-dependent op: merge/SCD2/DDL/check")
+    val b = baseOpt.getOrElse(TableState(0L, Vector.empty))
+    val c = curOpt.getOrElse(TableState(0L, Vector.empty))
+    if (st.schema != b.schema || st.checks != b.checks ||
+        c.schema != b.schema || c.checks != b.checks)
+      conflict("schema or CHECK set changed")
+    if (c.maxId < b.maxId)
+      conflict("id high-water rewound (concurrent restore)")
+    val stFiles = st.files.toSet
+    val curFiles = c.files.toSet
+    val removed = b.files.filterNot(stFiles.contains).toSet
+    val added = st.files.filterNot(b.files.toSet.contains)
+    val curRemoved = b.files.filterNot(curFiles.contains).toSet
+    if (removed.exists(curRemoved.contains))
+      conflict("overlapping file rewrites")
+    val alloc = st.maxId - b.maxId
+    val curAlloc = c.maxId - b.maxId
+    val (finalAdded, finalMaxId) =
+      if (alloc > 0 && curAlloc > 0) {
+        if (nStagedTables > 1)
+          conflict("concurrent id allocation in a multi-table " +
+            "transaction (staged rows in other tables may reference " +
+            "the provisional ids)")
+        val idCol = Schemas.registry(table)._2
+        val shifted = readFiles(table, added, schemaOf(Some(st), table))
+          .withColumn(idCol, when(col(idCol) > b.maxId,
+            col(idCol) + lit(curAlloc)).otherwise(col(idCol)))
+        val rebased = stageFiles(table, shifted, idCol)
+        tx.idShifts += table -> curAlloc
+        (rebased, c.maxId + alloc)
+      } else (added, math.max(c.maxId, st.maxId))
+    TableState(finalMaxId,
+      c.files.filterNot(removed.contains) ++ finalAdded,
+      c.schema, c.checks)
   }
 
   /** Bounded conflict retry for the one-op conveniences: the body is
@@ -1050,10 +1213,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
     transaction(body)
   }
 
-  /** Single-statement conveniences (conflict-retried, see [[retried]]). */
+  /** Single-statement conveniences (conflict-retried, see [[retried]]).
+    * The id-returning ones ([[append]], [[replaceWhere]]) return the
+    * FINAL ids: the body's provisional value plus any commit-time
+    * rebase shift (a thunk evaluated after the commit landed). */
   def append(table: String, rows: DataFrame,
       orderBy: Seq[String] = Nil): Long =
-    retried(_.append(table, rows, orderBy))
+    retried { tx =>
+      val raw = tx.append(table, rows, orderBy)
+      () => raw + tx.shiftOf(table)
+    }()
 
   def update(table: String, predicate: Column,
       assignments: Map[String, Column]): Unit =
@@ -1080,7 +1249,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   def replaceWhere(table: String, column: String, lo: Long, hi: Long,
       rows: DataFrame): (Long, Long) =
-    retried(_.replaceWhere(table, column, lo, hi, rows))
+    retried { tx =>
+      val (nDel, lastId) = tx.replaceWhere(table, column, lo, hi, rows)
+      () => (nDel, lastId + tx.shiftOf(table))
+    }()
 
   /** Timestamp-column overload (inclusive instant range). */
   def replaceWhere(table: String, column: String,
@@ -1104,7 +1276,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * (same contract as Delta's `RETAIN 0 HOURS`) — with it, callers must
     * ensure no reader still holds a pre-vacuum snapshot. The reference's
     * MySQL tier gets this from InnoDB MVCC purge for free. Returns the
-    * number of files deleted. */
+    * number of files deleted.
+    *
+    * Writer-lease guard: an in-flight transaction's staged files are on
+    * disk but referenced by NO manifest yet, so retention alone cannot
+    * protect a body that runs longer than the window (exactly the long
+    * merge OCC exists for). Every transaction drops a lease file under
+    * `_leases/` before staging its first byte ([[Tx.ensureLease]]);
+    * vacuum never deletes a file newer than the OLDEST active lease —
+    * whatever `retainMillis` says, including 0. A lease older than
+    * [[Catalog.WriterLeaseTtlMillis]] is presumed crashed and ignored
+    * (and reclaimed), bounding how long an orphan can stall cleanup. */
   def vacuum(table: String,
       retainMillis: Long = Catalog.DefaultVacuumRetainMillis): Int =
     transaction { _ =>
@@ -1113,7 +1295,26 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val tableDir = rootPath.resolve(table)
     if (!Files.exists(tableDir)) 0
     else {
-      val cutoff = System.currentTimeMillis() - retainMillis
+      val now = System.currentTimeMillis()
+      val leaseDir = rootPath.resolve(Catalog.LeaseDirName)
+      val leaseFloor = if (!Files.exists(leaseDir)) None else {
+        val ls = Files.list(leaseDir)
+        val mtimes = try {
+          ls.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".lease"))
+            .map(p => (p, Files.getLastModifiedTime(p).toMillis)).toVector
+        } finally ls.close()
+        val (stale, active) =
+          mtimes.partition(_._2 <= now - Catalog.WriterLeaseTtlMillis)
+        stale.foreach(p => Files.deleteIfExists(p._1))
+        active.map(_._2).minOption
+      }
+      // a file is reclaimable only if dead past the retention window AND
+      // older than every in-flight writer's lease (strictly: files a
+      // leased writer staged carry mtimes at-or-after its lease)
+      val cutoff = leaseFloor
+        .map(f => math.min(now - retainMillis, f - 1))
+        .getOrElse(now - retainMillis)
       // data files first: only *.parquet, never a live one (markers and
       // .crc sidecars of partially-live groups are kept), never one still
       // inside the retention window
@@ -1186,6 +1387,16 @@ object Catalog {
     * not a week of `VERSION AS OF`. Raise it per-store when older
     * snapshots must stay readable. */
   val DefaultVacuumRetainMillis: Long = 10L * 60 * 1000
+
+  /** Directory (under the store root) of in-flight writer lease files —
+    * see the lease guard on [[Catalog!.vacuum]]. */
+  private[store] val LeaseDirName = "_leases"
+
+  /** Age past which a writer lease is presumed to belong to a crashed
+    * process and stops shielding files from [[Catalog!.vacuum]]: 6 h —
+    * far beyond any sane transaction body, far short of stalling
+    * cleanup forever on an orphan. */
+  val WriterLeaseTtlMillis: Long = 6L * 3600 * 1000
 
   /** Per-root in-JVM monitors: POSIX file locks are process-scoped (a
     * second lock attempt from the same JVM throws Overlapping-

@@ -68,4 +68,17 @@ class BucketRankSpec extends SparkSuite {
       }
     }
   }
+
+  test("lowerPercentiles on EMPTY input fails loudly instead of " +
+    "returning an all-NULL row") {
+    val empty = Seq.empty[Long].toDF("v")
+    val ex = intercept[Exception] {
+      BucketRank.lowerPercentiles(empty, "v",
+        v => v, Seq(("p50", "(n + 1) div 2"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("empty input")),
+      s"expected the raise_error message, got: ${msgs(ex)}")
+  }
 }
