@@ -6,28 +6,45 @@ import graft.core.{Q, Tables}
 import graft.core.Eager.EagerCheckpoint
 
 /** [EXT] clickstream path mining: the top event-type TRIGRAM paths across
-  * all users — the "what do users actually do, three steps at a time"
+  * all SESSIONS — the "what do users actually do, three steps at a time"
   * query product analytics runs constantly. [[EventsOps]]'
   * `ext_events_transitions` is the first-order (bigram/Markov) view;
   * trigrams expose asymmetries a first-order chain cannot (view>click>
   * purchase vs click>view>purchase are distinct here, identical there).
   *
-  * Scale shape: ONE shuffle (user_id) builds each user's ordered type
-  * sequence; trigram expansion is array-local (the bigram-zip idiom of
+  * Scale shape: ONE shuffle (user_id) both sessionizes and builds each
+  * SESSION's ordered type sequence — the stream splits at 30-minute
+  * gaps (the `ext_sessionize` boundary) BEFORE the trigram expansion,
+  * so a trigram never spans a session break (the analytics-correct
+  * reading: "view then click then purchase, days apart" is not a path)
+  * and the per-array bound is STRUCTURAL — a session is at most
+  * gap-bounded dwell, never a user's lifetime history. Trigram
+  * expansion is array-local (the bigram-zip idiom of
   * `ext_text_bigram_lm` extended to width 3); the count is a map-side-
   * combined aggregate over short path strings, and top-20 is
-  * TakeOrderedAndProject — no global sort. Per-user arrays are bounded
-  * by per-user event counts (fixture ~70; a real deployment sessionizes
-  * first, bounding them harder).
+  * TakeOrderedAndProject — no global sort.
   */
 object ClickPaths {
 
   val sessionPaths: Q = Q(
     "ext_session_paths",
-    """WITH seq AS (
-      |  SELECT user_id,
+    """WITH numbered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_seq
+      |  FROM (
+      |    SELECT user_id, ts, event_id, event_type,
+      |      CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |          IS NULL
+      |      THEN 1 ELSE 0 END AS is_new
+      |    FROM events) flagged),
+      |seq AS (
+      |  SELECT user_id, session_seq,
       |    list(event_type ORDER BY ts, event_id) AS ts2
-      |  FROM events GROUP BY 1),
+      |  FROM numbered GROUP BY 1, 2),
       |tri AS (
       |  SELECT unnest(list_transform(
       |    generate_series(1, len(ts2) - 2),
@@ -37,8 +54,21 @@ object ClickPaths {
       |FROM tri GROUP BY path
       |ORDER BY n DESC, path LIMIT 20""".stripMargin
   ) { (s, d) =>
-    val seq = Tables.events(s, d)
-      .groupBy("user_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_new", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L,
+        1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+    val seq = sess
+      .groupBy("user_id", "session_seq")
       .agg(transform(
         array_sort(collect_list(struct(col("ts"), col("event_id"),
           col("event_type")))),

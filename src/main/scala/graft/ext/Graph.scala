@@ -131,7 +131,7 @@ object Graph {
         expr("triangles * 3000000 div wedges").as("clustering_ppm"))
   }
 
-  private val PrScale = 1000000000L // rank fixed-point: 1e9 = mass 1.0
+  private[graft] val PrScale = 1000000000L // rank fixed-point: 1e9 = mass 1.0
   private val PrIters = 10
 
   /** Fixed-point PageRank, top 20 parts by rank.
@@ -190,16 +190,51 @@ object Graph {
   ) { (s, d) =>
     val (w, r0, n) = prInputs(s, d)
     val base = (PrScale * 15L / 100L) / n
-    var ranks = r0
-    for (_ <- 1 to PrIters)
-      ranks = prRound(ranks, w, base)
-    // one unrolled plan: each r_i feeds only r_{i+1} (linear lineage, no
-    // recompute) and the static checkpointed w is scanned per round with
-    // no exchange — so the whole loop is ONE job instead of ten
-    // checkpoint-barriered jobs
+    // gate path: checkEvery = 0 — the 10-round cap stays ONE fully
+    // unrolled job (the fixture does not converge inside the cap, so a
+    // check would be pure overhead; GraphSpec pins the unrolled shape).
+    // Long caps / unknown convergence enable the periodic check.
+    val (ranks, _) = prLoop(r0, w, base, PrIters, checkEvery = 0)
     ranks.orderBy(col("rank").desc, col("v"))
       .limit(20)
       .select(col("v").as("part_id"), col("rank").as("rank_e9"))
+  }
+
+  /** The synchronous PageRank loop with an OPTIONAL fixed-point early
+    * exit. With `checkEvery = 0` (the gate default) all `maxIters`
+    * rounds unroll into one linear-lineage plan — one job, zero
+    * mid-loop barriers. With `checkEvery = k > 0`, every k-th round
+    * materializes two CONSECUTIVE iterates (node-sized eager
+    * checkpoints — the static edge side stays untouched) and compares
+    * them with an O(1)-row action (`limit(1).isEmpty`, the
+    * `ext_graph_bfs` frontier-drain precedent): the integer fixed-point
+    * arithmetic makes convergence EXACTLY testable — `r_{t+1} == r_t`
+    * means every later round is a no-op, so returning `r_{t+1}` equals
+    * running to the cap bit-for-bit (a k-apart comparison would NOT be
+    * sound: truncated integer maps can cycle, only a consecutive-round
+    * fixed point proves stability). Returns (final ranks, rounds run).
+    */
+  private[graft] def prLoop(r0: DataFrame, w: DataFrame, base: Long,
+      maxIters: Int, checkEvery: Int): (DataFrame, Int) = {
+    var ranks = r0
+    var r = 0
+    while (r < maxIters) {
+      if (checkEvery > 0 && r > 0 && r % checkEvery == 0) {
+        val cur = ranks.eagerCheckpoint()
+        val next = prRound(cur, w, base).eagerCheckpoint()
+        r += 1
+        ranks = next
+        val converged = next.select(col("v"), col("rank").as("nr"))
+          .join(cur, Seq("v"))
+          .filter(col("nr") =!= col("rank"))
+          .limit(1).isEmpty
+        if (converged) return (ranks, r)
+      } else {
+        ranks = prRound(ranks, w, base)
+        r += 1
+      }
+    }
+    (ranks, r)
   }
 
   /** Loop inputs: the static degree-weighted edge table `w(s, t, dg)` —
@@ -222,11 +257,13 @@ object Graph {
       .repartition(p, col("s"))
       .sortWithinPartitions("s")
       .eagerCheckpoint()
-    val r0 = deg.select(col("v"), lit(PrScale / deg.count()).as("rank"))
+    val n = deg.count() // bound ONCE: r0's init value and the caller's
+                        // base both derive from it (one driver action)
+    val r0 = deg.select(col("v"), lit(PrScale / n).as("rank"))
       .repartition(p, col("v"))
       .sortWithinPartitions("v")
       .eagerCheckpoint()
-    (w, r0, deg.count())
+    (w, r0, n)
   }
 
   /** One synchronous rank round: rank |><| w on the static src layout,

@@ -43,6 +43,12 @@ import graft.store.Catalog
   * candidate-pair query is the capped-bucket self-join of the dedup
   * family — key-equality shuffles only, bucket cap 64 bounds the pair
   * fan-out exactly as in `ext_dedup_minhash`'s oracle.
+  *
+  * The SECOND index family under the same contract is the IVF cell
+  * assignment ([[IvfSearch]]): one (vec_id, cell) row per vector,
+  * maintained through the same two-tick stale-then-merge fixture and
+  * gated against a from-scratch reassignment of the raw embeddings
+  * (`ext_index_incremental_ivf`).
   */
 object IndexMaintain {
 
@@ -163,5 +169,93 @@ object IndexMaintain {
       .orderBy("doc_a", "doc_b")
   }.copy(setup = Some(ensurePrepared _))
 
-  val all: Seq[Q] = Seq(indexIncremental)
+  // ---------------------------------------- IVF cell-assignment index
+
+  /** Batch-1 universe bound and stale-slice floor for the IVF index —
+    * the vector-table analogue of [[D1]]/[[OverlapLo]]. Centroids are
+    * the K lowest vec_ids ([[IvfSearch.cents]]), all below the overlap,
+    * so the quantizer is identical across both ticks (an index's
+    * quantizer is fixed at build time). */
+  private[graft] val D1V = 299L
+  private[graft] val OverlapLoV = 200L
+
+  private def ivfRootDir(s: SparkSession): String =
+    new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      .stripSuffix("/") + "/graft_ivf_index_root"
+
+  /** (vec_id, cell) under the seed quantizer of the TRUE vectors —
+    * the rebuild truth ([[IvfSearch.assigned]] on raw embeddings). */
+  private[graft] def cellRows(s: SparkSession, v: DataFrame): DataFrame =
+    IvfSearch.assigned(s, v, IvfSearch.cents(v))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+
+  /** Rebuild truth straight from the fixture dir (spec hook). */
+  private[graft] def cellRowsAt(s: SparkSession, d: String): DataFrame =
+    cellRows(s, Similarity.vecs(s, d))
+
+  /** Stage the two IVF ingest ticks: v1 indexes `vec_id <= D1V` but the
+    * `(OverlapLoV, D1V]` slice is assigned from STALE content (the
+    * embedding REVERSED — same norm, different direction, so the
+    * max-cosine cell moves for most vectors); v2 is ONE
+    * [[Catalog.Tx.merge]] of the corrected slice plus the brand-new
+    * `(D1V, ..]` vectors, keyed by `vec_id` — matched keys rewrite
+    * their cell in place, unmatched insert. */
+  private def writeIvf(s: SparkSession, d: String): Unit = {
+    val cat = new Catalog(s, ivfRootDir(s))
+    require(cat.version == 0L,
+      s"stale graft_ivf_index_root (v${cat.version}) survived fixture prep")
+    val v = Similarity.vecs(s, d)
+    val c = IvfSearch.cents(v)
+    val stale = v.filter(col("vec_id") <= D1V)
+      .select(col("vec_id"),
+        when(col("vec_id") > OverlapLoV, reverse(col("e")))
+          .otherwise(col("e")).as("e"),
+        col("nrm"))
+    cat.append("ivf_index",
+      IvfSearch.assigned(s, stale, c)
+        .select(col("vec_id"), col("cell").cast("long").as("cell")),
+      orderBy = Seq("vec_id"))
+    val batch2 = v.filter(col("vec_id") > OverlapLoV)
+    cat.transaction { tx =>
+      tx.merge("ivf_index",
+        IvfSearch.assigned(s, batch2, c)
+          .select(col("vec_id"), col("cell").cast("long").as("cell")),
+        "vec_id")
+    }
+  }
+
+  private val preparedIvf = new PreparedTables(
+    Seq("embeddings.parquet"), Seq("graft_ivf_index_root"), writeIvf)
+
+  def ensureIvfPrepared(s: SparkSession, d: String): Unit =
+    preparedIvf.ensurePrepared(s, d)
+
+  private[graft] def readIvfIndex(s: SparkSession): DataFrame =
+    new Catalog(s, ivfRootDir(s)).read("ivf_index")
+
+  /** The store-maintained IVF cell assignment vs the from-scratch
+    * rebuild: the oracle recomputes every vector's max-cosine cell from
+    * the raw embeddings (the `assigned` CTE of `ext_sim_ivf`, whose
+    * cross-engine bit-exactness that row already proves). One stale
+    * cell surviving the merge — or one missed insert — is a red row. */
+  val indexIncrementalIvf: Q = Q(
+    "ext_index_incremental_ivf",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, e AS ce FROM v
+       |  WHERE vec_id < ${IvfSearch.K})
+       |SELECT vec_id, cent_id AS cell FROM (
+       |  SELECT v.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${Similarity.dotSql("v.e", "c.ce")}
+       |        / (${Similarity.normSql("v.e")} * ${Similarity.normSql("c.ce")})
+       |        DESC, c.cent_id) AS arank
+       |  FROM v CROSS JOIN cents c) s
+       |WHERE arank = 1 ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    ensureIvfPrepared(s, d)
+    readIvfIndex(s).select("vec_id", "cell").orderBy("vec_id")
+  }.copy(setup = Some(ensureIvfPrepared _))
+
+  val all: Seq[Q] = Seq(indexIncremental, indexIncrementalIvf)
 }

@@ -107,6 +107,16 @@ object Schemas {
     StructField("band", IntegerType),
     StructField("band_key", StringType)))
 
+  /** IVF cell-assignment index over `embeddings`
+    * ([[graft.ext.IndexMaintain]]): one row per indexed vector holding
+    * its coarse-quantizer cell. `vec_id` is the natural key, so
+    * re-assigning a changed vector is one keyed [[Catalog.Tx.merge]]
+    * upsert (stale cells rewritten in place, new vectors inserted). */
+  val ivfIndex: StructType = StructType(Seq(
+    StructField("row_id", LongType, nullable = false),
+    StructField("vec_id", LongType),
+    StructField("cell", LongType)))
+
   /** table name -> (schema, surrogate id column) — id assignment parity
     * with AUTO_INCREMENT/lastrowid (SURVEY §7.4). */
   /** Columns that carry per-file min/max value stats in the catalog
@@ -130,5 +140,6 @@ object Schemas {
     "events_ingest" -> (eventsIngest, "ingest_id"),
     "stream_offsets" -> (streamOffsets, "offset_id"),
     "users_dim" -> (usersDim, "dim_id"),
-    "lsh_index" -> (lshIndex, "row_id"))
+    "lsh_index" -> (lshIndex, "row_id"),
+    "ivf_index" -> (ivfIndex, "row_id"))
 }

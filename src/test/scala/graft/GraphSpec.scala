@@ -140,4 +140,33 @@ class GraphSpec extends SparkSuite {
     assert(got.map(_._2).forall(_ > 0))
     assert(got.map(_._2) == got.map(_._2).sorted.reverse)
   }
+
+  test("pagerank early exit: a planted fast-converging graph stops at " +
+    "the detected fixed point and matches the full-cap run exactly") {
+    import spark.implicits._
+    import graft.core.Eager.EagerCheckpoint
+    val scale = graft.ext.Graph.PrScale
+    val m = 6
+    // complete graph K6: perfectly symmetric, so every round's rank
+    // vector is uniform and the scalar recurrence is monotone -> it
+    // reaches its integer fixed point within a few rounds
+    val sym = (for (a <- 0 until m; b <- 0 until m if a != b)
+      yield (a.toLong, b.toLong, (m - 1).toLong)).toDF("s", "t", "dg")
+    val w = sym.repartition(4, col("s")).sortWithinPartitions("s")
+      .eagerCheckpoint()
+    val r0 = (0 until m).map(v => (v.toLong, scale / m))
+      .toDF("v", "rank").repartition(4, col("v")).eagerCheckpoint()
+    val base = scale * 15L / 100L / m
+    val cap = 40
+    val (early, rounds) = graft.ext.Graph.prLoop(r0, w, base, cap,
+      checkEvery = 2)
+    assert(rounds < cap, s"expected early exit, ran all $rounds rounds")
+    val (full, fullRounds) = graft.ext.Graph.prLoop(r0, w, base, cap,
+      checkEvery = 0)
+    assert(fullRounds == cap)
+    val a = early.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = full.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.toSeq == b.toSeq,
+      s"early-exit vector must equal the full-cap run: ${a.toSeq} vs ${b.toSeq}")
+  }
 }

@@ -45,4 +45,31 @@ class IndexMaintainSpec extends SparkSuite {
     // v1 covers exactly the batch-1 universe (4 rows per indexed doc)
     assert(v1.map(_._2).forall(_ <= IndexMaintain.D1))
   }
+
+  test("IVF cell index: incrementally-maintained equals a from-scratch " +
+    "reassignment, and version 1 was genuinely stale") {
+    IndexMaintain.ensureIvfPrepared(spark, sf)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val truth = cells(IndexMaintain.cellRowsAt(spark, sf))
+    val maintained = cells(IndexMaintain.readIvfIndex(spark))
+    assert(maintained == truth,
+      s"incremental IVF index diverged from rebuild: " +
+        s"${(maintained.toSet -- truth.toSet).take(3)} extra, " +
+        s"${(truth.toSet -- maintained.toSet).take(3)} missing")
+    val root = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+      .stripSuffix("/") + "/graft_ivf_index_root"
+    val cat = new graft.store.Catalog(spark, root)
+    assert(cat.version == 2L, s"expected 2 ingest ticks, got ${cat.version}")
+    val v1 = cells(cat.readAt("ivf_index", 1L))
+    val staleKeys = v1.filter { case (id, c) => truth(id) != c }.keySet
+    assert(staleKeys.nonEmpty,
+      "v1 must hold stale cell assignments the merge then repairs")
+    assert(staleKeys.forall(id =>
+      id > IndexMaintain.OverlapLoV && id <= IndexMaintain.D1V),
+      "staleness must be confined to the overlap slice")
+    assert(v1.keySet.forall(_ <= IndexMaintain.D1V))
+  }
 }
