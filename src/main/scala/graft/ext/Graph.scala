@@ -277,13 +277,211 @@ object Graph {
         .as("rank"))
       .select(col("tv").as("v"), col("rank"))
 
+  private val CcCap = 20
+  private val CcCheckEvery = 2
+
+  /** Connected components of the co-purchase graph by min-label
+    * propagation (the "hash-min" of Rastogi et al., "Finding connected
+    * components in MapReduce", ICDE 2013): every node starts labeled
+    * with its own id; each synchronous round takes the min over itself
+    * and its neighbors' labels. Labels are MONOTONE NONINCREASING, so —
+    * unlike PageRank's truncated map, which can cycle — label equality
+    * across a k-round window proves a fixed point, and the loop checks
+    * every [[CcCheckEvery]] rounds with one O(1)-row action, erroring
+    * loudly if the [[CcCap]] cap is hit unconverged (the oracle runs
+    * exactly CcCap rounds; converged rounds are identities, so the two
+    * agree whenever the loud guard passes). Convergence needs
+    * eccentricity-of-min-label rounds — single digits on a co-purchase
+    * graph's dense components.
+    *
+    * Loop plan: the [[pagerank]] discipline — symmetric edge table
+    * partitioned on src, sorted, checkpointed ONCE; each round moves
+    * only node-sized (v, label) rows through the min-aggregate.
+    * Output: the 20 largest components (id = min node id) + the total
+    * component count.
+    */
+  val components: Q = Q(
+    "ext_graph_components",
+    {
+      val rounds = (1 to CcCap).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT v, MIN(lab) AS lab FROM (
+           |    SELECT v, lab FROM l${i - 1}
+           |    UNION ALL
+           |    SELECT e.t AS v, l.lab FROM l${i - 1} l
+           |    JOIN sym e ON e.s = l.v)
+           |  GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesSql,
+         |sym AS (
+         |  SELECT a AS s, b AS t FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS lab FROM sym),
+         |$rounds,
+         |comps AS (
+         |  SELECT lab AS component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM l$CcCap GROUP BY lab),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_components FROM comps)
+         |SELECT component_id, n_nodes, n_components FROM comps CROSS JOIN tot
+         |ORDER BY n_nodes DESC, component_id LIMIT 20""".stripMargin
+    }
+  ) { (s, d) =>
+    val e0 = edges(s, d)
+    val sym = e0.select(col("a").as("s"), col("b").as("t"))
+      .union(e0.select(col("b").as("s"), col("a").as("t")))
+    val (lab, _) = ccLabels(s, sym, CcCap)
+    val comps = lab.groupBy(col("lab").as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val tot = comps.agg(count(lit(1)).as("n_components"))
+    comps.crossJoin(broadcast(tot))
+      .orderBy(col("n_nodes").desc, col("component_id"))
+      .limit(20)
+      .select(col("component_id"), col("n_nodes"), col("n_components"))
+  }
+
+  /** Min-label propagation to a PROVEN fixed point over a symmetric
+    * edge list `(s, t)`; returns (labels `(v, lab)`, rounds run).
+    * Errors loudly if `cap` rounds don't converge. Exposed for the
+    * planted multi-component spec. */
+  private[graft] def ccLabels(s: SparkSession, sym: DataFrame,
+      cap: Int): (DataFrame, Int) = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val symW = sym.repartition(p, col("s")).sortWithinPartitions("s")
+      .eagerCheckpoint()
+    var lab = symW.select(col("s").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+      .repartition(p, col("v"))
+      .eagerCheckpoint()
+    var last = lab
+    var r = 0
+    var converged = false
+    while (r < cap && !converged) {
+      lab = lab.join(symW, col("v") === col("s"))
+        .select(col("t").as("v"), col("lab"))
+        .union(lab.select(col("v"), col("lab")))
+        .groupBy("v").agg(min(col("lab")).as("lab"))
+      r += 1
+      if (r % CcCheckEvery == 0 || r == cap) {
+        lab = lab.eagerCheckpoint()
+        converged = lab.select(col("v"), col("lab").as("nl"))
+          .join(last, Seq("v"))
+          .filter(col("nl") =!= col("lab"))
+          .limit(1).isEmpty
+        last = lab
+      }
+    }
+    require(converged,
+      s"ccLabels: not converged within $cap rounds — raise the cap " +
+        "(the oracle's round count must move with it)")
+    (lab, r)
+  }
+
+  /** Per-center wedge cap for [[linkPredict]]: wedges are expanded only
+    * through centers of degree <= this, bounding the per-probe cost at
+    * deg x cap even on a power-law graph — the declared hub-exclusion
+    * semantics every at-scale common-neighbor job uses (a hub
+    * co-purchased with everything carries no affinity signal; same
+    * pattern as the dedup family's bucket cap). */
+  private val HubCap = 256L
+
+  /** Number of probe parts (the [[IvfSearch]]-family probe-set
+    * pattern): the smallest part ids appearing in the graph. */
+  private val CnProbes = 100
+
+  /** Link prediction by common-neighbor count (Liben-Nowell &
+    * Kleinberg, "The link prediction problem for social networks",
+    * CIKM 2003), in the SERVING shape: for a bounded probe set, rank
+    * candidate parts by how many co-purchase neighbors they share with
+    * the probe — the "customers who bought this also bought..."
+    * candidate generator. Exact integer counts, ties broken by
+    * (probe, candidate) id, so the row hash-checks. The all-pairs
+    * formulation is deliberately NOT the gate op: this graph's wedge
+    * census is ~150M at sf0.1 (degrees ~120 across the board, nothing
+    * to hub-prune), i.e. Θ(Σ deg²) however expressed — a batch
+    * all-pairs scorer is a different (and rarely-run) job, while the
+    * probe-bounded form is O(|probes| x deg x cap) at ANY corpus size.
+    *
+    * Plan: the probe edge slice comes from one broadcast semi-join of
+    * the symmetric edge list against the tiny probe list; the second
+    * hop is a key-equality join of that slice (re-keyed on the
+    * neighbor) against the edge list; hub centers leave via a
+    * broadcast anti-join against the (tiny) over-cap list; the count
+    * is one map-side-combined aggregate on (probe, candidate);
+    * self-pairs and existing edges leave via filter + key-equality
+    * anti-join; top-20 is TakeOrderedAndProject — no global sort,
+    * nothing all-pairs.
+    */
+  val linkPredict: Q = Q(
+    "ext_graph_link_predict",
+    s"""WITH $edgesSql,
+       |sym AS (
+       |  SELECT a AS s, b AS t FROM e0
+       |  UNION ALL SELECT b, a FROM e0),
+       |deg AS (
+       |  SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY s),
+       |probes AS (
+       |  SELECT DISTINCT s AS u FROM sym ORDER BY u LIMIT $CnProbes),
+       |hop1 AS (
+       |  SELECT p.u, e.t AS w FROM probes p JOIN sym e ON e.s = p.u),
+       |hop2 AS (
+       |  SELECT h.u, e2.t AS b FROM hop1 h
+       |  JOIN deg dw ON dw.v = h.w
+       |  JOIN sym e2 ON e2.s = h.w
+       |  WHERE dw.dg <= $HubCap AND e2.t <> h.u),
+       |cn AS (
+       |  SELECT u, b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+       |  FROM hop2 GROUP BY u, b),
+       |nonedge AS (
+       |  SELECT cn.u, cn.b, cn.common_neighbors FROM cn
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM e0
+       |    WHERE e0.a = LEAST(cn.u, cn.b) AND e0.b = GREATEST(cn.u, cn.b)))
+       |SELECT u AS probe_id, b AS candidate_id, common_neighbors
+       |FROM nonedge
+       |ORDER BY common_neighbors DESC, probe_id, candidate_id
+       |LIMIT 20""".stripMargin
+  ) { (s, d) => cnPairs(edges(s, d).eagerCheckpoint()) }
+
+  /** Top-20 probe-set common-neighbor candidates for an undirected
+    * edge list `(a, b)` with `a < b` (the [[linkPredict]] body;
+    * exposed for the planted spec). */
+  private[graft] def cnPairs(e0: DataFrame): DataFrame = {
+    val sym = e0.select(col("a").as("s"), col("b").as("t"))
+      .union(e0.select(col("b").as("s"), col("a").as("t")))
+      .eagerCheckpoint()
+    val probes = sym.select(col("s").as("u")).distinct()
+      .orderBy("u").limit(CnProbes)
+    val hubs = sym.groupBy("s").agg(count(lit(1)).as("dg"))
+      .filter(col("dg") > HubCap).select(col("s").as("w"))
+    val hop1 = sym.join(broadcast(probes), col("s") === col("u"))
+      .select(col("u"), col("t").as("w"))
+    val hop2 = hop1
+      .join(broadcast(hubs), Seq("w"), "left_anti")
+      .join(sym, col("w") === col("s"))
+      .filter(col("t") =!= col("u"))
+      .select(col("u"), col("t").as("b"))
+    val cn = hop2.groupBy("u", "b")
+      .agg(count(lit(1)).as("common_neighbors"))
+    cn
+      .join(e0.select(col("a"), col("b").as("bb")),
+        least(col("u"), col("b")) === col("a")
+          && greatest(col("u"), col("b")) === col("bb"),
+        "left_anti")
+      .orderBy(col("common_neighbors").desc, col("u"), col("b"))
+      .limit(20)
+      .select(col("u").as("probe_id"), col("b").as("candidate_id"),
+        col("common_neighbors"))
+  }
+
   /** Triangles is benched (2.0x runtime at 10x rows after the
     * adjacency-intersection rewrite — the first wedge-self-join draft ran
     * 15.5x/37.7s and was replaced, see [[triangles]]). PageRank is now
     * ALSO benched: the round-10 co-partitioned loop (see [[pagerank]])
     * moved the edge table out of the per-round shuffle entirely, so the
     * measured time is the honest iteration cost (node-sized exchanges
-    * only), not a re-shuffle artifact.
+    * only), not a re-shuffle artifact. Components and link prediction
+    * join them: the components loop is the same co-partitioned shape,
+    * and the wedge expansion is the declared-cap bound above.
     */
-  def all: Seq[Q] = Seq(triangles, pagerank)
+  def all: Seq[Q] = Seq(triangles, pagerank, components, linkPredict)
 }

@@ -169,4 +169,42 @@ class GraphSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq,
       s"early-exit vector must equal the full-cap run: ${a.toSeq} vs ${b.toSeq}")
   }
+
+  test("connected components: planted multi-component graph labels " +
+    "every node with its component's min id and exits early") {
+    import spark.implicits._
+    // two cliques {0..3}, {10..13}, a path 20-21-22, an isolated edge 30-31
+    val und = (for (a <- 0 to 3; b <- 0 to 3 if a < b) yield (a, b)) ++
+      (for (a <- 10 to 13; b <- 10 to 13 if a < b) yield (a, b)) ++
+      Seq((20, 21), (21, 22), (30, 31))
+    val sym = und.flatMap { case (a, b) =>
+      Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }.toDF("s", "t")
+    val (lab, rounds) = graft.ext.Graph.ccLabels(spark, sym, cap = 20)
+    assert(rounds < 20, s"expected early exit, ran $rounds rounds")
+    val got = lab.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = ((0 to 3).map(_.toLong -> 0L) ++
+      (10 to 13).map(_.toLong -> 10L) ++
+      Seq(20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L)).toMap
+    assert(got == expect, s"labels $got vs $expect")
+  }
+
+  test("link prediction: planted graph ranks the non-adjacent pair " +
+    "with the most shared neighbors first and never suggests an edge") {
+    import spark.implicits._
+    // 0 and 1 share neighbors {2,3,4} but are NOT adjacent; 5 and 6
+    // share only {2}; every adjacent pair must be absent from the output
+    val e0 = Seq((0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4),
+      (2, 5), (2, 6)).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("a", "b")
+    val got = graft.ext.Graph.cnPairs(e0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.head == (0L, 1L, 3L), s"top pair wrong: $got")
+    val edgeSet = Set((0L,2L),(0L,3L),(0L,4L),(1L,2L),(1L,3L),(1L,4L),
+      (2L,5L),(2L,6L))
+    assert(got.forall { case (a, b, _) =>
+      !edgeSet((math.min(a, b), math.max(a, b))) && a != b },
+      s"an existing edge or self-pair leaked into the predictions: $got")
+    // directed serving output: both probe directions present
+    assert(got.contains((5L, 6L, 1L)) && got.contains((6L, 5L, 1L)))
+  }
 }
