@@ -30,5 +30,6 @@ object Registry {
       graft.streaming.StreamAttribution.all ++
       graft.streaming.StreamEwma.all ++
       graft.streaming.StreamAnomaly.all ++
-      graft.streaming.StreamKmv.all
+      graft.streaming.StreamKmv.all ++
+      graft.streaming.StreamSessionWindow.all
 }

@@ -160,6 +160,40 @@ object WindowFuncs {
       .drop("o_orderdate")
   }
 
+  /** Time-RANGE frame: per user, the trailing-1-hour event count and
+    * exact cents sum at every event — the rolling-velocity feature
+    * (rate limiting, burst detection) a ROWS frame cannot express
+    * because it needs "everything in the last hour", not "the last k
+    * rows". RANGE frames are also tie-robust: rows sharing an order
+    * value share a frame, so the result is deterministic under any
+    * shuffle order without a tiebreaker column. The frame rides on
+    * epoch micros (Spark `rangeBetween` needs a numeric order column);
+    * money is exact cents summed as BIGINT, emitted once at the
+    * boundary ([[Determinism]] rule). */
+  val rangeTime: Q = Q(
+    "q_w_range_time",
+    """SELECT event_id, user_id,
+      |CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+      |CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT))
+      |  OVER w AS BIGINT) AS cents_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(10,2)") * 100).cast("long").as("c"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("c")).over(w).cast("long").as("cents_1h"))
+      .orderBy("user_id", "us", "event_id")
+      .drop("us")
+  }
+
   val all: Seq[Q] = Seq(rankFamily, lagLead, runningSum, movingAvg, argmax,
-    firstLast)
+    firstLast, rangeTime)
 }

@@ -32,14 +32,29 @@ class PathsSkewSpec extends SparkSuite {
     }
   }
 
-  test("trigram paths equal a local census with the same ordering") {
+  test("trigram paths equal a local census with the same ordering and " +
+    "the 30-min session split") {
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
     val ev = graft.core.Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "event_type").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2),
         r.getString(3)))
     val local = ev.groupBy(_._1).values.flatMap { rows =>
-      val seq = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4).toSeq
-      seq.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+      val ordered = rows.sortBy(r => (r._2, r._3)).toSeq
+      // split at >30-min gaps (the ext_sessionize boundary), THEN expand
+      val sessions = ordered.foldLeft(List.empty[List[(Long, String)]]) {
+        case (acc, r) => acc match {
+          case (cur @ ((lastUs, _) :: _)) :: rest
+              if r._2 - lastUs <= 1800000000L =>
+            ((r._2, r._4) :: cur) :: rest
+          case _ => List((r._2, r._4)) :: acc
+        }
+      }.map(_.reverse.map(_._2))
+      sessions.flatMap(seq =>
+        seq.sliding(3).filter(_.length == 3).map(_.mkString(">")))
     }.toSeq.groupBy(identity).map { case (p, ps) => (p, ps.size.toLong) }
       .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
     val got = graft.ext.ClickPaths.sessionPaths.fn(spark, sf).collect()
