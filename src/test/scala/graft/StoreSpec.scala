@@ -264,6 +264,28 @@ class StoreSpec extends SparkSuite {
       "the staged append must abort, not slip past the new check")
   }
 
+  test("file-level OCC conflict: id rebase is refused for a MULTI-table " +
+    "transaction (staged rows elsewhere may reference provisional ids)") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c"))
+    intercept[Catalog.ConcurrentWriteException] {
+      cat.transaction { tx =>
+        val uid = tx.append("users", user("b", "b@x.c"))
+        // a second table stages rows derived from the provisional id —
+        // exactly the FK flow the engine cannot see through
+        tx.append("events_ingest",
+          Seq((1L, new java.sql.Timestamp(0L), uid, "view", 1.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value",
+              "props"))
+        cat.append("users", user("c", "c@x.c"))
+      }
+    }
+    // neither staged table landed; the concurrent winner survives
+    assert(cat.read("users").select("email").as[String].collect().toSet
+      == Set("a@x.c", "c@x.c"))
+    assert(cat.read("events_ingest").count() == 0L)
+  }
+
   test("read-set serializability: a transaction that READ a table " +
     "conflicts when that table changes before its commit (no write skew)") {
     val cat = freshCat()
