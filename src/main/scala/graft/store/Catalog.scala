@@ -1090,35 +1090,27 @@ final class Catalog(val spark: SparkSession, val root: String) {
     try {
       val out = body(tx)
       if (tx.staged.nonEmpty)
-        Catalog.rootMonitor(rootPath.toAbsolutePath.normalize.toString)
-          .synchronized {
-            val ch = java.nio.channels.FileChannel.open(lockPath,
-              StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-            try {
-              val lock = ch.lock()
-              try {
-                val cur = readManifest()
-                val stagedFinal = tx.staged.groupBy(_.table)
-                  .map { case (t, ss) => t -> ss.last.state }
-                // read-set serializability: a table this tx READ (and
-                // based decisions on) but did not write must be
-                // unchanged — otherwise write skew
-                (tx.readTables -- stagedFinal.keySet).foreach { t =>
-                  if (cur.get(t) != base.get(t))
-                    throw new Catalog.ConcurrentWriteException(
-                      s"table '$t' of '$root', READ by this transaction, " +
-                        "was committed concurrently since its snapshot; " +
-                        "re-run against the new state")
-                }
-                val merged = stagedFinal.map { case (t, st) =>
-                  if (cur.get(t) == base.get(t)) t -> st
-                  else t -> reconcile(tx, stagedFinal.size, t,
-                    base.get(t), cur.get(t), st)
-                }
-                writeManifest(cur ++ merged)
-              } finally lock.release()
-            } finally ch.close()
+        withCommitLock {
+          val cur = readManifest()
+          val stagedFinal = tx.staged.groupBy(_.table)
+            .map { case (t, ss) => t -> ss.last.state }
+          // read-set serializability: a table this tx READ (and based
+          // decisions on) but did not write must be unchanged —
+          // otherwise write skew
+          (tx.readTables -- stagedFinal.keySet).foreach { t =>
+            if (cur.get(t) != base.get(t))
+              throw new Catalog.ConcurrentWriteException(
+                s"table '$t' of '$root', READ by this transaction, " +
+                  "was committed concurrently since its snapshot; " +
+                  "re-run against the new state")
           }
+          val merged = stagedFinal.map { case (t, st) =>
+            if (cur.get(t) == base.get(t)) t -> st
+            else t -> reconcile(tx, stagedFinal.size, t,
+              base.get(t), cur.get(t), st)
+          }
+          writeManifest(cur ++ merged)
+        }
       out
     } finally tx.releaseLease()
   }
@@ -1262,10 +1254,30 @@ final class Catalog(val spark: SparkSession, val root: String) {
       lo.getEpochSecond * 1000000L + lo.getNano / 1000L,
       hi.getEpochSecond * 1000000L + hi.getNano / 1000L, rows)
 
+  /** Run `f` holding the COMMIT locks (per-root monitor + OS file
+    * lock) without committing anything — for maintenance that must be
+    * atomic against concurrent commits. Since the round-10 OCC change,
+    * a `transaction {}` BODY holds no lock (only its commit phase
+    * does), so maintenance code needing mutual exclusion with commits
+    * must take the locks explicitly. */
+  private def withCommitLock[A](f: => A): A =
+    Catalog.rootMonitor(rootPath.toAbsolutePath.normalize.toString)
+      .synchronized {
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try f finally lock.release()
+        } finally ch.close()
+      }
+
   /** Delete parquet files under the table's directory that no longer
     * appear in the manifest (left behind by COW updates and compaction).
-    * Runs under the transaction locks so no writer can commit a manifest
-    * mid-sweep.
+    * Holds the COMMIT locks for the whole sweep ([[withCommitLock]] —
+    * a lock-free OCC transaction body would NOT give that), so no
+    * commit can land mid-sweep: in particular [[restoreTo]] cannot
+    * re-reference an old file between this sweep's liveness read and
+    * its deletion.
     *
     * Reader-snapshot grace (the Delta retention-window analogue): a file
     * is only deleted once it has been dead for at least `retainMillis`
@@ -1289,7 +1301,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * (and reclaimed), bounding how long an orphan can stall cleanup. */
   def vacuum(table: String,
       retainMillis: Long = Catalog.DefaultVacuumRetainMillis): Int =
-    transaction { _ =>
+    withCommitLock {
     val live = readManifest().get(table).map(_.files).getOrElse(Vector.empty)
       .map(f => rootPath.resolve(f.path).toAbsolutePath.normalize).toSet
     val tableDir = rootPath.resolve(table)
