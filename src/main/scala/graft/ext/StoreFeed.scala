@@ -10,13 +10,16 @@ import graft.store.Catalog
   * ([[Catalog.changesBetween]] — the Delta CDF / Iceberg changelog
   * analogue).
   *
-  * Fixture prep stages a THREE-version store root ([[PreparedTables]]
+  * Fixture prep stages a SIX-version store root ([[PreparedTables]]
   * memo): version 1 appends the events fixture's `event_id <= V1Max`
   * slice into `events_ingest` (dense ingest ids assigned in event_id
   * order), version 2 is ONE transaction that hard-deletes every
-  * 'error' row and appends the `(V1Max, V2Max]` slice, and version 3
+  * 'error' row and appends the `(V1Max, V2Max]` slice, version 3
   * is a COW UPDATE doubling every click's value (feeding
-  * [[timetravel]] and [[updatePairs]]). The [[changefeed]] gate query
+  * [[timetravel]] and [[updatePairs]]), version 4 compacts the file
+  * layout ([[compactInvariant]]), version 5 adds a nullable `quality`
+  * column as pure metadata, and version 6 appends a slice carrying it
+  * ([[schemaEvolution]]). The [[changefeed]] gate query
   * reads the v1→v2 changefeed; because COW carries untouched rows
   * through both manifests, the file-level diff equals the full multiset
   * difference of the two snapshots, which the DuckDB oracle — blind to
@@ -34,6 +37,7 @@ object StoreFeed {
 
   private val V1Max = 2000L
   private val V2Max = 3000L
+  private val V3Max = 4000L
 
   private def ingestCols(df: DataFrame): DataFrame =
     df.select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -48,12 +52,14 @@ object StoreFeed {
   def ensurePrepared(s: SparkSession, d: String): Unit =
     prepared.ensurePrepared(s, d)
 
-  /** Build the three committed versions on a fresh root (PreparedTables
-    * has already cleared the directory, so versions are exactly 1, 2,
-    * 3): v1 = base slice append; v2 = delete errors + append the next
+  /** Build the six committed versions on a fresh root (PreparedTables
+    * has already cleared the directory, so versions are exactly 1..6):
+    * v1 = base slice append; v2 = delete errors + append the next
     * slice (the changefeed tick); v3 = an in-place UPDATE doubling
     * every click's value (the update-pairing tick — COW rewrites the
-    * files, untouched residents cancel in the feed). */
+    * files, untouched residents cancel in the feed); v4 = compaction
+    * (layout-only); v5 = addColumn (metadata-only); v6 = an append
+    * carrying the evolved column. */
   private def write(s: SparkSession, d: String): Unit = {
     val cat = new Catalog(s, rootDir(s))
     require(cat.version == 0L,
@@ -69,10 +75,29 @@ object StoreFeed {
     }
     cat.update("events_ingest", col("event_type") === "click",
       Map("value" -> (col("value") * 2)))
+    cat.compact("events_ingest", numFiles = 1)
+    require(cat.version == 4L,
+      s"compact tick did not commit (v${cat.version}): the fixture " +
+        "table landed in a single file, so the compaction row would " +
+        "prove nothing — widen the slices")
+    cat.transaction { tx =>
+      tx.addColumn("events_ingest", org.apache.spark.sql.types.StructField(
+        "quality", org.apache.spark.sql.types.IntegerType, nullable = true))
+    }
+    cat.append("events_ingest",
+      ev.filter(col("event_id") > V2Max && col("event_id") <= V3Max)
+        .withColumn("quality", pmod(col("event_id"), lit(97)).cast("int")),
+      orderBy = Seq("event_id"))
+    require(cat.version == 6L,
+      s"fixture root ended at v${cat.version}, expected 6")
   }
 
-  val changefeed: Q = Q(
-    "ext_store_changefeed",
+  /** Shared oracle CTE chain replaying the fixture's first three
+    * versions from the raw events table (dense id assignment = the
+    * store's append order). Rows using only a prefix (v1, v2) leave the
+    * later CTEs unreferenced — DuckDB plans CTEs lazily, unreferenced
+    * ones cost nothing. */
+  private val v3Sql: String =
     s"""WITH f AS (SELECT event_id, ts, user_id, event_type, value, props
        |  FROM events),
        |v1 AS (SELECT row_number() OVER (ORDER BY event_id) AS ingest_id, *
@@ -82,6 +107,13 @@ object StoreFeed {
        |  FROM f WHERE event_id > $V1Max AND event_id <= $V2Max),
        |v2 AS (SELECT * FROM v1 WHERE event_type <> 'error'
        |  UNION ALL SELECT * FROM b2),
+       |v3 AS (SELECT ingest_id, event_id, ts, user_id, event_type,
+       |  CASE WHEN event_type = 'click' THEN value * 2 ELSE value END
+       |    AS value, props FROM v2)""".stripMargin
+
+  val changefeed: Q = Q(
+    "ext_store_changefeed",
+    s"""$v3Sql,
        |ins AS (SELECT *, 'insert' AS _change_type FROM
        |  (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)),
        |del AS (SELECT *, 'delete' AS _change_type FROM
@@ -107,10 +139,7 @@ object StoreFeed {
     * the original bytes. */
   val timetravel: Q = Q(
     "ext_store_timetravel",
-    s"""WITH f AS (SELECT event_id, ts, user_id, event_type, value, props
-       |  FROM events),
-       |v1 AS (SELECT row_number() OVER (ORDER BY event_id) AS ingest_id, *
-       |  FROM f WHERE event_id <= $V1Max)
+    s"""$v3Sql
        |SELECT ingest_id, event_id, ts, user_id, event_type, value, props
        |FROM v1 ORDER BY ingest_id""".stripMargin
   ) { (s, d) =>
@@ -130,18 +159,7 @@ object StoreFeed {
     * fixture. */
   val updatePairs: Q = Q(
     "ext_store_update_pairs",
-    s"""WITH f AS (SELECT event_id, ts, user_id, event_type, value, props
-       |  FROM events),
-       |v1 AS (SELECT row_number() OVER (ORDER BY event_id) AS ingest_id, *
-       |  FROM f WHERE event_id <= $V1Max),
-       |b2 AS (SELECT (SELECT COALESCE(MAX(ingest_id), 0) FROM v1)
-       |    + row_number() OVER (ORDER BY event_id) AS ingest_id, *
-       |  FROM f WHERE event_id > $V1Max AND event_id <= $V2Max),
-       |v2 AS (SELECT * FROM v1 WHERE event_type <> 'error'
-       |  UNION ALL SELECT * FROM b2),
-       |v3 AS (SELECT ingest_id, event_id, ts, user_id, event_type,
-       |  CASE WHEN event_type = 'click' THEN value * 2 ELSE value END
-       |    AS value, props FROM v2),
+    s"""$v3Sql,
        |ch AS (
        |  SELECT *, 'insert' AS ct FROM
        |    (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v2)
@@ -165,5 +183,56 @@ object StoreFeed {
       .orderBy("ingest_id", "_change_type")
   }.copy(setup = Some(ensurePrepared _))
 
-  val all: Seq[Q] = Seq(changefeed, timetravel, updatePairs)
+  /** Compaction invariance: v4 is `compact(numFiles = 1)` — a pure
+    * file-layout rewrite (range-partitioned on the surrogate id so
+    * point reads touch one file again) that must leave the table's
+    * CONTENT identical to v3. The gate reads the archived v4 snapshot;
+    * the oracle rebuilds v3 from the raw fixture, so one row lost,
+    * duplicated, or reordered into a different id by the rewrite goes
+    * hash-red. (The file-count mechanics — fewer live files, dead
+    * originals until vacuum — are spec territory: StoreSpec's compact
+    * cases.) */
+  val compactInvariant: Q = Q(
+    "ext_store_compact",
+    s"""$v3Sql
+       |SELECT ingest_id, event_id, ts, user_id, event_type, value, props
+       |FROM v3 ORDER BY ingest_id""".stripMargin
+  ) { (s, d) =>
+    ensurePrepared(s, d)
+    new Catalog(s, rootDir(s))
+      .readAt("events_ingest", 4L)
+      .orderBy("ingest_id")
+  }.copy(setup = Some(ensurePrepared _))
+
+  /** Schema evolution end-to-end: v5 adds a nullable `quality` INT
+    * column (pure metadata — zero files touched), v6 appends a slice
+    * CARRYING it. The gate reads the current table: every pre-evolution
+    * row must NULL-backfill `quality` through parquet by-name
+    * resolution (their files predate the column), the new slice must
+    * carry its values, and ids must continue from the high-water mark
+    * (deletes never recycle ids). The oracle rebuilds both populations
+    * from the raw fixture. */
+  val schemaEvolution: Q = Q(
+    "ext_store_schema_evolution",
+    s"""$v3Sql,
+       |b3 AS (SELECT (SELECT COALESCE(MAX(ingest_id), 0) FROM v2)
+       |    + row_number() OVER (ORDER BY event_id) AS ingest_id,
+       |    event_id, ts, user_id, event_type, value, props,
+       |    CAST(event_id % 97 AS INTEGER) AS quality
+       |  FROM f WHERE event_id > $V2Max AND event_id <= $V3Max)
+       |SELECT * FROM (
+       |  SELECT ingest_id, event_id, ts, user_id, event_type, value,
+       |    props, CAST(NULL AS INTEGER) AS quality FROM v3
+       |  UNION ALL SELECT * FROM b3)
+       |ORDER BY ingest_id""".stripMargin
+  ) { (s, d) =>
+    ensurePrepared(s, d)
+    new Catalog(s, rootDir(s))
+      .read("events_ingest")
+      .orderBy("ingest_id")
+  }.copy(setup = Some(ensurePrepared _))
+
+  val all: Seq[Q] =
+    Seq(changefeed, timetravel, updatePairs, compactInvariant,
+      schemaEvolution)
 }
