@@ -482,7 +482,76 @@ object Stats {
           "then 1 else 0 end as bigint)").as("reject_5pct"))
   }
 
+  /** Ordinary least squares: l_extendedprice regressed on (l_quantity,
+    * l_discount) with intercept, solved in CLOSED FORM via the normal
+    * equations over sufficient statistics — the distributed-regression
+    * shape (one map-side-combined aggregate, no gradient loop, no
+    * per-row residual pass): n plus nine exact-decimal sums (Σx₁, Σx₂,
+    * Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y, Σy²) reduce the fact table to
+    * ONE row however the scan is partitioned; the 2×2 solve, R², and
+    * coefficient standard errors are then fixed scalar IEEE chains over
+    * singly-cast doubles — the same formula TEXT evaluates in both
+    * engines (the `ext_stats_welch`/`ext_stats_corr` determinism
+    * pattern), and the n-scaled centered cross-moments (cᵢⱼ = n·Σxᵢxⱼ −
+    * Σxᵢ·Σxⱼ) keep the chain division-free until the final
+    * coefficients. At 100 TB this is the ONLY sane OLS plan: the
+    * shuffle carries ten numbers per partition, never a row. */
+  val ols: Q = {
+    def dec(x: String) = s"CAST($x AS DECIMAL(10,2))"
+    def dsum(e: String, a: String) = s"CAST(SUM($e) AS DOUBLE) AS $a"
+    val q = dec("l_quantity"); val d = dec("l_discount")
+    val y = dec("l_extendedprice")
+    val mSql =
+      s"""SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${dsum(q, "s1")}, ${dsum(d, "s2")}, ${dsum(y, "sy")},
+         |    ${dsum(s"$q * $q", "s11")}, ${dsum(s"$d * $d", "s22")},
+         |    ${dsum(s"$q * $d", "s12")}, ${dsum(s"$q * $y", "s1y")},
+         |    ${dsum(s"$d * $y", "s2y")}, ${dsum(s"$y * $y", "syy")}
+         |  FROM lineitem""".stripMargin
+    val cCols = Seq(
+      "n", "s1", "s2", "sy",
+      "n * s11 - s1 * s1 AS c11", "n * s22 - s2 * s2 AS c22",
+      "n * s12 - s1 * s2 AS c12", "n * s1y - s1 * sy AS c1y",
+      "n * s2y - s2 * sy AS c2y", "n * syy - sy * sy AS cyy",
+      "(n * s11 - s1 * s1) * (n * s22 - s2 * s2) - " +
+        "(n * s12 - s1 * s2) * (n * s12 - s1 * s2) AS det")
+    val bCols = Seq(
+      "n", "s1", "s2", "sy", "c11", "c22", "c1y", "c2y", "cyy", "det",
+      "(c22 * c1y - c12 * c2y) / det AS b1",
+      "(c11 * c2y - c12 * c1y) / det AS b2")
+    val outCols = Seq(
+      "CAST(n AS BIGINT) AS n_obs",
+      "(sy - b1 * s1 - b2 * s2) / n AS b0", "b1", "b2",
+      "(b1 * c1y + b2 * c2y) / cyy AS r2",
+      "sqrt((cyy - b1 * c1y - b2 * c2y) / (n * (n - 3)) * n * c22 / det)" +
+        " AS se_b1",
+      "sqrt((cyy - b1 * c1y - b2 * c2y) / (n * (n - 3)) * n * c11 / det)" +
+        " AS se_b2")
+    Q(
+      "ext_stats_ols",
+      s"""WITH m AS ($mSql),
+         |c AS (SELECT ${cCols.mkString(",\n  ")} FROM m),
+         |b AS (SELECT ${bCols.mkString(",\n  ")} FROM c)
+         |SELECT ${outCols.mkString(",\n  ")} FROM b""".stripMargin
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(expr("CAST(COUNT(*) AS DOUBLE)").as("n"),
+          expr(s"CAST(SUM($q) AS DOUBLE)").as("s1"),
+          expr(s"CAST(SUM($d) AS DOUBLE)").as("s2"),
+          expr(s"CAST(SUM($y) AS DOUBLE)").as("sy"),
+          expr(s"CAST(SUM($q * $q) AS DOUBLE)").as("s11"),
+          expr(s"CAST(SUM($d * $d) AS DOUBLE)").as("s22"),
+          expr(s"CAST(SUM($q * $d) AS DOUBLE)").as("s12"),
+          expr(s"CAST(SUM($q * $y) AS DOUBLE)").as("s1y"),
+          expr(s"CAST(SUM($d * $y) AS DOUBLE)").as("s2y"),
+          expr(s"CAST(SUM($y * $y) AS DOUBLE)").as("syy"))
+        .selectExpr(cCols: _*)
+        .selectExpr(bCols: _*)
+        .selectExpr(outCols: _*)
+    }
+  }
+
   def all: Seq[Q] =
     Seq(chi2, welch, corr, mannWhitney, percentileCont, qdigestQuantiles,
-      ksTest)
+      ksTest, ols)
 }

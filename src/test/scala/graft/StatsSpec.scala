@@ -189,4 +189,42 @@ class StatsSpec extends SparkSuite {
       (p.length + c.length).toDouble / (p.length.toLong * c.length))
     assert(r.getLong(5) == (if (d >= crit) 1L else 0L))
   }
+
+  test("ols: coefficients match a local normal-equations solve, " +
+    "residuals are orthogonal to the regressors, and r2 is in [0,1]") {
+    val rows = graft.core.Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_discount", "l_extendedprice").collect()
+      .map(r => (BigDecimal(r.getDouble(0)).setScale(2),
+        BigDecimal(r.getDouble(1)).setScale(2),
+        BigDecimal(r.getDouble(2)).setScale(2)))
+    val n = rows.length.toDouble
+    def s(f: ((BigDecimal, BigDecimal, BigDecimal)) => BigDecimal) =
+      rows.map(f).sum.toDouble
+    val (s1, s2, sy) = (s(_._1), s(_._2), s(_._3))
+    val c11 = n * s(t => t._1 * t._1) - s1 * s1
+    val c22 = n * s(t => t._2 * t._2) - s2 * s2
+    val c12 = n * s(t => t._1 * t._2) - s1 * s2
+    val c1y = n * s(t => t._1 * t._3) - s1 * sy
+    val c2y = n * s(t => t._2 * t._3) - s2 * sy
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c22 * c1y - c12 * c2y) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val b0 = (sy - b1 * s1 - b2 * s2) / n
+    val r = graft.ext.Stats.ols.fn(spark, sf).collect()(0)
+    assert(r.getLong(0) == rows.length.toLong)
+    assert(math.abs(r.getDouble(1) - b0) <= 1e-9 * math.abs(b0),
+      s"b0 ${r.getDouble(1)} vs local $b0")
+    assert(math.abs(r.getDouble(2) - b1) <= 1e-9 * math.abs(b1),
+      s"b1 ${r.getDouble(2)} vs local $b1")
+    assert(math.abs(r.getDouble(3) - b2) <= 1e-9 * math.abs(b2),
+      s"b2 ${r.getDouble(3)} vs local $b2")
+    val r2 = r.getDouble(4)
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2 out of range")
+    // normal equations ARE the orthogonality conditions: X'(y - Xb) = 0
+    val res1 = rows.map(t => t._1.toDouble *
+      (t._3.toDouble - b0 - b1 * t._1.toDouble - b2 * t._2.toDouble)).sum
+    assert(math.abs(res1) <= 1e-6 * rows.map(t =>
+      (t._1 * t._3).abs.toDouble).sum)
+    assert(r.getDouble(5) > 0.0 && r.getDouble(6) > 0.0) // standard errors
+  }
 }
