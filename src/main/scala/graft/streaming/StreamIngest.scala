@@ -28,9 +28,14 @@ object StreamIngest {
 
   /** Admit one micro-batch transactionally iff (query, batchId) has not
     * been committed. Returns true when the batch landed, false when the
-    * replay guard rejected it. */
+    * replay guard rejected it. `orderBy` fixes the id assignment order
+    * within the batch; with the replay's time-range batching, ordering
+    * by the replay's own time columns makes the GLOBAL id sequence a
+    * pure function of the data — independent of where the batch
+    * boundaries fall ([[graft.ext.StreamIngestFeed]]). */
   def commitBatch(cat: Catalog, table: String, query: String,
-      batchId: Long, rows: DataFrame): Boolean =
+      batchId: Long, rows: DataFrame,
+      orderBy: Seq[String] = Seq("event_id")): Boolean =
     cat.transaction { tx =>
       import rows.sparkSession.implicits._
       val replay = tx.read("stream_offsets")
@@ -38,7 +43,7 @@ object StreamIngest {
         .limit(1).count() > 0 // tiny ledger: one row per committed batch
       if (replay) false
       else {
-        tx.append(table, rows, orderBy = Seq("event_id"))
+        tx.append(table, rows, orderBy = orderBy)
         tx.append("stream_offsets",
           Seq((query, batchId)).toDF("query", "batch_id"))
         true
@@ -52,7 +57,7 @@ object StreamIngest {
     * `query` name replays batch ids the ledger already holds and skips
     * them. */
   def ingestEvents(spark: SparkSession, dir: String, cat: Catalog,
-      query: String): Long = {
+      query: String, orderBy: Seq[String] = Seq("event_id")): Long = {
     val before = cat.read("events_ingest").count() // 0 if not created yet
     val batch = spark.read.parquet(s"$dir/events.parquet")
     // multi-batch replay: the (query, batchId) ledger is exercised with
@@ -65,7 +70,7 @@ object StreamIngest {
       else stream
     val q = withTs.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        commitBatch(cat, "events_ingest", query, id, df): Unit
+        commitBatch(cat, "events_ingest", query, id, df, orderBy): Unit
       }
       .start()
     try {
