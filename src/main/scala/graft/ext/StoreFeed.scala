@@ -232,7 +232,48 @@ object StoreFeed {
       .orderBy("ingest_id")
   }.copy(setup = Some(ensurePrepared _))
 
+  /** CDC-driven materialized-view maintenance: a per-type (count, sum)
+    * summary built at v1 is rolled forward to v3 by APPLYING the
+    * v1→v3 changefeed as signed deltas (+1/+value per insert, −1/−value
+    * per delete; an update contributes both sides) — the
+    * delta-application algebra a warehouse uses to maintain aggregates
+    * under DELETES and UPDATES, which the append-only high-watermark
+    * path (`ext_incr_view_maintain`) cannot express. The oracle
+    * aggregates the v3 state directly, so the hash proves base + feed
+    * deltas == recompute-from-scratch. Groups that cancel to zero (the
+    * fully-deleted 'error' type) must vanish exactly — a surviving
+    * nonzero residue shows up as a row the oracle does not have. Sums
+    * run in exact DECIMAL so cancellation is algebraic, not
+    * floating-point luck; doubles only at the output boundary. Scale
+    * shape: the view reads the (change-proportional) feed + the
+    * group-domain-sized base, never rescans the fact table. */
+  val cdcView: Q = Q(
+    "ext_store_cdc_view",
+    s"""$v3Sql
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+       |FROM v3 GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    ensurePrepared(s, d)
+    val cat = new Catalog(s, rootDir(s))
+    def dec = col("value").cast("decimal(10,2)")
+    val base = cat.readAt("events_ingest", 1L)
+      .select(col("event_type"), lit(1L).as("w"), dec.as("v"))
+    val feed = cat.changesBetween("events_ingest", 1L, 3L)
+      .select(col("event_type"),
+        when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L).as("w"),
+        when(col("_change_type") === "insert", dec)
+          .otherwise(-dec).as("v"))
+    base.unionByName(feed)
+      .groupBy("event_type")
+      .agg(sum(col("w")).cast("long").as("n_rows"),
+        sum(col("v")).cast("double").as("total_value"))
+      .filter(col("n_rows") > 0)
+      .orderBy("event_type")
+  }.copy(setup = Some(ensurePrepared _))
+
   val all: Seq[Q] =
     Seq(changefeed, timetravel, updatePairs, compactInvariant,
-      schemaEvolution)
+      schemaEvolution, cdcView)
 }
