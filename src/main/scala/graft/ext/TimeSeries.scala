@@ -381,5 +381,101 @@ object TimeSeries {
       .orderBy("fit_days")
   }
 
-  def all: Seq[Q] = Seq(acf, cusum, holt, madOutliers, holtBacktest)
+  /** Week-over-week distribution drift of the event-type mix, as
+    * Jensen-Shannon divergence — the data-drift monitor a production
+    * pipeline runs on every categorical feature (JS over KL because it
+    * is symmetric, bounded by ln 2, and finite when a category
+    * appears/disappears — exactly the drift case: a vanished category's
+    * KL term is infinite, its JS term is p/2·ln 2). Shape: counts
+    * reduce map-side to the weeks×types frame, every join/window here
+    * runs on that post-aggregate frame (cost ∝ categories × weeks,
+    * never events); each pair's term sum is an explicitly-ordered
+    * sequential fold over types (the `ext_stats_chi2` determinism
+    * pattern), with ROUND(.,6) at the boundary because the engines' ln
+    * differ in the last ulp. Zero-count categories contribute exactly
+    * their closed-form limit via the guarded CASE. */
+  val driftJs: Q = {
+    // identical formula text in both engines: p·ln(p/m) + q·ln(q/m),
+    // m = (p+q)/2, each side guarded for the zero-count limit
+    val p = "(CAST(c1 AS DOUBLE) / n1)"
+    val q = "(CAST(c2 AS DOUBLE) / n2)"
+    val m = s"(($p + $q) / 2)"
+    val termSql =
+      s"(CASE WHEN c1 > 0 THEN 0.5 * $p * ln($p / $m) ELSE 0.0 END) + " +
+        s"(CASE WHEN c2 > 0 THEN 0.5 * $q * ln($q / $m) ELSE 0.0 END)"
+    Q(
+      "ext_drift_js",
+      s"""WITH cells AS (
+         |  SELECT date_trunc('week', ts) AS wk, event_type AS et,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |wks AS (
+         |  SELECT wk, lead(wk) OVER (ORDER BY wk) AS nwk
+         |  FROM (SELECT DISTINCT wk FROM cells)),
+         |grid AS (
+         |  SELECT w.wk, w.nwk, t.et
+         |  FROM wks w CROSS JOIN (SELECT DISTINCT et FROM cells) t
+         |  WHERE w.nwk IS NOT NULL),
+         |m AS (
+         |  SELECT g.wk, g.nwk, g.et,
+         |    COALESCE(a.c, 0) AS c1, COALESCE(b.c, 0) AS c2
+         |  FROM grid g
+         |  LEFT JOIN cells a ON a.wk = g.wk AND a.et = g.et
+         |  LEFT JOIN cells b ON b.wk = g.nwk AND b.et = g.et),
+         |tot AS (
+         |  SELECT wk, nwk, CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c2) AS BIGINT) AS n2
+         |  FROM m GROUP BY 1, 2),
+         |terms AS (
+         |  SELECT m.wk, m.et, n1, n2, $termSql AS term
+         |  FROM m JOIN tot ON m.wk = tot.wk AND m.nwk = tot.nwk)
+         |SELECT strftime(wk, '%Y-%m-%d') AS week_start,
+         |  ANY_VALUE(n1) AS n_prev, ANY_VALUE(n2) AS n_cur,
+         |  ROUND(list_reduce(list_prepend(0.0, list(term ORDER BY et)),
+         |    (acc, x) -> acc + x), 6) AS js_nats
+         |FROM terms GROUP BY wk ORDER BY week_start""".stripMargin
+    ) { (s, d) =>
+      val cells = Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).as("wk"),
+          col("event_type").as("et"))
+        .agg(count(lit(1)).as("c"))
+      val wks = cells.select("wk").distinct()
+        .withColumn("nwk", lead(col("wk"), 1)
+          .over(org.apache.spark.sql.expressions.Window.orderBy("wk")))
+        .filter(col("nwk").isNotNull)
+      val grid = wks.crossJoin(cells.select("et").distinct())
+      // the frames here are weeks x types — alias-join explicitly to
+      // keep the two cells probes distinct
+      val a = cells.select(col("wk").as("awk"), col("et").as("aet"),
+        col("c").as("ac"))
+      val b = cells.select(col("wk").as("bwk"), col("et").as("bet"),
+        col("c").as("bc"))
+      val g2 = grid
+        .join(broadcast(a),
+          col("wk") === col("awk") && col("et") === col("aet"), "left")
+        .join(broadcast(b),
+          col("nwk") === col("bwk") && col("et") === col("bet"), "left")
+        .select(col("wk"), col("nwk"), col("et"),
+          coalesce(col("ac"), lit(0L)).as("c1"),
+          coalesce(col("bc"), lit(0L)).as("c2"))
+      val tot = g2.groupBy("wk", "nwk")
+        .agg(sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2"))
+      g2.join(broadcast(tot), Seq("wk", "nwk"))
+        .select(col("wk"), col("et"), col("n1"), col("n2"),
+          expr(termSql).as("term"))
+        .groupBy("wk")
+        .agg(first(col("n1")).as("n_prev"), first(col("n2")).as("n_cur"),
+          round(aggregate(
+            transform(array_sort(collect_list(struct(col("et"),
+              col("term")))), st => st("term")),
+            lit(0.0), (acc, x) => acc + x), 6).as("js_nats"))
+        .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+          col("n_prev"), col("n_cur"), col("js_nats"))
+        .orderBy("week_start")
+    }
+  }
+
+  def all: Seq[Q] =
+    Seq(acf, cusum, holt, madOutliers, holtBacktest, driftJs)
 }

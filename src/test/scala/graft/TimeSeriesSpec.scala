@@ -110,4 +110,39 @@ class TimeSeriesSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(4), r.getLong(5))).toSeq
     assert(got == local, s"spark $got vs local $local")
   }
+
+  test("js drift matches a local recomputation, is bounded by ln 2, " +
+    "and is zero for a week paired with itself") {
+    val cells = graft.core.Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("week",
+          org.apache.spark.sql.functions.col("ts")).as("wk"),
+        org.apache.spark.sql.functions.col("event_type").as("et"))
+      .count().collect()
+      .map(r => ((r.getTimestamp(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val weeks = cells.keys.map(_._1).toSeq.distinct.sortBy(_.getTime)
+    val types = cells.keys.map(_._2).toSeq.distinct.sorted
+    def js(w1: java.sql.Timestamp, w2: java.sql.Timestamp): Double = {
+      val n1 = types.map(t => cells.getOrElse((w1, t), 0L)).sum.toDouble
+      val n2 = types.map(t => cells.getOrElse((w2, t), 0L)).sum.toDouble
+      types.map { t =>
+        val p = cells.getOrElse((w1, t), 0L) / n1
+        val q = cells.getOrElse((w2, t), 0L) / n2
+        val m = (p + q) / 2
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+      }.sum
+    }
+    val got = graft.ext.TimeSeries.driftJs.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(got.size == weeks.size - 1)
+    weeks.init.zip(weeks.tail).foreach { case (w1, w2) =>
+      val key = new java.text.SimpleDateFormat("yyyy-MM-dd").format(w1)
+      val expected = js(w1, w2)
+      assert(math.abs(got(key) - expected) <= 1e-5,
+        s"week $key: ${got(key)} vs local $expected")
+      assert(got(key) >= 0.0 && got(key) <= math.log(2.0) + 1e-9)
+      assert(math.abs(js(w1, w1)) <= 1e-12) // self-drift is exactly zero
+    }
+  }
 }
