@@ -166,7 +166,10 @@ object Corpus {
     * computes the identical fixpoint as a recursive transitive closure —
     * fine at fixture scale, impossible at 100 TB, which is exactly why
     * the Spark side is the iterative narrow-shuffle loop instead. */
-  private val clustersSql: String =
+  /** The recursive-closure cluster labeling as a reusable CTE prefix
+    * (pairs → symmetric edges → reachability fixpoint → min-label), so
+    * [[dedupClusters]] and [[dedupKeepBest]] share one oracle body. */
+  private val clustersBodySql: String =
     s"""WITH RECURSIVE pairs AS (
        |${Dedup.minhashPairsSqlBody}),
        |edges AS (
@@ -178,7 +181,10 @@ object Corpus {
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
        |labels AS (
-       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
+  private val clustersSql: String =
+    s"""$clustersBodySql
        |SELECT doc_id, cluster_id,
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
        |FROM labels ORDER BY doc_id""".stripMargin
@@ -198,6 +204,69 @@ object Corpus {
     "ext_dedup_clusters_star",
     (s, d) => clustersWith(s, d, starContractLabels(_)),
     Some(clustersSql), bench = false)
+
+  /** The dedup pipeline's actual FILTERING decision: within each
+    * near-dup cluster keep exactly one document — the highest
+    * quality-scored member, ties to the lowest doc_id (Lee et al.
+    * ACL'22 keep the canonical member, scored here with
+    * `ext_text_quality`'s exact-integer linear score rather than
+    * arbitrary first-seen). Composes the two audited pipelines into the
+    * decision a 100 TB run executes: clusters from the LSH candidate
+    * graph, scores from the quality pass, one rank window over the
+    * CLUSTER-MEMBER frame only (bounded by near-dup mass, never corpus
+    * size — non-clustered docs are implicitly kept and never enter the
+    * window). Tokenless members coalesce to score −1 so they never win
+    * over a scored member, deterministically in both engines. */
+  val dedupKeepBest: Q = Q(
+    "ext_dedup_keep_best",
+    s"""$clustersBodySql,
+       |cl AS (
+       |  SELECT doc_id, cluster_id,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM labels),
+       |q AS (
+       |  SELECT doc_id,
+       |    ${r4fracSql(
+             scoreNumSql("n_stop", "n_tokens", "n_punct", "len(text)"),
+             "n_tokens * len(text)")} AS quality_score
+       |  FROM (
+       |    SELECT doc_id, text, len($toksSql) AS n_tokens,
+       |      ${countInSql(en)} AS n_stop,
+       |      len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+       |    FROM documents) f
+       |  WHERE n_tokens > 0),
+       |j AS (
+       |  SELECT cl.doc_id, cl.cluster_id, cl.n_members,
+       |    COALESCE(q.quality_score, -1.0) AS quality_score
+       |  FROM cl LEFT JOIN q USING (doc_id)),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality_score DESC, doc_id) AS rk FROM j)
+       |SELECT doc_id, cluster_id, n_members, quality_score,
+       |  (rk = 1) AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val cl = clustersWith(s, d, propagateMinLabel(_))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        countIn(toks(col("text")), en).as("n_stop"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long")
+          .as("n_punct"))
+      .filter(col("n_tokens") > 0)
+    val ln = length(col("text")).cast("long")
+    val scored = docs.select(col("doc_id"),
+      r4frac(scoreNum(col("n_stop"), col("n_tokens"), col("n_punct"), ln),
+        col("n_tokens") * ln).as("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    cl.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        coalesce(col("quality_score"), lit(-1.0)).as("quality_score"))
+      .withColumn("kept", row_number().over(w) === 1)
+      .orderBy("doc_id")
+  }
 
   /** Frontier BFS to the fixpoint over a symmetric edge list
     * (`a` -> `b` string columns): returns (id, hops) minimum distances
@@ -1076,7 +1145,8 @@ object Corpus {
   }
 
   val all: Seq[Q] =
-    Seq(dedupClusters, dedupClustersStar, sampleStratified, vocabTopK,
+    Seq(dedupClusters, dedupClustersStar, dedupKeepBest, sampleStratified,
+      vocabTopK,
       vocabCoverage, pipelineCleanse, skewSaltedAgg, skewSaltedJoin,
       corpusMix, corpusPack, docKeyTerms, vocabHeavyHitters,
       bpePairCounts, bpeTrain, bpeVocab, samplePerSource, docChunk,
