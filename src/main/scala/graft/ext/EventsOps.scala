@@ -531,6 +531,85 @@ object EventsOps {
       .orderBy("event_id")
   }
 
+  /** Winsorization — the outlier-capping transform feature pipelines
+    * apply before scaling: per event type, clamp values to the exact
+    * discrete [p5, p95] (lower-percentile rule, the
+    * `ext_value_quantiles` rank semantics) and report clamp counts plus
+    * before/after means. Everything runs on the COMPRESSED
+    * (type, value) frame — counts aggregate map-side first, the rank
+    * window walks |distinct values| rows (bounded by the value DOMAIN,
+    * the `ext_stats_mannwhitney` discipline), the clamp itself is a
+    * broadcast of one (lo, hi) row per type back onto that frame, and
+    * the means re-aggregate exact 2-decimal DECIMAL sums weighted by
+    * count — the fact table is scanned exactly once. */
+  val valueWinsorize: Q = Q(
+    "ext_value_winsorize",
+    """WITH vc AS (
+      |  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, value, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM vc),
+      |b AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cum >= CEIL(0.05 * n) THEN value END) AS lo,
+      |    MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN value END) AS hi
+      |  FROM r GROUP BY event_type),
+      |cl AS (
+      |  SELECT vc.event_type, c, lo, hi,
+      |    CAST(vc.value AS DECIMAL(10,2)) AS dv,
+      |    CAST(LEAST(GREATEST(vc.value, lo), hi) AS DECIMAL(10,2)) AS wv,
+      |    (vc.value < lo) AS is_lo, (vc.value > hi) AS is_hi
+      |  FROM vc JOIN b USING (event_type))
+      |SELECT event_type, ANY_VALUE(lo) AS p05, ANY_VALUE(hi) AS p95,
+      |  CAST(SUM(c) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN is_lo THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_clamped_low,
+      |  CAST(SUM(CASE WHEN is_hi THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_clamped_high,
+      |  CAST(SUM(dv * c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+      |    AS mean_before,
+      |  CAST(SUM(wv * c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+      |    AS mean_after
+      |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val vc = Tables.events(s, d)
+      .groupBy("event_type", "value")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("value")
+    val bounds = vc
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("cum") >= ceil(lit(0.05) * col("n")), col("value")))
+          .as("lo"),
+        min(when(col("cum") >= ceil(lit(0.95) * col("n")), col("value")))
+          .as("hi"))
+    vc.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("c"), col("lo"), col("hi"),
+        col("value").cast("decimal(10,2)").as("dv"),
+        least(greatest(col("value"), col("lo")), col("hi"))
+          .cast("decimal(10,2)").as("wv"),
+        (col("value") < col("lo")).as("is_lo"),
+        (col("value") > col("hi")).as("is_hi"))
+      .groupBy("event_type")
+      .agg(first(col("lo")).as("p05"), first(col("hi")).as("p95"),
+        sum(col("c")).cast("long").as("n"),
+        sum(when(col("is_lo"), col("c")).otherwise(0L)).cast("long")
+          .as("n_clamped_low"),
+        sum(when(col("is_hi"), col("c")).otherwise(0L)).cast("long")
+          .as("n_clamped_high"),
+        (sum(col("dv") * col("c")).cast("double") /
+          sum(col("c")).cast("long")).as("mean_before"),
+        (sum(col("wv") * col("c")).cast("double") /
+          sum(col("c")).cast("long")).as("mean_after"))
+      .orderBy("event_type")
+  }
+
   /** Fixed-width value histogram: integer bucket arithmetic (width 25,
     * clamped top bucket), one hash aggregate with map-side combine — the
     * profile-a-column primitive. Bucket assignment is exact integer
@@ -675,5 +754,6 @@ object EventsOps {
   val all: Seq[Q] = Seq(windowHourly, windowSliding, jsonExtract, sessionize,
     pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats,
     eventsFunnel, eventsRetention, valueQuantiles, valueQuantilesApprox,
-    eventsAnomaly, eventsTransitions, valueHistogram, gapFill, eventsEwma)
+    eventsAnomaly, eventsTransitions, valueHistogram, valueWinsorize,
+    gapFill, eventsEwma)
 }

@@ -305,4 +305,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(hits == 1L && total == 3L,
       s"doc 1 shares exactly 'alpha beta gamma'; got hits=$hits of $total")
   }
+
+  test("winsorize matches a local sorted-array clamp per type and " +
+    "clamp fractions respect the ceil-rank tail bounds") {
+    val byType = graft.core.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = graft.ext.EventsOps.valueWinsorize.fn(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == byType.keySet)
+    got.foreach { r =>
+      val xs = byType(r.getString(0))
+      val n = xs.length
+      val lo = xs(math.ceil(0.05 * n).toInt - 1)
+      val hi = xs(math.ceil(0.95 * n).toInt - 1)
+      assert(r.getDouble(1) == lo && r.getDouble(2) == hi,
+        s"${r.getString(0)}: bounds (${r.getDouble(1)}, ${r.getDouble(2)})" +
+          s" vs local ($lo, $hi)")
+      assert(r.getLong(3) == n.toLong)
+      val nLo = xs.count(_ < lo)
+      val nHi = xs.count(_ > hi)
+      assert(r.getLong(4) == nLo.toLong && r.getLong(5) == nHi.toLong)
+      // ceil-rank tails: < 5% strictly below lo, <= 5% strictly above hi
+      assert(nLo < 0.05 * n && nHi <= 0.05 * n)
+      val meanAfter = xs.map(x => BigDecimal(math.min(math.max(x, lo), hi))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n
+      assert(math.abs(r.getDouble(7) - meanAfter) <= 1e-9 *
+        math.max(1.0, math.abs(meanAfter)))
+      assert(r.getDouble(7) >= lo && r.getDouble(7) <= hi)
+    }
+  }
 }
