@@ -15,7 +15,7 @@ object Registry {
       Profiling.all ++ InvertedIndex.all ++
       BucketedJoin.all ++ PartitionedScan.all ++ ZOrderLayout.all ++
       BloomJoin.all ++ StoreFeed.all ++ Scd2.all ++ IncrView.all ++
-      IndexMaintain.all ++ StreamIngestFeed.all ++
+      IndexMaintain.all ++ StreamIngestFeed.all ++ StoreFollow.all ++
       Warehouse.all ++ Attribution.all ++ LangModel.all ++
       Skyline.all ++ Intervals.all ++ VecFuncs.all ++ Stats.all ++
       AssocRules.all ++ Graph.all ++ KmvDistinct.all ++ TimeSeries.all ++

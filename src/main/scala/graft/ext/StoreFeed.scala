@@ -35,8 +35,8 @@ import graft.store.Catalog
   */
 object StoreFeed {
 
-  private val V1Max = 2000L
-  private val V2Max = 3000L
+  private[ext] val V1Max = 2000L
+  private[ext] val V2Max = 3000L
   private val V3Max = 4000L
 
   private def ingestCols(df: DataFrame): DataFrame =
@@ -97,7 +97,7 @@ object StoreFeed {
     * store's append order). Rows using only a prefix (v1, v2) leave the
     * later CTEs unreferenced — DuckDB plans CTEs lazily, unreferenced
     * ones cost nothing. */
-  private val v3Sql: String =
+  private[ext] val v3Sql: String =
     s"""WITH f AS (SELECT event_id, ts, user_id, event_type, value, props
        |  FROM events),
        |v1 AS (SELECT row_number() OVER (ORDER BY event_id) AS ingest_id, *

@@ -82,6 +82,15 @@ object Schemas {
     StructField("query", StringType),
     StructField("batch_id", LongType)))
 
+  /** Per-event-type running summary maintained by the changefeed
+    * follower ([[graft.streaming.ChangefeedFollower]]): counts and
+    * exact integer cents, merged by the natural key `event_type`. */
+  val eventsTypeSummary: StructType = StructType(Seq(
+    StructField("summary_id", LongType, nullable = false),
+    StructField("event_type", StringType),
+    StructField("n_rows", LongType),
+    StructField("total_cents", LongType)))
+
   /** SCD Type-2 user dimension ([[Catalog.Tx.scd2Merge]]): one row per
     * value episode of the tracked attributes (user_role, email), with a
     * validity interval and a current flag. `user_id` is the natural key;
@@ -139,6 +148,7 @@ object Schemas {
     "saved_cards" -> (savedCards, "card_id"),
     "events_ingest" -> (eventsIngest, "ingest_id"),
     "stream_offsets" -> (streamOffsets, "offset_id"),
+    "events_type_summary" -> (eventsTypeSummary, "summary_id"),
     "users_dim" -> (usersDim, "dim_id"),
     "lsh_index" -> (lshIndex, "row_id"),
     "ivf_index" -> (ivfIndex, "row_id"))

@@ -1027,4 +1027,48 @@ class StoreSpec extends SparkSuite {
     }
     assert(cat.read("events").count() == 4, "failed reload must change nothing")
   }
+
+  test("changefeed follower: the summary equals a direct aggregate " +
+    "after every tick, and a caught-up tick neither commits nor drifts") {
+    val cat = freshCat()
+    def ev(id: Long, et: String, v: Double) =
+      Seq((id, new java.sql.Timestamp(id), 1L, et, v, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def tick() =
+      graft.streaming.ChangefeedFollower.tick(cat, "events_ingest", "qF")
+    def summaryEqualsDirect(): Unit = {
+      val direct = cat.read("events_ingest")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).cast("long").as("c"))
+        .as[(String, Long, Long)].collect().map {
+          case (k, n, c) => k -> ((n, c)) }.toMap
+      val got = cat.read("events_type_summary")
+        .filter(col("n_rows") > 0)
+        .select("event_type", "n_rows", "total_cents")
+        .as[(String, Long, Long)].collect().map {
+          case (k, n, c) => k -> ((n, c)) }.toMap
+      assert(got == direct, s"summary $got vs direct $direct")
+    }
+    cat.append("events_ingest", ev(1, "view", 1.10).unionAll(ev(2, "click", 2.25)))
+    assert(tick() > 0)
+    summaryEqualsDirect()
+    cat.transaction { tx =>
+      tx.delete("events_ingest", col("event_type") === "view")
+      tx.append("events_ingest", ev(3, "click", 0.40))
+      ()
+    }
+    cat.update("events_ingest", col("event_id") === 2L,
+      Map("value" -> lit(5.00)))
+    assert(tick() > 0) // two data commits folded in one catch-up tick
+    summaryEqualsDirect()
+    // fully-deleted type cancels to a zero row, filtered by the serving read
+    assert(cat.read("events_type_summary")
+      .filter(col("event_type") === "view")
+      .select("n_rows").as[Long].head() == 0L)
+    val vBefore = cat.version
+    assert(tick() == 0L, "caught-up tick must report no progress")
+    assert(cat.version == vBefore, "an empty feed must not commit")
+    summaryEqualsDirect()
+  }
 }
