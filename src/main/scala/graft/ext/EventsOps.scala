@@ -531,6 +531,56 @@ object EventsOps {
       .orderBy("event_id")
   }
 
+  /** Time-weighted average value per event type (TWAP — the temporal
+    * aggregation a feature store serves when observations are
+    * irregularly spaced and a plain mean over-weights bursts): each
+    * observation holds until the user's next event, capped at 30 min
+    * (a user's LAST observation has no observed duration and is
+    * excluded — the closed-interval contract). One user-keyed shuffle
+    * feeds the lead window; weights are exact integer SECONDS (not
+    * micros: second-granularity keeps the DECIMAL(38,2) weighted sum's
+    * scaled integer under 2^53 well past sf1, so each engine's
+    * decimal→double cast is the same single correctly-rounded
+    * operation — a wider sum needs TWO roundings in DuckDB's
+    * int128-then-divide cast and drifts an ulp), products exact
+    * DECIMAL×BIGINT, the two divisions the only IEEE ops, ROUND(.,6)
+    * at the boundary. The unweighted mean rides along so the
+    * burst-correction is visible in the row itself. */
+  val valueTwap: Q = Q(
+    "ext_value_twap",
+    """WITH seg AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(10,2)) AS v,
+      |    LEAST((epoch_us(lead(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id)) - epoch_us(ts)) // 1000000,
+      |      1800) AS dur
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(dur) AS BIGINT) AS total_dur_s,
+      |  ROUND(CAST(SUM(v * dur) AS DOUBLE)
+      |    / CAST(SUM(dur) AS BIGINT), 6) AS twap,
+      |  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_plain
+      |FROM seg WHERE dur IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        col("value").cast("decimal(10,2)").as("v"),
+        least(
+          expr("(unix_micros(lead(ts, 1) OVER (PARTITION BY user_id " +
+            "ORDER BY ts, event_id)) - unix_micros(ts)) div 1000000"),
+          lit(1800L)).as("dur"))
+      .filter(col("dur").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).cast("long").as("total_dur_s"),
+        round(sum(col("v") * col("dur")).cast("double") /
+          sum(col("dur")).cast("long"), 6).as("twap"),
+        round(sum(col("v")).cast("double") / count(lit(1)), 6)
+          .as("mean_plain"))
+      .orderBy("event_type")
+  }
+
   /** Winsorization — the outlier-capping transform feature pipelines
     * apply before scaling: per event type, clamp values to the exact
     * discrete [p5, p95] (lower-percentile rule, the
@@ -755,5 +805,5 @@ object EventsOps {
     pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats,
     eventsFunnel, eventsRetention, valueQuantiles, valueQuantilesApprox,
     eventsAnomaly, eventsTransitions, valueHistogram, valueWinsorize,
-    gapFill, eventsEwma)
+    valueTwap, gapFill, eventsEwma)
 }
