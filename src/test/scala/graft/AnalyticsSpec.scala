@@ -306,6 +306,30 @@ class AnalyticsSpec extends SparkSuite {
       s"doc 1 shares exactly 'alpha beta gamma'; got hits=$hits of $total")
   }
 
+  test("winsorize SHIPPED plan scans the fact table exactly once: the " +
+    "bounds side reuses the (type, value) aggregate exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = graft.ext.EventsOps.valueWinsorize.fn(spark, sf)
+    df.collect() // AQE: reuse is a runtime property, walk the FINAL plan
+    var scans = 0
+    var reused = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: FileSourceScanExec => scans += 1
+      case _: ReusedExchangeExec => reused += 1 // shared subtree: stop
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(scans == 1,
+      s"expected ONE parquet scan in the executed plan, got $scans")
+    assert(reused >= 1, "the clamp side must reuse the vc exchange")
+  }
+
   test("winsorize matches a local sorted-array clamp per type and " +
     "clamp fractions respect the ceil-rank tail bounds") {
     val byType = graft.core.Tables.events(spark, sf)
