@@ -1129,4 +1129,25 @@ class ExtSpec extends SparkSuite {
       s"docs with the rarest term must outrank common-terms-only: $score")
     out.foreach { case (_, s) => assert(s > 0.0) }
   }
+
+  test("keep-best elects exactly one member per cluster, and the winner " +
+    "dominates every loser on (quality, lowest doc_id)") {
+    val rows = graft.ext.Corpus.dedupKeepBest.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._5) == 1,
+        s"cluster $cid: ${members.count(_._5)} kept members")
+      assert(members.forall(_._3 == members.length.toLong),
+        s"cluster $cid: n_members mismatch")
+      val winner = members.find(_._5).get
+      members.filterNot(_._5).foreach { m =>
+        assert(winner._4 > m._4 ||
+          (winner._4 == m._4 && winner._1 < m._1),
+          s"cluster $cid: kept (${winner._1}, ${winner._4}) does not " +
+            s"dominate (${m._1}, ${m._4})")
+      }
+    }
+  }
 }
