@@ -451,6 +451,57 @@ object Corpus {
       .limit(100)
   }
 
+  /** The hashing trick (Weinberger et al., "Feature Hashing for Large
+    * Scale Multitask Learning", ICML 2009): tokens mapped into a fixed
+    * B-dimensional space by a deterministic hash, with the signed
+    * variant's ±1 second hash so collisions cancel in expectation — the
+    * feature extraction a linear model or hashed embedding table uses
+    * when the vocabulary is unbounded. Output is the FEATURE-SPACE
+    * census a practitioner audits before choosing B: per bucket, the
+    * distinct tokens colliding there, signed and absolute term-mass.
+    * Shape: the token stream reduces to the (token, tf) vocabulary
+    * frame map-side first; hashing and the bucket rollup run on that
+    * frame (cost ∝ |vocab|, never corpus tokens), exact integers
+    * throughout, md5-derived buckets identical in both engines. B is a
+    * parameter (production uses 2^18..2^22); the gate pins B=16 so the
+    * fixture's ~31-token vocabulary actually COLLIDES — with B >> vocab
+    * the census is the identity and proves nothing. */
+  val featHash: Q = {
+    val B = 16
+    Q(
+      "ext_feat_hash",
+      s"""WITH v AS (
+         |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT unnest($toksSql) AS t FROM documents) u
+         |  GROUP BY t),
+         |h AS (
+         |  SELECT token, tf,
+         |    ('0x' || substr(md5(token), 1, 12))::UBIGINT::BIGINT % $B
+         |      AS bucket,
+         |    CASE WHEN ('0x' || substr(md5(token), 13, 1))::UBIGINT % 2
+         |      = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM v)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(sgn * tf) AS BIGINT) AS tf_signed,
+         |  CAST(SUM(tf) AS BIGINT) AS tf_abs
+         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
+    ) { (s, d) =>
+      val v = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+      v.select(col("token"), col("tf"),
+        expr(s"cast(conv(substring(md5(token), 1, 12), 16, 10) as bigint)" +
+          s" % $B").as("bucket"),
+        expr("case when cast(conv(substring(md5(token), 13, 1), 16, 10)" +
+          " as bigint) % 2 = 0 then 1 else -1 end").as("sgn"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("sgn") * col("tf")).cast("long").as("tf_signed"),
+          sum(col("tf")).cast("long").as("tf_abs"))
+        .orderBy("bucket")
+    }
+  }
+
   /** Per-document vocabulary coverage (OOV-rate audit): how many of each
     * doc's tokens fall inside the top-100 corpus vocabulary — the
     * tokenizer-fit signal a training pipeline tracks when choosing vocab
@@ -1146,7 +1197,7 @@ object Corpus {
 
   val all: Seq[Q] =
     Seq(dedupClusters, dedupClustersStar, dedupKeepBest, sampleStratified,
-      vocabTopK,
+      vocabTopK, featHash,
       vocabCoverage, pipelineCleanse, skewSaltedAgg, skewSaltedJoin,
       corpusMix, corpusPack, docKeyTerms, vocabHeavyHitters,
       bpePairCounts, bpeTrain, bpeVocab, samplePerSource, docChunk,

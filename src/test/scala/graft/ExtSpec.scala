@@ -1130,6 +1130,28 @@ class ExtSpec extends SparkSuite {
     out.foreach { case (_, s) => assert(s > 0.0) }
   }
 
+  test("feature hashing conserves term mass, signed mass is bounded by " +
+    "absolute mass, and the fixture vocabulary actually collides") {
+    val rows = graft.ext.Corpus.featHash.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalTokens = graft.ext.TextAnalysis.tokens.fn(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .head().getLong(0)
+    assert(rows.map(_._4).sum == totalTokens,
+      "sum of absolute bucket mass must equal the corpus token count")
+    rows.foreach { case (b, n, signed, abs) =>
+      assert(b >= 0 && b < 16 && n >= 1)
+      assert(math.abs(signed) <= abs,
+        s"bucket $b: |signed| ${math.abs(signed)} > abs $abs")
+    }
+    assert(rows.exists(_._2 >= 2),
+      "B=16 under a ~31-token vocabulary must produce a collision")
+    // at least one colliding bucket where signs actually cancel mass
+    assert(rows.exists(r => r._2 >= 2 && math.abs(r._3) < r._4) ||
+      rows.forall(_._2 == 1),
+      "some multi-token bucket should show signed cancellation")
+  }
+
   test("keep-best elects exactly one member per cluster, and the winner " +
     "dominates every loser on (quality, lowest doc_id)") {
     val rows = graft.ext.Corpus.dedupKeepBest.fn(spark, sf).collect()
