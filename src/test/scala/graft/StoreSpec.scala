@@ -1071,4 +1071,44 @@ class StoreSpec extends SparkSuite {
     assert(cat.version == vBefore, "an empty feed must not commit")
     summaryEqualsDirect()
   }
+
+  test("racing followers on one query name never double-apply a feed: " +
+    "whatever the interleaving, the summary stays exact and the ledger " +
+    "holds one watermark") {
+    val root = Files.createTempDirectory("graft_store").toString
+    new Catalog(spark, root).append("events_ingest",
+      Seq((1L, new java.sql.Timestamp(1L), 1L, "view", 2.50, "{}"),
+        (2L, new java.sql.Timestamp(2L), 1L, "click", 1.25, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        // each racer gets its OWN Catalog (own snapshot reads); losers
+        // may surface ConcurrentWriteException — an accepted outcome,
+        // the caller re-ticks
+        try graft.streaming.ChangefeedFollower
+          .tick(new Catalog(spark, root), "events_ingest", "qR"): Unit
+        catch {
+          case _: graft.store.Catalog.ConcurrentWriteException => ()
+          case t: Throwable => errs.add(t)
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"unexpected failure: ${errs.peek()}")
+    val cat = new Catalog(spark, root)
+    // catch-up tick for the case where BOTH racers lost to each other
+    graft.streaming.ChangefeedFollower.tick(cat, "events_ingest", "qR")
+    val got = cat.read("events_type_summary")
+      .select("event_type", "n_rows", "total_cents")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("click", 1L, 125L), ("view", 1L, 250L)),
+      s"double-applied or lost feed: $got")
+    assert(cat.read("stream_offsets").filter(col("query") === "qR")
+      .select("batch_id").as[Long].collect().toSet.size >= 1)
+    assert(cat.read("stream_offsets").filter(col("query") === "qR")
+      .groupBy("batch_id").count().filter(col("count") > 1).isEmpty,
+      "the same version must never be admitted twice")
+  }
 }
