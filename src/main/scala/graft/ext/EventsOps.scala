@@ -183,6 +183,62 @@ object EventsOps {
       .orderBy("event_type")
   }
 
+  /** The re-aggregatable SKETCH STORE (Apache DataSketches HLL via
+    * Spark's native `hll_sketch_agg`/`hll_union_agg`): distinct-user
+    * sketches are built ONCE per day at ingest, then any serving rollup
+    * — here weekly — UNIONS the stored sketches instead of rescanning
+    * events, the pre-aggregation pattern that makes distinct counts
+    * affordable at 100 TB (a day's sketch is ~KBs; the weekly union
+    * touches 7 sketches, not 7 days of raw rows). `ext_approx_distinct`
+    * gates the one-shot estimate; this row gates the MERGE path — union
+    * of per-day sketches must land within bound of the exact weekly
+    * distinct, which only holds if the sketch algebra (not just the
+    * estimator) is correct. Oracle pins the exact counts and the bound
+    * flag TRUE (the sketch itself is engine-specific, the contract is
+    * accuracy). */
+  val sketchStoreHll: Q = Q(
+    "ext_sketch_store_hll",
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+      |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+      |    THEN user_id END) AS BIGINT) AS exact_buyers,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY date_trunc('week', ts)
+      |ORDER BY week_start""".stripMargin
+  ) { (s, d) =>
+    // ingest-time pass: one sketch per (day, metric) — the stored table
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("week", col("ts")).as("wk"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(
+        hll_sketch_agg(col("user_id")).as("users_sk"),
+        hll_sketch_agg(when(col("event_type") === "purchase",
+          col("user_id"))).as("buyers_sk"),
+        countDistinct(col("user_id")).as("exact_users_day"))
+    // serving-time rollup: union the stored sketches, never the rows
+    val weekly = daily.groupBy("wk")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("users_sk")))
+          .as("approx_users"),
+        hll_sketch_estimate(hll_union_agg(col("buyers_sk")))
+          .as("approx_buyers"))
+    val exact = Tables.events(s, d)
+      .groupBy(date_trunc("week", col("ts")).as("wk"))
+      .agg(
+        countDistinct(when(col("event_type") === "purchase",
+          col("user_id"))).as("exact_buyers"),
+        countDistinct(col("user_id")).as("exact_users"))
+    exact.join(weekly, Seq("wk"))
+      .select(
+        date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+        col("exact_buyers"), col("exact_users"),
+        ((abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.10) &&
+          (abs(col("approx_buyers") - col("exact_buyers")).cast("double")
+            / col("exact_buyers") <= 0.10)).as("within_bound"))
+      .orderBy("week_start")
+  }
+
   /** Non-equi (range) join: classify each event's value into a tier whose
     * bounds come from a tiny dimension — the canonical banding join. The
     * tier table BROADCASTS, so the range predicate evaluates as a
@@ -803,6 +859,7 @@ object EventsOps {
 
   val all: Seq[Q] = Seq(windowHourly, windowSliding, jsonExtract, sessionize,
     pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats,
+    sketchStoreHll,
     eventsFunnel, eventsRetention, valueQuantiles, valueQuantilesApprox,
     eventsAnomaly, eventsTransitions, valueHistogram, valueWinsorize,
     valueTwap, gapFill, eventsEwma)

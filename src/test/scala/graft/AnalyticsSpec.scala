@@ -306,6 +306,31 @@ class AnalyticsSpec extends SparkSuite {
       s"doc 1 shares exactly 'alpha beta gamma'; got hits=$hits of $total")
   }
 
+  test("sketch-store HLL: the weekly union estimate is invariant to how " +
+    "the daily build was partitioned, and lands within the gate bound") {
+    import org.apache.spark.sql.functions._
+    def weekly(parts: Int) = graft.core.Tables.events(spark, sf)
+      .repartition(parts)
+      .groupBy(date_trunc("week", col("ts")).as("wk"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("wk")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val one = weekly(1)
+    val many = weekly(32)
+    assert(one == many,
+      s"HLL union must be partition-invariant: $one vs $many")
+    val exact = graft.core.Tables.events(spark, sf)
+      .groupBy(date_trunc("week", col("ts")).as("wk"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    exact.foreach { case (wk, n) =>
+      assert(math.abs(one(wk) - n).toDouble / n <= 0.10,
+        s"week $wk: union estimate ${one(wk)} vs exact $n")
+    }
+  }
+
   test("winsorize SHIPPED plan scans the fact table exactly once: the " +
     "bounds side reuses the (type, value) aggregate exchange") {
     import org.apache.spark.sql.execution.SparkPlan
