@@ -72,7 +72,7 @@ object Bench {
       || n == "ext_hybrid_retrieval" || n == "ext_vec_array_funcs") "sim"
     else if (n.startsWith("ext_graph")) "graph"
     else if (n == "ext_bucketed_join" || n == "ext_partition_pruned_scan"
-      || n == "ext_zorder_scan")
+      || n == "ext_zorder_scan" || n == "ext_range_layout")
       "layout"
     else if (n.startsWith("ext_text") || n == "ext_tokenize_subword") "text"
     else if (Set("ext_sample_stratified", "ext_vocab_topk",
@@ -83,7 +83,8 @@ object Bench {
       "ext_sample_per_source", "ext_doc_chunk",
       "ext_profile_table", "ext_split_assign",
       "ext_corpus_mix_temperature", "ext_fuzzy_lookup",
-      "ext_sample_weighted", "ext_vocab_cms")(n))
+      "ext_sample_weighted", "ext_vocab_cms",
+      "ext_quantile_normalize")(n))
       "corpus"
     else if (Set("ext_star_denorm", "ext_date_dim", "ext_dq_audit",
       "ext_unpivot", "ext_skyline_2d", "ext_pareto_share",

@@ -783,6 +783,106 @@ object Dedup {
       .orderBy("n_match")
   }
 
+  /** Block width (documents) above which an edit-distance block is
+    * dropped from candidate generation — the minhash [[BucketCap]]
+    * convention, mirrored in the oracle. A (length-band, head) block
+    * wider than this is template-driven boilerplate whose O(width^2)
+    * Levenshtein fan-out would dominate a 100 TB run. */
+  private val EdBlockCap = 256
+  private val EdThreshold = 10
+  private val EdPrefix = 120
+  private val EdBand = 40
+
+  /** Blocked Levenshtein near-duplicate join — the edit-distance modality
+    * the shingle families cannot see (character-level edits that never
+    * tear a whole 3-gram boundary still shift most shingles; Levenshtein
+    * counts them exactly). Declared pair semantics, mirrored in the
+    * oracle: full-doc length within [[EdThreshold]], SAME first-4
+    * normalized characters, and Levenshtein over the normalized
+    * [[EdPrefix]]-char prefix at most [[EdThreshold]].
+    *
+    * Blocking (the Spark-side completeness argument): candidates join on
+    * the equality key (head, length-band) for same-band pairs plus
+    * (head, band+1) for adjacent-band pairs — a qualifying pair's length
+    * gap (<= [[EdThreshold]] < [[EdBand]]) means its bands differ by at
+    * most 1, so the two equi-joins cover every declared pair; the two
+    * arms are disjoint (equal vs unequal bands), so no pair dedup is
+    * needed. The head key is the cheap stand-in for Ed-Join's q-gram
+    * prefix filter (Xiao, Wang & Lin, VLDB'08) — recall-complete
+    * within the declared semantics, and the natural upgrade path if
+    * head-edits must also be caught.
+    *
+    * Scale shape: key-equality shuffles only; per-block width capped at
+    * [[EdBlockCap]] (cap mirrored in the oracle) so pair fan-out is
+    * O(blocks x cap^2) never O(n^2); the verifier is Spark's BANDED
+    * 3-arg levenshtein (O(threshold x len) per pair, early-exit), the
+    * oracle keeps the plain form — identical kept set and distance.
+    */
+  val editDistance: Q = Q(
+    "ext_dedup_editdist",
+    s"""WITH n AS (
+       |  SELECT doc_id, n_chars,
+       |    lower(substr(text, 1, $EdPrefix)) AS pfx,
+       |    lower(substr(text, 1, 4)) AS hd,
+       |    n_chars // $EdBand AS b
+       |  FROM documents),
+       |bsz AS (SELECT b, hd, COUNT(*) AS bn FROM n GROUP BY 1, 2),
+       |ok AS (
+       |  SELECT n.* FROM n
+       |  JOIN bsz z ON z.b = n.b AND z.hd = n.hd
+       |  WHERE z.bn <= $EdBlockCap),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.pfx AS pa, b.pfx AS pb
+       |  FROM ok a JOIN ok b
+       |    ON a.hd = b.hd AND a.b = b.b AND a.doc_id < b.doc_id
+       |  WHERE abs(a.n_chars - b.n_chars) <= $EdThreshold
+       |  UNION ALL
+       |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+       |    CASE WHEN a.doc_id < b.doc_id THEN a.pfx ELSE b.pfx END,
+       |    CASE WHEN a.doc_id < b.doc_id THEN b.pfx ELSE a.pfx END
+       |  FROM ok a JOIN ok b
+       |    ON a.hd = b.hd AND a.b + 1 = b.b
+       |  WHERE abs(a.n_chars - b.n_chars) <= $EdThreshold)
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
+       |FROM cand WHERE levenshtein(pa, pb) <= $EdThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, d) =>
+    val n = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      lower(substring(col("text"), 1, EdPrefix)).as("pfx"),
+      lower(substring(col("text"), 1, 4)).as("hd"),
+      expr(s"n_chars div $EdBand").as("b"))
+    val okBlocks = n.groupBy("b", "hd").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= EdBlockCap).select("b", "hd")
+    val ok = n.join(broadcast(okBlocks), Seq("b", "hd"), "left_semi")
+    def side(sfx: String) = ok.select(col("doc_id").as(s"doc_$sfx"),
+      col("n_chars").as(s"l$sfx"), col("pfx").as(s"p$sfx"),
+      col("hd"), col("b"))
+    val lenOk = abs(col("la") - col("lb")) <= EdThreshold
+    val same = side("a").join(side("b"), Seq("hd", "b"))
+      .filter(col("doc_a") < col("doc_b") && lenOk)
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val adjB = side("b").withColumn("b", col("b") - 1)
+    val adj = side("a").join(adjB, Seq("hd", "b"))
+      .filter(lenOk)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a2"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b2"),
+        when(col("doc_a") < col("doc_b"), col("pa")).otherwise(col("pb"))
+          .as("pa2"),
+        when(col("doc_a") < col("doc_b"), col("pb")).otherwise(col("pa"))
+          .as("pb2"))
+      .toDF("doc_a", "doc_b", "pa", "pb")
+    same.unionByName(adj)
+      // banded verifier: 3-arg levenshtein early-exits past the
+      // threshold (returns -1), O(threshold x len) per pair
+      .withColumn("edit_dist",
+        levenshtein(col("pa"), col("pb"), EdThreshold).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= EdThreshold)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard,
-    incremental, substringSpans, minhashCalibration)
+    incremental, substringSpans, minhashCalibration, editDistance)
 }

@@ -612,6 +612,140 @@ object Multimodal {
       .orderBy("doc_id", "channel")
   }.copy(setup = Some(ensurePrepared _))
 
+  /** One audio frame's energy: 16 PCM bytes (channel-interleaved, last
+    * frame may be short), energy = sum of squared midpoint-centered
+    * amplitudes — the per-frame statistic every energy-gated VAD starts
+    * from. */
+  final case class FrameEnergy(doc_id: Long, f: Long, e: Long)
+
+  private val VadFrameBytes = 16
+
+  /** Chunk-walk the RIFF container (the [[decodeWav]] checks, kept
+    * loud) and emit one energy row per [[VadFrameBytes]]-byte frame of
+    * the PCM payload. Pure function of the blob. */
+  private[graft] def frameEnergies(docId: Long,
+      b: Array[Byte]): Seq[FrameEnergy] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $docId: not a RIFF/WAVE blob")
+    require(le32(4) == b.length - 8, s"doc $docId: RIFF size mismatch")
+    var pos = 12
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+      val t = tag(pos); val len = le32(pos + 4)
+      require(pos + 8 + len <= b.length,
+        s"doc $docId: chunk '$t' overruns the container")
+      if (t == "fmt ") fmtOff = pos + 8
+      else if (t == "data") { dataOff = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1)
+    }
+    require(fmtOff >= 0 && dataOff >= 0,
+      s"doc $docId: missing fmt/data chunk")
+    require(le16(fmtOff) == 1 && le16(fmtOff + 14) == 8,
+      s"doc $docId: not 8-bit PCM")
+    val nFrames = (dataLen + VadFrameBytes - 1) / VadFrameBytes
+    (0 until nFrames).map { f =>
+      var e = 0L
+      var i = dataOff + f * VadFrameBytes
+      val end = math.min(dataOff + (f + 1) * VadFrameBytes,
+        dataOff + dataLen)
+      while (i < end) {
+        val c = (b(i) & 0xff) - 128
+        e += (c * c).toLong
+        i += 1
+      }
+      FrameEnergy(docId, f.toLong, e)
+    }
+  }
+
+  /** Energy-gated voice-activity detection over the staged WAV blobs:
+    * per-clip frame energies, a frame is ACTIVE when its energy is
+    * strictly above the clip mean (`e * n_frames > total_energy` — the
+    * integer-exact form, no float threshold), and consecutive active
+    * frames merge into segments by the gaps-and-islands idiom
+    * (frame_idx - row_number). Output is the per-clip VAD census a
+    * speech pipeline filters on (silence-only clips out, longest-burst
+    * length as a quality feature) before any expensive transcription.
+    *
+    * Scale shape: decode is an embarrassingly parallel flatMap; every
+    * window partitions BY CLIP over its own frames (duration-bounded —
+    * frames per clip = payload/16, never corpus-sized); the rest is
+    * map-side-combined aggregates. The oracle replays the generator
+    * spec byte-for-byte ([[audioFeatures]] convention), so frame
+    * energies, the activity threshold, and the island bookkeeping are
+    * all hash-checked.
+    */
+  val audioVad: Q = Q(
+    "ext_mm_audio_vad",
+    s"""WITH $OracleTextBytes,
+       |spec AS (SELECT doc_id, n, bl,
+       |    (1 + tsum % 2)::INT AS channels,
+       |    (64 + n % 192)::BIGINT AS nsamp FROM g),
+       |pcm AS (SELECT doc_id, n, bl, channels * nsamp AS dlen FROM spec),
+       |fr AS (SELECT doc_id, n, bl, dlen,
+       |    unnest(range(0, (dlen + 15) // 16)) AS f FROM pcm),
+       |fe AS (SELECT doc_id, f,
+       |    CAST(list_sum(list_transform(
+       |      range(16 * f, least(16 * (f + 1), dlen)),
+       |      i -> CASE WHEN n = 0 THEN 16384
+       |           ELSE (bl[(i % n) + 1] - 128) * (bl[(i % n) + 1] - 128)
+       |           END)) AS BIGINT) AS e
+       |  FROM fr),
+       |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf,
+       |    CAST(SUM(e) AS BIGINT) AS te FROM fe GROUP BY 1),
+       |isl AS (
+       |  SELECT fe.doc_id, fe.f,
+       |    fe.f - row_number() OVER (PARTITION BY fe.doc_id ORDER BY fe.f)
+       |      AS grp
+       |  FROM fe JOIN tot t ON t.doc_id = fe.doc_id
+       |  WHERE fe.e * t.nf > t.te),
+       |seg AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+       |    MIN(f) AS st FROM isl GROUP BY 1, 2),
+       |ss AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |    CAST(SUM(len) AS BIGINT) AS n_active, MAX(len) AS longest,
+       |    MIN(st) AS first_st FROM seg GROUP BY 1)
+       |SELECT t.doc_id, t.nf AS n_frames,
+       |  COALESCE(ss.n_active, 0) AS n_active,
+       |  COALESCE(ss.n_segments, 0) AS n_segments,
+       |  COALESCE(ss.longest, 0) AS longest_frames,
+       |  COALESCE(ss.first_st, -1) AS first_active_frame
+       |FROM tot t LEFT JOIN ss ON ss.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  ) { (s, d) =>
+    ensurePrepared(s, d)
+    import org.apache.spark.sql.expressions.Window
+    implicit val enc = Encoders.product[FrameEnergy]
+    val fe = s.table("graft_audio").mapPartitions { rows =>
+      rows.flatMap(r => frameEnergies(r.getLong(0),
+        r.getAs[Array[Byte]](1)))
+    }.toDF()
+    val tot = fe.groupBy("doc_id")
+      .agg(count(lit(1)).as("nf"), sum(col("e")).cast("long").as("te"))
+    val isl = fe.join(tot, Seq("doc_id"))
+      .filter(col("e") * col("nf") > col("te"))
+      .withColumn("grp", col("f") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("f")))
+    val seg = isl.groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("len"), min(col("f")).as("st"))
+    val ss = seg.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("len")).cast("long").as("n_active"),
+        max(col("len")).as("longest"), min(col("st")).as("first_st"))
+    tot.join(ss, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nf").as("n_frames"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest"), lit(0L)).as("longest_frames"),
+        coalesce(col("first_st"), lit(-1L)).as("first_active_frame"))
+      .orderBy("doc_id")
+  }.copy(setup = Some(ensurePrepared _))
+
   val all: Seq[Q] = Seq(binaryMeta, decodeFeatures, frameSample,
-    sceneCuts, audioFeatures, channelStats)
+    sceneCuts, audioFeatures, channelStats, audioVad)
 }

@@ -141,5 +141,53 @@ object Profiling {
       .orderBy("source", "split")
   }
 
-  val all: Seq[Q] = Seq(profileTable, splitAssign)
+  /** Per-source quantile-transform table over document length — the
+    * cross-source score calibration a curation pipeline needs before it
+    * can compare quality/length scores between corpora with different
+    * scales (arXiv abstracts vs web pages): each raw value maps to its
+    * within-source CDF position, so a downstream filter like "keep the
+    * top 30% of EACH source" is one broadcast-join against this table.
+    *
+    * Emitted at (source, raw value) grain: count, within-source
+    * cumulative count, and the CDF position in permille
+    * (floor(1000 * cum / n) — integer-exact, hash-stable). This IS the
+    * normalization artifact: O(sources x value domain) rows, built to be
+    * broadcast.
+    *
+    * Scale shape: ONE map-side-combined aggregate reduces the corpus to
+    * (source, value) cells; the cumulative window orders each source's
+    * cells — a frame bounded by sources x the length domain (hundreds),
+    * never by document count. No per-document window anywhere.
+    */
+  val quantileNormalize: Q = Q(
+    "ext_quantile_normalize",
+    """WITH cells AS (
+      |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, v, c,
+      |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+      |      AS cum
+      |  FROM cells),
+      |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cells
+      |  GROUP BY 1)
+      |SELECT cum.source, cum.v, cum.c, cum.cum,
+      |  (cum.cum * 1000) // n.n AS pct_permille
+      |FROM cum JOIN n ON n.source = cum.source
+      |ORDER BY cum.source, cum.v""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = cells.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("source").orderBy("v")))
+    val n = cells.groupBy("source").agg(sum(col("c")).cast("long").as("n"))
+    cum.join(broadcast(n), Seq("source"))
+      .select(col("source"), col("v"), col("c"), col("cum"),
+        expr("(cum * 1000) div n").as("pct_permille"))
+      .orderBy("source", "v")
+  }
+
+  val all: Seq[Q] = Seq(profileTable, splitAssign, quantileNormalize)
 }

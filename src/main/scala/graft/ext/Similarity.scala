@@ -533,8 +533,145 @@ object Similarity {
       .orderBy(col("margin").desc, col("src_id")).limit(20)
   }
 
+  private val MmrK = 20
+  private val MmrPicks = 5
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR'98): after relevance retrieval, greedily pick the candidate
+    * maximizing `0.7 * rel - 0.3 * max-sim-to-already-picked` — the
+    * rerank every retrieval pipeline runs when the raw top-k is five
+    * near-copies of the same document and the consumer (a RAG context
+    * window) wants coverage, not redundancy.
+    *
+    * Both engines run the SAME unrolled greedy: per probe, the
+    * [[MmrK]]-candidate relevance list (the [[topkBrute]] discipline),
+    * pairwise candidate cosines rounded once at the boundary, then
+    * [[MmrPicks]] relational rounds — remaining = anti-join vs picked,
+    * penalty = max sim to the picked set, argmax per probe by
+    * (score desc, id). Selection runs for ALL probes simultaneously
+    * (windows partition by probe) — the per-probe work is O(picks * k^2)
+    * on k-bounded frames, so the rerank cost is fixed per probe
+    * regardless of corpus size; candidate generation is the part an
+    * index (IVF/LSH) serves at scale.
+    *
+    * Determinism: rel and pairwise sims are sequential-fold cosines
+    * ROUND(.,6) (the module contract); the greedy score is computed in
+    * EXACT decimal — the round-6 doubles sit within 1e-16 of a 6-decimal
+    * value, so the DECIMAL(9,6) cast is tie-free, and `0.7*rel - 0.3*mx`
+    * in decimal is exact in both engines (a double-arithmetic score
+    * followed by ROUND(.,6) hit a real half-up/half-even tie at sf0.01 —
+    * 0.2600395 — the Determinism rule-2 case). One final cast to double;
+    * ties in the argmax break on the identical decimal, then id.
+    */
+  val mmrRerank: Q = {
+    val score = "0.7 * CAST(rel AS DECIMAL(9,6)) - 0.3 * CAST(mx AS DECIMAL(9,6))"
+    val rounds = (2 to MmrPicks).map { k =>
+      s"""mx$k AS (
+         |  SELECT c.probe_id, c.id, c.rel, MAX(p.sim) AS mx
+         |  FROM cands c
+         |  JOIN selu${k - 1} s ON s.probe_id = c.probe_id
+         |  JOIN ps p ON p.a = c.id AND p.b = s.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${k - 1} x
+         |    WHERE x.probe_id = c.probe_id AND x.id = c.id)
+         |  GROUP BY 1, 2, 3),
+         |sel$k AS (
+         |  SELECT probe_id, id, rel, $score AS sc, $k AS pick
+         |  FROM (SELECT probe_id, id, rel, mx,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY ($score) DESC, id) AS rn
+         |    FROM mx$k) WHERE rn = 1),
+         |selu$k AS (SELECT * FROM selu${k - 1}
+         |  UNION ALL SELECT * FROM sel$k)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "ext_sim_mmr",
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, e AS pe FROM v
+         |  WHERE vec_id < 5),
+         |scored0 AS (
+         |  SELECT probe_id, vec_id AS id,
+         |    ROUND(${dotSql("pe", "e")}
+         |      / (${normSql("pe")} * ${normSql("e")}), 6) AS rel
+         |  FROM probes JOIN v ON vec_id <> probe_id),
+         |cands AS (
+         |  SELECT probe_id, id, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY rel DESC, id) AS rn FROM scored0)
+         |  WHERE rn <= $MmrK),
+         |ids AS (SELECT DISTINCT id FROM cands),
+         |cv AS (SELECT vec_id AS cid, e FROM v
+         |  JOIN ids ON ids.id = v.vec_id),
+         |ps AS (
+         |  SELECT a.cid AS a, b.cid AS b,
+         |    ROUND(${dotSql("a.e", "b.e")}
+         |      / (${normSql("a.e")} * ${normSql("b.e")}), 6) AS sim
+         |  FROM cv a JOIN cv b ON a.cid <> b.cid),
+         |sel1 AS (
+         |  SELECT probe_id, id, rel, $score AS sc, 1 AS pick
+         |  FROM (SELECT probe_id, id, rel, 0.0 AS mx,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY ($score) DESC, id) AS rn FROM cands)
+         |  WHERE rn = 1),
+         |selu1 AS (SELECT * FROM sel1),
+         |$rounds
+         |SELECT probe_id, CAST(pick AS BIGINT) AS pick,
+         |  id AS neighbor_id, rel, CAST(sc AS DOUBLE) AS mmr_score
+         |FROM selu$MmrPicks ORDER BY probe_id, pick""".stripMargin
+    ) { (s, d) =>
+      val v = vecs(s, d)
+      val probes = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+          col("nrm").as("pnrm"))
+      val cands = broadcast(probes)
+        .join(v, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("id"),
+          round(vec_dot(s, col("pe"), col("e"))
+            / (col("pnrm") * col("nrm")), 6).as("rel"))
+        .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+          .orderBy(col("rel").desc, col("id"))))
+        .filter(col("rn") <= MmrK).drop("rn")
+        .eagerCheckpoint()
+      val ids = cands.select(col("id")).distinct()
+      val cv = v.join(ids, col("vec_id") === col("id"), "left_semi")
+      val pa = cv.select(col("vec_id").as("a"), col("e").as("ae"),
+        col("nrm").as("an"))
+      val pb = cv.select(col("vec_id").as("b"), col("e").as("be"),
+        col("nrm").as("bn"))
+      val ps = broadcast(pa).join(pb, col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(vec_dot(s, col("ae"), col("be"))
+            / (col("an") * col("bn")), 6).as("sim"))
+        .eagerCheckpoint()
+      def pickOf(scored: DataFrame, k: Int): DataFrame = scored
+        .withColumn("sc", expr(score))
+        .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+          .orderBy(col("sc").desc, col("id"))))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("id"), col("rel"), col("sc"),
+          lit(k).as("pick"))
+      var selected = pickOf(cands.withColumn("mx", lit(0.0)), 1)
+        .eagerCheckpoint()
+      (2 to MmrPicks).foreach { k =>
+        val remaining = cands.join(selected.select("probe_id", "id"),
+          Seq("probe_id", "id"), "left_anti")
+        val mx = remaining
+          .join(selected.select(col("probe_id"), col("id").as("sid")),
+            Seq("probe_id"))
+          .join(ps, col("a") === col("id") && col("b") === col("sid"))
+          .groupBy("probe_id", "id")
+          .agg(first(col("rel")).as("rel"), max(col("sim")).as("mx"))
+        selected = selected.union(pickOf(mx, k)).eagerCheckpoint()
+      }
+      selected
+        .select(col("probe_id"), col("pick").cast("long").as("pick"),
+          col("id").as("neighbor_id"), col("rel"),
+          col("sc").cast("double").as("mmr_score"))
+        .orderBy("probe_id", "pick")
+    }
+  }
+
   val all: Seq[Q] = Seq(topkBrute, nearDupPairs, annLsh, embedOutliers,
-    prefixRerank, evalRecall, bitextMine)
+    prefixRerank, evalRecall, bitextMine, mmrRerank)
 }
 
 /** Fixed random-hyperplane family shared by [[Similarity.annLsh]] and

@@ -551,7 +551,112 @@ object Stats {
     }
   }
 
+  /** CUPED variance-reduced A/B comparison (Deng, Xu, Kohavi & Walker,
+    * WSDM'13): the adjusted metric y' = y - theta (x - xbar) with x a
+    * PRE-experiment covariate and theta = cov(x,y)/var(x) keeps the
+    * treatment-effect estimate unbiased while shrinking its variance by
+    * the squared correlation — the standard trick that makes experiment
+    * readouts converge weeks faster. Here: users split 50/50 by md5
+    * prefix (the `ext_split_assign` determinism convention), covariate =
+    * a user's purchase revenue in the first half of the fixture window
+    * (before 2024-01-16, a fixture constant like the split bounds), metric
+    * = revenue in the second half.
+    *
+    * Cross-engine exactness (the [[ols]] discipline end to end): per-user
+    * period sums reduce in exact DECIMAL; per-arm AND pooled sufficient
+    * statistics (n, sums, squares, cross-products) stay DECIMAL — so every
+    * reduction is order-independent — and are cast to DOUBLE once; theta,
+    * means, and variances are then fixed scalar IEEE chains with identical
+    * formula text in both engines.
+    *
+    * Scale shape: one map-side-combined aggregate to the per-user frame
+    * (the natural experiment grain), one to the 2-arm sufficient-stats
+    * frame, pooled stats by exact decimal addition over 2 rows; O(1)
+    * scalar math after. No window, no collect.
+    */
+  val cuped: Q = {
+    val adjCols = Seq(
+      "arm", "n_users",
+      "sy / n AS mean_y",
+      "sy / n - theta * (sx / n - xbar) AS mean_adj",
+      "(syy - sy * sy / n) / (n - 1) AS var_y",
+      "(syy - sy * sy / n) / (n - 1) " +
+        "- 2 * theta * ((sxy - sx * sy / n) / (n - 1)) " +
+        "+ theta * theta * ((sxx - sx * sx / n) / (n - 1)) AS var_adj")
+    Q(
+      "ext_stats_cuped",
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+         |      THEN 'treat' ELSE 'control' END AS arm,
+         |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+         |      THEN CAST(value AS DECIMAL(10,2)) ELSE 0 END)
+         |      AS DECIMAL(14,2)) AS x,
+         |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         |      THEN CAST(value AS DECIMAL(10,2)) ELSE 0 END)
+         |      AS DECIMAL(14,2)) AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |a AS (
+         |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    SUM(x) AS dsx, SUM(y) AS dsy,
+         |    SUM(x * x) AS dsxx, SUM(x * y) AS dsxy, SUM(y * y) AS dsyy
+         |  FROM u GROUP BY 1),
+         |p AS (
+         |  SELECT CAST(SUM(n_users) AS DOUBLE) AS pn,
+         |    CAST(SUM(dsx) AS DOUBLE) AS psx, CAST(SUM(dsy) AS DOUBLE) AS psy,
+         |    CAST(SUM(dsxx) AS DOUBLE) AS psxx, CAST(SUM(dsxy) AS DOUBLE) AS psxy
+         |  FROM a),
+         |t AS (
+         |  SELECT (pn * psxy - psx * psy) / (pn * psxx - psx * psx) AS theta,
+         |    psx / pn AS xbar
+         |  FROM p),
+         |ad AS (
+         |  SELECT arm, n_users, CAST(n_users AS DOUBLE) AS n,
+         |    CAST(dsx AS DOUBLE) AS sx, CAST(dsy AS DOUBLE) AS sy,
+         |    CAST(dsxx AS DOUBLE) AS sxx, CAST(dsxy AS DOUBLE) AS sxy,
+         |    CAST(dsyy AS DOUBLE) AS syy, theta, xbar
+         |  FROM a CROSS JOIN t)
+         |SELECT ${adjCols.mkString(",\n  ")}
+         |FROM ad ORDER BY arm""".stripMargin
+    ) { (s, d) =>
+      val dec = col("value").cast("decimal(10,2)")
+      val pre = col("ts") < expr("TIMESTAMP '2024-01-16'")
+      val u = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          sum(when(pre, dec).otherwise(lit(0))).cast("decimal(14,2)").as("x"),
+          sum(when(!pre, dec).otherwise(lit(0))).cast("decimal(14,2)").as("y"))
+        .withColumn("arm",
+          when(substring(graft.functions.FastMd5.fast_md5(s,
+            col("user_id").cast("string")), 1, 1) < "8", "treat")
+            .otherwise("control"))
+      val a = u.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("dsx"), sum(col("y")).as("dsy"),
+          sum(col("x") * col("x")).as("dsxx"),
+          sum(col("x") * col("y")).as("dsxy"),
+          sum(col("y") * col("y")).as("dsyy"))
+      val p = a.agg(
+        sum(col("n_users")).cast("double").as("pn"),
+        sum(col("dsx")).cast("double").as("psx"),
+        sum(col("dsy")).cast("double").as("psy"),
+        sum(col("dsxx")).cast("double").as("psxx"),
+        sum(col("dsxy")).cast("double").as("psxy"))
+      val t = p.selectExpr(
+        "(pn * psxy - psx * psy) / (pn * psxx - psx * psx) AS theta",
+        "psx / pn AS xbar")
+      a.crossJoin(broadcast(t))
+        .selectExpr("arm", "n_users", "CAST(n_users AS DOUBLE) AS n",
+          "CAST(dsx AS DOUBLE) AS sx", "CAST(dsy AS DOUBLE) AS sy",
+          "CAST(dsxx AS DOUBLE) AS sxx", "CAST(dsxy AS DOUBLE) AS sxy",
+          "CAST(dsyy AS DOUBLE) AS syy", "theta", "xbar")
+        .selectExpr(adjCols: _*)
+        .orderBy("arm")
+    }
+  }
+
   def all: Seq[Q] =
     Seq(chi2, welch, corr, mannWhitney, percentileCont, qdigestQuantiles,
-      ksTest, ols)
+      ksTest, ols, cuped)
 }

@@ -476,6 +476,136 @@ object TimeSeries {
     }
   }
 
+  /** Population-stability-index drift of the purchase-value distribution,
+    * every week vs a FROZEN reference week — the other half of the drift
+    * toolkit next to [[driftJs]]: JS compares adjacent weeks of a
+    * CATEGORICAL feature; PSI monitors a NUMERIC feature against fixed
+    * reference bins (the bins a model was trained on), which is how a
+    * production scorecard is actually monitored (Siddiqi, "Credit Risk
+    * Scorecards", 2006 — the PSI>0.2 rule of thumb).
+    *
+    * Bins: deciles of the FIRST week's value distribution — boundary i =
+    * smallest cent value whose reference cumulative count reaches
+    * ceil(i*n/10) (the engine-wide lower-percentile convention), computed
+    * on the per-cent histogram (value domain ~37k cents — bounded by the
+    * price domain, never by row count). Every later week's values bucket
+    * against those frozen boundaries: bin = 1 + #{boundaries < v}.
+    * Laplace-smoothed shares (+1 per bin) keep empty bins finite — the
+    * standard PSI zero-cell convention, applied identically to both
+    * distributions.
+    *
+    * Scale shape: ONE map-side-combined aggregate reduces the stream to
+    * weeks x cents cells; binning is a broadcast join against the 9-row
+    * boundary table; everything after is O(weeks x 10). The per-week term
+    * sum is an explicitly-ordered sequential fold ([[driftJs]] pattern),
+    * ROUND(.,6) because the engines' ln differs in the last ulp. The
+    * reference week's own row is the p==q identity (exact 0) — a free
+    * self-check.
+    */
+  val driftPsi: Q = {
+    // identical formula text in both engines; +1/+10 Laplace smoothing
+    val p = "((cr + 1) / CAST(nr + 10 AS DOUBLE))"
+    val qq = "((cw + 1) / CAST(nw + 10 AS DOUBLE))"
+    val termSql = s"($qq - $p) * ln($qq / $p)"
+    Q(
+      "ext_drift_psi",
+      s"""WITH pv AS (
+         |  SELECT date_trunc('week', ts) AS wk,
+         |    (CAST(value AS DECIMAL(10,2)) * 100)::BIGINT AS v
+         |  FROM events WHERE event_type = 'purchase'),
+         |refwk AS (SELECT MIN(wk) AS rwk FROM pv),
+         |cells AS (
+         |  SELECT wk, v, CAST(COUNT(*) AS BIGINT) AS c FROM pv
+         |  GROUP BY 1, 2),
+         |refh AS (
+         |  SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM cells
+         |  WHERE wk = (SELECT rwk FROM refwk)),
+         |refn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM refh),
+         |bnd AS (
+         |  SELECT i, MIN(v) AS b
+         |  FROM (SELECT unnest(generate_series(1, 9)) AS i) ii
+         |  JOIN refh ON cum >= (i * (SELECT n FROM refn) + 9) // 10
+         |  GROUP BY i),
+         |binned AS (
+         |  SELECT c.wk, c.v, ANY_VALUE(c.c) AS c,
+         |    1 + SUM(CASE WHEN c.v > bnd.b THEN 1 ELSE 0 END) AS bin
+         |  FROM cells c CROSS JOIN bnd GROUP BY c.wk, c.v),
+         |wb AS (
+         |  SELECT wk, bin, CAST(SUM(c) AS BIGINT) AS n FROM binned
+         |  GROUP BY 1, 2),
+         |wn AS (SELECT wk, CAST(SUM(n) AS BIGINT) AS nw FROM wb GROUP BY 1),
+         |rb AS (
+         |  SELECT g.bin, COALESCE(wb.n, 0) AS cr
+         |  FROM (SELECT unnest(generate_series(1, 10)) AS bin) g
+         |  LEFT JOIN wb ON wb.wk = (SELECT rwk FROM refwk)
+         |    AND wb.bin = g.bin),
+         |grid AS (
+         |  SELECT w.wk, w.nw, rb.bin, rb.cr,
+         |    (SELECT n FROM refn) AS nr
+         |  FROM wn w CROSS JOIN rb),
+         |terms AS (
+         |  SELECT g.wk, g.nw, g.nr, g.bin,
+         |    g.cr, COALESCE(wb.n, 0) AS cw
+         |  FROM grid g
+         |  LEFT JOIN wb ON wb.wk = g.wk AND wb.bin = g.bin),
+         |t2 AS (SELECT wk, nw, nr, bin, $termSql AS term FROM terms)
+         |SELECT strftime(wk, '%Y-%m-%d') AS week_start,
+         |  ANY_VALUE(nr) AS n_ref, ANY_VALUE(nw) AS n_cur,
+         |  ROUND(list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
+         |    (acc, x) -> acc + x), 6) AS psi_nats
+         |FROM t2 GROUP BY wk ORDER BY week_start""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pv = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(date_trunc("week", col("ts")).as("wk"),
+          (col("value").cast("decimal(10,2)") * 100).cast("long").as("v"))
+      val cells = pv.groupBy("wk", "v").agg(count(lit(1)).as("c"))
+      val refwk = pv.agg(min(col("wk")).as("rwk"))
+      val refh = cells.join(broadcast(refwk), col("wk") === col("rwk"))
+        .select(col("v"), col("c"))
+        // window over the reference week's distinct cents — bounded by
+        // the price domain (~37k cells), never by row count
+        .withColumn("cum", sum(col("c")).over(Window.orderBy("v")))
+      val refn = refh.agg(sum(col("c")).cast("long").as("nr"))
+      val is = refn.select(col("nr"),
+        explode(sequence(lit(1L), lit(9L))).as("i"))
+      val bnd = broadcast(is)
+        .join(refh, col("cum") >= expr("(i * nr + 9) div 10"))
+        .groupBy("i").agg(min(col("v")).as("b"))
+      val binned = cells.crossJoin(broadcast(bnd.select("b")))
+        .groupBy("wk", "v")
+        .agg(first(col("c")).as("c"),
+          (lit(1) + sum(when(col("v") > col("b"), 1).otherwise(0)))
+            .as("bin"))
+      val wb = binned.groupBy("wk", "bin")
+        .agg(sum(col("c")).cast("long").as("n"))
+      val wn = wb.groupBy("wk").agg(sum(col("n")).cast("long").as("nw"))
+      val rb = refn.select(explode(sequence(lit(1L), lit(10L))).as("bin"),
+          col("nr"))
+        .join(broadcast(wb.join(broadcast(refwk), col("wk") === col("rwk"))
+          .select(col("bin").as("rbin"), col("n").as("rn"))),
+          col("bin") === col("rbin"), "left")
+        .select(col("bin"), col("nr"), coalesce(col("rn"), lit(0L)).as("cr"))
+      val terms = wn.crossJoin(broadcast(rb))
+        .join(wb.select(col("wk").as("wwk"), col("bin").as("wbin"),
+          col("n").as("wn2")),
+          col("wk") === col("wwk") && col("bin") === col("wbin"), "left")
+        .select(col("wk"), col("nw"), col("nr"), col("bin"),
+          col("cr"), coalesce(col("wn2"), lit(0L)).as("cw"))
+        .withColumn("term", expr(termSql))
+      terms.groupBy("wk")
+        .agg(first(col("nr")).as("n_ref"), first(col("nw")).as("n_cur"),
+          round(aggregate(
+            transform(array_sort(collect_list(struct(col("bin"),
+              col("term")))), st => st("term")),
+            lit(0.0), (acc, x) => acc + x), 6).as("psi_nats"))
+        .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+          col("n_ref"), col("n_cur"), col("psi_nats"))
+        .orderBy("week_start")
+    }
+  }
+
   def all: Seq[Q] =
-    Seq(acf, cusum, holt, madOutliers, holtBacktest, driftJs)
+    Seq(acf, cusum, holt, madOutliers, holtBacktest, driftJs, driftPsi)
 }

@@ -572,6 +572,47 @@ class ExtSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.decodeBmp(7L, truncated))
   }
 
+  test("vad: a planted silence/burst clip frames and segments exactly, " +
+    "fixture rows keep the census invariants, corrupt blobs fail loudly") {
+    // hand-written canonical RIFF (independent of the generator): mono,
+    // 8 kHz, 64 unsigned-8-bit samples — 32 of silence then 32 loud
+    val dlen = 64
+    val b = new Array[Byte](44 + dlen)
+    def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      b(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def le16(off: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      b(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach {
+        case (c, i) => b(off + i) = c }
+    tag(0, "RIFF"); le32(4, 36 + dlen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, 8000); le32(28, 8000); le16(32, 1); le16(34, 8)
+    tag(36, "data"); le32(40, dlen)
+    (0 until 32).foreach(i => b(44 + i) = 128.toByte)
+    (32 until 64).foreach(i => b(44 + i) = 228.toByte)
+    val fes = Multimodal.frameEnergies(9L, b)
+    // 4 frames of 16 bytes: two silent (energy 0), two at 16 * 100^2
+    assert(fes.map(_.e) == Seq(0L, 0L, 160000L, 160000L))
+    assert(fes.map(_.f) == Seq(0L, 1L, 2L, 3L))
+    // fixture census invariants the oracle's hash also pins
+    val rows = graft.ext.Multimodal.audioVad.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(nf, na, ns, lg, fa) =
+        (1 to 5).map(r.getLong).toSeq
+      assert(na < nf, s"strict-mean threshold: $r") // never all-active
+      assert(lg <= na && ns <= na, s"segment bookkeeping: $r")
+      assert((ns == 0L) == (na == 0L), s"segments iff active: $r")
+      if (ns > 0) assert(fa >= 0 && lg >= 1, s"$r")
+      else assert(fa == -1L, s"$r")
+    }
+    val bad = b.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.frameEnergies(9L, bad))
+    intercept[IllegalArgumentException](
+      Multimodal.frameEnergies(9L, b.dropRight(3)))
+  }
+
   test("decode-features parses real BMP headers: deterministic, " +
     "partition-invariant, and dims/stats match the generator spec") {
     val a = Multimodal.decodeFeatures.fn(spark, sf).collect()

@@ -141,6 +141,34 @@ class GraphSpec extends SparkSuite {
     assert(got.map(_._2) == got.map(_._2).sorted.reverse)
   }
 
+  test("personalized pagerank equals a scalar seeded simulation and " +
+    "concentrates mass at the seed") {
+    val sym = localEdges.toSeq.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val scale = 1000000000L
+    val seed = deg.toSeq.sortBy { case (v, dg) => (-dg, v) }.head._1
+    val restart = scale * 15L / 100L
+    var rank = deg.map { case (v, _) =>
+      v -> (if (v == seed) scale else 0L) }
+    for (_ <- 1 to 10) {
+      val incoming = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) * 85L / (100L * deg(u)) }.sum
+      }
+      rank = deg.map { case (v, _) =>
+        v -> ((if (v == seed) restart else 0L) + incoming(v)) }
+    }
+    val expected = rank.toSeq.filter(_._2 > 0)
+      .sortBy { case (v, r) => (-r, v) }.take(20)
+    val got = graft.ext.Graph.personalizedPagerank.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"spark $got vs local $expected")
+    // the restart vector makes proximity to the seed the ranking signal:
+    // the seed itself must carry the top rank
+    assert(got.head._1 == seed)
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+  }
+
   test("pagerank early exit: a planted fast-converging graph stops at " +
     "the detected fixed point and matches the full-cap run exactly") {
     import spark.implicits._
