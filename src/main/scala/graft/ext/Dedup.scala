@@ -883,6 +883,115 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment threshold: |Sa n Sb| >= 0.8 |Sa|. */
+  private val ContainTau = 0.8
+  /** Prefix-shingle document-frequency cap (the candidate fan-out bound;
+    * mirrored in the oracle — see scaladoc). */
+  private val ContainDfCap = 64
+
+  /** Asymmetric NEAR-CONTAINMENT pairs via prefix filtering (Chaudhuri/
+    * Ganti/Kaushik ICDE'06; Bayardo/Ma/Srikant WWW'07): doc_a is emitted
+    * when >= 80% of its distinct shingles appear in doc_b — the
+    * quote/excerpt/superset shape that SYMMETRIC minhash dedup
+    * structurally misses (a short doc fully contained in a long one has
+    * low Jaccard, so its signature never collides; the output carries
+    * jaccard alongside containment to make exactly that visible).
+    *
+    * Blocking is the prefix-filter pigeonhole, not LSH: order the shingle
+    * universe by (document frequency asc, shingle) and take each probe
+    * doc's first `n - ceil(tau*n) + 1` shingles under that order — any b
+    * containing >= tau*n of Sa MUST share at least one prefix shingle, so
+    * joining probe prefixes against the full inverted shingle index loses
+    * no qualifying pair. Exact verification (shingle-intersection count,
+    * integer-arithmetic threshold `5*n_int >= 4*n_a`) then kills false
+    * candidates. Fan-out bound: prefix entries with df > [[ContainDfCap]]
+    * are skipped (boilerplate shingles; a pair escapes detection only if
+    * a's ENTIRE prefix is boilerplate) — the cap is mirrored in the
+    * oracle so both engines compute the same set. Exact-duplicate texts
+    * are collapsed to representatives first (the family invariant);
+    * members inherit their rep's relations via `ext_dedup_exact`.
+    *
+    * Scale shape: df + sizes are map-side-combined aggregates; the
+    * per-doc prefix rank window is doc-length-bounded; the candidate
+    * join's fan-out is <= ContainDfCap per prefix entry; verification
+    * touches candidate pairs only. Ratios of exact ints are round-4
+    * tie-free (a dyadic rational cannot end at the 5th decimal digit 5),
+    * so the doubles hash-match without a decimal detour. */
+  val containment: Q = Q(
+    "ext_dedup_containment",
+    s"""WITH reps AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |docs AS (
+       |  SELECT d.doc_id, $toksSql AS w
+       |  FROM documents d JOIN reps USING (doc_id)),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(w) - 2),
+       |      i -> array_to_string(w[i:i+2], ' ')))) AS sh
+       |  FROM docs WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+       |  GROUP BY doc_id),
+       |df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh
+       |  GROUP BY sh),
+       |ordered AS (
+       |  SELECT s.doc_id, s.sh, f.df, z.n,
+       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.sh)
+       |      AS rk
+       |  FROM sh s JOIN df f ON f.sh = s.sh
+       |    JOIN sizes z ON z.doc_id = s.doc_id),
+       |prefix AS (
+       |  SELECT doc_id, sh FROM ordered
+       |  WHERE rk <= n - ((4 * n + 4) // 5) + 1 AND df <= $ContainDfCap),
+       |cand AS (
+       |  SELECT DISTINCT p.doc_id AS a, s.doc_id AS b
+       |  FROM prefix p JOIN sh s ON s.sh = p.sh AND s.doc_id <> p.doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS n_int
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.a
+       |    JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+       |  GROUP BY c.a, c.b)
+       |SELECT a AS doc_a, b AS doc_b, za.n AS n_a, n_int,
+       |  ROUND(n_int * 1.0 / za.n, 4) AS containment,
+       |  ROUND(n_int * 1.0 / (za.n + zb.n - n_int), 4) AS jaccard
+       |FROM inter JOIN sizes za ON za.doc_id = a
+       |  JOIN sizes zb ON zb.doc_id = b
+       |WHERE 5 * n_int >= 4 * za.n
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, d) =>
+    val mem = clustered(s, d)
+    val sh = repShingles(mem).select(col("doc_id"), col("sh"))
+      .eagerCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = sh.join(df, "sh").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(expr(s"rk <= n - ((4 * n + 4) div 5) + 1") &&
+        col("df") <= ContainDfCap)
+      .select(col("doc_id").as("a"), col("sh"))
+    val cand = prefix
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("b") && col("sb.sh") === col("sa.sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_int"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), Seq("b"))
+      .filter(lit(5) * col("n_int") >= lit(4) * col("n_a"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("n_a"),
+        col("n_int"),
+        round(col("n_int") * lit(1.0) / col("n_a"), 4).as("containment"),
+        round(col("n_int") * lit(1.0) /
+          (col("n_a") + col("n_b") - col("n_int")), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard,
-    incremental, substringSpans, minhashCalibration, editDistance)
+    incremental, substringSpans, minhashCalibration, editDistance,
+    containment)
 }

@@ -1213,4 +1213,31 @@ class ExtSpec extends SparkSuite {
       }
     }
   }
+
+  test("containment finds the excerpt pair symmetric minhash misses, " +
+    "directionally, and stays silent on unrelated docs") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (11 to 20).map(i => s"w$i").mkString(" ") // contiguous
+    val docs = Seq(
+      (1L, big), (2L, excerpt),
+      (3L, "totally different vocabulary nothing shared with others here")
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("graft_test_contain")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.containment.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    // excerpt -> big: containment 1.0, jaccard well under the minhash gate
+    val (c, j) = rows.getOrElse((2L, 1L),
+      fail(s"missing excerpt pair in $rows"))
+    assert(c == 1.0, s"excerpt containment must be exact 1.0, got $c")
+    assert(j < 0.6, s"the pair must be invisible to symmetric dedup: $j")
+    // the reverse direction does not qualify (big is not inside excerpt)
+    assert(!rows.contains((1L, 2L)))
+    assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // and symmetric minhash indeed misses it
+    val mh = Dedup.minhashLsh.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!mh.contains((1L, 2L)) && !mh.contains((2L, 1L)))
+  }
 }
