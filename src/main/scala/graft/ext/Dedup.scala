@@ -914,9 +914,10 @@ object Dedup {
     * Scale shape: df + sizes are map-side-combined aggregates; the
     * per-doc prefix rank window is doc-length-bounded; the candidate
     * join's fan-out is <= ContainDfCap per prefix entry; verification
-    * touches candidate pairs only. Ratios of exact ints are round-4
-    * tie-free (a dyadic rational cannot end at the 5th decimal digit 5),
-    * so the doubles hash-match without a decimal detour. */
+    * touches candidate pairs only. Output ratios use the exact-integer
+    * half-up form ([[TextAnalysis.r4]]) — small-integer quotients land
+    * on `...5` boundaries where Spark (shortest-decimal) and DuckDB
+    * (binary) `ROUND` diverge. */
   val containment: Q = Q(
     "ext_dedup_containment",
     s"""WITH reps AS (
@@ -951,8 +952,8 @@ object Dedup {
        |    JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
        |  GROUP BY c.a, c.b)
        |SELECT a AS doc_a, b AS doc_b, za.n AS n_a, n_int,
-       |  ROUND(n_int * 1.0 / za.n, 4) AS containment,
-       |  ROUND(n_int * 1.0 / (za.n + zb.n - n_int), 4) AS jaccard
+       |  ${TextAnalysis.r4Sql("n_int", "za.n")} AS containment,
+       |  ${TextAnalysis.r4Sql("n_int", "za.n + zb.n - n_int")} AS jaccard
        |FROM inter JOIN sizes za ON za.doc_id = a
        |  JOIN sizes zb ON zb.doc_id = b
        |WHERE 5 * n_int >= 4 * za.n
@@ -985,9 +986,9 @@ object Dedup {
       .filter(lit(5) * col("n_int") >= lit(4) * col("n_a"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("n_a"),
         col("n_int"),
-        round(col("n_int") * lit(1.0) / col("n_a"), 4).as("containment"),
-        round(col("n_int") * lit(1.0) /
-          (col("n_a") + col("n_b") - col("n_int")), 4).as("jaccard"))
+        TextAnalysis.r4(col("n_int"), col("n_a")).as("containment"),
+        TextAnalysis.r4(col("n_int"),
+          col("n_a") + col("n_b") - col("n_int")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -105,9 +105,12 @@ object FeatureGen {
       .orderBy("o_orderkey")
   }
 
+  private val posSql = "COUNT(CASE WHEN nxt IS NOT NULL " +
+    "AND date_diff('day', o_orderdate, nxt) <= 30 THEN 1 END)"
+
   val labelRepurchase: Q = Q(
     "ext_label_repurchase",
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT o_orderpriority, o_orderdate,
       |    LEAD(o_orderdate) OVER (PARTITION BY o_custkey
       |      ORDER BY o_orderdate, o_orderkey) AS nxt
@@ -117,9 +120,7 @@ object FeatureGen {
       |  CAST(COUNT(CASE WHEN nxt IS NOT NULL
       |    AND date_diff('day', o_orderdate, nxt) <= 30 THEN 1 END)
       |    AS BIGINT) AS n_repurchase_30d,
-      |  ROUND(CAST(COUNT(CASE WHEN nxt IS NOT NULL
-      |      AND date_diff('day', o_orderdate, nxt) <= 30 THEN 1 END)
-      |    AS DOUBLE) / COUNT(*), 4) AS pos_rate
+      |  ${TextAnalysis.r4Sql(posSql, "COUNT(*)")} AS pos_rate
       |FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   ) { (s, d) =>
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -132,7 +133,9 @@ object FeatureGen {
         count(when(pos, lit(1))).as("n_repurchase_30d"))
       .select(col("o_orderpriority"), col("n_orders"),
         col("n_repurchase_30d"),
-        round(col("n_repurchase_30d").cast("double") / col("n_orders"), 4)
+        // exact-integer half-up round: small-int quotients land on ...5
+        // boundaries where the engines' double ROUND diverges
+        TextAnalysis.r4(col("n_repurchase_30d"), col("n_orders"))
           .as("pos_rate"))
       .orderBy("o_orderpriority")
   }
@@ -162,7 +165,7 @@ object FeatureGen {
        |  CAST(COUNT(*) / $NegK AS BIGINT) AS n_pos,
        |  CAST(COUNT(*) AS BIGINT) AS n_cand,
        |  CAST(SUM(is_clean) AS BIGINT) AS n_clean,
-       |  ROUND(CAST(COUNT(*) - SUM(is_clean) AS DOUBLE) / COUNT(*), 4)
+       |  ${TextAnalysis.r4Sql("COUNT(*) - SUM(is_clean)", "COUNT(*)")}
        |    AS collision_rate
        |FROM flagged JOIN customer ON c_custkey = custkey
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
@@ -192,7 +195,7 @@ object FeatureGen {
       .agg(count(lit(1)).as("n_cand"), sum(col("is_clean")).as("n_clean"))
       .select(col("c_mktsegment"), (col("n_cand") / NegK).cast("long").as("n_pos"),
         col("n_cand"), col("n_clean"),
-        round((col("n_cand") - col("n_clean")).cast("double") / col("n_cand"), 4)
+        TextAnalysis.r4(col("n_cand") - col("n_clean"), col("n_cand"))
           .as("collision_rate"))
       .orderBy("c_mktsegment")
   }
