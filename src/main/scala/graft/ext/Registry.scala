@@ -15,6 +15,7 @@ object Registry {
       Profiling.all ++ InvertedIndex.all ++
       BucketedJoin.all ++ PartitionedScan.all ++ ZOrderLayout.all ++
       RangeLayout.all ++ FeatureGen.all ++ Survival.all ++ Clustering.all ++
+      ModelEval.all ++
       BloomJoin.all ++ StoreFeed.all ++ Scd2.all ++ IncrView.all ++
       IndexMaintain.all ++ StreamIngestFeed.all ++ StoreFollow.all ++
       Warehouse.all ++ Attribution.all ++ LangModel.all ++

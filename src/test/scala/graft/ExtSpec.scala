@@ -1240,4 +1240,22 @@ class ExtSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!mh.contains((1L, 2L)) && !mh.contains((2L, 1L)))
   }
+
+  test("calibration bins are coherent: support partitions the corpus, " +
+    "means sit inside their bin, gaps are exactly |frac_pos - mean|") {
+    val rows = graft.ext.ModelEval.calibration.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val nDocs = graft.core.Tables.documents(spark, sf)
+      .filter(size(split(col("text"), "\\s+")) > 0).count()
+    assert(rows.map(_._2).sum == nDocs)
+    rows.foreach { case (bin, n, nPos, mean, frac, gap) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(nPos <= n)
+      assert(mean >= bin * 0.1 - 1e-4 && mean <= (bin + 1) * 0.1 + 1e-4,
+        s"bin $bin mean $mean outside its edges")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(gap - math.abs(frac - mean)) < 1e-9)
+    }
+  }
 }
