@@ -857,10 +857,71 @@ object EventsOps {
       .orderBy("user_id")
   }
 
+  /** Nearest tolerance: 30 minutes in microseconds. */
+  private val NearTolUs = 1800000000L
+
+  /** Nearest-event as-of join (pandas `merge_asof(direction='nearest')`,
+    * re-expressed as windows): for each purchase, the time distance to
+    * the CLOSEST click of the same user within +-30 min — looking both
+    * directions, unlike [[asofJoin]]'s backward-only rule. Tie (equal
+    * distance on both sides) goes to the earlier click; sign carries the
+    * direction (positive = click before purchase). Purchases with no
+    * click in tolerance keep a NULL delta — LEFT semantics, so the
+    * output is exactly one row per purchase.
+    *
+    * Scale shape: identical to [[asofJoin]] — no self-join, no range
+    * join; one shuffle on user_id and two frame-bounded window passes
+    * (last-before / first-after) over the same sort. Distances are exact
+    * integer microseconds (`epoch_us` / `unix_micros`), so no double
+    * arithmetic exists anywhere. */
+  val asofNearest: Q = Q(
+    "ext_asof_nearest",
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+       |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+       |    first_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+       |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |p AS (
+       |  SELECT event_id AS purchase_id, user_id,
+       |    epoch_us(ts) - prev_us AS db, next_us - epoch_us(ts) AS da
+       |  FROM t WHERE event_type = 'purchase')
+       |SELECT purchase_id, user_id,
+       |  CAST(CASE
+       |    WHEN db IS NOT NULL AND db <= $NearTolUs
+       |      AND (da IS NULL OR da > $NearTolUs OR db <= da) THEN db
+       |    WHEN da IS NOT NULL AND da <= $NearTolUs THEN -da
+       |    ELSE NULL END AS BIGINT) AS nearest_delta_us
+       |FROM p ORDER BY purchase_id""".stripMargin
+  ) { (s, d) =>
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val clickUs = when(col("event_type") === "click", unix_micros(col("ts")))
+    val t = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("prev_us", last(clickUs, ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_us", first(clickUs, ignoreNulls = true)
+        .over(ord.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        (unix_micros(col("ts")) - col("prev_us")).as("db"),
+        (col("next_us") - unix_micros(col("ts"))).as("da"))
+    t.select(col("purchase_id"), col("user_id"),
+      when(col("db").isNotNull && col("db") <= NearTolUs &&
+          (col("da").isNull || col("da") > NearTolUs ||
+            col("db") <= col("da")), col("db"))
+        .when(col("da").isNotNull && col("da") <= NearTolUs, -col("da"))
+        .cast("long").as("nearest_delta_us"))
+      .orderBy("purchase_id")
+  }
+
   val all: Seq[Q] = Seq(windowHourly, windowSliding, jsonExtract, sessionize,
     pivotByType, asofJoin, approxDistinct, rangeJoin, valueStats,
     sketchStoreHll,
     eventsFunnel, eventsRetention, valueQuantiles, valueQuantilesApprox,
     eventsAnomaly, eventsTransitions, valueHistogram, valueWinsorize,
-    valueTwap, gapFill, eventsEwma)
+    valueTwap, gapFill, eventsEwma, asofNearest)
 }

@@ -1241,6 +1241,36 @@ class ExtSpec extends SparkSuite {
     assert(!mh.contains((1L, 2L)) && !mh.contains((2L, 1L)))
   }
 
+  test("asof nearest looks both directions, breaks ties to the earlier " +
+    "click, and returns NULL outside the tolerance") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    val rows = Seq(
+      // user 1: clicks at 0 and 25, purchase at 10 -> before wins (10m)
+      (1L, 1L, "click", ts(0)), (2L, 1L, "purchase", ts(10)),
+      (3L, 1L, "click", ts(25)),
+      // user 2: equidistant clicks (0 and 20) around purchase at 10 ->
+      // tie goes to the earlier: +10m
+      (4L, 2L, "click", ts(0)), (5L, 2L, "purchase", ts(10)),
+      (6L, 2L, "click", ts(20)),
+      // user 3: only click is 90m after the purchase -> out of tolerance
+      (7L, 3L, "purchase", ts(10)), (8L, 3L, "click", ts(100)),
+      // user 4: only a later click, inside tolerance -> negative delta
+      (9L, 4L, "purchase", ts(10)), (10L, 4L, "click", ts(20)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = tmpDir("graft_test_near")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventsOps.asofNearest.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val m = 60000000L // one minute in micros
+    assert(out(2L).contains(10 * m))
+    assert(out(5L).contains(10 * m), "tie must go to the earlier click")
+    assert(out(7L).isEmpty, "90m click is outside the 30m tolerance")
+    assert(out(9L).contains(-10 * m))
+  }
+
   test("calibration bins are coherent: support partitions the corpus, " +
     "means sit inside their bin, gaps are exactly |frac_pos - mean|") {
     val rows = graft.ext.ModelEval.calibration.fn(spark, sf).collect()
