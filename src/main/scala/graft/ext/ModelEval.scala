@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
+import graft.core.Eager.EagerCheckpoint
 
 /** [EXT] classifier calibration audit (reliability diagram + per-bin
   * calibration gap — Guo et al., "On calibration of modern neural
@@ -79,5 +80,118 @@ object ModelEval {
     }
   }
 
-  val all: Seq[Q] = Seq(calibration)
+  private[ext] val GdRounds = 12
+  private val GdLr = 4.0
+  private val Dim = 64
+
+  /** In-engine logistic-regression LINEAR PROBE over the embedding
+    * corpus (batch gradient descent, lr = [[GdLr]], [[GdRounds]] rounds):
+    * 64 vector dimensions + bias, target = the macro-class split
+    * `label < 5`. This is the probe/quality-classifier loop a pipeline
+    * runs ON the engine (fastText-style filters; GPT-3 §A's quality
+    * classifier; "linear probing" evals) instead of exporting 100 TB to
+    * a trainer: each round is ONE map-side-combined aggregate producing
+    * a 65-number gradient; only the weight vector leaves the engine.
+    * (A text-feature variant was tried first and learned nothing — the
+    * fixture's lang labels are independent of surface features; the
+    * embedding space genuinely separates this target, and the spec pins
+    * accuracy above the majority baseline.)
+    *
+    * Determinism for an iterative float trainer (the [[Clustering]]
+    * discipline): z is bias + a strictly sequential 64-dim fold
+    * ([[graft.functions.VecDot]] vs the same `list_reduce`), so scores
+    * and the z >= 0 decision match bit-for-bit given identical weights;
+    * the only order-dependent step — gradient sums (whose sigmoid inputs
+    * may also differ in EXP's last ulp) — is snapped to ROUND(.,6) at
+    * every update; the oracle re-derives all rounds as chained
+    * MATERIALIZED CTEs from its own weights. Accuracy is an exact
+    * integer r4 ratio.
+    */
+  val embedLogreg: Q = {
+    import Similarity.dotSql
+    val lrLit = "4" // integer literal: exact in both engines
+    val rounds = (1 to GdRounds).map { r =>
+      val p = s"w${r - 1}"
+      s"""g$r AS MATERIALIZED (
+         |  SELECT y, e, 1 / (1 + EXP(-(pw.wb
+         |    + ${dotSql("pw.wv", "e")}))) AS s
+         |  FROM f CROSS JOIN $p pw),
+         |d$r AS MATERIALIZED (
+         |  SELECT i, SUM(e[i] * (y - s)) AS gi
+         |  FROM g$r CROSS JOIN
+         |    (SELECT unnest(generate_series(1, $Dim)) AS i) ii
+         |  GROUP BY i),
+         |w$r AS MATERIALIZED (
+         |  SELECT
+         |    (SELECT ROUND((SELECT wb FROM $p)
+         |      + $lrLit * SUM(y - s) / (SELECT n FROM nn), 6) FROM g$r)
+         |      AS wb,
+         |    (SELECT list(ROUND(pw.wv[d.i]
+         |        + $lrLit * d.gi / (SELECT n FROM nn), 6) ORDER BY d.i)
+         |      FROM d$r d CROSS JOIN $p pw) AS wv)""".stripMargin
+    }.mkString(",\n")
+    val wf = s"w$GdRounds"
+    Q(
+      "ext_embed_logreg",
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+         |    embedding::DOUBLE[] AS e
+         |  FROM embeddings),
+         |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+         |w0 AS MATERIALIZED (SELECT 0.0 AS wb,
+         |  list_transform(generate_series(1, $Dim), i -> 0.0) AS wv),
+         |$rounds,
+         |fin AS MATERIALIZED (
+         |  SELECT y, CASE WHEN (pw.wb
+         |    + ${dotSql("pw.wv", "e")}) >= 0
+         |    THEN 1 ELSE 0 END AS yh
+         |  FROM f CROSS JOIN $wf pw),
+         |acc AS (
+         |  SELECT ${TextAnalysis.r4Sql(
+           "COUNT(CASE WHEN yh = y THEN 1 END)", "COUNT(*)")} AS train_acc
+         |  FROM fin)
+         |SELECT idx, weight, (SELECT train_acc FROM acc) AS train_acc
+         |FROM (
+         |  SELECT CAST(0 AS BIGINT) AS idx, (SELECT wb FROM $wf) AS weight
+         |  UNION ALL
+         |  SELECT CAST(i AS BIGINT), (SELECT wv FROM $wf)[i]
+         |  FROM (SELECT unnest(generate_series(1, $Dim)) AS i) ii)
+         |ORDER BY idx""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.VecDot.vec_dot
+      val f = Tables.embeddings(s, d)
+        .select(
+          when(col("label") < 5, lit(1L)).otherwise(lit(0L)).as("y"),
+          col("embedding").cast("array<double>").as("e"))
+        .eagerCheckpoint()
+      def z(wb: Double, wv: Array[Double]) =
+        lit(wb) + vec_dot(s, typedLit(wv.toSeq), col("e"))
+      var wb = 0.0
+      var wv = Array.fill(Dim)(0.0)
+      def snap(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (1 to GdRounds).foreach { _ =>
+        val sig = lit(1.0) / (lit(1.0) + exp(-z(wb, wv)))
+        val gradCols = sum(col("y") - sig).as("g0") +:
+          (0 until Dim).map(j =>
+            sum(col("e").getItem(j) * (col("y") - sig)).as(s"g${j + 1}"))
+        val r = f.agg(count(lit(1)).as("n"), gradCols: _*).collect()(0)
+        val n = r.getLong(0).toDouble
+        wb = snap(wb + GdLr * r.getDouble(1) / n)
+        wv = Array.tabulate(Dim)(j =>
+          snap(wv(j) + GdLr * r.getDouble(j + 2) / n))
+      }
+      val acc = f.agg(TextAnalysis.r4(
+        count(when((when(z(wb, wv) >= 0, lit(1L)).otherwise(lit(0L)))
+          === col("y"), lit(1))),
+        count(lit(1))).as("train_acc"))
+      import s.implicits._
+      val rows = (0L, wb) +: (0 until Dim).map(j => ((j + 1).toLong, wv(j)))
+      rows.toDF("idx", "weight")
+        .crossJoin(broadcast(acc))
+        .orderBy("idx")
+    }
+  }
+
+  val all: Seq[Q] = Seq(calibration, embedLogreg)
 }

@@ -1271,6 +1271,24 @@ class ExtSpec extends SparkSuite {
     assert(out(9L).contains(-10 * m))
   }
 
+  test("embedding logreg probe actually learns: train accuracy clears " +
+    "the majority baseline, 65 weights, one accuracy") {
+    val rows = graft.ext.ModelEval.embedLogreg.fn(spark, sf).collect()
+    assert(rows.length == 65)
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 64L))
+    val accs = rows.map(_.getDouble(2)).distinct
+    assert(accs.length == 1)
+    val n = graft.core.Tables.embeddings(spark, sf).count().toDouble
+    val pos = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("label") < 5).count().toDouble
+    val majority = math.max(pos / n, 1 - pos / n)
+    assert(accs.head > majority + 0.05,
+      s"probe must beat the majority baseline: acc=${accs.head}, " +
+        s"majority=$majority")
+    assert(rows.exists(r => r.getLong(0) > 0 && r.getDouble(1) != 0.0),
+      "at least one non-bias weight must have moved")
+  }
+
   test("calibration bins are coherent: support partitions the corpus, " +
     "means sit inside their bin, gaps are exactly |frac_pos - mean|") {
     val rows = graft.ext.ModelEval.calibration.fn(spark, sf).collect()
