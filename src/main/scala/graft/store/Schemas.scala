@@ -73,6 +73,19 @@ object Schemas {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Orders ingest table for the gate-visible `replaceWhere` partition
+    * reload ([[graft.ext.ReplaceFeed]]): fixture orders columns behind a
+    * surrogate ingest id; `o_orderkey` carries file stats so the range
+    * overwrite prunes to the hit files. */
+  val ordersIngest: StructType = StructType(Seq(
+    StructField("ingest_id", LongType, nullable = false),
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
   /** Committed micro-batch ledger for exactly-once streaming ingestion:
     * one row per (query, batch_id) admitted into the store. Written in
     * the SAME transaction as the batch's rows, so admission and data are
@@ -138,7 +151,8 @@ object Schemas {
     "events" -> Seq("event_date"),
     "registrations" -> Seq("created_at"),
     "payments" -> Seq("payment_date"),
-    "events_ingest" -> Seq("ts"))
+    "events_ingest" -> Seq("ts"),
+    "orders_ingest" -> Seq("o_orderkey"))
 
   val registry: Map[String, (StructType, String)] = Map(
     "users" -> (users, "user_id"),
@@ -147,6 +161,7 @@ object Schemas {
     "payments" -> (payments, "payment_id"),
     "saved_cards" -> (savedCards, "card_id"),
     "events_ingest" -> (eventsIngest, "ingest_id"),
+    "orders_ingest" -> (ordersIngest, "ingest_id"),
     "stream_offsets" -> (streamOffsets, "offset_id"),
     "events_type_summary" -> (eventsTypeSummary, "summary_id"),
     "users_dim" -> (usersDim, "dim_id"),

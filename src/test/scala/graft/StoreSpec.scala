@@ -1111,4 +1111,22 @@ class StoreSpec extends SparkSuite {
       .groupBy("batch_id").count().filter(col("count") > 1).isEmpty,
       "the same version must never be admitted twice")
   }
+
+  test("ReplaceFeed fixture really transitions: v1 carries the corrupted " +
+    "range, the current version does not") {
+    val sf = "/root/testdata/sf0.001"
+    graft.ext.ReplaceFeed.ensurePrepared(spark, sf)
+    val root = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+      .getPath.stripSuffix("/") + "/graft_rw_root"
+    val cat = new Catalog(spark, root)
+    assert(cat.version == 2L)
+    val zerosAtV1 = cat.readAt("orders_ingest", 1L)
+      .filter(col("o_orderkey").between(1000, 2000) &&
+        col("o_totalprice") === 0.0).count()
+    assert(zerosAtV1 > 0, "v1 must actually be corrupted or the gate " +
+      "row proves nothing")
+    assert(cat.read("orders_ingest")
+      .filter(col("o_totalprice") === 0.0).count() == 0L,
+      "the reload must have replaced every corrupted row")
+  }
 }
