@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
+import graft.core.Eager.EagerCheckpoint
 
 /** [EXT] multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata alongside.
@@ -746,6 +747,160 @@ object Multimodal {
       .orderBy("doc_id")
   }.copy(setup = Some(ensurePrepared _))
 
+  // ------------------------------------------------------- perceptual hash
+
+  final case class AHashSig(doc_id: Long, b0: Long, b1: Long, b2: Long,
+      b3: Long)
+
+  /** Average-hash signature over the BMP pixel payload: 64 equal-share
+    * byte chunks (chunk of byte i = `i*64 // npix`), bit c set iff the
+    * chunk mean >= the global mean — compared in cleared-division
+    * integer form `sum_c * npix >= total * n_c`, exact. Bits pack into
+    * four 16-bit band ints (the blocking unit AND the hamming unit). */
+  private[graft] def bmpAHash(docId: Long, b: Array[Byte]): AHashSig = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    require(b.length >= BmpHeaderLen && b(0) == 'B' && b(1) == 'M',
+      s"doc $docId: not a BMP blob")
+    val off = le32(10)
+    val npix = b.length - off
+    require(npix > 0, s"doc $docId: empty pixel payload")
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < npix) {
+      val c = ((i.toLong * 64L) / npix).toInt
+      sums(c) += u8(off + i)
+      cnts(c) += 1
+      i += 1
+    }
+    val total = sums.sum
+    val bands = new Array[Long](4)
+    var c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 && sums(c) * npix >= total * cnts(c))
+        bands(c / 16) |= 1L << (c % 16)
+      c += 1
+    }
+    AHashSig(docId, bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** Per-band bucket cap (documents per (band, value) bucket): hot
+    * buckets — near-constant images — are dropped from candidate
+    * generation, mirrored in the oracle (the [[Dedup]] BucketCap
+    * discipline). */
+  private val PhashBucketCap = 64
+  private val HamMax = 8
+
+  /** Perceptual near-duplicate image pairs: average-hash signatures
+    * (Hamming-space image dedup — the visual analogue of simhash;
+    * aHash per Krawetz, and the banding is Charikar/LSH pigeonhole: at
+    * Hamming <= [[HamMax]] = 8 over 64 bits split into 4 bands of 16,
+    * any qualifying pair... may still differ in every band only if all
+    * 8 flips spread across all 4 bands with >= 1 each — so the 4-band
+    * OR-block is a heuristic recall stage exactly like production
+    * pHash dedup, and the DECLARED pair semantics (mirrored by the
+    * oracle bit-for-bit) is "shares at least one intact band AND
+    * exact Hamming <= 8". Verification is exact
+    * `bit_count(xor(band_a, band_b))` summed over the four bands.
+    *
+    * Spark decodes the STAGED blobs in `mapPartitions` (the codec
+    * batching seam); the oracle — blind to the staged table — replays
+    * the generator spec down to every chunk sum. A corrupted stage or a
+    * drifted chunk boundary goes hash-red. Scale shape: signature build
+    * is one decode pass; candidates are an equi-join on (band, value)
+    * with the bucket cap bounding fan-out; verify is O(candidates). */
+  val phashPairs: Q = Q(
+    "ext_mm_phash_pairs",
+    s"""WITH $OracleTextBytes,
+       |dims AS (SELECT doc_id, n, bl,
+       |    (4 * (1 + tsum % 32))::INT AS width,
+       |    (1 + n % 24)::INT AS height FROM g),
+       |px AS (SELECT doc_id, n, bl, width * 3 * height AS npix FROM dims),
+       |chunks AS (
+       |  SELECT doc_id, npix,
+       |    (i * 64) // npix AS cid,
+       |    CASE WHEN n = 0 THEN 0 ELSE bl[(i % n) + 1] END AS v
+       |  FROM px CROSS JOIN LATERAL (
+       |    SELECT unnest(range(0, npix)) AS i) ii),
+       |cs AS (SELECT doc_id, npix, cid, CAST(SUM(v) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM chunks GROUP BY 1, 2, 3),
+       |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t FROM cs
+       |  GROUP BY 1),
+       |bits AS (
+       |  SELECT cs.doc_id, cid,
+       |    CASE WHEN s * npix >= t * c THEN 1::BIGINT ELSE 0::BIGINT END
+       |      AS bit
+       |  FROM cs JOIN tot ON tot.doc_id = cs.doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN cid // 16 = 0
+       |      THEN bit << (cid % 16) ELSE 0 END) AS b0,
+       |    SUM(CASE WHEN cid // 16 = 1
+       |      THEN bit << (cid % 16) ELSE 0 END) AS b1,
+       |    SUM(CASE WHEN cid // 16 = 2
+       |      THEN bit << (cid % 16) ELSE 0 END) AS b2,
+       |    SUM(CASE WHEN cid // 16 = 3
+       |      THEN bit << (cid % 16) ELSE 0 END) AS b3
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, b0 AS bv FROM sig
+       |  UNION ALL SELECT doc_id, 1, b1 FROM sig
+       |  UNION ALL SELECT doc_id, 2, b2 FROM sig
+       |  UNION ALL SELECT doc_id, 3, b3 FROM sig),
+       |hot AS (
+       |  SELECT band, bv FROM bands GROUP BY band, bv
+       |  HAVING COUNT(*) > $PhashBucketCap),
+       |bandsOk AS (
+       |  SELECT b.* FROM bands b ANTI JOIN hot h
+       |    ON h.band = b.band AND h.bv = b.bv),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandsOk a JOIN bandsOk b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+       |     + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+       |    AS BIGINT) AS hamming
+       |FROM cand JOIN sig sa ON sa.doc_id = doc_a
+       |  JOIN sig sb ON sb.doc_id = doc_b
+       |WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+       |    + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+       |  <= $HamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, d) =>
+    ensurePrepared(s, d)
+    implicit val enc = Encoders.product[AHashSig]
+    val sig = s.table("graft_media").mapPartitions { rows =>
+      rows.map(r => bmpAHash(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }.toDF().eagerCheckpoint()
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"), col(s"b$i").as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+    val hot = bands.groupBy("band", "bv").count()
+      .filter(col("count") > PhashBucketCap).select("band", "bv")
+    val bandsOk = bands.join(hot, Seq("band", "bv"), "left_anti")
+    val cand = bandsOk.as("a")
+      .join(bandsOk.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ham = (0 until 4).map(i =>
+      expr(s"bit_count(sa_b$i ^ sb_b$i)")).reduce(_ + _)
+    def side(p: String) = sig.select(col("doc_id").as(s"${p}_id") +:
+      (0 until 4).map(i => col(s"b$i").as(s"${p}_b$i")): _*)
+    cand
+      .join(side("sa"), col("sa_id") === col("doc_a"))
+      .join(side("sb"), col("sb_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= HamMax)
+      .orderBy("doc_a", "doc_b")
+  }.copy(setup = Some(ensurePrepared _))
+
   val all: Seq[Q] = Seq(binaryMeta, decodeFeatures, frameSample,
-    sceneCuts, audioFeatures, channelStats, audioVad)
+    sceneCuts, audioFeatures, channelStats, audioVad, phashPairs)
 }

@@ -1271,6 +1271,36 @@ class ExtSpec extends SparkSuite {
     assert(out(9L).contains(-10 * m))
   }
 
+  test("phash pairs: identical images collide at hamming 0, every " +
+    "reported pair's hamming matches a direct signature recompute") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, t), (2L, t),
+      (3L, "entirely different content with nothing shared whatsoever x")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpDir("graft_test_phash")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.phashPairs.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.get((1L, 2L)).contains(0L),
+      s"identical images must pair at hamming 0: $out")
+    // recompute signatures straight from the staged blobs and check
+    // every reported hamming
+    val sigs = spark.table("graft_media").collect()
+      .map(r => r.getLong(0) ->
+        Multimodal.bmpAHash(r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+    out.foreach { case ((a, b), h) =>
+      val (sa, sb) = (sigs(a), sigs(b))
+      val direct = java.lang.Long.bitCount(sa.b0 ^ sb.b0) +
+        java.lang.Long.bitCount(sa.b1 ^ sb.b1) +
+        java.lang.Long.bitCount(sa.b2 ^ sb.b2) +
+        java.lang.Long.bitCount(sa.b3 ^ sb.b3)
+      assert(h == direct && h <= 8, s"pair ($a,$b): $h vs direct $direct")
+    }
+  }
+
   test("embedding logreg probe actually learns: train accuracy clears " +
     "the majority baseline, 65 weights, one accuracy") {
     val rows = graft.ext.ModelEval.embedLogreg.fn(spark, sf).collect()
