@@ -34,5 +34,6 @@ object Registry {
       graft.streaming.StreamEwma.all ++
       graft.streaming.StreamAnomaly.all ++
       graft.streaming.StreamKmv.all ++
-      graft.streaming.StreamSessionWindow.all
+      graft.streaming.StreamSessionWindow.all ++
+      graft.streaming.StreamFeaturePit.all
 }

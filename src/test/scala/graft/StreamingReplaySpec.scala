@@ -86,4 +86,19 @@ class StreamingReplaySpec extends SparkSuite {
     assert(out.find(_._1 == 1L).get._2 == ts(3.0),
       "keyed sink must keep the FIRST completion")
   }
+
+  test("streaming PIT features equal the batch PIT join row-for-row " +
+    "(online == offline under two-source multi-batch replay)") {
+    val sf = "/root/testdata/sf0.001"
+    val online = graft.streaming.StreamFeaturePit.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.getString(4)))).toSet
+    val offline = graft.ext.FeatureGen.featurePit.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.getString(4)))).toSet
+    assert(online == offline,
+      s"online-offline skew: only-online=${(online -- offline).take(3)} " +
+        s"only-offline=${(offline -- online).take(3)}")
+    assert(online.nonEmpty)
+  }
 }
