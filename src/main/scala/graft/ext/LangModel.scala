@@ -118,5 +118,71 @@ object LangModel {
       .limit(100)
   }
 
-  def all: Seq[Q] = Seq(bigramLm, curriculumBuckets, weightedSample)
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney,
+    * ICASSP'95; Chen & Goodman '98 eq. 4.26, fixed discount D = 0.75):
+    * `P(w2|w1) = max(c12 - D, 0)/c1 + (D·N1+(w1,·)/c1) · N1+(·,w2)/N1+(··)`
+    * — the smoothing that separates a usable n-gram LM from the MLE
+    * bigram row (`ext_text_bigram_lm` assigns zero to anything unseen
+    * in context; KN backs off to CONTINUATION counts, "how many contexts
+    * does w2 complete", the famous San-Francisco correction).
+    *
+    * Everything derives from four vocabulary-sized integer aggregates
+    * (bigram counts, left totals, distinct-successor and
+    * distinct-predecessor type counts, one global type total) — the
+    * shuffles are vocabulary-bounded, never token-stream-bounded. The
+    * discount 0.75 is DYADIC, so `c12 - 0.75` is exact and every term is
+    * a fixed chain of correctly-rounded IEEE ops over exact integers —
+    * bit-identical cross-engine with NO output rounding at all.
+    */
+  val kneserNey: Q = {
+    val pkn = "(GREATEST(c2 - 0.75, 0) / CAST(ct AS DOUBLE))" +
+      " + ((0.75 * n1fw) / CAST(ct AS DOUBLE))" +
+      " * (CAST(n1bw AS DOUBLE) / ntypes)"
+    Q(
+      "ext_text_kneser_ney",
+      s"""WITH tok AS (SELECT ${TextAnalysis.toksSql} AS ts FROM documents),
+         |bg AS (
+         |  SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+         |  FROM tok WHERE len(ts) >= 2),
+         |cnt AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  GROUP BY w1, w2),
+         |fw AS (
+         |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS ct,
+         |    CAST(COUNT(*) AS BIGINT) AS n1fw
+         |  FROM cnt GROUP BY w1),
+         |bw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bw FROM cnt
+         |  GROUP BY w2),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM cnt)
+         |SELECT w1, w2, c2, $pkn AS p_kn
+         |FROM cnt JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN nt
+         |ORDER BY c2 DESC, w1, w2 LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .select(TextAnalysis.toks(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts)-2)," +
+            " i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).cast("long").as("c2"))
+      val fw = cnt.groupBy("w1")
+        .agg(sum(col("c2")).as("ct"), count(lit(1)).as("n1fw"))
+      val bw = cnt.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+      val nt = cnt.agg(count(lit(1)).as("ntypes"))
+      cnt.join(fw, Seq("w1")).join(bw, Seq("w2"))
+        .crossJoin(broadcast(nt))
+        .select(col("w1"), col("w2"), col("c2"),
+          (greatest(col("c2") - lit(0.75), lit(0)) / col("ct").cast("double")
+            + (lit(0.75) * col("n1fw")) / col("ct").cast("double")
+              * (col("n1bw").cast("double") / col("ntypes")))
+            .as("p_kn"))
+        .orderBy(col("c2").desc, col("w1"), col("w2"))
+        .limit(100)
+    }
+  }
+
+  def all: Seq[Q] = Seq(bigramLm, curriculumBuckets, weightedSample,
+    kneserNey)
 }

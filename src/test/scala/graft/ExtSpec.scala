@@ -1271,6 +1271,40 @@ class ExtSpec extends SparkSuite {
     assert(out(9L).contains(-10 * m))
   }
 
+  test("Kneser-Ney bigram: matches a driver-side recompute, lives in " +
+    "(0,1], and reserves mass for unseen continuations") {
+    val rows = graft.ext.LangModel.kneserNey.fn(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getLong(2),
+        r.getDouble(3))) // (w2, w1, c2, p)  [columns: w1,w2,c2,p_kn]
+    assert(rows.nonEmpty)
+    // independent recompute from raw token streams
+    val bigrams = graft.core.Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split("\\s+").filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq)
+    val c2 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ct = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1fw = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val n1bw = c2.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val ntypes = c2.size.toDouble
+    rows.foreach { case (w2, w1, c, p) =>
+      assert(c2((w1, w2)) == c)
+      val expect = math.max(c - 0.75, 0) / ct(w1).toDouble +
+        (0.75 * n1fw(w1)) / ct(w1).toDouble * (n1bw(w2) / ntypes)
+      assert(math.abs(p - expect) < 1e-12, s"($w1,$w2): $p vs $expect")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // smoothing reserves mass: observed continuations of a context must
+    // sum strictly below 1 (the reserve goes to unseen w2)
+    val w1probe = rows.head._2
+    val sumObserved = c2.collect { case ((a, b), c) if a == w1probe =>
+      math.max(c - 0.75, 0) / ct(a).toDouble +
+        (0.75 * n1fw(a)) / ct(a).toDouble * (n1bw(b) / ntypes)
+    }.sum
+    assert(sumObserved < 1.0 - 1e-9,
+      s"context '$w1probe' leaves no unseen mass: $sumObserved")
+  }
+
   test("phash pairs: identical images collide at hamming 0, every " +
     "reported pair's hamming matches a direct signature recompute") {
     val t = "the quick brown fox jumps over the lazy dog again and again"
