@@ -183,6 +183,128 @@ object LangModel {
     }
   }
 
+  /** Held-out perplexity under the Kneser-Ney bigram model — the CCNet
+    * quality-filter shape (Wenzek et al. LREC'20 §4.3: train an LM on
+    * reference text, score candidate documents by perplexity, drop the
+    * tail). Unlike [[kneserNey]] (which scores the training corpus
+    * itself, so every bigram is seen), this row TRAINS on the `train`
+    * side of the [[Profiling.splitAssign]] md5-prefix split and scores
+    * the held-out ~12 % — so the backoff paths a deployed filter actually
+    * exercises (unseen pair / unseen context / unseen continuation) all
+    * fire and are separately counted per document.
+    *
+    * Model: interpolated KN with D = 0.75 for a seen context
+    * (`max(c12-D,0)/c1 + D·N1+(w1,·)/c1 · pc(w2)`), pure continuation
+    * probability for an unseen one, where the continuation distribution
+    * is add-one smoothed over continuation TYPE counts —
+    * `pc(w2) = (N1+(·,w2)+1) / (N1+(··) + |conts| + 1)` — so an
+    * out-of-vocabulary continuation still gets the strictly positive
+    * floor `1/(N1+(··)+|conts|+1)` and `ln(p)` is always finite.
+    *
+    * Scale shape: train counts aggregate to vocabulary² scale with
+    * map-side combine; held-out bigram tf is ~12 % of the corpus at
+    * (doc, pair) grain. The scoring joins key on pair/context/
+    * continuation — all vocabulary-bounded build sides, left to AQE
+    * (at 100 TB the vocab tables may exceed broadcast size; nothing is
+    * pinned). Only the 2-row constants frame is broadcast. The per-doc
+    * reduce is one map-side-combined aggregate; no windows anywhere.
+    * Output nll uses the engine-wide FLOOR(x·1e4+0.5)/1e4 half-up (the
+    * [[TextAnalysis.unigramNll]] precedent: ln's last-ulp and per-doc
+    * float-sum order noise sit orders of magnitude below the grain).
+    */
+  val knHeldout: Q = {
+    val pcSql = "((COALESCE(bw.n1bw, 0) + 1.0) / (ntypes + nconts + 1.0))"
+    Q(
+      "ext_lm_kn_heldout",
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1eb8' AS held,
+         |    ${TextAnalysis.toksSql} AS ts
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, held,
+         |    unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+         |  FROM tok WHERE len(ts) >= 2),
+         |cnt AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  WHERE NOT held GROUP BY w1, w2),
+         |fw AS (
+         |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS ct,
+         |    CAST(COUNT(*) AS BIGINT) AS n1fw
+         |  FROM cnt GROUP BY w1),
+         |bw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bw FROM cnt
+         |  GROUP BY w2),
+         |nt AS (SELECT
+         |  CAST((SELECT COUNT(*) FROM cnt) AS BIGINT) AS ntypes,
+         |  CAST((SELECT COUNT(*) FROM bw) AS BIGINT) AS nconts),
+         |ho AS (
+         |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS htf FROM bg
+         |  WHERE held GROUP BY doc_id, w1, w2),
+         |sc AS (
+         |  SELECT ho.doc_id, ho.htf,
+         |    CASE WHEN fw.w1 IS NULL THEN 1 ELSE 0 END AS octx,
+         |    CASE WHEN bw.w2 IS NULL THEN 1 ELSE 0 END AS ocnt,
+         |    CASE WHEN fw.w1 IS NULL THEN $pcSql
+         |      ELSE (GREATEST(COALESCE(cnt.c2, 0) - 0.75, 0)
+         |          / CAST(fw.ct AS DOUBLE))
+         |        + ((0.75 * fw.n1fw) / CAST(fw.ct AS DOUBLE)) * $pcSql
+         |    END AS p
+         |  FROM ho
+         |  LEFT JOIN cnt ON cnt.w1 = ho.w1 AND cnt.w2 = ho.w2
+         |  LEFT JOIN fw ON fw.w1 = ho.w1
+         |  LEFT JOIN bw ON bw.w2 = ho.w2
+         |  CROSS JOIN nt)
+         |SELECT doc_id, CAST(SUM(htf) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(htf * octx) AS BIGINT) AS oov_ctx,
+         |  CAST(SUM(htf * ocnt) AS BIGINT) AS oov_cont,
+         |  FLOOR(-SUM(htf * ln(p)) / SUM(htf) * 10000 + 0.5) / 10000.0
+         |    AS nll
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          (substring(fast_md5(s, col("doc_id").cast("string")), 1, 4)
+            < "1eb8").as("held"),
+          TextAnalysis.toks(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("held"), explode(expr(
+          "transform(sequence(0, size(ts)-2)," +
+            " i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("held"), col("b.w1"), col("b.w2"))
+      val cnt = bg.filter(!col("held")).groupBy("w1", "w2")
+        .agg(count(lit(1)).cast("long").as("c2"))
+      val fw = cnt.groupBy("w1")
+        .agg(sum(col("c2")).as("ct"), count(lit(1)).as("n1fw"))
+      val bw = cnt.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+      val nt = cnt.agg(count(lit(1)).as("ntypes"))
+        .crossJoin(bw.agg(count(lit(1)).as("nconts")))
+      val ho = bg.filter(col("held")).groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).cast("long").as("htf"))
+      val pc = (coalesce(col("n1bw"), lit(0L)) + lit(1.0)) /
+        (col("ntypes") + col("nconts") + lit(1.0))
+      val p = when(col("ct").isNull, pc)
+        .otherwise(
+          (greatest(coalesce(col("c2"), lit(0L)) - lit(0.75), lit(0.0))
+            / col("ct").cast("double"))
+            + ((lit(0.75) * col("n1fw")) / col("ct").cast("double")) * pc)
+      ho.join(cnt, Seq("w1", "w2"), "left")
+        .join(fw, Seq("w1"), "left")
+        .join(bw, Seq("w2"), "left")
+        .crossJoin(broadcast(nt))
+        .select(col("doc_id"), col("htf"),
+          when(col("ct").isNull, 1L).otherwise(0L).as("octx"),
+          when(col("n1bw").isNull, 1L).otherwise(0L).as("ocnt"),
+          p.as("p"))
+        .groupBy("doc_id")
+        .agg(sum(col("htf")).cast("long").as("n_bigrams"),
+          sum(col("htf") * col("octx")).cast("long").as("oov_ctx"),
+          sum(col("htf") * col("ocnt")).cast("long").as("oov_cont"),
+          (floor(-sum(col("htf") * log(col("p"))) / sum(col("htf"))
+            * 10000 + 0.5) / 10000.0).as("nll"))
+        .orderBy("doc_id")
+    }
+  }
+
   def all: Seq[Q] = Seq(bigramLm, curriculumBuckets, weightedSample,
-    kneserNey)
+    kneserNey, knHeldout)
 }
