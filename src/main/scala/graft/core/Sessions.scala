@@ -9,8 +9,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
-  /** Configs every graft session needs, applied to a builder. */
+  /** Configs every graft session needs, applied to a builder. Also wires
+    * the custom-plan tier (graft.plans: as-of join strategy + its
+    * pushdown/pruning optimizer rules) — extensions bind at session
+    * creation, and every graft entry point builds through here. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(graft.plans.GraftExtensions.install)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")

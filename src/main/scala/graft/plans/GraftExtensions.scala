@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/** Planner strategy for graft's custom logical operators: plans
+  * [[AsOfJoinPlan]] into [[AsOfJoinExec]]. Injected per-session by
+  * [[GraftExtensions.install]] (core.Sessions wires it into every
+  * builder). */
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoinPlan =>
+      AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
+        j.tolerance, j.forward, planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Optimizer support Catalyst cannot give an unknown node: predicate
+  * pushdown and column pruning THROUGH [[AsOfJoinPlan]]. Without these,
+  * any filter or projection above an as-of join stalls there — the
+  * parquet scan below reads every column and every row, which is exactly
+  * the plan shape that does not survive 100 TB.
+  *
+  *  - Filter(cond, asof): deterministic conjuncts referencing only LEFT
+  *    output move into the left child (every left row produces exactly one
+  *    output row, so a left-only predicate commutes with the join).
+  *    Right-side conjuncts must stay: they see post-join values (nulls for
+  *    unmatched rows) and, unlike an ordinary left-outer equi-join,
+  *    pre-filtering the right side would CHANGE which row is "latest
+  *    at-or-before" rather than merely drop output rows.
+  *  - Project(_, asof): children are narrowed to the attributes the
+  *    projection or the join itself consumes, so scan pruning reaches the
+  *    parquet reader on both sides.
+  *
+  * Both rewrites reach a fixed point: re-application finds nothing left
+  * to push (the kept filter references the right side; the pruned child
+  * output already equals the required set). */
+object AsOfJoinOptimizations extends Rule[LogicalPlan] {
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (push, keep) = splitConjuncts(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+
+    case p @ Project(projList, j: AsOfJoinPlan) =>
+      val required = AttributeSet(projList.flatMap(_.references)) ++
+        j.joinReferences
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(required.contains)
+        if (keep.size < child.output.size) Project(keep, child) else child
+      }
+      val nl = prune(j.left); val nr = prune(j.right)
+      if ((nl eq j.left) && (nr eq j.right)) p
+      else Project(projList, j.copy(left = nl, right = nr))
+  }
+}
+
+object GraftExtensions {
+  /** Wire graft's planner strategy and optimizer rules into a session
+    * being built (SparkSession.Builder.withExtensions callback). */
+  def install(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => GraftStrategy)
+    e.injectOptimizerRule(_ => AsOfJoinOptimizations)
+  }
+}

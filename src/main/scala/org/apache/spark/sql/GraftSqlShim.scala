@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal `private[sql]` bridge for graft's custom-plan tier (the usual
+  * pattern for Spark extension libraries): wraps an already-analyzed
+  * custom [[LogicalPlan]] into a DataFrame. Nothing else from the sql
+  * package's private surface is touched.
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+}
