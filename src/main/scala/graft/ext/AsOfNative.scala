@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+import graft.plans.AsOf
+
+/** Gate rows for the native as-of join ([[graft.plans.AsOfJoinPlan]] /
+  * [[graft.plans.AsOfJoinExec]] — the custom-plan tier). The oracle is
+  * DuckDB's own first-class `ASOF LEFT JOIN`, so two independent as-of
+  * implementations are hash-compared row by row.
+  *
+  * Shape: each purchase event matched to the same user's latest prior
+  * 'view' event (classic last-touch attribution). The right side is
+  * tie-free by fixture construction (unique (user_id, ts) per type), so
+  * the match is deterministic. Output is per-event (not aggregated) —
+  * every match, every gap, every null miss participates in the hash.
+  *
+  * Tolerance semantics note: at-or-before with tolerance T is exactly
+  * "match, then null out matches with gap > T" — which is how the oracle
+  * expresses it (DuckDB ASOF has no MATCH_CONDITION clause).
+  */
+object AsOfNative {
+
+  private val TolMicros = 360L * 60 * 1000000 // 6 hours
+
+  private def sides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d)
+    (ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("u"), col("ts").as("rts"),
+          col("value").as("rv")))
+  }
+
+  private def oracleSides =
+    """(SELECT event_id, user_id, ts FROM events
+      |   WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN
+      |  (SELECT user_id u, ts rts, value rv FROM events
+      |   WHERE event_type = 'view') r""".stripMargin
+
+  /** Backward: latest view at-or-before each purchase. */
+  val asofBackward: Q = Q(
+    "ext_asof_exec",
+    s"""SELECT l.event_id,
+       |  epoch_us(l.ts) - epoch_us(r.rts) AS gap_us, r.rv
+       |FROM $oracleSides
+       |  ON l.user_id = r.u AND l.ts >= r.rts
+       |ORDER BY l.event_id""".stripMargin
+  ) { (s, d) =>
+    val (l, r) = sides(s, d)
+    AsOf.join(l, r, Seq("user_id" -> "u"), "ts", "rts")
+      .select(col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("rts"))).as("gap_us"),
+        col("rv"))
+      .orderBy("event_id")
+  }
+
+  /** Backward with a 6 h tolerance: stale views stop matching, so the
+    * null-emission path is exercised on ~90 % of rows at gate scale. */
+  val asofTolerance: Q = Q(
+    "ext_asof_exec_tol",
+    s"""SELECT event_id,
+       |  CASE WHEN gap_us <= $TolMicros THEN gap_us END AS gap_us,
+       |  CASE WHEN gap_us <= $TolMicros THEN rv END AS rv
+       |FROM (
+       |  SELECT l.event_id, epoch_us(l.ts) - epoch_us(r.rts) AS gap_us,
+       |    r.rv
+       |  FROM $oracleSides
+       |    ON l.user_id = r.u AND l.ts >= r.rts)
+       |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val (l, r) = sides(s, d)
+    AsOf.join(l, r, Seq("user_id" -> "u"), "ts", "rts",
+      tolerance = Some(TolMicros))
+      .select(col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("rts"))).as("gap_us"),
+        col("rv"))
+      .orderBy("event_id")
+  }
+
+  /** Forward: earliest view at-or-after each purchase (post-purchase
+    * re-engagement lag). */
+  val asofForward: Q = Q(
+    "ext_asof_exec_fwd",
+    s"""SELECT l.event_id,
+       |  epoch_us(r.rts) - epoch_us(l.ts) AS gap_us, r.rv
+       |FROM $oracleSides
+       |  ON l.user_id = r.u AND l.ts <= r.rts
+       |ORDER BY l.event_id""".stripMargin
+  ) { (s, d) =>
+    val (l, r) = sides(s, d)
+    AsOf.join(l, r, Seq("user_id" -> "u"), "ts", "rts", forward = true)
+      .select(col("event_id"),
+        (unix_micros(col("rts")) - unix_micros(col("ts"))).as("gap_us"),
+        col("rv"))
+      .orderBy("event_id")
+  }
+
+  def all: Seq[Q] = Seq(asofBackward, asofTolerance, asofForward)
+}
