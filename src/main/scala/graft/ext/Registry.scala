@@ -21,7 +21,7 @@ object Registry {
       IndexMaintain.all ++ StreamIngestFeed.all ++ StoreFollow.all ++
       Warehouse.all ++ Attribution.all ++ LangModel.all ++
       Skyline.all ++ Intervals.all ++ VecFuncs.all ++ Stats.all ++
-      AsOfNative.all ++
+      AsOfNative.all ++ Dsir.all ++
       AssocRules.all ++ Graph.all ++ KmvDistinct.all ++ TimeSeries.all ++
       ClickPaths.all ++ SkewAudit.all ++ Collocations.all ++
       PcaPower.all ++

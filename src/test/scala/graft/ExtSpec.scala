@@ -1305,6 +1305,61 @@ class ExtSpec extends SparkSuite {
       s"context '$w1probe' leaves no unseen mass: $sumObserved")
   }
 
+  test("DSIR weights: full driver-side replay agrees, and weights " +
+    "discriminate — target docs average higher log_w than source docs") {
+    val out = graft.ext.Dsir.dsirWeights.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    val B = 256
+    val en = Set("the", "a", "and", "of", "to", "in", "is")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(g: String): Long = java.lang.Long.parseLong(
+      md5hex(g).substring(0, 12), 16) % B
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split("\\s+").filter(_.nonEmpty)))
+      .filter(_._2.length >= 2)
+      .map { case (id, ts) =>
+        (id, ts, ts.count(en.contains) * 10 >= ts.length)
+      }
+    assert(docs.exists(_._3) && docs.exists(!_._3),
+      "fixture must contain both target and source docs")
+    val ct = new scala.collection.mutable.HashMap[Long, Long]()
+    val cs = new scala.collection.mutable.HashMap[Long, Long]()
+    docs.foreach { case (_, ts, tgt) =>
+      ts.sliding(2).filter(_.length == 2).foreach { a =>
+        val b = bucket(a(0) + " " + a(1))
+        val m = if (tgt) ct else cs
+        m.update(b, m.getOrElse(b, 0L) + 1)
+      }
+    }
+    val nt = ct.values.sum.toDouble; val ns = cs.values.sum.toDouble
+    assert(out.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, ts, tgt) =>
+      val terms = ts.sliding(2).filter(_.length == 2).map { a =>
+        val b = bucket(a(0) + " " + a(1))
+        math.log((ct.getOrElse(b, 0L) + 1.0) / (nt + B)) -
+          math.log((cs.getOrElse(b, 0L) + 1.0) / (ns + B))
+      }.toSeq
+      val expect = math.floor(terms.sum * 10000 + 0.5) / 10000.0
+      val (gt, gn, gw) = out(id)
+      assert(gt == tgt && gn == terms.size,
+        s"doc $id: flags/counts ($gt,$gn) vs ($tgt,${terms.size})")
+      assert(math.abs(gw - expect) <= 2e-4, s"doc $id: $gw vs $expect")
+    }
+    // discriminative property: the weights separate the populations
+    val (t, s_) = out.values.toSeq.partition(_._1)
+    val avgT = t.map(_._3).sum / t.size
+    val avgS = s_.map(_._3).sum / s_.size
+    assert(avgT > avgS,
+      s"target avg log_w $avgT should exceed source avg $avgS")
+  }
+
   test("KN held-out perplexity: matches a driver-side recompute over " +
     "the md5 split, OOV counters agree, and every probability is finite") {
     val out = graft.ext.LangModel.knHeldout.fn(spark, sf).collect()
