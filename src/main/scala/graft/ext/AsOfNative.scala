@@ -99,5 +99,43 @@ object AsOfNative {
       .orderBy("event_id")
   }
 
-  def all: Seq[Q] = Seq(asofBackward, asofTolerance, asofForward)
+  /** Keyed interval-overlap join ([[graft.plans.IntervalJoinExec]] — the
+    * plane-sweep operator): every (purchase-window, error-window) pair of
+    * the same user whose 2 h half-open windows overlap, with the overlap
+    * length. Oracle is the declarative equi-join + overlap filter — fine
+    * for DuckDB at gate scale; the custom exec exists because that shape
+    * is per-key quadratic at 100 TB. */
+  val intervalJoin: Q = Q(
+    "ext_interval_join",
+    s"""WITH l AS (
+       |  SELECT user_id, event_id AS lid, epoch_us(ts) AS st,
+       |    epoch_us(ts) + 7200000000 AS en
+       |  FROM events WHERE event_type = 'purchase'),
+       |r AS (
+       |  SELECT user_id AS ru, event_id AS rid, epoch_us(ts) AS rst,
+       |    epoch_us(ts) + 7200000000 AS ren
+       |  FROM events WHERE event_type = 'error')
+       |SELECT user_id, lid, rid,
+       |  LEAST(en, ren) - GREATEST(st, rst) AS overlap_us
+       |FROM l JOIN r ON user_id = ru AND st < ren AND rst < en
+       |ORDER BY lid, rid""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def win(t: String, u: String, id: String, st: String, en: String) = ev
+      .filter(col("event_type") === t)
+      .select(col("user_id").as(u), col("event_id").as(id),
+        unix_micros(col("ts")).as(st),
+        (unix_micros(col("ts")) + 7200000000L).as(en))
+    graft.plans.IntervalJoin.join(
+        win("purchase", "user_id", "lid", "st", "en"),
+        win("error", "ru", "rid", "rst", "ren"),
+        Seq("user_id" -> "ru"), "st", "en", "rst", "ren")
+      .select(col("user_id"), col("lid"), col("rid"),
+        (least(col("en"), col("ren"))
+          - greatest(col("st"), col("rst"))).as("overlap_us"))
+      .orderBy("lid", "rid")
+  }
+
+  def all: Seq[Q] = Seq(asofBackward, asofTolerance, asofForward,
+    intervalJoin)
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
 /** Planner strategy for graft's custom logical operators: plans
-  * [[AsOfJoinPlan]] into [[AsOfJoinExec]]. Injected per-session by
+  * [[AsOfJoinPlan]] into [[AsOfJoinExec]] and [[IntervalJoinPlan]] into
+  * [[IntervalJoinExec]]. Injected per-session by
   * [[GraftExtensions.install]] (core.Sessions wires it into every
   * builder). */
 object GraftStrategy extends SparkStrategy {
@@ -15,6 +16,10 @@ object GraftStrategy extends SparkStrategy {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
         j.tolerance, j.forward, planLater(j.left), planLater(j.right)) :: Nil
+    case j: IntervalJoinPlan =>
+      IntervalJoinExec(j.leftKeys, j.rightKeys, j.leftStart, j.leftEnd,
+        j.rightStart, j.rightEnd, planLater(j.left),
+        planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -46,6 +51,12 @@ object AsOfJoinOptimizations extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  private def pruneChild(required: AttributeSet)(
+      child: LogicalPlan): LogicalPlan = {
+    val keep = child.output.filter(required.contains)
+    if (keep.size < child.output.size) Project(keep, child) else child
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsOfJoinPlan) =>
       val (push, keep) = splitConjuncts(cond).partition(p =>
@@ -59,11 +70,35 @@ object AsOfJoinOptimizations extends Rule[LogicalPlan] {
     case p @ Project(projList, j: AsOfJoinPlan) =>
       val required = AttributeSet(projList.flatMap(_.references)) ++
         j.joinReferences
-      def prune(child: LogicalPlan): LogicalPlan = {
-        val keep = child.output.filter(required.contains)
-        if (keep.size < child.output.size) Project(keep, child) else child
+      val nl = pruneChild(required)(j.left)
+      val nr = pruneChild(required)(j.right)
+      if ((nl eq j.left) && (nr eq j.right)) p
+      else Project(projList, j.copy(left = nl, right = nr))
+
+    // INNER interval join: a deterministic single-side conjunct commutes
+    // with the join on EITHER side (unlike the as-of join, dropping a
+    // right interval only removes its own pairs — it cannot change which
+    // other rows pair up)
+    case f @ Filter(cond, j: IntervalJoinPlan) =>
+      val (pushL, rest) = splitConjuncts(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(j.left.outputSet))
+      val (pushR, keep) = rest.partition(p =>
+        p.deterministic && p.references.subsetOf(j.right.outputSet))
+      if (pushL.isEmpty && pushR.isEmpty) f
+      else {
+        val pushed = j.copy(
+          left = pushL.reduceOption(And).map(Filter(_, j.left))
+            .getOrElse(j.left),
+          right = pushR.reduceOption(And).map(Filter(_, j.right))
+            .getOrElse(j.right))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
-      val nl = prune(j.left); val nr = prune(j.right)
+
+    case p @ Project(projList, j: IntervalJoinPlan) =>
+      val required = AttributeSet(projList.flatMap(_.references)) ++
+        j.joinReferences
+      val nl = pruneChild(required)(j.left)
+      val nr = pruneChild(required)(j.right)
       if ((nl eq j.left) && (nr eq j.right)) p
       else Project(projList, j.copy(left = nl, right = nr))
   }

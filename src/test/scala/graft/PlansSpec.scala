@@ -192,4 +192,106 @@ class PlansSpec extends SparkSuite {
     val n = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t").count()
     assert(n == probes.count())
   }
+
+  // ---- interval join ----
+
+  private def livs: DataFrame = Seq(
+    ("a", 0L, 10L, "A1"), ("a", 5L, 15L, "A2"), ("a", 20L, 25L, "A3"),
+    ("a", 30L, 30L, "Aempty"), // start == end: matches nothing
+    ("b", 0L, 100L, "B1"),
+    ("d", 0L, 9L, "D1")        // no right rows for this key
+  ).toDF("k", "st", "en", "tag")
+
+  private def rivs: DataFrame = Seq(
+    ("a", 8L, 12L, "ra1"),   // overlaps A1 [0,10) and A2 [5,15)
+    ("a", 15L, 21L, "ra2"),  // touches A2 at 15 (no: half-open), hits A3
+    ("a", 25L, 40L, "ra3"),  // touches A3 at 25 -> no; spans Aempty -> no
+    ("b", 99L, 200L, "rb1"), // clips B1's last unit
+    ("b", 100L, 300L, "rb2"), // starts exactly at B1.end -> no
+    ("c", 0L, 50L, "rc1")    // no left rows for this key
+  ).toDF("rk", "rst", "ren", "rtag")
+
+  test("interval join: exact overlap pair set under half-open semantics " +
+    "— containment, ties at bounds, empty intervals, key isolation") {
+    val got = graft.plans.IntervalJoin.join(livs, rivs,
+      Seq("k" -> "rk"), "st", "en", "rst", "ren")
+      .select("tag", "rtag").as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("A1", "ra1"), ("A2", "ra1"), ("A3", "ra2"), ("B1", "rb1")), got)
+  }
+
+  test("interval join: null keys and null bounds never match") {
+    val l = Seq(("a", Some(0L), Some(10L)), (null.asInstanceOf[String],
+      Some(0L), Some(10L)), ("a", None, Some(10L)))
+      .toDF("k", "st", "en")
+    val r = Seq(("a", Some(5L), Some(6L)), ("a", Some(5L), None),
+      (null.asInstanceOf[String], Some(5L), Some(6L)))
+      .toDF("rk", "rst", "ren")
+    val got = graft.plans.IntervalJoin.join(l, r, Seq("k" -> "rk"),
+      "st", "en", "rst", "ren").count()
+    assert(got == 1)
+  }
+
+  test("interval join matches the declarative equi-join + overlap filter " +
+    "on fixture data") {
+    val ev = graft.core.Tables.events(spark, sf)
+    def win(t: String, id: String) = ev
+      .filter(col("event_type") === t)
+      .select(col("user_id").as(s"${id}_u"), col("event_id").as(s"${id}_id"),
+        unix_micros(col("ts")).as(s"${id}_st"),
+        (unix_micros(col("ts")) + 7200000000L).as(s"${id}_en"))
+    val l = win("purchase", "l"); val r = win("error", "r")
+    val fast = graft.plans.IntervalJoin.join(l, r, Seq("l_u" -> "r_u"),
+      "l_st", "l_en", "r_st", "r_en")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val slow = l.join(r, col("l_u") === col("r_u") &&
+      col("l_st") < col("r_en") && col("r_st") < col("l_en"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(fast == slow,
+      s"diff: ${(fast diff slow).take(5)} / ${(slow diff fast).take(5)}")
+    assert(fast.nonEmpty, "fixture produced no overlapping pairs")
+  }
+
+  test("interval join plan shape: IntervalJoinExec with one exchange per " +
+    "side; inner-join pushdown reaches BOTH scans") {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val ev = graft.core.Tables.events(spark, sf)
+    def win(t: String, id: String) = ev
+      .filter(col("event_type") === t)
+      .select(col("user_id").as(s"${id}_u"), col("event_id").as(s"${id}_id"),
+        col("value").as(s"${id}_v"),
+        unix_micros(col("ts")).as(s"${id}_st"),
+        (unix_micros(col("ts")) + 7200000000L).as(s"${id}_en"))
+    val df = graft.plans.IntervalJoin.join(
+        win("purchase", "l"), win("error", "r"), Seq("l_u" -> "r_u"),
+        "l_st", "l_en", "r_st", "r_en")
+      .filter(col("l_id") > 100L && col("r_id") > 200L)
+      .select("l_id", "r_id")
+    // logical: both single-side conjuncts pushed below the join
+    val opt = df.queryExecution.optimizedPlan
+    val j = opt.collectFirst { case p: graft.plans.IntervalJoinPlan => p }.get
+    assert(j.left.toString.contains("l_id") &&
+      j.right.toString.contains("r_id"),
+      s"inner-join pushdown failed on one side:\n$opt")
+    val plan = executed(df)
+    var ivjs = 0; var ex = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case e: graft.plans.IntervalJoinExec =>
+        ivjs += 1; e.children.foreach(walk)
+      case s: ShuffleExchangeLike => ex += 1; s.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    assert(ivjs == 1 && ex == 2, s"expected 1 IntervalJoinExec + 2 " +
+      s"exchanges, got $ivjs/$ex:\n$plan")
+    // the l_id/r_id filters reach the parquet scans
+    val s = plan.toString
+    assert(s.contains("GreaterThan(event_id,100)") ||
+      s.contains("GreaterThan(event_id,200)"),
+      s"no pushed id filter at the scans:\n$s")
+    // projection pruning: unused l_v/r_v never leave the scan
+    assert(!s.contains("value"), s"unused value column still read:\n$s")
+  }
 }
