@@ -656,7 +656,75 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token")).limit(100)
   }
 
+  /** Tokenizer fertility per language — the census a multilingual
+    * pipeline runs when sizing/choosing a tokenizer (fertility =
+    * subwords per word; high fertility on a language means the vocab
+    * under-serves it — Conneau & Lample '19 report exactly this table
+    * for XLM). Composes two verified signals: [[langPred]] (the
+    * ext_text_langid estimator) labels each document; the codegen'd
+    * [[graft.functions.SubwordEncode]] greedy encode (the
+    * ext_tokenize_subword apply step) counts subwords per word.
+    *
+    * Scale shape: language label is a pre-shuffle projection; the word
+    * explode is row-parallel after the doc_id repartition (the
+    * ext_tokenize_subword rule); the only exchange is the 5-group
+    * partial aggregate. The oracle replays the greedy encode as the
+    * same recursive CTE over DISTINCT words, then joins word
+    * occurrences — fertility ratios in exact integer arithmetic
+    * ([[r4]]). Docs with no `[a-z]+` word carry no tokenizer signal and
+    * are absent from every column (n_docs counts scored docs). */
+  val tokFertility: Q = Q(
+    "ext_tok_fertility",
+    s"""WITH RECURSIVE vocab(v) AS (
+       |  SELECT unnest([${graft.functions.SubwordEncode.Vocab
+            .map(v => s"'$v'").mkString(", ")}])),
+       |d AS (SELECT doc_id, $langPredSql AS lang,
+       |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |  FROM documents),
+       |w AS (SELECT doc_id, lang, unnest(ws) AS w FROM d),
+       |dw AS (SELECT w FROM w GROUP BY w),
+       |steps(w, rem, tok) AS (
+       |  SELECT w, w, CAST(NULL AS VARCHAR) FROM dw
+       |  UNION ALL
+       |  SELECT w, substr(rem, length(tok2) + 1), tok2 FROM (
+       |    SELECT w, rem, (SELECT max_by(v, length(v)) FROM vocab
+       |      WHERE starts_with(rem, v)) AS tok2
+       |    FROM steps WHERE rem <> '') s
+       |  WHERE tok2 IS NOT NULL),
+       |nsub AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ns FROM steps
+       |  WHERE tok IS NOT NULL GROUP BY w)
+       |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(w.w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(ns) AS BIGINT) AS n_subwords,
+       |  ${r4Sql("SUM(ns)", "COUNT(*)")} AS fertility,
+       |  ${r4Sql("SUM(length(w.w))", "SUM(ns)")} AS chars_per_subword
+       |FROM w JOIN nsub USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val enc = (c: Column) =>
+      graft.functions.SubwordEncode.subword_encode(s, c)
+    Tables.documents(s, d)
+      .select(col("doc_id"), langPred(col("text")).as("lang"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+      .select(col("doc_id"), col("lang"), length(col("w")).cast("long")
+        .as("nc"), size(enc(col("w"))).cast("long").as("ns"))
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum("nc").as("n_chars"),
+        sum("ns").as("n_subwords"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_subwords"),
+        r4(col("n_subwords"), col("n_words")).as("fertility"),
+        r4(col("n_chars"), col("n_subwords")).as("chars_per_subword"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(tokens, quality, langId, langIdConfusion, fingerprint, repetition,
-      lineDedup, bm25, unigramNll, hybridRetrieval, subwordTokenize)
+      lineDedup, bm25, unigramNll, hybridRetrieval, subwordTokenize,
+      tokFertility)
 }

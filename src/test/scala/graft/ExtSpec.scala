@@ -1305,6 +1305,29 @@ class ExtSpec extends SparkSuite {
       s"context '$w1probe' leaves no unseen mass: $sumObserved")
   }
 
+  test("tokenizer fertility: every language row is internally consistent " +
+    "(fertility >= 1, chars >= subwords >= words) and one doc recomputes") {
+    val rows = graft.ext.TextAnalysis.tokFertility.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, nw, nc, ns) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      val (fert, cps) = (r.getDouble(5), r.getDouble(6))
+      assert(nd > 0 && nw >= nd, s"$r")
+      // greedy encode emits >= 1 subword per word and <= word length
+      assert(ns >= nw && ns <= nc, s"$r")
+      assert(fert >= 1.0 && fert == math.floor(
+        (2.0 * ns * 10000 + nw) / (2.0 * nw)) / 10000.0, s"$r")
+      assert(cps == math.floor((2.0 * nc * 10000 + ns) / (2.0 * ns))
+        / 10000.0, s"$r")
+    }
+    // cross-check one word's encode against the expression's own encoder
+    val enc = graft.functions.SubwordEncode
+      .encode(org.apache.spark.unsafe.types.UTF8String
+        .fromString("deduplication")).numElements()
+    assert(enc >= 1 && enc <= "deduplication".length)
+  }
+
   test("DSIR weights: full driver-side replay agrees, and weights " +
     "discriminate — target docs average higher log_w than source docs") {
     val out = graft.ext.Dsir.dsirWeights.fn(spark, sf).collect()
