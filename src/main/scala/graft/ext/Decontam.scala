@@ -57,12 +57,9 @@ object Decontam {
        |ORDER BY c.doc_id""".stripMargin
   ) { (s, d) =>
     val shingled = Tables.documents(s, d)
-      .select(col("doc_id"), toksCol.as("w"))
-      .filter(size(col("w")) >= NGram)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("w")) - (NGram - 1)),
-          i => concat_ws(" ", slice(col("w"), i, lit(NGram)))))).as("sh"))
+        graft.functions.ShingleGen.shingle_gen(s, col("text"), NGram)
+          .as("sh"))
     val block = shingled.filter(col("doc_id") % EvalMod === 0)
       .select("sh").distinct()
       .withColumn("hit", lit(1))

@@ -62,8 +62,19 @@ object Dedup {
   /** Distinct 3-word shingles per representative doc, csize carried so
     * downstream frequency aggregates can weight by member count (equal to
     * the oracle's per-document counts, since members share their rep's
-    * text verbatim). */
-  private def repShingles(mem: DataFrame): DataFrame =
+    * text verbatim).
+    *
+    * Kept DECLARATIVE deliberately (round-12 A/B): here the token array
+    * `w` is already materialized through [[clustered]]'s checkpoint for
+    * the universe filter, so the transform piggybacks on it — swapping in
+    * the [[graft.functions.ShingleGen]] generator re-tokenized the text
+    * and measured a consistent ~0.2-0.5 s SLOWER on minhash/ngram at
+    * sf0.1. The generator wins exactly where shingling is standalone
+    * (no shared token array): the calibration/incremental/decontam/
+    * index-maintenance builds, which use it (2.75 -> 2.2 s on
+    * calibration; 14x on the isolated shingle->distinct microbench,
+    * bench/r12_evidence). */
+  private def repShingles(s: SparkSession, mem: DataFrame): DataFrame =
     mem.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("csize"),
         explode(array_distinct(transform(
@@ -200,7 +211,7 @@ object Dedup {
     // scale knob: a 100 TB corpus sets it to size shingle partitions
     // explicitly (and gains the shuffle reuse across the doc_id-keyed
     // consumers); the fixture default (0) lets AQE decide.
-    val sh = widthed(repShingles(mem), s, col("doc_id"))
+    val sh = widthed(repShingles(s, mem), s, col("doc_id"))
       .eagerCheckpoint()
     // fast_md5 (thread-reused digest): ~20 md5 calls per shingle make
     // the built-in's per-row MessageDigest.getInstance the pipeline's
@@ -387,7 +398,7 @@ object Dedup {
     // by default (measured round-6 A/B — ngram 1.85-2.04 s stable no-pin
     // vs 1.9-7.3 s with the pin); at scale the dedupWidth knob restores
     // an explicit sh-keyed width that both self-join sides inherit.
-    val sh = widthed(repShingles(mem), s, col("sh"))
+    val sh = widthed(repShingles(s, mem), s, col("sh"))
       .eagerCheckpoint()
     // member-weighted df == the oracle's per-document df; the HOT set is
     // tiny by construction (<= total/cap shingles, none on the fixture),
@@ -516,19 +527,16 @@ object Dedup {
   ) { (s, d) =>
     val m5 = (c: Column) => graft.functions.FastMd5.fast_md5(s, c)
     val doc = Tables.documents(s, d)
-      .select(col("doc_id"), m5(col("text")).as("fp"),
-        toks(col("text")).as("w"))
+      .select(col("doc_id"), m5(col("text")).as("fp"), col("text"))
     val inc = doc.filter(col("doc_id") % 5 === 0).eagerCheckpoint()
     val idx = doc.filter(col("doc_id") % 5 =!= 0).eagerCheckpoint()
     // exact tier: narrow fp semi-join (only fp+doc_id shuffle)
     val exactRej = inc.join(idx.select("fp"), Seq("fp"), "left_semi")
       .select("doc_id").distinct().eagerCheckpoint()
+    // native generator (emits nothing below 3 tokens — same universe)
     def shingles(side: DataFrame): DataFrame = side
-      .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("w")) - 2),
-          i => concat_ws(" ", slice(col("w"), i, lit(3)))))).as("sh"))
+        graft.functions.ShingleGen.shingle_gen(s, col("text"), 3).as("sh"))
     val ish = shingles(
         inc.join(exactRej, Seq("doc_id"), "left_anti"))
       .eagerCheckpoint()
@@ -721,12 +729,8 @@ object Dedup {
     val m5 = (c: Column) => graft.functions.FastMd5.fast_md5(s, c)
     val m5b = (c: Column) => graft.functions.FastMd5.fast_md5_bin(s, c)
     val shRaw = Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("w")) - 2),
-          i => concat_ws(" ", slice(col("w"), i, lit(3)))))).as("sh"))
+        graft.functions.ShingleGen.shingle_gen(s, col("text"), 3).as("sh"))
       .eagerCheckpoint()
     val sig = shRaw.groupBy("doc_id")
       .agg(min(m5b(concat(lit("0:"), col("sh")))).as("m0"),
@@ -960,7 +964,7 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
     val mem = clustered(s, d)
-    val sh = repShingles(mem).select(col("doc_id"), col("sh"))
+    val sh = repShingles(s, mem).select(col("doc_id"), col("sh"))
       .eagerCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))

@@ -75,11 +75,7 @@ object IndexMaintain {
     val m5b = (c: Column) => graft.functions.FastMd5.fast_md5_bin(s, c)
     val sh = docs
       .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), t => t =!= "").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("w")) - 2),
-        i => concat_ws(" ", slice(col("w"), i, lit(3)))))).as("sh"))
+        graft.functions.ShingleGen.shingle_gen(s, col("text"), 3).as("sh"))
     val sig = sh.groupBy("doc_id")
       .agg(min(m5b(concat(lit("0:"), col("sh")))).as("m0"),
         (1 until NumHashes).map(j =>
