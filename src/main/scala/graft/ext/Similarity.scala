@@ -670,8 +670,65 @@ object Similarity {
     }
   }
 
+  /** Label-noise audit (confident-learning / cleanlab shape, Northcutt
+    * JAIR'21): for every vector, how many of its 10 nearest neighbors by
+    * cosine share its label. Low agreement flags likely mislabeled
+    * examples — the data-quality pass a training pipeline runs before
+    * trusting labels. Pure integers end-to-end (n_same in 0..10), rank
+    * ties broken (rounded-cosine desc, vec_id) exactly as
+    * [[topkBrute]], so both engines walk identical neighbor lists.
+    *
+    * Scale shape: the audit runs on a bounded COHORT (vec_id < 200 — a
+    * rolling sample in production) against the full corpus: the cohort
+    * side broadcasts, every corpus vector scores against it map-side,
+    * and the only shuffle is (cohort x corpus) pair rows into the
+    * per-cohort rank — linear in corpus size, never all-pairs (an
+    * all-pairs draft of this row went 6x slower at 4x vectors; the
+    * cohort bound is the fix, same discipline as [[topkBrute]]'s probe
+    * bound). A 100 TB corpus additionally swaps candidate generation to
+    * the IVF/LSH index families and keeps this row as the exactness
+    * oracle on the sample. */
+  val labelNoise: Q = Q(
+    "ext_label_noise",
+    s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id, a.label,
+       |    CAST(b.label = a.label AS INT) AS same,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      ROUND(${dotSql("a.e", "b.e")}
+       |        / (${normSql("a.e")} * ${normSql("b.e")}), 6) DESC,
+       |      b.vec_id) AS rank
+       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 200)
+       |SELECT vec_id, label, CAST(SUM(same) AS BIGINT) AS n_same,
+       |  (SUM(same) <= 3) AS suspect
+       |FROM scored WHERE rank <= 10
+       |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    val v = vecs(s, d)
+    val a = v.filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("label"), col("e"), col("nrm"))
+    val b = v.select(col("vec_id").as("bid"), col("label").as("bl"),
+      col("e").as("be"), col("nrm").as("bnrm"))
+    broadcast(a).join(b, col("vec_id") =!= col("bid"))
+      .select(col("vec_id"), col("label"),
+        (col("bl") === col("label")).cast("int").as("same"),
+        round(vec_dot(s, col("e"), col("be"))
+          / (col("nrm") * col("bnrm")), 6).as("cos"),
+        col("bid"))
+      .withColumn("rank", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("bid"))))
+      .filter(col("rank") <= 10)
+      .groupBy("vec_id", "label")
+      .agg(sum("same").cast("long").as("n_same"))
+      .select(col("vec_id"), col("label"), col("n_same"),
+        (col("n_same") <= 3).as("suspect"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(topkBrute, nearDupPairs, annLsh, embedOutliers,
-    prefixRerank, evalRecall, bitextMine, mmrRerank)
+    prefixRerank, evalRecall, bitextMine, mmrRerank, labelNoise)
 }
 
 /** Fixed random-hyperplane family shared by [[Similarity.annLsh]] and
