@@ -47,7 +47,11 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     tolerance: Option[Long],
-    forward: Boolean) extends BinaryNode {
+    forward: Boolean,
+    /** Some(true)/Some(false) pins the broadcast/shuffle variant; None
+      * lets the planner decide from right-side stats vs
+      * `spark.sql.autoBroadcastJoinThreshold` (the SMJ-vs-BHJ rule). */
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key pair")
@@ -94,7 +98,10 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       tolerance: Option[Long] = None,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      /** Some(true)/Some(false) pins broadcast/co-partitioned; None =
+        * planner decides from right-side stats (the SMJ-vs-BHJ rule). */
+      broadcastRight: Option[Boolean] = None): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def resolve(p: LogicalPlan, n: String, side: String): Attribute =
@@ -113,7 +120,8 @@ object AsOf {
         s"as-of key type mismatch: $ln ${lk.dataType} vs $rn ${rk.dataType}")
       (lk, rk)
     }.unzip
-    val plan = AsOfJoinPlan(lp, rp, lks, rks, lt, rt, tolerance, forward)
+    val plan = AsOfJoinPlan(lp, rp, lks, rks, lt, rt, tolerance, forward,
+      broadcastRight)
     // Dataset.ofRows is private[sql]; GraftSqlShim is the one-line bridge
     // (every graft session is a local classic session — core.Sessions).
     org.apache.spark.sql.GraftSqlShim.ofRows(left.sparkSession, plan)

@@ -14,8 +14,23 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
-      AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
-        j.tolerance, j.forward, planLater(j.left), planLater(j.right)) :: Nil
+      // variant choice = the SMJ-vs-BHJ rule: broadcast the right side
+      // when its estimated size fits the session's broadcast threshold
+      // (or when the caller pinned it), else co-partition both sides
+      val useBroadcast = j.broadcastRight.getOrElse {
+        val thr = org.apache.spark.sql.internal.SQLConf.get
+          .autoBroadcastJoinThreshold
+        thr > 0 && j.right.stats.sizeInBytes >= 0 &&
+          j.right.stats.sizeInBytes <= thr
+      }
+      if (useBroadcast)
+        BroadcastAsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime,
+          j.rightTime, j.tolerance, j.forward, planLater(j.left),
+          planLater(j.right)) :: Nil
+      else
+        AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
+          j.tolerance, j.forward, planLater(j.left), planLater(j.right)) ::
+          Nil
     case j: IntervalJoinPlan =>
       IntervalJoinExec(j.leftKeys, j.rightKeys, j.leftStart, j.leftEnd,
         j.rightStart, j.rightEnd, planLater(j.left),

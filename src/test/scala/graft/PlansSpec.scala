@@ -36,67 +36,84 @@ class PlansSpec extends SparkSuite {
   private def find[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
     p.collect(f)
 
+  // every semantic case runs under BOTH physical variants
+  private val variants = Seq(
+    "shuffle" -> Some(false), "broadcast" -> Some(true))
+
   test("as-of backward: latest at-or-before per probe, null for misses, " +
-    "null keys/times excluded") {
-    val got = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t")
-      .select("pk", "pt", "v").as[(String, Long, Option[Double])]
-      .collect().toSet
-    assert(got == Set(
-      ("a", 5L, None),          // before the first deal
-      ("a", 10L, Some(1.0)),    // exactly at
-      ("a", 25L, Some(2.0)),    // between 20 and 40
-      ("a", 1000L, Some(3.0)),  // far after the last
-      ("b", 14L, None),
-      ("b", 15L, Some(9.0)),
-      ("b", 16L, Some(9.0)),
-      ("d", 50L, None)))
+    "null keys/times excluded — both variants") {
+    for ((name, bc) <- variants) {
+      val got = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
+        broadcastRight = bc)
+        .select("pk", "pt", "v").as[(String, Long, Option[Double])]
+        .collect().toSet
+      assert(got == Set(
+        ("a", 5L, None),          // before the first deal
+        ("a", 10L, Some(1.0)),    // exactly at
+        ("a", 25L, Some(2.0)),    // between 20 and 40
+        ("a", 1000L, Some(3.0)),  // far after the last
+        ("b", 14L, None),
+        ("b", 15L, Some(9.0)),
+        ("b", 16L, Some(9.0)),
+        ("d", 50L, None)), s"variant=$name")
+    }
   }
 
-  test("as-of backward with tolerance: stale matches drop to null") {
-    val got = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
-      tolerance = Some(10L))
-      .select("pk", "pt", "v").as[(String, Long, Option[Double])]
-      .collect().toSet
-    assert(got(("a", 25L, Some(2.0))) && got(("a", 1000L, None)),
-      s"tolerance=10 should keep (a,25) and drop (a,1000): $got")
+  test("as-of backward with tolerance: stale matches drop to null — " +
+    "both variants") {
+    for ((name, bc) <- variants) {
+      val got = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
+        tolerance = Some(10L), broadcastRight = bc)
+        .select("pk", "pt", "v").as[(String, Long, Option[Double])]
+        .collect().toSet
+      assert(got(("a", 25L, Some(2.0))) && got(("a", 1000L, None)),
+        s"variant=$name: tolerance=10 should keep (a,25), drop (a,1000): $got")
+    }
   }
 
-  test("as-of forward: earliest at-or-after per probe") {
-    val got = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
-      forward = true)
-      .select("pk", "pt", "v").as[(String, Long, Option[Double])]
-      .collect().toSet
-    assert(got == Set(
-      ("a", 5L, Some(1.0)),
-      ("a", 10L, Some(1.0)),
-      ("a", 25L, Some(3.0)),
-      ("a", 1000L, None),
-      ("b", 14L, Some(9.0)),
-      ("b", 15L, Some(9.0)),
-      ("b", 16L, None),
-      ("d", 50L, None)))
+  test("as-of forward: earliest at-or-after per probe — both variants") {
+    for ((name, bc) <- variants) {
+      val got = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
+        forward = true, broadcastRight = bc)
+        .select("pk", "pt", "v").as[(String, Long, Option[Double])]
+        .collect().toSet
+      assert(got == Set(
+        ("a", 5L, Some(1.0)),
+        ("a", 10L, Some(1.0)),
+        ("a", 25L, Some(3.0)),
+        ("a", 1000L, None),
+        ("b", 14L, Some(9.0)),
+        ("b", 15L, Some(9.0)),
+        ("b", 16L, None),
+        ("d", 50L, None)), s"variant=$name")
+    }
   }
 
-  test("null keys and null times never match but left rows survive") {
+  test("null keys and null times never match but left rows survive — " +
+    "both variants") {
     val l = Seq(("a", Some(30L)), (null.asInstanceOf[String], Some(30L)),
       ("a", None)).toDF("pk", "pt")
     val r = Seq(("a", Some(10L), 1.0), (null.asInstanceOf[String],
       Some(5L), 8.0), ("a", None, 9.0))
       .toDF("k", "t", "v")
-    val got = AsOf.join(l, r, Seq("pk" -> "k"), "pt", "t")
-      .select("pk", "pt", "v")
-      .collect().map(x => (Option(x.get(0)), Option(x.get(1)),
-        Option(x.get(2)))).toSet
-    assert(got == Set(
-      (Some("a"), Some(30L), Some(1.0)),
-      (None, Some(30L), None),
-      (Some("a"), None, None)), got.toString)
+    for ((name, bc) <- variants) {
+      val got = AsOf.join(l, r, Seq("pk" -> "k"), "pt", "t",
+        broadcastRight = bc)
+        .select("pk", "pt", "v")
+        .collect().map(x => (Option(x.get(0)), Option(x.get(1)),
+          Option(x.get(2)))).toSet
+      assert(got == Set(
+        (Some("a"), Some(30L), Some(1.0)),
+        (None, Some(30L), None),
+        (Some("a"), None, None)), s"variant=$name: $got")
+    }
   }
 
   test("plan shape: AsOfJoinExec is planned (no BNLJ), exactly one " +
     "exchange per side and none above the join") {
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
-    val df = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t")
+    val df = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
+      broadcastRight = Some(false))
     val plan = executed(df)
     // walk through AQE stage boundaries, tracking whether we are above or
     // below the as-of join
@@ -174,9 +191,39 @@ class PlansSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("stats-driven variant choice: tiny right side plans broadcast " +
+    "(no shuffle anywhere), huge-threshold pin plans co-partitioned; " +
+    "values identical") {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val mk = (bc: Option[Boolean]) => AsOf.join(
+      probes, deals, Seq("pk" -> "k"), "pt", "t", broadcastRight = bc)
+    // default on a tiny right side -> broadcast variant
+    val dfB = mk(None)
+    val planB = executed(dfB)
+    var bcasts = 0; var shuffles = 0; var bexec = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case e: graft.plans.BroadcastAsOfJoinExec =>
+        bexec += 1; e.children.foreach(walk)
+      case s: ShuffleExchangeLike => shuffles += 1; s.children.foreach(walk)
+      case b: BroadcastExchangeLike => bcasts += 1; b.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(planB)
+    assert(bexec == 1 && bcasts == 1 && shuffles == 0,
+      s"expected broadcast as-of with zero shuffles:\n$planB")
+    // same values as the pinned co-partitioned variant
+    val a = dfB.collect().map(_.toString).sorted
+    val b = mk(Some(false)).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("output ordering is declared: a downstream sort on (key, time) " +
     "adds no SortExec above the join") {
-    val df = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t")
+    val df = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
+      broadcastRight = Some(false))
       .sortWithinPartitions("pk", "pt")
     val plan = executed(df)
     val sortsAbove = find(plan) {
