@@ -78,7 +78,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * an old snapshot through the schema it had THEN). */
   private[store] case class TableState(maxId: Long, files: Vector[FileEntry],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      checks: Map[String, String] = Map.empty)
+      checks: Map[String, String] = Map.empty,
+      /** Surrogate-id column when the table is NOT in [[Schemas.registry]]
+        * (a shallow clone of a registered table carries its source's id
+        * column and effective schema in the manifest, so the clone is
+        * fully writable without registration). */
+      idCol: Option[String] = None)
 
   private type Manifest = Map[String, TableState]
 
@@ -107,7 +112,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
           cn.properties().asScala
             .map(ce => ce.getKey -> ce.getValue.asText()).toMap
         }.getOrElse(Map.empty[String, String])
-        e.getKey -> TableState(t.get("maxId").asLong(), files, schema, checks)
+        val idCol = Option(t.get("idcol")).map(_.asText())
+        e.getKey -> TableState(t.get("maxId").asLong(), files, schema,
+          checks, idCol)
       }.toMap
   }
 
@@ -137,6 +144,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val t: ObjectNode = rootNode.putObject(tbl)
       t.put("maxId", st.maxId)
       st.schema.foreach(s => t.put("schema", s.json))
+      st.idCol.foreach(c => t.put("idcol", c))
       if (st.checks.nonEmpty) {
         val cn = t.putObject("checks")
         st.checks.toSeq.sortBy(_._1).foreach { case (n, e) => cn.put(n, e) }
@@ -302,7 +310,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * proportional) feed. */
   def changesWithUpdates(table: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
-    val idCol = Schemas.registry(table)._2
+    val idCol = idColOf(readManifest().get(table), table)
     val feed = changesBetween(table, fromVersion, toVersion)
     val bothSides = feed.groupBy(idCol)
       .agg(
@@ -330,6 +338,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private def schemaOf(st: Option[TableState],
       table: String): org.apache.spark.sql.types.StructType =
     st.flatMap(_.schema).getOrElse(Schemas.registry(table)._1)
+
+  /** Surrogate-id column: the manifest's (clones), else the registry's. */
+  private def idColOf(st: Option[TableState], table: String): String =
+    st.flatMap(_.idCol).getOrElse(Schemas.registry(table)._2)
 
   private def readFiles(table: String, files: Seq[FileEntry],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
@@ -456,7 +468,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * the table schema (the public Spark-4 route to the expression tree).
     */
   private def pinnedId(table: String, predicate: Column): Option[Long] = {
-    val (schema, idCol) = Schemas.registry(table)
+    val st = readManifest().get(table)
+    val schema = schemaOf(st, table); val idCol = idColOf(st, table)
     val probe = spark
       .createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       .filter(predicate)
@@ -543,7 +556,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * committed evolution. */
     private def schemaIdOf(table: String)
         : (org.apache.spark.sql.types.StructType, String) =
-      (schemaOf(Some(curState(table)), table), Schemas.registry(table)._2)
+      (schemaOf(Some(curState(table)), table),
+        idColOf(Some(curState(table)), table))
 
     /** current in-tx view of a table (staged writes visible). Reading
       * registers the table in this transaction's read set: commit
@@ -878,7 +892,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         tracked: Seq[String], at: java.sql.Timestamp): (Long, Long) = {
       import graft.core.Eager.EagerCheckpoint
       ensureLease(); strictTables += table
-      val (schema, idCol) = Schemas.registry(table)
+      val (schema, idCol) = schemaIdOf(table)
       val metaCols = Seq("effective_from", "effective_to", "is_current")
       require(metaCols.forall(schema.fieldNames.contains),
         s"'$table' is not an SCD2 dimension (needs ${metaCols.mkString(", ")})")
@@ -997,6 +1011,32 @@ final class Catalog(val spark: SparkSession, val root: String) {
       }
       val lastId = append(table, src)
       (nDeleted, lastId)
+    }
+
+    /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`
+      * analogue): stage `dst` as an exact copy of `src`'s current in-tx
+      * state — same file references (nothing is read, copied, or
+      * rewritten), same maxId high-water mark, same checks — with the
+      * effective schema and id column pinned INTO the manifest so the
+      * clone is fully readable and writable without a [[Schemas]]
+      * registration. COW makes divergence free: a write to either table
+      * stages new files under its own directory and only re-points its
+      * own manifest entry; the shared files stay shared until one side
+      * stops referencing them. [[Catalog.vacuum]] liveness is root-wide,
+      * so vacuuming the source never reclaims files a clone still
+      * references. */
+    def cloneTable(src: String, dst: String): Unit = {
+      ensureLease()
+      require(src != dst, "clone onto itself")
+      require(curState(dst).files.isEmpty && !base.contains(dst) &&
+        !Schemas.registry.contains(dst),
+        s"clone target '$dst' already exists")
+      readTables += src
+      val st = curState(src)
+      staged :+= Staged(dst, st.copy(
+        schema = Some(schemaOf(Some(st), src)),
+        idCol = Some(idColOf(Some(st), src))))
+      strictTables += dst
     }
 
     /** Stage a full-root state rewind (see [[Catalog.restoreTo]]):
@@ -1179,7 +1219,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           conflict("concurrent id allocation in a multi-table " +
             "transaction (staged rows in other tables may reference " +
             "the provisional ids)")
-        val idCol = Schemas.registry(table)._2
+        val idCol = idColOf(Some(c), table)
         val shifted = readFiles(table, added, schemaOf(Some(st), table))
           .withColumn(idCol, when(col(idCol) > b.maxId,
             col(idCol) + lit(curAlloc)).otherwise(col(idCol)))
@@ -1189,7 +1229,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       } else (added, math.max(c.maxId, st.maxId))
     TableState(finalMaxId,
       c.files.filterNot(removed.contains) ++ finalAdded,
-      c.schema, c.checks)
+      c.schema, c.checks, c.idCol)
   }
 
   /** Bounded conflict retry for the one-op conveniences: the body is
@@ -1238,6 +1278,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   def compact(table: String, numFiles: Int = 1): Unit =
     retried(_.compact(table, numFiles))
+
+  def cloneTable(src: String, dst: String): Unit =
+    retried(_.cloneTable(src, dst))
 
   def replaceWhere(table: String, column: String, lo: Long, hi: Long,
       rows: DataFrame): (Long, Long) =
@@ -1302,7 +1345,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def vacuum(table: String,
       retainMillis: Long = Catalog.DefaultVacuumRetainMillis): Int =
     withCommitLock {
-    val live = readManifest().get(table).map(_.files).getOrElse(Vector.empty)
+    // liveness is ROOT-wide, not per-table: a shallow clone references its
+    // source's files from another table entry, so vacuuming the source
+    // must see the clone's references too
+    val live = readManifest().values.flatMap(_.files)
       .map(f => rootPath.resolve(f.path).toAbsolutePath.normalize).toSet
     val tableDir = rootPath.resolve(table)
     if (!Files.exists(tableDir)) 0

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.store.Catalog
+
+/** Shallow clone: zero-copy snapshot tables that stay correct under
+  * divergent writes and vacuum. */
+class CloneSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshCat(): Catalog =
+    new Catalog(spark, Files.createTempDirectory("graft_clone").toString)
+
+  private def user(fn: String, email: String) =
+    Seq((fn, "L", "0123456789", email, "h", "user",
+      new java.sql.Timestamp(0L)))
+      .toDF("first_name", "last_name", "phone", "email", "password_hash",
+        "user_role", "created_at")
+
+  private def parquetCount(root: String): Int = {
+    val it = Files.walk(Paths.get(root))
+    try it.iterator().asInstanceOf[java.util.Iterator[Path]]
+      .asScala.count(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+    finally it.close()
+  }
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+
+  test("clone is zero-copy: identical rows, no parquet written by the " +
+    "clone commit, and the clone is time-travelable") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c").unionAll(user("b", "b@x.c")))
+    val before = parquetCount(cat.root)
+    val vBefore = cat.version
+    cat.cloneTable("users", "users_snap")
+    assert(parquetCount(cat.root) == before, "clone must not write data")
+    assert(cat.version == vBefore + 1, "clone is a real commit")
+    val src = cat.read("users").orderBy("user_id").collect().toSeq
+    val dst = cat.read("users_snap").orderBy("user_id").collect().toSeq
+    assert(src == dst)
+    // the snapshot BEFORE the clone has no users_snap
+    intercept[Exception] { cat.readAt("users_snap", vBefore).collect() }
+  }
+
+  test("writes diverge: source update and clone append do not see each " +
+    "other; clone id assignment continues from the source high-water") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c").unionAll(user("b", "b@x.c")))
+    cat.cloneTable("users", "users_snap")
+    // write to the CLONE (unregistered table name — manifest idcol path)
+    val id = cat.append("users_snap", user("c", "c@x.c"))
+    assert(id == 3L, s"clone must continue dense ids, got $id")
+    cat.update("users", col("email") === "a@x.c",
+      Map("user_role" -> lit("admin")))
+    val srcRoles = cat.read("users").select("email", "user_role")
+      .as[(String, String)].collect().toMap
+    val dstRoles = cat.read("users_snap").select("email", "user_role")
+      .as[(String, String)].collect().toMap
+    assert(srcRoles == Map("a@x.c" -> "admin", "b@x.c" -> "user"))
+    assert(dstRoles == Map("a@x.c" -> "user", "b@x.c" -> "user",
+      "c@x.c" -> "user"))
+    // COW update on the clone itself works through the manifest idcol
+    cat.update("users_snap", col("email") === "c@x.c",
+      Map("user_role" -> lit("vip")))
+    assert(cat.read("users_snap").filter(col("user_role") === "vip")
+      .count() == 1)
+    assert(cat.read("users").filter(col("user_role") === "vip").count() == 0)
+  }
+
+  test("vacuum never reclaims source files a clone still references " +
+    "(root-wide liveness), even at retain=0") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c"))
+    cat.cloneTable("users", "users_snap")
+    // source COW-rewrites its only file -> the original parquet under
+    // users/ is dead for the SOURCE but still live for the CLONE
+    cat.update("users", col("email") === "a@x.c",
+      Map("user_role" -> lit("admin")))
+    val reclaimed = cat.vacuum("users", retainMillis = 0L)
+    assert(reclaimed == 0,
+      s"vacuum reclaimed $reclaimed file(s) the clone references")
+    assert(cat.read("users_snap").count() == 1, "clone must still read")
+    assert(cat.read("users_snap").select("user_role").as[String].head()
+      == "user", "clone sees the pre-update snapshot")
+    // drop the clone's reference (COW update rewrites its only file,
+    // under the clone's OWN directory), then the original is genuinely
+    // dead and vacuum reclaims it
+    cat.update("users_snap", col("email") === "a@x.c",
+      Map("user_role" -> lit("x")))
+    assert(cat.vacuum("users", retainMillis = 0L) >= 1)
+    assert(cat.read("users").count() == 1 &&
+      cat.read("users_snap").count() == 1)
+  }
+
+  test("clone target collisions and self-clones are rejected") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c"))
+    intercept[IllegalArgumentException] {
+      cat.cloneTable("users", "users")
+    }
+    intercept[IllegalArgumentException] {
+      cat.cloneTable("users", "events") // registered name
+    }
+    cat.cloneTable("users", "users_snap")
+    intercept[IllegalArgumentException] {
+      cat.cloneTable("users", "users_snap") // existing clone
+    }
+  }
+
+  test("manifest round-trip: a fresh Catalog instance reads the clone's " +
+    "pinned schema and id column from disk") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c"))
+    cat.cloneTable("users", "users_snap")
+    val cat2 = new Catalog(spark, cat.root)
+    assert(cat2.read("users_snap").columns.contains("user_id"))
+    assert(cat2.append("users_snap", user("b", "b@x.c")) == 2L)
+  }
+}

@@ -240,6 +240,21 @@ class PlansSpec extends SparkSuite {
     assert(n == probes.count())
   }
 
+  test("SQL metrics: numOutputRows counts every left row, numMatched " +
+    "counts only matches — both variants") {
+    for ((name, bc) <- variants) {
+      val df = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
+        broadcastRight = bc)
+      df.collect()
+      val metrics = executed(df).collectFirst {
+        case e: AsOfJoinExec => e.metrics
+        case e: graft.plans.BroadcastAsOfJoinExec => e.metrics
+      }.get
+      assert(metrics("numOutputRows").value == 8, s"variant=$name")
+      assert(metrics("numMatched").value == 5, s"variant=$name")
+    }
+  }
+
   // ---- interval join ----
 
   private def livs: DataFrame = Seq(
