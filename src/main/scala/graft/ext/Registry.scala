@@ -16,7 +16,8 @@ object Registry {
       BucketedJoin.all ++ PartitionedScan.all ++ ZOrderLayout.all ++
       RangeLayout.all ++ FeatureGen.all ++ Survival.all ++ Clustering.all ++
       ModelEval.all ++
-      BloomJoin.all ++ StoreFeed.all ++ ReplaceFeed.all ++ Scd2.all ++
+      BloomJoin.all ++ StoreFeed.all ++ ReplaceFeed.all ++ CloneFeed.all ++
+      Scd2.all ++
       IncrView.all ++
       IndexMaintain.all ++ StreamIngestFeed.all ++ StoreFollow.all ++
       Warehouse.all ++ Attribution.all ++ LangModel.all ++
