@@ -32,9 +32,20 @@ object GraftStrategy extends SparkStrategy {
           j.tolerance, j.forward, planLater(j.left), planLater(j.right)) ::
           Nil
     case j: IntervalJoinPlan =>
-      IntervalJoinExec(j.leftKeys, j.rightKeys, j.leftStart, j.leftEnd,
-        j.rightStart, j.rightEnd, planLater(j.left),
-        planLater(j.right)) :: Nil
+      val useBroadcast = j.broadcastRight.getOrElse {
+        val thr = org.apache.spark.sql.internal.SQLConf.get
+          .autoBroadcastJoinThreshold
+        thr > 0 && j.right.stats.sizeInBytes >= 0 &&
+          j.right.stats.sizeInBytes <= thr
+      }
+      if (useBroadcast)
+        BroadcastIntervalJoinExec(j.leftKeys, j.rightKeys, j.leftStart,
+          j.leftEnd, j.rightStart, j.rightEnd, planLater(j.left),
+          planLater(j.right)) :: Nil
+      else
+        IntervalJoinExec(j.leftKeys, j.rightKeys, j.leftStart, j.leftEnd,
+          j.rightStart, j.rightEnd, planLater(j.left),
+          planLater(j.right)) :: Nil
     case _ => Nil
   }
 }

@@ -30,7 +30,11 @@ case class IntervalJoinPlan(
     leftStart: Expression,
     leftEnd: Expression,
     rightStart: Expression,
-    rightEnd: Expression) extends BinaryNode {
+    rightEnd: Expression,
+    /** Some(true)/Some(false) pins the broadcast/co-partitioned variant;
+      * None lets the planner decide from right-side stats vs
+      * `spark.sql.autoBroadcastJoinThreshold`. */
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
     "interval join needs at least one equi-key pair")
@@ -54,7 +58,8 @@ object IntervalJoin {
       right: DataFrame,
       keys: Seq[(String, String)],
       leftStart: String, leftEnd: String,
-      rightStart: String, rightEnd: String): DataFrame = {
+      rightStart: String, rightEnd: String,
+      broadcastRight: Option[Boolean] = None): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def resolve(p: LogicalPlan, n: String, side: String): Attribute =
@@ -75,7 +80,7 @@ object IntervalJoin {
       (lk, rk)
     }.unzip
     val plan = IntervalJoinPlan(lp, rp, lks, rks,
-      bounds(0), bounds(1), bounds(2), bounds(3))
+      bounds(0), bounds(1), bounds(2), bounds(3), broadcastRight)
     org.apache.spark.sql.GraftSqlShim.ofRows(left.sparkSession, plan)
   }
 }

@@ -246,10 +246,18 @@ class PlansSpec extends SparkSuite {
       val df = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
         broadcastRight = bc)
       df.collect()
-      val metrics = executed(df).collectFirst {
-        case e: AsOfJoinExec => e.metrics
-        case e: graft.plans.BroadcastAsOfJoinExec => e.metrics
-      }.get
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      var found: Option[Map[String,
+        org.apache.spark.sql.execution.metric.SQLMetric]] = None
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case e: AsOfJoinExec => found = Some(e.metrics)
+        case e: graft.plans.BroadcastAsOfJoinExec => found = Some(e.metrics)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      val metrics = found.get
       assert(metrics("numOutputRows").value == 8, s"variant=$name")
       assert(metrics("numMatched").value == 5, s"variant=$name")
     }
@@ -274,24 +282,65 @@ class PlansSpec extends SparkSuite {
   ).toDF("rk", "rst", "ren", "rtag")
 
   test("interval join: exact overlap pair set under half-open semantics " +
-    "— containment, ties at bounds, empty intervals, key isolation") {
-    val got = graft.plans.IntervalJoin.join(livs, rivs,
-      Seq("k" -> "rk"), "st", "en", "rst", "ren")
-      .select("tag", "rtag").as[(String, String)].collect().toSet
-    assert(got == Set(
-      ("A1", "ra1"), ("A2", "ra1"), ("A3", "ra2"), ("B1", "rb1")), got)
+    "— containment, ties at bounds, empty intervals, key isolation — " +
+    "both variants") {
+    for ((name, bc) <- variants) {
+      val got = graft.plans.IntervalJoin.join(livs, rivs,
+        Seq("k" -> "rk"), "st", "en", "rst", "ren", broadcastRight = bc)
+        .select("tag", "rtag").as[(String, String)].collect().toSet
+      assert(got == Set(
+        ("A1", "ra1"), ("A2", "ra1"), ("A3", "ra2"), ("B1", "rb1")),
+        s"variant=$name: $got")
+    }
   }
 
-  test("interval join: null keys and null bounds never match") {
+  test("interval join: null keys and null bounds never match — both " +
+    "variants") {
     val l = Seq(("a", Some(0L), Some(10L)), (null.asInstanceOf[String],
       Some(0L), Some(10L)), ("a", None, Some(10L)))
       .toDF("k", "st", "en")
     val r = Seq(("a", Some(5L), Some(6L)), ("a", Some(5L), None),
       (null.asInstanceOf[String], Some(5L), Some(6L)))
       .toDF("rk", "rst", "ren")
-    val got = graft.plans.IntervalJoin.join(l, r, Seq("k" -> "rk"),
-      "st", "en", "rst", "ren").count()
-    assert(got == 1)
+    for ((name, bc) <- variants) {
+      val got = graft.plans.IntervalJoin.join(l, r, Seq("k" -> "rk"),
+        "st", "en", "rst", "ren", broadcastRight = bc).count()
+      assert(got == 1, s"variant=$name")
+    }
+  }
+
+  test("broadcast interval join: zero shuffles, one broadcast, values " +
+    "equal to the co-partitioned variant on fixture data") {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val ev = graft.core.Tables.events(spark, sf)
+    def win(t: String, id: String) = ev
+      .filter(col("event_type") === t)
+      .select(col("user_id").as(s"${id}_u"), col("event_id").as(s"${id}_id"),
+        unix_micros(col("ts")).as(s"${id}_st"),
+        (unix_micros(col("ts")) + 7200000000L).as(s"${id}_en"))
+    def run(bc: Option[Boolean]) = graft.plans.IntervalJoin.join(
+      win("purchase", "l"), win("error", "r"), Seq("l_u" -> "r_u"),
+      "l_st", "l_en", "r_st", "r_en", broadcastRight = bc)
+    val dfB = run(None) // tiny right side -> stats pick broadcast
+    val plan = executed(dfB)
+    var bexec = 0; var shuffles = 0; var bcasts = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case e: graft.plans.BroadcastIntervalJoinExec =>
+        bexec += 1; e.children.foreach(walk)
+      case s: ShuffleExchangeLike => shuffles += 1; s.children.foreach(walk)
+      case b: BroadcastExchangeLike => bcasts += 1; b.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    assert(bexec == 1 && bcasts == 1 && shuffles == 0,
+      s"expected broadcast interval join with zero shuffles:\n$plan")
+    val a = dfB.select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val b = run(Some(false)).select("l_id", "r_id").as[(Long, Long)]
+      .collect().toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("interval join matches the declarative equi-join + overlap filter " +
@@ -326,7 +375,7 @@ class PlansSpec extends SparkSuite {
         (unix_micros(col("ts")) + 7200000000L).as(s"${id}_en"))
     val df = graft.plans.IntervalJoin.join(
         win("purchase", "l"), win("error", "r"), Seq("l_u" -> "r_u"),
-        "l_st", "l_en", "r_st", "r_en")
+        "l_st", "l_en", "r_st", "r_en", broadcastRight = Some(false))
       .filter(col("l_id") > 100L && col("r_id") > 200L)
       .select("l_id", "r_id")
     // logical: both single-side conjuncts pushed below the join
