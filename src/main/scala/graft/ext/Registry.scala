@@ -26,7 +26,7 @@ object Registry {
       AssocRules.all ++ Graph.all ++ KmvDistinct.all ++ TimeSeries.all ++
       ClickPaths.all ++ SkewAudit.all ++ Collocations.all ++
       PcaPower.all ++
-      graft.sources.JsonlIngest.all ++
+      graft.sources.JsonlIngest.all ++ graft.sources.CsvIngest.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++
       graft.streaming.StreamDedup.all ++
