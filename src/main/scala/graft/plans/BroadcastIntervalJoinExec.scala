@@ -75,16 +75,15 @@ case class BroadcastIntervalJoinExec(
           if (!k.anyNull) {
             val b = rBoundProj(row)
             if (!b.isNullAt(0) && !b.isNullAt(1)) {
-              val st = bound(b, 0); val en = bound(b, 1)
-              if (st < en) {
-                var buf = grouped.get(k)
-                if (buf == null) {
-                  buf = new scala.collection.mutable.ArrayBuffer[
-                    (Long, Long, InternalRow)]()
-                  grouped.put(k.copy(), buf)
-                }
-                buf += ((st, en, row))
+              // degenerate rows kept: the raw predicate lets a
+              // zero-length window match intervals containing its point
+              var buf = grouped.get(k)
+              if (buf == null) {
+                buf = new scala.collection.mutable.ArrayBuffer[
+                  (Long, Long, InternalRow)]()
+                grouped.put(k.copy(), buf)
               }
+              buf += ((bound(b, 0), bound(b, 1), row))
             }
           }
         }
@@ -107,26 +106,25 @@ case class BroadcastIntervalJoinExec(
           if (lb.isNullAt(0) || lb.isNullAt(1)) Iterator.empty
           else {
             val ls = bound(lb, 0); val le = bound(lb, 1)
-            if (ls >= le) Iterator.empty
-            else {
-              val (starts, ends, rows) = entry
-              // candidate prefix: windows with start < le
-              var lo = 0; var hi = starts.length
-              while (lo < hi) {
-                val mid = (lo + hi) >>> 1
-                if (starts(mid) < le) lo = mid + 1 else hi = mid
-              }
-              val lim = lo
-              // left row must be copied: flatMap may buffer the iterator
-              // past the input row's reuse window
-              val lCopy = if (lim > 0) l.copy() else null
-              (0 until lim).iterator
-                .filter(i => ends(i) > ls)
-                .map { i =>
-                  numOutputRows += 1
-                  resultProj(joined(lCopy, rows(i))).copy()
-                }
+            val (starts, ends, rows) = entry
+            // candidate prefix: windows with start < le (the raw
+            // predicate's first half; degenerate lefts get an empty
+            // prefix only when nothing starts before their point)
+            var lo = 0; var hi = starts.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (starts(mid) < le) lo = mid + 1 else hi = mid
             }
+            val lim = lo
+            // left row must be copied: flatMap may buffer the iterator
+            // past the input row's reuse window
+            val lCopy = if (lim > 0) l.copy() else null
+            (0 until lim).iterator
+              .filter(i => ends(i) > ls)
+              .map { i =>
+                numOutputRows += 1
+                resultProj(joined(lCopy, rows(i))).copy()
+              }
           }
         }
       }

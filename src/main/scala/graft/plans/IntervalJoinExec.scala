@@ -78,7 +78,11 @@ case class IntervalJoinExec(
         if (boundsAreInt) r.getInt(i).toLong else r.getLong(i)
 
       // one side of the merge: lookahead row + its key/bounds, skipping
-      // rows that can never match (null key/bounds, empty interval)
+      // rows that can never match (null key/bounds). Degenerate rows
+      // (start >= end) are KEPT: under the raw predicate a zero-length
+      // interval still matches intervals strictly containing its point —
+      // they just never enter a buffer (nothing arriving later can
+      // satisfy later.start < this.end).
       final class Side(it: Iterator[InternalRow],
           keyProj: UnsafeProjection, boundProj: UnsafeProjection) {
         var row: InternalRow = _
@@ -94,8 +98,7 @@ case class IntervalJoinExec(
             if (!k.anyNull) {
               val b = boundProj(c)
               if (!b.isNullAt(0) && !b.isNullAt(1)) {
-                val s = bound(b, 0); val e = bound(b, 1)
-                if (s < e) { row = c; key = k.copy(); st = s; en = e }
+                row = c; key = k.copy(); st = bound(b, 0); en = bound(b, 1)
               }
             }
           }
@@ -120,11 +123,16 @@ case class IntervalJoinExec(
         rBuf.filterInPlace(_._2 > ls.st)
         var i = 0
         while (i < rBuf.length) {
-          pending.add(resultProj(joined(ls.row, rBuf(i)._3)).copy())
+          // survivors have start <= ls.st and end > ls.st; the start <
+          // ls.en check matters only for degenerate lefts (else implied)
+          if (rBuf(i)._1 < ls.en)
+            pending.add(resultProj(joined(ls.row, rBuf(i)._3)).copy())
           i += 1
         }
-        // buffering is only useful while the other side can still arrive
-        if (rs.row != null) lBuf += ((ls.st, ls.en, ls.row.copy()))
+        // buffering is useful only while the other side can still arrive,
+        // and never for degenerate intervals (nothing later matches them)
+        if (rs.row != null && ls.st < ls.en)
+          lBuf += ((ls.st, ls.en, ls.row.copy()))
         ls.advance()
       }
 
@@ -133,10 +141,12 @@ case class IntervalJoinExec(
         lBuf.filterInPlace(_._2 > rs.st)
         var i = 0
         while (i < lBuf.length) {
-          pending.add(resultProj(joined(lBuf(i)._3, rs.row)).copy())
+          if (lBuf(i)._1 < rs.en)
+            pending.add(resultProj(joined(lBuf(i)._3, rs.row)).copy())
           i += 1
         }
-        if (ls.row != null) rBuf += ((rs.st, rs.en, rs.row.copy()))
+        if (ls.row != null && rs.st < rs.en)
+          rBuf += ((rs.st, rs.en, rs.row.copy()))
         rs.advance()
       }
 

@@ -18,9 +18,13 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   * is the maximum overlap concurrency, work is O(n log n + output), never
   * per-key quadratic.
   *
-  * Zero- and negative-length intervals (start >= end) match nothing under
-  * half-open semantics and are skipped at intake; NULL keys or bounds
-  * never match (inner join: such rows produce no output).
+  * Semantics are EXACTLY the raw predicate — including degenerate rows:
+  * a zero-length interval [p, p) still matches intervals strictly
+  * containing p (`l.start < p AND p < l.end`), which is what the SQL
+  * predicate evaluates to, so the operator is a drop-in for the
+  * declarative form on arbitrary data (fuzz-pinned against the
+  * brute-force reference). NULL keys or bounds never match (inner join:
+  * such rows produce no output).
   */
 case class IntervalJoinPlan(
     left: LogicalPlan,

@@ -267,7 +267,9 @@ class PlansSpec extends SparkSuite {
 
   private def livs: DataFrame = Seq(
     ("a", 0L, 10L, "A1"), ("a", 5L, 15L, "A2"), ("a", 20L, 25L, "A3"),
-    ("a", 30L, 30L, "Aempty"), // start == end: matches nothing
+    // start == end: a point probe — matches intervals strictly
+    // containing 30 (the raw SQL predicate's reading; fuzz-pinned)
+    ("a", 30L, 30L, "Apoint"),
     ("b", 0L, 100L, "B1"),
     ("d", 0L, 9L, "D1")        // no right rows for this key
   ).toDF("k", "st", "en", "tag")
@@ -275,21 +277,22 @@ class PlansSpec extends SparkSuite {
   private def rivs: DataFrame = Seq(
     ("a", 8L, 12L, "ra1"),   // overlaps A1 [0,10) and A2 [5,15)
     ("a", 15L, 21L, "ra2"),  // touches A2 at 15 (no: half-open), hits A3
-    ("a", 25L, 40L, "ra3"),  // touches A3 at 25 -> no; spans Aempty -> no
+    ("a", 25L, 40L, "ra3"),  // touches A3 at 25 -> no; contains Apoint
     ("b", 99L, 200L, "rb1"), // clips B1's last unit
     ("b", 100L, 300L, "rb2"), // starts exactly at B1.end -> no
     ("c", 0L, 50L, "rc1")    // no left rows for this key
   ).toDF("rk", "rst", "ren", "rtag")
 
-  test("interval join: exact overlap pair set under half-open semantics " +
-    "— containment, ties at bounds, empty intervals, key isolation — " +
+  test("interval join: exact overlap pair set under the raw predicate " +
+    "— containment, ties at bounds, point intervals, key isolation — " +
     "both variants") {
     for ((name, bc) <- variants) {
       val got = graft.plans.IntervalJoin.join(livs, rivs,
         Seq("k" -> "rk"), "st", "en", "rst", "ren", broadcastRight = bc)
         .select("tag", "rtag").as[(String, String)].collect().toSet
       assert(got == Set(
-        ("A1", "ra1"), ("A2", "ra1"), ("A3", "ra2"), ("B1", "rb1")),
+        ("A1", "ra1"), ("A2", "ra1"), ("A3", "ra2"), ("Apoint", "ra3"),
+        ("B1", "rb1")),
         s"variant=$name: $got")
     }
   }
