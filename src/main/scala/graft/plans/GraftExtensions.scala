@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression, IntegerLiteral}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalLimit, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
@@ -100,6 +100,14 @@ object AsOfJoinOptimizations extends Rule[LogicalPlan] {
       val nr = pruneChild(required)(j.right)
       if ((nl eq j.left) && (nr eq j.right)) p
       else Project(projList, j.copy(left = nl, right = nr))
+
+    // the as-of join emits exactly ONE row per left row, so a limit
+    // above it bounds the left scan (the LimitPushDown rule's left-outer
+    // join case, which doesn't know this node) — probe queries stop
+    // reading the fact side after n rows
+    case l @ LocalLimit(IntegerLiteral(n), j: AsOfJoinPlan)
+        if !j.left.isInstanceOf[LocalLimit] =>
+      l.copy(child = j.copy(left = LocalLimit(l.limitExpr, j.left)))
 
     // INNER interval join: a deterministic single-side conjunct commutes
     // with the join on EITHER side (unlike the as-of join, dropping a

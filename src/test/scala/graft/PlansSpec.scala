@@ -220,6 +220,22 @@ class PlansSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("limit pushdown: a limit above the as-of join bounds the LEFT " +
+    "child (1:1 output), and the result is still valid as-of rows") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val or = graft.core.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("ck"), col("o_orderdate").as("ot"))
+      .agg(max("o_totalprice").as("price"))
+    val df = AsOf.join(ev, or, Seq("user_id" -> "ck"), "ts", "ot").limit(7)
+    val opt = df.queryExecution.optimizedPlan
+    val j = opt.collectFirst { case p: graft.plans.AsOfJoinPlan => p }.get
+    assert(j.left.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l
+    }.nonEmpty, s"limit not pushed into the as-of left child:\n$opt")
+    assert(df.count() == 7)
+  }
+
   test("output ordering is declared: a downstream sort on (key, time) " +
     "adds no SortExec above the join") {
     val df = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
