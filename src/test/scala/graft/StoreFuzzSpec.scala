@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.store.Catalog
+
+/** Model-based fuzz of the COW store: a random operation sequence runs
+  * against BOTH the Catalog and a driver-side reference model; after
+  * every step the store's visible state must equal the model's, clones
+  * must stay frozen unless written, version history must replay under
+  * time travel, and vacuum at retain=0 must never break any reader.
+  * Seeded — failures reproduce as a printable op log.
+  */
+class StoreFuzzSpec extends SparkSuite {
+  import spark.implicits._
+
+  // model row: user_id -> (email, role)
+  private type Model = mutable.LinkedHashMap[Long, (String, String)]
+
+  private def userDf(email: String, role: String) =
+    Seq(("F", "L", "0123456789", email, "h", role,
+      new java.sql.Timestamp(0L)))
+      .toDF("first_name", "last_name", "phone", "email", "password_hash",
+        "user_role", "created_at")
+
+  private def readState(cat: Catalog, table: String): Map[Long, (String, String)] =
+    cat.read(table).select("user_id", "email", "user_role")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("random op sequences: store state equals the reference model " +
+    "after every step; clones freeze; history replays; vacuum(0) safe") {
+    val rnd = new Random(42424242L)
+    val cat = new Catalog(spark,
+      Files.createTempDirectory("graft_fuzz").toString)
+    val tables = mutable.LinkedHashMap[String, Model](
+      "users" -> mutable.LinkedHashMap.empty)
+    var maxId = mutable.Map[String, Long]("users" -> 0L)
+    val opLog = mutable.ArrayBuffer[String]()
+    // version -> full model snapshot, for time-travel replay
+    val history = mutable.ArrayBuffer[(Long, Map[String, Map[Long, (String, String)]])]()
+    var nextClone = 0
+    var emails = 0
+    // vacuum(retain=0) legitimately retires pre-vacuum snapshots (their
+    // dead files are reclaimed), so time travel and restore are only
+    // guaranteed for versions committed AFTER the latest vacuum
+    var lastVacuumAt = 0L
+
+    def snapshot(): Map[String, Map[Long, (String, String)]] =
+      tables.map { case (t, m) => t -> m.toMap }.toMap
+
+    def checkAll(step: Int): Unit = tables.foreach { case (t, m) =>
+      val got = readState(cat, t)
+      assert(got == m.toMap,
+        s"step $step table $t diverged.\nops:\n${opLog.mkString("\n")}\n" +
+          s"missing=${(m.toMap.toSet diff got.toSet).take(3)} " +
+          s"extra=${(got.toSet diff m.toMap.toSet).take(3)}")
+    }
+
+    for (step <- 1 to 40) {
+      val t = tables.keys.toVector(rnd.nextInt(tables.size))
+      val m = tables(t)
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 => // append one row
+          emails += 1
+          val em = s"u$emails@x.c"
+          val id = cat.append(t, userDf(em, "user"))
+          opLog += s"append($t, $em) -> $id"
+          assert(id == maxId(t) + 1, s"dense id broken: $id")
+          maxId(t) = id
+          m(id) = (em, "user")
+        case 3 | 4 => // update by email (may hit nothing)
+          if (m.nonEmpty) {
+            val (_, (em, _)) = m.toVector(rnd.nextInt(m.size))
+            cat.update(t, col("email") === em,
+              Map("user_role" -> lit("admin")))
+            opLog += s"update($t, $em -> admin)"
+            m.keys.filter(k => m(k)._1 == em)
+              .foreach(k => m(k) = (m(k)._1, "admin"))
+          }
+        case 5 => // delete by email
+          if (m.nonEmpty) {
+            val (_, (em, _)) = m.toVector(rnd.nextInt(m.size))
+            cat.delete(t, col("email") === em)
+            opLog += s"delete($t, $em)"
+            m.keys.filter(k => m(k)._1 == em).toVector.foreach(m.remove)
+          }
+        case 6 => // compact
+          cat.compact(t)
+          opLog += s"compact($t)"
+        case 7 => // vacuum at retain=0 — must never break the CURRENT state
+          cat.vacuum(t, retainMillis = 0L)
+          opLog += s"vacuum($t)"
+          lastVacuumAt = cat.version
+        case 8 => // shallow clone into a fresh name
+          if (nextClone < 4) { // cap clone count to keep checks fast
+            nextClone += 1
+            val dst = s"snap_$nextClone"
+            cat.cloneTable(t, dst)
+            opLog += s"clone($t -> $dst)"
+            tables(dst) = m.clone()
+            maxId(dst) = maxId(t)
+          }
+        case 9 => // write INTO a clone (divergence) if any exists
+          val clones = tables.keys.filter(_.startsWith("snap_")).toVector
+          if (clones.nonEmpty) {
+            val c = clones(rnd.nextInt(clones.size))
+            emails += 1
+            val em = s"u$emails@x.c"
+            val id = cat.append(c, userDf(em, "vip"))
+            opLog += s"append($c, $em) -> $id"
+            assert(id == maxId(c) + 1)
+            maxId(c) = id
+            tables(c)(id) = (em, "vip")
+          }
+      }
+      history += ((cat.version, snapshot()))
+      checkAll(step)
+    }
+
+    // time travel: replay a sample of post-last-vacuum versions exactly
+    val replayable = history.toVector.filter(_._1 >= lastVacuumAt)
+    assert(replayable.nonEmpty, "no replayable versions survived — " +
+      "vacuum landed on the last step; reseed")
+    val sample = rnd.shuffle(replayable).take(6)
+    sample.foreach { case (v, snap) =>
+      snap.foreach { case (t, m) =>
+        // a table that did not exist at v is absent from the snapshot
+        // map; only existing tables are asserted
+        val got = cat.readAt(t, v).select("user_id", "email", "user_role")
+          .as[(Long, String, String)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got == m,
+          s"time travel v$v table $t diverged\nops:\n${opLog.mkString("\n")}")
+      }
+    }
+
+    // restore to a replayable version: every table rewinds to the model
+    val (rv, rsnap) = replayable(replayable.size / 2)
+    cat.restoreTo(rv)
+    rsnap.foreach { case (t, m) =>
+      assert(readState(cat, t) == m, s"restore to v$rv: $t diverged")
+    }
+    // tables cloned AFTER rv must now read empty (did not exist then)
+    tables.keys.filterNot(rsnap.contains).foreach { t =>
+      assert(cat.read(t).count() == 0,
+        s"$t existed after restore to pre-clone version")
+    }
+  }
+}
