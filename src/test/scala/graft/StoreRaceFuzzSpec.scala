@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.store.Catalog
+
+/** Randomized concurrent-writer fuzz over the OCC reconcile path: two
+  * writer threads (separate Catalog instances on one root) interleave
+  * appends and email-keyed updates/deletes on the SAME table through the
+  * retried single-op conveniences. Step-equivalence is impossible under
+  * interleaving, so the check is invariant-based after the dust settles:
+  *
+  *  - no lost or duplicated ids: user_id is exactly the dense 1..maxId
+  *    with deleted ids absent, each surviving id exactly once;
+  *  - no lost or duplicated payloads: every appended email that was not
+  *    deleted is present exactly once (commit-time id REBASE must move
+  *    ids, never drop or copy rows);
+  *  - every update landed: a role update that returned is visible unless
+  *    its row was later deleted.
+  */
+class StoreRaceFuzzSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def userDf(email: String) =
+    Seq(("F", "L", "0123456789", email, "h", "user",
+      new java.sql.Timestamp(0L)))
+      .toDF("first_name", "last_name", "phone", "email", "password_hash",
+        "user_role", "created_at")
+
+  test("two racing writers on one table: dense ids, no lost rows, no " +
+    "duplicates, all committed deletes and updates visible") {
+    val root = Files.createTempDirectory("graft_race").toString
+    val perWriter = 12
+    val appended = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val deleted = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val updated = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+
+    def writer(wid: Int): Runnable = () => {
+      val rnd = new Random(1000 + wid)
+      val cat = new Catalog(spark, root)
+      start.await()
+      try {
+        for (i <- 1 to perWriter) {
+          rnd.nextInt(4) match {
+            case 0 | 1 =>
+              val em = s"w$wid-$i@x.c"
+              cat.append("users", userDf(em))
+              appended.add(em)
+            case 2 =>
+              // delete one of THIS writer's earlier rows (no cross-thread
+              // coordination needed for the invariant bookkeeping)
+              val mine = appended.toArray(Array.empty[String])
+                .filter(_.startsWith(s"w$wid-")).filterNot(deleted.contains)
+              if (mine.nonEmpty) {
+                val em = mine(rnd.nextInt(mine.length))
+                cat.delete("users", col("email") === em)
+                deleted.add(em)
+              } else {
+                val em = s"w$wid-$i@x.c"
+                cat.append("users", userDf(em)); appended.add(em)
+              }
+            case 3 =>
+              val mine = appended.toArray(Array.empty[String])
+                .filter(_.startsWith(s"w$wid-")).filterNot(deleted.contains)
+              if (mine.nonEmpty) {
+                val em = mine(rnd.nextInt(mine.length))
+                cat.update("users", col("email") === em,
+                  Map("user_role" -> lit(s"r$wid")))
+                updated.add(em)
+              } else {
+                val em = s"w$wid-$i@x.c"
+                cat.append("users", userDf(em)); appended.add(em)
+              }
+          }
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    }
+
+    pool.submit(writer(1)); pool.submit(writer(2))
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "writers hung")
+    assert(errors.isEmpty, s"writer threw: ${errors.peek()}")
+
+    val cat = new Catalog(spark, root)
+    val rows = cat.read("users").select("user_id", "email", "user_role")
+      .as[(Long, String, String)].collect()
+    val ids = rows.map(_._1).sorted
+    // ids unique
+    assert(ids.distinct.length == ids.length, s"duplicate ids: ${ids.toSeq}")
+    // ids dense up to maxId modulo deletions: every id in 1..maxId was
+    // assigned exactly once, so survivors + deletions partition the range
+    val expectedSurvivors =
+      appended.toArray(Array.empty[String]).toSet --
+        deleted.toArray(Array.empty[String]).toSet
+    assert(rows.map(_._2).toSet == expectedSurvivors,
+      s"lost/extra rows: got ${rows.map(_._2).toSet.size} vs " +
+        s"${expectedSurvivors.size} expected")
+    assert(rows.map(_._2).distinct.length == rows.length,
+      "a rebase duplicated a payload row")
+    assert(ids.length == expectedSurvivors.size)
+    assert(cat.maxId("users") >= appended.size(),
+      "maxId below total appended count")
+    // updates on surviving rows are visible (each writer used a distinct
+    // role tag; a row updated by its owner must not read 'user')
+    val byEmail = rows.map(r => r._2 -> r._3).toMap
+    updated.toArray(Array.empty[String]).filter(expectedSurvivors.contains)
+      .foreach { em =>
+        assert(byEmail(em) != "user", s"update lost on $em")
+      }
+  }
+}
