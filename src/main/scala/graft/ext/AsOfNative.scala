@@ -136,6 +136,62 @@ object AsOfNative {
       .orderBy("lid", "rid")
   }
 
+  /** The native as-of join composed with the SCD2 dimension
+    * ([[Scd2.history]]'s episode derivation): for each purchase, the
+    * state episode in effect ONE MICROSECOND BEFORE it — "what state was
+    * the user in when they purchased" (the point-in-time dimension
+    * lookup every feature store does). The as-of formulation REPLACES
+    * the SCD2 BETWEEN join: with contiguous tie-free episodes, latest
+    * effective_from at-or-before t == the episode with from <= t < to —
+    * and the oracle deliberately uses the BETWEEN formulation, so two
+    * structurally different lookups must agree row-for-row.
+    *
+    * 100 TB shape: the episodes side is change-proportional (far smaller
+    * than the event stream); the planner's stats decision broadcasts it
+    * and the probe side is never shuffled. */
+  val asofScd2: Q = Q(
+    "ext_asof_scd2",
+    s"""WITH obs AS (
+       |  SELECT user_id, ts, event_id, event_type FROM events),
+       |marked AS (
+       |  SELECT *, lag(event_type) OVER
+       |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM obs),
+       |changes AS (
+       |  SELECT user_id, ts, event_id, event_type FROM marked
+       |  WHERE prev IS NULL OR prev <> event_type),
+       |seg AS (
+       |  SELECT user_id, event_type AS state,
+       |    epoch_us(ts) AS from_us,
+       |    epoch_us(lead(ts) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id)) AS to_us
+       |  FROM changes),
+       |probes AS (
+       |  SELECT event_id, user_id, epoch_us(ts) - 1 AS t
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT p.event_id, e.state AS prior_state
+       |FROM probes p LEFT JOIN seg e
+       |  ON p.user_id = e.user_id AND p.t >= e.from_us
+       |    AND (p.t < e.to_us OR e.to_us IS NULL)
+       |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+    val seg = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id").as("u"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("from_us"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - 1).as("t"))
+    graft.plans.AsOf.join(probes, seg, Seq("user_id" -> "u"), "t", "from_us")
+      .select(col("event_id"), col("state").as("prior_state"))
+      .orderBy("event_id")
+  }
+
   def all: Seq[Q] = Seq(asofBackward, asofTolerance, asofForward,
-    intervalJoin)
+    intervalJoin, asofScd2)
 }
