@@ -29,6 +29,15 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
   * hash table, no per-key group materialization, no window state. Rows
   * stream out in left (key, time) order, which `outputOrdering` declares
   * so a downstream sort on the same prefix is elided.
+  *
+  * Known scale limitation (documented, not hidden): AQE's skew-join
+  * rescue pattern-matches SortMergeJoin/ShuffledHashJoin and will NOT
+  * split a skewed partition of this operator — a hot as-of key behaves
+  * like a skewed SMJ key on Spark versions without AQE. Mitigations at
+  * 100 TB: route through [[BroadcastAsOfJoinExec]] when the right side
+  * is dimension-sized (no left shuffle at all — the planner already
+  * does this by stats), or pre-isolate hot keys the way
+  * `ext_skew_salted_join` does for equi-joins.
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
