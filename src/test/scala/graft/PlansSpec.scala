@@ -256,6 +256,53 @@ class PlansSpec extends SparkSuite {
     assert(n == probes.count())
   }
 
+  test("DATE-typed time columns exercise the int-width path in all four " +
+    "execs — values match the long-typed equivalent") {
+    // as-of: orders as-of orders by o_orderdate (DateType)
+    val or = graft.core.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("ck"), col("o_orderdate").cast("date")
+        .as("od"))
+      .agg(max("o_totalprice").as("price"))
+    val probes = or.select(col("ck").as("pk"), col("od").as("pd"))
+    for (bc <- Seq(Some(false), Some(true))) {
+      val viaDate = AsOf.join(probes, or, Seq("pk" -> "ck"), "pd", "od",
+        tolerance = Some(30L), broadcastRight = bc) // 30 DAYS (native unit)
+        .select(col("pk"), col("pd"), col("price"))
+        .collect().map(r => (r.getLong(0), r.get(1).toString,
+          Option(r.get(2)))).toSet
+      val longProbes = probes.select(col("pk"),
+        datediff(col("pd"), lit("1992-01-01")).cast("long").as("pd"))
+      val longOr = or.select(col("ck"),
+        datediff(col("od"), lit("1992-01-01")).cast("long").as("od"),
+        col("price"))
+      val viaLong = AsOf.join(longProbes, longOr, Seq("pk" -> "ck"),
+        "pd", "od", tolerance = Some(30L), broadcastRight = bc)
+        .select(col("pk"), col("pd"), col("price"))
+        .collect().map(r => (r.getLong(0),
+          java.time.LocalDate.of(1992, 1, 1).plusDays(r.getLong(1))
+            .toString, Option(r.get(2)))).toSet
+      assert(viaDate == viaLong, s"bc=$bc: date vs long path diverged: " +
+        s"${(viaDate diff viaLong).take(3)} / ${(viaLong diff viaDate).take(3)}")
+      assert(viaDate.exists(_._3.isDefined))
+    }
+    // interval join: per-customer order-date windows [od, od+7d)
+    val l = or.select(col("ck").as("lk"), col("od").as("lst"),
+      date_add(col("od"), 7).as("len"), col("price").as("lp"))
+    val r = or.select(col("ck").as("rk"), col("od").as("rst"),
+      date_add(col("od"), 7).as("ren"), col("price").as("rp"))
+    for (bc <- Seq(Some(false), Some(true))) {
+      val fast = graft.plans.IntervalJoin.join(l, r, Seq("lk" -> "rk"),
+        "lst", "len", "rst", "ren", broadcastRight = bc)
+        .select("lp", "rp").collect()
+        .map(x => (x.get(0), x.get(1))).toSet
+      val slow = l.join(r, col("lk") === col("rk") &&
+        col("lst") < col("ren") && col("rst") < col("len"))
+        .select("lp", "rp").collect()
+        .map(x => (x.get(0), x.get(1))).toSet
+      assert(fast == slow && fast.nonEmpty, s"bc=$bc interval DATE path")
+    }
+  }
+
   test("SQL metrics: numOutputRows counts every left row, numMatched " +
     "counts only matches — both variants") {
     for ((name, bc) <- variants) {
