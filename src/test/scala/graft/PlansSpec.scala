@@ -303,6 +303,31 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("composite equi-keys: two-column key as-of and interval joins " +
+    "isolate on BOTH columns — both variants") {
+    val l = Seq(("a", 1, 10L, "l1"), ("a", 2, 10L, "l2"), ("b", 1, 10L, "l3"))
+      .toDF("k1", "k2", "t", "tag")
+    val r = Seq(("a", 1, 5L, "r-a1"), ("a", 2, 7L, "r-a2"),
+      ("b", 2, 3L, "r-b2")).toDF("rk1", "rk2", "rt", "rtag")
+    for (bc <- Seq(Some(false), Some(true))) {
+      val got = AsOf.join(l, r, Seq("k1" -> "rk1", "k2" -> "rk2"),
+        "t", "rt", broadcastRight = bc)
+        .select("tag", "rtag").collect()
+        .map(x => (x.getString(0), Option(x.get(1)))).toSet
+      assert(got == Set(("l1", Some("r-a1")), ("l2", Some("r-a2")),
+        ("l3", None)), s"bc=$bc: $got")
+      val il = l.select(col("k1"), col("k2"), col("t").as("st"),
+        (col("t") + 10L).as("en"), col("tag"))
+      val ir = r.select(col("rk1"), col("rk2"), col("rt").as("rst"),
+        (col("rt") + 10L).as("ren"), col("rtag"))
+      val ovl = graft.plans.IntervalJoin.join(il, ir,
+        Seq("k1" -> "rk1", "k2" -> "rk2"), "st", "en", "rst", "ren",
+        broadcastRight = bc)
+        .select("tag", "rtag").as[(String, String)].collect().toSet
+      assert(ovl == Set(("l1", "r-a1"), ("l2", "r-a2")), s"bc=$bc: $ovl")
+    }
+  }
+
   test("SQL metrics: numOutputRows counts every left row, numMatched " +
     "counts only matches — both variants") {
     for ((name, bc) <- variants) {
