@@ -56,6 +56,13 @@ case class IntervalJoinExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
+    // loud memory guard (the dedup round-budget convention): the active
+    // sets are bounded by the data's max overlap concurrency, which is a
+    // *property of the data*, not of the plan — a pathological pileup
+    // (thousands of concurrently-open intervals on one key) should fail
+    // attributably, not OOM an executor. 0 disables.
+    val bufferCap = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.interval.buffer.cap", "1000000").toInt
     val lKeyExprs = leftKeys; val rKeyExprs = rightKeys
     val lB = Seq(leftStart, leftEnd); val rB = Seq(rightStart, rightEnd)
     val lAttrs = left.output; val rAttrs = right.output
@@ -118,6 +125,15 @@ case class IntervalJoinExec(
           lBuf.clear(); rBuf.clear(); curKey = k
         }
 
+      def checkCap(): Unit =
+        if (bufferCap > 0 &&
+          (lBuf.length > bufferCap || rBuf.length > bufferCap))
+          throw new IllegalStateException(
+            s"interval join active set exceeded " +
+              s"graft.interval.buffer.cap=$bufferCap concurrently-open " +
+              s"intervals on one key — pathological overlap pileup; " +
+              s"split the hot key or raise the cap")
+
       def processLeft(): Unit = {
         enterKey(ls.key)
         rBuf.filterInPlace(_._2 > ls.st)
@@ -131,8 +147,9 @@ case class IntervalJoinExec(
         }
         // buffering is useful only while the other side can still arrive,
         // and never for degenerate intervals (nothing later matches them)
-        if (rs.row != null && ls.st < ls.en)
-          lBuf += ((ls.st, ls.en, ls.row.copy()))
+        if (rs.row != null && ls.st < ls.en) {
+          lBuf += ((ls.st, ls.en, ls.row.copy())); checkCap()
+        }
         ls.advance()
       }
 
@@ -145,8 +162,9 @@ case class IntervalJoinExec(
             pending.add(resultProj(joined(lBuf(i)._3, rs.row)).copy())
           i += 1
         }
-        if (ls.row != null && rs.st < rs.en)
-          rBuf += ((rs.st, rs.en, rs.row.copy()))
+        if (ls.row != null && rs.st < rs.en) {
+          rBuf += ((rs.st, rs.en, rs.row.copy())); checkCap()
+        }
         rs.advance()
       }
 

@@ -303,6 +303,32 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("interval join buffer cap: a pathological overlap pileup fails " +
+    "loudly and attributably instead of growing the active set") {
+    val key = "graft.interval.buffer.cap"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "10")
+    try {
+      val l = Seq.tabulate(40)(i => ("k", 0L + i, 1000L, i))
+        .toDF("k", "st", "en", "lv")
+      val r = Seq.tabulate(40)(i => ("k", 0L + i, 1000L, i))
+        .toDF("rk", "rst", "ren", "rv")
+      val e = intercept[Exception] {
+        graft.plans.IntervalJoin.join(l, r, Seq("k" -> "rk"),
+          "st", "en", "rst", "ren", broadcastRight = Some(false)).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("graft.interval.buffer.cap")),
+        s"expected the cap throw, got: $e")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("composite equi-keys: two-column key as-of and interval joins " +
     "isolate on BOTH columns — both variants") {
     val l = Seq(("a", 1, 10L, "l1"), ("a", 2, 10L, "l2"), ("b", 1, 10L, "l3"))
