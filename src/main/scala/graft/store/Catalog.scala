@@ -1025,14 +1025,37 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * stops referencing them. [[Catalog.vacuum]] liveness is root-wide,
       * so vacuuming the source never reclaims files a clone still
       * references. */
-    def cloneTable(src: String, dst: String): Unit = {
+    def cloneTable(src: String, dst: String,
+        versionAsOf: Option[Long] = None): Unit = {
       ensureLease()
       require(src != dst, "clone onto itself")
       require(curState(dst).files.isEmpty && !base.contains(dst) &&
         !Schemas.registry.contains(dst),
         s"clone target '$dst' already exists")
       readTables += src
-      val st = curState(src)
+      // VERSION AS OF: freeze the table as a PAST snapshot recorded it
+      // (experiment reproducibility at a pinned version) — same loud
+      // guards as restoreTo: the version must exist and its files must
+      // not have been vacuumed away
+      val st = versionAsOf match {
+        case None => curState(src)
+        case Some(v) =>
+          val hp = historyDir.resolve(s"v$v.json")
+          if (!Files.exists(hp))
+            throw new IllegalArgumentException(
+              s"cannot clone '$src' at v$v: never committed, or already " +
+                "vacuumed past the retention window")
+          val hist = parseManifest(Files.readAllBytes(hp))
+          val s0 = hist.getOrElse(src, throw new IllegalArgumentException(
+            s"cannot clone '$src' at v$v: table did not exist then"))
+          val gone = s0.files
+            .filterNot(f => Files.exists(rootPath.resolve(f.path)))
+          if (gone.nonEmpty)
+            throw new IllegalStateException(
+              s"cannot clone '$src' at v$v: ${gone.size} referenced " +
+                s"file(s) vacuumed (first: ${gone.head.path})")
+          s0
+      }
       staged :+= Staged(dst, st.copy(
         schema = Some(schemaOf(Some(st), src)),
         idCol = Some(idColOf(Some(st), src))))
@@ -1279,8 +1302,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def compact(table: String, numFiles: Int = 1): Unit =
     retried(_.compact(table, numFiles))
 
-  def cloneTable(src: String, dst: String): Unit =
-    retried(_.cloneTable(src, dst))
+  def cloneTable(src: String, dst: String,
+      versionAsOf: Option[Long] = None): Unit =
+    retried(_.cloneTable(src, dst, versionAsOf))
 
   def replaceWhere(table: String, column: String, lo: Long, hi: Long,
       rows: DataFrame): (Long, Long) =

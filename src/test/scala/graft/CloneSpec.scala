@@ -114,6 +114,32 @@ class CloneSpec extends SparkSuite {
     }
   }
 
+  test("clone VERSION AS OF: freezes a PAST snapshot, guards missing " +
+    "versions and pre-existence") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c"))
+    val v1 = cat.version
+    cat.append("users", user("b", "b@x.c"))
+    cat.update("users", col("email") === "a@x.c",
+      Map("user_role" -> lit("admin")))
+    // clone the v1 snapshot: one row, pre-update role
+    cat.cloneTable("users", "users_v1", versionAsOf = Some(v1))
+    val got = cat.read("users_v1").select("email", "user_role")
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("a@x.c", "user")), got.toString)
+    // current table unaffected; id continuation follows v1's high-water
+    assert(cat.read("users").count() == 2)
+    assert(cat.append("users_v1", user("c", "c@x.c")) == 2L)
+    // guards
+    intercept[IllegalArgumentException] {
+      cat.cloneTable("users", "users_v99", versionAsOf = Some(99L))
+    }
+    intercept[IllegalArgumentException] {
+      // users_v1 did not exist at v1
+      cat.cloneTable("users_v1", "users_x", versionAsOf = Some(v1))
+    }
+  }
+
   test("manifest round-trip: a fresh Catalog instance reads the clone's " +
     "pinned schema and id column from disk") {
     val cat = freshCat()
