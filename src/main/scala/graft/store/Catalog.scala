@@ -401,6 +401,84 @@ final class Catalog(val spark: SparkSession, val root: String) {
     readManifest().get(table).map(_.files).getOrElse(Vector.empty)
       .map(f => (f.path, f.minId, f.maxId))
 
+  /** Metadata-vs-data integrity check (the Delta FSCK analogue): verify
+    * that every live file the manifest references (a) exists on disk and
+    * (b) actually contains what its manifest entry CLAIMS — the id
+    * min/max and every recorded per-column stat range. Pruning
+    * correctness rests on these claims ([[readRange]] skips files by
+    * them), so after a migration, a restore, or any out-of-band copy
+    * this is the audit a 100 TB deployment runs before trusting reads.
+    *
+    * Returns one row per live file: (file, n_rows, ok, problem). Cost:
+    * one scan of the table grouped by input file — the same shape as
+    * stats collection at write time. Never throws on findings (an audit
+    * reports; callers decide).
+    */
+  def fsck(table: String): DataFrame = {
+    import spark.implicits._
+    val m = readManifest()
+    val st = m.get(table)
+    val entries = st.map(_.files).getOrElse(Vector.empty)
+    val idCol = idColOf(st, table)
+    val schema = schemaOf(st, table)
+    val missing = entries.filterNot(f =>
+      Files.exists(rootPath.resolve(f.path)))
+    val present = entries.filterNot(missing.contains)
+    val observedRows: Seq[(String, Long, Long, Long,
+        Map[String, (Long, Long)])] =
+      if (present.isEmpty) Nil
+      else {
+        val df = spark.read.schema(schema)
+          .parquet(present.map(f => s"$root/${f.path}"): _*)
+        val statCols = Schemas.statsColumns.getOrElse(table, Nil)
+          .filter(c => schema.fieldNames.contains(c))
+          .filter(c => statLong(df, c).isDefined)
+        val aggs = count(lit(1)).as("n") +:
+          min(col(idCol)).as("mn") +: max(col(idCol)).as("mx") +:
+          statCols.flatMap { c =>
+            val lc = statLong(df, c).get
+            Seq(min(lc).as(s"mn_$c"), max(lc).as(s"mx_$c"))
+          }
+        df.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+          .collect().toSeq.map { r =>
+            val abs = r.getString(0).stripPrefix("file://")
+            val rel = Paths.get(root).toAbsolutePath.normalize
+              .relativize(Paths.get(abs).toAbsolutePath.normalize).toString
+            val cols = statCols.flatMap { c =>
+              val (i, j) = (r.fieldIndex(s"mn_$c"), r.fieldIndex(s"mx_$c"))
+              if (r.isNullAt(i) || r.isNullAt(j)) None
+              else Some(c -> (r.getLong(i), r.getLong(j)))
+            }.toMap
+            (rel, r.getLong(1), r.getLong(2), r.getLong(3), cols)
+          }
+      }
+    val observed = observedRows.map(o => o._1 -> o).toMap
+    val verdicts = entries.map { f =>
+      val problem: String =
+        if (missing.contains(f)) "file missing on disk"
+        else observed.get(f.path) match {
+          case None => "file unreadable or empty"
+          case Some((_, n, mn, mx, cols)) =>
+            if (f.minId > f.maxId && n > 0)
+              s"manifest claims no rows, file has $n"
+            else if (f.minId <= f.maxId && (mn != f.minId || mx != f.maxId))
+              s"id range [$mn,$mx] != manifest [${f.minId},${f.maxId}]"
+            else {
+              val bad = f.cols.collectFirst {
+                case (c, (cmn, cmx)) if cols.get(c).exists(o =>
+                  o._1 < cmn || o._2 > cmx) =>
+                  s"column '$c' range ${cols(c)} escapes manifest " +
+                    s"[$cmn,$cmx]"
+              }
+              bad.getOrElse("")
+            }
+        }
+      val n = observed.get(f.path).map(_._2).getOrElse(0L)
+      (f.path, n, problem.isEmpty, problem)
+    }
+    verdicts.toDF("file", "n_rows", "ok", "problem")
+  }
+
   // ---- writes ------------------------------------------------------------
 
   /** Write df as a new file group under the table dir and return its file

@@ -140,6 +140,35 @@ class CloneSpec extends SparkSuite {
     }
   }
 
+  test("fsck: healthy store verifies clean; a tampered manifest id range " +
+    "and a deleted live file are each flagged with the right diagnosis") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c"))
+    cat.append("users", user("b", "b@x.c"))
+    val healthy = cat.fsck("users").collect()
+    assert(healthy.length == 2 && healthy.forall(_.getBoolean(2)),
+      healthy.mkString(", "))
+    // tamper: bump one file's claimed max id directly in the manifest
+    val mPath = java.nio.file.Paths.get(cat.root, "_manifest.json")
+    val json = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+    val tampered = json.replaceFirst("\"max\":1\\b", "\"max\":1001")
+    assert(tampered != json, "tamper target not found")
+    java.nio.file.Files.write(mPath, tampered.getBytes("UTF-8"))
+    val cat2 = new Catalog(spark, cat.root)
+    val flagged = cat2.fsck("users").collect()
+    assert(flagged.count(!_.getBoolean(2)) == 1, flagged.mkString(", "))
+    assert(flagged.find(!_.getBoolean(2)).get.getString(3)
+      .contains("id range"), flagged.mkString(", "))
+    // delete a live parquet out-of-band: flagged as missing
+    java.nio.file.Files.write(mPath, json.getBytes("UTF-8")) // untamper
+    val cat3 = new Catalog(spark, cat.root)
+    val victim = cat3.fsck("users").collect().head.getString(0)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(cat.root, victim))
+    val after = cat3.fsck("users").collect()
+    assert(after.exists(r => !r.getBoolean(2) &&
+      r.getString(3).contains("missing")), after.mkString(", "))
+  }
+
   test("manifest round-trip: a fresh Catalog instance reads the clone's " +
     "pinned schema and id column from disk") {
     val cat = freshCat()
