@@ -169,6 +169,31 @@ class CloneSpec extends SparkSuite {
       r.getString(3).contains("missing")), after.mkString(", "))
   }
 
+  test("fsck column stats: a stats-bearing table verifies clean and a " +
+    "narrowed stat range is flagged as an escape") {
+    val cat = freshCat()
+    val rows = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    cat.append("orders_ingest", rows, orderBy = Seq("o_orderkey"))
+    assert(cat.fsck("orders_ingest").collect().forall(_.getBoolean(2)))
+    // narrow the recorded o_orderkey stat range: observed data now
+    // escapes the claim — exactly the corruption that would make
+    // readRange skip files it must scan
+    val mPath = java.nio.file.Paths.get(cat.root, "_manifest.json")
+    val json = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+    val tampered = json.replaceFirst(
+      """"o_orderkey":\[0,""", "\"o_orderkey\":[1,")
+    assert(tampered != json, "stats tamper target not found:\n" + json)
+    java.nio.file.Files.write(mPath, tampered.getBytes("UTF-8"))
+    val flagged = new Catalog(spark, cat.root).fsck("orders_ingest")
+      .collect().filter(!_.getBoolean(2))
+    assert(flagged.length == 1 &&
+      flagged.head.getString(3).contains("o_orderkey"),
+      flagged.mkString(", "))
+  }
+
   test("manifest round-trip: a fresh Catalog instance reads the clone's " +
     "pinned schema and id column from disk") {
     val cat = freshCat()
