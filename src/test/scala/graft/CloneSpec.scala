@@ -45,6 +45,8 @@ class CloneSpec extends SparkSuite {
     val src = cat.read("users").orderBy("user_id").collect().toSeq
     val dst = cat.read("users_snap").orderBy("user_id").collect().toSeq
     assert(src == dst)
+    // fsck resolves the clone's cross-directory file references cleanly
+    assert(cat.fsck("users_snap").collect().forall(_.getBoolean(2)))
     // the snapshot BEFORE the clone has no users_snap
     intercept[Exception] { cat.readAt("users_snap", vBefore).collect() }
   }
