@@ -66,6 +66,7 @@ case class BroadcastAsOfJoinExec(
     val tol = tolerance
     val fwd = forward
     val out = output
+    val planId = id
 
     left.execute().mapPartitions { lIter =>
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rAttrs)
@@ -75,11 +76,12 @@ case class BroadcastAsOfJoinExec(
       def timeOf(r: InternalRow): Long =
         if (timeIsInt) r.getInt(0).toLong else r.getLong(0)
 
-      // per-key time-sorted index over the broadcast rows (rows in the
-      // broadcast value are already safe copies)
-      val index = new java.util.HashMap[UnsafeRow,
-        (Array[Long], Array[InternalRow])]()
-      locally {
+      // per-key time-sorted index over the broadcast rows (safe copies),
+      // built ONCE PER EXECUTOR via the soft cache — not per partition
+      val index = BroadcastIndexCache.getOrBuild(broadcastRows.id, planId,
+        () => {
+        val built = new java.util.HashMap[UnsafeRow,
+          (Array[Long], Array[InternalRow])]()
         val grouped = new java.util.HashMap[UnsafeRow,
           scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
         broadcastRows.value.foreach { row =>
@@ -99,9 +101,10 @@ case class BroadcastAsOfJoinExec(
         }
         grouped.forEach { (k, buf) =>
           val sorted = buf.sortBy(_._1)
-          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+          built.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
         }
-      }
+        built
+      })
 
       val nullRight = new GenericInternalRow(rAttrs.size)
       val resultProj = UnsafeProjection.create(out, out)

@@ -55,6 +55,7 @@ case class BroadcastIntervalJoinExec(
       case _ => false
     }
     val out = output
+    val planId = id
 
     left.execute().mapPartitions { lIter =>
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rAttrs)
@@ -64,10 +65,12 @@ case class BroadcastIntervalJoinExec(
       def bound(r: InternalRow, i: Int): Long =
         if (boundsAreInt) r.getInt(i).toLong else r.getLong(i)
 
-      // per-key (starts sorted asc, ends, rows) over the broadcast side
-      val index = new java.util.HashMap[UnsafeRow,
-        (Array[Long], Array[Long], Array[InternalRow])]()
-      locally {
+      // per-key (starts sorted asc, ends, rows) over the broadcast side,
+      // built ONCE PER EXECUTOR via the soft cache — not per partition
+      val index = BroadcastIndexCache.getOrBuild(broadcastRows.id, planId,
+        () => {
+        val built = new java.util.HashMap[UnsafeRow,
+          (Array[Long], Array[Long], Array[InternalRow])]()
         val grouped = new java.util.HashMap[UnsafeRow,
           scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]()
         broadcastRows.value.foreach { row =>
@@ -89,10 +92,11 @@ case class BroadcastIntervalJoinExec(
         }
         grouped.forEach { (k, buf) =>
           val s = buf.sortBy(_._1)
-          index.put(k, (s.map(_._1).toArray, s.map(_._2).toArray,
+          built.put(k, (s.map(_._1).toArray, s.map(_._2).toArray,
             s.map(_._3).toArray))
         }
-      }
+        built
+      })
 
       val resultProj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
