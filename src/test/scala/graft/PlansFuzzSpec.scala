@@ -20,7 +20,7 @@ class PlansFuzzSpec extends SparkSuite {
 
   test("as-of join equals the brute-force reference on random data — " +
     "both variants x both directions x tolerance on/off") {
-    val rnd = new Random(20260815L)
+    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260815L))
     for (c <- 1 to Cases) {
       val nl = 1 + rnd.nextInt(60); val nr = rnd.nextInt(60)
       val keys = Array("a", "b", "c", "d")
@@ -64,7 +64,7 @@ class PlansFuzzSpec extends SparkSuite {
 
   test("interval join equals the brute-force reference on random data — " +
     "both variants") {
-    val rnd = new Random(977L)
+    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 1).getOrElse(977L))
     for (c <- 1 to Cases) {
       val nl = rnd.nextInt(50); val nr = rnd.nextInt(50)
       val keys = Array("a", "b", "c")

@@ -35,7 +35,7 @@ class StoreFuzzSpec extends SparkSuite {
 
   test("random op sequences: store state equals the reference model " +
     "after every step; clones freeze; history replays; vacuum(0) safe") {
-    val rnd = new Random(42424242L)
+    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 2).getOrElse(42424242L))
     val cat = new Catalog(spark,
       Files.createTempDirectory("graft_fuzz").toString)
     val tables = mutable.LinkedHashMap[String, Model](
