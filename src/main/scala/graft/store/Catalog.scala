@@ -1147,8 +1147,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
       ensureLease()
       hist.foreach { case (t, st) => staged :+= Staged(t, st) }
       val nowTables = base.keySet ++ staged.map(_.table)
-      (nowTables -- hist.keySet).foreach(t =>
-        staged :+= Staged(t, TableState(0L, Vector.empty)))
+      (nowTables -- hist.keySet).foreach { t =>
+        // the table did not exist at the restore point: its DATA rewinds
+        // to empty, but its catalog identity (pinned schema / id column —
+        // a clone's only schema source) must survive or the table becomes
+        // unreadable and unwritable (found by StoreFuzzSpec seed 31337)
+        val cur = curState(t)
+        staged :+= Staged(t,
+          TableState(0L, Vector.empty, cur.schema, idCol = cur.idCol))
+      }
       strictTables ++= staged.map(_.table)
     }
   }
