@@ -1150,11 +1150,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
       (nowTables -- hist.keySet).foreach { t =>
         // the table did not exist at the restore point: its DATA rewinds
         // to empty, but its catalog identity (pinned schema / id column —
-        // a clone's only schema source) must survive or the table becomes
-        // unreadable and unwritable (found by StoreFuzzSpec seed 31337)
+        // a clone's only schema source — and CHECK constraints, which
+        // cloneTable documents as part of identity) must survive or the
+        // table becomes unreadable / silently unvalidated (schema+idCol
+        // found by StoreFuzzSpec seed 31337; checks by round-12 review)
         val cur = curState(t)
         staged :+= Staged(t,
-          TableState(0L, Vector.empty, cur.schema, idCol = cur.idCol))
+          TableState(0L, Vector.empty, cur.schema, cur.checks, cur.idCol))
       }
       strictTables ++= staged.map(_.table)
     }

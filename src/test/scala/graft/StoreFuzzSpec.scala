@@ -38,6 +38,10 @@ class StoreFuzzSpec extends SparkSuite {
     val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 2).getOrElse(42424242L))
     val cat = new Catalog(spark,
       Files.createTempDirectory("graft_fuzz").toString)
+    // a CHECK every fuzz row satisfies — clones inherit it, and the
+    // restore section below proves it survives a root rewind for
+    // tables born after the restore point (round-13 identity fix)
+    cat.addCheck("users", "email_at", "email LIKE '%@%'")
     val tables = mutable.LinkedHashMap[String, Model](
       "users" -> mutable.LinkedHashMap.empty)
     var maxId = mutable.Map[String, Long]("users" -> 0L)
@@ -146,10 +150,20 @@ class StoreFuzzSpec extends SparkSuite {
     rsnap.foreach { case (t, m) =>
       assert(readState(cat, t) == m, s"restore to v$rv: $t diverged")
     }
-    // tables cloned AFTER rv must now read empty (did not exist then)
+    // tables cloned AFTER rv must now read empty (did not exist then),
+    // but their catalog identity — including the inherited CHECK —
+    // must survive: a violating write still fails, a clean one lands
     tables.keys.filterNot(rsnap.contains).foreach { t =>
       assert(cat.read(t).count() == 0,
         s"$t existed after restore to pre-clone version")
+      intercept[IllegalArgumentException] {
+        cat.append(t, userDf("no-at-sign", "user"))
+      }
+      assert(cat.read(t).count() == 0,
+        s"$t: check-violating append landed after restore")
+      cat.append(t, userDf("ok@x.c", "user"))
+      assert(cat.read(t).count() == 1,
+        s"$t: conforming append failed after restore")
     }
   }
 }

@@ -956,6 +956,26 @@ class StoreSpec extends SparkSuite {
     intercept[IllegalArgumentException] { cat.restoreTo(99L) }
   }
 
+  test("restoreTo preserves a born-after table's FULL catalog identity: " +
+    "schema, id column, AND check constraints still enforce") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c")) // v1 — the restore point
+    cat.cloneTable("users", "snap") // v2 — born after v1
+    cat.addCheck("snap", "email_at", "email LIKE '%@%'") // v3
+    cat.append("snap", user("b", "b@x.c")) // v4 — passes the check
+    cat.restoreTo(1L) // snap did not exist at v1 → data rewinds to empty
+    assert(cat.read("snap").count() == 0)
+    // identity survives: a violating write STILL fails the check —
+    // pre-round-13 the restore silently dropped the constraint set
+    intercept[IllegalArgumentException] {
+      cat.append("snap", user("x", "no-at-sign"))
+    }
+    assert(cat.read("snap").count() == 0, "failed append must not land")
+    // and a conforming write still works, with ids resuming from the
+    // restored (empty) high-water mark
+    assert(cat.append("snap", user("c", "c@x.c")) == 1L)
+  }
+
   test("dropColumn is a pure-metadata narrowing: the column vanishes " +
     "from reads, survives in time travel, old-shape producers still " +
     "append, and id/absent columns are protected") {
