@@ -30,14 +30,18 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
   * stream out in left (key, time) order, which `outputOrdering` declares
   * so a downstream sort on the same prefix is elided.
   *
-  * Known scale limitation (documented, not hidden): AQE's skew-join
-  * rescue pattern-matches SortMergeJoin/ShuffledHashJoin and will NOT
-  * split a skewed partition of this operator — a hot as-of key behaves
-  * like a skewed SMJ key on Spark versions without AQE. Mitigations at
-  * 100 TB: route through [[BroadcastAsOfJoinExec]] when the right side
-  * is dimension-sized (no left shuffle at all — the planner already
-  * does this by stats), or pre-isolate hot keys the way
-  * `ext_skew_salted_join` does for equi-joins.
+  * Known scale limitation: AQE's skew-join rescue pattern-matches
+  * SortMergeJoin/ShuffledHashJoin and will NOT split a skewed partition
+  * of this operator — a hot as-of key behaves like a skewed SMJ key on
+  * Spark versions without AQE. Rescues at 100 TB: (a) the planner
+  * routes through [[BroadcastAsOfJoinExec]] when the right side is
+  * dimension-sized (no left shuffle at all); (b) the [[SkewSalt]]
+  * salted-replicate rewrite — `skewSalt = Some(s)` on [[AsOf.join]] or
+  * the `spark.graft.join.skewSalt` session conf — splits every hot
+  * key's left rows across `s` buckets with the full right history
+  * replicated per bucket, bounding per-task rows at ~1/s
+  * (fuzz-verified against brute force; planted-hot-key bound pinned in
+  * PlansSpec).
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],

@@ -101,7 +101,38 @@ object AsOf {
       forward: Boolean = false,
       /** Some(true)/Some(false) pins broadcast/co-partitioned; None =
         * planner decides from right-side stats (the SMJ-vs-BHJ rule). */
-      broadcastRight: Option[Boolean] = None): DataFrame = {
+      broadcastRight: Option[Boolean] = None,
+      /** Hot-key rescue (see [[SkewSalt]]): split every left key across
+        * `s` salt buckets (right side replicated `s`x), bounding a hot
+        * key's per-task left rows at ~1/s. Defaults to the
+        * `spark.graft.join.skewSalt` session conf; ignored when the
+        * caller pinned the broadcast variant (no shuffle, no skew). */
+      skewSalt: Option[Int] = None): DataFrame =
+    SkewSalt.resolve(skewSalt, left)
+      .filterNot(_ => broadcastRight.contains(true)) match {
+      case Some(s) =>
+        joinUnsalted(
+          SkewSalt.saltLeft(left, leftTime, s),
+          SkewSalt.replicateRight(right, s),
+          keys :+ (SkewSalt.LeftCol -> SkewSalt.RightCol),
+          leftTime, rightTime, tolerance, forward,
+          // salting exists to fix the co-partitioned walk; pin it so the
+          // planner cannot waste the s-times replication on a broadcast
+          broadcastRight = Some(false))
+          .drop(SkewSalt.LeftCol, SkewSalt.RightCol)
+      case None => joinUnsalted(left, right, keys, leftTime, rightTime,
+        tolerance, forward, broadcastRight)
+    }
+
+  private def joinUnsalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long],
+      forward: Boolean,
+      broadcastRight: Option[Boolean]): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def resolve(p: LogicalPlan, n: String, side: String): Attribute =

@@ -63,7 +63,35 @@ object IntervalJoin {
       keys: Seq[(String, String)],
       leftStart: String, leftEnd: String,
       rightStart: String, rightEnd: String,
-      broadcastRight: Option[Boolean] = None): DataFrame = {
+      broadcastRight: Option[Boolean] = None,
+      /** Hot-key rescue (see [[SkewSalt]]): split every left key across
+        * `s` salt buckets (right side replicated `s`x) — each (l, r)
+        * overlap pair still appears exactly once, in l's bucket. The
+        * join is symmetric: to rescue a hot RIGHT side, swap the sides.
+        * Defaults to the `spark.graft.join.skewSalt` session conf;
+        * ignored when the caller pinned the broadcast variant. */
+      skewSalt: Option[Int] = None): DataFrame =
+    SkewSalt.resolve(skewSalt, left)
+      .filterNot(_ => broadcastRight.contains(true)) match {
+      case Some(s) =>
+        joinUnsalted(
+          SkewSalt.saltLeft(left, leftStart, s),
+          SkewSalt.replicateRight(right, s),
+          keys :+ (SkewSalt.LeftCol -> SkewSalt.RightCol),
+          leftStart, leftEnd, rightStart, rightEnd,
+          broadcastRight = Some(false))
+          .drop(SkewSalt.LeftCol, SkewSalt.RightCol)
+      case None => joinUnsalted(left, right, keys, leftStart, leftEnd,
+        rightStart, rightEnd, broadcastRight)
+    }
+
+  private def joinUnsalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      broadcastRight: Option[Boolean]): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def resolve(p: LogicalPlan, n: String, side: String): Attribute =

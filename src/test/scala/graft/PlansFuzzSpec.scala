@@ -46,16 +46,22 @@ class PlansFuzzSpec extends SparkSuite {
             .filter(r => tol.forall(r._2 - pt <= _))
         (pk, pt, pv, m.map(_._3))
       }.groupBy(identity).view.mapValues(_.length).toMap
-      for (bc <- Seq(Some(false), Some(true))) {
+      // both physical variants, plus the round-13 skew-salted rewrite
+      // (salt factor fuzzed too: 2..7)
+      val salt = 2 + rnd.nextInt(6)
+      for ((bc, sa) <- Seq((Some(false), None), (Some(true), None),
+          (Some(false), Some(salt)))) {
         val got = AsOf.join(left, right, Seq("pk" -> "k"), "pt", "t",
-          tolerance = tol, forward = fwd, broadcastRight = bc)
+          tolerance = tol, forward = fwd, broadcastRight = bc,
+          skewSalt = sa)
           .select("pk", "pt", "pv", "v")
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
             Option(r.get(3)).map(_.asInstanceOf[Int])))
           .groupBy(identity).view.mapValues(_.length).toMap
         assert(got == expect,
-          s"case $c (fwd=$fwd tol=$tol bc=$bc nl=$nl nr=${rightRows.size}):" +
+          s"case $c (fwd=$fwd tol=$tol bc=$bc salt=$sa nl=$nl " +
+            s"nr=${rightRows.size}):" +
             s" diff ${(got.toSet diff expect.toSet).take(3)} / " +
             s"${(expect.toSet diff got.toSet).take(3)}")
       }
@@ -82,14 +88,17 @@ class PlansFuzzSpec extends SparkSuite {
         (rk, rs, re, rv) <- rRows
         if lk == rk && ls < re && rs < le
       } yield (lv, rv)).groupBy(identity).view.mapValues(_.length).toMap
-      for (bc <- Seq(Some(false), Some(true))) {
+      val salt = 2 + rnd.nextInt(6)
+      for ((bc, sa) <- Seq((Some(false), None), (Some(true), None),
+          (Some(false), Some(salt)))) {
         val got = IntervalJoin.join(left, right, Seq("k" -> "rk"),
-          "st", "en", "rst", "ren", broadcastRight = bc)
+          "st", "en", "rst", "ren", broadcastRight = bc, skewSalt = sa)
           .select("lv", "rv").as[(Int, Int)].collect()
           .groupBy(identity).view.mapValues(_.length).toMap
         assert(got == expect,
-          s"case $c (bc=$bc nl=$nl nr=$nr): got ${got.size} distinct " +
-            s"vs ${expect.size}; diff ${(got.toSet diff expect.toSet).take(3)}" +
+          s"case $c (bc=$bc salt=$sa nl=$nl nr=$nr): got ${got.size} " +
+            s"distinct vs ${expect.size}; " +
+            s"diff ${(got.toSet diff expect.toSet).take(3)}" +
             s" / ${(expect.toSet diff got.toSet).take(3)}")
       }
     }

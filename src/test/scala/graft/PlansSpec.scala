@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
-import graft.plans.{AsOf, AsOfJoinExec}
+import graft.plans.{AsOf, AsOfJoinExec, IntervalJoin}
 
 /** The custom-plan tier: AsOfJoinPlan -> GraftStrategy -> AsOfJoinExec,
   * plus the pushdown/pruning optimizer rule. */
@@ -521,5 +521,166 @@ class PlansSpec extends SparkSuite {
       s"no pushed id filter at the scans:\n$s")
     // projection pruning: unused l_v/r_v never leave the scan
     assert(!s.contains("value"), s"unused value column still read:\n$s")
+  }
+
+  // ---- round-13 skew rescue: salted-replicate rewrite ----------------
+
+  /** Output rows per physical partition of the executed plan. */
+  private def partSizes(df: DataFrame): Array[Int] =
+    df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+
+  /** AQE's size-based coalescing merges the tiny test partitions back
+    * together (at 100 TB they are task-sized and stay split), and the
+    * suite's few shuffle partitions make unrelated salts hash-collide
+    * into one task — the bounded-per-task assertions disable coalescing
+    * and widen the partition count locally. */
+  private def withoutCoalesce[T](body: => T): T = {
+    val coalesce = "spark.sql.adaptive.coalescePartitions.enabled"
+    val parts = "spark.sql.shuffle.partitions"
+    val prevC = spark.conf.get(coalesce, "true")
+    val prevP = spark.conf.get(parts)
+    spark.conf.set(coalesce, "false")
+    spark.conf.set(parts, "64")
+    try body finally {
+      spark.conf.set(coalesce, prevC); spark.conf.set(parts, prevP)
+    }
+  }
+
+  /** Collect through AQE stage boundaries (a plain `plan.collect` stops
+    * at QueryStageExec). */
+  private def deepCollect[T](p: SparkPlan)(
+      f: PartialFunction[SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    f.lift(p).toSeq ++ kids.flatMap(deepCollect(_)(f))
+  }
+
+  test("skewSalt bounds a planted hot as-of key's per-task rows and " +
+    "preserves the join result exactly") {
+    withoutCoalesce {
+      val n = 20000
+      val left = spark.range(n).select(lit("hot").as("pk"),
+        (col("id") % 997L).as("pt"), col("id").as("lid"))
+      val right = spark.range(100).select(lit("hot").as("k"),
+        (col("id") * 10L).as("t"), col("id").as("rid"))
+      def run(salt: Option[Int]) = AsOf.join(left, right,
+        Seq("pk" -> "k"), "pt", "t", broadcastRight = Some(false),
+        skewSalt = salt)
+      val unsalted = run(None); val salted = run(Some(8))
+      // identical output schema and multiset
+      assert(salted.columns.sameElements(unsalted.columns))
+      val a = unsalted.select("lid", "rid")
+        .as[(Long, Option[Long])].collect().toSet
+      val b = salted.select("lid", "rid")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(a == b && a.size == n)
+      // the skew: unsalted collapses every row into ONE task; salted
+      // spreads them across the salt buckets
+      val u = partSizes(unsalted); val s = partSizes(salted)
+      assert(u.max == n, s"hot key should land in one task: ${u.toSeq}")
+      // bound: ~n/8 per salt; allow one 2-salt hash collision per task
+      assert(s.max <= 2 * n / 8,
+        s"salted per-task rows not bounded: max=${s.max} of ${s.toSeq}")
+    }
+  }
+
+  test("skewSalt bounds a planted hot interval key's per-task rows and " +
+    "preserves the pair set exactly") {
+    withoutCoalesce {
+      val n = 20000
+      val left = spark.range(n).select(lit("hot").as("k"),
+        (col("id") % 997L).as("st"), (col("id") % 997L + 3L).as("en"),
+        col("id").as("lid"))
+      val right = spark.range(50).select(lit("hot").as("rk"),
+        (col("id") * 20L).as("rst"), (col("id") * 20L + 5L).as("ren"),
+        col("id").as("rid"))
+      def run(salt: Option[Int]) = IntervalJoin.join(left, right,
+        Seq("k" -> "rk"), "st", "en", "rst", "ren",
+        broadcastRight = Some(false), skewSalt = salt)
+      val unsalted = run(None); val salted = run(Some(8))
+      val a = unsalted.select("lid", "rid").as[(Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val b = salted.select("lid", "rid").as[(Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(a == b && a.nonEmpty,
+        "salted interval join must emit each pair exactly once")
+      val u = partSizes(unsalted); val s = partSizes(salted)
+      assert(u.max == u.sum, s"hot key should land in one task: ${u.toSeq}")
+      // bound: ~1/8 of all pairs per salt; allow a 2-salt hash
+      // collision plus per-salt pair-count jitter (pairs per left row
+      // vary, only the left rows themselves spread uniformly)
+      assert(s.max <= u.sum / 3,
+        s"salted per-task pairs not bounded: max=${s.max} of ${s.toSeq}")
+    }
+  }
+
+  test("skewSalt session conf activates salting without a per-call " +
+    "argument; explicit broadcast pin disables it") {
+    val confKey = "spark.graft.join.skewSalt"
+    spark.conf.set(confKey, "4")
+    try {
+      val df = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t")
+      // the salt rides as a second equi-key pair in the planned exec
+      val execs = deepCollect(executed(df)) { case e: AsOfJoinExec => e }
+      assert(execs.nonEmpty && execs.head.leftKeys.size == 2,
+        s"conf-driven salt missing from plan:\n${executed(df)}")
+      // semantics unchanged under the conf-driven salt
+      val got = df.select("pk", "pt", "v")
+        .as[(String, Long, Option[Double])].collect().toSet
+      assert(got(("a", 25L, Some(2.0))) && got(("d", 50L, None)))
+      // a pinned broadcast variant has no shuffle to rescue: no salt
+      val bdf = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
+        broadcastRight = Some(true))
+      val bexecs = deepCollect(executed(bdf)) {
+        case e: graft.plans.BroadcastAsOfJoinExec => e }
+      assert(bexecs.nonEmpty && bexecs.head.leftKeys.size == 1,
+        "broadcast variant must ignore the skew-salt conf")
+    } finally spark.conf.unset(confKey)
+  }
+
+  // ---- round-13 broadcast index cache: build-once + no tombstones ----
+
+  test("BroadcastIndexCache builds exactly once under a parallel cold " +
+    "start and purges GC-cleared entries instead of leaking tombstones") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import graft.plans.BroadcastIndexCache
+    BroadcastIndexCache.clear()
+    try {
+      val builds = new AtomicInteger(0)
+      val build = () => { builds.incrementAndGet(); new Object }
+      // 16 tasks race the same (broadcast, plan) key on a cold cache,
+      // released together by a latch to maximize the first-touch overlap
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val futures = (1 to 16).map(_ => pool.submit(
+        new java.util.concurrent.Callable[AnyRef] {
+          def call(): AnyRef = {
+            start.await()
+            BroadcastIndexCache.getOrBuild(1L, 1, build)
+          }
+        }))
+      start.countDown()
+      val results = futures.map(_.get()).toSet
+      pool.shutdown()
+      assert(builds.get() == 1,
+        s"racing first-touch tasks built ${builds.get()} times")
+      assert(results.size == 1, "racing tasks must share one index")
+      // a different plan over the same broadcast builds its own index
+      BroadcastIndexCache.getOrBuild(1L, 2, build)
+      assert(builds.get() == 2)
+      assert(BroadcastIndexCache.liveEntries == 2)
+      // simulate memory pressure clearing one referent: the next lookup
+      // sweeps it out (no tombstone) and a re-request rebuilds
+      BroadcastIndexCache.clearReferentForTest(1L, 1)
+      BroadcastIndexCache.getOrBuild(9L, 9, build) // unrelated touch
+      assert(BroadcastIndexCache.rawEntries == 2,
+        "cleared entry must be swept, not left as a tombstone")
+      BroadcastIndexCache.getOrBuild(1L, 1, build)
+      assert(builds.get() == 4, "a reclaimed index must rebuild on demand")
+    } finally BroadcastIndexCache.clear()
   }
 }
