@@ -586,15 +586,60 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * without it OCC gives only WriteSerializable. */
     private[Catalog] var readTables: Set[String] = Set.empty
 
-    /** Tables whose staged write DEPENDS on the whole live table (merge
-      * and SCD2 read every live file to split matched/new keys; check
-      * addition validates all existing rows) — these never file-level
-      * reconcile: any concurrent commit to the table conflicts. Ops
-      * whose read set is contained in the files they REMOVE (append:
-      * nothing; pinned update/delete and replaceWhere: exactly the hit
-      * files; compact: everything, but it also removes everything) are
-      * safely reconcilable. */
+    /** Tables whose staged write DEPENDS on the whole live table (DDL,
+      * check addition validating all existing rows, restore/clone) —
+      * these never file-level reconcile: any concurrent commit to the
+      * table conflicts. Ops whose read set is contained in the files
+      * they REMOVE (append: nothing; pinned update/delete and
+      * replaceWhere: exactly the hit files; compact: everything, but it
+      * also removes everything) are safely reconcilable. Merge/SCD2 sit
+      * in between: their read set is the table's slice holding the
+      * SOURCE BATCH'S KEY DOMAIN, so when that domain is provable from
+      * manifest stats they record [[mergeKeyRanges]] instead and
+      * reconcile against commits that stayed outside it (round 13). */
     private[Catalog] var strictTables: Set[String] = Set.empty
+
+    /** Keyed-upsert domains for OCC (round 13): table -> (key column,
+      * normalized min, normalized max) of the merge/SCD2 source batch.
+      * At commit, a concurrent commit to the table reconciles iff every
+      * file it removed or added carries `keyCol` stats provably OUTSIDE
+      * this range — the many-disjoint-upsert-writers shape of a 100 TB
+      * dimension load commits without serializing. Recorded only when
+      * the key is a manifest stats column ([[Schemas.statsColumns]]);
+      * otherwise the table goes strict exactly as before. */
+    private[Catalog] var mergeKeyRanges: Map[String, (String, Long, Long)] =
+      Map.empty
+
+    /** Record a merge/SCD2 dependency on `table`: the source batch's
+      * key-domain range when provable from stats, else whole-table
+      * strict. Multiple merges on one table widen the range; mixing key
+      * columns or a prior strict op keeps the table strict. */
+    private def markMergeDomain(table: String, src: DataFrame,
+        keyCol: String): Unit = {
+      val range =
+        if (!Schemas.statsColumns.getOrElse(table, Nil).contains(keyCol))
+          None
+        else statLong(src, keyCol).flatMap { lc =>
+          val r = src.agg(min(lc), max(lc)).collect()(0)
+          // all-NULL key batch: pure insert, but its staged file carries
+          // no key stats for others to check — stay strict (rare)
+          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+        }
+      range match {
+        case Some((lo, hi)) if !strictTables.contains(table) =>
+          mergeKeyRanges.get(table) match {
+            case Some((k, plo, phi)) if k == keyCol =>
+              mergeKeyRanges += table ->
+                (keyCol, math.min(plo, lo), math.max(phi, hi))
+            case Some(_) => // two key columns in one tx: not provable
+              strictTables += table; mergeKeyRanges -= table
+            case None =>
+              mergeKeyRanges += table -> (keyCol, lo, hi)
+          }
+        case _ =>
+          strictTables += table; mergeKeyRanges -= table
+      }
+    }
 
     /** Per-table id shift applied by a commit-time rebase (see
       * [[Catalog!.transaction]]): ids returned DURING the body are
@@ -879,12 +924,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * of the tx. */
     def merge(table: String, source: DataFrame,
         keyCol: String): (Long, Long) = {
-      ensureLease(); strictTables += table
+      ensureLease()
       val (schema, idCol) = schemaIdOf(table)
       require(keyCol != idCol,
         s"merge key must be a natural key, not the surrogate id $idCol")
       val srcCols = schema.fieldNames.filterNot(_ == idCol).toSeq
       val src = source.select(srcCols.map(col): _*)
+      markMergeDomain(table, src, keyCol)
       // NULL keys are exempt from the duplicate check: they can never
       // match the same target row (NULL matches nothing), so several of
       // them are not ambiguous — they all insert as new rows
@@ -969,7 +1015,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     def scd2Merge(table: String, source: DataFrame, keyCol: String,
         tracked: Seq[String], at: java.sql.Timestamp): (Long, Long) = {
       import graft.core.Eager.EagerCheckpoint
-      ensureLease(); strictTables += table
+      ensureLease()
       val (schema, idCol) = schemaIdOf(table)
       val metaCols = Seq("effective_from", "effective_to", "is_current")
       require(metaCols.forall(schema.fieldNames.contains),
@@ -983,6 +1029,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           s"${attrs.mkString(", ")} vs key+tracked " +
           s"${(keyCol +: tracked).mkString(", ")}")
       val src = source.select((keyCol +: tracked).map(col): _*)
+      markMergeDomain(table, src, keyCol)
       require(src.filter(col(keyCol).isNull).isEmpty,
         "SCD2 batch has NULL natural keys")
       require(src.groupBy(keyCol).count().filter(col("count") > 1).isEmpty,
@@ -1218,8 +1265,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * Conflict detection is FILE-level (round 11): a concurrent commit
     * to a staged table aborts only when the two commits fail to
     * commute — overlapping file rewrites, schema/CHECK changes, ops
-    * whose staged bytes depend on the whole live table (merge/SCD2),
-    * or concurrent id allocation inside a multi-table body. Commuting
+    * whose staged bytes depend on the whole live table, a commit
+    * inside a merge/SCD2's key domain (round 13: keyed upserts record
+    * their source key range and reconcile against commits whose file
+    * stats prove disjointness — many-writer dimension loads), or
+    * concurrent id allocation inside a multi-table body. Commuting
     * commits (two loaders reloading two different days, an append
     * beside a pinned update) are RECONCILED under the lock — the
     * transaction's file delta replays onto the current state, with a
@@ -1279,10 +1329,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
     *    reloading two different days via [[Tx.replaceWhere]], an append
     *    landing beside a pinned update). Overlap = a true write-write
     *    conflict, [[Catalog.ConcurrentWriteException]];
-    *  - the op's read set was contained in the files it removed
-    *    ([[Tx.strictTables]] marks the ops — merge/SCD2/addCheck —
-    *    whose staged bytes depend on the WHOLE live table; they never
-    *    reconcile).
+    *  - the op's read set was contained in the files it removed, OR —
+    *    for merge/SCD2, whose read set is the table slice holding the
+    *    source batch's key domain — the concurrent delta's stats ranges
+    *    prove it stayed outside that domain ([[Tx.mergeKeyRanges]]).
+    *    [[Tx.strictTables]] marks the ops whose staged bytes depend on
+    *    the WHOLE live table (DDL/check, and merges whose key is not a
+    *    stats column); they never reconcile.
     *
     * If both sides allocated surrogate ids, this transaction's new rows
     * are ID-REBASED: its added files are rewritten with ids shifted
@@ -1306,7 +1359,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
           s"this transaction's snapshot ($why); re-run against the new " +
           "state")
     if (tx.strictTables.contains(table))
-      conflict("whole-table-dependent op: merge/SCD2/DDL/check")
+      conflict("whole-table-dependent op: DDL/check/restore, or a " +
+        "merge/SCD2 whose key domain is not provable from stats")
     val b = baseOpt.getOrElse(TableState(0L, Vector.empty))
     val c = curOpt.getOrElse(TableState(0L, Vector.empty))
     if (st.schema != b.schema || st.checks != b.checks ||
@@ -1316,11 +1370,33 @@ final class Catalog(val spark: SparkSession, val root: String) {
       conflict("id high-water rewound (concurrent restore)")
     val stFiles = st.files.toSet
     val curFiles = c.files.toSet
+    val bFiles = b.files.toSet
     val removed = b.files.filterNot(stFiles.contains).toSet
-    val added = st.files.filterNot(b.files.toSet.contains)
+    val added = st.files.filterNot(bFiles.contains)
     val curRemoved = b.files.filterNot(curFiles.contains).toSet
     if (removed.exists(curRemoved.contains))
       conflict("overlapping file rewrites")
+    // keyed-upsert domain check (round 13): a merge/SCD2 read exactly
+    // the table slice holding its source keys, so it reconciles iff the
+    // concurrent commit's whole file delta is provably OUTSIDE that
+    // domain — stats ranges in the manifest are the proof. A delta file
+    // with no keyCol stats cannot be proven disjoint (e.g. an all-NULL-
+    // key insert or a pre-stats file): conservative conflict.
+    tx.mergeKeyRanges.get(table).foreach { case (keyCol, lo, hi) =>
+      val curAdded = c.files.filterNot(bFiles.contains)
+      (curRemoved.toVector ++ curAdded).foreach { f =>
+        f.cols.get(keyCol) match {
+          case Some((mn, mx)) =>
+            if (mn <= hi && lo <= mx)
+              conflict(s"concurrent commit touched this merge's " +
+                s"'$keyCol' domain [$lo, $hi] (file ${f.path} " +
+                s"covers [$mn, $mx])")
+          case None =>
+            conflict(s"cannot prove '$keyCol' disjointness for " +
+              s"concurrently-written file ${f.path} (no stats)")
+        }
+      }
+    }
     val alloc = st.maxId - b.maxId
     val curAlloc = c.maxId - b.maxId
     val (finalAdded, finalMaxId) =

@@ -120,4 +120,72 @@ class StoreRaceFuzzSpec extends SparkSuite {
         assert(byEmail(em) != "user", s"update lost on $em")
       }
   }
+
+  test("two racing MERGE writers on disjoint key domains: every upsert " +
+    "lands (round-13 keyed-upsert reconcile), ids stay dense, no row " +
+    "lost or duplicated") {
+    val root = Files.createTempDirectory("graft_merge_race").toString
+    val rounds = 6
+    // writer w upserts only keys in its own domain: w1 -> [1, 60],
+    // w2 -> [1001, 1060]; o_orderkey is a manifest stats column, so the
+    // domains are provably disjoint and both merges should reconcile
+    // instead of serializing through retries
+    def domain(wid: Int): Long = if (wid == 1) 0L else 1000L
+    val lastValue = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+
+    def batch(keys: Seq[Long], status: String) =
+      keys.map(k => (k, k * 10, status, 1.0,
+        new java.sql.Timestamp(0L), "P"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+
+    def writer(wid: Int): Runnable = () => {
+      val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED")
+        .map(_.toLong + 100 + wid).getOrElse(7000L + wid))
+      val cat = new Catalog(spark, root)
+      start.await()
+      try {
+        for (i <- 1 to rounds) {
+          // a random mixed batch from THIS writer's domain: some keys
+          // repeat across rounds (updates), some are fresh (inserts)
+          val keys = Seq.fill(1 + rnd.nextInt(5))(
+            domain(wid) + 1 + rnd.nextInt(60)).distinct.map(_.toLong)
+          val status = s"w$wid-r$i"
+          cat.merge("orders_ingest", batch(keys, status), "o_orderkey")
+          // merges of one writer are sequential, domains are disjoint:
+          // the table's final value per key IS the writer's last merge
+          keys.foreach(k => lastValue.put(k, status))
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    }
+
+    pool.submit(writer(1)); pool.submit(writer(2))
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "writers hung")
+    assert(errors.isEmpty, s"merge writer threw: ${errors.peek()}")
+
+    val cat = new Catalog(spark, root)
+    val rows = cat.read("orders_ingest")
+      .select("o_orderkey", "o_orderstatus", "ingest_id")
+      .as[(Long, String, Long)].collect()
+    import scala.jdk.CollectionConverters._
+    val expect = lastValue.asScala.toMap
+    assert(rows.map(_._1).toSet == expect.keySet,
+      s"row set diverged: got ${rows.length} keys, " +
+        s"expected ${expect.size}")
+    assert(rows.length == expect.size,
+      "a key appears more than once (lost-update anomaly)")
+    rows.foreach { case (k, v, _) =>
+      assert(v == expect(k), s"key $k: got '$v', last merge was " +
+        s"'${expect(k)}' (lost update)")
+    }
+    // id rebases under reconcile must keep ids dense and unique
+    val ids = rows.map(_._3).sorted
+    assert(ids.sameElements(1L to ids.length.toLong),
+      s"ids not dense: ${ids.toSeq}")
+  }
 }

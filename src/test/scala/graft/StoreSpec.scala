@@ -612,6 +612,67 @@ class StoreSpec extends SparkSuite {
     assert(cat.read("users").count() == 3)
   }
 
+  private def orderBatch(keys: Seq[Long], status: String) =
+    keys.map(k => (k, k * 10, status, 1.0,
+      new java.sql.Timestamp(0L), "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+
+  test("disjoint-key merges reconcile: two writers upserting different " +
+    "key ranges of one table both commit (stats prove disjointness); " +
+    "overlapping domains still conflict") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cat1 = new Catalog(spark, root)
+    val cat2 = new Catalog(spark, root)
+    // seed two file groups with well-separated o_orderkey stats ranges
+    cat1.append("orders_ingest", orderBatch(1L to 10L, "seed"))   // ids 1-10
+    cat1.append("orders_ingest", orderBatch(100L to 110L, "seed")) // ids 11-21
+    // writer 1 opens a tx and merges in the LOW domain (updates 1-3,
+    // inserts 11-12); before it commits, writer 2's merge in the HIGH
+    // domain (updates 100-101, inserts 111) lands fully
+    cat1.transaction { tx =>
+      tx.merge("orders_ingest",
+        orderBatch(Seq(1L, 2L, 3L, 11L, 12L), "A"), "o_orderkey")
+      cat2.merge("orders_ingest",
+        orderBatch(Seq(100L, 101L, 111L), "B"), "o_orderkey")
+    } // commit-time reconcile: key domains [1,12] vs [100,111] disjoint
+    val rows = cat1.read("orders_ingest")
+      .select("o_orderkey", "o_orderstatus", "ingest_id")
+      .as[(Long, String, Long)].collect()
+    val byKey = rows.map(r => r._1 -> r._2).toMap
+    assert(Seq(1L, 2L, 3L, 11L, 12L).forall(byKey(_) == "A"),
+      s"merge A lost: $byKey")
+    assert(Seq(100L, 101L, 111L).forall(byKey(_) == "B"),
+      s"merge B lost: $byKey")
+    assert(Seq(4L, 10L, 102L, 110L).forall(byKey(_) == "seed"),
+      "untouched keys must keep seed values")
+    assert(rows.length == 24, s"21 seed + 3 inserts, got ${rows.length}")
+    // both sides inserted -> writer 1's new ids were REBASED past
+    // writer 2's allocation: still dense and unique
+    val ids = rows.map(_._3).sorted
+    assert(ids.sameElements(1L to 24L),
+      s"ids not dense after rebase: ${ids.toSeq}")
+    // overlapping key domains: the stats ranges intersect, so the
+    // second committer still fails loudly
+    intercept[Catalog.ConcurrentWriteException] {
+      cat1.transaction { tx =>
+        tx.merge("orders_ingest", orderBatch(Seq(1L, 2L), "C"),
+          "o_orderkey")
+        cat2.merge("orders_ingest", orderBatch(Seq(2L, 3L), "D"),
+          "o_orderkey")
+      }
+    }
+    // a merge keyed on a NON-stats column stays whole-table strict:
+    // any concurrent commit (even key-disjoint) conflicts
+    intercept[Catalog.ConcurrentWriteException] {
+      cat1.transaction { tx =>
+        tx.merge("orders_ingest", orderBatch(Seq(5L), "E"), "o_custkey")
+        cat2.merge("orders_ingest", orderBatch(Seq(300L), "F"),
+          "o_orderkey")
+      }
+    }
+  }
+
   test("changefeed: inserts/deletes between versions reflect appends, " +
     "updates (old+new image) and merges; COW-copied rows cancel out; " +
     "v0 baseline replays the table as inserts") {
