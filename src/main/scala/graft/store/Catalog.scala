@@ -409,10 +409,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * them), so after a migration, a restore, or any out-of-band copy
     * this is the audit a 100 TB deployment runs before trusting reads.
     *
-    * Returns one row per live file: (file, n_rows, ok, problem). Cost:
-    * one scan of the table grouped by input file — the same shape as
-    * stats collection at write time. Never throws on findings (an audit
-    * reports; callers decide).
+    * Returns one row per live file: (file, n_rows, ok, problem), plus
+    * one diagnosis row per ORPHANED data file — a parquet under the
+    * table's directory that NO manifest (current or retained history)
+    * references. Orphans are unreachable by any read — they are
+    * vacuum's input (a failed transaction's staged files, an aborted
+    * writer's debris) surfaced so an audit explains disk usage; a
+    * concurrent in-flight writer's staged-but-uncommitted files also
+    * appear, so audit a quiescent store or cross-check writer leases.
+    * Cost: one scan of the table grouped by input file — the same
+    * shape as stats collection at write time — plus a directory walk.
+    * Never throws on findings (an audit reports; callers decide).
     */
   def fsck(table: String): DataFrame = {
     import spark.implicits._
@@ -453,6 +460,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
           }
       }
     val observed = observedRows.map(o => o._1 -> o).toMap
+    // columns the CURRENT schema makes observable: a manifest claim for
+    // one of these that reads back without a range (all-NULL column) is
+    // unverifiable and must be flagged, not silently passed — it could
+    // be wrong and readRange would prune by it. Claims for columns the
+    // schema no longer carries (dropColumn) are legitimately
+    // unverifiable and stay quiet.
+    val observableStats = Schemas.statsColumns.getOrElse(table, Nil)
+      .filter(schema.fieldNames.contains).toSet
     val verdicts = entries.map { f =>
       val problem: String =
         if (missing.contains(f)) "file missing on disk"
@@ -469,6 +484,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
                   o._1 < cmn || o._2 > cmx) =>
                   s"column '$c' range ${cols(c)} escapes manifest " +
                     s"[$cmn,$cmx]"
+                case (c, (cmn, cmx)) if observableStats.contains(c) &&
+                  !cols.contains(c) =>
+                  s"column '$c' stat claimed [$cmn,$cmx] but " +
+                    "unobservable (column reads back all-NULL)"
               }
               bad.getOrElse("")
             }
@@ -476,7 +495,46 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val n = observed.get(f.path).map(_._2).getOrElse(0L)
       (f.path, n, problem.isEmpty, problem)
     }
-    verdicts.toDF("file", "n_rows", "ok", "problem")
+    // orphan sweep: parquet files under the table's directory that no
+    // manifest — current or retained history — references (root-wide
+    // reference set: a clone references its source's files from another
+    // table entry)
+    val referenced: Set[java.nio.file.Path] = {
+      val cur = m.values.flatMap(_.files)
+        .map(f => rootPath.resolve(f.path).toAbsolutePath.normalize)
+      val hist =
+        if (!Files.exists(historyDir)) Vector.empty
+        else {
+          val hs = Files.list(historyDir)
+          val ps = try {
+            hs.iterator().asScala
+              .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+              .toVector
+          } finally hs.close()
+          ps.flatMap(p => parseManifest(Files.readAllBytes(p))
+            .values.flatMap(_.files)
+            .map(f => rootPath.resolve(f.path).toAbsolutePath.normalize))
+        }
+      (cur ++ hist).toSet
+    }
+    val tableDir = rootPath.resolve(table)
+    val orphans: Seq[(String, Long, Boolean, String)] =
+      if (!Files.exists(tableDir)) Nil
+      else {
+        val it = Files.walk(tableDir)
+        val found = try {
+          it.iterator().asScala
+            .filter(p => Files.isRegularFile(p)
+              && p.getFileName.toString.endsWith(".parquet"))
+            .filterNot(p => referenced.contains(p.toAbsolutePath.normalize))
+            .map(p => rootPath.toAbsolutePath.normalize
+              .relativize(p.toAbsolutePath.normalize).toString)
+            .toVector
+        } finally it.close()
+        found.sorted.map(o => (o, 0L, false,
+          "orphan: referenced by no retained manifest (vacuum candidate)"))
+      }
+    (verdicts ++ orphans).toDF("file", "n_rows", "ok", "problem")
   }
 
   // ---- writes ------------------------------------------------------------
@@ -1151,9 +1209,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * so vacuuming the source never reclaims files a clone still
       * references. */
     def cloneTable(src: String, dst: String,
-        versionAsOf: Option[Long] = None): Unit = {
+        versionAsOf: Option[Long] = None,
+        /** Clone the snapshot current AT this wall-clock time (Delta
+          * `TIMESTAMP AS OF`): resolved to a version via
+          * [[Catalog.versionAsOf]] — same loud guards (no silent
+          * nearest-match, vacuumed history refuses). Mutually exclusive
+          * with `versionAsOf`. */
+        timestampAsOf: Option[Long] = None): Unit = {
       ensureLease()
       require(src != dst, "clone onto itself")
+      require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+        "pass versionAsOf OR timestampAsOf, not both")
       require(curState(dst).files.isEmpty && !base.contains(dst) &&
         !Schemas.registry.contains(dst),
         s"clone target '$dst' already exists")
@@ -1162,7 +1228,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // (experiment reproducibility at a pinned version) — same loud
       // guards as restoreTo: the version must exist and its files must
       // not have been vacuumed away
-      val st = versionAsOf match {
+      val st = versionAsOf
+        .orElse(timestampAsOf.map(Catalog.this.versionAsOf)) match {
         case None => curState(src)
         case Some(v) =>
           val hp = historyDir.resolve(s"v$v.json")
@@ -1466,8 +1533,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
     retried(_.compact(table, numFiles))
 
   def cloneTable(src: String, dst: String,
-      versionAsOf: Option[Long] = None): Unit =
-    retried(_.cloneTable(src, dst, versionAsOf))
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): Unit =
+    retried(_.cloneTable(src, dst, versionAsOf, timestampAsOf))
 
   def replaceWhere(table: String, column: String, lo: Long, hi: Long,
       rows: DataFrame): (Long, Long) =

@@ -142,6 +142,85 @@ class CloneSpec extends SparkSuite {
     }
   }
 
+  test("TIMESTAMP AS OF clone: freezes the snapshot current at the " +
+    "given wall-clock time; a pre-history timestamp fails loudly") {
+    val cat = freshCat()
+    val t0 = System.currentTimeMillis() - 1
+    cat.append("users", user("a", "a@x.c")) // v1
+    Thread.sleep(25) // commit stamps are millis: separate them
+    val tBetween = System.currentTimeMillis()
+    Thread.sleep(25)
+    cat.append("users", user("b", "b@x.c")) // v2
+    cat.cloneTable("users", "users_at", timestampAsOf = Some(tBetween))
+    val got = cat.read("users_at").select("email").as[String].collect()
+    assert(got.toSeq == Seq("a@x.c"),
+      s"clone at tBetween must see only v1: ${got.toSeq}")
+    // and the clone is writable with the frozen high-water mark
+    assert(cat.append("users_at", user("c", "c@x.c")) == 2L)
+    // before any commit existed: loud failure, no silent nearest-match
+    intercept[IllegalArgumentException] {
+      cat.cloneTable("users", "users_pre", timestampAsOf = Some(t0))
+    }
+    // both pins at once is a caller bug
+    intercept[IllegalArgumentException] {
+      cat.cloneTable("users", "users_both", versionAsOf = Some(1L),
+        timestampAsOf = Some(tBetween))
+    }
+  }
+
+  test("fsck orphan sweep: a failed transaction's staged files surface " +
+    "as orphan diagnosis rows; history-retained files do not") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c")) // v1
+    // COW rewrite: v1's file goes dead but stays referenced by the v1
+    // HISTORY manifest — retained for time travel, NOT an orphan
+    cat.update("users", col("email") === "a@x.c",
+      Map("user_role" -> lit("admin"))) // v2
+    assert(cat.fsck("users").collect().forall(_.getBoolean(2)),
+      "history-retained files must not be flagged as orphans")
+    // a failed transaction leaves staged files no manifest references
+    intercept[RuntimeException] {
+      cat.transaction { tx =>
+        tx.append("users", user("b", "b@x.c"))
+        throw new RuntimeException("boom")
+      }
+    }
+    val rows = cat.fsck("users").collect()
+    val orphans = rows.filter(r => r.getString(3).startsWith("orphan"))
+    assert(orphans.nonEmpty, s"staged debris not surfaced: " +
+      rows.mkString(", "))
+    assert(orphans.forall(r => !r.getBoolean(2)))
+    // live rows still verify clean alongside the diagnosis rows
+    assert(rows.filterNot(r => r.getString(3).startsWith("orphan"))
+      .forall(_.getBoolean(2)))
+  }
+
+  test("fsck flags a claimed-but-unobservable column stat (all-NULL " +
+    "column under a concrete manifest claim) instead of passing it") {
+    val cat = freshCat()
+    val rows = Seq((Option.empty[Long], 1L, "P", 1.0,
+      new java.sql.Timestamp(0L), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    cat.append("orders_ingest", rows)
+    assert(cat.fsck("orders_ingest").collect().forall(_.getBoolean(2)),
+      "an honest stats-less file must verify clean")
+    // tamper: claim a concrete o_orderkey range the all-NULL file can
+    // never witness — pre-fix this passed as ok and readRange would
+    // prune by a fabricated claim
+    val mPath = Paths.get(cat.root, "_manifest.json")
+    val json = new String(Files.readAllBytes(mPath), "UTF-8")
+    val tampered = json.replaceFirst("\"min\":",
+      "\"cols\":{\"o_orderkey\":[5,10]},\"min\":")
+    assert(tampered != json, "tamper target not found:\n" + json)
+    Files.write(mPath, tampered.getBytes("UTF-8"))
+    val flagged = new Catalog(spark, cat.root).fsck("orders_ingest")
+      .collect().filter(!_.getBoolean(2))
+    assert(flagged.length == 1 &&
+      flagged.head.getString(3).contains("unobservable"),
+      flagged.mkString(", "))
+  }
+
   test("fsck: healthy store verifies clean; a tampered manifest id range " +
     "and a deleted live file are each flagged with the right diagnosis") {
     val cat = freshCat()
