@@ -72,6 +72,36 @@ object Sessions {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** The disk-spilling state store for stateful streaming (SURVEY
+    * §7.5b): the default HDFSBackedStateStoreProvider keeps every
+    * partition's state map ON-HEAP, so at 100 TB-scale state (dedup
+    * fingerprints over a day's ingest, open sessions for hundreds of
+    * millions of users) executors OOM long before CPU saturates.
+    * RocksDB keeps state off-heap on local disk with incremental
+    * checkpointing — the provider Spark itself recommends for large
+    * state. Sizing rule: default provider while peak state per
+    * partition stays well inside executor heap (state rows x row size /
+    * partitions << heap); switch to RocksDB beyond that, at the cost of
+    * per-access (de)serialization. The provider is STICKY in a query's
+    * checkpoint: choose it before first start. */
+  val RocksDbStateStoreProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the streaming state-store provider temporarily set
+    * (queries STARTED inside pick it up; running queries keep theirs).
+    * `withStateStore(spark, RocksDbStateStoreProvider) { ... }` is the
+    * 100 TB knob — see [[RocksDbStateStoreProvider]]. */
+  def withStateStore[T](spark: SparkSession, providerClass: String)(
+      body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, providerClass)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Local session sized to the harness (local[N] = N executor threads in
     * one JVM; shuffle partitions match cores, not the 200 default). */
   def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -87,6 +87,29 @@ class StreamingReplaySpec extends SparkSuite {
       "keyed sink must keep the FIRST completion")
   }
 
+  test("streaming dedup under the RocksDB state store provider (the " +
+    "100 TB spill knob) equals the batch DISTINCT oracle; provider " +
+    "restores after") {
+    import graft.core.Sessions
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val got = Sessions.withStateStore(spark,
+        Sessions.RocksDbStateStoreProvider) {
+      assert(spark.conf.get(key) == Sessions.RocksDbStateStoreProvider)
+      graft.streaming.StreamDedup.distinctFingerprints(spark, sf)
+        .as[String].collect().toSeq
+    }
+    assert(spark.conf.getOption(key) == before,
+      "state-store provider must restore after the scope")
+    val oracle = spark.read.parquet(s"$sf/documents.parquet")
+      .select(md5(col("text")).as("fp")).distinct()
+      .orderBy("fp").as[String].collect().toSeq
+    assert(got == oracle,
+      s"RocksDB-backed dedup diverged: got ${got.size} vs " +
+        s"${oracle.size} fingerprints")
+    assert(got.nonEmpty)
+  }
+
   test("streaming PIT features equal the batch PIT join row-for-row " +
     "(online == offline under two-source multi-batch replay)") {
     val sf = "/root/testdata/sf0.001"
