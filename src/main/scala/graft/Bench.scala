@@ -159,7 +159,11 @@ object Bench {
       // family (q18 1.90s in-family vs 0.81s isolated, identical plan) and
       // layout (zorder 0.40 vs 0.16) once the registry grew past ~150
       // queries — extend the min-of-3 guard to them.
-      if (Set("dedup", "sim", "tpch", "layout")(fam))
+      // r13: pagerank burned attribution effort in r9/r11/r12 (6.8-11.5 s
+      // band, intermittent codegen-cache stall inside the fixed-point
+      // loop's per-round stages) — the graph family joins the guard so
+      // one bad draw cannot set the reported number for the loop ops.
+      if (Set("dedup", "sim", "tpch", "layout", "graph")(fam))
         pb.environment().put("SPARK_GRAFT_BENCH_RUNS",
           math.max(runs, 3).toString)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)

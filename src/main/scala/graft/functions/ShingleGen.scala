@@ -69,42 +69,58 @@ object ShingleGen {
       c == 0x0B // \s in Java regex: [ \t\n\x0B\f\r]
 
   /** One pass over the text: token boundaries -> ring of the last k token
-    * slices -> first-seen shingles. */
+    * slices -> first-seen shingles, emitted from a LAZY iterator — no
+    * per-document output buffer, so peak memory for a huge document is
+    * the seen-set plus one pending row (round-13 fix: the first version
+    * eagerly buffered every row into an ArrayBuffer, matching the
+    * declarative path's allocation for large docs). The text is copied
+    * to a String eagerly, so the iterator holds no reference to Spark's
+    * reused input row. */
   def shingles(text: UTF8String, k: Int): Iterator[InternalRow] = {
     val s = text.toString
     val n = s.length
-    // ring of the last k token (start, end) offsets
-    val starts = new Array[Int](k)
-    val ends = new Array[Int](k)
-    var filled = 0
-    val seen = new java.util.HashSet[String]()
-    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i < n) {
-      while (i < n && isSpace(s.charAt(i))) i += 1
-      if (i < n) {
-        val st = i
-        while (i < n && !isSpace(s.charAt(i))) i += 1
-        // push token into the ring
-        val slot = filled % k
-        starts(slot) = st; ends(slot) = i
-        filled += 1
-        if (filled >= k) {
-          sb.setLength(0)
-          var j = filled - k
-          while (j < filled) {
-            if (j > filled - k) sb.append(' ')
-            sb.append(s, starts(j % k), ends(j % k))
-            j += 1
+    new Iterator[InternalRow] {
+      // ring of the last k token (start, end) offsets
+      private val starts = new Array[Int](k)
+      private val ends = new Array[Int](k)
+      private var filled = 0
+      private val seen = new java.util.HashSet[String]()
+      private val sb = new java.lang.StringBuilder()
+      private var i = 0
+      private var pending: InternalRow = _
+
+      private def advance(): Unit = {
+        pending = null
+        while (pending == null && i < n) {
+          while (i < n && isSpace(s.charAt(i))) i += 1
+          if (i < n) {
+            val st = i
+            while (i < n && !isSpace(s.charAt(i))) i += 1
+            // push token into the ring
+            val slot = filled % k
+            starts(slot) = st; ends(slot) = i
+            filled += 1
+            if (filled >= k) {
+              sb.setLength(0)
+              var j = filled - k
+              while (j < filled) {
+                if (j > filled - k) sb.append(' ')
+                sb.append(s, starts(j % k), ends(j % k))
+                j += 1
+              }
+              val sh = sb.toString
+              if (seen.add(sh)) pending = InternalRow(UTF8String.fromString(sh))
+            }
           }
-          val sh = sb.toString
-          if (seen.add(sh))
-            out += InternalRow(UTF8String.fromString(sh))
         }
       }
+      advance()
+
+      override def hasNext: Boolean = pending != null
+      override def next(): InternalRow = {
+        val r = pending; advance(); r
+      }
     }
-    out.iterator
   }
 
   /** Idempotently register with the session, then build a call (the
