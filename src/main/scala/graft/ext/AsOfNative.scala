@@ -192,6 +192,32 @@ object AsOfNative {
       .orderBy("event_id")
   }
 
+  /** The round-13 hot-key rescue under the oracle: the SAME backward
+    * as-of as `ext_asof_exec`, executed through the [[graft.plans.SkewSalt]]
+    * salted-replicate rewrite (salt 4 — left rows split across 4 salt
+    * buckets, the view history replicated into each). Salting is
+    * semantics-neutral by construction (each left row lands in exactly
+    * one bucket with the full right history for its key), so the oracle
+    * is DuckDB's plain ASOF LEFT JOIN — a hash mismatch here means the
+    * rescue changed results. The per-task bound itself is pinned in
+    * PlansSpec (planted hot key) and PlansFuzzSpec (fuzzed salt). */
+  val asofSalted: Q = Q(
+    "ext_asof_salted",
+    s"""SELECT l.event_id,
+       |  epoch_us(l.ts) - epoch_us(r.rts) AS gap_us, r.rv
+       |FROM $oracleSides
+       |  ON l.user_id = r.u AND l.ts >= r.rts
+       |ORDER BY l.event_id""".stripMargin
+  ) { (s, d) =>
+    val (l, r) = sides(s, d)
+    AsOf.join(l, r, Seq("user_id" -> "u"), "ts", "rts",
+      skewSalt = Some(4))
+      .select(col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("rts"))).as("gap_us"),
+        col("rv"))
+      .orderBy("event_id")
+  }
+
   def all: Seq[Q] = Seq(asofBackward, asofTolerance, asofForward,
-    intervalJoin, asofScd2)
+    intervalJoin, asofScd2, asofSalted)
 }
