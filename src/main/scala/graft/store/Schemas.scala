@@ -152,7 +152,15 @@ object Schemas {
     "registrations" -> Seq("created_at"),
     "payments" -> Seq("payment_date"),
     "events_ingest" -> Seq("ts"),
-    "orders_ingest" -> Seq("o_orderkey"))
+    "orders_ingest" -> Seq("o_orderkey"),
+    // natural-key stats on the upsert-keyed tables (round 13): beyond
+    // readRange skipping, these are what lets a keyed merge/SCD2
+    // RECONCILE against a concurrent commit under OCC — the manifest
+    // ranges prove two writers' key domains disjoint (Catalog.reconcile),
+    // the many-shard index-maintenance / dimension-load shape at 100 TB
+    "users_dim" -> Seq("user_id"),
+    "lsh_index" -> Seq("idx_key"),
+    "ivf_index" -> Seq("vec_id"))
 
   val registry: Map[String, (StructType, String)] = Map(
     "users" -> (users, "user_id"),

@@ -673,6 +673,53 @@ class StoreSpec extends SparkSuite {
     }
   }
 
+  test("disjoint-key SCD2 merges reconcile: two dimension loaders on " +
+    "different key shards both commit; overlapping shards conflict") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cat1 = new Catalog(spark, root)
+    val cat2 = new Catalog(spark, root)
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    def batch(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("user_id", "user_role", "email")
+    // seed both shards' current rows in separate commits (separate
+    // file groups with disjoint user_id stats)
+    cat1.scd2Merge("users_dim", batch((1L, "user", "a@x.c"),
+      (2L, "user", "b@x.c")), "user_id", Seq("user_role", "email"), t1)
+    cat1.scd2Merge("users_dim", batch((100L, "user", "x@x.c")),
+      "user_id", Seq("user_role", "email"), t1)
+    // loader 1 (keys 1-2) is mid-transaction when loader 2 (key 100,
+    // plus a new key 101) commits — disjoint shards must reconcile
+    cat1.transaction { tx =>
+      tx.scd2Merge("users_dim", batch((2L, "organizer", "b@x.c")),
+        "user_id", Seq("user_role", "email"), t2)
+      cat2.scd2Merge("users_dim", batch((100L, "admin", "x@x.c"),
+        (101L, "user", "y@x.c")), "user_id", Seq("user_role", "email"), t2)
+    }
+    val rows = cat1.read("users_dim")
+      .select("user_id", "user_role", "is_current")
+      .as[(Long, String, Boolean)].collect()
+    val current = rows.filter(_._3).map(r => r._1 -> r._2).toMap
+    assert(current == Map(1L -> "user", 2L -> "organizer",
+      100L -> "admin", 101L -> "user"), s"current rows: $current")
+    // both loaders' closed episodes survive (2 and 100 each have one)
+    assert(rows.count(!_._3) == 2, s"closed episodes: ${rows.toSeq}")
+    // ids stay dense across the reconcile's insert rebase
+    val ids = cat1.read("users_dim").select("dim_id")
+      .as[Long].collect().sorted
+    assert(ids.sameElements(1L to ids.length.toLong),
+      s"ids not dense: ${ids.toSeq}")
+    // overlapping shards: loser fails loudly
+    intercept[Catalog.ConcurrentWriteException] {
+      cat1.transaction { tx =>
+        tx.scd2Merge("users_dim", batch((1L, "vip", "a@x.c")),
+          "user_id", Seq("user_role", "email"), t2)
+        cat2.scd2Merge("users_dim", batch((1L, "banned", "a@x.c")),
+          "user_id", Seq("user_role", "email"), t2)
+      }
+    }
+  }
+
   test("changefeed: inserts/deletes between versions reflect appends, " +
     "updates (old+new image) and merges; COW-copied rows cancel out; " +
     "v0 baseline replays the table as inserts") {
