@@ -987,7 +987,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
       require(keyCol != idCol,
         s"merge key must be a natural key, not the surrogate id $idCol")
       val srcCols = schema.fieldNames.filterNot(_ == idCol).toSeq
-      val src = source.select(srcCols.map(col): _*)
+      // materialize the source ONCE before anything reads it (same rule
+      // as replaceWhere): the batch feeds the duplicate check, the CHECK
+      // validation, the matched rewrite, the insert anti-join, AND the
+      // OCC key-domain recording — a non-deterministic source must not
+      // pass validation on one evaluation and write different rows (or
+      // record a different key domain) on the next
+      val src = {
+        import graft.core.Eager.EagerCheckpoint
+        source.select(srcCols.map(col): _*).eagerCheckpoint()
+      }
       markMergeDomain(table, src, keyCol)
       // NULL keys are exempt from the duplicate check: they can never
       // match the same target row (NULL matches nothing), so several of
@@ -1086,7 +1095,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
         s"SCD2 batch must determine the whole row: '$table' attributes " +
           s"${attrs.mkString(", ")} vs key+tracked " +
           s"${(keyCol +: tracked).mkString(", ")}")
+      // materialized once for the same reason as merge: dup/NULL checks,
+      // change detection, and the OCC key domain must see ONE batch
       val src = source.select((keyCol +: tracked).map(col): _*)
+        .eagerCheckpoint()
       markMergeDomain(table, src, keyCol)
       require(src.filter(col(keyCol).isNull).isEmpty,
         "SCD2 batch has NULL natural keys")

@@ -121,9 +121,9 @@ class StoreRaceFuzzSpec extends SparkSuite {
       }
   }
 
-  test("two racing MERGE writers on disjoint key domains: every upsert " +
-    "lands (round-13 keyed-upsert reconcile), ids stay dense, no row " +
-    "lost or duplicated") {
+  test("two racing writers mixing MERGE/update/delete on disjoint key " +
+    "domains: every op lands per-key last-writer-exact (round-13 " +
+    "keyed-upsert reconcile), ids unique, no row lost or duplicated") {
     val root = Files.createTempDirectory("graft_merge_race").toString
     val rounds = 6
     // writer w upserts only keys in its own domain: w1 -> [1, 60],
@@ -146,18 +146,44 @@ class StoreRaceFuzzSpec extends SparkSuite {
       val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED")
         .map(_.toLong + 100 + wid).getOrElse(7000L + wid))
       val cat = new Catalog(spark, root)
+      // this writer's keys currently in the table (domains are disjoint,
+      // so single-thread bookkeeping is exact)
+      val mine = scala.collection.mutable.Set[Long]()
       start.await()
       try {
         for (i <- 1 to rounds) {
-          // a random mixed batch from THIS writer's domain: some keys
-          // repeat across rounds (updates), some are fresh (inserts)
-          val keys = Seq.fill(1 + rnd.nextInt(5))(
-            domain(wid) + 1 + rnd.nextInt(60)).distinct.map(_.toLong)
           val status = s"w$wid-r$i"
-          cat.merge("orders_ingest", batch(keys, status), "o_orderkey")
-          // merges of one writer are sequential, domains are disjoint:
-          // the table's final value per key IS the writer's last merge
-          keys.foreach(k => lastValue.put(k, status))
+          rnd.nextInt(4) match {
+            case 0 | 1 => // keyed upsert: repeats update, fresh inserts
+              val keys = Seq.fill(1 + rnd.nextInt(5))(
+                domain(wid) + 1 + rnd.nextInt(60)).distinct.map(_.toLong)
+              cat.merge("orders_ingest", batch(keys, status), "o_orderkey")
+              keys.foreach { k => lastValue.put(k, status); mine += k }
+            case 2 => // pinned update on one owned key (hit-file rewrite
+              // racing the other writer's merges through reconcile)
+              if (mine.nonEmpty) {
+                val k = mine.toVector(rnd.nextInt(mine.size))
+                cat.update("orders_ingest", col("o_orderkey") === k,
+                  Map("o_orderstatus" -> lit(status)))
+                lastValue.put(k, status)
+              } else {
+                val k = domain(wid) + 1 + rnd.nextInt(60)
+                cat.merge("orders_ingest", batch(Seq(k), status),
+                  "o_orderkey")
+                lastValue.put(k, status); mine += k
+              }
+            case 3 => // delete one owned key (a later merge re-inserts it)
+              if (mine.nonEmpty) {
+                val k = mine.toVector(rnd.nextInt(mine.size))
+                cat.delete("orders_ingest", col("o_orderkey") === k)
+                lastValue.remove(k); mine -= k
+              } else {
+                val k = domain(wid) + 1 + rnd.nextInt(60)
+                cat.merge("orders_ingest", batch(Seq(k), status),
+                  "o_orderkey")
+                lastValue.put(k, status); mine += k
+              }
+          }
         }
       } catch { case t: Throwable => errors.add(t) }
     }
@@ -183,9 +209,13 @@ class StoreRaceFuzzSpec extends SparkSuite {
       assert(v == expect(k), s"key $k: got '$v', last merge was " +
         s"'${expect(k)}' (lost update)")
     }
-    // id rebases under reconcile must keep ids dense and unique
-    val ids = rows.map(_._3).sorted
-    assert(ids.sameElements(1L to ids.length.toLong),
-      s"ids not dense: ${ids.toSeq}")
+    // id rebases under reconcile must never clone or collide an id
+    // (deletes make gaps legal; uniqueness and the high-water bound are
+    // the surviving invariants)
+    val ids = rows.map(_._3)
+    assert(ids.distinct.length == ids.length,
+      s"duplicate ids after reconcile rebase: ${ids.sorted.toSeq}")
+    assert(ids.isEmpty || ids.max <= cat.maxId("orders_ingest"),
+      "an id escaped the recorded high-water mark")
   }
 }
