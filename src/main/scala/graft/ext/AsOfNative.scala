@@ -210,8 +210,13 @@ object AsOfNative {
        |ORDER BY l.event_id""".stripMargin
   ) { (s, d) =>
     val (l, r) = sides(s, d)
+    // broadcastRight pinned false: the fixture's view side is broadcast-
+    // small, and an unpinned salt request yields to the planner's
+    // broadcast fast path (no shuffle = nothing to rescue) — the pin is
+    // what a 100 TB caller whose right side outgrows the estimate does,
+    // and it makes the gate row actually execute the salted rewrite
     AsOf.join(l, r, Seq("user_id" -> "u"), "ts", "rts",
-      skewSalt = Some(4))
+      broadcastRight = Some(false), skewSalt = Some(4))
       .select(col("event_id"),
         (unix_micros(col("ts")) - unix_micros(col("rts"))).as("gap_us"),
         col("rv"))

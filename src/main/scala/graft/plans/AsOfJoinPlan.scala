@@ -109,7 +109,12 @@ object AsOf {
         * caller pinned the broadcast variant (no shuffle, no skew). */
       skewSalt: Option[Int] = None): DataFrame =
     SkewSalt.resolve(skewSalt, left)
-      .filterNot(_ => broadcastRight.contains(true)) match {
+      .filterNot(_ => broadcastRight.contains(true))
+      // a join the planner would broadcast has no shuffle to rescue —
+      // don't let the session conf (or an unpinned request) defeat the
+      // broadcast fast path; Some(false) pins the shuffle path and salts
+      .filterNot(_ => broadcastRight.isEmpty &&
+        SkewSalt.plannerWouldBroadcast(right)) match {
       case Some(s) =>
         joinUnsalted(
           SkewSalt.saltLeft(left, leftTime, s),

@@ -29,39 +29,55 @@ private[graft] object BroadcastIndexCache {
   /** Memoizes `build()` exactly once across racing callers (lazy val's
     * JVM-guaranteed single evaluation) while staying reclaimable: the
     * cache map soft-references the ENTRY, and the entry holds the built
-    * index strongly only through the lazy slot. */
-  private final class Entry(build: () => AnyRef) {
-    lazy val value: AnyRef = build()
+    * index strongly only through the lazy slot — the build closure
+    * (which captures the broadcast handle and projections) is released
+    * once the build succeeds, and kept only if it threw (so a transient
+    * failure retries on the next access). A null build result fails
+    * loudly instead of spinning the caller's retry loop. */
+  private final class Entry(b: () => AnyRef) {
+    private var builder: () => AnyRef = b
+    lazy val value: AnyRef = {
+      val v = builder()
+      if (v == null)
+        throw new IllegalStateException(
+          "broadcast index build returned null")
+      builder = null
+      v
+    }
   }
 
   private val cache =
     new ConcurrentHashMap[(Long, Int), SoftReference[Entry]]()
 
+  private def sweep(): Unit =
+    cache.forEach { (k, ref) => if (ref.get() == null) cache.remove(k, ref) }
+
   def getOrBuild[T <: AnyRef](broadcastId: Long, planId: Int,
       build: () => T): T = {
-    // sweep cleared referents: keys are unique per (broadcast, query
-    // plan), so a cleared entry is garbage forever — removing it here
-    // bounds the map at the number of LIVE indexes
-    cache.forEach { (k, ref) =>
-      if (ref.get() == null) cache.remove(k, ref)
-    }
     val key = (broadcastId, planId)
     var result: AnyRef = null
     while (result == null) {
-      val ref = cache.computeIfAbsent(key,
-        _ => new SoftReference(new Entry(build.asInstanceOf[() => AnyRef])))
-      val entry = ref.get()
-      if (entry != null) result = entry.value
-      else cache.remove(key, ref) // cleared between install and read: retry
+      val ref = cache.get(key)
+      val entry = if (ref == null) null else ref.get()
+      if (entry != null) result = entry.value // hot path: one map read
+      else {
+        // miss or GC-cleared: sweep tombstones here, OFF the hit path —
+        // keys are unique per (broadcast, query plan), so a cleared
+        // entry is garbage forever and the map stays bounded at the
+        // number of LIVE indexes
+        sweep()
+        val nref = cache.computeIfAbsent(key,
+          _ => new SoftReference(new Entry(build.asInstanceOf[() => AnyRef])))
+        val ne = nref.get()
+        if (ne != null) result = ne.value
+        else cache.remove(key, nref) // cleared between install and read
+      }
     }
     result.asInstanceOf[T]
   }
 
   /** Test hook: live entry count after a sweep. */
-  private[graft] def liveEntries: Int = {
-    cache.forEach { (k, ref) => if (ref.get() == null) cache.remove(k, ref) }
-    cache.size()
-  }
+  private[graft] def liveEntries: Int = { sweep(); cache.size() }
 
   /** Test hook: raw entry count, cleared referents included. */
   private[graft] def rawEntries: Int = cache.size()

@@ -72,7 +72,10 @@ object IntervalJoin {
         * ignored when the caller pinned the broadcast variant. */
       skewSalt: Option[Int] = None): DataFrame =
     SkewSalt.resolve(skewSalt, left)
-      .filterNot(_ => broadcastRight.contains(true)) match {
+      .filterNot(_ => broadcastRight.contains(true))
+      // see AsOf.join: never salt a join the planner would broadcast
+      .filterNot(_ => broadcastRight.isEmpty &&
+        SkewSalt.plannerWouldBroadcast(right)) match {
       case Some(s) =>
         joinUnsalted(
           SkewSalt.saltLeft(left, leftStart, s),

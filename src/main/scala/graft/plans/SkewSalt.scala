@@ -60,12 +60,34 @@ private[plans] object SkewSalt {
       .orElse(df.sparkSession.conf.getOption(ConfKey).map(_.trim.toInt))
       .filter(_ > 1)
 
+  /** True when the planner's stats rule would pick the BROADCAST variant
+    * anyway (right side under `autoBroadcastJoinThreshold`): such a join
+    * has no left shuffle and therefore no skewed partition to rescue —
+    * salting it would only pay the s-times right replication AND force
+    * the slower co-partitioned path. The session-wide conf knob must not
+    * defeat the broadcast fast path, so conf-driven (and unpinned
+    * per-call) salting yields to this check; pinning
+    * `broadcastRight = Some(false)` overrides it (the caller knows the
+    * runtime right side outgrows the estimate). */
+  def plannerWouldBroadcast(right: DataFrame): Boolean = {
+    val thr = right.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val sz = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    thr > 0 && sz >= 0 && sz <= thr
+  }
+
+  private def requireNoSaltCols(df: DataFrame, side: String): Unit =
+    Seq(LeftCol, RightCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"skew salt: $side side already has a '$c' column — the salted " +
+          "rewrite reserves both salt names on both sides (the post-join " +
+          "drop removes them by name from the whole output)")
+    }
+
   /** Left side: deterministic per-row salt in `[0, s)` — a hash of every
     * hashable column (maps are excluded; Spark's `hash` rejects them),
     * falling back to `fallbackCol` for an all-map schema. */
   def saltLeft(left: DataFrame, fallbackCol: String, s: Int): DataFrame = {
-    require(!left.columns.contains(LeftCol),
-      s"skew salt: left side already has a '$LeftCol' column")
+    requireNoSaltCols(left, "left")
     val basis = left.schema.fields.filterNot(f => hasMap(f.dataType))
       .map(f => col(f.name)).toSeq
     val salt = pmod(hash((if (basis.nonEmpty) basis
@@ -75,8 +97,7 @@ private[plans] object SkewSalt {
 
   /** Right side: replicate every row into all `s` buckets. */
   def replicateRight(right: DataFrame, s: Int): DataFrame = {
-    require(!right.columns.contains(RightCol),
-      s"skew salt: right side already has a '$RightCol' column")
+    requireNoSaltCols(right, "right")
     right.withColumn(RightCol, explode(sequence(lit(0), lit(s - 1))))
   }
 }

@@ -618,13 +618,15 @@ class PlansSpec extends SparkSuite {
     }
   }
 
-  test("skewSalt session conf activates salting without a per-call " +
-    "argument; explicit broadcast pin disables it") {
+  test("skewSalt session conf activates salting on the shuffle path, " +
+    "yields to the broadcast fast path, and respects an explicit pin") {
     val confKey = "spark.graft.join.skewSalt"
     spark.conf.set(confKey, "4")
     try {
-      val df = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t")
-      // the salt rides as a second equi-key pair in the planned exec
+      // shuffle path pinned: the conf salt applies — it rides as a
+      // second equi-key pair in the planned exec
+      val df = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
+        broadcastRight = Some(false))
       val execs = deepCollect(executed(df)) { case e: AsOfJoinExec => e }
       assert(execs.nonEmpty && execs.head.leftKeys.size == 2,
         s"conf-driven salt missing from plan:\n${executed(df)}")
@@ -632,7 +634,15 @@ class PlansSpec extends SparkSuite {
       val got = df.select("pk", "pt", "v")
         .as[(String, Long, Option[Double])].collect().toSet
       assert(got(("a", 25L, Some(2.0))) && got(("d", 50L, None)))
-      // a pinned broadcast variant has no shuffle to rescue: no salt
+      // UNPINNED with a broadcast-small right side: the conf must NOT
+      // defeat the stats-picked broadcast plan (no shuffle, no skew to
+      // rescue, and salting would replicate the right side for nothing)
+      val auto = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t")
+      val aexecs = deepCollect(executed(auto)) {
+        case e: graft.plans.BroadcastAsOfJoinExec => e }
+      assert(aexecs.nonEmpty && aexecs.head.leftKeys.size == 1,
+        s"conf salt defeated the broadcast fast path:\n${executed(auto)}")
+      // a pinned broadcast variant likewise ignores the conf
       val bdf = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
         broadcastRight = Some(true))
       val bexecs = deepCollect(executed(bdf)) {
@@ -640,6 +650,20 @@ class PlansSpec extends SparkSuite {
       assert(bexecs.nonEmpty && bexecs.head.leftKeys.size == 1,
         "broadcast variant must ignore the skew-salt conf")
     } finally spark.conf.unset(confKey)
+  }
+
+  test("salt-column name collisions on EITHER side fail loudly instead " +
+    "of silently dropping a user column") {
+    val l2 = probes.withColumn("__graft_salt_r", lit(1))
+    intercept[IllegalArgumentException] {
+      AsOf.join(l2, deals, Seq("pk" -> "k"), "pt", "t",
+        broadcastRight = Some(false), skewSalt = Some(4))
+    }
+    val r2 = deals.withColumn("__graft_salt_l", lit(1))
+    intercept[IllegalArgumentException] {
+      AsOf.join(probes, r2, Seq("pk" -> "k"), "pt", "t",
+        broadcastRight = Some(false), skewSalt = Some(4))
+    }
   }
 
   // ---- round-13 broadcast index cache: build-once + no tombstones ----
