@@ -671,9 +671,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
     /** Record a merge/SCD2 dependency on `table`: the source batch's
       * key-domain range when provable from stats, else whole-table
       * strict. Multiple merges on one table widen the range; mixing key
-      * columns or a prior strict op keeps the table strict. */
+      * columns or a prior strict op keeps the table strict. Returns the
+      * batch's own range (independent of the strict bookkeeping) so the
+      * caller can stats-prune its candidate file scan. */
     private def markMergeDomain(table: String, src: DataFrame,
-        keyCol: String): Unit = {
+        keyCol: String): Option[(Long, Long)] = {
       val range =
         if (!Schemas.statsColumns.getOrElse(table, Nil).contains(keyCol))
           None
@@ -697,7 +699,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
         case _ =>
           strictTables += table; mergeKeyRanges -= table
       }
+      range
     }
+
+    private def pruneByDomain(files: Vector[FileEntry], keyCol: String,
+        domain: Option[(Long, Long)]): Vector[FileEntry] =
+      Catalog.pruneByDomain[FileEntry](files, _.cols, keyCol, domain)
 
     /** Per-table id shift applied by a commit-time rebase (see
       * [[Catalog!.transaction]]): ids returned DURING the body are
@@ -997,7 +1004,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         import graft.core.Eager.EagerCheckpoint
         source.select(srcCols.map(col): _*).eagerCheckpoint()
       }
-      markMergeDomain(table, src, keyCol)
+      val domain = markMergeDomain(table, src, keyCol)
       // NULL keys are exempt from the duplicate check: they can never
       // match the same target row (NULL matches nothing), so several of
       // them are not ambiguous — they all insert as new rows
@@ -1011,10 +1018,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
       enforceChecks(table, src)
       val prev = curState(table)
       val keys = src.select(keyCol)
+      // stats pre-prune: the hit-file semi-join reads only files whose
+      // key range can intersect the batch domain (see pruneByDomain)
+      val cand = pruneByDomain(prev.files, keyCol, domain)
       val (nUpd, inserted) =
-        if (prev.files.isEmpty) (0L, src)
+        if (cand.isEmpty) (0L, src)
         else {
-          val live = readFiles(table, prev.files, schema)
+          val live = readFiles(table, cand, schema)
           val hitAbs = live.withColumn("__file", input_file_name())
             .join(broadcast(keys), Seq(keyCol), "left_semi")
             .select("__file").distinct().collect()
@@ -1099,13 +1109,18 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // change detection, and the OCC key domain must see ONE batch
       val src = source.select((keyCol +: tracked).map(col): _*)
         .eagerCheckpoint()
-      markMergeDomain(table, src, keyCol)
+      val domain = markMergeDomain(table, src, keyCol)
       require(src.filter(col(keyCol).isNull).isEmpty,
         "SCD2 batch has NULL natural keys")
       require(src.groupBy(keyCol).count().filter(col("count") > 1).isEmpty,
         s"ambiguous SCD2 batch: duplicate '$keyCol' values")
       val prev = curState(table)
-      val live = readFiles(table, prev.files, schema)
+      // stats pre-prune (see pruneByDomain): a batch key's current row
+      // can only live in a file whose key range covers it, so both the
+      // change detection and the new-key anti-join read the touched
+      // range, never the whole dimension
+      val live = readFiles(table,
+        pruneByDomain(prev.files, keyCol, domain), schema)
       val cur = live.filter(col("is_current"))
       // keys whose current tracked values differ from the batch's
       // (null-safe difference on any tracked column)
@@ -1704,6 +1719,28 @@ object Catalog {
     * against the new state (the one-op conveniences do so themselves). */
   final class ConcurrentWriteException(msg: String)
     extends RuntimeException(msg)
+
+  /** Stats pre-prune for a keyed upsert's candidate scan: only files
+    * whose `keyCol` range can intersect the batch domain can hold a
+    * matched key, so merge/SCD2's hit-file semi-join reads the touched
+    * range, not the table (at 100 TB with a key-clustered layout this
+    * is the difference between a full-table scan per CDC tick and a
+    * range-proportional one). A file with no `keyCol` stats cannot be
+    * ruled out and stays a candidate; rows in pruned-away files are by
+    * proof unmatched, so they survive by reference exactly like non-hit
+    * candidates. Bounds are inclusive on both sides (stats are min/max
+    * of present values). Generic over the entry type ([[FileEntry]] is
+    * path-dependent on the Catalog instance) so the boundary logic is
+    * unit-testable as a pure function. */
+  private[store] def pruneByDomain[F](files: Vector[F],
+      colsOf: F => Map[String, (Long, Long)], keyCol: String,
+      domain: Option[(Long, Long)]): Vector[F] =
+    domain match {
+      case Some((lo, hi)) =>
+        files.filter(f =>
+          colsOf(f).get(keyCol).forall(r => r._1 <= hi && lo <= r._2))
+      case None => files
+    }
 
   /** Default reader-snapshot grace for [[Catalog.vacuum]]: 10 minutes —
     * far longer than any single query over a store this size, far shorter
