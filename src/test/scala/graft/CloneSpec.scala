@@ -221,6 +221,35 @@ class CloneSpec extends SparkSuite {
       flagged.mkString(", "))
   }
 
+  test("fsck stays clean across dropColumn + re-add of a stats column: " +
+    "the dropped claim is quiet, and the re-added column verifies the " +
+    "claim against the physical parquet values (by-name resolution)") {
+    val cat = freshCat()
+    val rows = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    cat.append("orders_ingest", rows, orderBy = Seq("o_orderkey"))
+    assert(cat.fsck("orders_ingest").collect().forall(_.getBoolean(2)))
+    // drop the stats column: FileEntry claims stay in the manifest but
+    // the current schema no longer carries the column — legitimately
+    // unverifiable, must stay QUIET (not a corruption report)
+    cat.dropColumn("orders_ingest", "o_orderkey")
+    assert(cat.fsck("orders_ingest").collect().forall(_.getBoolean(2)),
+      "a dropped column's stale claim must not flag")
+    // re-add the same name: dropColumn was metadata-only, so by-name
+    // parquet resolution reads the ORIGINAL values back and the old
+    // claims verify against real data — still clean, no false positive
+    cat.transaction(_.addColumn("orders_ingest",
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val after = cat.fsck("orders_ingest").collect()
+    assert(after.forall(_.getBoolean(2)),
+      s"drop+re-add must not fabricate corruption: ${after.mkString(", ")}")
+    assert(cat.read("orders_ingest").filter(col("o_orderkey").isNotNull)
+      .count() > 0, "re-added column must read the physical values back")
+  }
+
   test("fsck: healthy store verifies clean; a tampered manifest id range " +
     "and a deleted live file are each flagged with the right diagnosis") {
     val cat = freshCat()

@@ -666,6 +666,26 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("interval join: an unpinned salt request yields to the broadcast " +
+    "fast path exactly like the as-of join") {
+    val l = Seq(("a", 1L, 5L, 1)).toDF("k", "st", "en", "lv")
+    val r = Seq(("a", 2L, 3L, 9)).toDF("rk", "rst", "ren", "rv")
+    val auto = IntervalJoin.join(l, r, Seq("k" -> "rk"),
+      "st", "en", "rst", "ren", skewSalt = Some(8))
+    val bexecs = deepCollect(executed(auto)) {
+      case e: graft.plans.BroadcastIntervalJoinExec => e }
+    assert(bexecs.nonEmpty && bexecs.head.leftKeys.size == 1,
+      s"salt defeated the interval broadcast fast path:\n${executed(auto)}")
+    // pinned shuffle path: the salt applies
+    val pinned = IntervalJoin.join(l, r, Seq("k" -> "rk"),
+      "st", "en", "rst", "ren", broadcastRight = Some(false),
+      skewSalt = Some(8))
+    val iexecs = deepCollect(executed(pinned)) {
+      case e: graft.plans.IntervalJoinExec => e }
+    assert(iexecs.nonEmpty && iexecs.head.leftKeys.size == 2,
+      s"pinned shuffle path must salt:\n${executed(pinned)}")
+  }
+
   // ---- round-13 broadcast index cache: build-once + no tombstones ----
 
   test("BroadcastIndexCache builds exactly once under a parallel cold " +
