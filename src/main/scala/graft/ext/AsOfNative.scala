@@ -223,6 +223,44 @@ object AsOfNative {
       .orderBy("event_id")
   }
 
+  /** The salted rewrite under the oracle for the SECOND custom join:
+    * same pair semantics as `ext_interval_join`, executed through the
+    * SkewSalt rewrite (salt 4, shuffle path pinned — see
+    * [[asofSalted]]'s rationale). Each (l, r) overlap pair must appear
+    * exactly ONCE (in l's salt bucket), so the plain declarative oracle
+    * hash-checks both correctness and no-duplication. */
+  val intervalSalted: Q = Q(
+    "ext_interval_salted",
+    s"""WITH l AS (
+       |  SELECT user_id, event_id AS lid, epoch_us(ts) AS st,
+       |    epoch_us(ts) + 7200000000 AS en
+       |  FROM events WHERE event_type = 'purchase'),
+       |r AS (
+       |  SELECT user_id AS ru, event_id AS rid, epoch_us(ts) AS rst,
+       |    epoch_us(ts) + 7200000000 AS ren
+       |  FROM events WHERE event_type = 'error')
+       |SELECT user_id, lid, rid,
+       |  LEAST(en, ren) - GREATEST(st, rst) AS overlap_us
+       |FROM l JOIN r ON user_id = ru AND st < ren AND rst < en
+       |ORDER BY lid, rid""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def win(t: String, u: String, id: String, st: String, en: String) = ev
+      .filter(col("event_type") === t)
+      .select(col("user_id").as(u), col("event_id").as(id),
+        unix_micros(col("ts")).as(st),
+        (unix_micros(col("ts")) + 7200000000L).as(en))
+    graft.plans.IntervalJoin.join(
+        win("purchase", "user_id", "lid", "st", "en"),
+        win("error", "ru", "rid", "rst", "ren"),
+        Seq("user_id" -> "ru"), "st", "en", "rst", "ren",
+        broadcastRight = Some(false), skewSalt = Some(4))
+      .select(col("user_id"), col("lid"), col("rid"),
+        (least(col("en"), col("ren"))
+          - greatest(col("st"), col("rst"))).as("overlap_us"))
+      .orderBy("lid", "rid")
+  }
+
   def all: Seq[Q] = Seq(asofBackward, asofTolerance, asofForward,
-    intervalJoin, asofScd2, asofSalted)
+    intervalJoin, asofScd2, asofSalted, intervalSalted)
 }

@@ -72,5 +72,20 @@ object StreamDedup {
     "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp"
   )(distinctFingerprints _)
 
-  val all: Seq[Q] = Seq(streamDedup)
+  /** The SAME query under the RocksDB state store provider — the
+    * 100 TB spill knob ([[graft.core.Sessions.RocksDbStateStoreProvider]]:
+    * off-heap disk-backed state, the provider a day-scale fingerprint
+    * horizon needs). Identical oracle: the provider must be an
+    * execution detail, never a semantics change. */
+  val streamDedupRocksDb: Q = Q(
+    "ext_stream_dedup_rocksdb",
+    "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp"
+  ) { (s, d) =>
+    graft.core.Sessions.withStateStore(s,
+      graft.core.Sessions.RocksDbStateStoreProvider) {
+      distinctFingerprints(s, d)
+    }
+  }
+
+  val all: Seq[Q] = Seq(streamDedup, streamDedupRocksDb)
 }
