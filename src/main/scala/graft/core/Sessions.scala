@@ -90,7 +90,17 @@ object Sessions {
   /** Run `body` with the streaming state-store provider temporarily set
     * (queries STARTED inside pick it up; running queries keep theirs).
     * `withStateStore(spark, RocksDbStateStoreProvider) { ... }` is the
-    * 100 TB knob — see [[RocksDbStateStoreProvider]]. */
+    * 100 TB knob — see [[RocksDbStateStoreProvider]].
+    *
+    * Cross-thread hazard (single-writer session assumption): the provider
+    * rides SESSION-scoped conf for the scope's duration, so a streaming
+    * query started concurrently from ANOTHER thread of the same
+    * SparkSession inside this window silently inherits the provider — and
+    * the choice is sticky in that query's checkpoint forever. Callers that
+    * start streams from multiple threads must either serialize query
+    * starts around this scope or pass the provider per query via
+    * `.option("spark.sql.streaming.stateStore.providerClass", ...)` on
+    * the writeStream (per-query options shadow the session conf). */
   def withStateStore[T](spark: SparkSession, providerClass: String)(
       body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"

@@ -118,6 +118,8 @@ object ShingleGen {
 
       override def hasNext: Boolean = pending != null
       override def next(): InternalRow = {
+        if (pending == null) throw new NoSuchElementException(
+          "shingle_gen iterator exhausted")
         val r = pending; advance(); r
       }
     }

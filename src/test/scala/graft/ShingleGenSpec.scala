@@ -63,4 +63,17 @@ class ShingleGenSpec extends SparkSuite {
       .as[(Long, String)].collect().toSeq
     assert(got == Seq((2L, "a b c")))
   }
+
+  test("iterator contract: next() past exhaustion throws " +
+    "NoSuchElementException, never a silent null row") {
+    val it = ShingleGen.shingles(UTF8String.fromString("a b c"), 3)
+    assert(it.hasNext)
+    assert(it.next().getUTF8String(0).toString == "a b c")
+    assert(!it.hasNext)
+    intercept[NoSuchElementException] { it.next() }
+    // an empty iterator throws immediately
+    intercept[NoSuchElementException] {
+      ShingleGen.shingles(UTF8String.fromString("a"), 2).next()
+    }
+  }
 }
