@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   * The reference needs mutability (soft delete db.py:327, status flip
   * db.py:459-463) and a two-statement payment write whose intended
   * atomicity it does not actually achieve (autocommit on, SURVEY §0.1.9).
-  * Here every commit — single- or multi-table — is one atomic manifest
-  * swap: writers stage new parquet files, then `mv` a tmp manifest over
-  * `_manifest.json`. Readers only ever see a complete manifest, so the
-  * payment INSERT and the registration UPDATE become visible together.
+  * Here every commit — single- or multi-table — is one atomic log
+  * append: writers stage new parquet files, then `mv` a tmp delta into
+  * `_log/vN.json` (Delta-Lake-style; see the manifest section below).
+  * Readers only ever see complete committed deltas, so the payment
+  * INSERT and the registration UPDATE become visible together.
   *
   * Scale design:
   *
@@ -53,11 +54,34 @@ import org.apache.spark.sql.functions._
 final class Catalog(val spark: SparkSession, val root: String) {
 
   private val rootPath = Paths.get(root)
-  private val manifestPath = rootPath.resolve("_manifest.json")
   private val lockPath = rootPath.resolve("_manifest.lock")
   Files.createDirectories(rootPath)
 
-  // ---- manifest ----------------------------------------------------------
+  // ---- manifest (log-structured, round 14) -------------------------------
+  //
+  // The commit log lives under `_log/`:
+  //
+  //   v<N>.json             one DELTA per commit — only the tables the
+  //                         commit changed, and for each only the files it
+  //                         ADDED (full entries with stats) and REMOVED
+  //                         (paths), plus the small per-table metadata
+  //                         (maxId, schema, checks, idCol). The atomic
+  //                         rename of this file IS the commit.
+  //   v<N>.checkpoint.json  every [[Catalog.CheckpointInterval]]-th commit
+  //                         also writes the FULL manifest (the pre-round-14
+  //                         single-manifest format), so replay never walks
+  //                         more than one interval of deltas.
+  //
+  // This is the Delta-Lake `_delta_log` shape, and it exists for one
+  // reason: commit cost must be proportional to the COMMIT, not the
+  // table. The previous design serialized every file of every table into
+  // one root manifest inside the commit lock — at 100 TB file counts
+  // (millions of live files) that rewrite IS the commit bottleneck, and
+  // every snapshot read re-parsed it. Now a CDC tick writes a few hundred
+  // bytes under the lock regardless of table size; readers replay
+  // checkpoint + tail deltas once and then pay only per-commit deltas
+  // (version-keyed cache below). Time travel ([[readAt]]), the changefeed,
+  // vacuum, fsck, OCC and leases keep their exact external semantics.
 
   /** One live parquet file: path relative to root + surrogate-id stats
     * (minId > maxId encodes "no rows / no stats", never prunable) +
@@ -88,119 +112,262 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private type Manifest = Map[String, TableState]
 
   private val mapper = new ObjectMapper()
+  private val logDir = rootPath.resolve("_log")
 
+  private def deltaPath(v: Long) = logDir.resolve(s"v$v.json")
+  private def checkpointPath(v: Long) = logDir.resolve(s"v$v.checkpoint.json")
+
+  private def fileEntryNode(fs: ArrayNode, f: FileEntry): Unit = {
+    val fn = fs.addObject()
+    fn.put("path", f.path); fn.put("min", f.minId); fn.put("max", f.maxId)
+    if (f.cols.nonEmpty) {
+      val cn = fn.putObject("cols")
+      f.cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        val arr = cn.putArray(c); arr.add(mn); arr.add(mx)
+      }
+    }
+  }
+
+  private def parseFileEntry(f: com.fasterxml.jackson.databind.JsonNode)
+      : FileEntry = {
+    val cols = Option(f.get("cols")).map { cn =>
+      cn.properties().asScala.map { ce =>
+        ce.getKey -> (ce.getValue.get(0).asLong(),
+          ce.getValue.get(1).asLong())
+      }.toMap
+    }.getOrElse(Map.empty[String, (Long, Long)])
+    FileEntry(f.get("path").asText(), f.get("min").asLong(),
+      f.get("max").asLong(), cols)
+  }
+
+  private def parseTableMeta(t: com.fasterxml.jackson.databind.JsonNode)
+      : (Option[org.apache.spark.sql.types.StructType],
+         Map[String, String], Option[String]) = {
+    val schema = Option(t.get("schema")).map(n =>
+      org.apache.spark.sql.types.DataType.fromJson(n.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val checks = Option(t.get("checks")).map { cn =>
+      cn.properties().asScala
+        .map(ce => ce.getKey -> ce.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    (schema, checks, Option(t.get("idcol")).map(_.asText()))
+  }
+
+  private def putTableMeta(t: ObjectNode, st: TableState): Unit = {
+    t.put("maxId", st.maxId)
+    st.schema.foreach(s => t.put("schema", s.json))
+    st.idCol.foreach(c => t.put("idcol", c))
+    if (st.checks.nonEmpty) {
+      val cn = t.putObject("checks")
+      st.checks.toSeq.sortBy(_._1).foreach { case (n, e) => cn.put(n, e) }
+    }
+  }
+
+  /** Checkpoint format = the full-manifest format (every table, every
+    * live file): top-level `_version`/`_committedAtMs` plus one object
+    * per table. */
   private def parseManifest(bytes: Array[Byte]): Manifest = {
     val tree = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
     tree.properties().asScala
       .filterNot(_.getKey.startsWith("_")) // reserved keys (_version)
       .map { e =>
         val t = e.getValue
-        val files = t.get("files").elements().asScala.map { f =>
-          val cols = Option(f.get("cols")).map { cn =>
-            cn.properties().asScala.map { ce =>
-              ce.getKey -> (ce.getValue.get(0).asLong(),
-                ce.getValue.get(1).asLong())
-            }.toMap
-          }.getOrElse(Map.empty[String, (Long, Long)])
-          FileEntry(f.get("path").asText(), f.get("min").asLong(),
-            f.get("max").asLong(), cols)
-        }.toVector
-        val schema = Option(t.get("schema")).map(n =>
-          org.apache.spark.sql.types.DataType.fromJson(n.asText())
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-        val checks = Option(t.get("checks")).map { cn =>
-          cn.properties().asScala
-            .map(ce => ce.getKey -> ce.getValue.asText()).toMap
-        }.getOrElse(Map.empty[String, String])
-        val idCol = Option(t.get("idcol")).map(_.asText())
+        val files = t.get("files").elements().asScala
+          .map(parseFileEntry).toVector
+        val (schema, checks, idCol) = parseTableMeta(t)
         e.getKey -> TableState(t.get("maxId").asLong(), files, schema,
           checks, idCol)
       }.toMap
   }
 
-  private def readManifest(): Manifest =
-    if (!Files.exists(manifestPath)) Map.empty
-    else parseManifest(Files.readAllBytes(manifestPath))
+  /** One commit's per-table delta: adds carry full entries (stats
+    * included), removes are paths; maxId/schema/checks/idCol are the
+    * table's ABSOLUTE post-commit values (small — bytes, not file
+    * lists). */
+  private case class TableDelta(maxId: Long, add: Vector[FileEntry],
+      remove: Vector[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      checks: Map[String, String], idCol: Option[String])
+
+  private def parseDelta(bytes: Array[Byte]): Map[String, TableDelta] = {
+    val tree = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+    Option(tree.get("tables")).map(_.properties().asScala.map { e =>
+      val t = e.getValue
+      val add = Option(t.get("add")).map(_.elements().asScala
+        .map(parseFileEntry).toVector).getOrElse(Vector.empty)
+      val remove = Option(t.get("remove")).map(_.elements().asScala
+        .map(_.asText()).toVector).getOrElse(Vector.empty)
+      val (schema, checks, idCol) = parseTableMeta(t)
+      e.getKey -> TableDelta(t.get("maxId").asLong(), add, remove,
+        schema, checks, idCol)
+    }.toMap).getOrElse(Map.empty)
+  }
+
+  /** Replay one delta onto a manifest (the CANONICAL state derivation:
+    * every reader — cache, time travel, fsck — goes through here, so
+    * state equality used by OCC validation is instance-independent). */
+  private def applyDelta(m: Manifest, d: Map[String, TableDelta])
+      : Manifest =
+    m ++ d.map { case (tbl, td) =>
+      val prev = m.getOrElse(tbl, TableState(0L, Vector.empty))
+      val gone = td.remove.toSet
+      tbl -> TableState(td.maxId,
+        prev.files.filterNot(f => gone(f.path)) ++ td.add,
+        td.schema, td.checks, td.idCol)
+    }
+
+  /** Every log file as (version, isCheckpoint, path); empty if no log. */
+  private def listLog(): Vector[(Long, Boolean, java.nio.file.Path)] =
+    if (!Files.exists(logDir)) Vector.empty
+    else {
+      val ls = Files.list(logDir)
+      try {
+        ls.iterator().asScala.flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.matches("v\\d+\\.json"))
+            Some((n.stripPrefix("v").stripSuffix(".json").toLong, false, p))
+          else if (n.matches("v\\d+\\.checkpoint\\.json"))
+            Some((n.stripPrefix("v").stripSuffix(".checkpoint.json").toLong,
+              true, p))
+          else None
+        }.toVector
+      } finally ls.close()
+    }
 
   /** Monotonic commit counter (0 = empty store). Every committed
     * transaction bumps it; the snapshot it produced is readable via
     * [[readAt]] until vacuum retires it. */
-  def version: Long =
-    if (!Files.exists(manifestPath)) 0L
-    else {
-      val tree = mapper.readTree(new String(
-        Files.readAllBytes(manifestPath), StandardCharsets.UTF_8))
-      Option(tree.get("_version")).map(_.asLong()).getOrElse(0L)
+  def version: Long = listLog().map(_._1).maxOption.getOrElse(0L)
+
+  /** Manifest as of commit `v`, replayed from the nearest checkpoint at
+    * or below `v` (empty store below the first checkpoint) through the
+    * tail deltas. Throws the standard not-available error if the chain
+    * has been vacuumed past `v`. */
+  private def manifestAt(v: Long): Manifest = {
+    if (v == 0L) return Map.empty
+    def unavailable(): Nothing = throw new IllegalArgumentException(
+      s"snapshot v$v of '$root' is not available: never committed, or " +
+        "already vacuumed past the retention window")
+    val log = listLog()
+    if (!log.exists(_._1 == v)) unavailable()
+    val ckpt = log.filter(e => e._2 && e._1 <= v).map(_._1).maxOption
+    val base: Manifest = ckpt match {
+      case Some(c) => parseManifest(Files.readAllBytes(checkpointPath(c)))
+      case None => Map.empty
     }
+    ((ckpt.getOrElse(0L) + 1) to v).foldLeft(base) { (m, i) =>
+      if (!Files.exists(deltaPath(i))) unavailable()
+      applyDelta(m, parseDelta(Files.readAllBytes(deltaPath(i))))
+    }
+  }
 
-  private val historyDir = rootPath.resolve("_history")
+  /** Version-keyed manifest cache: (version, replayed state). Volatile —
+    * concurrent readers may race to rebuild, but every rebuild of one
+    * version derives the identical canonical state. Per-instance, so a
+    * fresh `new Catalog(root)` always re-reads disk. */
+  @volatile private var cache: (Long, Manifest) = (0L, Map.empty)
 
-  private def writeManifest(m: Manifest): Unit = {
+  private def readManifest(): Manifest = {
+    val v = version
+    val c = cache
+    if (c._1 == v) c._2
+    else {
+      // fast path: roll the cached state forward delta-by-delta (cost
+      // per read ∝ commits since last read, never table size); fall back
+      // to checkpoint replay when the tail is gone (vacuum) or the cache
+      // is empty
+      val m =
+        if (c._1 < v &&
+            ((c._1 + 1) to v).forall(i => Files.exists(deltaPath(i))))
+          ((c._1 + 1) to v).foldLeft(c._2)((m, i) =>
+            applyDelta(m, parseDelta(Files.readAllBytes(deltaPath(i)))))
+        else manifestAt(v)
+      cache = (v, m)
+      m
+    }
+  }
+
+  /** Write one commit: the delta between `prev` (the manifest being
+    * replaced) and the staged post-commit states, as `_log/vN.json` via
+    * tmp + atomic rename — the rename IS the commit. Every
+    * [[Catalog.CheckpointInterval]]-th version also writes the full
+    * checkpoint. Called under the commit locks only. Bytes written are
+    * proportional to the commit's file delta (plus the amortized
+    * checkpoint), never to the table. */
+  private def writeCommit(prev: Manifest, staged: Map[String, TableState])
+      : Unit = {
     val newVersion = version + 1
     val rootNode = mapper.createObjectNode()
     rootNode.put("_version", newVersion)
     rootNode.put("_committedAtMs", System.currentTimeMillis())
-    m.toSeq.sortBy(_._1).foreach { case (tbl, st) =>
-      val t: ObjectNode = rootNode.putObject(tbl)
-      t.put("maxId", st.maxId)
-      st.schema.foreach(s => t.put("schema", s.json))
-      st.idCol.foreach(c => t.put("idcol", c))
-      if (st.checks.nonEmpty) {
-        val cn = t.putObject("checks")
-        st.checks.toSeq.sortBy(_._1).foreach { case (n, e) => cn.put(n, e) }
-      }
-      val fs: ArrayNode = t.putArray("files")
-      st.files.foreach { f =>
-        val fn = fs.addObject()
-        fn.put("path", f.path); fn.put("min", f.minId); fn.put("max", f.maxId)
-        if (f.cols.nonEmpty) {
-          val cn = fn.putObject("cols")
-          f.cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
-            val arr = cn.putArray(c); arr.add(mn); arr.add(mx)
+    val tablesNode = rootNode.putObject("tables")
+    val delta: Map[String, TableDelta] =
+      staged.toSeq.sortBy(_._1).flatMap { case (tbl, st) =>
+        val p = prev.getOrElse(tbl, TableState(0L, Vector.empty))
+        if (p == st && prev.contains(tbl)) None
+        else {
+          val pPaths = p.files.map(_.path).toSet
+          val nPaths = st.files.map(_.path).toSet
+          val add = st.files.filterNot(f => pPaths(f.path))
+          val remove = p.files.map(_.path).filterNot(nPaths)
+          val t = tablesNode.putObject(tbl)
+          putTableMeta(t, st)
+          if (add.nonEmpty) {
+            val an: ArrayNode = t.putArray("add")
+            add.foreach(fileEntryNode(an, _))
           }
+          if (remove.nonEmpty) {
+            val rn: ArrayNode = t.putArray("remove")
+            remove.foreach(rn.add)
+          }
+          Some(tbl -> TableDelta(st.maxId, add, remove, st.schema,
+            st.checks, st.idCol))
         }
-      }
-    }
-    val bytes = mapper.writeValueAsBytes(rootNode)
-    // history copy FIRST, then the current-pointer swap: a crash between
-    // the two leaves an orphan history file for a version that never
-    // committed, which the next commit (same number) overwrites — the
-    // reverse order could commit a version whose snapshot is unreadable
-    Files.createDirectories(historyDir)
-    val htmp = historyDir.resolve(s"v$newVersion.json.tmp")
-    Files.write(htmp, bytes)
-    Files.move(htmp, historyDir.resolve(s"v$newVersion.json"),
+      }.toMap
+    Files.createDirectories(logDir)
+    val tmp = logDir.resolve(s"v$newVersion.json.tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(rootNode))
+    Files.move(tmp, deltaPath(newVersion),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val tmp = rootPath.resolve("_manifest.tmp")
-    Files.write(tmp, bytes)
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // seed the cache with the REPLAYED form (canonical ordering — other
+    // instances derive the same state from the log)
+    val next = applyDelta(prev, delta)
+    cache = (newVersion, next)
+    if (newVersion % Catalog.CheckpointInterval == 0) {
+      val ck = mapper.createObjectNode()
+      ck.put("_version", newVersion)
+      ck.put("_committedAtMs", System.currentTimeMillis())
+      next.toSeq.sortBy(_._1).foreach { case (tbl, st) =>
+        val t: ObjectNode = ck.putObject(tbl)
+        putTableMeta(t, st)
+        val fs: ArrayNode = t.putArray("files")
+        st.files.foreach(fileEntryNode(fs, _))
+      }
+      val ctmp = logDir.resolve(s"v$newVersion.checkpoint.json.tmp")
+      Files.write(ctmp, mapper.writeValueAsBytes(ck))
+      Files.move(ctmp, checkpointPath(newVersion),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Latest version committed at or before `tsMillis` (Delta
-    * `TIMESTAMP AS OF` resolution). Commit times are stamped INSIDE the
-    * manifest (`_committedAtMs`; history-file mtime is the fallback for
-    * pre-upgrade manifests), monotone because commits serialize under
-    * the commit lock (OCC: only the validate-and-swap holds it). Throws if no snapshot existed yet, or if
-    * every snapshot old enough has been vacuumed past the retention
+    * `TIMESTAMP AS OF` resolution). Commit times are stamped INSIDE each
+    * log file (`_committedAtMs`; file mtime is the fallback), monotone
+    * because commits serialize under the commit lock (OCC: only the
+    * validate-and-swap holds it). Throws if no snapshot existed yet, or
+    * if every snapshot old enough has been vacuumed past the retention
     * window — never silently resolves to a different point in time. */
   def versionAsOf(tsMillis: Long): Long = {
-    if (!Files.exists(historyDir))
+    val log = listLog()
+    if (log.isEmpty)
       throw new IllegalArgumentException(
         s"no snapshot of '$root' existed at $tsMillis (empty store)")
-    val hs = Files.list(historyDir)
-    val candidates = try {
-      hs.iterator().asScala
-        .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-        .map { p =>
-          val v = p.getFileName.toString.stripPrefix("v")
-            .stripSuffix(".json").toLong
-          val tree = mapper.readTree(Files.readAllBytes(p))
-          val at = Option(tree.get("_committedAtMs")).map(_.asLong())
-            .getOrElse(Files.getLastModifiedTime(p).toMillis)
-          (v, at)
-        }.toVector
-    } finally hs.close()
+    val candidates = log.map { case (v, _, p) =>
+      val tree = mapper.readTree(Files.readAllBytes(p))
+      val at = Option(tree.get("_committedAtMs")).map(_.asLong())
+        .getOrElse(Files.getLastModifiedTime(p).toMillis)
+      (v, at)
+    }
     val eligible = candidates.filter(_._2 <= tsMillis)
     if (eligible.isEmpty)
       throw new IllegalArgumentException(
@@ -223,12 +390,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * loudly, never a silently partial table (every referenced file is
     * existence-checked before the scan). */
   def readAt(table: String, version: Long): DataFrame = {
-    val hp = historyDir.resolve(s"v$version.json")
-    if (!Files.exists(hp))
-      throw new IllegalArgumentException(
-        s"snapshot v$version of '$root' is not available: never " +
-          "committed, or already vacuumed past the retention window")
-    val st = parseManifest(Files.readAllBytes(hp)).get(table)
+    val st = manifestAt(version).get(table)
     val files = st.map(_.files).getOrElse(Vector.empty)
     val gone = files.filterNot(f => Files.exists(rootPath.resolve(f.path)))
     if (gone.nonEmpty)
@@ -264,15 +426,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
     def stateAt(v: Long): Option[TableState] =
-      if (v == 0L) None
-      else {
-        val hp = historyDir.resolve(s"v$v.json")
-        if (!Files.exists(hp))
-          throw new IllegalArgumentException(
-            s"snapshot v$v of '$root' is not available: never " +
-              "committed, or already vacuumed past the retention window")
-        parseManifest(Files.readAllBytes(hp)).get(table)
-      }
+      if (v == 0L) None else manifestAt(v).get(table)
     val toState = stateAt(toVersion)
     val from = stateAt(fromVersion).map(_.files).getOrElse(Vector.empty)
     val to = toState.map(_.files).getOrElse(Vector.empty)
@@ -423,7 +577,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
     */
   def fsck(table: String): DataFrame = {
     import spark.implicits._
-    val m = readManifest()
+    // an audit must REPORT a broken commit log, not die on it: when the
+    // current version cannot be replayed (missing/corrupt delta), the
+    // per-file verdicts run over an empty state and the chain audit
+    // below carries the diagnosis
+    val m = try readManifest() catch { case _: Exception => Map.empty: Manifest }
     val st = m.get(table)
     val entries = st.map(_.files).getOrElse(Vector.empty)
     val idCol = idColOf(st, table)
@@ -496,26 +654,27 @@ final class Catalog(val spark: SparkSession, val root: String) {
       (f.path, n, problem.isEmpty, problem)
     }
     // orphan sweep: parquet files under the table's directory that no
-    // manifest — current or retained history — references (root-wide
-    // reference set: a clone references its source's files from another
-    // table entry)
+    // retained manifest references. The root-wide reference set is the
+    // union of every retained checkpoint's file list and every retained
+    // delta's ADD list (a file live at any retained version was either
+    // in the checkpoint below it or added by a delta at or below it),
+    // plus the current manifest for belt-and-braces. Clones are covered:
+    // they reference their source's files from another table's entries.
     val referenced: Set[java.nio.file.Path] = {
-      val cur = m.values.flatMap(_.files)
-        .map(f => rootPath.resolve(f.path).toAbsolutePath.normalize)
-      val hist =
-        if (!Files.exists(historyDir)) Vector.empty
-        else {
-          val hs = Files.list(historyDir)
-          val ps = try {
-            hs.iterator().asScala
-              .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-              .toVector
-          } finally hs.close()
-          ps.flatMap(p => parseManifest(Files.readAllBytes(p))
-            .values.flatMap(_.files)
-            .map(f => rootPath.resolve(f.path).toAbsolutePath.normalize))
-        }
-      (cur ++ hist).toSet
+      def abs(f: FileEntry) =
+        rootPath.resolve(f.path).toAbsolutePath.normalize
+      val cur = m.values.flatMap(_.files).map(abs)
+      val logged = listLog().flatMap { case (_, isCkpt, p) =>
+        try {
+          if (isCkpt)
+            parseManifest(Files.readAllBytes(p)).values
+              .flatMap(_.files).map(abs)
+          else
+            parseDelta(Files.readAllBytes(p)).values
+              .flatMap(_.add).map(abs)
+        } catch { case _: Exception => Nil } // corrupt log: chain audit flags it
+      }
+      (cur ++ logged).toSet
     }
     val tableDir = rootPath.resolve(table)
     val orphans: Seq[(String, Long, Boolean, String)] =
@@ -532,9 +691,92 @@ final class Catalog(val spark: SparkSession, val root: String) {
             .toVector
         } finally it.close()
         found.sorted.map(o => (o, 0L, false,
-          "orphan: referenced by no retained manifest (vacuum candidate)"))
+          "orphan: referenced by no retained manifest (vacuum candidate " +
+            "ONLY if the store is quiescent — on a live store this may be " +
+            "an in-flight transaction's staged-but-uncommitted file; let " +
+            "vacuum reclaim it, never delete by hand)"))
       }
-    (verdicts ++ orphans).toDF("file", "n_rows", "ok", "problem")
+    (verdicts ++ orphans ++ logChainProblems())
+      .toDF("file", "n_rows", "ok", "problem")
+  }
+
+  /** Commit-log chain audit (round 14, part of [[fsck]]): verify the
+    * `_log/` delta + checkpoint chain itself — the metadata every read
+    * replays through. Emits PROBLEM rows only (a healthy log adds no
+    * rows): unparseable log files, stray files in `_log/` (a crashed
+    * commit's tmp — on a live store possibly an in-flight commit, same
+    * quiescence caveat as orphans), a broken replay chain for the
+    * current version (a missing delta below the newest usable
+    * checkpoint), and a checkpoint whose content diverges from the
+    * delta replay that should reproduce it. Driver-side metadata walk —
+    * no data file is opened. */
+  private def logChainProblems(): Seq[(String, Long, Boolean, String)] = {
+    if (!Files.exists(logDir)) return Nil
+    val probs = Vector.newBuilder[(String, Long, Boolean, String)]
+    def rel(p: java.nio.file.Path): String =
+      rootPath.toAbsolutePath.normalize
+        .relativize(p.toAbsolutePath.normalize).toString
+    // stray files (tmp debris, foreign content)
+    val ls = Files.list(logDir)
+    try {
+      ls.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+        val n = p.getFileName.toString
+        if (!n.matches("v\\d+\\.json") &&
+            !n.matches("v\\d+\\.checkpoint\\.json"))
+          probs += ((rel(p), 0L, false,
+            "unrecognized file in the commit log (crashed commit's tmp " +
+              "or foreign debris; on a live store possibly an in-flight " +
+              "commit — audit quiescent)"))
+      }
+    } finally ls.close()
+    val log = listLog()
+    if (log.isEmpty) return probs.result()
+    // parseability
+    val parsedDeltas = scala.collection.mutable.Map[Long, Map[String, TableDelta]]()
+    val parsedCkpts = scala.collection.mutable.Map[Long, Manifest]()
+    log.foreach { case (v, isCkpt, p) =>
+      try {
+        if (isCkpt) parsedCkpts(v) = parseManifest(Files.readAllBytes(p))
+        else parsedDeltas(v) = parseDelta(Files.readAllBytes(p))
+      } catch {
+        case e: Exception =>
+          probs += ((rel(p), 0L, false,
+            s"log file unparseable: ${e.getMessage}"))
+      }
+    }
+    // replay chain for the current version: some checkpoint C <= cur
+    // (or the empty store, C = 0) must have every delta in (C, cur]
+    // present and parseable
+    val cur = log.map(_._1).max
+    def chainOk(from: Long): Boolean =
+      ((from + 1) to cur).forall(parsedDeltas.contains)
+    val bases = (parsedCkpts.keys.filter(_ <= cur).toSeq.sorted.reverse :+ 0L)
+    if (!bases.exists(chainOk)) {
+      val bestBase = bases.head
+      val firstMissing = ((bestBase + 1) to cur)
+        .find(i => !parsedDeltas.contains(i)).getOrElse(cur)
+      probs += ((rel(logDir), 0L, false,
+        s"commit-log chain broken: current v$cur is not replayable " +
+          s"from any retained checkpoint (first missing/corrupt delta " +
+          s"after the newest basis v$bestBase: v$firstMissing)"))
+    }
+    // checkpoint consistency: a checkpoint replayable from an earlier
+    // retained basis must equal the delta replay (else either it or a
+    // delta is corrupt — readers disagree depending on entry point)
+    parsedCkpts.toSeq.sortBy(_._1).foreach { case (cv, ck) =>
+      val earlier = (parsedCkpts.keys.filter(_ < cv).toSeq.sorted.reverse :+ 0L)
+        .find(b => ((b + 1) to cv).forall(parsedDeltas.contains))
+      earlier.foreach { b =>
+        val replayed = ((b + 1) to cv).foldLeft(
+          parsedCkpts.getOrElse(b, Map.empty: Manifest))(
+          (m, i) => applyDelta(m, parsedDeltas(i)))
+        if (replayed != ck)
+          probs += ((rel(checkpointPath(cv)), 0L, false,
+            s"checkpoint v$cv diverges from the delta replay v${b + 1}.." +
+              s"v$cv that should reproduce it"))
+      }
+    }
+    probs.result()
   }
 
   // ---- writes ------------------------------------------------------------
@@ -1259,12 +1501,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
         .orElse(timestampAsOf.map(Catalog.this.versionAsOf)) match {
         case None => curState(src)
         case Some(v) =>
-          val hp = historyDir.resolve(s"v$v.json")
-          if (!Files.exists(hp))
-            throw new IllegalArgumentException(
-              s"cannot clone '$src' at v$v: never committed, or already " +
-                "vacuumed past the retention window")
-          val hist = parseManifest(Files.readAllBytes(hp))
+          val hist = try manifestAt(v) catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"cannot clone '$src' at v$v: never committed, or " +
+                  "already vacuumed past the retention window", e)
+          }
           val s0 = hist.getOrElse(src, throw new IllegalArgumentException(
             s"cannot clone '$src' at v$v: table did not exist then"))
           val gone = s0.files
@@ -1317,12 +1559,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * retention window fails the restore loudly (same guard as
     * [[readAt]]). */
   def restoreTo(version: Long): Unit = transaction { tx =>
-    val hp = historyDir.resolve(s"v$version.json")
-    if (!Files.exists(hp))
-      throw new IllegalArgumentException(
-        s"cannot restore '$root' to v$version: never committed, or " +
-          "already vacuumed past the retention window")
-    val hist = parseManifest(Files.readAllBytes(hp))
+    val hist = try manifestAt(version) catch {
+      case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"cannot restore '$root' to v$version: never committed, or " +
+            "already vacuumed past the retention window", e)
+    }
     val gone = hist.values.flatMap(_.files)
       .filterNot(f => Files.exists(rootPath.resolve(f.path)))
     if (gone.nonEmpty)
@@ -1403,7 +1645,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
             else t -> reconcile(tx, stagedFinal.size, t,
               base.get(t), cur.get(t), st)
           }
-          writeManifest(cur ++ merged)
+          writeCommit(cur, merged)
         }
       out
     } finally tx.releaseLease()
@@ -1693,19 +1935,31 @@ final class Catalog(val spark: SparkSession, val root: String) {
           victims.foreach(Files.deleteIfExists(_))
         }
       }
-      // retire history manifests aged past the window (never the current
-      // version): the time-travel horizon IS the vacuum retention window,
-      // so snapshot availability and file availability expire together
-      val cur = version
-      if (Files.exists(historyDir)) {
-        val hs = Files.list(historyDir)
-        try {
-          hs.iterator().asScala
-            .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
-            .filterNot(_.getFileName.toString == s"v$cur.json")
-            .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-            .foreach(Files.delete)
-        } finally hs.close()
+      // retire commit-log files aged past the window: the time-travel
+      // horizon IS the vacuum retention window, so snapshot availability
+      // and file availability expire together. Replayability constraint:
+      // every RETAINED version v must keep a checkpoint C <= v plus the
+      // deltas (C, v] — so the floor F is the oldest version still
+      // in-window (or current), C is the newest checkpoint at or below
+      // F, and everything strictly below C (old deltas AND old
+      // checkpoints, plus the delta AT C — the checkpoint covers it)
+      // can go. With no checkpoint at or below F yet, nothing is
+      // retired (the log only starts shrinking once checkpoints exist —
+      // every CheckpointInterval commits).
+      val log = listLog()
+      if (log.nonEmpty) {
+        val cur = log.map(_._1).max
+        val retained = log.filter { case (v, _, p) =>
+          v == cur || Files.getLastModifiedTime(p).toMillis > cutoff
+        }.map(_._1)
+        val floor = retained.minOption.getOrElse(cur)
+        log.filter(e => e._2 && e._1 <= floor).map(_._1).maxOption
+          .foreach { ckptFloor =>
+            log.foreach { case (v, isCkpt, p) =>
+              if (v < ckptFloor || (!isCkpt && v == ckptFloor))
+                Files.deleteIfExists(p)
+            }
+          }
       }
       dead.size
     }
@@ -1741,6 +1995,15 @@ object Catalog {
           colsOf(f).get(keyCol).forall(r => r._1 <= hi && lo <= r._2))
       case None => files
     }
+
+  /** Checkpoint cadence of the commit log: every N-th commit also
+    * writes a full-manifest checkpoint beside its delta, bounding any
+    * snapshot replay at one checkpoint parse + at most N-1 deltas.
+    * Delta Lake's default is 10 commits for the same reason: small
+    * enough that the replay tail stays trivial, large enough that the
+    * O(live-files) checkpoint write amortizes to noise against the
+    * per-commit delta cost. */
+  val CheckpointInterval: Long = 10L
 
   /** Default reader-snapshot grace for [[Catalog.vacuum]]: 10 minutes —
     * far longer than any single query over a store this size, far shorter

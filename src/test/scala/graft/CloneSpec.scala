@@ -20,6 +20,28 @@ class CloneSpec extends SparkSuite {
       .toDF("first_name", "last_name", "phone", "email", "password_hash",
         "user_role", "created_at")
 
+  /** Tamper the commit log in place: apply `replaceFirst(find, repl)`
+    * to the first `_log/` file (version order, deltas before their
+    * checkpoint) that the pattern changes; fails the test if no log
+    * file matches. Returns the tampered file's path. */
+  private def tamperLog(cat: Catalog, find: String, repl: String): Path = {
+    val dir = Paths.get(cat.root, "_log")
+    val files = {
+      val ls = Files.list(dir)
+      try ls.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .filter(p => p.getFileName.toString.endsWith(".json")).toVector
+      finally ls.close()
+    }.sortBy(_.getFileName.toString.length).sortBy(_.getFileName.toString)
+    val hit = files.flatMap { p =>
+      val json = new String(Files.readAllBytes(p), "UTF-8")
+      val tampered = json.replaceFirst(find, repl)
+      if (tampered != json) Some((p, tampered)) else None
+    }.headOption
+    assert(hit.nonEmpty, s"tamper target '$find' not found in any _log file")
+    Files.write(hit.get._1, hit.get._2.getBytes("UTF-8"))
+    hit.get._1
+  }
+
   private def parquetCount(root: String): Int = {
     val it = Files.walk(Paths.get(root))
     try it.iterator().asInstanceOf[java.util.Iterator[Path]]
@@ -207,13 +229,9 @@ class CloneSpec extends SparkSuite {
       "an honest stats-less file must verify clean")
     // tamper: claim a concrete o_orderkey range the all-NULL file can
     // never witness — pre-fix this passed as ok and readRange would
-    // prune by a fabricated claim
-    val mPath = Paths.get(cat.root, "_manifest.json")
-    val json = new String(Files.readAllBytes(mPath), "UTF-8")
-    val tampered = json.replaceFirst("\"min\":",
-      "\"cols\":{\"o_orderkey\":[5,10]},\"min\":")
-    assert(tampered != json, "tamper target not found:\n" + json)
-    Files.write(mPath, tampered.getBytes("UTF-8"))
+    // prune by a fabricated claim (round 14: the claim lives in the
+    // commit-log delta that added the file)
+    tamperLog(cat, "\"min\":", "\"cols\":{\"o_orderkey\":[5,10]},\"min\":")
     val flagged = new Catalog(spark, cat.root).fsck("orders_ingest")
       .collect().filter(!_.getBoolean(2))
     assert(flagged.length == 1 &&
@@ -258,19 +276,17 @@ class CloneSpec extends SparkSuite {
     val healthy = cat.fsck("users").collect()
     assert(healthy.length == 2 && healthy.forall(_.getBoolean(2)),
       healthy.mkString(", "))
-    // tamper: bump one file's claimed max id directly in the manifest
-    val mPath = java.nio.file.Paths.get(cat.root, "_manifest.json")
-    val json = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
-    val tampered = json.replaceFirst("\"max\":1\\b", "\"max\":1001")
-    assert(tampered != json, "tamper target not found")
-    java.nio.file.Files.write(mPath, tampered.getBytes("UTF-8"))
+    // tamper: bump one file's claimed max id directly in the commit log
+    val tPath = tamperLog(cat, "\"max\":1\\b", "\"max\":1001")
+    val json = new String(java.nio.file.Files.readAllBytes(tPath), "UTF-8")
     val cat2 = new Catalog(spark, cat.root)
     val flagged = cat2.fsck("users").collect()
     assert(flagged.count(!_.getBoolean(2)) == 1, flagged.mkString(", "))
     assert(flagged.find(!_.getBoolean(2)).get.getString(3)
       .contains("id range"), flagged.mkString(", "))
     // delete a live parquet out-of-band: flagged as missing
-    java.nio.file.Files.write(mPath, json.getBytes("UTF-8")) // untamper
+    java.nio.file.Files.write(tPath,
+      json.replaceFirst("\"max\":1001", "\"max\":1").getBytes("UTF-8")) // untamper
     val cat3 = new Catalog(spark, cat.root)
     val victim = cat3.fsck("users").collect().head.getString(0)
     java.nio.file.Files.delete(java.nio.file.Paths.get(cat.root, victim))
@@ -291,12 +307,7 @@ class CloneSpec extends SparkSuite {
     // narrow the recorded o_orderkey stat range: observed data now
     // escapes the claim — exactly the corruption that would make
     // readRange skip files it must scan
-    val mPath = java.nio.file.Paths.get(cat.root, "_manifest.json")
-    val json = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
-    val tampered = json.replaceFirst(
-      """"o_orderkey":\[0,""", "\"o_orderkey\":[1,")
-    assert(tampered != json, "stats tamper target not found:\n" + json)
-    java.nio.file.Files.write(mPath, tampered.getBytes("UTF-8"))
+    tamperLog(cat, """"o_orderkey":\[0,""", "\"o_orderkey\":[1,")
     val flagged = new Catalog(spark, cat.root).fsck("orders_ingest")
       .collect().filter(!_.getBoolean(2))
     assert(flagged.length == 1 &&

@@ -1257,4 +1257,69 @@ class StoreSpec extends SparkSuite {
       .filter(col("o_totalprice") === 0.0).count() == 0L,
       "the reload must have replaced every corrupted row")
   }
+
+  test("log-structured commits: bytes written per commit are bounded by " +
+    "the commit's file delta, not the table's accumulated file count") {
+    val cat = freshCat()
+    (1 to 25).foreach(i => cat.append("users", user(s"u$i", s"u$i@x.c")))
+    val logDir = java.nio.file.Paths.get(cat.root, "_log")
+    def sz(name: String) = Files.size(logDir.resolve(name))
+    // an early and a late single-file append write the SAME-shaped delta:
+    // commit bytes never grow with the table's live file count (the
+    // pre-round-14 root manifest grew by one full file list per commit)
+    val early = sz("v3.json"); val late = sz("v23.json")
+    assert(late <= early + 200,
+      s"commit bytes grew with the table: v3=$early B -> v23=$late B")
+    // checkpoints land every CheckpointInterval commits and carry the
+    // FULL state (they grow with the table; deltas do not)
+    assert(Files.exists(logDir.resolve("v10.checkpoint.json")))
+    assert(Files.exists(logDir.resolve("v20.checkpoint.json")))
+    assert(sz("v20.checkpoint.json") > sz("v10.checkpoint.json"))
+    assert(late.toDouble < sz("v20.checkpoint.json"),
+      "a delta must be smaller than the full-state checkpoint")
+    // every retained version stays time-travelable (checkpoint + tail)
+    assert(cat.readAt("users", 7L).count() == 7L)
+    assert(cat.readAt("users", 25L).count() == 25L)
+    // vacuum(0) retires log files below the newest checkpoint at/below
+    // the retention floor; replay re-anchors on that checkpoint
+    cat.vacuum("users", retainMillis = 0)
+    assert(!Files.exists(logDir.resolve("v3.json")), "old deltas retired")
+    assert(!Files.exists(logDir.resolve("v10.checkpoint.json")),
+      "superseded checkpoint retired")
+    assert(Files.exists(logDir.resolve("v20.checkpoint.json")),
+      "the anchoring checkpoint must survive")
+    intercept[IllegalArgumentException](cat.readAt("users", 7L))
+    // a FRESH instance (cold cache) replays checkpoint + tail correctly
+    // and keeps committing with dense ids
+    val cat2 = new Catalog(spark, cat.root)
+    assert(cat2.read("users").count() == 25L)
+    assert(cat2.append("users", user("u26", "u26@x.c")) == 26L)
+  }
+
+  test("fsck audits the commit-log chain: a diverging checkpoint and a " +
+    "missing tail delta are each flagged with the right diagnosis") {
+    val cat = freshCat()
+    (1 to 12).foreach(i => cat.append("users", user(s"c$i", s"c$i@x.c")))
+    assert(cat.fsck("users").collect().forall(_.getBoolean(2)))
+    val logDir = java.nio.file.Paths.get(cat.root, "_log")
+    // tamper the checkpoint: its content no longer equals the delta
+    // replay that should reproduce it (readers entering via the
+    // checkpoint would disagree with readers replaying deltas)
+    val ck = logDir.resolve("v10.checkpoint.json")
+    val json = new String(Files.readAllBytes(ck), "UTF-8")
+    val tampered = json.replaceFirst("\"maxId\":10", "\"maxId\":99")
+    assert(tampered != json, "checkpoint tamper target not found")
+    Files.write(ck, tampered.getBytes("UTF-8"))
+    val flagged1 = new Catalog(spark, cat.root).fsck("users").collect()
+      .filter(!_.getBoolean(2))
+    assert(flagged1.exists(_.getString(3).contains("diverges")),
+      flagged1.mkString(", "))
+    // break the replay chain above the checkpoint: the current version
+    // is no longer derivable — fsck reports instead of throwing
+    Files.delete(logDir.resolve("v11.json"))
+    val flagged2 = new Catalog(spark, cat.root).fsck("users").collect()
+      .filter(!_.getBoolean(2))
+    assert(flagged2.exists(_.getString(3).contains("chain broken")),
+      flagged2.mkString(", "))
+  }
 }
