@@ -90,9 +90,19 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * normalized to an orderable Long — epoch micros for timestamps, the
     * value itself for integral columns). A column absent from the map
     * has no stats and is never pruned on — correctness cannot depend on
-    * stats presence. */
+    * stats presence.
+    *
+    * `scols` (round 14) carries the same skipping metadata for STRING
+    * stats columns as BOUNDED min/max: the recorded pair is an OUTER
+    * bound of the file's true range — min is an exact value or a
+    * truncated prefix (<= every value), max is exact or a
+    * prefix-incremented upper bound (Delta's truncation trick, see
+    * [[Catalog.strStatHi]]) — compared in UTF-8 binary order (Spark's
+    * string order). Bounds being outer means pruning by them is always
+    * sound; a value whose bound cannot be represented records no stat. */
   private[store] case class FileEntry(path: String, minId: Long,
-      maxId: Long, cols: Map[String, (Long, Long)] = Map.empty)
+      maxId: Long, cols: Map[String, (Long, Long)] = Map.empty,
+      scols: Map[String, (String, String)] = Map.empty)
 
   /** Per-table manifest state. `schema = None` means the registry schema
     * ([[Schemas.registry]]); `Some` is an EVOLVED schema ([[Tx.addColumn]])
@@ -126,6 +136,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
         val arr = cn.putArray(c); arr.add(mn); arr.add(mx)
       }
     }
+    if (f.scols.nonEmpty) {
+      val sn = fn.putObject("scols")
+      f.scols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        val arr = sn.putArray(c); arr.add(mn); arr.add(mx)
+      }
+    }
   }
 
   private def parseFileEntry(f: com.fasterxml.jackson.databind.JsonNode)
@@ -136,8 +152,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
           ce.getValue.get(1).asLong())
       }.toMap
     }.getOrElse(Map.empty[String, (Long, Long)])
+    val scols = Option(f.get("scols")).map { sn =>
+      sn.properties().asScala.map { ce =>
+        ce.getKey -> (ce.getValue.get(0).asText(),
+          ce.getValue.get(1).asText())
+      }.toMap
+    }.getOrElse(Map.empty[String, (String, String)])
     FileEntry(f.get("path").asText(), f.get("min").asLong(),
-      f.get("max").asLong(), cols)
+      f.get("max").asLong(), cols, scols)
   }
 
   private def parseTableMeta(t: com.fasterxml.jackson.databind.JsonNode)
@@ -539,6 +561,21 @@ final class Catalog(val spark: SparkSession, val root: String) {
       lo.getEpochSecond * 1000000L + lo.getNano / 1000L,
       hi.getEpochSecond * 1000000L + hi.getNano / 1000L)
 
+  /** String-column overload (inclusive, UTF-8 binary order — the order
+    * Spark's default string comparison uses): files whose BOUNDED string
+    * stats provably miss [lo, hi] are never opened (bounds are outer, so
+    * skipping is sound; see [[FileEntry.scols]]), and the exact
+    * predicate is re-applied to the surviving rows. */
+  def readRange(table: String, column: String, lo: String, hi: String)
+      : DataFrame = {
+    val st = readManifest().get(table)
+    val files = st.map(_.files).getOrElse(Vector.empty)
+    val kept =
+      Catalog.pruneByDomainStr[FileEntry](files, _.scols, column, lo, hi)
+    val scanned = readFiles(table, kept, schemaOf(st, table))
+    scanned.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
   /** Files [[readRange]] would open for the given range vs the live
     * total (test hook for the skipping behavior). */
   private[graft] def rangeFiles(table: String, column: String,
@@ -548,6 +585,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
     (files.filter(_.cols.get(column)
       .forall { case (mn, mx) => mx >= lo && mn <= hi }).map(_.path),
       files.size)
+  }
+
+  /** String twin of [[rangeFiles]] (test hook). */
+  private[graft] def rangeFilesStr(table: String, column: String,
+      lo: String, hi: String): (Seq[String], Int) = {
+    val files = readManifest().get(table).map(_.files)
+      .getOrElse(Vector.empty)
+    (Catalog.pruneByDomainStr[FileEntry](files, _.scols, column, lo, hi)
+      .map(_.path), files.size)
   }
 
   /** Live file list with id stats — the pruning metadata (test hook). */
@@ -590,7 +636,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       Files.exists(rootPath.resolve(f.path)))
     val present = entries.filterNot(missing.contains)
     val observedRows: Seq[(String, Long, Long, Long,
-        Map[String, (Long, Long)])] =
+        Map[String, (Long, Long)], Map[String, (String, String)])] =
       if (present.isEmpty) Nil
       else {
         val df = spark.read.schema(schema)
@@ -598,12 +644,18 @@ final class Catalog(val spark: SparkSession, val root: String) {
         val statCols = Schemas.statsColumns.getOrElse(table, Nil)
           .filter(c => schema.fieldNames.contains(c))
           .filter(c => statLong(df, c).isDefined)
+        val strCols = Schemas.statsColumns.getOrElse(table, Nil)
+          .filter(c => schema.fieldNames.contains(c))
+          .filter(c => schema(c).dataType ==
+            org.apache.spark.sql.types.StringType)
         val aggs = count(lit(1)).as("n") +:
           min(col(idCol)).as("mn") +: max(col(idCol)).as("mx") +:
-          statCols.flatMap { c =>
+          (statCols.flatMap { c =>
             val lc = statLong(df, c).get
             Seq(min(lc).as(s"mn_$c"), max(lc).as(s"mx_$c"))
-          }
+          } ++ strCols.flatMap { c =>
+            Seq(min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c"))
+          })
         df.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
           .collect().toSeq.map { r =>
             val abs = r.getString(0).stripPrefix("file://")
@@ -614,7 +666,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
               if (r.isNullAt(i) || r.isNullAt(j)) None
               else Some(c -> (r.getLong(i), r.getLong(j)))
             }.toMap
-            (rel, r.getLong(1), r.getLong(2), r.getLong(3), cols)
+            val scols = strCols.flatMap { c =>
+              val (i, j) = (r.fieldIndex(s"smn_$c"), r.fieldIndex(s"smx_$c"))
+              if (r.isNullAt(i) || r.isNullAt(j)) None
+              else Some(c -> (r.getString(i), r.getString(j)))
+            }.toMap
+            (rel, r.getLong(1), r.getLong(2), r.getLong(3), cols, scols)
           }
       }
     val observed = observedRows.map(o => o._1 -> o).toMap
@@ -631,7 +688,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         if (missing.contains(f)) "file missing on disk"
         else observed.get(f.path) match {
           case None => "file unreadable or empty"
-          case Some((_, n, mn, mx, cols)) =>
+          case Some((_, n, mn, mx, cols, scols)) =>
             if (f.minId > f.maxId && n > 0)
               s"manifest claims no rows, file has $n"
             else if (f.minId <= f.maxId && (mn != f.minId || mx != f.maxId))
@@ -647,7 +704,20 @@ final class Catalog(val spark: SparkSession, val root: String) {
                   s"column '$c' stat claimed [$cmn,$cmx] but " +
                     "unobservable (column reads back all-NULL)"
               }
-              bad.getOrElse("")
+              // string claims are OUTER bounds: observed exact min/max
+              // must sit INSIDE them (escape = pruning would drop rows)
+              val badStr = f.scols.collectFirst {
+                case (c, (cmn, cmx)) if scols.get(c).exists(o =>
+                  Catalog.utf8Compare(o._1, cmn) < 0 ||
+                    Catalog.utf8Compare(o._2, cmx) > 0) =>
+                  s"column '$c' string range ${scols(c)} escapes " +
+                    s"manifest bounds ['$cmn','$cmx']"
+                case (c, (cmn, cmx)) if observableStats.contains(c) &&
+                  !scols.contains(c) =>
+                  s"column '$c' string stat claimed ['$cmn','$cmx'] " +
+                    "but unobservable (column reads back all-NULL)"
+              }
+              bad.orElse(badStr).getOrElse("")
             }
         }
       val n = observed.get(f.path).map(_._2).getOrElse(0L)
@@ -799,12 +869,18 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val statCols = Schemas.statsColumns.getOrElse(table, Nil)
       .filter(c => df.schema.fieldNames.contains(c))
       .filter(c => statLong(df, c).isDefined)
+    val strCols = Schemas.statsColumns.getOrElse(table, Nil)
+      .filter(c => df.schema.fieldNames.contains(c))
+      .filter(c => df.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType)
     val aggs =
       min(col(idCol)).as("mn") +: max(col(idCol)).as("mx") +:
-        statCols.flatMap { c =>
+        (statCols.flatMap { c =>
           val lc = statLong(df, c).get
           Seq(min(lc).as(s"mn_$c"), max(lc).as(s"mx_$c"))
-        }
+        } ++ strCols.flatMap { c =>
+          Seq(min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c"))
+        })
     val stats = written
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -818,7 +894,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
         if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
         else Some(c -> (r.getLong(mnI), r.getLong(mxI)))
       }.toMap
-      FileEntry(rel, r.getLong(1), r.getLong(2), cols)
+      val scols = strCols.flatMap { c =>
+        val (mnI, mxI) = (r.fieldIndex(s"smn_$c"), r.fieldIndex(s"smx_$c"))
+        if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+        else Catalog.strStatBounds(r.getString(mnI), r.getString(mxI))
+          .map(c -> _)
+      }.toMap
+      FileEntry(rel, r.getLong(1), r.getLong(2), cols, scols)
     }.toVector.sortBy(_.path)
   }
 
@@ -899,16 +981,19 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * reconcile against commits that stayed outside it (round 13). */
     private[Catalog] var strictTables: Set[String] = Set.empty
 
-    /** Keyed-upsert domains for OCC (round 13): table -> (key column,
-      * normalized min, normalized max) of the merge/SCD2 source batch.
-      * At commit, a concurrent commit to the table reconciles iff every
-      * file it removed or added carries `keyCol` stats provably OUTSIDE
-      * this range — the many-disjoint-upsert-writers shape of a 100 TB
-      * dimension load commits without serializing. Recorded only when
-      * the key is a manifest stats column ([[Schemas.statsColumns]]);
-      * otherwise the table goes strict exactly as before. */
-    private[Catalog] var mergeKeyRanges: Map[String, (String, Long, Long)] =
-      Map.empty
+    /** Keyed-upsert domains for OCC (round 13; string keys round 14):
+      * table -> (key column, provable domain) of the merge/SCD2 source
+      * batch — Long-normalized for integral/timestamp keys, exact
+      * strings (compared in UTF-8 binary order against the files'
+      * BOUNDED stats) for string keys. At commit, a concurrent commit
+      * to the table reconciles iff every file it removed or added
+      * carries `keyCol` stats provably OUTSIDE this domain — the
+      * many-disjoint-upsert-writers shape of a 100 TB dimension load
+      * commits without serializing. Recorded only when the key is a
+      * manifest stats column ([[Schemas.statsColumns]]); otherwise the
+      * table goes strict exactly as before. */
+    private[Catalog] var mergeKeyRanges
+      : Map[String, (String, Catalog.KeyDomain)] = Map.empty
 
     /** Record a merge/SCD2 dependency on `table`: the source batch's
       * key-domain range when provable from stats, else whole-table
@@ -917,26 +1002,42 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * batch's own range (independent of the strict bookkeeping) so the
       * caller can stats-prune its candidate file scan. */
     private def markMergeDomain(table: String, src: DataFrame,
-        keyCol: String): Option[(Long, Long)] = {
-      val range =
+        keyCol: String): Option[Catalog.KeyDomain] = {
+      import Catalog.{KeyDomain, LongDomain, StrDomain}
+      val range: Option[KeyDomain] =
         if (!Schemas.statsColumns.getOrElse(table, Nil).contains(keyCol))
           None
-        else statLong(src, keyCol).flatMap { lc =>
-          val r = src.agg(min(lc), max(lc)).collect()(0)
-          // all-NULL key batch: pure insert, but its staged file carries
-          // no key stats for others to check — stay strict (rare)
-          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+        else statLong(src, keyCol) match {
+          case Some(lc) =>
+            val r = src.agg(min(lc), max(lc)).collect()(0)
+            // all-NULL key batch: pure insert, but its staged file
+            // carries no key stats for others to check — stay strict
+            if (r.isNullAt(0)) None
+            else Some(LongDomain(r.getLong(0), r.getLong(1)))
+          case None
+              if src.schema(keyCol).dataType ==
+                org.apache.spark.sql.types.StringType =>
+            val r = src.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+            if (r.isNullAt(0)) None
+            else Some(StrDomain(r.getString(0), r.getString(1)))
+          case None => None
         }
       range match {
-        case Some((lo, hi)) if !strictTables.contains(table) =>
-          mergeKeyRanges.get(table) match {
-            case Some((k, plo, phi)) if k == keyCol =>
-              mergeKeyRanges += table ->
-                (keyCol, math.min(plo, lo), math.max(phi, hi))
-            case Some(_) => // two key columns in one tx: not provable
+        case Some(d) if !strictTables.contains(table) =>
+          (mergeKeyRanges.get(table), d) match {
+            case (Some((k, LongDomain(plo, phi))), LongDomain(lo, hi))
+                if k == keyCol =>
+              mergeKeyRanges += table -> (keyCol,
+                LongDomain(math.min(plo, lo), math.max(phi, hi)))
+            case (Some((k, StrDomain(plo, phi))), StrDomain(lo, hi))
+                if k == keyCol =>
+              mergeKeyRanges += table -> (keyCol, StrDomain(
+                if (Catalog.utf8Compare(plo, lo) <= 0) plo else lo,
+                if (Catalog.utf8Compare(phi, hi) >= 0) phi else hi))
+            case (Some(_), _) => // two key columns in one tx: not provable
               strictTables += table; mergeKeyRanges -= table
-            case None =>
-              mergeKeyRanges += table -> (keyCol, lo, hi)
+            case (None, _) =>
+              mergeKeyRanges += table -> (keyCol, d)
           }
         case _ =>
           strictTables += table; mergeKeyRanges -= table
@@ -945,8 +1046,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
     }
 
     private def pruneByDomain(files: Vector[FileEntry], keyCol: String,
-        domain: Option[(Long, Long)]): Vector[FileEntry] =
-      Catalog.pruneByDomain[FileEntry](files, _.cols, keyCol, domain)
+        domain: Option[Catalog.KeyDomain]): Vector[FileEntry] =
+      domain match {
+        case Some(Catalog.LongDomain(lo, hi)) =>
+          Catalog.pruneByDomain[FileEntry](files, _.cols, keyCol,
+            Some((lo, hi)))
+        case Some(Catalog.StrDomain(lo, hi)) =>
+          Catalog.pruneByDomainStr[FileEntry](files, _.scols, keyCol,
+            lo, hi)
+        case None => files
+      }
 
     /** Per-table id shift applied by a commit-time rebase (see
       * [[Catalog!.transaction]]): ids returned DURING the body are
@@ -1718,18 +1827,33 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // domain — stats ranges in the manifest are the proof. A delta file
     // with no keyCol stats cannot be proven disjoint (e.g. an all-NULL-
     // key insert or a pre-stats file): conservative conflict.
-    tx.mergeKeyRanges.get(table).foreach { case (keyCol, lo, hi) =>
+    tx.mergeKeyRanges.get(table).foreach { case (keyCol, dom) =>
       val curAdded = c.files.filterNot(bFiles.contains)
       (curRemoved.toVector ++ curAdded).foreach { f =>
-        f.cols.get(keyCol) match {
-          case Some((mn, mx)) =>
-            if (mn <= hi && lo <= mx)
-              conflict(s"concurrent commit touched this merge's " +
-                s"'$keyCol' domain [$lo, $hi] (file ${f.path} " +
-                s"covers [$mn, $mx])")
-          case None =>
-            conflict(s"cannot prove '$keyCol' disjointness for " +
-              s"concurrently-written file ${f.path} (no stats)")
+        dom match {
+          case Catalog.LongDomain(lo, hi) => f.cols.get(keyCol) match {
+            case Some((mn, mx)) =>
+              if (mn <= hi && lo <= mx)
+                conflict(s"concurrent commit touched this merge's " +
+                  s"'$keyCol' domain [$lo, $hi] (file ${f.path} " +
+                  s"covers [$mn, $mx])")
+            case None =>
+              conflict(s"cannot prove '$keyCol' disjointness for " +
+                s"concurrently-written file ${f.path} (no stats)")
+          }
+          case Catalog.StrDomain(lo, hi) => f.scols.get(keyCol) match {
+            // the file's stats are OUTER bounds, so intersection of the
+            // bounds is the conservative (sound) conflict test
+            case Some((mn, mx)) =>
+              if (Catalog.utf8Compare(mn, hi) <= 0 &&
+                  Catalog.utf8Compare(lo, mx) <= 0)
+                conflict(s"concurrent commit touched this merge's " +
+                  s"'$keyCol' domain ['$lo', '$hi'] (file ${f.path} " +
+                  s"bounds ['$mn', '$mx'])")
+            case None =>
+              conflict(s"cannot prove '$keyCol' disjointness for " +
+                s"concurrently-written file ${f.path} (no string stats)")
+          }
         }
       }
     }
@@ -1973,6 +2097,104 @@ object Catalog {
     * against the new state (the one-op conveniences do so themselves). */
   final class ConcurrentWriteException(msg: String)
     extends RuntimeException(msg)
+
+  /** A keyed upsert's provable source-key domain ([[Tx.mergeKeyRanges]]):
+    * Long-normalized for integral/timestamp keys, bounded-binary-order
+    * for string keys. */
+  private[store] sealed trait KeyDomain
+  private[store] final case class LongDomain(lo: Long, hi: Long)
+    extends KeyDomain
+  private[store] final case class StrDomain(lo: String, hi: String)
+    extends KeyDomain
+
+  /** Max recorded length of a string file stat: longer values record a
+    * truncated BOUND instead (Delta truncates at 32 too). Chosen so a
+    * million-file manifest's string stats stay megabytes. */
+  private[store] val StringStatMaxLen = 32
+
+  /** UTF-8 binary comparison — the order Spark's default (UTF8_BINARY)
+    * string comparisons use. Driver-side stat comparisons MUST use this,
+    * not String.compareTo: UTF-16 code-unit order disagrees with UTF-8
+    * byte order for supplementary characters, and a pruning decision in
+    * the wrong order silently drops rows. */
+  private[store] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** True when every surrogate in `s` is a well-formed high+low pair —
+    * the precondition for the truncation bounds below (a lone surrogate
+    * encodes as '?' in UTF-8 and breaks the ordering argument). Strings
+    * failing this simply record no stats. */
+  private[store] def wellFormedUtf16(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+          return false
+        i += 2
+      } else if (Character.isLowSurrogate(c)) return false
+      else i += 1
+    }
+    true
+  }
+
+  /** Lower bound of a string value for file stats: the value itself when
+    * short, else a char prefix that never splits a surrogate pair — its
+    * UTF-8 bytes are then a byte-prefix of the value's, hence <= it in
+    * binary order. */
+  private[store] def strStatLo(s: String): String =
+    if (s.length <= StringStatMaxLen) s
+    else {
+      var n = StringStatMaxLen
+      if (Character.isHighSurrogate(s.charAt(n - 1))) n -= 1
+      s.substring(0, n)
+    }
+
+  /** Upper bound of a string value for file stats: the value itself when
+    * short, else the truncated prefix with its LAST safely-incrementable
+    * char bumped by one (skipping chars whose successor lands in the
+    * surrogate range or past the BMP) — strictly greater, in UTF-8
+    * binary order, than every string sharing the prefix. None when no
+    * char can be bumped: the value records no stat (conservative — a
+    * stats-less column never prunes). */
+  private[store] def strStatHi(s: String): Option[String] =
+    if (s.length <= StringStatMaxLen) Some(s)
+    else {
+      val p = strStatLo(s)
+      def bumpable(c: Char): Boolean =
+        c < 0xD7FF.toChar || (c >= 0xE000.toChar && c < 0xFFFF.toChar)
+      val i = p.lastIndexWhere(bumpable)
+      if (i < 0) None
+      else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    }
+
+  /** Both bounds of a file's (exact) string min/max, or None when either
+    * is unrepresentable (ill-formed UTF-16, unbumpable max prefix). */
+  private[store] def strStatBounds(mn: String, mx: String)
+      : Option[(String, String)] =
+    if (!wellFormedUtf16(mn) || !wellFormedUtf16(mx)) None
+    else strStatHi(mx).map(hi => (strStatLo(mn), hi))
+
+  /** String twin of [[pruneByDomain]]: keep a file iff its BOUNDED
+    * string range can intersect the (exact) batch domain — provably
+    * disjoint means boundedMax < lo or hi < boundedMin in UTF-8 binary
+    * order. Files without stats for the column always stay. */
+  private[store] def pruneByDomainStr[F](files: Vector[F],
+      scolsOf: F => Map[String, (String, String)], keyCol: String,
+      lo: String, hi: String): Vector[F] =
+    files.filter(f => scolsOf(f).get(keyCol).forall { case (mn, mx) =>
+      utf8Compare(mx, lo) >= 0 && utf8Compare(mn, hi) <= 0
+    })
 
   /** Stats pre-prune for a keyed upsert's candidate scan: only files
     * whose `keyCol` range can intersect the batch domain can hold a

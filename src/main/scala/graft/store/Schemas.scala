@@ -160,7 +160,13 @@ object Schemas {
     // the many-shard index-maintenance / dimension-load shape at 100 TB
     "users_dim" -> Seq("user_id"),
     "lsh_index" -> Seq("idx_key"),
-    "ivf_index" -> Seq("vec_id"))
+    "ivf_index" -> Seq("vec_id"),
+    // string-keyed stats (round 14): BOUNDED min/max string stats
+    // (Catalog.strStatLo/strStatHi — Delta-style prefix truncation) give
+    // the string-keyed summary dimension the same three wins the Long
+    // keys above get: readRange skipping, merge candidate pre-pruning,
+    // and keyed-upsert OCC reconcile via provably-disjoint key domains
+    "events_type_summary" -> Seq("event_type"))
 
   val registry: Map[String, (StructType, String)] = Map(
     "users" -> (users, "user_id"),

@@ -1258,6 +1258,91 @@ class StoreSpec extends SparkSuite {
       "the reload must have replaced every corrupted row")
   }
 
+  private def typeSummary(types: Seq[String], tag: Long) =
+    types.map(t => (t, tag, tag * 100L))
+      .toDF("event_type", "n_rows", "total_cents")
+
+  test("string-keyed disjoint-domain merges reconcile: two writers " +
+    "upserting different event_type ranges both commit (bounded string " +
+    "stats prove disjointness); overlapping string domains conflict") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cat1 = new Catalog(spark, root)
+    val cat2 = new Catalog(spark, root)
+    // seed two file groups with separated event_type string ranges
+    cat1.append("events_type_summary",
+      typeSummary(Seq("alpha", "bravo", "charlie"), 1L),
+      orderBy = Seq("event_type"))
+    cat1.append("events_type_summary",
+      typeSummary(Seq("romeo", "sierra", "tango"), 1L),
+      orderBy = Seq("event_type"))
+    // writer 1 merges the LOW domain [alpha, delta]; before it commits,
+    // writer 2's merge in the HIGH domain [romeo, uniform] lands fully
+    cat1.transaction { tx =>
+      tx.merge("events_type_summary",
+        typeSummary(Seq("alpha", "bravo", "delta"), 2L), "event_type")
+      cat2.merge("events_type_summary",
+        typeSummary(Seq("romeo", "uniform"), 3L), "event_type")
+    } // commit-time reconcile: string domains provably disjoint
+    val rows = cat1.read("events_type_summary")
+      .select("event_type", "n_rows").as[(String, Long)].collect().toMap
+    assert(Seq("alpha", "bravo", "delta").forall(rows(_) == 2L),
+      s"merge A lost: $rows")
+    assert(Seq("romeo", "uniform").forall(rows(_) == 3L),
+      s"merge B lost: $rows")
+    assert(Seq("charlie", "sierra", "tango").forall(rows(_) == 1L),
+      "untouched keys must keep seed values")
+    assert(rows.size == 8)
+    // both sides inserted -> writer 1's ids were rebased: dense, unique
+    val ids = cat1.read("events_type_summary")
+      .select("summary_id").as[Long].collect().sorted
+    assert(ids.sameElements(1L to 8L), s"ids not dense: ${ids.toSeq}")
+    // overlapping string domains: the second committer fails loudly
+    intercept[Catalog.ConcurrentWriteException] {
+      cat1.transaction { tx =>
+        tx.merge("events_type_summary",
+          typeSummary(Seq("alpha", "sierra"), 4L), "event_type")
+        cat2.merge("events_type_summary",
+          typeSummary(Seq("bravo"), 5L), "event_type")
+      }
+    }
+  }
+
+  test("string data skipping: readRange(String) opens only files whose " +
+    "bounded event_type stats overlap the probe; a truncated long key " +
+    "stays findable through its outer bounds") {
+    val cat = freshCat()
+    cat.append("events_type_summary",
+      typeSummary(Seq("alpha", "bravo", "charlie"), 1L),
+      orderBy = Seq("event_type"))
+    cat.append("events_type_summary",
+      typeSummary(Seq("romeo", "sierra"), 1L), orderBy = Seq("event_type"))
+    val longKey = "z" * 40 // past StringStatMaxLen: stats hold BOUNDS
+    cat.append("events_type_summary", typeSummary(Seq(longKey), 1L),
+      orderBy = Seq("event_type"))
+    // low probe: only the [alpha, charlie] file opens
+    val (opened, total) =
+      cat.rangeFilesStr("events_type_summary", "event_type", "a", "m")
+    assert(total == 3 && opened.size == 1, s"opened $opened of $total")
+    assert(cat.readRange("events_type_summary", "event_type", "a", "m")
+      .count() == 3)
+    // point probe inside the second file's range
+    val (opened2, _) =
+      cat.rangeFilesStr("events_type_summary", "event_type",
+        "romeo", "romeo")
+    assert(opened2.size == 1, s"opened $opened2")
+    // the long key's file carries truncated OUTER bounds — a probe
+    // covering the key must keep the file and find the row
+    assert(cat.readRange("events_type_summary", "event_type",
+      "z", "z" * 42).count() == 1)
+    // skipping equals the full-scan filter (correctness identity)
+    val viaRange = cat.readRange("events_type_summary", "event_type",
+      "b", "s").select("event_type").as[String].collect().sorted.toSeq
+    val viaScan = cat.read("events_type_summary")
+      .filter(col("event_type") >= "b" && col("event_type") <= "s")
+      .select("event_type").as[String].collect().sorted.toSeq
+    assert(viaRange == viaScan && viaRange.nonEmpty)
+  }
+
   test("log-structured commits: bytes written per commit are bounded by " +
     "the commit's file delta, not the table's accumulated file count") {
     val cat = freshCat()
