@@ -105,16 +105,20 @@ object AsOf {
       /** Hot-key rescue (see [[SkewSalt]]): split every left key across
         * `s` salt buckets (right side replicated `s`x), bounding a hot
         * key's per-task left rows at ~1/s. Defaults to the
-        * `spark.graft.join.skewSalt` session conf; ignored when the
-        * caller pinned the broadcast variant (no shuffle, no skew). */
-      skewSalt: Option[Int] = None): DataFrame =
-    SkewSalt.resolve(skewSalt, left)
-      .filterNot(_ => broadcastRight.contains(true))
-      // a join the planner would broadcast has no shuffle to rescue —
-      // don't let the session conf (or an unpinned request) defeat the
-      // broadcast fast path; Some(false) pins the shuffle path and salts
-      .filterNot(_ => broadcastRight.isEmpty &&
-        SkewSalt.plannerWouldBroadcast(right)) match {
+        * `spark.graft.join.skewSalt` session conf (absent = `auto`:
+        * census-driven detection, round 14); ignored when the caller
+        * pinned the broadcast variant (no shuffle, no skew). */
+      skewSalt: Option[Int] = None): DataFrame = {
+    // a join the planner would broadcast has no shuffle to rescue —
+    // neither the session conf, an unpinned request, nor auto-detection
+    // may defeat the broadcast fast path (or pay a census for it);
+    // Some(false) pins the shuffle path and salting applies
+    val saltable = !broadcastRight.contains(true) &&
+      !(broadcastRight.isEmpty && SkewSalt.plannerWouldBroadcast(right))
+    val salt =
+      if (saltable) SkewSalt.resolve(skewSalt, left, keys.map(_._1))
+      else None
+    salt match {
       case Some(s) =>
         joinUnsalted(
           SkewSalt.saltLeft(left, leftTime, s),
@@ -128,6 +132,7 @@ object AsOf {
       case None => joinUnsalted(left, right, keys, leftTime, rightTime,
         tolerance, forward, broadcastRight)
     }
+  }
 
   private def joinUnsalted(
       left: DataFrame,

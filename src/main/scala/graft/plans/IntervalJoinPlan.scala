@@ -68,14 +68,18 @@ object IntervalJoin {
         * `s` salt buckets (right side replicated `s`x) — each (l, r)
         * overlap pair still appears exactly once, in l's bucket. The
         * join is symmetric: to rescue a hot RIGHT side, swap the sides.
-        * Defaults to the `spark.graft.join.skewSalt` session conf;
-        * ignored when the caller pinned the broadcast variant. */
-      skewSalt: Option[Int] = None): DataFrame =
-    SkewSalt.resolve(skewSalt, left)
-      .filterNot(_ => broadcastRight.contains(true))
-      // see AsOf.join: never salt a join the planner would broadcast
-      .filterNot(_ => broadcastRight.isEmpty &&
-        SkewSalt.plannerWouldBroadcast(right)) match {
+        * Defaults to the `spark.graft.join.skewSalt` session conf
+        * (absent = `auto`: census-driven detection, round 14); ignored
+        * when the caller pinned the broadcast variant. */
+      skewSalt: Option[Int] = None): DataFrame = {
+    // see AsOf.join: never salt (nor census) a join the planner would
+    // broadcast — there is no shuffle to rescue there
+    val saltable = !broadcastRight.contains(true) &&
+      !(broadcastRight.isEmpty && SkewSalt.plannerWouldBroadcast(right))
+    val salt =
+      if (saltable) SkewSalt.resolve(skewSalt, left, keys.map(_._1))
+      else None
+    salt match {
       case Some(s) =>
         joinUnsalted(
           SkewSalt.saltLeft(left, leftStart, s),
@@ -87,6 +91,7 @@ object IntervalJoin {
       case None => joinUnsalted(left, right, keys, leftStart, leftEnd,
         rightStart, rightEnd, broadcastRight)
     }
+  }
 
   private def joinUnsalted(
       left: DataFrame,

@@ -32,16 +32,41 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * right side is dimension-history-sized by construction.
   *
   * Activation: per-call `skewSalt = Some(s)` on [[AsOf.join]] /
-  * [[IntervalJoin.join]], or session-wide via
-  * `spark.conf.set("spark.graft.join.skewSalt", s)` (per-call wins).
-  * Salting forces the co-partitioned variant — the broadcast variants
-  * have no left shuffle and therefore no skew problem to rescue.
+  * [[IntervalJoin.join]], session-wide via
+  * `spark.conf.set("spark.graft.join.skewSalt", s | "auto" | "off")`
+  * (per-call wins), or — the round-14 default when no knob is set at
+  * all — census-driven AUTO-detection ([[resolve]]/[[autoDetect]]): a
+  * shuffle-path join whose left side is large enough pays one cached
+  * key-census aggregate, and a planted hot key past the documented
+  * thresholds picks its own salt factor while uniform keys keep the
+  * exact unsalted plan. Salting forces the co-partitioned variant —
+  * the broadcast variants have no left shuffle and therefore no skew
+  * problem to rescue (and are never censused).
   */
-private[plans] object SkewSalt {
-  /** Session conf: default salt factor for every salted-capable join
-    * (0/absent = off). The 100 TB knob — set it once for a pipeline
-    * whose key distribution is known to be hot. */
+private[graft] object SkewSalt {
+  /** Session conf: salt policy for every salted-capable join.
+    * Accepted values: `off` (or `0`/`1`/`none`) = never salt; `auto`
+    * (the default when the conf is ABSENT) = census-driven detection
+    * (see [[autoDetect]]); an integer `>= 2` = fixed salt factor — the
+    * 100 TB knob for a pipeline whose key distribution is known hot.
+    * Anything else fails loudly naming this key. */
   val ConfKey = "spark.graft.join.skewSalt"
+
+  /** Auto-detect sizing confs (SURVEY §7.5b): the census only runs when
+    * the left plan's estimated size reaches `minLeftBytes` (a smaller
+    * join cannot straggle enough to matter, and the census job is not
+    * free); a key is HOT when its row count reaches `minKeyRows` AND
+    * exceeds `ratio` x the mean per-key count; the salt factor targets
+    * `targetRowsPerTask` left rows per salt bucket, clamped to [2, 16]. */
+  val AutoMinLeftBytesKey = "spark.graft.join.skewAuto.minLeftBytes"
+  val AutoMinKeyRowsKey = "spark.graft.join.skewAuto.minKeyRows"
+  val AutoRatioKey = "spark.graft.join.skewAuto.ratio"
+  val AutoTargetRowsKey = "spark.graft.join.skewAuto.targetRowsPerTask"
+
+  val DefaultAutoMinLeftBytes: Long = 64L * 1024 * 1024
+  val DefaultAutoMinKeyRows: Long = 1000000L
+  val DefaultAutoRatio: Long = 8L
+  val DefaultAutoTargetRows: Long = 500000L
 
   val LeftCol = "__graft_salt_l"
   val RightCol = "__graft_salt_r"
@@ -53,12 +78,107 @@ private[plans] object SkewSalt {
     case _ => false
   }
 
-  /** Effective salt factor: the per-call request, else the session conf,
-    * kept only when it actually splits (`s > 1`). */
-  def resolve(requested: Option[Int], df: DataFrame): Option[Int] =
-    requested
-      .orElse(df.sparkSession.conf.getOption(ConfKey).map(_.trim.toInt))
-      .filter(_ > 1)
+  /** Effective salt factor for a join already known to take the SHUFFLE
+    * path (callers must rule out the broadcast variants first — a
+    * broadcast join has no skewed shuffle partition to rescue):
+    *
+    *  1. an explicit per-call request wins outright (`> 1` salts,
+    *     `<= 1` means the caller pinned salting OFF);
+    *  2. else the [[ConfKey]] session conf: `off`, a fixed factor, or
+    *     `auto`;
+    *  3. `auto` — and an ABSENT conf — runs the census-driven
+    *     [[autoDetect]] below.
+    *
+    * A malformed conf value fails loudly naming the key, the value, and
+    * the accepted domain (never a bare NumberFormatException deep in
+    * join planning). */
+  def resolve(requested: Option[Int], df: DataFrame,
+      leftKeyCols: Seq[String]): Option[Int] =
+    requested match {
+      case Some(n) => Some(n).filter(_ > 1)
+      case None =>
+        df.sparkSession.conf.getOption(ConfKey).map(_.trim) match {
+          case None => autoDetect(df, leftKeyCols)
+          case Some(v) => v.toLowerCase match {
+            case "auto" => autoDetect(df, leftKeyCols)
+            case "off" | "none" | "0" | "1" => None
+            case s =>
+              val n =
+                try s.toInt
+                catch {
+                  case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"$ConfKey must be 'off', 'auto', or an integer " +
+                        s"salt factor >= 0; got '$v'")
+                }
+              if (n < 0) throw new IllegalArgumentException(
+                s"$ConfKey must be 'off', 'auto', or an integer salt " +
+                  s"factor >= 0; got '$v'")
+              Some(n).filter(_ > 1)
+          }
+        }
+    }
+
+  /** Census results per analyzed-plan semantic hash + key set: the
+    * census is one aggregate job over the left side's key columns —
+    * paid once per distinct plan per JVM (re-planning the same query,
+    * as bench reruns and retried stages do, hits the cache). */
+  private val censusCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Seq[String]),
+      Option[Int]]()
+
+  /** Test hook: number of live census cache entries + reset. */
+  private[graft] def censusCacheSize: Int = censusCache.size()
+  private[graft] def clearCensusCache(): Unit = censusCache.clear()
+
+  /** Census-driven skew detection (round 14 — the automatic version of
+    * the `ext_skew_audit` thermometer): when the left side is large
+    * enough to matter, ONE map-side-combined aggregate over its key
+    * columns computes (max per-key rows, total rows, distinct keys).
+    * A key is hot when `maxCnt >= minKeyRows` (absolute straggler
+    * floor) AND `maxCnt * nKeys >= ratio * rows` (relative skew — the
+    * same max/avg signal ext_skew_audit reports in ppm). The factor
+    * then targets `targetRowsPerTask` rows per bucket, clamped to
+    * [2, 16] — right-side replication scales with the factor, so the
+    * cap bounds the rescue's own cost. Returns None for uniform keys:
+    * the plan stays exactly the unsalted one. */
+  private def autoDetect(df: DataFrame, keyCols: Seq[String])
+      : Option[Int] = {
+    val spark = df.sparkSession
+    def confLong(k: String, d: Long): Long =
+      spark.conf.getOption(k).map { v =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$k must be a positive integer; got '$v'")
+        }
+      }.getOrElse(d)
+    val minBytes = confLong(AutoMinLeftBytesKey, DefaultAutoMinLeftBytes)
+    val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sz >= 0 && sz < minBytes) return None
+    val key = (df.queryExecution.analyzed.semanticHash(), keyCols)
+    censusCache.computeIfAbsent(key, _ => {
+      val minKeyRows = confLong(AutoMinKeyRowsKey, DefaultAutoMinKeyRows)
+      val ratio = confLong(AutoRatioKey, DefaultAutoRatio)
+      val target = confLong(AutoTargetRowsKey, DefaultAutoTargetRows)
+      val r = df.select(keyCols.map(col): _*)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__graft_census_c"))
+        .agg(max(col("__graft_census_c")).as("mx"),
+          sum(col("__graft_census_c")).as("rows"),
+          count(lit(1)).as("nk"))
+        .collect()(0)
+      if (r.isNullAt(0)) None // empty left
+      else {
+        val (mx, rows, nk) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        if (mx >= minKeyRows && mx * nk >= ratio * rows)
+          Some(math.min(16L,
+            math.max(2L, (mx + target - 1) / target)).toInt)
+        else None
+      }
+    })
+  }
 
   /** True when the planner's stats rule would pick the BROADCAST variant
     * anyway (right side under `autoBroadcastJoinThreshold`): such a join

@@ -652,6 +652,128 @@ class PlansSpec extends SparkSuite {
     } finally spark.conf.unset(confKey)
   }
 
+  // ---- round-14 auto skew detection ----------------------------------
+
+  /** Plan WITHOUT executing (the 4M-row auto-detect fixtures must not
+    * be collected): pre-execution, AdaptiveSparkPlanExec.executedPlan
+    * is the initial physical plan — enough for static shape checks. */
+  private def planned(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  private def plannedLeftKeys(df: DataFrame): Int =
+    deepCollect(planned(df)) { case e: AsOfJoinExec => e.leftKeys.size }.head
+
+  test("auto skew detection: a planted hot key salts itself with NO " +
+    "salt knob set, a uniform key keeps the exact unsalted plan, the " +
+    "census is cached per plan, and 'off' disables detection") {
+    graft.plans.SkewSalt.clearCensusCache()
+    // 4M rows x (pk, pt, pad) estimates ~88 MB — past the census size
+    // floor (64 MB); 1.5M rows share key 0: >= the 1M absolute floor
+    // and ~37% of all rows >> 8x the mean per-key share
+    val hot = spark.range(4000000L).select(
+      when(col("id") < 1500000L, lit(0L)).otherwise(col("id")).as("pk"),
+      (col("id") % 9973L).as("pt"), lit("pad-payload").as("pad"))
+    val right = spark.range(200).select(col("id").as("k"),
+      (col("id") * 50L).as("t"), col("id").as("rid"))
+    // broadcastRight = Some(false) pins the SHUFFLE variant (the one
+    // with a skewed partition to rescue); no salt knob is set anywhere
+    val salted = AsOf.join(hot, right, Seq("pk" -> "k"), "pt", "t",
+      broadcastRight = Some(false))
+    assert(plannedLeftKeys(salted) == 2,
+      s"planted hot key must auto-salt:\n${planned(salted)}")
+    // the census is cached by plan: re-planning the same query must
+    // not grow the cache (and pays no second census job)
+    val n0 = graft.plans.SkewSalt.censusCacheSize
+    AsOf.join(hot, right, Seq("pk" -> "k"), "pt", "t",
+      broadcastRight = Some(false))
+    assert(graft.plans.SkewSalt.censusCacheSize == n0,
+      "re-planning the same join must hit the census cache")
+    // uniform keys at the same size: the census runs and DECLINES
+    val uni = spark.range(4000000L).select(col("id").as("pk"),
+      (col("id") % 9973L).as("pt"), lit("pad-payload").as("pad"))
+    val plain = AsOf.join(uni, right, Seq("pk" -> "k"), "pt", "t",
+      broadcastRight = Some(false))
+    assert(plannedLeftKeys(plain) == 1,
+      s"uniform keys must keep the unsalted plan:\n${planned(plain)}")
+    // a small left never pays the census at all (size floor)
+    val tiny = AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
+      broadcastRight = Some(false))
+    assert(plannedLeftKeys(tiny) == 1)
+    // conf 'off' disables detection even for the planted hot key
+    spark.conf.set(graft.plans.SkewSalt.ConfKey, "off")
+    try {
+      val off = AsOf.join(hot, right, Seq("pk" -> "k"), "pt", "t",
+        broadcastRight = Some(false))
+      assert(plannedLeftKeys(off) == 1, "'off' must disable auto-salt")
+    } finally spark.conf.unset(graft.plans.SkewSalt.ConfKey)
+  }
+
+  test("auto skew detection: the auto-salted result equals the pinned-" +
+    "unsalted result on a downsized planted key (thresholds scaled via " +
+    "the documented sizing confs); interval join detects too") {
+    graft.plans.SkewSalt.clearCensusCache()
+    val confs = Seq(
+      graft.plans.SkewSalt.AutoMinLeftBytesKey -> "1",
+      graft.plans.SkewSalt.AutoMinKeyRowsKey -> "1000",
+      graft.plans.SkewSalt.AutoTargetRowsKey -> "2000")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val n = 20000
+      // hot key carries 3/4 of the rows; a 5000-key uniform tail keeps
+      // the max/mean ratio decisive
+      val left = spark.range(n).select(
+        when(col("id") < 15000L, lit(0L)).otherwise(col("id")).as("pk"),
+        (col("id") % 997L).as("pt"), col("id").as("lid"))
+      val right = spark.range(100).select((col("id") % 3L).as("k"),
+        (col("id") * 10L).as("t"), col("id").as("rid"))
+      val auto = AsOf.join(left, right, Seq("pk" -> "k"), "pt", "t",
+        broadcastRight = Some(false))
+      assert(plannedLeftKeys(auto) == 2,
+        s"downsized planted key must auto-salt:\n${planned(auto)}")
+      // skewSalt = Some(0): explicit per-call OFF (overrides auto)
+      val unsalted = AsOf.join(left, right, Seq("pk" -> "k"), "pt", "t",
+        broadcastRight = Some(false), skewSalt = Some(0))
+      assert(plannedLeftKeys(unsalted) == 1)
+      val a = auto.select("lid", "rid")
+        .as[(Long, Option[Long])].collect().toSet
+      val b = unsalted.select("lid", "rid")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(a == b && a.size == n,
+        "auto-salted result must equal the unsalted result")
+      // interval join runs the same detection
+      val il = spark.range(n).select(
+        when(col("id") < 15000L, lit(0L)).otherwise(col("id")).as("k"),
+        (col("id") % 997L).as("st"), (col("id") % 997L + 3L).as("en"))
+      val ir = spark.range(50).select((col("id") % 3L).as("rk"),
+        (col("id") * 20L).as("rst"), (col("id") * 20L + 5L).as("ren"))
+      val iauto = IntervalJoin.join(il, ir, Seq("k" -> "rk"),
+        "st", "en", "rst", "ren", broadcastRight = Some(false))
+      val ikeys = deepCollect(planned(iauto)) {
+        case e: graft.plans.IntervalJoinExec => e.leftKeys.size }.head
+      assert(ikeys == 2,
+        s"interval join must auto-salt the planted key:\n${planned(iauto)}")
+    } finally {
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      graft.plans.SkewSalt.clearCensusCache()
+    }
+  }
+
+  test("skew-salt conf fails loudly on a malformed or negative value, " +
+    "naming the conf key and the offending value") {
+    val key = graft.plans.SkewSalt.ConfKey
+    for (bad <- Seq("4x", "-3", "")) {
+      spark.conf.set(key, bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
+            broadcastRight = Some(false))
+        }
+        assert(e.getMessage.contains(key) && e.getMessage.contains(bad),
+          s"error must name the conf and value, got: ${e.getMessage}")
+      } finally spark.conf.unset(key)
+    }
+  }
+
   test("salt-column name collisions on EITHER side fail loudly instead " +
     "of silently dropping a user column") {
     val l2 = probes.withColumn("__graft_salt_r", lit(1))
