@@ -29,6 +29,7 @@ object Registry {
       graft.sources.JsonlIngest.all ++ graft.sources.CsvIngest.all ++
       graft.streaming.EventsStream.all ++
       graft.streaming.StatefulSessions.all ++
+      graft.streaming.StreamStateCensus.all ++
       graft.streaming.StreamDedup.all ++
       graft.streaming.StreamJoin.all ++
       graft.streaming.StreamFunnel.all ++

@@ -77,6 +77,16 @@ object StatefulSessions {
   /** Run the stateful streaming query to completion over the fixture file
     * and return the emitted (closed) sessions. */
   def run(spark: SparkSession, dir: String): DataFrame =
+    runCounting(spark, dir)._1
+
+  /** [[run]] plus the query's FINAL keyed-state row count
+    * (`stateOperators.numRowsTotal` after the last batch — including the
+    * no-data timeout batches): the sessions still held open. The
+    * StreamingSessionsSpec pins this against
+    * [[StreamStateCensus]].`open_state_keys`, tying the census row to
+    * the real state store ( -1 when the engine reported no progress). */
+  private[graft] def runCounting(spark: SparkSession, dir: String)
+      : (DataFrame, Long) =
       graft.core.Sessions.withShufflePartitions(spark, 8) {
     import spark.implicits._
     val batch = spark.read.parquet(s"$dir/events.parquet")
@@ -105,16 +115,19 @@ object StatefulSessions {
         GroupStateTimeout.EventTimeTimeout)(step)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
-    try {
+    val stateRows = try {
       q.processAllAvailable()
       StreamReplay.requireMultiBatch(q)
+      Option(q.lastProgress)
+        .flatMap(p => p.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(-1L)
     } finally q.stop()
-    spark.table(name)
+    (spark.table(name)
       .select(col("user_id"), col("n_events"),
         timestamp_micros(col("t_start_us")).as("t_start"),
         timestamp_micros(col("t_end_us")).as("t_end"),
         (col("total_cents") / 100.0).as("total"))
-      .orderBy("user_id", "t_start")
+      .orderBy("user_id", "t_start"), stateRows)
   }
 
   /** Gate entry. The emitted set is deterministic given the final

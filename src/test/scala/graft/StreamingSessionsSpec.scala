@@ -26,4 +26,22 @@ class StreamingSessionsSpec extends SparkSuite {
       "only the open tail session per user may be withheld")
     assert(streamed.nonEmpty, "watermark advancement must close sessions")
   }
+
+  test("state census predicts the real keyed state: the running query's " +
+    "final numRowsTotal equals the census's open_state_keys") {
+    val (_, stateRows) =
+      graft.streaming.StatefulSessions.runCounting(spark, sf)
+    assert(stateRows >= 0, "query reported no state-operator progress")
+    val census = graft.streaming.StreamStateCensus.census(spark, sf)
+      .collect()(0)
+    val open = census.getAs[Long]("open_state_keys")
+    assert(stateRows == open,
+      s"census open_state_keys=$open but the real state store held " +
+        s"$stateRows rows — the §7.5b sizing row would mis-size")
+    // the census's traffic signals are internally consistent
+    assert(census.getAs[Long]("n_rows") >= census.getAs[Long]("max_cnt"))
+    assert(census.getAs[Long]("skew_ratio_ppm") >= 1000000L,
+      "max/avg ppm is >= 1x by construction")
+    assert(open <= census.getAs[Long]("n_keys"))
+  }
 }
