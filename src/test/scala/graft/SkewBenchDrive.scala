@@ -38,21 +38,36 @@ object SkewBenchDrive {
     def run(saltOpt: Option[Int]): (Double, Long) = {
       var best = Double.MaxValue
       var chk = 0L
-      (1 to reps).foreach { _ =>
+      (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
         val j = graft.plans.AsOf.join(left, right, Seq("k" -> "rk"),
           "t", "rt", broadcastRight = Some(false), skewSalt = saltOpt)
+        val tPlan = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
         chk = j.agg(count(lit(1)), sum(col("rv"))).collect()(0).getLong(0)
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val tExec = (System.nanoTime() - t1) / 1e9
+        System.err.println(
+          f"[skewbench]   salt=$saltOpt rep$i plan=$tPlan%.2f s exec=$tExec%.2f s")
+        best = math.min(best, tPlan + tExec)
       }
       (best, chk)
     }
 
-    val (tu, cu) = run(None)
+    // Some(0) pins salting OFF (round 14: an absent request now means
+    // census-driven AUTO detection, which would rescue the planted key
+    // and erase the baseline this drive exists to measure)
+    val (tu, cu) = run(Some(0))
     val (ts, cs) = run(Some(salt))
-    require(cu == cs, s"salted result diverged: $cu vs $cs")
+    // AUTO: no knob anywhere — the census detects the planted hot key
+    // and picks its own factor (first rep pays the census job; the
+    // min-of-reps steady state rides the per-plan cache)
+    graft.plans.SkewSalt.clearCensusCache()
+    val (ta, ca) = run(None)
+    require(cu == cs && cu == ca,
+      s"salted/auto result diverged: $cu vs $cs vs $ca")
     println(f"[skewbench] unsalted=$tu%.2f s salted($salt)=$ts%.2f s " +
-      f"speedup=${tu / ts}%.2fx rows=$cu (nHot=$nHot nRight=$nRight)")
+      f"auto=$ta%.2f s speedup=${tu / ts}%.2fx autoSpeedup=${tu / ta}%.2fx " +
+      f"rows=$cu (nHot=$nHot nRight=$nRight)")
     spark.stop()
   }
 }
