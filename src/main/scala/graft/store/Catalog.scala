@@ -311,13 +311,21 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   /** Write one commit: the delta between `prev` (the manifest being
     * replaced) and the staged post-commit states, as `_log/vN.json` via
-    * tmp + atomic rename — the rename IS the commit. Every
-    * [[Catalog.CheckpointInterval]]-th version also writes the full
-    * checkpoint. Called under the commit locks only. Bytes written are
-    * proportional to the commit's file delta (plus the amortized
-    * checkpoint), never to the table. */
+    * tmp + atomic rename — the rename IS the commit. Called under the
+    * commit locks only; bytes written UNDER THE LOCK are proportional
+    * to the commit's file delta, never to the table.
+    *
+    * Every [[Catalog.CheckpointInterval]]-th version also gets a full
+    * checkpoint, but its O(live-files) write is returned as a DEFERRED
+    * action the caller runs AFTER releasing the locks (the Delta shape:
+    * checkpoints are maintenance, not commit) — so no writer ever
+    * serializes behind a checkpoint. The content is captured in memory
+    * at commit time, so a checkpoint written after later commits landed
+    * is still exactly version N's state; a crash before it lands just
+    * leaves replay anchored on the previous checkpoint (longer tail,
+    * same answers) until the next one. */
   private def writeCommit(prev: Manifest, staged: Map[String, TableState])
-      : Unit = {
+      : Option[() => Unit] = {
     val newVersion = version + 1
     val rootNode = mapper.createObjectNode()
     rootNode.put("_version", newVersion)
@@ -355,7 +363,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // instances derive the same state from the log)
     val next = applyDelta(prev, delta)
     cache = (newVersion, next)
-    if (newVersion % Catalog.CheckpointInterval == 0) {
+    if (newVersion % Catalog.CheckpointInterval != 0) None
+    else Some(() => {
       val ck = mapper.createObjectNode()
       ck.put("_version", newVersion)
       ck.put("_committedAtMs", System.currentTimeMillis())
@@ -369,7 +378,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       Files.write(ctmp, mapper.writeValueAsBytes(ck))
       Files.move(ctmp, checkpointPath(newVersion),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    }
+    })
   }
 
   /** Latest version committed at or before `tsMillis` (Delta
@@ -1734,8 +1743,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val tx = new Tx(base)
     try {
       val out = body(tx)
-      if (tx.staged.nonEmpty)
-        withCommitLock {
+      if (tx.staged.nonEmpty) {
+        val deferredCheckpoint = withCommitLock {
           val cur = readManifest()
           val stagedFinal = tx.staged.groupBy(_.table)
             .map { case (t, ss) => t -> ss.last.state }
@@ -1756,6 +1765,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
           }
           writeCommit(cur, merged)
         }
+        // the O(live-files) checkpoint (every CheckpointInterval-th
+        // commit) writes OUTSIDE the lock — no other writer serializes
+        // behind it; see writeCommit
+        deferredCheckpoint.foreach(_())
+      }
       out
     } finally tx.releaseLease()
   }
