@@ -147,12 +147,16 @@ private[graft] object SkewSalt {
     val spark = df.sparkSession
     def confLong(k: String, d: Long): Long =
       spark.conf.getOption(k).map { v =>
-        try v.trim.toLong
-        catch {
-          case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"$k must be a positive integer; got '$v'")
-        }
+        val n =
+          try v.trim.toLong
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$k must be a positive integer; got '$v'")
+          }
+        if (n <= 0) throw new IllegalArgumentException(
+          s"$k must be a positive integer; got '$v'")
+        n
       }.getOrElse(d)
     val minBytes = confLong(AutoMinLeftBytesKey, DefaultAutoMinLeftBytes)
     val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -172,7 +176,10 @@ private[graft] object SkewSalt {
       if (r.isNullAt(0)) None // empty left
       else {
         val (mx, rows, nk) = (r.getLong(0), r.getLong(1), r.getLong(2))
-        if (mx >= minKeyRows && mx * nk >= ratio * rows)
+        // BigInt: at 1e10 keys x 1e9-row hot key the Long product wraps
+        // negative and would silently disable the rescue this feature
+        // exists for (and could falsely trigger elsewhere)
+        if (mx >= minKeyRows && BigInt(mx) * nk >= BigInt(ratio) * rows)
           Some(math.min(16L,
             math.max(2L, (mx + target - 1) / target)).toInt)
         else None

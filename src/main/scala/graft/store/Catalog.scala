@@ -56,6 +56,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private val rootPath = Paths.get(root)
   private val lockPath = rootPath.resolve("_manifest.lock")
   Files.createDirectories(rootPath)
+  // legacy-layout guard: a pre-round-14 store (single root manifest +
+  // _history) would otherwise read back as EMPTY — and vacuum, seeing
+  // no referenced files, could then delete its data. Fail loudly at
+  // construction instead of silently serving zero rows.
+  if (Files.exists(rootPath.resolve("_manifest.json")) &&
+      !Files.exists(rootPath.resolve("_log")))
+    throw new IllegalStateException(
+      s"store root '$root' uses the legacy single-manifest layout " +
+        "(_manifest.json/_history); this build reads the round-14 " +
+        "log-structured layout (_log/vN.json). Migrate by re-ingesting, " +
+        "or read it with the release that wrote it")
 
   // ---- manifest (log-structured, round 14) -------------------------------
   //
@@ -270,16 +281,24 @@ final class Catalog(val spark: SparkSession, val root: String) {
     def unavailable(): Nothing = throw new IllegalArgumentException(
       s"snapshot v$v of '$root' is not available: never committed, or " +
         "already vacuumed past the retention window")
-    val log = listLog()
-    if (!log.exists(_._1 == v)) unavailable()
-    val ckpt = log.filter(e => e._2 && e._1 <= v).map(_._1).maxOption
-    val base: Manifest = ckpt match {
-      case Some(c) => parseManifest(Files.readAllBytes(checkpointPath(c)))
-      case None => Map.empty
-    }
-    ((ckpt.getOrElse(0L) + 1) to v).foldLeft(base) { (m, i) =>
-      if (!Files.exists(deltaPath(i))) unavailable()
-      applyDelta(m, parseDelta(Files.readAllBytes(deltaPath(i))))
+    // a concurrent vacuum can retire a log file between the existence
+    // check and the read (the listing is not a lock) — that race IS the
+    // vacuumed-past-retention condition and must surface as the clean
+    // unavailable error, never a raw NoSuchFileException
+    try {
+      val log = listLog()
+      if (!log.exists(_._1 == v)) unavailable()
+      val ckpt = log.filter(e => e._2 && e._1 <= v).map(_._1).maxOption
+      val base: Manifest = ckpt match {
+        case Some(c) => parseManifest(Files.readAllBytes(checkpointPath(c)))
+        case None => Map.empty
+      }
+      ((ckpt.getOrElse(0L) + 1) to v).foldLeft(base) { (m, i) =>
+        if (!Files.exists(deltaPath(i))) unavailable()
+        applyDelta(m, parseDelta(Files.readAllBytes(deltaPath(i))))
+      }
+    } catch {
+      case _: java.nio.file.NoSuchFileException => unavailable()
     }
   }
 
@@ -297,14 +316,26 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // fast path: roll the cached state forward delta-by-delta (cost
       // per read ∝ commits since last read, never table size); fall back
       // to checkpoint replay when the tail is gone (vacuum) or the cache
-      // is empty
-      val m =
-        if (c._1 < v &&
-            ((c._1 + 1) to v).forall(i => Files.exists(deltaPath(i))))
-          ((c._1 + 1) to v).foldLeft(c._2)((m, i) =>
-            applyDelta(m, parseDelta(Files.readAllBytes(deltaPath(i)))))
-        else manifestAt(v)
-      cache = (v, m)
+      // is empty. A vacuum racing the roll-forward (file retired between
+      // the existence check and the read) falls back the same way — the
+      // CURRENT version is always replayable from the newest checkpoint,
+      // which vacuum never breaks.
+      // the cache entry MUST be keyed by the version it materializes —
+      // caching a newer state under an older version would double-apply
+      // the intervening deltas on the next roll-forward
+      val (mv, m) =
+        try {
+          if (c._1 < v &&
+              ((c._1 + 1) to v).forall(i => Files.exists(deltaPath(i))))
+            (v, ((c._1 + 1) to v).foldLeft(c._2)((m, i) =>
+              applyDelta(m, parseDelta(Files.readAllBytes(deltaPath(i))))))
+          else (v, manifestAt(v))
+        } catch {
+          case _: java.nio.file.NoSuchFileException =>
+            val v2 = version
+            (v2, manifestAt(v2))
+        }
+      cache = (mv, m)
       m
     }
   }
@@ -327,9 +358,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private def writeCommit(prev: Manifest, staged: Map[String, TableState])
       : Option[() => Unit] = {
     val newVersion = version + 1
+    val committedAtMs = System.currentTimeMillis()
     val rootNode = mapper.createObjectNode()
     rootNode.put("_version", newVersion)
-    rootNode.put("_committedAtMs", System.currentTimeMillis())
+    rootNode.put("_committedAtMs", committedAtMs)
     val tablesNode = rootNode.putObject("tables")
     val delta: Map[String, TableDelta] =
       staged.toSeq.sortBy(_._1).flatMap { case (tbl, st) =>
@@ -367,7 +399,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
     else Some(() => {
       val ck = mapper.createObjectNode()
       ck.put("_version", newVersion)
-      ck.put("_committedAtMs", System.currentTimeMillis())
+      // the DELTA's commit stamp, not checkpoint-write time: once vacuum
+      // retires the delta, versionAsOf resolves TIMESTAMP AS OF through
+      // the checkpoint — a late maintenance stamp would skew it
+      ck.put("_committedAtMs", committedAtMs)
       next.toSeq.sortBy(_._1).foreach { case (tbl, st) =>
         val t: ObjectNode = ck.putObject(tbl)
         putTableMeta(t, st)
@@ -1767,8 +1802,22 @@ final class Catalog(val spark: SparkSession, val root: String) {
         }
         // the O(live-files) checkpoint (every CheckpointInterval-th
         // commit) writes OUTSIDE the lock — no other writer serializes
-        // behind it; see writeCommit
-        deferredCheckpoint.foreach(_())
+        // behind it; see writeCommit. The COMMIT (the delta rename) is
+        // already durable here, so a checkpoint IO failure must NOT
+        // surface as a transaction failure — the caller would retry a
+        // transaction that actually landed and double-apply it. The
+        // checkpoint is best-effort maintenance: warn and move on
+        // (replay stays anchored on the previous checkpoint; the next
+        // interval writes a fresh one).
+        deferredCheckpoint.foreach { ck =>
+          try ck()
+          catch {
+            case e: Exception => System.err.println(
+              s"[graft.store] WARN checkpoint write failed for '$root' " +
+                s"(commit already durable; replay anchors on the " +
+                s"previous checkpoint): $e")
+          }
+        }
       }
       out
     } finally tx.releaseLease()

@@ -20,10 +20,11 @@ import graft.core.{Q, Tables}
   *
   *  - `n_keys` / `n_rows`: key cardinality and state-write traffic
   *    over the stream's replayed window;
-  *  - `max_cnt` + `skew_ratio_ppm`: the hottest key's share (max/avg
-  *    in ppm, BIGINT-exact — same signal as `ext_skew_audit`): a hot
-  *    user concentrates that fraction of all state WRITES on one
-  *    partition;
+  *  - `max_cnt` + `skew_ratio_ppm`: the hottest key's share (max over
+  *    FLOORED-average in ppm, BIGINT-exact and overflow-safe — the
+  *    `ext_skew_audit` signal with the division ordered so the product
+  *    never exceeds max_cnt*1e6): a hot user concentrates that
+  *    fraction of all state WRITES on one partition;
   *  - `open_state_keys`: state rows still HELD at end-of-replay —
   *    users whose final session the event-time timeout has not closed
   *    under the final watermark (the `ext_stream_sessions` closed-set
@@ -50,7 +51,11 @@ object StreamStateCensus {
       count(lit(1)).cast("long").as("n_keys"),
       sum(col("c")).cast("long").as("n_rows"),
       max(col("c")).cast("long").as("max_cnt"),
-      expr("max(c) * count(*) * 1000000 div sum(c)").cast("long")
+      // max/avg with the average FLOORED first: the triple product
+      // max*keys*1e6 wraps Long past ~1e8 keys x 1e6-row hot key, while
+      // max*1e6 only wraps past a 9-trillion-row single key — the
+      // division order is the overflow guard, mirrored in the oracle
+      expr("max(c) * 1000000 div (sum(c) div count(*))").cast("long")
         .as("skew_ratio_ppm"),
       sum(when(
         expr(s"(unix_micros(last_ts) + $GapUs) div 1000 + 1") >=
@@ -67,7 +72,7 @@ object StreamStateCensus {
        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
        |  CAST(SUM(c) AS BIGINT) AS n_rows,
        |  CAST(MAX(c) AS BIGINT) AS max_cnt,
-       |  CAST(MAX(c) * COUNT(*) * 1000000 // SUM(c) AS BIGINT)
+       |  CAST(MAX(c) * 1000000 // (SUM(c) // COUNT(*)) AS BIGINT)
        |    AS skew_ratio_ppm,
        |  CAST(SUM(CASE WHEN (epoch_us(last_ts) + $GapUs) // 1000 + 1
        |    >= wm_ms THEN 1 ELSE 0 END) AS BIGINT) AS open_state_keys

@@ -31,7 +31,11 @@ class CloneSpec extends SparkSuite {
       try ls.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
         .filter(p => p.getFileName.toString.endsWith(".json")).toVector
       finally ls.close()
-    }.sortBy(_.getFileName.toString.length).sortBy(_.getFileName.toString)
+    }.sortBy { p => // numeric version order, a version's delta first
+      val n = p.getFileName.toString
+      (n.stripPrefix("v").takeWhile(_.isDigit).toLong,
+        if (n.contains("checkpoint")) 1 else 0)
+    }
     val hit = files.flatMap { p =>
       val json = new String(Files.readAllBytes(p), "UTF-8")
       val tampered = json.replaceFirst(find, repl)

@@ -772,6 +772,19 @@ class PlansSpec extends SparkSuite {
           s"error must name the conf and value, got: ${e.getMessage}")
       } finally spark.conf.unset(key)
     }
+    // the auto-sizing confs reject non-positive values the same way
+    val sizing = graft.plans.SkewSalt.AutoMinLeftBytesKey
+    for (bad <- Seq("0", "-5", "64mb")) {
+      spark.conf.set(sizing, bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          AsOf.join(probes, deals, Seq("pk" -> "k"), "pt", "t",
+            broadcastRight = Some(false))
+        }
+        assert(e.getMessage.contains(sizing),
+          s"error must name the sizing conf, got: ${e.getMessage}")
+      } finally spark.conf.unset(sizing)
+    }
   }
 
   test("salt-column name collisions on EITHER side fail loudly instead " +

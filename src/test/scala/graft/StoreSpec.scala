@@ -1381,6 +1381,17 @@ class StoreSpec extends SparkSuite {
     assert(cat2.append("users", user("u26", "u26@x.c")) == 26L)
   }
 
+  test("legacy single-manifest layout fails loudly at construction " +
+    "instead of reading back as an empty store") {
+    val root = Files.createTempDirectory("graft_store_legacy")
+    Files.write(root.resolve("_manifest.json"),
+      """{"_version":3}""".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      new Catalog(spark, root.toString)
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
+
   test("fsck audits the commit-log chain: a diverging checkpoint and a " +
     "missing tail delta are each flagged with the right diagnosis") {
     val cat = freshCat()
