@@ -141,13 +141,6 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     fams.foreach { fam =>
       val famNames = names.filter(n => family(n) == fam)
-      val detail = java.nio.file.Files
-        .createTempFile(s"graft_bench_$fam", ".json")
-      java.nio.file.Files.delete(detail)
-      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
-      val pb = new ProcessBuilder(cmd)
-      pb.environment().put("SPARK_GRAFT_BENCH_EXACT", famNames.mkString(","))
-      pb.environment().put("SPARK_GRAFT_BENCH_DETAIL", detail.toString)
       // the dedup family keeps a residual intermittent-episode tail even
       // in its own JVM (bench/BENCH_ATTRIBUTION.md); the sim family's
       // heavy generated classes (64-plane LshBuckets, VecDot folds) leave
@@ -163,43 +156,55 @@ object Bench {
       // band, intermittent codegen-cache stall inside the fixed-point
       // loop's per-round stages) — the graph family joins the guard so
       // one bad draw cannot set the reported number for the loop ops.
-      // r14: min-of-3 did not pin the dedup family (r13 headline
-      // ext_dedup_clusters 4.84 s vs 3.05 s sweep — the episode band can
-      // swallow all 3 draws). Dedup gets min-of-5: two extra ~3 s runs
-      // per affected query buy a headline the sweep reproduces.
-      if (fam == "dedup")
-        pb.environment().put("SPARK_GRAFT_BENCH_RUNS",
-          math.max(runs, 5).toString)
-      else if (Set("sim", "tpch", "layout", "graph")(fam))
-        pb.environment().put("SPARK_GRAFT_BENCH_RUNS",
-          math.max(runs, 3).toString)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      System.err.println(s"[bench] ==== family $fam: ${famNames.size} queries, fresh JVM ====")
-      val t0 = System.nanoTime()
-      val p = pb.start()
-      // child stdout (its own contract line + spark chatter) goes to OUR
-      // stderr so the parent's final println stays the last stdout line
-      val drain = new Thread(() => p.getInputStream.transferTo(System.err))
-      drain.setDaemon(true); drain.start()
-      val rc = p.waitFor(); drain.join(2000)
-      System.err.println(
-        f"[bench] ==== family $fam: rc=$rc wall=${(System.nanoTime() - t0) / 1e9}%.1f s ====")
-      val parsed: Map[String, Double] =
-        if (java.nio.file.Files.exists(detail)) {
-          val txt = java.nio.file.Files.readString(detail)
-          famNames.flatMap { n =>
-            ("\"" + java.util.regex.Pattern.quote(n) + "\":([0-9.]+)").r
-              .findFirstMatchIn(txt).map(m => n -> m.group(1).toDouble)
-          }.toMap
-        } else Map.empty
-      famNames.foreach { n =>
-        parsed.get(n) match {
-          case Some(v) => acc(n) = v
-          case None => failed += n
-        }
-      }
-      if (java.nio.file.Files.exists(detail))
+      // r14: min-of-N inside ONE JVM cannot escape the dedup episode —
+      // the band is JVM-level (r13: clusters 4.84 s headline vs 3.05 s
+      // sweep with all 3 draws hot; r14 probe: simhash 0.76 s vs 0.35 s
+      // across two child JVMs, min-of-5 each). The dedup family now runs
+      // in TWO fresh child JVMs and the report takes the per-query MIN
+      // across them — one bad JVM draw can no longer set the number.
+      val jvmDraws = if (fam == "dedup") 2 else 1
+      val childRuns =
+        if (Set("dedup", "sim", "tpch", "layout", "graph")(fam))
+          math.max(runs, 3)
+        else runs
+      (1 to jvmDraws).foreach { draw =>
+        val detail = java.nio.file.Files
+          .createTempFile(s"graft_bench_$fam", ".json")
         java.nio.file.Files.delete(detail)
+        val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_BENCH_EXACT", famNames.mkString(","))
+        pb.environment().put("SPARK_GRAFT_BENCH_DETAIL", detail.toString)
+        pb.environment().put("SPARK_GRAFT_BENCH_RUNS", childRuns.toString)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        System.err.println(s"[bench] ==== family $fam: ${famNames.size} " +
+          s"queries, fresh JVM (draw $draw/$jvmDraws) ====")
+        val t0 = System.nanoTime()
+        val p = pb.start()
+        // child stdout (its own contract line + spark chatter) goes to OUR
+        // stderr so the parent's final println stays the last stdout line
+        val drain = new Thread(() => p.getInputStream.transferTo(System.err))
+        drain.setDaemon(true); drain.start()
+        val rc = p.waitFor(); drain.join(2000)
+        System.err.println(
+          f"[bench] ==== family $fam: rc=$rc wall=${(System.nanoTime() - t0) / 1e9}%.1f s ====")
+        val parsed: Map[String, Double] =
+          if (java.nio.file.Files.exists(detail)) {
+            val txt = java.nio.file.Files.readString(detail)
+            famNames.flatMap { n =>
+              ("\"" + java.util.regex.Pattern.quote(n) + "\":([0-9.]+)").r
+                .findFirstMatchIn(txt).map(m => n -> m.group(1).toDouble)
+            }.toMap
+          } else Map.empty
+        famNames.foreach { n =>
+          parsed.get(n) match {
+            case Some(v) => acc(n) = math.min(acc.getOrElse(n, v), v)
+            case None => if (draw == jvmDraws && !acc.contains(n)) failed += n
+          }
+        }
+        if (java.nio.file.Files.exists(detail))
+          java.nio.file.Files.delete(detail)
+      }
     }
     val results = names.flatMap(n => acc.get(n).map(n -> _))
     java.nio.file.Files.writeString(detailPath,
