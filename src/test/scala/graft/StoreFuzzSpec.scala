@@ -36,8 +36,10 @@ class StoreFuzzSpec extends SparkSuite {
   test("random op sequences: store state equals the reference model " +
     "after every step; clones freeze; history replays; vacuum(0) safe") {
     val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 2).getOrElse(42424242L))
-    val cat = new Catalog(spark,
-      Files.createTempDirectory("graft_fuzz").toString)
+    val root = Files.createTempDirectory("graft_fuzz").toString
+    // var: the REOPEN op below swaps in a fresh instance (cold manifest
+    // cache), fuzzing the log-structured checkpoint + delta replay path
+    var cat = new Catalog(spark, root)
     // a CHECK every fuzz row satisfies — clones inherit it, and the
     // restore section below proves it survives a root rewind for
     // tables born after the restore point (round-13 identity fix)
@@ -66,10 +68,10 @@ class StoreFuzzSpec extends SparkSuite {
           s"extra=${(got.toSet diff m.toMap.toSet).take(3)}")
     }
 
-    for (step <- 1 to 40) {
+    for (step <- 1 to 50) {
       val t = tables.keys.toVector(rnd.nextInt(tables.size))
       val m = tables(t)
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 | 1 | 2 => // append one row
           emails += 1
           val em = s"u$emails@x.c"
@@ -110,6 +112,12 @@ class StoreFuzzSpec extends SparkSuite {
             tables(dst) = m.clone()
             maxId(dst) = maxId(t)
           }
+        case 10 => // REOPEN: fresh instance, cold cache — the full
+          // checkpoint + tail-delta replay must reproduce the state
+          // (round 14: this is the log-structured read path, and it
+          // crosses checkpoint boundaries as versions accumulate)
+          cat = new Catalog(spark, root)
+          opLog += "reopen()"
         case 9 => // write INTO a clone (divergence) if any exists
           val clones = tables.keys.filter(_.startsWith("snap_")).toVector
           if (clones.nonEmpty) {

@@ -1381,6 +1381,25 @@ class StoreSpec extends SparkSuite {
     assert(cat2.append("users", user("u26", "u26@x.c")) == 26L)
   }
 
+  test("a crashed commit's tmp debris in _log is inert: reads and " +
+    "reopens unaffected, fsck flags exactly the debris") {
+    val cat = freshCat()
+    (1 to 3).foreach(i => cat.append("users", user(s"d$i", s"d$i@x.c")))
+    // simulate a writer that died between staging its delta tmp and the
+    // atomic rename — the commit never happened
+    val debris = java.nio.file.Paths.get(cat.root, "_log", "v99.json.tmp")
+    Files.write(debris, "{\"torn".getBytes("UTF-8"))
+    assert(cat.read("users").count() == 3, "tmp debris must not affect reads")
+    val cold = new Catalog(spark, cat.root)
+    assert(cold.read("users").count() == 3, "cold replay must skip tmp debris")
+    assert(cold.append("users", user("d4", "d4@x.c")) == 4L,
+      "commits must proceed past debris")
+    val flagged = cold.fsck("users").collect().filter(!_.getBoolean(2))
+    assert(flagged.length == 1 &&
+      flagged.head.getString(3).contains("unrecognized"),
+      flagged.mkString(", "))
+  }
+
   test("legacy single-manifest layout fails loudly at construction " +
     "instead of reading back as an empty store") {
     val root = Files.createTempDirectory("graft_store_legacy")
