@@ -71,5 +71,49 @@ object Redact {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(piiScrub)
+  /** k-anonymity audit (Sweeney IJUFKS'02, the release-gate census):
+    * group the person-level table by a QUASI-IDENTIFIER set — here
+    * (nation, market segment, account-balance band of 1000) on
+    * `customer`, the classic coarse-demographics + binned-numeric QI
+    * shape — and report the k-distribution: how many QI groups (and how
+    * many ROWS) sit at k = 1 (unique — directly re-identifiable), 2-4,
+    * 5-9, and 10+. A training-data release policy reads this row the
+    * way a load gate reads `ext_dq_audit`: rows in the low buckets must
+    * be suppressed or generalized before user-joined data leaves the
+    * trust boundary.
+    *
+    * Scale shape: one map-side-combined QI aggregate (the group frame is
+    * QI-cardinality-sized, never row-sized) + one 4-row bucket rollup —
+    * exact BIGINT counts throughout; the band edge uses FLOOR on the
+    * same IEEE division both engines evaluate identically. */
+  val kanonAudit: Q = Q(
+    "ext_privacy_kanon",
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT CASE WHEN k = 1 THEN '1' WHEN k < 5 THEN '2-4'
+      |            WHEN k < 10 THEN '5-9' ELSE '10+' END AS k_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(SUM(k) AS BIGINT) AS n_rows,
+      |  CAST(MIN(k) AS BIGINT) AS min_k,
+      |  CAST(MAX(k) AS BIGINT) AS max_k
+      |FROM g GROUP BY 1 ORDER BY k_bucket""".stripMargin
+  ) { (s, d) =>
+    val groups = Tables.load(s, d, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("k"))
+    groups.groupBy(
+        when(col("k") === 1, "1").when(col("k") < 5, "2-4")
+          .when(col("k") < 10, "5-9").otherwise("10+").as("k_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(col("k")).cast("long").as("n_rows"),
+        min(col("k")).cast("long").as("min_k"),
+        max(col("k")).cast("long").as("max_k"))
+      .orderBy("k_bucket")
+  }
+
+  val all: Seq[Q] = Seq(piiScrub, kanonAudit)
 }

