@@ -15,6 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred parquet schema per (dir, table): schema inference launches
+    * a Spark JOB per `spark.read.parquet` call (footer read in a task —
+    * measured ~30-50 ms of scheduling per query in the bench probe), so
+    * every read after the first goes through `.schema(...)` instead.
+    * This is the catalog-table shape a 100 TB deployment reads through
+    * anyway: the schema is pinned once at registration, never re-inferred
+    * per query. Fixture files are immutable for a JVM's lifetime. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
   /** Read one fixture table. Filters/projections applied by callers are
     * pushed into the parquet scan by Catalyst (PushedFilters / ReadSchema).
     *
@@ -25,7 +35,10 @@ object Tables {
     * timestamp (the fixture carries no sub-microsecond payload).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events"
         && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr(
