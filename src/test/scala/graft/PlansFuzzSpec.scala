@@ -65,6 +65,35 @@ class PlansFuzzSpec extends SparkSuite {
             s" diff ${(got.toSet diff expect.toSet).take(3)} / " +
             s"${(expect.toSet diff got.toSet).take(3)}")
       }
+      // round-14 AUTO path: thresholds scaled down so the census FIRES
+      // on the tiny fuzz fixtures (ratio=1 & minKeyRows=1 make every
+      // distribution "hot"); the auto-chosen factor — fuzz-varied via
+      // targetRowsPerTask — must be semantics-neutral exactly like the
+      // explicit salts above
+      val autoConfs = Seq(
+        graft.plans.SkewSalt.AutoMinLeftBytesKey -> "1",
+        graft.plans.SkewSalt.AutoMinKeyRowsKey -> "1",
+        graft.plans.SkewSalt.AutoRatioKey -> "1",
+        graft.plans.SkewSalt.AutoTargetRowsKey ->
+          (1 + rnd.nextInt(20)).toString)
+      autoConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        graft.plans.SkewSalt.clearCensusCache()
+        val got = AsOf.join(left, right, Seq("pk" -> "k"), "pt", "t",
+          tolerance = tol, forward = fwd, broadcastRight = Some(false))
+          .select("pk", "pt", "pv", "v")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+            Option(r.get(3)).map(_.asInstanceOf[Int])))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        assert(got == expect,
+          s"case $c AUTO (fwd=$fwd tol=$tol nl=$nl nr=${rightRows.size}):" +
+            s" diff ${(got.toSet diff expect.toSet).take(3)} / " +
+            s"${(expect.toSet diff got.toSet).take(3)}")
+      } finally {
+        autoConfs.foreach { case (k, _) => spark.conf.unset(k) }
+        graft.plans.SkewSalt.clearCensusCache()
+      }
     }
   }
 
