@@ -119,13 +119,32 @@ private[graft] object SkewSalt {
         }
     }
 
-  /** Census results per analyzed-plan semantic hash + key set: the
-    * census is one aggregate job over the left side's key columns —
-    * paid once per distinct plan per JVM (re-planning the same query,
-    * as bench reruns and retried stages do, hits the cache). */
+  /** Memoized census cell: the Spark aggregate runs at most once, on
+    * first `value` force — OUTSIDE the ConcurrentHashMap bin lock (the
+    * map factory only allocates the cell, so concurrent joins hashing
+    * to the same bin never serialize behind a census job, and planning
+    * re-entered from inside the census can't hit CHM's recursive-update
+    * IllegalStateException). Two callers of the SAME plan still
+    * serialize on the cell's own lazy-init monitor — that is the point
+    * of memoizing. */
+  private final class CensusCell(compute: () => Option[Int]) {
+    lazy val value: Option[Int] = compute()
+  }
+
+  /** Census results per (analyzed-plan semantic hash, key set, input
+    * file-set signature): one aggregate job over the left side's key
+    * columns, paid once per distinct plan+data per JVM (re-planning the
+    * same query, as bench reruns and retried stages do, hits the
+    * cache). The file-set signature in the key means a table that GREW
+    * under the same path (new files appended) re-censuses instead of
+    * reusing a stale no-salt verdict forever; bounded at
+    * [[CensusCacheMax]] entries — on overflow the whole cache drops
+    * (salting is semantics-neutral, so eviction only costs a re-census
+    * on next planning, never a wrong answer). */
   private val censusCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Seq[String]),
-      Option[Int]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Seq[String], Int),
+      CensusCell]()
+  private val CensusCacheMax = 1024
 
   /** Test hook: number of live census cache entries + reset. */
   private[graft] def censusCacheSize: Int = censusCache.size()
@@ -161,8 +180,14 @@ private[graft] object SkewSalt {
     val minBytes = confLong(AutoMinLeftBytesKey, DefaultAutoMinLeftBytes)
     val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (sz >= 0 && sz < minBytes) return None
-    val key = (df.queryExecution.analyzed.semanticHash(), keyCols)
-    censusCache.computeIfAbsent(key, _ => {
+    // the file-set signature (order-independent hash of resolved input
+    // files) is driver-side metadata off the already-listed FileIndex —
+    // cheap next to the census job it guards
+    val fileSig = scala.util.hashing.MurmurHash3
+      .unorderedHash(df.inputFiles.toSeq)
+    val key = (df.queryExecution.analyzed.semanticHash(), keyCols, fileSig)
+    if (censusCache.size() > CensusCacheMax) censusCache.clear()
+    censusCache.computeIfAbsent(key, _ => new CensusCell(() => {
       val minKeyRows = confLong(AutoMinKeyRowsKey, DefaultAutoMinKeyRows)
       val ratio = confLong(AutoRatioKey, DefaultAutoRatio)
       val target = confLong(AutoTargetRowsKey, DefaultAutoTargetRows)
@@ -184,7 +209,7 @@ private[graft] object SkewSalt {
             math.max(2L, (mx + target - 1) / target)).toInt)
         else None
       }
-    })
+    })).value
   }
 
   /** True when the planner's stats rule would pick the BROADCAST variant

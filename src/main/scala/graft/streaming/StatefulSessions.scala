@@ -118,9 +118,13 @@ object StatefulSessions {
     val stateRows = try {
       q.processAllAvailable()
       StreamReplay.requireMultiBatch(q)
-      Option(q.lastProgress)
-        .flatMap(p => p.stateOperators.headOption)
-        .map(_.numRowsTotal).getOrElse(-1L)
+      // the FINAL progress event can be a no-data batch without a state
+      // operator entry (or reporting can lag processAllAvailable), so
+      // scan recentProgress newest-first for the last entry that
+      // actually carries one instead of trusting lastProgress alone
+      (Option(q.lastProgress).toSeq ++ q.recentProgress.reverse)
+        .flatMap(p => Option(p).toSeq.flatMap(_.stateOperators.headOption))
+        .headOption.map(_.numRowsTotal).getOrElse(-1L)
     } finally q.stop()
     (spark.table(name)
       .select(col("user_id"), col("n_events"),
