@@ -134,9 +134,40 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   private val mapper = new ObjectMapper()
   private val logDir = rootPath.resolve("_log")
+  /** Consecutive deferred-checkpoint write failures (this instance):
+    * drives the escalating WARN→SEVERE stderr signal; the durable health
+    * signal is fsck's checkpoint-lag audit, which reads the disk. */
+  private val checkpointFailStreak =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   private def deltaPath(v: Long) = logDir.resolve(s"v$v.json")
-  private def checkpointPath(v: Long) = logDir.resolve(s"v$v.checkpoint.json")
+  /** Where NEW checkpoints land (parquet, round 15 — see
+    * [[CheckpointIO]]); pre-round-15 JSON checkpoints remain readable
+    * via the extension dispatch in [[readCheckpointFile]]. */
+  private def checkpointPath(v: Long) =
+    logDir.resolve(s"v$v.checkpoint.parquet")
+
+  /** Parse a checkpoint in whichever format it was written. */
+  private def readCheckpointFile(p: java.nio.file.Path): Manifest =
+    if (p.getFileName.toString.endsWith(".parquet"))
+      CheckpointIO.read(p, None).groupBy(_._1).flatMap { case (tbl, rows) =>
+        CheckpointIO.decodeTable(rows).map(d => tbl -> stateFromDecoded(d))
+      }
+    else parseManifest(Files.readAllBytes(p))
+
+  private def stateFromDecoded(d: (Long, Option[String],
+      Map[String, String], Option[String],
+      Vector[(String, Long, Long, Map[String, (Long, Long)],
+        Map[String, (String, String)])])): TableState = {
+    val (maxId, schemaJson, checks, idCol, files) = d
+    TableState(maxId,
+      files.map { case (p, mn, mx, cols, scols) =>
+        FileEntry(p, mn, mx, cols, scols)
+      },
+      schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]),
+      checks, idCol)
+  }
 
   private def fileEntryNode(fs: ArrayNode, f: FileEntry): Unit = {
     val fn = fs.addObject()
@@ -242,12 +273,20 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private def applyDelta(m: Manifest, d: Map[String, TableDelta])
       : Manifest =
     m ++ d.map { case (tbl, td) =>
-      val prev = m.getOrElse(tbl, TableState(0L, Vector.empty))
-      val gone = td.remove.toSet
-      tbl -> TableState(td.maxId,
-        prev.files.filterNot(f => gone(f.path)) ++ td.add,
-        td.schema, td.checks, td.idCol)
+      tbl -> applyTableDelta(m.get(tbl), td)
     }
+
+  /** One table's slice of [[applyDelta]] — the targeted cold-read path
+    * ([[tableState]]) replays a single table through this without
+    * materializing the rest of the manifest. */
+  private def applyTableDelta(prevOpt: Option[TableState],
+      td: TableDelta): TableState = {
+    val prev = prevOpt.getOrElse(TableState(0L, Vector.empty))
+    val gone = td.remove.toSet
+    TableState(td.maxId,
+      prev.files.filterNot(f => gone(f.path)) ++ td.add,
+      td.schema, td.checks, td.idCol)
+  }
 
   /** Every log file as (version, isCheckpoint, path); empty if no log. */
   private def listLog(): Vector[(Long, Boolean, java.nio.file.Path)] =
@@ -262,6 +301,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
           else if (n.matches("v\\d+\\.checkpoint\\.json"))
             Some((n.stripPrefix("v").stripSuffix(".checkpoint.json").toLong,
               true, p))
+          else if (n.matches("v\\d+\\.checkpoint\\.parquet"))
+            Some((n.stripPrefix("v")
+              .stripSuffix(".checkpoint.parquet").toLong, true, p))
           else None
         }.toVector
       } finally ls.close()
@@ -288,12 +330,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
     try {
       val log = listLog()
       if (!log.exists(_._1 == v)) unavailable()
-      val ckpt = log.filter(e => e._2 && e._1 <= v).map(_._1).maxOption
+      val ckpt = log.filter(e => e._2 && e._1 <= v).maxByOption(_._1)
       val base: Manifest = ckpt match {
-        case Some(c) => parseManifest(Files.readAllBytes(checkpointPath(c)))
+        case Some((_, _, p)) => readCheckpointFile(p)
         case None => Map.empty
       }
-      ((ckpt.getOrElse(0L) + 1) to v).foldLeft(base) { (m, i) =>
+      ((ckpt.map(_._1).getOrElse(0L) + 1) to v).foldLeft(base) { (m, i) =>
         if (!Files.exists(deltaPath(i))) unavailable()
         applyDelta(m, parseDelta(Files.readAllBytes(deltaPath(i))))
       }
@@ -323,6 +365,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // the cache entry MUST be keyed by the version it materializes —
       // caching a newer state under an older version would double-apply
       // the intervening deltas on the next roll-forward
+      // manifestAt surfaces its own internal vacuum race as the clean
+      // "not available" IllegalArgumentException — for a plain
+      // current-state read that only means OUR version listing is stale
+      // (a concurrent vacuum retired v after a newer commit landed), so
+      // retry once at the re-read version; if the listing hasn't moved,
+      // the store is genuinely broken and the error stands
       val (mv, m) =
         try {
           if (c._1 < v &&
@@ -331,13 +379,73 @@ final class Catalog(val spark: SparkSession, val root: String) {
               applyDelta(m, parseDelta(Files.readAllBytes(deltaPath(i))))))
           else (v, manifestAt(v))
         } catch {
-          case _: java.nio.file.NoSuchFileException =>
+          case e @ (_: java.nio.file.NoSuchFileException |
+                    _: IllegalArgumentException) =>
             val v2 = version
+            if (v2 == v && e.isInstanceOf[IllegalArgumentException]) throw e
             (v2, manifestAt(v2))
         }
       cache = (mv, m)
       m
     }
+  }
+
+  /** Per-table state cache for the targeted cold-read path, keyed by the
+    * version each entry MATERIALIZED (same contract as the manifest
+    * cache — a stale version never serves). */
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Option[TableState])]()
+
+  /** Current state of ONE table without materializing the whole
+    * manifest — the scaling half of the round-15 checkpoint work: on a
+    * cold instance this replays the nearest PARQUET checkpoint's rows
+    * for `table` only (a pushdown-filtered driver read ∝ the table's
+    * file count, not the store's — [[CheckpointIO.read]]) plus the
+    * table's slice of the tail deltas. At a million-file store root a
+    * single-table cold open touches kilobytes of metadata. Warm paths
+    * are unchanged (the whole-manifest cache wins when current); legacy
+    * JSON checkpoints, young stores' races, and vacuum races all fall
+    * back to [[readManifest]] — same answers, full-parse cost. */
+  private def tableState(table: String): Option[TableState] = {
+    val v = version
+    val c = cache
+    if (c._1 == v) return c._2.get(table)
+    val tc = tableCache.get(table)
+    if (tc != null && tc._1 == v) return tc._2
+    val st =
+      try targetedState(table, v)
+      catch {
+        // a vacuum racing the targeted replay (file retired between the
+        // listing and the read): the full path re-resolves the version
+        // and retries once — same protocol as readManifest
+        case _: java.nio.file.NoSuchFileException |
+             _: IllegalArgumentException =>
+          readManifest().get(table)
+      }
+    tableCache.put(table, (v, st))
+    st
+  }
+
+  private def targetedState(table: String, v: Long): Option[TableState] = {
+    if (v == 0L) return None
+    val log = listLog()
+    if (!log.exists(_._1 == v)) return readManifest().get(table)
+    val ckpt = log.filter(e => e._2 && e._1 <= v).maxByOption(_._1)
+    val (baseV, base) = ckpt match {
+      case Some((cv, _, p)) if p.getFileName.toString.endsWith(".parquet") =>
+        (cv, CheckpointIO.decodeTable(CheckpointIO.read(p, Some(table)))
+          .map(stateFromDecoded))
+      case Some(_) =>
+        // legacy JSON checkpoint: no sub-file access — full parse
+        return readManifest().get(table)
+      case None => (0L, None)
+    }
+    var st = base
+    ((baseV + 1) to v).foreach { i =>
+      parseDelta(Files.readAllBytes(deltaPath(i))).get(table)
+        .foreach(td => st = Some(applyTableDelta(st, td)))
+    }
+    st
   }
 
   /** Write one commit: the delta between `prev` (the manifest being
@@ -397,22 +505,20 @@ final class Catalog(val spark: SparkSession, val root: String) {
     cache = (newVersion, next)
     if (newVersion % Catalog.CheckpointInterval != 0) None
     else Some(() => {
-      val ck = mapper.createObjectNode()
-      ck.put("_version", newVersion)
-      // the DELTA's commit stamp, not checkpoint-write time: once vacuum
-      // retires the delta, versionAsOf resolves TIMESTAMP AS OF through
-      // the checkpoint — a late maintenance stamp would skew it
-      ck.put("_committedAtMs", committedAtMs)
-      next.toSeq.sortBy(_._1).foreach { case (tbl, st) =>
-        val t: ObjectNode = ck.putObject(tbl)
-        putTableMeta(t, st)
-        val fs: ArrayNode = t.putArray("files")
-        st.files.foreach(fileEntryNode(fs, _))
-      }
-      val ctmp = logDir.resolve(s"v$newVersion.checkpoint.json.tmp")
-      Files.write(ctmp, mapper.writeValueAsBytes(ck))
-      Files.move(ctmp, checkpointPath(newVersion),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // parquet checkpoint (CheckpointIO): sorted-by-table rows, version
+      // + commit stamp in the footer. The stamp is the DELTA's commit
+      // stamp, not checkpoint-write time: once vacuum retires the delta,
+      // versionAsOf resolves TIMESTAMP AS OF through the checkpoint — a
+      // late maintenance stamp would skew it
+      CheckpointIO.write(checkpointPath(newVersion), newVersion,
+        committedAtMs,
+        next.toSeq.sortBy(_._1).map { case (tbl, st) =>
+          (tbl, st.maxId, st.schema.map(_.json), st.checks, st.idCol,
+            st.files.map(f =>
+              (f.path, f.minId, f.maxId, f.cols, f.scols)): Seq[(String,
+                Long, Long, Map[String, (Long, Long)],
+                Map[String, (String, String)])])
+        })
     })
   }
 
@@ -429,9 +535,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(
         s"no snapshot of '$root' existed at $tsMillis (empty store)")
     val candidates = log.map { case (v, _, p) =>
-      val tree = mapper.readTree(Files.readAllBytes(p))
-      val at = Option(tree.get("_committedAtMs")).map(_.asLong())
-        .getOrElse(Files.getLastModifiedTime(p).toMillis)
+      val at =
+        if (p.getFileName.toString.endsWith(".parquet"))
+          // footer-only read; a half-written/corrupt checkpoint falls
+          // back to mtime rather than failing a timestamp resolution
+          (try Some(CheckpointIO.stamp(p)._2).filter(_ > 0L)
+          catch { case _: Exception => None })
+            .getOrElse(Files.getLastModifiedTime(p).toMillis)
+        else Option(mapper.readTree(Files.readAllBytes(p))
+            .get("_committedAtMs")).map(_.asLong())
+          .getOrElse(Files.getLastModifiedTime(p).toMillis)
       (v, at)
     }
     val eligible = candidates.filter(_._2 <= tsMillis)
@@ -571,12 +684,46 @@ final class Catalog(val spark: SparkSession, val root: String) {
       spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
 
   def read(table: String): DataFrame = {
-    val st = readManifest().get(table)
+    val st = tableState(table)
     readFiles(table, st.map(_.files).getOrElse(Nil), schemaOf(st, table))
   }
 
+  /** Snapshot descriptor for the SQL front door
+    * ([[graft.store.sql.GraftTableCatalog]]): per-file pruning stats +
+    * effective schema + surrogate-id column of `table` at `version`
+    * (None = current). None when the table has neither manifest state
+    * nor a registry schema (the SQL catalog's "no such table"). Version
+    * reads get [[readAt]]'s loud vacuumed-file check — never a silently
+    * partial table. */
+  private[store] def sqlSnapshot(table: String, version: Option[Long])
+      : Option[(Vector[Catalog.SqlFile],
+          org.apache.spark.sql.types.StructType, String)] = {
+    val st = version match {
+      case Some(v) => manifestAt(v).get(table)
+      case None => tableState(table)
+    }
+    if (st.isEmpty && !Schemas.registry.contains(table)) return None
+    val files = st.map(_.files).getOrElse(Vector.empty)
+    if (version.isDefined) {
+      val gone = files.filterNot(f => Files.exists(rootPath.resolve(f.path)))
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"snapshot v${version.get} of '$table' references ${gone.size} " +
+            s"vacuumed file(s) (first: ${gone.head.path}); raise the " +
+            "vacuum retention window to keep older snapshots readable")
+    }
+    Some((files.map(f =>
+        Catalog.SqlFile(f.path, f.minId, f.maxId, f.cols, f.scols)),
+      schemaOf(st, table), idColOf(st, table)))
+  }
+
+  /** Tables the SQL catalog lists: everything with manifest state plus
+    * the registered-but-unwritten (empty) tables. */
+  private[store] def sqlTableNames(): Seq[String] =
+    (readManifest().keySet ++ Schemas.registry.keySet).toSeq.sorted
+
   def maxId(table: String): Long =
-    readManifest().get(table).map(_.maxId).getOrElse(0L)
+    tableState(table).map(_.maxId).getOrElse(0L)
 
   /** Data-skipping read: rows with `column` in [lo, hi] (inclusive; Long
     * domain per [[statLong]] — epoch micros for timestamps). Files whose
@@ -588,7 +735,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * same metadata pass [[liveFiles]] pruning already does for ids. */
   def readRange(table: String, column: String, lo: Long, hi: Long)
       : DataFrame = {
-    val st = readManifest().get(table)
+    val st = tableState(table)
     val files = st.map(_.files).getOrElse(Vector.empty)
     val kept = files.filter(_.cols.get(column)
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
@@ -612,7 +759,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * predicate is re-applied to the surviving rows. */
   def readRange(table: String, column: String, lo: String, hi: String)
       : DataFrame = {
-    val st = readManifest().get(table)
+    val st = tableState(table)
     val files = st.map(_.files).getOrElse(Vector.empty)
     val kept =
       Catalog.pruneByDomainStr[FileEntry](files, _.scols, column, lo, hi)
@@ -836,7 +983,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       ls.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
         val n = p.getFileName.toString
         if (!n.matches("v\\d+\\.json") &&
-            !n.matches("v\\d+\\.checkpoint\\.json"))
+            !n.matches("v\\d+\\.checkpoint\\.json") &&
+            !n.matches("v\\d+\\.checkpoint\\.parquet"))
           probs += ((rel(p), 0L, false,
             "unrecognized file in the commit log (crashed commit's tmp " +
               "or foreign debris; on a live store possibly an in-flight " +
@@ -845,12 +993,23 @@ final class Catalog(val spark: SparkSession, val root: String) {
     } finally ls.close()
     val log = listLog()
     if (log.isEmpty) return probs.result()
-    // parseability
+    // parseability (both checkpoint formats; a parquet checkpoint must
+    // also carry a version footer AGREEING with its filename)
     val parsedDeltas = scala.collection.mutable.Map[Long, Map[String, TableDelta]]()
     val parsedCkpts = scala.collection.mutable.Map[Long, Manifest]()
+    val ckptPaths = scala.collection.mutable.Map[Long, java.nio.file.Path]()
     log.foreach { case (v, isCkpt, p) =>
       try {
-        if (isCkpt) parsedCkpts(v) = parseManifest(Files.readAllBytes(p))
+        if (isCkpt) {
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            val (fv, _) = CheckpointIO.stamp(p)
+            if (fv != v)
+              probs += ((rel(p), 0L, false,
+                s"checkpoint footer claims v$fv but the filename says " +
+                  s"v$v — renamed or corrupt"))
+          }
+          parsedCkpts(v) = readCheckpointFile(p); ckptPaths(v) = p
+        }
         else parsedDeltas(v) = parseDelta(Files.readAllBytes(p))
       } catch {
         case e: Exception =>
@@ -862,6 +1021,22 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // (or the empty store, C = 0) must have every delta in (C, cur]
     // present and parseable
     val cur = log.map(_._1).max
+    // checkpoint lag: deferred checkpoint writes are best-effort (a
+    // failure must not fail the already-durable commit), so persistent
+    // checkpoint IO failures are otherwise silent — but they leave an
+    // on-disk signature: the current version sits far past the newest
+    // checkpoint. 2x the interval tolerates one in-flight deferred
+    // write plus normal cadence; past that, replay tails grow and
+    // vacuum can't retire the log, so surface it here where operators
+    // look
+    val newestCkpt = log.filter(_._2).map(_._1).maxOption.getOrElse(0L)
+    if (cur - newestCkpt > 2 * Catalog.CheckpointInterval)
+      probs += ((rel(logDir), 0L, false,
+        s"checkpoint lag: current v$cur is ${cur - newestCkpt} commits " +
+          s"past the newest checkpoint v$newestCkpt (interval " +
+          s"${Catalog.CheckpointInterval}) — deferred checkpoint writes " +
+          "are failing (disk quota/permissions?); replay tails grow and " +
+          "vacuum cannot retire the log until one lands"))
     def chainOk(from: Long): Boolean =
       ((from + 1) to cur).forall(parsedDeltas.contains)
     val bases = (parsedCkpts.keys.filter(_ <= cur).toSeq.sorted.reverse :+ 0L)
@@ -885,7 +1060,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
           parsedCkpts.getOrElse(b, Map.empty: Manifest))(
           (m, i) => applyDelta(m, parsedDeltas(i)))
         if (replayed != ck)
-          probs += ((rel(checkpointPath(cv)), 0L, false,
+          probs += ((rel(ckptPaths.getOrElse(cv, checkpointPath(cv))), 0L,
+            false,
             s"checkpoint v$cv diverges from the delta replay v${b + 1}.." +
               s"v$cv that should reproduce it"))
       }
@@ -1810,12 +1986,26 @@ final class Catalog(val spark: SparkSession, val root: String) {
         // (replay stays anchored on the previous checkpoint; the next
         // interval writes a fresh one).
         deferredCheckpoint.foreach { ck =>
-          try ck()
+          try { ck(); checkpointFailStreak.set(0) }
           catch {
-            case e: Exception => System.err.println(
-              s"[graft.store] WARN checkpoint write failed for '$root' " +
-                s"(commit already durable; replay anchors on the " +
-                s"previous checkpoint): $e")
+            case e: Exception =>
+              // escalate on REPEATED failure: a persistently failing
+              // checkpoint (disk quota, permissions) means the replay
+              // tail grows without bound and vacuum can never retire
+              // anything past the last landed checkpoint — one stderr
+              // line per incident plus a streak count, and fsck's
+              // log-chain audit reports the on-disk lag independently
+              // (survives this JVM)
+              val n = checkpointFailStreak.incrementAndGet()
+              System.err.println(
+                s"[graft.store] ${if (n >= 3) "SEVERE" else "WARN"} " +
+                  s"checkpoint write failed for '$root' ($n consecutive; " +
+                  "commit already durable; replay anchors on the previous " +
+                  "checkpoint" +
+                  (if (n >= 3) "; the log tail is growing unboundedly and " +
+                    "vacuum cannot retire past the last landed checkpoint — " +
+                    "fix the storage fault and run fsck" else "") +
+                  s"): $e")
           }
         }
       }
@@ -2160,6 +2350,14 @@ object Catalog {
     * against the new state (the one-op conveniences do so themselves). */
   final class ConcurrentWriteException(msg: String)
     extends RuntimeException(msg)
+
+  /** Plain (non-path-dependent) per-file descriptor handed to the SQL
+    * front door: the pruning stats a scan needs and nothing else.
+    * `minId`/`maxId` are the surrogate-id stats every file carries;
+    * `cols`/`scols` as on [[Catalog!.FileEntry]]. */
+  private[store] final case class SqlFile(path: String, minId: Long,
+      maxId: Long, cols: Map[String, (Long, Long)],
+      scols: Map[String, (String, String)])
 
   /** A keyed upsert's provable source-key domain ([[Tx.mergeKeyRanges]]):
     * Long-normalized for integral/timestamp keys, bounded-binary-order

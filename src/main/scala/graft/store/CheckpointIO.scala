@@ -1,0 +1,243 @@
+package graft.store
+
+import java.nio.file.{Files => JFiles, Path => JPath, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport, GroupWriteSupport}
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+
+/** Parquet checkpoint format (round 15 — the reader-side half of the
+  * log-structured manifest): a checkpoint is ONE parquet file,
+  * `_log/v<N>.checkpoint.parquet`, one row per live file entry plus one
+  * metadata row per table, sorted by table. Replaces the monolithic
+  * JSON checkpoint whose cold-open cost was a single-threaded
+  * O(live-files) parse of EVERYTHING — at 100 TB (~millions of files)
+  * a multi-GB driver stall before the first byte of data.
+  *
+  * What parquet buys, concretely:
+  *  - '''Targeted cold reads''' ([[readTable]]): a reader that wants ONE
+  *    table pushes `table = t` into the parquet scan (row-group stats
+  *    skip + record filter on a sorted column), so the parse cost is
+  *    proportional to the TABLE's entries, not the store's. This is the
+  *    Delta/Iceberg manifest-list idea: per-table cold open at a
+  *    million-file store touches kilobytes. Row groups are kept small
+  *    ([[RowGroupBytes]]) so the stats actually partition the table
+  *    domain.
+  *  - '''Distributed readability''': the checkpoint is a plain parquet
+  *    table (`spark.read.parquet` on it works — StoreSpec pins it), so
+  *    a manifest-sized audit (fsck at scale, backfill planning) can be
+  *    a cluster scan instead of a driver parse.
+  *  - '''Columnar + dictionary compression''': paths share long prefixes
+  *    and stats columns are small ints — the same content encodes
+  *    smaller than JSON.
+  *
+  * Deltas stay JSON: they are commit-sized (bytes), human-auditable,
+  * and parsed in full anyway. Legacy JSON checkpoints remain readable
+  * (format dispatch on extension in [[Catalog]]) so pre-round-15 store
+  * roots open unchanged; new checkpoints are always parquet.
+  *
+  * Maps-in-cells (`cols`/`scols`/`checks`) are JSON strings — the same
+  * fragments the delta format uses, so fsck's checkpoint-vs-replay
+  * divergence audit compares canonical [[Catalog]] states, not bytes.
+  * Version + commit stamp ride the parquet FOOTER key-value metadata
+  * ([[stamp]] reads just the footer — `versionAsOf` never replays
+  * content to learn a timestamp). Writes go to a `.tmp` sibling then
+  * atomic-rename, same protocol as every other log file; the hadoop
+  * conf pins `RawLocalFileSystem` so no `.crc` sidecars land in
+  * `_log/` (fsck treats strays as problems). */
+private[store] object CheckpointIO {
+
+  /** Small row groups so the sorted `table` column's per-group stats
+    * give sub-file access; at a million files this is ~thousands of
+    * groups — footer stays driver-trivial. */
+  private val RowGroupBytes = 64 * 1024
+
+  private val VersionKey = "graft.version"
+  private val StampKey = "graft.committedAtMs"
+
+  val Schema: MessageType = MessageTypeParser.parseMessageType(
+    """message graft_checkpoint {
+      |  required binary table (UTF8);
+      |  required binary kind (UTF8);
+      |  optional int64 max_id;
+      |  optional binary schema_json (UTF8);
+      |  optional binary checks_json (UTF8);
+      |  optional binary id_col (UTF8);
+      |  optional binary path (UTF8);
+      |  optional int64 min_id;
+      |  optional int64 f_max_id;
+      |  optional binary cols_json (UTF8);
+      |  optional binary scols_json (UTF8);
+      |}""".stripMargin)
+
+  private val mapper = new ObjectMapper()
+
+  private def conf(): Configuration = {
+    val c = new Configuration(false)
+    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    c.setBoolean("fs.file.impl.disable.cache", true)
+    c
+  }
+
+  private def colsJson(m: Map[String, (Long, Long)]): String = {
+    val n = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+      val a = n.putArray(c); a.add(lo); a.add(hi)
+    }
+    mapper.writeValueAsString(n)
+  }
+
+  private def scolsJson(m: Map[String, (String, String)]): String = {
+    val n = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+      val a = n.putArray(c); a.add(lo); a.add(hi)
+    }
+    mapper.writeValueAsString(n)
+  }
+
+  private def checksJson(m: Map[String, String]): String = {
+    val n = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+    mapper.writeValueAsString(n)
+  }
+
+  private def parseCols(s: String): Map[String, (Long, Long)] =
+    mapper.readTree(s).properties().asScala.map { e =>
+      e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+    }.toMap
+
+  private def parseScols(s: String): Map[String, (String, String)] =
+    mapper.readTree(s).properties().asScala.map { e =>
+      e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
+    }.toMap
+
+  private def parseChecks(s: String): Map[String, String] =
+    mapper.readTree(s).properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+
+  /** Write the manifest as `target` (tmp + atomic rename). Rows sorted
+    * by (table, kind, path) so the `table` column is globally sorted
+    * across row groups — that order IS the targeted read's pruning. */
+  def write(target: JPath, version: Long, committedAtMs: Long,
+      tables: Seq[(String, Long, Option[String], Map[String, String],
+        Option[String], Seq[(String, Long, Long, Map[String, (Long, Long)],
+          Map[String, (String, String)])])]): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    JFiles.deleteIfExists(tmp)
+    val c = conf()
+    GroupWriteSupport.setSchema(Schema, c)
+    val meta = Map(VersionKey -> version.toString,
+      StampKey -> committedAtMs.toString)
+    val w: ParquetWriter[Group] = ExampleParquetWriter
+      .builder(new HPath(tmp.toString))
+      .withConf(c)
+      .withType(Schema)
+      .withExtraMetaData(meta.asJava)
+      .withRowGroupSize(RowGroupBytes.toLong)
+      .withDictionaryEncoding(true)
+      .build()
+    val gf = new SimpleGroupFactory(Schema)
+    try {
+      tables.sortBy(_._1).foreach {
+        case (tbl, maxId, schemaJson, checks, idCol, files) =>
+          val m = gf.newGroup()
+          m.append("table", tbl).append("kind", "m")
+          m.append("max_id", maxId)
+          schemaJson.foreach(m.append("schema_json", _))
+          if (checks.nonEmpty) m.append("checks_json", checksJson(checks))
+          idCol.foreach(m.append("id_col", _))
+          w.write(m)
+          files.sortBy(_._1).foreach { case (p, mn, mx, cols, scols) =>
+            val f = gf.newGroup()
+            f.append("table", tbl).append("kind", "f")
+            f.append("path", p).append("min_id", mn).append("f_max_id", mx)
+            if (cols.nonEmpty) f.append("cols_json", colsJson(cols))
+            if (scols.nonEmpty) f.append("scols_json", scolsJson(scols))
+            w.write(f)
+          }
+      }
+    } finally w.close()
+    JFiles.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** (version, committedAtMs) from the footer metadata alone — no row
+    * content is read. */
+  def stamp(p: JPath): (Long, Long) = {
+    val in = HadoopInputFile.fromPath(new HPath(p.toString), conf())
+    val r = ParquetFileReader.open(in)
+    try {
+      val kv = r.getFooter.getFileMetaData.getKeyValueMetaData
+      (Option(kv.get(VersionKey)).map(_.toLong).getOrElse(
+        throw new IllegalStateException(
+          s"parquet checkpoint $p carries no $VersionKey footer entry")),
+        Option(kv.get(StampKey)).map(_.toLong).getOrElse(0L))
+    } finally r.close()
+  }
+
+  /** Raw rows of one table (None = all tables): per-table metadata and
+    * file entries in write order. The single-table form pushes a
+    * `table = t` predicate into the parquet read — row groups whose
+    * `table` stats exclude `t` are skipped entirely (the checkpoint is
+    * sorted by table), so cost follows the TABLE's entry count. */
+  def read(p: JPath, table: Option[String])
+      : Seq[(String, String, Group)] = {
+    val c = conf()
+    c.set("parquet.read.schema", Schema.toString)
+    val b = ParquetReader
+      .builder(new GroupReadSupport(), new HPath(p.toString))
+      .withConf(c)
+    val reader = table match {
+      case Some(t) => b.withFilter(FilterCompat.get(FilterApi.eq(
+        FilterApi.binaryColumn("table"), Binary.fromString(t)))).build()
+      case None => b.build()
+    }
+    val out = Vector.newBuilder[(String, String, Group)]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        out += ((g.getString("table", 0), g.getString("kind", 0), g))
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.result()
+  }
+
+  private def optStr(g: Group, field: String): Option[String] =
+    if (g.getFieldRepetitionCount(field) > 0) Some(g.getString(field, 0))
+    else None
+
+  /** Decode one table's rows into the pieces [[Catalog]] assembles:
+    * (maxId, schemaJson, checks, idCol, fileEntries). */
+  def decodeTable(rows: Seq[(String, String, Group)])
+      : Option[(Long, Option[String], Map[String, String], Option[String],
+          Vector[(String, Long, Long, Map[String, (Long, Long)],
+            Map[String, (String, String)])])] = {
+    val metaRow = rows.collectFirst { case (_, "m", g) => g }
+    metaRow.map { m =>
+      val files = rows.collect { case (_, "f", g) =>
+        (g.getString("path", 0), g.getLong("min_id", 0),
+          g.getLong("f_max_id", 0),
+          optStr(g, "cols_json").map(parseCols)
+            .getOrElse(Map.empty[String, (Long, Long)]),
+          optStr(g, "scols_json").map(parseScols)
+            .getOrElse(Map.empty[String, (String, String)]))
+      }.toVector
+      (m.getLong("max_id", 0), optStr(m, "schema_json"),
+        optStr(m, "checks_json").map(parseChecks)
+          .getOrElse(Map.empty[String, String]),
+        optStr(m, "id_col"), files)
+    }
+  }
+}

