@@ -42,7 +42,7 @@ object StoreFeed {
   private def ingestCols(df: DataFrame): DataFrame =
     df.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
-  private def rootDir(s: SparkSession): String =
+  private[ext] def rootDir(s: SparkSession): String =
     new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
       .stripSuffix("/") + "/graft_cdc_root"
 

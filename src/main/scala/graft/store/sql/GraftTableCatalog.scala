@@ -1,0 +1,215 @@
+package graft.store.sql
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.store.Catalog
+
+/** SQL front door to the COW store (Spark DataSourceV2 `TableCatalog`):
+  * every consumer of the reference speaks SQL text (db.py:223-463 — all
+  * seventeen access functions are embedded SQL), so interface parity
+  * means `spark.sql("SELECT ... FROM <cat>.<table>")` must reach the
+  * store without touching the Scala [[Catalog]] API. Register with
+  *
+  * {{{
+  *   spark.sql.catalog.<name>       = graft.store.sql.GraftTableCatalog
+  *   spark.sql.catalog.<name>.root  = <store root directory>
+  * }}}
+  *
+  * and `SELECT * FROM <name>.users`, `... VERSION AS OF 3`,
+  * `... TIMESTAMP AS OF '...'`, and `SHOW TABLES IN <name>` work.
+  *
+  * Design (SURVEY §2.8 interface tier):
+  *  - '''Snapshot isolation''': `loadTable` captures the manifest's file
+  *    list ONCE; the whole query plan — including AQE re-optimization —
+  *    reads that snapshot even if writers commit mid-query (the same
+  *    guarantee [[Catalog.read]] gives, now through SQL).
+  *  - '''Time travel''': `VERSION AS OF v` maps to the manifest at
+  *    commit `v` through the schema it had THEN; `TIMESTAMP AS OF t`
+  *    resolves through [[Catalog.versionAsOf]] (micros from Spark →
+  *    the store's millis domain). Vacuumed snapshots fail loudly, never
+  *    partially (the [[Catalog.readAt]] contract).
+  *  - '''Scan machinery is Spark's own''': the scan builder wraps the
+  *    built-in DSv2 parquet source over the snapshot's exact file list,
+  *    so vectorized reading, nested-column pruning, and parquet
+  *    row-group/footer pushdown all apply unchanged — the graft layer
+  *    adds MANIFEST-STATS file skipping on top (files whose recorded
+  *    min/max provably miss the predicate are never even listed into
+  *    the scan; [[GraftScanBuilder]]), the readRange pruning surface
+  *    re-expressed in the planner's pushdown hook.
+  *  - '''Read-only by design''': DML goes through the transactional
+  *    Scala API ([[Catalog.transaction]] — OCC, CHECK constraints,
+  *    changefeed). `CREATE/ALTER/DROP/INSERT` here would bypass those
+  *    guarantees silently, so each throws pointing at the right door.
+  *
+  * At 100 TB the scan cost profile equals the native path: the driver
+  * walks the (bounded) manifest file list once for stats pruning, and
+  * the executors run Spark's parquet batch scan over surviving files.
+  */
+final class GraftTableCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var storeRoot: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    storeRoot = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft SQL catalog '$name' requires the store root: set " +
+          s"spark.sql.catalog.$name.root=<store root directory>"))
+  }
+
+  override def name(): String = catName
+
+  /** A fresh [[Catalog]] per call: construction is metadata-light, and a
+    * cached instance would pin one SparkSession for the JVM's life. */
+  private def cat: Catalog = new Catalog(SparkSession.active, storeRoot)
+
+  private def requireNs(ns: Array[String]): Unit =
+    if (!(ns.isEmpty || (ns.length == 1 && ns(0) == "default")))
+      throw new NoSuchNamespaceException(ns)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireNs(namespace)
+    cat.sqlTableNames().map(t => Identifier.of(Array.empty[String], t))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+
+  /** SQL `VERSION AS OF v`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, Some(
+      try version.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"VERSION AS OF on $catName.${ident.name()} takes the " +
+              s"commit number (a positive integer); got '$version'")
+      }))
+
+  /** SQL `TIMESTAMP AS OF t` (Spark hands epoch MICROS). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    tableAt(ident, Some(cat.versionAsOf(Math.floorDiv(timestamp, 1000L))))
+
+  private def tableAt(ident: Identifier, version: Option[Long]): Table = {
+    requireNs(ident.namespace())
+    val c = cat
+    c.sqlSnapshot(ident.name(), version) match {
+      case Some((files, schema, idCol)) =>
+        new GraftTable(c.spark, storeRoot,
+          version.map(v => s"${ident.name()}@v$v").getOrElse(ident.name()),
+          files, schema, idCol)
+      case None =>
+        throw new NoSuchTableException(
+          ident.namespace().toSeq :+ ident.name())
+    }
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft SQL catalog '$catName' is the READ front door; $op goes " +
+        "through the transactional Scala API (graft.store.Catalog — " +
+        "OCC, CHECK constraints and the changefeed live there)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+}
+
+/** One store table pinned at one snapshot: the file list and schema are
+  * captured at `loadTable` time (snapshot isolation across the whole
+  * query, time travel = an older manifest's list + THAT version's
+  * schema). */
+private[sql] final class GraftTable(spark: SparkSession, root: String,
+    tableName: String, files: Vector[Catalog.SqlFile],
+    tableSchema: StructType, idCol: String) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(spark, root, tableName, files, tableSchema,
+      idCol, options)
+}
+
+/** Scan builder: manifest-stats file pruning + full delegation to
+  * Spark's parquet DSv2 builder over the surviving files.
+  *
+  * Pushdown flow: the planner hands catalyst filters here ONCE
+  * ([[graft.store.sql.Dsv2Bridge]] exposes the hook); we
+  *  1. prune the snapshot's file list by the manifest stats — id-column
+  *     constraints against every file's (minId, maxId), designated
+  *     stats columns against the Long-normalized `cols` ranges
+  *     (epoch micros for timestamps), string stats against the BOUNDED
+  *     `scols` ranges in UTF-8 binary order (bounds are outer, so
+  *     skipping is sound; files without a stat are kept) — the
+  *     [[Catalog.readRange]] rules verbatim;
+  *  2. forward the same filters into the parquet builder, so footer
+  *     min/max row-group skipping and the `PushedFilters` the plan
+  *     displays are Spark's own;
+  *  3. report the parquet builder's residuals upward — Spark keeps its
+  *     Filter node for whatever parquet can't prove, so file pruning
+  *     can never change results, only skip provably-dead IO.
+  * Column pruning ([[SupportsPushDownRequiredColumns]]) delegates
+  * likewise, so `ReadSchema` is minimal. */
+private[sql] final class GraftScanBuilder(spark: SparkSession, root: String,
+    tableName: String, files: Vector[Catalog.SqlFile],
+    tableSchema: StructType, idCol: String,
+    options: CaseInsensitiveStringMap)
+    extends Dsv2Bridge with SupportsPushDownRequiredColumns {
+
+  private var inner: Option[FileScanBuilder] = None
+  /** Files surviving stats pruning vs total (spec observability). */
+  private[sql] var prunedCount: (Int, Int) = (files.size, files.size)
+
+  private def mkInner(kept: Vector[Catalog.SqlFile]): FileScanBuilder = {
+    val pt = ParquetTable(s"graft:$tableName", spark, options,
+      kept.map(f => s"$root/${f.path}").toList, Some(tableSchema),
+      classOf[ParquetFileFormat])
+    val b = pt.newScanBuilder(options)
+    inner = Some(b)
+    b
+  }
+
+  private def innerOrAll(): FileScanBuilder =
+    inner.getOrElse(mkInner(files))
+
+  override protected def pushGraft(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val kept = StatsPrune.prune(files, idCol, filters)
+    prunedCount = (kept.size, files.size)
+    forwardFilters(mkInner(kept), filters)
+  }
+
+  override protected def pushedDelegate: Option[FileScanBuilder] = inner
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    innerOrAll().pruneColumns(requiredSchema)
+
+  override def build(): Scan = innerOrAll().build()
+}
