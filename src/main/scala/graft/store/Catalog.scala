@@ -113,7 +113,18 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * sound; a value whose bound cannot be represented records no stat. */
   private[store] case class FileEntry(path: String, minId: Long,
       maxId: Long, cols: Map[String, (Long, Long)] = Map.empty,
-      scols: Map[String, (String, String)] = Map.empty)
+      scols: Map[String, (String, String)] = Map.empty,
+      /** Deletion vector (round 15, merge-on-read): `Some((sidecar
+        * relative path, dead-row count))` marks rows of THIS file dead
+        * by surrogate id without rewriting it — the sidecar
+        * ([[DvIO]]) lists the dead ids. Readers mask
+        * ([[Catalog.readFiles]]); compaction and COW rewrites fold the
+        * mask in (their output carries no dv). Sidecars are immutable:
+        * a further delete on the same file writes a NEW sidecar with
+        * the union, so time travel reads each snapshot's own mask.
+        * Stats stay OUTER bounds (a dead row can only make them loose,
+        * never wrong). */
+      dv: Option[(String, Long)] = None)
 
   /** Per-table manifest state. `schema = None` means the registry schema
     * ([[Schemas.registry]]); `Some` is an EVOLVED schema ([[Tx.addColumn]])
@@ -134,6 +145,21 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   private val mapper = new ObjectMapper()
   private val logDir = rootPath.resolve("_log")
+  /** Merge-on-read switch (`spark.graft.store.mergeOnRead`): `on` /
+    * `auto` / ABSENT = point updates, point deletes, and merge matched
+    * rows land as deletion vectors + patch files; `off` = always
+    * copy-on-write (rewrites fold standing DVs in either way). Anything
+    * else fails loudly naming the key. */
+  private def mergeOnRead: Boolean =
+    spark.conf.getOption("spark.graft.store.mergeOnRead")
+      .map(_.trim.toLowerCase) match {
+      case None | Some("on") | Some("auto") => true
+      case Some("off") => false
+      case Some(v) => throw new IllegalArgumentException(
+        "spark.graft.store.mergeOnRead must be 'on', 'auto', or 'off'; " +
+          s"got '$v'")
+    }
+
   /** Consecutive deferred-checkpoint write failures (this instance):
     * drives the escalating WARN→SEVERE stderr signal; the durable health
     * signal is fsck's checkpoint-lag audit, which reads the disk. */
@@ -158,11 +184,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private def stateFromDecoded(d: (Long, Option[String],
       Map[String, String], Option[String],
       Vector[(String, Long, Long, Map[String, (Long, Long)],
-        Map[String, (String, String)])])): TableState = {
+        Map[String, (String, String)], Option[(String, Long)])]))
+      : TableState = {
     val (maxId, schemaJson, checks, idCol, files) = d
     TableState(maxId,
-      files.map { case (p, mn, mx, cols, scols) =>
-        FileEntry(p, mn, mx, cols, scols)
+      files.map { case (p, mn, mx, cols, scols, dv) =>
+        FileEntry(p, mn, mx, cols, scols, dv)
       },
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]),
@@ -184,6 +211,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         val arr = sn.putArray(c); arr.add(mn); arr.add(mx)
       }
     }
+    f.dv.foreach { case (p, n) => fn.put("dv", p); fn.put("dvn", n) }
   }
 
   private def parseFileEntry(f: com.fasterxml.jackson.databind.JsonNode)
@@ -201,7 +229,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
       }.toMap
     }.getOrElse(Map.empty[String, (String, String)])
     FileEntry(f.get("path").asText(), f.get("min").asLong(),
-      f.get("max").asLong(), cols, scols)
+      f.get("max").asLong(), cols, scols,
+      Option(f.get("dv")).map(d =>
+        (d.asText(), Option(f.get("dvn")).map(_.asLong()).getOrElse(0L))))
   }
 
   private def parseTableMeta(t: com.fasterxml.jackson.databind.JsonNode)
@@ -476,10 +506,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
         val p = prev.getOrElse(tbl, TableState(0L, Vector.empty))
         if (p == st && prev.contains(tbl)) None
         else {
-          val pPaths = p.files.map(_.path).toSet
-          val nPaths = st.files.map(_.path).toSet
-          val add = st.files.filterNot(f => pPaths(f.path))
-          val remove = p.files.map(_.path).filterNot(nPaths)
+          // ENTRY-level diff, not path-level: a merge-on-read commit
+          // changes an existing path's deletion vector in place — the
+          // delta must carry it as remove(path) + add(new entry) or the
+          // replay silently drops the mask
+          val pSet = p.files.toSet
+          val nSet = st.files.toSet
+          val add = st.files.filterNot(pSet.contains)
+          val remove = p.files.filterNot(nSet.contains).map(_.path)
           val t = tablesNode.putObject(tbl)
           putTableMeta(t, st)
           if (add.nonEmpty) {
@@ -515,9 +549,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
         next.toSeq.sortBy(_._1).map { case (tbl, st) =>
           (tbl, st.maxId, st.schema.map(_.json), st.checks, st.idCol,
             st.files.map(f =>
-              (f.path, f.minId, f.maxId, f.cols, f.scols)): Seq[(String,
-                Long, Long, Map[String, (Long, Long)],
-                Map[String, (String, String)])])
+              (f.path, f.minId, f.maxId, f.cols, f.scols, f.dv)):
+              Seq[(String, Long, Long, Map[String, (Long, Long)],
+                Map[String, (String, String)], Option[(String, Long)])])
         })
     })
   }
@@ -571,15 +605,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def readAt(table: String, version: Long): DataFrame = {
     val st = manifestAt(version).get(table)
     val files = st.map(_.files).getOrElse(Vector.empty)
-    val gone = files.filterNot(f => Files.exists(rootPath.resolve(f.path)))
+    val gone = files.flatMap(f => f.path +: f.dv.map(_._1).toSeq)
+      .filterNot(p => Files.exists(rootPath.resolve(p)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"snapshot v$version of '$table' references ${gone.size} " +
-          s"vacuumed file(s) (first: ${gone.head.path}); raise the " +
+          s"vacuumed file(s) (first: ${gone.head}); raise the " +
           "vacuum retention window to keep older snapshots readable")
     // the snapshot's OWN schema: a table evolved after `version` still
     // time-travels to its pre-evolution shape
-    readFiles(table, files, schemaOf(st, table))
+    readFiles(table, files, schemaOf(st, table), idColOf(st, table))
   }
 
   /** Row-level changefeed between two committed snapshots (Delta CDF /
@@ -609,24 +644,32 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val toState = stateAt(toVersion)
     val from = stateAt(fromVersion).map(_.files).getOrElse(Vector.empty)
     val to = toState.map(_.files).getOrElse(Vector.empty)
-    val fromPaths = from.map(_.path).toSet
-    val toPaths = to.map(_.path).toSet
-    val removed = from.filterNot(f => toPaths(f.path))
-    val added = to.filterNot(f => fromPaths(f.path))
+    // entries diff by (path, dv): a merge-on-read tick changes a file's
+    // DELETION VECTOR while the path stays — such an entry must appear
+    // on both sides of the feed (read under its own mask each side) or
+    // the change would be invisible; the rows the mask didn't touch
+    // appear on both sides and cancel in the exceptAll, same as a COW
+    // rewrite's carried residents
+    val fromKeys = from.map(f => (f.path, f.dv)).toSet
+    val toKeys = to.map(f => (f.path, f.dv)).toSet
+    val removed = from.filterNot(f => toKeys((f.path, f.dv)))
+    val added = to.filterNot(f => fromKeys((f.path, f.dv)))
     val gone = (removed ++ added)
-      .filterNot(f => Files.exists(rootPath.resolve(f.path)))
+      .flatMap(f => f.path +: f.dv.map(_._1).toSeq)
+      .filterNot(p => Files.exists(rootPath.resolve(p)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"changefeed v$fromVersion..v$toVersion of '$table' references " +
-          s"${gone.size} vacuumed file(s) (first: ${gone.head.path}); " +
+          s"${gone.size} vacuumed file(s) (first: ${gone.head}); " +
           "raise the vacuum retention window to keep older feeds readable")
     // both sides read through the TO version's schema: a column added
     // between the versions appears NULL-backfilled on the old image,
     // which is the shape a CDC consumer of the evolved table expects
     // (and exceptAll needs both sides identically shaped)
     val sch = schemaOf(toState, table)
-    val oldRows = readFiles(table, removed, sch)
-    val newRows = readFiles(table, added, sch)
+    val idc = idColOf(toState, table)
+    val oldRows = readFiles(table, removed, sch, idc)
+    val newRows = readFiles(table, added, sch, idc)
     newRows.exceptAll(oldRows).withColumn("_change_type", lit("insert"))
       .unionAll(
         oldRows.exceptAll(newRows).withColumn("_change_type", lit("delete")))
@@ -676,16 +719,51 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private def idColOf(st: Option[TableState], table: String): String =
     st.flatMap(_.idCol).getOrElse(Schemas.registry(table)._2)
 
+  /** Scan a file-entry list through `schema`, MASKING deletion vectors
+    * (round 15 merge-on-read): rows of a DV-carrying file whose id is in
+    * its sidecar are invisible. The mask is ONE broadcast anti-join on
+    * (id, source file) pairs — per-file pairing, not a global dead-id
+    * set, because an update's NEW image lives in a patch file under the
+    * SAME id and must stay visible (and a later-patched patch file can
+    * carry both live and dead ids). Dead pairs are changed-rows-sized by
+    * construction (compaction folds them away), so the broadcast is the
+    * size of the recent point-change churn, and files without DVs pay
+    * nothing — the common case keeps the exact pre-DV plan. */
   private def readFiles(table: String, files: Seq[FileEntry],
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+    else {
+      val base = spark.read.schema(schema)
+        .parquet(files.map(f => s"$root/${f.path}"): _*)
+      val dvd = files.filter(_.dv.isDefined)
+      if (dvd.isEmpty) base
+      else {
+        val pairs = dvd.flatMap { f =>
+          val abs = rootPath.resolve(f.path).toAbsolutePath.normalize
+            .toString
+          DvIO.read(rootPath, f.dv.get._1).map(id => (id, abs))
+        }
+        val sp = spark
+        import sp.implicits._
+        val dead = pairs.toDF("__dead_id", "__dead_file")
+        // input_file_name() is non-deterministic — project it below the
+        // join (a join CONDITION must be deterministic)
+        base.withColumn("__graft_src_file",
+            regexp_replace(input_file_name(), "^file:/*", "/"))
+          .join(broadcast(dead),
+            col(idCol) === col("__dead_id") &&
+              col("__graft_src_file") === col("__dead_file"),
+            "left_anti")
+          .drop("__graft_src_file")
+      }
+    }
 
   def read(table: String): DataFrame = {
     val st = tableState(table)
-    readFiles(table, st.map(_.files).getOrElse(Nil), schemaOf(st, table))
+    readFiles(table, st.map(_.files).getOrElse(Nil), schemaOf(st, table),
+      idColOf(st, table))
   }
 
   /** Snapshot descriptor for the SQL front door
@@ -705,15 +783,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
     if (st.isEmpty && !Schemas.registry.contains(table)) return None
     val files = st.map(_.files).getOrElse(Vector.empty)
     if (version.isDefined) {
-      val gone = files.filterNot(f => Files.exists(rootPath.resolve(f.path)))
+      val gone = files.flatMap(f => f.path +: f.dv.map(_._1).toSeq)
+        .filterNot(p => Files.exists(rootPath.resolve(p)))
       if (gone.nonEmpty)
         throw new IllegalStateException(
           s"snapshot v${version.get} of '$table' references ${gone.size} " +
-            s"vacuumed file(s) (first: ${gone.head.path}); raise the " +
+            s"vacuumed file(s) (first: ${gone.head}); raise the " +
             "vacuum retention window to keep older snapshots readable")
     }
     Some((files.map(f =>
-        Catalog.SqlFile(f.path, f.minId, f.maxId, f.cols, f.scols)),
+        Catalog.SqlFile(f.path, f.minId, f.maxId, f.cols, f.scols,
+          f.dv.map(d => (d._1, DvIO.read(rootPath, d._1))))),
       schemaOf(st, table), idColOf(st, table)))
   }
 
@@ -740,7 +820,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val kept = files.filter(_.cols.get(column)
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
     val schema = schemaOf(st, table)
-    val scanned = readFiles(table, kept, schema)
+    val scanned = readFiles(table, kept, schema, idColOf(st, table))
     val c = statLong(scanned, column).getOrElse(col(column).cast("long"))
     scanned.filter(c >= lo && c <= hi)
   }
@@ -763,7 +843,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val files = st.map(_.files).getOrElse(Vector.empty)
     val kept =
       Catalog.pruneByDomainStr[FileEntry](files, _.scols, column, lo, hi)
-    val scanned = readFiles(table, kept, schemaOf(st, table))
+    val scanned = readFiles(table, kept, schemaOf(st, table),
+      idColOf(st, table))
     scanned.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
@@ -911,8 +992,49 @@ final class Catalog(val spark: SparkSession, val root: String) {
               bad.orElse(badStr).getOrElse("")
             }
         }
+      // deletion-vector claims (round 15): the sidecar must exist,
+      // parse (magic + strictly-ascending ids — DvIO.read validates),
+      // agree with the recorded count, and every dead id must sit
+      // inside the file's id range AND actually exist among the file's
+      // physical rows — a dead id the file never held means the mask
+      // (and the update that wrote it) silently missed its target
+      val dvProblem: String = f.dv match {
+        case Some((dp, dn)) if problem.isEmpty =>
+          if (!Files.exists(rootPath.resolve(dp)))
+            s"deletion vector '$dp' missing on disk"
+          else {
+            try {
+              val ids = DvIO.read(rootPath, dp)
+              if (ids.length != dn)
+                s"deletion vector '$dp' carries ${ids.length} ids, " +
+                  s"manifest claims $dn"
+              else if (ids.exists(i => i < f.minId || i > f.maxId))
+                s"deletion vector '$dp' has ids outside the file's " +
+                  s"id range [${f.minId},${f.maxId}]"
+              else {
+                val sp = spark
+                import sp.implicits._
+                val present = spark.read.schema(schema)
+                  .parquet(s"$root/${f.path}")
+                  .join(broadcast(ids.toSeq.toDF(idCol)), Seq(idCol),
+                    "left_semi")
+                  .count()
+                if (present != ids.length)
+                  s"deletion vector '$dp' claims ${ids.length} dead " +
+                    s"rows but the file holds only $present of those ids"
+                else ""
+              }
+            } catch {
+              case e: Exception =>
+                s"deletion vector '$dp' unreadable: ${e.getMessage}"
+            }
+          }
+        case _ => ""
+      }
+      val allProblems = Seq(problem, dvProblem).filter(_.nonEmpty)
+        .mkString("; ")
       val n = observed.get(f.path).map(_._2).getOrElse(0L)
-      (f.path, n, problem.isEmpty, problem)
+      (f.path, n, allProblems.isEmpty, allProblems)
     }
     // orphan sweep: parquet files under the table's directory that no
     // retained manifest references. The root-wide reference set is the
@@ -1326,7 +1448,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     def read(table: String): DataFrame = {
       readTables += table
       val st = curState(table)
-      readFiles(table, st.files, schemaOf(Some(st), table))
+      readFiles(table, st.files, schemaOf(Some(st), table),
+        idColOf(Some(st), table))
     }
 
     /** DDL evolution: add a nullable column to the table's schema. Pure
@@ -1354,7 +1477,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       require(!prev.checks.contains(name),
         s"check '$name' already exists on '$table'")
       if (prev.files.nonEmpty) {
-        val bad = readFiles(table, prev.files, schema)
+        val bad = readFiles(table, prev.files, schema,
+            idColOf(Some(prev), table))
           .filter(!coalesce(expr(constraint), lit(true))).count()
         require(bad == 0L,
           s"cannot add check '$name' to '$table': $bad existing rows " +
@@ -1470,36 +1594,93 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       if (prev.files.size <= math.max(1, numFiles)) return
-      val all = readFiles(table, prev.files, schema)
+      val all = readFiles(table, prev.files, schema, idCol)
         .repartitionByRange(math.max(1, numFiles), col(idCol))
         .sortWithinPartitions(idCol)
       val newFiles = stageFiles(table, all, idCol)
       staged :+= Staged(table, prev.copy(files = newFiles))
     }
 
-    /** COW update: predicate + per-column assignments (S6). Files whose
+    /** Update: predicate + per-column assignments (S6). Files whose
       * id range cannot contain a predicate-pinned id survive by
-      * reference; only matching files are rewritten. */
+      * reference.
+      *
+      * Write strategy (round 15): an id-PINNED update (the reference's
+      * own `record_payment` status-flip shape, db.py:459-463) lands as
+      * MERGE-ON-READ — a deletion vector kills the old image in place
+      * and a small patch file carries the new one, so bytes written
+      * follow the CHANGED rows (at 100 TB: a one-row flip writes a
+      * sidecar + a 1-row patch, not a 128 MB file rewrite). Broad
+      * predicates keep copy-on-write (they touch file-sized row sets
+      * anyway, and COW folds any standing DVs in as it goes).
+      * `spark.graft.store.mergeOnRead=off` pins COW everywhere. */
     def update(table: String, predicate: Column,
         assignments: Map[String, Column]): Unit = {
       ensureLease()
       val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       if (prev.files.isEmpty) return
-      val (hit, carried) = pinnedId(table, predicate) match {
+      val pinned = pinnedId(table, predicate)
+      val (hit, carried) = pinned match {
         case Some(id) =>
           prev.files.partition(f => f.minId <= id && id <= f.maxId)
         case None => (prev.files, Vector.empty[FileEntry])
       }
       if (hit.isEmpty) return // pinned id outside every file's range
-      val cur = readFiles(table, hit, schema)
-      val updated = assignments.foldLeft(cur) { case (df, (c, v)) =>
-        df.withColumn(c, when(predicate, v).otherwise(col(c)))
+      val cur = readFiles(table, hit, schema, idCol)
+      if (pinned.isDefined && mergeOnRead) {
+        val matched = cur.filter(predicate)
+        val images = assignments.foldLeft(matched) { case (df, (c, v)) =>
+          df.withColumn(c, v)
+        }
+        enforceChecks(table, images)
+        val deadByFile = collectDeadByFile(matched, idCol)
+        if (deadByFile.isEmpty) return // predicate matched nothing
+        val patch = stageFiles(table, images, idCol)
+        staged :+= Staged(table, prev.copy(files =
+          carried ++ dvMarked(hit, deadByFile) ++ patch))
+      } else {
+        val updated = assignments.foldLeft(cur) { case (df, (c, v)) =>
+          df.withColumn(c, when(predicate, v).otherwise(col(c)))
+        }
+        enforceChecks(table, updated)
+        val newFiles = stageFiles(table, updated, idCol)
+        staged :+= Staged(table, prev.copy(files = carried ++ newFiles))
       }
-      enforceChecks(table, updated)
-      val newFiles = stageFiles(table, updated, idCol)
-      staged :+= Staged(table, prev.copy(files = carried ++ newFiles))
     }
+
+    /** (file path -> dead ids) of `matched` rows — collected to the
+      * driver, which is changed-rows-sized by the merge-on-read
+      * contract (the sidecar write needs the ids driver-side anyway). */
+    private def collectDeadByFile(matched: DataFrame, idCol: String)
+        : Map[String, Vector[Long]] = {
+      val rootAbs = Paths.get(root).toAbsolutePath.normalize
+      matched.select(col(idCol),
+          regexp_replace(input_file_name(), "^file:/*", "/").as("__f"))
+        .collect()
+        .map(r => (rootAbs.relativize(
+          Paths.get(r.getString(1)).toAbsolutePath.normalize).toString,
+          r.getLong(0)))
+        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toVector }
+    }
+
+    /** Hit entries with `deadByFile` folded into their deletion
+      * vectors: a file gaining dead ids gets a NEW sidecar carrying the
+      * union of its old mask and the new ids (sidecars are immutable —
+      * the old one keeps serving older snapshots); untouched hit files
+      * survive unchanged. */
+    private def dvMarked(hit: Vector[FileEntry],
+        deadByFile: Map[String, Vector[Long]]): Vector[FileEntry] =
+      hit.map { f =>
+        deadByFile.get(f.path) match {
+          case None => f
+          case Some(ids) =>
+            val old = f.dv.map(d => DvIO.read(rootPath, d._1))
+              .getOrElse(Array.empty[Long])
+            val (p, n) = DvIO.write(rootPath, old ++ ids)
+            f.copy(dv = Some((p, n)))
+        }
+      }
 
     /** Hard DELETE (the COW counterpart of the reference's soft-delete
       * UPDATE): files whose id range cannot contain a predicate-pinned id
@@ -1519,7 +1700,18 @@ final class Catalog(val spark: SparkSession, val root: String) {
         case None => (prev.files, Vector.empty[FileEntry])
       }
       if (hit.isEmpty) return 0L
-      val cur = readFiles(table, hit, schema)
+      val cur = readFiles(table, hit, schema, idCol)
+      if (pinnedId(table, predicate).isDefined && mergeOnRead) {
+        // merge-on-read point delete: a sidecar kills the matched rows
+        // in place — bytes written follow the deleted rows
+        val deadByFile = collectDeadByFile(
+          cur.filter(coalesce(predicate, lit(false))), idCol)
+        val nDeleted = deadByFile.valuesIterator.map(_.size.toLong).sum
+        if (nDeleted == 0L) return 0L
+        staged :+= Staged(table,
+          prev.copy(files = carried ++ dvMarked(hit, deadByFile)))
+        return nDeleted
+      }
       // one aggregate pass yields both counts (total and matching); the
       // only other read of the hit files is the rewrite itself
       val counts = cur.agg(
@@ -1595,7 +1787,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val (nUpd, inserted) =
         if (cand.isEmpty) (0L, src)
         else {
-          val live = readFiles(table, cand, schema)
+          val live = readFiles(table, cand, schema, idCol)
           val hitAbs = live.withColumn("__file", input_file_name())
             .join(broadcast(keys), Seq(keyCol), "left_semi")
             .select("__file").distinct().collect()
@@ -1604,9 +1796,31 @@ final class Catalog(val spark: SparkSession, val root: String) {
           val hitRel = hitAbs.map(p => rootAbs.relativize(
             Paths.get(p).toAbsolutePath.normalize).toString).toSet
           val (hit, carried) = prev.files.partition(f => hitRel(f.path))
-          if (hit.nonEmpty) {
+          if (hit.nonEmpty && mergeOnRead) {
+            // merge-on-read (round 15): kill the matched target rows by
+            // deletion vector and write ONE patch file of source images
+            // under the preserved target ids — bytes written follow the
+            // BATCH, not the touched files (a 100-key CDC tick against
+            // 128 MB files writes kilobytes, not gigabytes)
+            val matchedRows = readFiles(table, hit, schema, idCol)
+              .join(broadcast(keys), Seq(keyCol), "left_semi")
+            val deadByFile = collectDeadByFile(matchedRows, idCol)
+            if (deadByFile.nonEmpty) {
+              val images = matchedRows
+                .select(col(keyCol), col(idCol)).alias("t")
+                .join(broadcast(src).alias("s"), Seq(keyCol))
+                .select(schema.fieldNames.toIndexedSeq.map { f =>
+                  if (f == idCol) col(s"t.$f").as(f)
+                  else if (f == keyCol) col(keyCol)
+                  else col(s"s.$f").as(f)
+                }: _*)
+              val patch = stageFiles(table, images, idCol)
+              staged :+= Staged(table, prev.copy(files =
+                carried ++ dvMarked(hit, deadByFile) ++ patch))
+            }
+          } else if (hit.nonEmpty) {
             val marked = src.withColumn("__m", lit(true))
-            val applied = readFiles(table, hit, schema).alias("t")
+            val applied = readFiles(table, hit, schema, idCol).alias("t")
               .join(broadcast(marked).alias("s"), Seq(keyCol), "left")
               .select(schema.fieldNames.toIndexedSeq.map { f =>
                 if (f == idCol) col(s"t.$f").as(f)
@@ -1621,7 +1835,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           // a matched key's file is by construction a hit file, so the
           // matched count and the inserted anti-join read ONLY the hit
           // files — never the carried remainder of a large table
-          val hitRows = readFiles(table, hit, schema)
+          val hitRows = readFiles(table, hit, schema, idCol)
           val matched = hitRows
             .join(broadcast(keys), Seq(keyCol), "left_semi").count()
           (matched,
@@ -1691,7 +1905,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // change detection and the new-key anti-join read the touched
       // range, never the whole dimension
       val live = readFiles(table,
-        pruneByDomain(prev.files, keyCol, domain), schema)
+        pruneByDomain(prev.files, keyCol, domain), schema, idCol)
       val cur = live.filter(col("is_current"))
       // keys whose current tracked values differ from the batch's
       // (null-safe difference on any tracked column)
@@ -1717,7 +1931,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           Paths.get(p).toAbsolutePath.normalize).toString).toSet
         val (hit, carried) = prev.files.partition(f => hitRel(f.path))
         val marked = changedKeys.withColumn("__m", lit(true))
-        val closed = readFiles(table, hit, schema)
+        val closed = readFiles(table, hit, schema, idCol)
           .join(broadcast(marked), Seq(keyCol), "left")
           .withColumn("__close",
             coalesce(col("__m"), lit(false)) && col("is_current"))
@@ -1779,7 +1993,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val (hit, carried) = prev.files.partition(_.cols.get(column)
         .forall { case (mn, mx) => mx >= lo && mn <= hi })
       val nDeleted = if (hit.isEmpty) 0L else {
-        val cur = readFiles(table, hit, schema)
+        val cur = readFiles(table, hit, schema, idCol)
         val c = statLong(cur, column).get
         val inRange = c.isNotNull && c >= lo && c <= hi
         val counts = cur.agg(count(lit(1)).as("n"),
@@ -2119,7 +2333,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
             "transaction (staged rows in other tables may reference " +
             "the provisional ids)")
         val idCol = idColOf(Some(c), table)
-        val shifted = readFiles(table, added, schemaOf(Some(st), table))
+        val shifted = readFiles(table, added, schemaOf(Some(st), table),
+          idCol)
           .withColumn(idCol, when(col(idCol) > b.maxId,
             col(idCol) + lit(curAlloc)).otherwise(col(idCol)))
         val rebased = stageFiles(table, shifted, idCol)
@@ -2312,6 +2527,26 @@ final class Catalog(val spark: SparkSession, val root: String) {
           victims.foreach(Files.deleteIfExists(_))
         }
       }
+      // deletion-vector sidecars: same rules as data files — retire a
+      // sidecar no current entry references once it ages past the
+      // cutoff (a replaced DV, or one whose snapshot fell out of the
+      // retention window; the lease floor covers in-flight writers)
+      val dvDir = rootPath.resolve(DvIO.DirName)
+      if (Files.exists(dvDir)) {
+        val liveDv = readManifest().values.flatMap(_.files)
+          .flatMap(_.dv.map(d =>
+            rootPath.resolve(d._1).toAbsolutePath.normalize)).toSet
+        val dvIt = Files.list(dvDir)
+        val deadDv = try {
+          dvIt.iterator().asScala
+            .filter(p => Files.isRegularFile(p)
+              && p.getFileName.toString.endsWith(".dv"))
+            .filterNot(p => liveDv.contains(p.toAbsolutePath.normalize))
+            .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+            .toVector
+        } finally dvIt.close()
+        deadDv.foreach(Files.delete)
+      }
       // retire commit-log files aged past the window: the time-travel
       // horizon IS the vacuum retention window, so snapshot availability
       // and file availability expire together. Replayability constraint:
@@ -2357,7 +2592,12 @@ object Catalog {
     * `cols`/`scols` as on [[Catalog!.FileEntry]]. */
   private[store] final case class SqlFile(path: String, minId: Long,
       maxId: Long, cols: Map[String, (Long, Long)],
-      scols: Map[String, (String, String)])
+      scols: Map[String, (String, String)],
+      /** Deletion vector materialized for the scan: (sidecar path for
+        * diagnostics, dead ids ascending). Loaded at snapshot time —
+        * changed-rows-sized; the SQL scan masks rows of THIS file whose
+        * id is in the array ([[graft.store.sql.GraftScanBuilder]]). */
+      dv: Option[(String, Array[Long])] = None)
 
   /** A keyed upsert's provable source-key domain ([[Tx.mergeKeyRanges]]):
     * Long-normalized for integral/timestamp keys, bounded-binary-order

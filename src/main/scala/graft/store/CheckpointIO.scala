@@ -79,6 +79,8 @@ private[store] object CheckpointIO {
       |  optional int64 f_max_id;
       |  optional binary cols_json (UTF8);
       |  optional binary scols_json (UTF8);
+      |  optional binary dv_path (UTF8);
+      |  optional int64 dv_count;
       |}""".stripMargin)
 
   private val mapper = new ObjectMapper()
@@ -132,7 +134,8 @@ private[store] object CheckpointIO {
   def write(target: JPath, version: Long, committedAtMs: Long,
       tables: Seq[(String, Long, Option[String], Map[String, String],
         Option[String], Seq[(String, Long, Long, Map[String, (Long, Long)],
-          Map[String, (String, String)])])]): Unit = {
+          Map[String, (String, String)], Option[(String, Long)])])])
+      : Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     JFiles.deleteIfExists(tmp)
     val c = conf()
@@ -158,13 +161,18 @@ private[store] object CheckpointIO {
           if (checks.nonEmpty) m.append("checks_json", checksJson(checks))
           idCol.foreach(m.append("id_col", _))
           w.write(m)
-          files.sortBy(_._1).foreach { case (p, mn, mx, cols, scols) =>
-            val f = gf.newGroup()
-            f.append("table", tbl).append("kind", "f")
-            f.append("path", p).append("min_id", mn).append("f_max_id", mx)
-            if (cols.nonEmpty) f.append("cols_json", colsJson(cols))
-            if (scols.nonEmpty) f.append("scols_json", scolsJson(scols))
-            w.write(f)
+          files.sortBy(_._1).foreach {
+            case (p, mn, mx, cols, scols, dv) =>
+              val f = gf.newGroup()
+              f.append("table", tbl).append("kind", "f")
+              f.append("path", p).append("min_id", mn)
+              f.append("f_max_id", mx)
+              if (cols.nonEmpty) f.append("cols_json", colsJson(cols))
+              if (scols.nonEmpty) f.append("scols_json", scolsJson(scols))
+              dv.foreach { case (dp, dn) =>
+                f.append("dv_path", dp).append("dv_count", dn)
+              }
+              w.write(f)
           }
       }
     } finally w.close()
@@ -223,7 +231,7 @@ private[store] object CheckpointIO {
   def decodeTable(rows: Seq[(String, String, Group)])
       : Option[(Long, Option[String], Map[String, String], Option[String],
           Vector[(String, Long, Long, Map[String, (Long, Long)],
-            Map[String, (String, String)])])] = {
+            Map[String, (String, String)], Option[(String, Long)])])] = {
     val metaRow = rows.collectFirst { case (_, "m", g) => g }
     metaRow.map { m =>
       val files = rows.collect { case (_, "f", g) =>
@@ -232,7 +240,10 @@ private[store] object CheckpointIO {
           optStr(g, "cols_json").map(parseCols)
             .getOrElse(Map.empty[String, (Long, Long)]),
           optStr(g, "scols_json").map(parseScols)
-            .getOrElse(Map.empty[String, (String, String)]))
+            .getOrElse(Map.empty[String, (String, String)]),
+          optStr(g, "dv_path").map(dp =>
+            (dp, if (g.getFieldRepetitionCount("dv_count") > 0)
+              g.getLong("dv_count", 0) else 0L)))
       }.toVector
       (m.getLong("max_id", 0), optStr(m, "schema_json"),
         optStr(m, "checks_json").map(parseChecks)

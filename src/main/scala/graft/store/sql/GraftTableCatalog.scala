@@ -185,10 +185,12 @@ private[sql] final class GraftScanBuilder(spark: SparkSession, root: String,
   private var inner: Option[FileScanBuilder] = None
   /** Files surviving stats pruning vs total (spec observability). */
   private[sql] var prunedCount: (Int, Int) = (files.size, files.size)
+  private var kept: Vector[Catalog.SqlFile] = files
 
-  private def mkInner(kept: Vector[Catalog.SqlFile]): FileScanBuilder = {
+  private def mkInner(keptNow: Vector[Catalog.SqlFile]): FileScanBuilder = {
+    kept = keptNow
     val pt = ParquetTable(s"graft:$tableName", spark, options,
-      kept.map(f => s"$root/${f.path}").toList, Some(tableSchema),
+      keptNow.map(f => s"$root/${f.path}").toList, Some(tableSchema),
       classOf[ParquetFileFormat])
     val b = pt.newScanBuilder(options)
     inner = Some(b)
@@ -201,15 +203,32 @@ private[sql] final class GraftScanBuilder(spark: SparkSession, root: String,
   override protected def pushGraft(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    val kept = StatsPrune.prune(files, idCol, filters)
-    prunedCount = (kept.size, files.size)
-    forwardFilters(mkInner(kept), filters)
+    val keptNow = StatsPrune.prune(files, idCol, filters)
+    prunedCount = (keptNow.size, files.size)
+    forwardFilters(mkInner(keptNow), filters)
   }
 
   override protected def pushedDelegate: Option[FileScanBuilder] = inner
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    innerOrAll().pruneColumns(requiredSchema)
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // merge-on-read: the row mask needs the surrogate id — force it
+    // into the read schema (Spark's projection above the scan restores
+    // the user's column list); clean snapshots prune exactly as asked
+    val effective =
+      if (kept.exists(_.dv.isDefined) &&
+          !requiredSchema.fieldNames.contains(idCol))
+        StructType(requiredSchema.fields :+ tableSchema(idCol))
+      else requiredSchema
+    innerOrAll().pruneColumns(effective)
+  }
 
-  override def build(): Scan = innerOrAll().build()
+  override def build(): Scan = {
+    val scan = innerOrAll().build()
+    val dvd = kept.filter(_.dv.isDefined)
+    if (dvd.isEmpty) scan
+    else new DvMaskedScan(scan,
+      dvd.map(f => java.nio.file.Paths.get(root).resolve(f.path)
+        .toAbsolutePath.normalize.toString -> f.dv.get._2).toMap,
+      idCol)
+  }
 }

@@ -71,7 +71,7 @@ class StoreFuzzSpec extends SparkSuite {
     for (step <- 1 to 50) {
       val t = tables.keys.toVector(rnd.nextInt(tables.size))
       val m = tables(t)
-      rnd.nextInt(11) match {
+      rnd.nextInt(14) match {
         case 0 | 1 | 2 => // append one row
           emails += 1
           val em = s"u$emails@x.c"
@@ -118,6 +118,26 @@ class StoreFuzzSpec extends SparkSuite {
           // crosses checkpoint boundaries as versions accumulate)
           cat = new Catalog(spark, root)
           opLog += "reopen()"
+        case 11 | 12 => // POINT update by surrogate id: the id-pinned
+          // shape takes the round-15 merge-on-read path (deletion
+          // vector + patch file) — composing DVs with every other op
+          // (compact folds, vacuum retires sidecars, clones freeze
+          // them, restore/time-travel read each snapshot's own mask,
+          // reopen replays them cold)
+          if (m.nonEmpty) {
+            val id = m.keys.toVector(rnd.nextInt(m.size))
+            cat.update(t, col("user_id") === id,
+              Map("user_role" -> lit("dvrole")))
+            opLog += s"pointUpdate($t, id=$id -> dvrole)"
+            m(id) = (m(id)._1, "dvrole")
+          }
+        case 13 => // POINT delete by surrogate id (pure-DV commit)
+          if (m.nonEmpty) {
+            val id = m.keys.toVector(rnd.nextInt(m.size))
+            cat.delete(t, col("user_id") === id)
+            opLog += s"pointDelete($t, id=$id)"
+            m.remove(id)
+          }
         case 9 => // write INTO a clone (divergence) if any exists
           val clones = tables.keys.filter(_.startsWith("snap_")).toVector
           if (clones.nonEmpty) {

@@ -447,8 +447,16 @@ class StoreSpec extends SparkSuite {
         Map("user_role" -> lit("organizer")))
     }
     assert(cat.version == 4L)
-    // vacuum(0) retires old snapshots: history pruned OR files gone,
-    // either way readAt must throw, never silently drop rows
+    // merge-on-read (round 15): the point updates above landed as
+    // deletion vectors, so every data file is still LIVE — vacuum(0)
+    // has nothing to reclaim and the old snapshot STAYS readable
+    // (strictly better availability than the COW formulation)
+    cat.vacuum("users", retainMillis = 0)
+    assert(cat.readAt("users", 2L).count() == 2L)
+    // fold the masks into a rewrite, then vacuum: now the originals are
+    // dead and reclaimed, and the loud-failure contract kicks in —
+    // readAt must throw, never silently drop rows
+    cat.compact("users")
     cat.vacuum("users", retainMillis = 0)
     val ex = intercept[RuntimeException](cat.readAt("users", 2L).count())
     assert(ex.isInstanceOf[IllegalArgumentException]
@@ -756,12 +764,15 @@ class StoreSpec extends SparkSuite {
     cat.append("users", user("b", "b@x.c").unionAll(user("c", "c@x.c")))
     val before = cat.liveFiles("users").map(_._1).toSet
     val v1 = cat.version
-    // pinned-id delete: only file 1 (ids 1..1) is touched; the rewrite
-    // is empty, so the table drops to file 2 only
+    // pinned-id delete (round 15, merge-on-read): a pure-DV commit —
+    // only file 1 (ids 1..1) is touched, and it touches it by SIDECAR:
+    // the file survives on disk fully masked (bytes written follow the
+    // deleted row), and compaction is what later retires it
     assert(cat.delete("users", col("user_id") === 1L) == 1L)
     val after = cat.liveFiles("users").map(_._1).toSet
-    assert(after.subsetOf(before) && after.size == 1,
-      s"empty rewrite must drop the file: before=$before after=$after")
+    assert(after == before,
+      s"a DV delete must not change the file set: before=$before " +
+        s"after=$after")
     assert(cat.read("users").count() == 2)
     // no-match delete is a no-op (id outside every file range)
     assert(cat.delete("users", col("user_id") === 99L) == 0L)
