@@ -124,7 +124,19 @@ final class Catalog(val spark: SparkSession, val root: String) {
         * the union, so time travel reads each snapshot's own mask.
         * Stats stay OUTER bounds (a dead row can only make them loose,
         * never wrong). */
-      dv: Option[(String, Long)] = None)
+      dv: Option[(String, Long)] = None,
+      /** Physical row count at stage time; -1 = unknown (pre-round-15
+        * file). The `rows >= 0` marker also scopes [[nulls]]: only
+        * files that recorded counts make null-pruning claims. */
+      rows: Long = -1L,
+      /** Per-column NULL counts for every column the file was staged
+        * WITH (zeros recorded explicitly — a column absent from this
+        * map did not exist at stage time, e.g. pre-evolution files, and
+        * is never pruned on). `nulls(c) == 0` lets `IS NULL` probes
+        * skip the file; `nulls(c) == rows` (all-null) lets
+        * `IS NOT NULL` probes skip it — both stay sound under deletion
+        * vectors, which can only shrink the visible subset. */
+      nulls: Map[String, Long] = Map.empty)
 
   /** Per-table manifest state. `schema = None` means the registry schema
     * ([[Schemas.registry]]); `Some` is an EVOLVED schema ([[Tx.addColumn]])
@@ -184,12 +196,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private def stateFromDecoded(d: (Long, Option[String],
       Map[String, String], Option[String],
       Vector[(String, Long, Long, Map[String, (Long, Long)],
-        Map[String, (String, String)], Option[(String, Long)])]))
-      : TableState = {
+        Map[String, (String, String)], Option[(String, Long)], Long,
+        Map[String, Long])])): TableState = {
     val (maxId, schemaJson, checks, idCol, files) = d
     TableState(maxId,
-      files.map { case (p, mn, mx, cols, scols, dv) =>
-        FileEntry(p, mn, mx, cols, scols, dv)
+      files.map { case (p, mn, mx, cols, scols, dv, rows, nulls) =>
+        FileEntry(p, mn, mx, cols, scols, dv, rows, nulls)
       },
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]),
@@ -212,6 +224,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
       }
     }
     f.dv.foreach { case (p, n) => fn.put("dv", p); fn.put("dvn", n) }
+    if (f.rows >= 0L) fn.put("rows", f.rows)
+    if (f.nulls.nonEmpty) {
+      val nn = fn.putObject("nulls")
+      f.nulls.toSeq.sortBy(_._1).foreach { case (c, n) => nn.put(c, n) }
+    }
   }
 
   private def parseFileEntry(f: com.fasterxml.jackson.databind.JsonNode)
@@ -228,10 +245,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
           ce.getValue.get(1).asText())
       }.toMap
     }.getOrElse(Map.empty[String, (String, String)])
+    val nulls = Option(f.get("nulls")).map { nn =>
+      nn.properties().asScala
+        .map(ne => ne.getKey -> ne.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     FileEntry(f.get("path").asText(), f.get("min").asLong(),
       f.get("max").asLong(), cols, scols,
       Option(f.get("dv")).map(d =>
-        (d.asText(), Option(f.get("dvn")).map(_.asLong()).getOrElse(0L))))
+        (d.asText(), Option(f.get("dvn")).map(_.asLong()).getOrElse(0L))),
+      Option(f.get("rows")).map(_.asLong()).getOrElse(-1L), nulls)
   }
 
   private def parseTableMeta(t: com.fasterxml.jackson.databind.JsonNode)
@@ -549,9 +571,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
         next.toSeq.sortBy(_._1).map { case (tbl, st) =>
           (tbl, st.maxId, st.schema.map(_.json), st.checks, st.idCol,
             st.files.map(f =>
-              (f.path, f.minId, f.maxId, f.cols, f.scols, f.dv)):
+              (f.path, f.minId, f.maxId, f.cols, f.scols, f.dv, f.rows,
+                f.nulls)):
               Seq[(String, Long, Long, Map[String, (Long, Long)],
-                Map[String, (String, String)], Option[(String, Long)])])
+                Map[String, (String, String)], Option[(String, Long)],
+                Long, Map[String, Long])])
         })
     })
   }
@@ -793,7 +817,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     }
     Some((files.map(f =>
         Catalog.SqlFile(f.path, f.minId, f.maxId, f.cols, f.scols,
-          f.dv.map(d => (d._1, DvIO.read(rootPath, d._1))))),
+          f.dv.map(d => (d._1, DvIO.read(rootPath, d._1))), f.rows,
+          f.nulls)),
       schemaOf(st, table), idColOf(st, table)))
   }
 
@@ -846,6 +871,35 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val scanned = readFiles(table, kept, schemaOf(st, table),
       idColOf(st, table))
     scanned.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Null-probe read (round 15): rows where `column IS NULL`
+    * (`isNull = true`) or `IS NOT NULL` — files whose recorded null
+    * counts prove they hold NO matching row are never opened (the J3
+    * left-join-probe shape: a miss scan over a mostly-matched join
+    * column reads only the files that ever saw a NULL). A file without
+    * null stats for the column — pre-round-15, or staged before the
+    * column existed — is conservatively kept, and the exact predicate
+    * re-applies to the survivors. */
+  def readWhereNull(table: String, column: String,
+      isNull: Boolean): DataFrame = {
+    val st = tableState(table)
+    val files = st.map(_.files).getOrElse(Vector.empty)
+    val kept = files.filter(f =>
+      Catalog.nullProbeKeeps(f.rows, f.nulls.get(column), isNull))
+    val scanned = readFiles(table, kept, schemaOf(st, table),
+      idColOf(st, table))
+    scanned.filter(if (isNull) col(column).isNull else col(column).isNotNull)
+  }
+
+  /** Files [[readWhereNull]] would open vs the live total (test hook). */
+  private[graft] def nullProbeFiles(table: String, column: String,
+      isNull: Boolean): (Seq[String], Int) = {
+    val files = readManifest().get(table).map(_.files)
+      .getOrElse(Vector.empty)
+    (files.filter(f =>
+      Catalog.nullProbeKeeps(f.rows, f.nulls.get(column), isNull))
+      .map(_.path), files.size)
   }
 
   /** Files [[readRange]] would open for the given range vs the live
@@ -908,7 +962,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       Files.exists(rootPath.resolve(f.path)))
     val present = entries.filterNot(missing.contains)
     val observedRows: Seq[(String, Long, Long, Long,
-        Map[String, (Long, Long)], Map[String, (String, String)])] =
+        Map[String, (Long, Long)], Map[String, (String, String)],
+        Map[String, Long])] =
       if (present.isEmpty) Nil
       else {
         val df = spark.read.schema(schema)
@@ -927,6 +982,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
             Seq(min(lc).as(s"mn_$c"), max(lc).as(s"mx_$c"))
           } ++ strCols.flatMap { c =>
             Seq(min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c"))
+          } ++ schema.fieldNames.toSeq.map { c =>
+            count(when(col(c).isNull, 1)).as(s"nc_$c")
           })
         df.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
           .collect().toSeq.map { r =>
@@ -943,7 +1000,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
               if (r.isNullAt(i) || r.isNullAt(j)) None
               else Some(c -> (r.getString(i), r.getString(j)))
             }.toMap
-            (rel, r.getLong(1), r.getLong(2), r.getLong(3), cols, scols)
+            val oNulls = schema.fieldNames.toSeq
+              .map(c => c -> r.getLong(r.fieldIndex(s"nc_$c"))).toMap
+            (rel, r.getLong(1), r.getLong(2), r.getLong(3), cols, scols,
+              oNulls)
           }
       }
     val observed = observedRows.map(o => o._1 -> o).toMap
@@ -960,8 +1020,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
         if (missing.contains(f)) "file missing on disk"
         else observed.get(f.path) match {
           case None => "file unreadable or empty"
-          case Some((_, n, mn, mx, cols, scols)) =>
-            if (f.minId > f.maxId && n > 0)
+          case Some((_, n, mn, mx, cols, scols, oNulls)) =>
+            if (f.rows >= 0L && n != f.rows)
+              s"manifest claims ${f.rows} rows, file has $n"
+            else if (f.minId > f.maxId && n > 0)
               s"manifest claims no rows, file has $n"
             else if (f.minId <= f.maxId && (mn != f.minId || mx != f.maxId))
               s"id range [$mn,$mx] != manifest [${f.minId},${f.maxId}]"
@@ -989,7 +1051,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
                   s"column '$c' string stat claimed ['$cmn','$cmx'] " +
                     "but unobservable (column reads back all-NULL)"
               }
-              bad.orElse(badStr).getOrElse("")
+              // null-count claims: exact physical equality per column
+              // the current schema still carries (dropped columns are
+              // legitimately unverifiable, same convention as stats)
+              val badNull = f.nulls.collectFirst {
+                case (c, nc) if oNulls.get(c).exists(_ != nc) =>
+                  s"column '$c' null count ${oNulls(c)} != manifest $nc"
+              }
+              bad.orElse(badStr).orElse(badNull).getOrElse("")
             }
         }
       // deletion-vector claims (round 15): the sidecar must exist,
@@ -1215,13 +1284,20 @@ final class Catalog(val spark: SparkSession, val root: String) {
       .filter(c => df.schema.fieldNames.contains(c))
       .filter(c => df.schema(c).dataType ==
         org.apache.spark.sql.types.StringType)
+    // round 15: row count + per-column null counts ride the same job
+    // (zeros recorded explicitly — presence in the map is the "column
+    // existed at stage time" witness null pruning depends on)
+    val nullCols = df.schema.fieldNames.toSeq
     val aggs =
       min(col(idCol)).as("mn") +: max(col(idCol)).as("mx") +:
+        count(lit(1)).as("n_rows") +:
         (statCols.flatMap { c =>
           val lc = statLong(df, c).get
           Seq(min(lc).as(s"mn_$c"), max(lc).as(s"mx_$c"))
         } ++ strCols.flatMap { c =>
           Seq(min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c"))
+        } ++ nullCols.map { c =>
+          count(when(col(c).isNull, 1)).as(s"nc_$c")
         })
     val stats = written
       .groupBy(input_file_name().as("f"))
@@ -1242,7 +1318,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
         else Catalog.strStatBounds(r.getString(mnI), r.getString(mxI))
           .map(c -> _)
       }.toMap
-      FileEntry(rel, r.getLong(1), r.getLong(2), cols, scols)
+      val nulls = nullCols
+        .map(c => c -> r.getLong(r.fieldIndex(s"nc_$c"))).toMap
+      FileEntry(rel, r.getLong(1), r.getLong(2), cols, scols, None,
+        r.getLong(r.fieldIndex("n_rows")), nulls)
     }.toVector.sortBy(_.path)
   }
 
@@ -1322,6 +1401,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * manifest stats they record [[mergeKeyRanges]] instead and
       * reconcile against commits that stayed outside it (round 13). */
     private[Catalog] var strictTables: Set[String] = Set.empty
+    /** CHECKs this transaction declared, per table — the one DDL shape
+      * that can RECONCILE against a concurrent data commit (round 15):
+      * the new constraint is re-validated against the concurrent
+      * commit's added files at commit-replay time instead of failing
+      * outright ([[Catalog.reconcile]]). */
+    private[Catalog] var addedChecks: Map[String, Map[String, String]] =
+      Map.empty
 
     /** Keyed-upsert domains for OCC (round 13; string keys round 14):
       * table -> (key column, provable domain) of the merge/SCD2 source
@@ -1471,7 +1557,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * surrogate id is absent from a merge's source batch, so an
       * id-referencing check fails analysis there (loudly). */
     def addCheck(table: String, name: String, constraint: String): Unit = {
-      ensureLease(); strictTables += table
+      ensureLease()
+      addedChecks += table ->
+        (addedChecks.getOrElse(table, Map.empty) + (name -> constraint))
       val (schema, _) = schemaIdOf(table)
       val prev = curState(table)
       require(!prev.checks.contains(name),
@@ -2271,10 +2359,44 @@ final class Catalog(val spark: SparkSession, val root: String) {
           s"this transaction's snapshot ($why); re-run against the new " +
           "state")
     if (tx.strictTables.contains(table))
-      conflict("whole-table-dependent op: DDL/check/restore, or a " +
+      conflict("whole-table-dependent op: DDL/restore, or a " +
         "merge/SCD2 whose key domain is not provable from stats")
     val b = baseOpt.getOrElse(TableState(0L, Vector.empty))
     val c = curOpt.getOrElse(TableState(0L, Vector.empty))
+    // addCheck vs concurrent data commit (round 15): the constraint was
+    // validated against THIS tx's snapshot; a concurrent commit only
+    // invalidates that proof through the files it ADDED — re-validate
+    // exactly those at replay time. A violating concurrent append makes
+    // the addCheck fail (same contract as its own existing-rows check);
+    // a conforming one lands alongside the constraint.
+    val newChecks = tx.addedChecks.getOrElse(table, Map.empty)
+    if (newChecks.nonEmpty) {
+      if (st.files != b.files || st.maxId != b.maxId ||
+          st.schema != b.schema ||
+          st.checks != b.checks ++ newChecks)
+        conflict("check DDL mixed with other staged changes on this " +
+          "table cannot reconcile")
+      if (c.schema != b.schema)
+        conflict("schema changed concurrently under an ADD CONSTRAINT")
+      if (newChecks.keySet.exists(c.checks.keySet))
+        conflict("a check of the same name was added concurrently")
+      val bPaths = b.files.toSet
+      val curAdded = c.files.filterNot(bPaths.contains)
+        // a DV-only entry change re-adds the path; its PATCH content is
+        // covered by the file-level diff (new patch files appear here)
+        .filterNot(f => b.files.exists(_.path == f.path))
+      if (curAdded.nonEmpty) {
+        val rows = readFiles(table, curAdded,
+          schemaOf(Some(c), table), idColOf(Some(c), table))
+        newChecks.toSeq.sortBy(_._1).foreach { case (n, e) =>
+          val bad = rows.filter(!coalesce(expr(e), lit(true))).count()
+          if (bad > 0L)
+            conflict(s"$bad concurrently-written rows violate the new " +
+              s"check '$n' ($e)")
+        }
+      }
+      return c.copy(checks = c.checks ++ newChecks)
+    }
     if (st.schema != b.schema || st.checks != b.checks ||
         c.schema != b.schema || c.checks != b.checks)
       conflict("schema or CHECK set changed")
@@ -2597,7 +2719,12 @@ object Catalog {
         * diagnostics, dead ids ascending). Loaded at snapshot time —
         * changed-rows-sized; the SQL scan masks rows of THIS file whose
         * id is in the array ([[graft.store.sql.GraftScanBuilder]]). */
-      dv: Option[(String, Array[Long])] = None)
+      dv: Option[(String, Array[Long])] = None,
+      /** Physical row count (-1 unknown) + per-column null counts, the
+        * IS NULL / IS NOT NULL pruning stats (see
+        * [[Catalog!.FileEntry.nulls]] for the absent-column rule). */
+      rows: Long = -1L,
+      nulls: Map[String, Long] = Map.empty)
 
   /** A keyed upsert's provable source-key domain ([[Tx.mergeKeyRanges]]):
     * Long-normalized for integral/timestamp keys, bounded-binary-order
@@ -2612,6 +2739,20 @@ object Catalog {
     * truncated BOUND instead (Delta truncates at 32 too). Chosen so a
     * million-file manifest's string stats stay megabytes. */
   private[store] val StringStatMaxLen = 32
+
+  /** Null-probe keep rule (shared by the Scala read path and the SQL
+    * catalog's [[graft.store.sql.StatsPrune]]): a file is skippable for
+    * an `IS NULL` probe when it recorded ZERO nulls in the column, and
+    * for an `IS NOT NULL` probe when every physical row is null. Both
+    * claims stay sound under deletion vectors (masking only shrinks the
+    * visible subset) and absent stats always keep the file. */
+  private[store] def nullProbeKeeps(rows: Long, nullCount: Option[Long],
+      isNull: Boolean): Boolean = nullCount match {
+    case None => true
+    case Some(nc) =>
+      if (isNull) nc > 0L
+      else !(rows >= 0L && nc == rows)
+  }
 
   /** UTF-8 binary comparison — the order Spark's default (UTF8_BINARY)
     * string comparisons use. Driver-side stat comparisons MUST use this,

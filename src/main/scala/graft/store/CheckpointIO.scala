@@ -81,6 +81,8 @@ private[store] object CheckpointIO {
       |  optional binary scols_json (UTF8);
       |  optional binary dv_path (UTF8);
       |  optional int64 dv_count;
+      |  optional int64 n_rows;
+      |  optional binary nulls_json (UTF8);
       |}""".stripMargin)
 
   private val mapper = new ObjectMapper()
@@ -124,6 +126,16 @@ private[store] object CheckpointIO {
       e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
     }.toMap
 
+  private def nullsJson(m: Map[String, Long]): String = {
+    val n = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (c, v) => n.put(c, v) }
+    mapper.writeValueAsString(n)
+  }
+
+  private def parseNulls(s: String): Map[String, Long] =
+    mapper.readTree(s).properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+
   private def parseChecks(s: String): Map[String, String] =
     mapper.readTree(s).properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
@@ -134,8 +146,8 @@ private[store] object CheckpointIO {
   def write(target: JPath, version: Long, committedAtMs: Long,
       tables: Seq[(String, Long, Option[String], Map[String, String],
         Option[String], Seq[(String, Long, Long, Map[String, (Long, Long)],
-          Map[String, (String, String)], Option[(String, Long)])])])
-      : Unit = {
+          Map[String, (String, String)], Option[(String, Long)], Long,
+          Map[String, Long])])]): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     JFiles.deleteIfExists(tmp)
     val c = conf()
@@ -162,7 +174,7 @@ private[store] object CheckpointIO {
           idCol.foreach(m.append("id_col", _))
           w.write(m)
           files.sortBy(_._1).foreach {
-            case (p, mn, mx, cols, scols, dv) =>
+            case (p, mn, mx, cols, scols, dv, rows, nulls) =>
               val f = gf.newGroup()
               f.append("table", tbl).append("kind", "f")
               f.append("path", p).append("min_id", mn)
@@ -172,6 +184,8 @@ private[store] object CheckpointIO {
               dv.foreach { case (dp, dn) =>
                 f.append("dv_path", dp).append("dv_count", dn)
               }
+              if (rows >= 0L) f.append("n_rows", rows)
+              if (nulls.nonEmpty) f.append("nulls_json", nullsJson(nulls))
               w.write(f)
           }
       }
@@ -231,7 +245,8 @@ private[store] object CheckpointIO {
   def decodeTable(rows: Seq[(String, String, Group)])
       : Option[(Long, Option[String], Map[String, String], Option[String],
           Vector[(String, Long, Long, Map[String, (Long, Long)],
-            Map[String, (String, String)], Option[(String, Long)])])] = {
+            Map[String, (String, String)], Option[(String, Long)], Long,
+            Map[String, Long])])] = {
     val metaRow = rows.collectFirst { case (_, "m", g) => g }
     metaRow.map { m =>
       val files = rows.collect { case (_, "f", g) =>
@@ -243,7 +258,11 @@ private[store] object CheckpointIO {
             .getOrElse(Map.empty[String, (String, String)]),
           optStr(g, "dv_path").map(dp =>
             (dp, if (g.getFieldRepetitionCount("dv_count") > 0)
-              g.getLong("dv_count", 0) else 0L)))
+              g.getLong("dv_count", 0) else 0L)),
+          if (g.getFieldRepetitionCount("n_rows") > 0)
+            g.getLong("n_rows", 0) else -1L,
+          optStr(g, "nulls_json").map(parseNulls)
+            .getOrElse(Map.empty[String, Long]))
       }.toVector
       (m.getLong("max_id", 0), optStr(m, "schema_json"),
         optStr(m, "checks_json").map(parseChecks)

@@ -1,6 +1,6 @@
 package graft.store.sql
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -149,11 +149,22 @@ private[sql] object StatsPrune {
     Windows(longs, strs)
   }
 
+  /** Per-column null probes extracted from the conjuncts: true = the
+    * query demands `IS NULL`, false = `IS NOT NULL`. A column somehow
+    * constrained BOTH ways matches nothing, but we just keep the
+    * stricter-to-prove side — the residual Filter settles it. */
+  private def nullProbes(filters: Seq[Expression]): Map[String, Boolean] =
+    filters.flatMap(splitAnd).collect {
+      case IsNull(a: Attribute) => a.name -> true
+      case IsNotNull(a: Attribute) => a.name -> false
+    }.toMap
+
   /** Files surviving the stats test for `filters`. */
   def prune(files: Vector[Catalog.SqlFile], idCol: String,
       filters: Seq[Expression]): Vector[Catalog.SqlFile] = {
     val w = windows(filters)
-    if (w.longs.isEmpty && w.strs.isEmpty) return files
+    val probes = nullProbes(filters)
+    if (w.longs.isEmpty && w.strs.isEmpty && probes.isEmpty) return files
     files.filter { f =>
       val longsOk = w.longs.forall { case (c, (lo, hi)) =>
         val stat =
@@ -166,7 +177,10 @@ private[sql] object StatsPrune {
             (hi == null || Catalog.utf8Compare(smn, hi) <= 0)
         }
       }
-      longsOk && strsOk
+      val nullsOk = probes.forall { case (c, isNull) =>
+        Catalog.nullProbeKeeps(f.rows, f.nulls.get(c), isNull)
+      }
+      longsOk && strsOk && nullsOk
     }
   }
 }

@@ -218,4 +218,44 @@ class StoreRaceFuzzSpec extends SparkSuite {
     assert(ids.isEmpty || ids.max <= cat.maxId("orders_ingest"),
       "an id escaped the recorded high-water mark")
   }
+
+  test("ADD CONSTRAINT reconciles against a concurrent CONFORMING " +
+    "append (both land); a VIOLATING concurrent append fails the " +
+    "constraint, not the data") {
+    val root = Files.createTempDirectory("graft_check_race").toString
+    val catA = new Catalog(spark, root)
+    val catB = new Catalog(spark, root)
+    catA.append("users", userDf("seed@x.c"))
+    // conforming race: B's append commits BETWEEN A's snapshot and A's
+    // validate-and-swap — the round-15 reconcile re-validates exactly
+    // B's added file against the new constraint and lands both
+    @volatile var sneaked = false
+    catA.transaction { tx =>
+      tx.addCheck("users", "email_at", "email LIKE '%@%'")
+      if (!sneaked) { catB.append("users", userDf("mid@x.c")); sneaked = true }
+    }
+    assert(catA.read("users").count() == 2,
+      "the concurrent conforming append must survive the reconcile")
+    intercept[IllegalArgumentException] {
+      catA.append("users", userDf("no-at-sign"))
+    }
+    // violating race: the constraint must FAIL (conflict), the already-
+    // committed data must stand, and the check must NOT be installed
+    @volatile var sneaked2 = false
+    val ex = intercept[Catalog.ConcurrentWriteException] {
+      catA.transaction { tx =>
+        tx.addCheck("users", "no_evil", "email NOT LIKE '%evil%'")
+        if (!sneaked2) {
+          catB.append("users", userDf("evil@x.c"))
+          sneaked2 = true
+        }
+      }
+    }
+    assert(ex.getMessage.contains("violate the new check"), ex.getMessage)
+    assert(catA.read("users").filter(col("email") === "evil@x.c").count()
+      == 1, "the committed concurrent row must stand")
+    // the failed constraint is not installed: a violating append works
+    catA.append("users", userDf("evil2@x.c"))
+    assert(catA.read("users").count() == 4)
+  }
 }

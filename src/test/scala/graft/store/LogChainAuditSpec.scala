@@ -43,7 +43,8 @@ class LogChainAuditSpec extends SparkSuite {
           CheckpointIO.decodeTable(rows).get
         (tbl, if (tbl == "users") 99L else maxId, schemaJson, checks,
           idCol, files: Seq[(String, Long, Long, Map[String, (Long, Long)],
-            Map[String, (String, String)], Option[(String, Long)])])
+            Map[String, (String, String)], Option[(String, Long)], Long,
+            Map[String, Long])])
       }
     CheckpointIO.write(ck, cv, stampMs, tables)
     val flagged1 = new Catalog(spark, cat.root).fsck("users").collect()
