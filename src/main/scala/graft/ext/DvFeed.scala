@@ -53,9 +53,10 @@ object DvFeed {
     require(cat.version == 3L,
       s"dv fixture ended at v${cat.version}, expected 3")
     val cold = new Catalog(s, rootDir(s))
-    require(java.nio.file.Files.list(java.nio.file.Paths.get(
-        rootDir(s), "_dv")).count() >= 2,
-      "the point ops did not land as deletion vectors")
+    val dvLs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(rootDir(s), "_dv"))
+    val nDv = try dvLs.count() finally dvLs.close()
+    require(nDv >= 2, "the point ops did not land as deletion vectors")
     // ingest ids are dense 1..maxId; exactly one row (DropId) is masked
     require(cold.read("events_ingest").count() ==
         cold.maxId("events_ingest") - 1,

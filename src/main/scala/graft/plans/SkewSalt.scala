@@ -127,8 +127,16 @@ private[graft] object SkewSalt {
     * IllegalStateException). Two callers of the SAME plan still
     * serialize on the cell's own lazy-init monitor — that is the point
     * of memoizing. */
-  private final class CensusCell(compute: () => Option[Int]) {
-    lazy val value: Option[Int] = compute()
+  private final class CensusCell(
+      @volatile private var compute: () => Option[Int]) {
+    // drop the closure after first force: it captures the whole
+    // DataFrame (plans, FileIndex) — 1024 retained cells of that is
+    // real driver heap, while the memoized Option[Int] is nothing
+    lazy val value: Option[Int] = {
+      val r = compute()
+      compute = null
+      r
+    }
   }
 
   /** Census results per (analyzed-plan semantic hash, key set, input

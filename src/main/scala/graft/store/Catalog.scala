@@ -200,9 +200,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
         Map[String, Long])])): TableState = {
     val (maxId, schemaJson, checks, idCol, files) = d
     TableState(maxId,
-      files.map { case (p, mn, mx, cols, scols, dv, rows, nulls) =>
+      canonFiles(files.map { case (p, mn, mx, cols, scols, dv, rows, nulls) =>
         FileEntry(p, mn, mx, cols, scols, dv, rows, nulls)
-      },
+      }),
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]),
       checks, idCol)
@@ -288,8 +288,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       .filterNot(_.getKey.startsWith("_")) // reserved keys (_version)
       .map { e =>
         val t = e.getValue
-        val files = t.get("files").elements().asScala
-          .map(parseFileEntry).toVector
+        val files = canonFiles(t.get("files").elements().asScala
+          .map(parseFileEntry).toVector)
         val (schema, checks, idCol) = parseTableMeta(t)
         e.getKey -> TableState(t.get("maxId").asLong(), files, schema,
           checks, idCol)
@@ -328,6 +328,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
       tbl -> applyTableDelta(m.get(tbl), td)
     }
 
+  /** Canonical file order (round 15): every reader-facing state sorts
+    * its file vector by path. Parquet checkpoints store entries sorted,
+    * while delta replay naturally appends changed entries at the tail —
+    * without one canonical order, two readers of the SAME state (one
+    * via checkpoint, one via replay) would disagree on Vector equality,
+    * breaking fsck's divergence audit and OCC's state comparisons. */
+  private def canonFiles(v: Vector[FileEntry]): Vector[FileEntry] =
+    v.sortBy(_.path)
+
   /** One table's slice of [[applyDelta]] — the targeted cold-read path
     * ([[tableState]]) replays a single table through this without
     * materializing the rest of the manifest. */
@@ -336,7 +345,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val prev = prevOpt.getOrElse(TableState(0L, Vector.empty))
     val gone = td.remove.toSet
     TableState(td.maxId,
-      prev.files.filterNot(f => gone(f.path)) ++ td.add,
+      canonFiles(prev.files.filterNot(f => gone(f.path)) ++ td.add),
       td.schema, td.checks, td.idCol)
   }
 
@@ -765,17 +774,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
       if (dvd.isEmpty) base
       else {
         val pairs = dvd.flatMap { f =>
-          val abs = rootPath.resolve(f.path).toAbsolutePath.normalize
-            .toString
-          DvIO.read(rootPath, f.dv.get._1).map(id => (id, abs))
+          DvIO.read(rootPath, f.dv.get._1).map(id => (id, fileKey(f.path)))
         }
         val sp = spark
         import sp.implicits._
         val dead = pairs.toDF("__dead_id", "__dead_file")
         // input_file_name() is non-deterministic — project it below the
         // join (a join CONDITION must be deterministic)
-        base.withColumn("__graft_src_file",
-            regexp_replace(input_file_name(), "^file:/*", "/"))
+        base.withColumn("__graft_src_file", srcFileKey)
           .join(broadcast(dead),
             col(idCol) === col("__dead_id") &&
               col("__graft_src_file") === col("__dead_file"),
@@ -783,6 +789,26 @@ final class Catalog(val spark: SparkSession, val root: String) {
           .drop("__graft_src_file")
       }
     }
+
+  /** Executor-side file identity for a scanned row: `input_file_name()`
+    * with the scheme stripped — a PERCENT-ENCODED absolute path
+    * (input_file_name reports the URL-encoded URI, so '/my store/'
+    * appears as '/my%20store/'; comparisons must stay in encoded
+    * space). */
+  private def srcFileKey: org.apache.spark.sql.Column =
+    regexp_replace(input_file_name(), "^file:/+", "/")
+
+  /** Driver-side twin of [[srcFileKey]]: the same percent-encoded
+    * absolute path for a manifest-relative path, via java.net.URI
+    * encoding. [[collectDeadByFile]] additionally fails LOUDLY when a
+    * scanned key matches no manifest entry, so any residual encoding
+    * divergence surfaces as an error — never as a silently-unmasked
+    * deletion vector. */
+  private def fileKey(rel: String): String = {
+    val u = rootPath.resolve(rel).toAbsolutePath.normalize
+      .toUri.toASCIIString
+    "/" + u.stripPrefix("file:").dropWhile(_ == '/')
+  }
 
   def read(table: String): DataFrame = {
     val st = tableState(table)
@@ -1531,7 +1557,27 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * validates read tables exactly like written ones, so decisions
       * the body based on this view cannot be invalidated by a
       * concurrent commit (serializable, not just write-serializable). */
-    def read(table: String): DataFrame = {
+    /** Executor-side file identity for a scanned row: `input_file_name()`
+    * with the scheme stripped — a PERCENT-ENCODED absolute path
+    * (input_file_name reports the URL-encoded URI, so '/my store/'
+    * appears as '/my%20store/'; comparisons must stay in encoded
+    * space). */
+  private def srcFileKey: org.apache.spark.sql.Column =
+    regexp_replace(input_file_name(), "^file:/+", "/")
+
+  /** Driver-side twin of [[srcFileKey]]: the same percent-encoded
+    * absolute path for a manifest-relative path, via java.net.URI
+    * encoding. [[collectDeadByFile]] additionally fails LOUDLY when a
+    * scanned key matches no manifest entry, so any residual encoding
+    * divergence surfaces as an error — never as a silently-unmasked
+    * deletion vector. */
+  private def fileKey(rel: String): String = {
+    val u = rootPath.resolve(rel).toAbsolutePath.normalize
+      .toUri.toASCIIString
+    "/" + u.stripPrefix("file:").dropWhile(_ == '/')
+  }
+
+  def read(table: String): DataFrame = {
       readTables += table
       val st = curState(table)
       readFiles(table, st.files, schemaOf(Some(st), table),
@@ -1722,7 +1768,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           df.withColumn(c, v)
         }
         enforceChecks(table, images)
-        val deadByFile = collectDeadByFile(matched, idCol)
+        val deadByFile = collectDeadByFile(matched, idCol, hit)
         if (deadByFile.isEmpty) return // predicate matched nothing
         val patch = stageFiles(table, images, idCol)
         staged :+= Staged(table, prev.copy(files =
@@ -1737,18 +1783,25 @@ final class Catalog(val spark: SparkSession, val root: String) {
       }
     }
 
-    /** (file path -> dead ids) of `matched` rows — collected to the
-      * driver, which is changed-rows-sized by the merge-on-read
-      * contract (the sidecar write needs the ids driver-side anyway). */
-    private def collectDeadByFile(matched: DataFrame, idCol: String)
-        : Map[String, Vector[Long]] = {
-      val rootAbs = Paths.get(root).toAbsolutePath.normalize
-      matched.select(col(idCol),
-          regexp_replace(input_file_name(), "^file:/*", "/").as("__f"))
+    /** (manifest file path -> dead ids) of `matched` rows — collected
+      * to the driver, which is changed-rows-sized by the merge-on-read
+      * contract (the sidecar write needs the ids driver-side anyway).
+      * Attribution resolves each scanned row's encoded file key against
+      * the HIT entries and fails loudly on a miss — a path-encoding
+      * divergence must never become a silent no-op mask. */
+    private def collectDeadByFile(matched: DataFrame, idCol: String,
+        hit: Vector[FileEntry]): Map[String, Vector[Long]] = {
+      val byKey = hit.map(f => fileKey(f.path) -> f.path).toMap
+      matched.select(col(idCol), srcFileKey.as("__f"))
         .collect()
-        .map(r => (rootAbs.relativize(
-          Paths.get(r.getString(1)).toAbsolutePath.normalize).toString,
-          r.getLong(0)))
+        .map { r =>
+          val key = r.getString(1)
+          val rel = byKey.getOrElse(key, throw new IllegalStateException(
+            s"merge-on-read file attribution failed: scanned row of " +
+              s"'$key' matches no hit manifest entry " +
+              "(path-encoding divergence?)"))
+          (rel, r.getLong(0))
+        }
         .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toVector }
     }
 
@@ -1782,18 +1835,19 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val (schema, idCol) = schemaIdOf(table)
       val prev = curState(table)
       if (prev.files.isEmpty) return 0L
-      val (hit, carried) = pinnedId(table, predicate) match {
+      val pinned = pinnedId(table, predicate)
+      val (hit, carried) = pinned match {
         case Some(id) =>
           prev.files.partition(f => f.minId <= id && id <= f.maxId)
         case None => (prev.files, Vector.empty[FileEntry])
       }
       if (hit.isEmpty) return 0L
       val cur = readFiles(table, hit, schema, idCol)
-      if (pinnedId(table, predicate).isDefined && mergeOnRead) {
+      if (pinned.isDefined && mergeOnRead) {
         // merge-on-read point delete: a sidecar kills the matched rows
         // in place — bytes written follow the deleted rows
         val deadByFile = collectDeadByFile(
-          cur.filter(coalesce(predicate, lit(false))), idCol)
+          cur.filter(coalesce(predicate, lit(false))), idCol, hit)
         val nDeleted = deadByFile.valuesIterator.map(_.size.toLong).sum
         if (nDeleted == 0L) return 0L
         staged :+= Staged(table,
@@ -1892,7 +1946,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
             // 128 MB files writes kilobytes, not gigabytes)
             val matchedRows = readFiles(table, hit, schema, idCol)
               .join(broadcast(keys), Seq(keyCol), "left_semi")
-            val deadByFile = collectDeadByFile(matchedRows, idCol)
+            val deadByFile = collectDeadByFile(matchedRows, idCol, hit)
             if (deadByFile.nonEmpty) {
               val images = matchedRows
                 .select(col(keyCol), col(idCol)).alias("t")

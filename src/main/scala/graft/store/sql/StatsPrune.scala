@@ -114,8 +114,16 @@ private[sql] object StatsPrune {
           case l: Literal => Option(l.value).flatMap(asStr(_, l.dataType)).isDefined
           case _ => false
         } =>
+        // min/max in UTF-8 BINARY order (utf8Compare), matching the
+        // order the file stats are compared in — String's UTF-16
+        // code-unit order diverges for supplementary characters and
+        // would invert the window (unsound pruning)
         val ss = vs.map { case l: Literal => asStr(l.value, l.dataType).get }
-        Some((a.name, Some(ss.min), Some(ss.max)))
+        Some((a.name,
+          Some(ss.reduce((x, y) =>
+            if (Catalog.utf8Compare(x, y) <= 0) x else y)),
+          Some(ss.reduce((x, y) =>
+            if (Catalog.utf8Compare(x, y) >= 0) x else y))))
       case _ => None
     }
   }

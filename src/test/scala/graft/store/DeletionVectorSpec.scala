@@ -41,6 +41,13 @@ class DeletionVectorSpec extends SparkSuite {
   private def content(df: DataFrame): Seq[String] =
     df.orderBy("ingest_id").collect().map(_.toString).toSeq
 
+  /** Closed directory listing (Files.list leaks handles otherwise). */
+  private def ls(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = Files.list(dir)
+    try st.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+    finally st.close()
+  }
+
   test("a point update lands as DV + patch: original files untouched " +
     "on disk, bytes written follow the changed row, reads/changefeed/" +
     "time travel all mask exactly") {
@@ -75,8 +82,7 @@ class DeletionVectorSpec extends SparkSuite {
     val patchBytes = sizesAfter.keySet.diff(sizesBefore.keySet)
       .map(p => Files.size(Paths.get(cat.root, p))).sum
     val dvDir = Paths.get(cat.root, DvIO.DirName)
-    val dvBytes = Files.list(dvDir).toArray.map(p =>
-      Files.size(p.asInstanceOf[java.nio.file.Path])).sum
+    val dvBytes = ls(dvDir).map(Files.size).sum
     val touched = sizesBefore.values.max
     assert(patchBytes + dvBytes < touched,
       s"DV update wrote $patchBytes+$dvBytes B, full file is $touched B")
@@ -151,9 +157,9 @@ class DeletionVectorSpec extends SparkSuite {
       "compaction must preserve the masked content exactly")
     assert(cat.liveFiles("events_ingest").size == 1)
     val dvDir = Paths.get(cat.root, DvIO.DirName)
-    assert(Files.list(dvDir).count() > 0)
+    assert(ls(dvDir).nonEmpty)
     cat.vacuum("events_ingest", retainMillis = 0)
-    assert(Files.list(dvDir).count() == 0,
+    assert(ls(dvDir).isEmpty,
       "vacuum must retire unreferenced sidecars")
     // broad (non-pinned) update on a table WITH a DV folds it
     val cat2 = freshCat()
@@ -175,7 +181,7 @@ class DeletionVectorSpec extends SparkSuite {
       cat.update("events_ingest", col("ingest_id") === 15L,
         Map("value" -> lit(1.0)))
       assert(!Files.exists(Paths.get(cat.root, DvIO.DirName)) ||
-        Files.list(Paths.get(cat.root, DvIO.DirName)).count() == 0)
+        ls(Paths.get(cat.root, DvIO.DirName)).isEmpty)
       assert(cat.read("events_ingest").count() == 30)
     } finally spark.conf.unset("spark.graft.store.mergeOnRead")
     intercept[IllegalArgumentException] {
@@ -192,8 +198,7 @@ class DeletionVectorSpec extends SparkSuite {
     cat.delete("events_ingest", col("ingest_id") === 5L)
     val dvRel = cat.liveFiles("events_ingest") // paths only — find via manifest
     val entry = cat.read("events_ingest") // force manifest
-    val sidecars = Files.list(Paths.get(cat.root, DvIO.DirName))
-      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+    val sidecars = ls(Paths.get(cat.root, DvIO.DirName))
     assert(sidecars.length == 1)
     // corrupt: replace with ids outside every file's range (same format)
     val out = new java.io.DataOutputStream(

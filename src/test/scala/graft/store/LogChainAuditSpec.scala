@@ -68,6 +68,26 @@ class LogChainAuditSpec extends SparkSuite {
       flagged2.mkString(", "))
   }
 
+  test("no false divergence alarm across a checkpoint: merge-on-read " +
+    "commits reorder the replayed file vector relative to the sorted " +
+    "parquet checkpoint, and fsck must still call the store healthy") {
+    val cat = freshCat()
+    import org.apache.spark.sql.functions.col
+    (1 to 3).foreach(i => cat.append("users", user(s"m$i", s"m$i@x.c")))
+    // point ops: entry-level remove+re-add moves the touched file to the
+    // replay tail while the checkpoint stores entries sorted by path
+    cat.update("users", col("user_id") === 1L,
+      Map("user_role" -> org.apache.spark.sql.functions.lit("vip")))
+    cat.delete("users", col("user_id") === 2L)
+    (6 to 11).foreach(i => cat.append("users", user(s"m$i", s"m$i@x.c")))
+    val logDir = java.nio.file.Paths.get(cat.root, "_log")
+    assert(Files.exists(logDir.resolve("v10.checkpoint.parquet")),
+      "fixture must cross a checkpoint boundary")
+    val flagged = new Catalog(spark, cat.root).fsck("users").collect()
+      .filter(!_.getBoolean(2))
+    assert(flagged.isEmpty, flagged.mkString(", "))
+  }
+
   test("checkpoint lag is surfaced: a store whose deferred checkpoints " +
     "never land past 2x the interval gets an fsck problem row") {
     val cat = freshCat()
