@@ -47,10 +47,12 @@ import graft.store.Catalog
   *    min/max provably miss the predicate are never even listed into
   *    the scan; [[GraftScanBuilder]]), the readRange pruning surface
   *    re-expressed in the planner's pushdown hook.
-  *  - '''Read-only by design''': DML goes through the transactional
-  *    Scala API ([[Catalog.transaction]] — OCC, CHECK constraints,
-  *    changefeed). `CREATE/ALTER/DROP/INSERT` here would bypass those
-  *    guarantees silently, so each throws pointing at the right door.
+  *  - '''Writes route through the engine, or not at all''': `INSERT
+  *    INTO` lands as a [[Catalog.append]] (dense engine-assigned ids,
+  *    CHECK validation, OCC — the V1 write fallback, see
+  *    [[GraftTable]]); every other DDL/DML shape throws pointing at
+  *    the transactional Scala API rather than bypassing its
+  *    guarantees silently.
   *
   * At 100 TB the scan cost profile equals the native path: the driver
   * walks the (bounded) manifest file list once for stats pruning, and
@@ -108,8 +110,7 @@ final class GraftTableCatalog extends TableCatalog {
     val c = cat
     c.sqlSnapshot(ident.name(), version) match {
       case Some((files, schema, idCol)) =>
-        new GraftTable(c.spark, storeRoot,
-          version.map(v => s"${ident.name()}@v$v").getOrElse(ident.name()),
+        new GraftTable(c.spark, storeRoot, ident.name(), version,
           files, schema, idCol)
       case None =>
         throw new NoSuchTableException(
@@ -139,21 +140,77 @@ final class GraftTableCatalog extends TableCatalog {
 /** One store table pinned at one snapshot: the file list and schema are
   * captured at `loadTable` time (snapshot isolation across the whole
   * query, time travel = an older manifest's list + THAT version's
-  * schema). */
+  * schema).
+  *
+  * Writes: `INSERT INTO` is supported through the V1 write fallback and
+  * routes into [[Catalog.append]] — the TRANSACTIONAL append, so SQL
+  * inserts get dense engine-assigned ids, CHECK validation, and OCC
+  * exactly like the Scala API (nothing is bypassed). The surrogate-id
+  * column must be NULL in the inserted rows (ids are engine-assigned;
+  * a caller-supplied id would be silently reassigned, so it fails
+  * loudly instead). Time-travel handles and
+  * `INSERT OVERWRITE` are rejected. */
 private[sql] final class GraftTable(spark: SparkSession, root: String,
-    tableName: String, files: Vector[Catalog.SqlFile],
+    tableName: String, version: Option[Long],
+    files: Vector[Catalog.SqlFile],
     tableSchema: StructType, idCol: String) extends Table
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  override def name(): String = tableName
-  override def schema(): StructType = tableSchema
+  override def name(): String =
+    version.map(v => s"$tableName@v$v").getOrElse(tableName)
+
+  /** The surrogate id is exposed NULLABLE: reads never produce a null
+    * (the engine assigns every id), but `INSERT INTO` rows must carry
+    * NULL for it — ids are engine-assigned — and Spark validates
+    * inserted rows against this schema before the write sees them. */
+  private val exposedSchema = StructType(tableSchema.fields.map(f =>
+    if (f.name == idCol) f.copy(nullable = true) else f))
+
+  override def schema(): StructType = exposedSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    new GraftScanBuilder(spark, root, tableName, files, tableSchema,
+    new GraftScanBuilder(spark, root, tableName, files, exposedSchema,
       idCol, options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (version.isDefined)
+                  throw new UnsupportedOperationException(
+                    s"cannot INSERT into the time-travel handle " +
+                      s"$tableName@v${version.get} — write to the " +
+                      "current table")
+                if (overwrite)
+                  throw new UnsupportedOperationException(
+                    "INSERT OVERWRITE is not supported; use the " +
+                      "transactional replaceWhere on graft.store.Catalog")
+                val withId = data.filter(
+                  org.apache.spark.sql.functions.col(idCol).isNotNull)
+                  .limit(1).count()
+                if (withId > 0)
+                  throw new IllegalArgumentException(
+                    s"'$idCol' is engine-assigned (dense ids): INSERT " +
+                      s"rows must carry NULL for it — got a non-NULL " +
+                      "value")
+                new Catalog(spark, root)
+                  .append(tableName, data.drop(idCol))
+              }
+            }
+        }
+    }
 }
 
 /** Scan builder: manifest-stats file pruning + full delegation to

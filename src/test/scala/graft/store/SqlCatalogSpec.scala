@@ -130,25 +130,41 @@ class SqlCatalogSpec extends SparkSuite {
       !read.contains("props"), s"projection not pruned: $read")
   }
 
-  test("the catalog is the READ door: DML/DDL through SQL fails " +
-    "loudly, pointing at the transactional API") {
+  test("DDL through SQL fails loudly, pointing at the transactional " +
+    "API; INSERT INTO routes through the transactional append (dense " +
+    "ids, NULL-id contract enforced)") {
     Seq(
       s"DROP TABLE $CatName.events_ingest",
-      s"CREATE TABLE $CatName.t2 (a INT)",
-      s"INSERT INTO $CatName.events_ingest VALUES " +
-        "(1, 1, TIMESTAMP'2020-01-01', 1, 'x', 1.0, 'p')").foreach { stmt =>
+      s"CREATE TABLE $CatName.t2 (a INT)").foreach { stmt =>
       val e = intercept[Throwable] { sqlq(stmt).collect() }
       def chain(t: Throwable): Seq[Throwable] =
         if (t == null) Nil else t +: chain(t.getCause)
-      // the write refusal surfaces either as this catalog's own loud
-      // message (DDL paths that reach it) or as Spark's capability
-      // check (INSERT: the table advertises BATCH_READ only)
       assert(chain(e).exists(c =>
           Option(c.getMessage).exists(m => m.contains("READ front door") ||
             m.toLowerCase.contains("does not support")) ||
           c.isInstanceOf[UnsupportedOperationException]),
         s"$stmt -> ${e.getMessage}")
     }
+    // INSERT INTO: a NULL surrogate id lands through Catalog.append —
+    // the engine assigns the next dense id and the row is readable via
+    // both doors
+    val before = cat.maxId("events_ingest")
+    sqlq(s"INSERT INTO $CatName.events_ingest VALUES " +
+      "(NULL, 999001, TIMESTAMP'2020-01-01', 7, 'sqlins', 1.5, 'p')")
+    assert(cat.maxId("events_ingest") == before + 1)
+    val got = sqlq(s"SELECT ingest_id, event_type FROM " +
+      s"$CatName.events_ingest WHERE event_id = 999001").collect()
+    assert(got.length == 1 && got(0).getLong(0) == before + 1 &&
+      got(0).getString(1) == "sqlins")
+    // a caller-supplied id fails loudly (ids are engine-assigned)
+    val e2 = intercept[Throwable] {
+      sqlq(s"INSERT INTO $CatName.events_ingest VALUES " +
+        "(123456, 999002, TIMESTAMP'2020-01-01', 7, 'x', 1.0, 'p')")
+    }
+    def chain2(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain2(t.getCause)
+    assert(chain2(e2).exists(c => Option(c.getMessage)
+        .exists(_.contains("engine-assigned"))), e2.getMessage)
   }
 
   test("SHOW TABLES lists manifest tables plus registered-but-empty " +
