@@ -144,5 +144,10 @@ object GraftExtensions {
   def install(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => GraftStrategy)
     e.injectOptimizerRule(_ => AsOfJoinOptimizations)
+    // SQL DML (UPDATE/DELETE/MERGE) over the store's DSv2 catalog,
+    // routed into the transactional Catalog — post-hoc: the commands
+    // analyze fine against a read-only DSv2 table and must be swapped
+    // out before the optimizer's row-level rewrite rejects them
+    e.injectPostHocResolutionRule(s => graft.store.sql.GraftSqlDmlRule(s))
   }
 }

@@ -50,9 +50,12 @@ import graft.store.Catalog
   *  - '''Writes route through the engine, or not at all''': `INSERT
   *    INTO` lands as a [[Catalog.append]] (dense engine-assigned ids,
   *    CHECK validation, OCC — the V1 write fallback, see
-  *    [[GraftTable]]); every other DDL/DML shape throws pointing at
-  *    the transactional Scala API rather than bypassing its
-  *    guarantees silently.
+  *    [[GraftTable]]); `UPDATE` / `DELETE FROM` / `MERGE INTO` route
+  *    into [[Catalog.update]]/[[Catalog.delete]]/[[Catalog.merge]]
+  *    via the injected [[GraftSqlDmlRule]] (merge-on-read DVs, OCC
+  *    retry, changefeed pairing — nothing bypassed); DDL shapes throw
+  *    pointing at the transactional Scala API rather than bypassing
+  *    its guarantees silently.
   *
   * At 100 TB the scan cost profile equals the native path: the driver
   * walks the (bounded) manifest file list once for stats pruning, and
@@ -120,9 +123,10 @@ final class GraftTableCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft SQL catalog '$catName' is the READ front door; $op goes " +
+      s"graft SQL catalog '$catName' serves queries and DML " +
+        s"(SELECT/INSERT/UPDATE/DELETE/MERGE); $op is DDL and goes " +
         "through the transactional Scala API (graft.store.Catalog — " +
-        "OCC, CHECK constraints and the changefeed live there)")
+        "schema registry, OCC and the changefeed live there)")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -150,15 +154,18 @@ final class GraftTableCatalog extends TableCatalog {
   * a caller-supplied id would be silently reassigned, so it fails
   * loudly instead). Time-travel handles and
   * `INSERT OVERWRITE` are rejected. */
-private[sql] final class GraftTable(spark: SparkSession, root: String,
-    tableName: String, version: Option[Long],
+private[sql] final class GraftTable(spark: SparkSession,
+    private[sql] val root: String,
+    private[sql] val tableName: String,
+    private[sql] val travelVersion: Option[Long],
     files: Vector[Catalog.SqlFile],
-    tableSchema: StructType, idCol: String) extends Table
+    tableSchema: StructType,
+    private[sql] val idCol: String) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
-    version.map(v => s"$tableName@v$v").getOrElse(tableName)
+    travelVersion.map(v => s"$tableName@v$v").getOrElse(tableName)
 
   /** The surrogate id is exposed NULLABLE: reads never produce a null
     * (the engine assigns every id), but `INSERT INTO` rows must carry
@@ -188,10 +195,10 @@ private[sql] final class GraftTable(spark: SparkSession, root: String,
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
                   overwrite: Boolean): Unit = {
-                if (version.isDefined)
+                if (travelVersion.isDefined)
                   throw new UnsupportedOperationException(
                     s"cannot INSERT into the time-travel handle " +
-                      s"$tableName@v${version.get} — write to the " +
+                      s"$tableName@v${travelVersion.get} — write to the " +
                       "current table")
                 if (overwrite)
                   throw new UnsupportedOperationException(

@@ -1,0 +1,208 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** SQL DML through the DSv2 door ([[graft.store.sql.GraftSqlDmlRule]]):
+  * `UPDATE` / `DELETE FROM` / `MERGE INTO` as pure SQL text must hit
+  * the SAME transactional engine paths as the Scala API — equal final
+  * states, merge-on-read deletion vectors for point updates, CHECK
+  * constraints enforced, changefeed pairing intact — and every
+  * out-of-contract shape must fail loudly, never silently bend. */
+class SqlDmlSpec extends SparkSuite {
+
+  private var n = 0
+
+  /** A fresh mutable store root + its own catalog name (DML mutates;
+    * Spark caches one catalog instance per name, so names are unique
+    * per root). Three appends = three files with disjoint id ranges. */
+  private def freshRoot(): (String, String) = {
+    n += 1
+    val catName = s"gdml$n"
+    val dir = Files.createTempDirectory(s"graft-sqldml$n").toString
+    val cat = new Catalog(spark, dir)
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    cat.append("events_ingest", ev.filter(col("event_id") <= 100),
+      orderBy = Seq("event_id"))
+    cat.append("events_ingest",
+      ev.filter(col("event_id") > 100 && col("event_id") <= 200),
+      orderBy = Seq("event_id"))
+    cat.append("events_ingest",
+      ev.filter(col("event_id") > 200 && col("event_id") <= 300),
+      orderBy = Seq("event_id"))
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.store.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.root", dir)
+    (dir, catName)
+  }
+
+  private def state(root: String): Seq[String] =
+    new Catalog(spark, root).read("events_ingest")
+      .orderBy("ingest_id").collect().map(_.toString).toSeq
+
+  private def dataFiles(root: String): Map[String, Long] = {
+    val walk = Files.walk(Paths.get(root))
+    try walk.filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_log"))
+      .toArray.map(_.asInstanceOf[Path])
+      .map(p => p.toString -> Files.size(p)).toMap
+    finally walk.close()
+  }
+
+  test("SQL UPDATE equals the Scala API update — same predicate, same " +
+    "assignments, same final state on twin roots") {
+    val (sqlRoot, c) = freshRoot()
+    val (apiRoot, _) = freshRoot()
+    spark.sql(s"UPDATE $c.events_ingest SET value = value * 2, " +
+      "event_type = 'bulk' WHERE event_type = 'click' AND user_id % 2 = 0")
+    new Catalog(spark, apiRoot).update("events_ingest",
+      col("event_type") === "click" && pmod(col("user_id"), lit(2)) === 0,
+      Map("value" -> (col("value") * 2), "event_type" -> lit("bulk")))
+    assert(state(sqlRoot) == state(apiRoot))
+  }
+
+  test("a point SQL UPDATE lands merge-on-read: every pre-existing data " +
+    "file byte-identical on disk, a _dv sidecar appears, and the " +
+    "changefeed pairs the update") {
+    val (root, c) = freshRoot()
+    val cat = new Catalog(spark, root)
+    val before = dataFiles(root)
+    val v0 = cat.version
+    spark.sql(s"UPDATE $c.events_ingest SET event_type = 'flip', " +
+      "value = value * 10 WHERE ingest_id = 150")
+    val after = dataFiles(root)
+    before.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz),
+        s"pre-existing file $p was rewritten by a point update")
+    }
+    assert(Files.list(Paths.get(root, "_dv")).count() >= 1,
+      "point update did not write a deletion-vector sidecar")
+    val feed = cat.changesWithUpdates("events_ingest", v0, v0 + 1)
+      .orderBy("_change_type").collect()
+    assert(feed.length == 2)
+    assert(feed.map(_.getAs[String]("_change_type")).toSeq ==
+      Seq("update_postimage", "update_preimage"))
+    assert(feed.forall(_.getAs[Long]("ingest_id") == 150L))
+  }
+
+  test("SQL DELETE returns the deleted count and equals the Scala " +
+    "API delete; an arbitrary (non-source-Filter) predicate works") {
+    val (sqlRoot, c) = freshRoot()
+    val (apiRoot, _) = freshRoot()
+    val nSql = spark.sql(s"DELETE FROM $c.events_ingest " +
+      "WHERE substr(event_type, 1, 1) = 'c'")
+      .collect()(0).getAs[Long]("num_affected_rows")
+    val nApi = new Catalog(spark, apiRoot).delete("events_ingest",
+      substring(col("event_type"), 1, 1) === "c")
+    assert(nSql == nApi && nSql > 0)
+    assert(state(sqlRoot) == state(apiRoot))
+  }
+
+  test("SQL MERGE star upsert equals Catalog.merge: matched rows " +
+    "rewrite from the source, unmatched insert with fresh dense ids, " +
+    "counts returned") {
+    val (sqlRoot, c) = freshRoot()
+    val (apiRoot, _) = freshRoot()
+    val src = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") > 280 && col("event_id") <= 320)
+      .withColumn("event_type", lit("merged"))
+    src.withColumn("ingest_id", lit(null).cast("bigint"))
+      .createOrReplaceTempView("sqldml_src")
+    val row = spark.sql(
+      s"""MERGE INTO $c.events_ingest t USING sqldml_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+    val (nUpd, nIns) = new Catalog(spark, apiRoot)
+      .merge("events_ingest", src, "event_id")
+    assert(row.getAs[Long]("num_updated_rows") == nUpd && nUpd > 0)
+    assert(row.getAs[Long]("num_inserted_rows") == nIns && nIns > 0)
+    assert(state(sqlRoot) == state(apiRoot))
+  }
+
+  test("CHECK constraints validate SQL DML post-images: a violating " +
+    "UPDATE fails and commits nothing") {
+    val (root, c) = freshRoot()
+    val cat = new Catalog(spark, root)
+    cat.addCheck("events_ingest", "positive_value", "value >= 0")
+    val v = cat.version
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $c.events_ingest SET value = -1 " +
+        "WHERE ingest_id = 10")
+    }
+    assert(e.getMessage != null && e.getMessage.contains("positive_value"))
+    assert(cat.version == v, "violating UPDATE left a commit behind")
+  }
+
+  test("out-of-contract shapes fail loudly with pointed messages") {
+    val (_, c) = freshRoot()
+    graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") <= 5)
+      .withColumn("ingest_id", lit(null).cast("bigint"))
+      .createOrReplaceTempView("sqldml_src")
+    def msgOf(sql: String): String =
+      intercept[Exception](spark.sql(sql)).getMessage
+
+    assert(msgOf(s"UPDATE $c.events_ingest SET ingest_id = 5 " +
+      "WHERE event_id = 1").contains("engine-assigned"))
+    assert(msgOf(s"DELETE FROM $c.events_ingest WHERE ingest_id IN " +
+      s"(SELECT ingest_id FROM $c.events_ingest WHERE value > 5)")
+      .contains("subqueries"))
+    assert(msgOf(s"UPDATE $c.events_ingest SET value = rand() " +
+      "WHERE ingest_id = 1").contains("non-deterministic"))
+    assert(msgOf(
+      s"""MERGE INTO $c.events_ingest t USING sqldml_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .contains("every non-key column from the source"))
+    assert(msgOf(
+      s"""MERGE INTO $c.events_ingest t USING sqldml_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED AND s.value > 0 THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .contains("unconditional"))
+    assert(msgOf(
+      s"""MERGE INTO $c.events_ingest t USING sqldml_src s
+         |ON t.event_id < s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .contains("same"))
+  }
+
+  test("a MERGE source carrying non-NULL surrogate ids fails loudly " +
+    "instead of silently reassigning") {
+    val (_, c) = freshRoot()
+    graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") <= 5)
+      .withColumn("ingest_id", col("event_id") + 1000)
+      .createOrReplaceTempView("sqldml_src_badid")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $c.events_ingest t USING sqldml_src_badid s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("engine-assigned"))
+  }
+
+  test("DML against non-graft relations stays on Spark's own code path") {
+    freshRoot() // ensure the rule is installed and exercised
+    graft.core.Tables.events(spark, sf).limit(5)
+      .createOrReplaceTempView("sqldml_plainview")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM sqldml_plainview WHERE event_id = 1")
+    }
+    assert(!String.valueOf(e.getMessage).contains("graft SQL DML"),
+      s"foreign-table DML was intercepted: ${e.getMessage}")
+  }
+}
