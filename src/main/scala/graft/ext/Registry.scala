@@ -38,5 +38,6 @@ object Registry {
       graft.streaming.StreamAnomaly.all ++
       graft.streaming.StreamKmv.all ++
       graft.streaming.StreamSessionWindow.all ++
-      graft.streaming.StreamFeaturePit.all
+      graft.streaming.StreamFeaturePit.all ++
+      graft.streaming.StoreStreamFeed.all
 }

@@ -739,6 +739,81 @@ final class Catalog(val spark: SparkSession, val root: String) {
       .drop("__u")
   }
 
+  /** Appends-only tail between two snapshots — the streaming-source
+    * read shape ([[graft.streaming.GraftStreamProvider]], the Delta
+    * "stream from a table" analogue): the rows of every file ADDED in
+    * `(fromVersion, toVersion]`, masked under each file's own deletion
+    * vector as of `toVersion`. `fromVersion = 0` replays the full
+    * snapshot (initial backfill).
+    *
+    * Contract — loud, never silently partial:
+    *  - any commit in the range that REMOVED a file entry (COW
+    *    rewrite, delete, compaction, or a DV change on a pre-existing
+    *    file — entries key by (path, dv)) throws: an appends-only tail
+    *    cannot represent row removal or mutation; consumers that need
+    *    those read [[changesWithUpdates]] (the CDF mode of the same
+    *    streaming source);
+    *  - rows come back through the END version's schema (pre-evolution
+    *    files NULL-backfill added columns, the batch-read rule); a
+    *    consumer pinned to an OLDER schema is the streaming source's
+    *    problem — it fails loudly and a restart re-resolves (the Delta
+    *    restart-on-schema-change contract). An id-column change inside
+    *    the range throws;
+    *  - vacuumed files throw, same serving window as [[readAt]].
+    *
+    * Cost ∝ the appended data, never the table: the manifest diff is
+    * driver-side over two file lists, and only added files are
+    * scanned. Deterministic for fixed versions (snapshots are
+    * immutable), which is what makes the streaming source's
+    * checkpoint-replay exactly-once. */
+  def readAppends(table: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readAppends: fromVersion $fromVersion > toVersion $toVersion")
+    def stateAt(v: Long): Option[TableState] =
+      if (v == 0L) None else manifestAt(v).get(table)
+    val fromState = stateAt(fromVersion)
+    val toState = stateAt(toVersion)
+    val from = fromState.map(_.files).getOrElse(Vector.empty)
+    val to = toState.map(_.files).getOrElse(Vector.empty)
+    val fromKeys = from.map(f => (f.path, f.dv)).toSet
+    val toKeys = to.map(f => (f.path, f.dv)).toSet
+    val removed = from.filterNot(f => toKeys((f.path, f.dv)))
+    if (removed.nonEmpty)
+      throw new IllegalStateException(
+        s"readAppends v$fromVersion..v$toVersion of '$table': the range " +
+          s"contains a non-append commit (${removed.size} file " +
+          "entr" + (if (removed.size == 1) "y" else "ies") +
+          " rewritten, deleted, or DV-masked — first: " +
+          s"${removed.head.path}); an appends-only tail cannot " +
+          "represent row removal/mutation — read the change feed " +
+          "instead (readChangeFeed=true / changesWithUpdates)")
+    if (fromState.isDefined &&
+        idColOf(fromState, table) != idColOf(toState, table))
+      throw new IllegalStateException(
+        s"readAppends v$fromVersion..v$toVersion of '$table': the " +
+          "surrogate-id column changed inside the range")
+    val added = to.filterNot(f => fromKeys((f.path, f.dv)))
+    val gone = added.flatMap(f => f.path +: f.dv.map(_._1).toSeq)
+      .filterNot(p => Files.exists(rootPath.resolve(p)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"readAppends v$fromVersion..v$toVersion of '$table' references " +
+          s"${gone.size} vacuumed file(s) (first: ${gone.head}); " +
+          "raise the vacuum retention window to keep the tail readable")
+    readFiles(table, added, schemaOf(toState, table),
+      idColOf(toState, table))
+  }
+
+  /** Effective (schema, surrogate-id column) of `table`'s CURRENT
+    * snapshot — the schema-resolution entry point for the SQL and
+    * streaming front doors. */
+  def tableShape(table: String)
+      : (org.apache.spark.sql.types.StructType, String) = {
+    val st = tableState(table)
+    (schemaOf(st, table), idColOf(st, table))
+  }
+
   // ---- reads -------------------------------------------------------------
 
   /** Effective schema of a table state: evolved override, else registry.

@@ -1,0 +1,225 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.store.Catalog
+
+/** The COW store as a STRUCTURED STREAMING SOURCE (round 15) — the
+  * Delta-Lake "stream from a table" surface:
+  *
+  * {{{
+  *   spark.readStream.format("graft.streaming.GraftStreamProvider")
+  *     .option("root", storeRoot).option("table", "events_ingest")
+  *     .load()
+  * }}}
+  *
+  * Offsets ARE commit versions: micro-batch k serves exactly the rows
+  * of `(v_{k-1}, v_k]`'s manifest diff through [[Catalog.readAppends]]
+  * — immutable snapshots make `getBatch` deterministic for fixed
+  * versions, so checkpoint replay is EXACTLY-ONCE with no dedup state.
+  * The full snapshot backfills as the first batch (`startingVersion`
+  * 0, the default); `startingVersion=latest` tails new commits only.
+  *
+  * Modes:
+  *  - '''tail''' (default): appends only. A commit that rewrote,
+  *    deleted, or DV-masked existing rows fails the stream LOUDLY
+  *    (Delta's own default contract for streaming from a table) —
+  *    silently dropping a row removal would corrupt every downstream
+  *    aggregate.
+  *  - '''readChangeFeed=true''': the row-level changefeed
+  *    ([[Catalog.changesWithUpdates]]) with `_change_type` ∈ insert /
+  *    delete / update_preimage / update_postimage — updates and
+  *    deletes stream as paired images, the CDC-consumer shape.
+  *
+  * `maxVersionsPerBatch=n` paces admission (the `maxFilesPerTrigger`
+  * analogue): at most n commits per micro-batch. Pacing survives
+  * restart through a progress file under the source's Spark-assigned
+  * `metadataPath` — a V1 source's `getOffset` must never regress
+  * below the checkpoint's committed offset, and the source object is
+  * rebuilt on restart, so the high-water mark is persisted at
+  * `getBatch` time (same recovery pattern as FileStreamSource's
+  * metadata log; atomic tmp+move, and the recovery `getBatch` replays
+  * from the engine's offset log regardless).
+  *
+  * At 100 TB: `getOffset` reads one version pointer; `getBatch` diffs
+  * two manifests driver-side (∝ file count, through the parquet
+  * checkpoint + tail deltas) and scans only the files the streamed
+  * commits added — a CDC tick's cost, never the table's. */
+final class GraftStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-store"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), GraftStoreSource.schemaFor(ctx.sparkSession, parameters))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftStoreSource(ctx.sparkSession, metadataPath, schema,
+      parameters)
+}
+
+private[streaming] object GraftStoreSource {
+
+  def opt(parameters: Map[String, String], key: String): Option[String] = {
+    val hits = parameters.filter(_._1.equalsIgnoreCase(key))
+    require(hits.size <= 1, s"duplicate option '$key'")
+    hits.values.headOption
+  }
+
+  def required(parameters: Map[String, String], key: String): String =
+    opt(parameters, key).getOrElse(throw new IllegalArgumentException(
+      s"the graft-store stream source requires option '$key' " +
+        "(.option(\"root\", <store root>).option(\"table\", <name>))"))
+
+  def isCdf(parameters: Map[String, String]): Boolean =
+    opt(parameters, "readChangeFeed").exists(_.toBoolean)
+
+  def schemaFor(spark: SparkSession,
+      parameters: Map[String, String]): StructType = {
+    val base = new Catalog(spark, required(parameters, "root"))
+      .tableShape(required(parameters, "table"))._1
+    if (!isCdf(parameters)) base
+    else StructType(base.fields :+
+      StructField("_change_type", StringType, nullable = false))
+  }
+}
+
+private[streaming] final class GraftStoreSource(spark: SparkSession,
+    metadataPath: String,
+    providedSchema: Option[StructType],
+    parameters: Map[String, String]) extends Source {
+
+  import GraftStoreSource._
+
+  private val root = required(parameters, "root")
+  private val table = required(parameters, "table")
+  private val cdf = isCdf(parameters)
+  private val maxVersions: Option[Long] =
+    opt(parameters, "maxVersionsPerBatch").map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => -1L
+      }
+      if (n <= 0) throw new IllegalArgumentException(
+        s"maxVersionsPerBatch must be a positive integer; got '$v'")
+      n
+    }
+
+  private def cat = new Catalog(spark, root)
+
+  /** High-water mark (highest version ever SERVED or resolved as the
+    * start), persisted under the Spark-assigned checkpoint metadata
+    * path: a restarted source must never offer an offset below the
+    * engine's committed one, and `startingVersion=latest` must resolve
+    * ONCE per checkpoint (first start pins it; a restart re-resolving
+    * 'latest' would silently skip the commits made while the stream
+    * was down). */
+  private val progressFile: Path =
+    Paths.get(metadataPath, "graft_tail_progress")
+
+  private def persist(v: Long): Unit = {
+    Files.createDirectories(progressFile.getParent)
+    val tmp = progressFile.resolveSibling(
+      s"${progressFile.getFileName}.tmp${System.nanoTime()}")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, progressFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private val startingVersion: Long = {
+    val persisted =
+      if (Files.exists(progressFile))
+        Some(new String(Files.readAllBytes(progressFile),
+          StandardCharsets.UTF_8).trim.toLong)
+      else None
+    persisted.getOrElse {
+      val resolved = opt(parameters, "startingVersion") match {
+        case None => 0L
+        case Some("latest") => cat.version
+        case Some(v) =>
+          val n = try v.toLong catch {
+            case _: NumberFormatException => -1L
+          }
+          if (n < 0) throw new IllegalArgumentException(
+            "startingVersion must be a non-negative commit number or " +
+              s"'latest'; got '$v'")
+          n
+      }
+      persist(resolved)
+      resolved
+    }
+  }
+
+  private var lastEnd: Long = startingVersion
+
+  /** The CONSUMER's schema — the one Spark resolved at `load()` time
+    * and planned the query against (re-resolving here would desync from
+    * the plan's attributes when the table evolves between load() and
+    * start(): the engine asserts batch arity against the plan). */
+  override val schema: StructType =
+    providedSchema.getOrElse(schemaFor(spark, parameters))
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val cur = cat.version
+    val capped = maxVersions.fold(cur)(m => math.min(cur, lastEnd + m))
+    val v = math.max(capped, lastEnd)
+    if (v <= startingVersion) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(versionOf).getOrElse(startingVersion)
+    val toV = versionOf(end)
+    if (toV > lastEnd) { lastEnd = toV; persist(toV) }
+    val batch =
+      if (cdf) cat.changesWithUpdates(table, fromV, toV)
+      else cat.readAppends(table, fromV, toV)
+    // align the range's rows (END-version schema) to the stream's FIXED
+    // consumer schema: a nullable column added after the streamed range
+    // NULL-backfills (the batch-read rule); a table that evolved BEYOND
+    // the stream's schema fails loudly — restarting re-resolves the
+    // schema and continues from the checkpoint (the Delta
+    // restart-on-schema-change contract)
+    val extra = batch.columns.filterNot(c =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (extra.nonEmpty)
+      throw new IllegalStateException(
+        s"table '$table' evolved beyond this stream's schema (new " +
+          s"column(s): ${extra.mkString(", ")}); restart the stream — " +
+          "it resumes from its checkpoint through the evolved schema")
+    val cols = schema.fields.map { f =>
+      if (batch.columns.exists(_.equalsIgnoreCase(f.name)))
+        org.apache.spark.sql.functions.col(f.name)
+      else if (f.nullable)
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+          .as(f.name)
+      else throw new IllegalStateException(
+        s"stream schema column '${f.name}' is non-nullable but absent " +
+          s"from the v$fromV..v$toV range of '$table'")
+    }
+    org.apache.spark.sql.GraftSqlShim.streamingFrame(spark,
+      batch.select(cols.toIndexedSeq: _*))
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftStoreSource[root=$root, table=$table, " +
+      s"mode=${if (cdf) "changefeed" else "tail"}]"
+}

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+import graft.ext.PreparedTables
+import graft.store.Catalog
+
+/** [EXT] the store-as-a-streaming-source made gate-visible (round 15,
+  * [[GraftStreamProvider]]): a REAL `readStream` query tails the
+  * fixture store's commits — versions are offsets, one commit per
+  * micro-batch (`maxVersionsPerBatch=1`, the multi-batch contract the
+  * other streaming rows follow) — and the drained sink is hashed
+  * against a DuckDB oracle replaying the commits from the raw fixture.
+  * This is the 100 TB "downstream of the warehouse" shape: ingest
+  * lands transactionally, every consumer pipeline tails the table (or
+  * its changefeed) incrementally instead of rescanning it.
+  *
+  * Two rows:
+  *  - `ext_stream_store_tail` — appends-only tail over a three-commit
+  *    root: full-snapshot backfill + paced per-commit batches must
+  *    reassemble the exact table (ids included);
+  *  - `ext_stream_store_cdf` — `readChangeFeed=true` over an
+  *    append + merge-on-read UPDATE + broad DELETE root: the stream
+  *    must deliver the insert backfill, the paired
+  *    update_preimage/update_postimage images, and the delete images,
+  *    one commit per batch.
+  * StoreStreamSpec pins the mechanics the oracle cannot see
+  * (exactly-once restart, loud non-append/evolution failures,
+  * startingVersion=latest, pacing across restart). */
+object StoreStreamFeed {
+
+  private val TailSlice = 300L // x3 appends => event_id <= 900
+  private val CdfSlice = 600L
+  private val FlipId = 123L
+
+  private def tailRoot(s: SparkSession): String =
+    new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      .stripSuffix("/") + "/graft_tailstream_root"
+
+  private def cdfRoot(s: SparkSession): String =
+    new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      .stripSuffix("/") + "/graft_cdfstream_root"
+
+  private def ingestCols(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private val tailPrepared = new PreparedTables(
+    Seq("events.parquet"), Seq("graft_tailstream_root"),
+    (s, d) => {
+      val cat = new Catalog(s, tailRoot(s))
+      require(cat.version == 0L, "stale graft_tailstream_root")
+      val ev = ingestCols(s, d)
+      (1 to 3).foreach { i =>
+        cat.append("events_ingest",
+          ev.filter(col("event_id") > (i - 1) * TailSlice &&
+            col("event_id") <= i * TailSlice),
+          orderBy = Seq("event_id"))
+      }
+      require(cat.version == 3L, "tail fixture must be three commits")
+    })
+
+  private val cdfPrepared = new PreparedTables(
+    Seq("events.parquet"), Seq("graft_cdfstream_root"),
+    (s, d) => {
+      val cat = new Catalog(s, cdfRoot(s))
+      require(cat.version == 0L, "stale graft_cdfstream_root")
+      cat.append("events_ingest",
+        ingestCols(s, d).filter(col("event_id") <= CdfSlice),
+        orderBy = Seq("event_id"))
+      cat.update("events_ingest", col("ingest_id") === FlipId,
+        Map("event_type" -> lit("flip"), "value" -> (col("value") * 10)))
+      cat.delete("events_ingest", col("event_type") === "error")
+      require(cat.version == 3L, "cdf fixture must be three commits")
+    })
+
+  private def drainToTable(s: SparkSession, root: String,
+      cdf: Boolean): DataFrame = graft.core.Sessions
+      .withShufflePartitions(s, 8) {
+    val name = "store_stream_" + UUID.randomUUID().toString
+      .replace("-", "")
+    var r = s.readStream.format(classOf[GraftStreamProvider].getName)
+      .option("root", root).option("table", "events_ingest")
+      .option("maxVersionsPerBatch", "1")
+    if (cdf) r = r.option("readChangeFeed", "true")
+    val q = r.load().writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
+    s.table(name)
+  }
+
+  /** Shared oracle prefix: the CDF root's v1 state replay. */
+  private val v1Sql: String =
+    s"""WITH f AS (SELECT event_id, ts, user_id, event_type, value, props
+       |  FROM events WHERE event_id <= $CdfSlice),
+       |v1 AS (SELECT row_number() OVER (ORDER BY event_id) AS ingest_id, *
+       |  FROM f)""".stripMargin
+
+  val tail: Q = Q(
+    "ext_stream_store_tail",
+    s"""SELECT row_number() OVER (ORDER BY event_id) AS ingest_id,
+       |  event_id, ts, user_id, event_type, value, props
+       |FROM events WHERE event_id > 0 AND event_id <= ${3 * TailSlice}
+       |ORDER BY ingest_id""".stripMargin
+  ) { (s, d) =>
+    tailPrepared.ensurePrepared(s, d)
+    drainToTable(s, tailRoot(s), cdf = false).orderBy("ingest_id")
+  }.copy(setup = Some(tailPrepared.ensurePrepared _))
+
+  val cdfStream: Q = Q(
+    "ext_stream_store_cdf",
+    s"""$v1Sql
+       |SELECT * FROM (
+       |  SELECT v1.*, 'insert' AS _change_type FROM v1
+       |  UNION ALL
+       |  SELECT ingest_id, event_id, ts, user_id, event_type, value,
+       |    props, 'update_preimage' FROM v1 WHERE ingest_id = $FlipId
+       |  UNION ALL
+       |  SELECT ingest_id, event_id, ts, user_id, 'flip', value * 10,
+       |    props, 'update_postimage' FROM v1 WHERE ingest_id = $FlipId
+       |  UNION ALL
+       |  SELECT v1.*, 'delete' FROM v1
+       |    WHERE event_type = 'error' AND ingest_id <> $FlipId)
+       |ORDER BY ingest_id, _change_type""".stripMargin
+  ) { (s, d) =>
+    cdfPrepared.ensurePrepared(s, d)
+    drainToTable(s, cdfRoot(s), cdf = true)
+      .orderBy("ingest_id", "_change_type")
+  }.copy(setup = Some(cdfPrepared.ensurePrepared _))
+
+  val all: Seq[Q] = Seq(tail, cdfStream)
+}

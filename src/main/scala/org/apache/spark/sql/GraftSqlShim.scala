@@ -11,4 +11,12 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-wrap a batch DataFrame as an `isStreaming = true` frame (the V1
+    * streaming `Source.getBatch` contract — MicroBatchExecution asserts
+    * the flag). The batch plan executes lazily inside the micro-batch
+    * via its InternalRow RDD; the FileStreamSource/DeltaSource pattern. */
+  def streamingFrame(spark: SparkSession, batch: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      batch.queryExecution.toRdd, batch.schema, isStreaming = true)
 }
