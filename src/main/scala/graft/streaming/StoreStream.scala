@@ -124,8 +124,18 @@ private[streaming] final class GraftStoreSource(spark: SparkSession,
     * ONCE per checkpoint (first start pins it; a restart re-resolving
     * 'latest' would silently skip the commits made while the stream
     * was down). */
-  private val progressFile: Path =
-    Paths.get(metadataPath, "graft_tail_progress")
+  private val progressFile: Path = {
+    // the engine hands metadataPath as a Hadoop path STRING, which on a
+    // local checkpoint is a "file:/..." URI — Paths.get would treat
+    // that as a relative path and silently write a literal "file:/"
+    // tree under the CWD, breaking the restart guarantee whenever the
+    // working directory changes
+    val local = metadataPath.stripPrefix("file:")
+    require(local.startsWith("/"),
+      s"graft-store stream checkpoints must be local-fs paths (same " +
+        s"contract as the store itself); got '$metadataPath'")
+    Paths.get(local, "graft_tail_progress")
+  }
 
   private def persist(v: Long): Unit = {
     Files.createDirectories(progressFile.getParent)

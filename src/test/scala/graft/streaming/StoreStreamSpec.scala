@@ -79,6 +79,13 @@ class StoreStreamSpec extends SparkSuite {
     assert(batches == 3, s"expected 3 paced data batches, got $batches")
     val batch = new Catalog(spark, root).read("events_ingest").collect()
     assert(sortedStrings(rows) == sortedStrings(batch.toSeq))
+    // the pacing progress file must land under the REAL checkpoint dir
+    // (metadataPath arrives as a file: URI string — a naive Paths.get
+    // would write a literal "file:/" tree under the CWD)
+    assert(Files.exists(java.nio.file.Paths.get(ckpt, "sources", "0",
+      "graft_tail_progress")), "pacing progress file not in checkpoint")
+    assert(!Files.exists(java.nio.file.Paths.get("file:")),
+      "stray file:/ tree written under the working directory")
   }
 
   test("exactly-once across restart: a restarted stream on the same " +
