@@ -29,19 +29,13 @@ import graft.core.Determinism.revenueSum
   */
 object ZOrderLayout {
 
-  /** 21 bits per key covers partkey/suppkey domains up to 2M rows of
-    * `part` — 100x the 10x fixture — while the interleaved value stays
-    * in a 42-bit long. */
-  private val Bits = 21
-
-  /** Morton interleave of two non-negative int keys: bit i of `a` lands
-    * at position 2i, bit i of `b` at 2i+1. Pure codegen'd bit ops. */
+  /** Morton interleave of two non-negative int keys (21 bits per key
+    * covers partkey/suppkey domains up to 2M rows of `part` — 100x the
+    * 10x fixture — while the interleaved value stays in a 42-bit
+    * long). Shared with the store's clustered compaction:
+    * [[graft.core.Morton]]. */
   private[graft] def zval(a: Column, b: Column): Column =
-    (0 until Bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1), 2 * i + 1))
-    }
+    graft.core.Morton.interleave(a, b)
 
   // the 2-D box the gate query probes: selective on both dims at every
   // fixture SF (partkey domain starts at 200 rows, suppkey at 10)

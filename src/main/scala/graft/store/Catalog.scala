@@ -1810,6 +1810,79 @@ final class Catalog(val spark: SparkSession, val root: String) {
       staged :+= Staged(table, prev.copy(files = newFiles))
     }
 
+    /** Clustered compaction — `OPTIMIZE ... ZORDER BY` (Delta/Iceberg
+      * analogue): a LAYOUT-ONLY commit that rewrites the live file set
+      * clustered on one or two designated columns, so every file's
+      * min/max stats window is tight on THOSE columns and the stats
+      * pruning surfaces ([[Catalog.readRange]], the SQL door's
+      * file skipping, [[pruneByDomain]] merge pre-pruning) skip files
+      * a conjunctive box predicate provably misses. [[compact]] is the
+      * id-clustered special case; this is what the merge scaladoc's
+      * "pair the table with a key-clustered layout" refers to — after
+      * `optimize(t, Seq(keyCol))`, a CDC tick's key batch hits the few
+      * files whose key window intersects it, not every file.
+      *
+      * Two columns cluster on the Morton interleave
+      * ([[graft.core.Morton]]) of each column scaled into the curve
+      * domain by its global min/max (one tiny aggregate — ingest-time
+      * cost; double-precision scaling, so locality is approximate
+      * under heavy skew but stats stay EXACT — pruning soundness never
+      * depends on the scaling). Rows keep their surrogate ids (content
+      * is invariant — the gate row hashes it); deletion vectors fold
+      * away like any COW rewrite; id ranges across files now overlap,
+      * the documented tradeoff: point-id reads degrade toward
+      * all-files while clustered-column scans win. Cluster columns
+      * must be Long/Int/Timestamp (the stats-normalizable types) and
+      * should be listed in [[Schemas.statsColumns]] — without stats
+      * the layout still helps parquet row-group pruning, but file
+      * skipping has nothing to prune on (a warning is not enough at
+      * 100 TB: this throws). */
+    def optimize(table: String, clusterBy: Seq[String],
+        numFiles: Int = 32): Unit = {
+      ensureLease()
+      require(clusterBy.nonEmpty && clusterBy.size <= 2,
+        s"optimize clusters on one or two columns; got $clusterBy")
+      require(clusterBy.distinct.size == clusterBy.size,
+        s"duplicate cluster column in $clusterBy")
+      val (schema, idCol) = schemaIdOf(table)
+      clusterBy.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"optimize: no column '$c' in '$table'")
+        require(c != idCol,
+          s"'$c' is the surrogate id — id clustering is compact()")
+        require(Schemas.statsColumns.getOrElse(table, Nil).contains(c),
+          s"optimize: '$c' carries no file stats (Schemas.statsColumns)" +
+            " — the clustered layout would have nothing to prune on")
+      }
+      val prev = curState(table)
+      if (prev.files.isEmpty) return
+      val all = readFiles(table, prev.files, schema, idCol)
+      val scaled = clusterBy.map { c =>
+        val lc = statLong(all, c).getOrElse(throw new IllegalArgumentException(
+          s"optimize: '$c' (${schema(c).dataType.simpleString}) is not " +
+            "a stats-normalizable type (long/int/timestamp)"))
+        val r = all.agg(min(lc).as("mn"), max(lc).as("mx")).collect()(0)
+        if (r.isNullAt(0) || r.getLong(0) == r.getLong(1)) lit(0L)
+        else {
+          val (mn, mx) = (r.getLong(0), r.getLong(1))
+          // double scaling: exact rank is unnecessary (locality only);
+          // Long arithmetic would overflow on micros-wide domains
+          ((lc - lit(mn)).cast("double") / lit((mx - mn).toDouble) *
+            lit(((1L << graft.core.Morton.Bits) - 1).toDouble))
+            .cast("long")
+        }
+      }
+      val zk =
+        if (scaled.size == 1) scaled.head
+        else graft.core.Morton.interleave(scaled(0), scaled(1))
+      val out = all.withColumn("__graft_zk", zk)
+        .repartitionByRange(math.max(1, numFiles), col("__graft_zk"))
+        .sortWithinPartitions("__graft_zk")
+        .drop("__graft_zk")
+      val newFiles = stageFiles(table, out, idCol)
+      staged :+= Staged(table, prev.copy(files = newFiles))
+    }
+
     /** Update: predicate + per-column assignments (S6). Files whose
       * id range cannot contain a predicate-pinned id survive by
       * reference.
@@ -2643,6 +2716,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   def compact(table: String, numFiles: Int = 1): Unit =
     retried(_.compact(table, numFiles))
+
+  def optimize(table: String, clusterBy: Seq[String],
+      numFiles: Int = 32): Unit =
+    retried(_.optimize(table, clusterBy, numFiles))
 
   def cloneTable(src: String, dst: String,
       versionAsOf: Option[Long] = None,

@@ -148,11 +148,15 @@ object Schemas {
     * table/column not listed here simply has no skipping — never a
     * correctness difference. */
   val statsColumns: Map[String, Seq[String]] = Map(
+    "users" -> Seq("created_at"),
     "events" -> Seq("event_date"),
     "registrations" -> Seq("created_at"),
     "payments" -> Seq("payment_date"),
     "events_ingest" -> Seq("ts"),
-    "orders_ingest" -> Seq("o_orderkey"),
+    // o_custkey (round 15): the optimize (ZORDER) gate clusters on
+    // (o_orderkey, o_custkey) — the second dimension needs stats for
+    // the clustered layout to prune on
+    "orders_ingest" -> Seq("o_orderkey", "o_custkey"),
     // natural-key stats on the upsert-keyed tables (round 13): beyond
     // readRange skipping, these are what lets a keyed merge/SCD2
     // RECONCILE against a concurrent commit under OCC — the manifest

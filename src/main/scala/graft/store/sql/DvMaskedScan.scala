@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.StructType
   * into the read schema by
   * [[GraftScanBuilder]] when DVs exist; Spark's projection above the
   * scan restores the user's column list. */
-private[sql] final class DvMaskedScan(inner: Scan,
+private[store] final class DvMaskedScan(
+    private[store] val inner: Scan,
     dvByAbsPath: Map[String, Array[Long]], idCol: String)
     extends Scan with Batch {
 

@@ -235,7 +235,13 @@ class CloneSpec extends SparkSuite {
     // never witness — pre-fix this passed as ok and readRange would
     // prune by a fabricated claim (round 14: the claim lives in the
     // commit-log delta that added the file)
-    tamperLog(cat, "\"min\":", "\"cols\":{\"o_orderkey\":[5,10]},\"min\":")
+    // extend the REAL cols object (o_custkey gained stats in round 15,
+    // so the entry already carries one — a second inserted "cols" key
+    // would lose to Jackson's last-duplicate-wins and hide the tamper)
+    tamperLog(cat,
+      java.util.regex.Pattern.quote("\"cols\":{\"o_custkey\":[1,1]}"),
+      java.util.regex.Matcher.quoteReplacement(
+        "\"cols\":{\"o_custkey\":[1,1],\"o_orderkey\":[5,10]}"))
     val flagged = new Catalog(spark, cat.root).fsck("orders_ingest")
       .collect().filter(!_.getBoolean(2))
     assert(flagged.length == 1 &&

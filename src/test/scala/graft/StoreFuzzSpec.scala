@@ -71,7 +71,7 @@ class StoreFuzzSpec extends SparkSuite {
     for (step <- 1 to 50) {
       val t = tables.keys.toVector(rnd.nextInt(tables.size))
       val m = tables(t)
-      rnd.nextInt(14) match {
+      rnd.nextInt(15) match {
         case 0 | 1 | 2 => // append one row
           emails += 1
           val em = s"u$emails@x.c"
@@ -137,6 +137,15 @@ class StoreFuzzSpec extends SparkSuite {
             cat.delete(t, col("user_id") === id)
             opLog += s"pointDelete($t, id=$id)"
             m.remove(id)
+          }
+        case 14 => // clustered compaction (round-15 optimize): layout-
+          // only, so the model is untouched — composes the Z-order
+          // rewrite with DV folding, clones, vacuum, restore, reopen.
+          // Clones lack a statsColumns registry entry (name-keyed), so
+          // the op only fires on the registered table.
+          if (graft.store.Schemas.statsColumns.contains(t)) {
+            cat.optimize(t, Seq("created_at"), 1 + rnd.nextInt(3))
+            opLog += s"optimize($t, created_at)"
           }
         case 9 => // write INTO a clone (divergence) if any exists
           val clones = tables.keys.filter(_.startsWith("snap_")).toVector

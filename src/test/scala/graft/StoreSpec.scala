@@ -672,9 +672,12 @@ class StoreSpec extends SparkSuite {
     }
     // a merge keyed on a NON-stats column stays whole-table strict:
     // any concurrent commit (even key-disjoint) conflicts
+    // (o_totalprice — o_custkey gained stats in round 15 for the
+    // clustered-compaction gate and now reconciles like o_orderkey)
     intercept[Catalog.ConcurrentWriteException] {
       cat1.transaction { tx =>
-        tx.merge("orders_ingest", orderBatch(Seq(5L), "E"), "o_custkey")
+        tx.merge("orders_ingest", orderBatch(Seq(5L), "E"),
+          "o_totalprice")
         cat2.merge("orders_ingest", orderBatch(Seq(300L), "F"),
           "o_orderkey")
       }
