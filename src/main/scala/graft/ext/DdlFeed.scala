@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+import graft.store.Catalog
+
+/** [EXT] dynamic-table DDL made gate-visible (round 15,
+  * `Catalog.createTable`/`dropTable` + the SQL door): the fixture
+  * lifecycle is PURE SQL text — `CREATE TABLE` (manifest identity,
+  * engine-assigned surrogate ids), `INSERT INTO ... SELECT` (an
+  * aggregate of the raw fixture), a point `UPDATE`, and a scratch
+  * table created and `DROP`ped — and the gate hashes the final table
+  * against a DuckDB oracle replaying the same derivation from the raw
+  * fixture. This closes the last interface gap of the SQL door: before
+  * this round a user could only query/write the REGISTRY tables; now
+  * the full table lifecycle (create → load → mutate → drop) is SQL.
+  * StoreDdlSpec pins the mechanics (identity, dense-id restart on
+  * recreate, history below a drop, OCC anti-resurrection); the fuzz
+  * model composes create/drop with every other store op. */
+object DdlFeed {
+
+  private val Slice = 600L
+  private val BumpId = 5L
+
+  private val CatName = "graftddl"
+
+  private def rootDir(s: SparkSession): String =
+    new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      .stripSuffix("/") + "/graft_ddl_root"
+
+  private val prepared = new PreparedTables(
+    Seq("events.parquet"), Seq("graft_ddl_root"), write)
+
+  def ensurePrepared(s: SparkSession, d: String): Unit = {
+    s.conf.set(s"spark.sql.catalog.$CatName",
+      classOf[graft.store.sql.GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$CatName.root", rootDir(s))
+    prepared.ensurePrepared(s, d)
+  }
+
+  private def write(s: SparkSession, d: String): Unit = {
+    val cat = new Catalog(s, rootDir(s))
+    require(cat.version == 0L,
+      s"stale graft_ddl_root (v${cat.version}) survived fixture prep")
+    Tables.events(s, d).filter(col("event_id") <= Slice)
+      .createOrReplaceTempView("graft_ddl_src")
+    s.sql(s"CREATE TABLE $CatName.user_metrics (m_id BIGINT NOT NULL, " +
+      "user_id BIGINT, n_events BIGINT, total_value DOUBLE) " +
+      "TBLPROPERTIES('id_column'='m_id')")
+    s.sql(
+      s"""INSERT INTO $CatName.user_metrics
+         |SELECT CAST(NULL AS BIGINT), user_id, COUNT(*),
+         |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+         |FROM graft_ddl_src GROUP BY user_id""".stripMargin)
+    s.sql(s"UPDATE $CatName.user_metrics SET total_value = " +
+      s"total_value + 1 WHERE m_id = $BumpId")
+    // a scratch table proves DROP through SQL leaves no current trace
+    s.sql(s"CREATE TABLE $CatName.scratch (txt STRING)")
+    s.sql(s"INSERT INTO $CatName.scratch VALUES (NULL, 'tmp')")
+    s.sql(s"DROP TABLE $CatName.scratch")
+    require(!s.sql(s"SHOW TABLES IN $CatName").collect()
+        .map(_.getString(1)).contains("scratch"),
+      "DROP TABLE left the scratch table visible")
+    require(cat.version == 6L,
+      s"ddl fixture ended at v${cat.version}, expected 6")
+  }
+
+  val ddlLifecycle: Q = Q(
+    "ext_store_ddl",
+    s"""WITH agg AS (SELECT user_id, COUNT(*) AS n_events,
+       |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+       |      AS total_value
+       |  FROM events WHERE event_id <= $Slice GROUP BY user_id),
+       |m AS (SELECT row_number() OVER (ORDER BY user_id) AS m_id, *
+       |  FROM agg)
+       |SELECT m_id, user_id, n_events,
+       |  CASE WHEN m_id = $BumpId THEN total_value + 1
+       |    ELSE total_value END AS total_value
+       |FROM m ORDER BY m_id""".stripMargin
+  ) { (s, d) =>
+    ensurePrepared(s, d)
+    s.sql(s"SELECT m_id, user_id, n_events, total_value " +
+      s"FROM $CatName.user_metrics ORDER BY m_id")
+  }.copy(setup = Some(ensurePrepared _))
+
+  val all: Seq[Q] = Seq(ddlLifecycle)
+}

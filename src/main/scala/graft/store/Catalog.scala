@@ -155,6 +155,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   private type Manifest = Map[String, TableState]
 
+  /** Staged representation of DROP TABLE: maxId can never be negative
+    * for a real state (dense ids start at 1), so this sentinel flows
+    * through the commit plumbing unambiguously and [[writeCommit]]
+    * turns it into the delta-log tombstone. */
+  private val DroppedSentinel = TableState(Long.MinValue, Vector.empty)
+
   private val mapper = new ObjectMapper()
   private val logDir = rootPath.resolve("_log")
   /** Merge-on-read switch (`spark.graft.store.mergeOnRead`): `on` /
@@ -303,19 +309,30 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private case class TableDelta(maxId: Long, add: Vector[FileEntry],
       remove: Vector[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      checks: Map[String, String], idCol: Option[String])
+      checks: Map[String, String], idCol: Option[String],
+      /** DROP TABLE tombstone (round 15): the table's manifest key is
+        * removed by this commit. History below stays readable (time
+        * travel / restore replay OLD manifests); the files lose their
+        * last CURRENT reference and retire once vacuum retention
+        * passes the retained history that still names them. */
+      dropped: Boolean = false)
 
   private def parseDelta(bytes: Array[Byte]): Map[String, TableDelta] = {
     val tree = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
     Option(tree.get("tables")).map(_.properties().asScala.map { e =>
       val t = e.getValue
-      val add = Option(t.get("add")).map(_.elements().asScala
-        .map(parseFileEntry).toVector).getOrElse(Vector.empty)
-      val remove = Option(t.get("remove")).map(_.elements().asScala
-        .map(_.asText()).toVector).getOrElse(Vector.empty)
-      val (schema, checks, idCol) = parseTableMeta(t)
-      e.getKey -> TableDelta(t.get("maxId").asLong(), add, remove,
-        schema, checks, idCol)
+      if (Option(t.get("dropped")).exists(_.asBoolean()))
+        e.getKey -> TableDelta(0L, Vector.empty, Vector.empty, None,
+          Map.empty, None, dropped = true)
+      else {
+        val add = Option(t.get("add")).map(_.elements().asScala
+          .map(parseFileEntry).toVector).getOrElse(Vector.empty)
+        val remove = Option(t.get("remove")).map(_.elements().asScala
+          .map(_.asText()).toVector).getOrElse(Vector.empty)
+        val (schema, checks, idCol) = parseTableMeta(t)
+        e.getKey -> TableDelta(t.get("maxId").asLong(), add, remove,
+          schema, checks, idCol)
+      }
     }.toMap).getOrElse(Map.empty)
   }
 
@@ -323,10 +340,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * every reader — cache, time travel, fsck — goes through here, so
     * state equality used by OCC validation is instance-independent). */
   private def applyDelta(m: Manifest, d: Map[String, TableDelta])
-      : Manifest =
-    m ++ d.map { case (tbl, td) =>
+      : Manifest = {
+    val (drops, ups) = d.partition(_._2.dropped)
+    (m ++ ups.map { case (tbl, td) =>
       tbl -> applyTableDelta(m.get(tbl), td)
-    }
+    }) -- drops.keys
+  }
 
   /** Canonical file order (round 15): every reader-facing state sorts
     * its file vector by path. Parquet checkpoints store entries sorted,
@@ -504,7 +523,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     var st = base
     ((baseV + 1) to v).foreach { i =>
       parseDelta(Files.readAllBytes(deltaPath(i))).get(table)
-        .foreach(td => st = Some(applyTableDelta(st, td)))
+        .foreach(td => st =
+          if (td.dropped) None else Some(applyTableDelta(st, td)))
     }
     st
   }
@@ -535,7 +555,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val delta: Map[String, TableDelta] =
       staged.toSeq.sortBy(_._1).flatMap { case (tbl, st) =>
         val p = prev.getOrElse(tbl, TableState(0L, Vector.empty))
-        if (p == st && prev.contains(tbl)) None
+        if (st == DroppedSentinel) {
+          if (!prev.contains(tbl)) None // dropped a never-committed name
+          else {
+            tablesNode.putObject(tbl).put("dropped", true)
+            Some(tbl -> TableDelta(0L, Vector.empty, Vector.empty, None,
+              Map.empty, None, dropped = true))
+          }
+        }
+        else if (p == st && prev.contains(tbl)) None
         else {
           // ENTRY-level diff, not path-level: a merge-on-read commit
           // changes an existing path's deletion vector in place — the
@@ -1615,10 +1643,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
       lease = None
     }
 
-    private def curState(table: String): TableState =
-      staged.reverse.collectFirst { case Staged(`table`, st) => st }
+    private def curState(table: String): TableState = {
+      val st = staged.reverse
+        .collectFirst { case Staged(`table`, s) => s }
         .orElse(base.get(table))
         .getOrElse(TableState(0L, Vector.empty))
+      require(st != DroppedSentinel,
+        s"table '$table' was dropped earlier in this transaction")
+      st
+    }
 
     /** Effective (schema, id column) for a table under any staged or
       * committed evolution. */
@@ -2310,6 +2343,64 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * stops referencing them. [[Catalog.vacuum]] liveness is root-wide,
       * so vacuuming the source never reclaims files a clone still
       * references. */
+    /** CREATE TABLE (round 15): a DYNAMIC table whose whole identity —
+      * schema, surrogate-id column, CHECK set — lives in the manifest,
+      * exactly like a shallow clone's (the [[Schemas.registry]] is the
+      * fixture bootstrap, not a closed world). `schema` must CONTAIN
+      * the id column as a non-nullable BIGINT; the engine assigns its
+      * values (dense, monotone) on every write path. The new table is
+      * immediately writable through both doors (Scala API and SQL —
+      * INSERT/UPDATE/DELETE/MERGE route the same). DDL is
+      * whole-table-dependent: any concurrent commit touching the same
+      * name conflicts. */
+    def createTable(table: String,
+        schema: org.apache.spark.sql.types.StructType,
+        idCol: String): Unit = {
+      ensureLease()
+      require(table.nonEmpty && !table.startsWith("_"),
+        s"invalid table name '$table'")
+      require(!Schemas.registry.contains(table),
+        s"'$table' collides with a registry table")
+      require(!base.contains(table) &&
+        !staged.exists(_.table == table),
+        s"table '$table' already exists")
+      require(schema.fieldNames.distinct.length == schema.fields.length,
+        "duplicate column names")
+      val idField = schema.fields.find(_.name == idCol).getOrElse(
+        throw new IllegalArgumentException(
+          s"id column '$idCol' is not in the schema — the surrogate id " +
+            "is part of the table's shape (engine-assigned values)"))
+      require(idField.dataType == org.apache.spark.sql.types.LongType &&
+        !idField.nullable,
+        s"id column '$idCol' must be a non-nullable BIGINT; got " +
+          s"${idField.dataType.simpleString}" +
+          (if (idField.nullable) " (nullable)" else ""))
+      staged :+= Staged(table,
+        TableState(0L, Vector.empty, Some(schema), Map.empty, Some(idCol)))
+      strictTables += table
+    }
+
+    /** DROP TABLE (round 15): removes the table's manifest key as a
+      * tombstoned commit. History BELOW the drop stays readable (time
+      * travel, restore, clones pinned at past versions) until vacuum
+      * retention passes; the data files lose their last current
+      * reference and retire with that history. Registry tables are not
+      * droppable — their identity lives in code and would silently
+      * respawn on the next read; drop applies to created/cloned
+      * tables. */
+    def dropTable(table: String): Unit = {
+      ensureLease()
+      require(!Schemas.registry.contains(table),
+        s"'$table' is a registry table (identity lives in code — it " +
+          "would respawn empty on the next read); drop applies to " +
+          "created/cloned tables")
+      require(base.contains(table) ||
+        staged.exists(s => s.table == table && s.state != DroppedSentinel),
+        s"no such table '$table'")
+      staged :+= Staged(table, DroppedSentinel)
+      strictTables += table
+    }
+
     def cloneTable(src: String, dst: String,
         versionAsOf: Option[Long] = None,
         /** Clone the snapshot current AT this wall-clock time (Delta
@@ -2563,6 +2654,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
     if (tx.strictTables.contains(table))
       conflict("whole-table-dependent op: DDL/restore, or a " +
         "merge/SCD2 whose key domain is not provable from stats")
+    // a concurrent DROP removed the manifest key: replaying this tx's
+    // delta onto "empty" would silently RESURRECT the table
+    if (baseOpt.isDefined && curOpt.isEmpty)
+      conflict("the table was DROPPED concurrently")
     val b = baseOpt.getOrElse(TableState(0L, Vector.empty))
     val c = curOpt.getOrElse(TableState(0L, Vector.empty))
     // addCheck vs concurrent data commit (round 15): the constraint was
@@ -2704,6 +2799,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def addCheck(table: String, name: String, constraint: String): Unit =
     retried(_.addCheck(table, name, constraint))
 
+  def addColumn(table: String,
+      field: org.apache.spark.sql.types.StructField): Unit =
+    retried(_.addColumn(table, field))
+
   def dropColumn(table: String, name: String): Unit =
     retried(_.dropColumn(table, name))
 
@@ -2725,6 +2824,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
       versionAsOf: Option[Long] = None,
       timestampAsOf: Option[Long] = None): Unit =
     retried(_.cloneTable(src, dst, versionAsOf, timestampAsOf))
+
+  def createTable(table: String,
+      schema: org.apache.spark.sql.types.StructType, idCol: String): Unit =
+    retried(_.createTable(table, schema, idCol))
+
+  def dropTable(table: String): Unit =
+    retried(_.dropTable(table))
 
   def replaceWhere(table: String, column: String, lo: Long, hi: Long,
       rows: DataFrame): (Long, Long) =

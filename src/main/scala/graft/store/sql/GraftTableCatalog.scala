@@ -123,19 +123,95 @@ final class GraftTableCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft SQL catalog '$catName' serves queries and DML " +
-        s"(SELECT/INSERT/UPDATE/DELETE/MERGE); $op is DDL and goes " +
-        "through the transactional Scala API (graft.store.Catalog — " +
-        "schema registry, OCC and the changefeed live there)")
+      s"graft SQL catalog '$catName' serves queries, DML " +
+        s"(SELECT/INSERT/UPDATE/DELETE/MERGE) and CREATE/DROP TABLE; " +
+        s"$op goes through the transactional Scala API " +
+        "(graft.store.Catalog)")
 
+  /** SQL `CREATE TABLE <cat>.<t> (...)` → [[Catalog.createTable]]: a
+    * dynamic manifest-identity table. The surrogate-id column is named
+    * by `TBLPROPERTIES('id_column'='<col>')` and must appear in the
+    * column list as a non-nullable BIGINT; without the property a
+    * leading `row_id BIGINT NOT NULL` is added (engine-assigned either
+    * way — INSERT carries NULL for it). Partitioning clauses are
+    * rejected: layout is the engine's job (compact / optimize). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly("CREATE TABLE")
+      properties: util.Map[String, String]): Table = {
+    requireNs(ident.namespace())
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "PARTITIONED BY is not supported: layout is engine-managed " +
+          "(Catalog.compact / Catalog.optimize cluster the files; file " +
+          "stats prune reads)")
+    val (full, idCol) = Option(properties.get("id_column")) match {
+      case Some(c) => (schema, c)
+      case None =>
+        (StructType(
+          org.apache.spark.sql.types.StructField("row_id",
+            org.apache.spark.sql.types.LongType, nullable = false) +:
+            schema.fields),
+          "row_id")
+    }
+    cat.createTable(ident.name(), full, idCol)
+    loadTable(ident)
+  }
 
+  /** SQL `ALTER TABLE <cat>.<t> ADD COLUMNS (...)` / `DROP COLUMN` →
+    * the engine's schema evolution ([[Catalog]] addColumn/dropColumn):
+    * pure-metadata commits — NULL backfill on read for added columns,
+    * projection-drop for removed ones, per-snapshot schemas across
+    * time travel. All changes of one statement land in ONE
+    * transaction. Shapes the engine cannot honor faithfully (nested
+    * fields, defaults, positions, comments, type changes, renames)
+    * are rejected loudly. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
+      changes: TableChange*): Table = {
+    requireNs(ident.namespace())
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE $catName.${ident.name()}: $what")
+    cat.transaction { tx =>
+      changes.foreach {
+        case a: TableChange.AddColumn =>
+          if (a.fieldNames().length != 1)
+            unsupported("nested column additions are not supported")
+          if (a.defaultValue() != null)
+            unsupported("DEFAULT values are not supported (added " +
+              "columns NULL-backfill)")
+          if (a.position() != null)
+            unsupported("column position is not supported (columns " +
+              "append at the end)")
+          if (a.comment() != null)
+            unsupported("column comments are not stored")
+          tx.addColumn(ident.name(), StructType(Seq(
+            org.apache.spark.sql.types.StructField(a.fieldNames()(0),
+              a.dataType(), a.isNullable))).fields(0))
+        case d: TableChange.DeleteColumn =>
+          if (d.fieldNames().length != 1)
+            unsupported("nested column drops are not supported")
+          tx.dropColumn(ident.name(), d.fieldNames()(0))
+        case other =>
+          unsupported(s"${other.getClass.getSimpleName} is not " +
+            "supported; supported shapes: ADD COLUMNS (nullable, no " +
+            "default/position/comment), DROP COLUMN. Constraints go " +
+            "through Catalog.addCheck")
+      }
+    }
+    loadTable(ident)
+  }
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** SQL `DROP TABLE <cat>.<t>` → [[Catalog.dropTable]] (tombstoned
+    * commit; history stays time-travel-readable until vacuum). */
+  override def dropTable(ident: Identifier): Boolean = {
+    requireNs(ident.namespace())
+    try { cat.dropTable(ident.name()); true }
+    catch {
+      case e: IllegalArgumentException
+          if String.valueOf(e.getMessage).contains("no such table") =>
+        false // DROP TABLE IF EXISTS contract: absent -> false, no throw
+    }
+  }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")

@@ -71,7 +71,7 @@ class StoreFuzzSpec extends SparkSuite {
     for (step <- 1 to 50) {
       val t = tables.keys.toVector(rnd.nextInt(tables.size))
       val m = tables(t)
-      rnd.nextInt(15) match {
+      rnd.nextInt(17) match {
         case 0 | 1 | 2 => // append one row
           emails += 1
           val em = s"u$emails@x.c"
@@ -146,6 +146,28 @@ class StoreFuzzSpec extends SparkSuite {
           if (graft.store.Schemas.statsColumns.contains(t)) {
             cat.optimize(t, Seq("created_at"), 1 + rnd.nextInt(3))
             opLog += s"optimize($t, created_at)"
+          }
+        case 15 => // CREATE TABLE (round-15 DDL): a dynamic users-shaped
+          // table joins the model — every other op (append/update/
+          // delete/compact/vacuum/clone/reopen/point-DV) then composes
+          // with it; the same CHECK is attached so the restore section's
+          // uniform check-enforcement assertion holds for it too
+          if (!tables.contains("dyn")) {
+            cat.createTable("dyn",
+              graft.store.Schemas.registry("users")._1, "user_id")
+            cat.addCheck("dyn", "email_at", "email LIKE '%@%'")
+            opLog += "createTable(dyn)"
+            tables("dyn") = mutable.LinkedHashMap.empty
+            maxId("dyn") = 0L
+          }
+        case 16 => // DROP TABLE: tombstoned commit; history below stays
+          // replayable (the time-travel section still asserts dyn's old
+          // snapshots), clones of it live on, the name is reusable
+          if (tables.contains("dyn")) {
+            cat.dropTable("dyn")
+            opLog += "dropTable(dyn)"
+            tables.remove("dyn")
+            maxId.remove("dyn")
           }
         case 9 => // write INTO a clone (divergence) if any exists
           val clones = tables.keys.filter(_.startsWith("snap_")).toVector

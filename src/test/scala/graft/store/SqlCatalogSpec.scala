@@ -130,21 +130,26 @@ class SqlCatalogSpec extends SparkSuite {
       !read.contains("props"), s"projection not pruned: $read")
   }
 
-  test("DDL through SQL fails loudly, pointing at the transactional " +
-    "API; INSERT INTO routes through the transactional append (dense " +
-    "ids, NULL-id contract enforced)") {
+  test("out-of-contract DDL through SQL fails loudly (registry-table " +
+    "DROP, RENAME); INSERT INTO routes through the transactional " +
+    "append (dense ids, NULL-id contract enforced)") {
+    // round 15: CREATE/DROP/ALTER are supported for DYNAMIC tables
+    // (StoreDdlSpec); what stays loud is the shapes the engine cannot
+    // honor — dropping a registry table (identity lives in code, it
+    // would respawn) and renames
     Seq(
       s"DROP TABLE $CatName.events_ingest",
-      s"CREATE TABLE $CatName.t2 (a INT)").foreach { stmt =>
-      val e = intercept[Throwable] { sqlq(stmt).collect() }
-      def chain(t: Throwable): Seq[Throwable] =
-        if (t == null) Nil else t +: chain(t.getCause)
-      assert(chain(e).exists(c =>
-          Option(c.getMessage).exists(m => m.contains("READ front door") ||
-            m.toLowerCase.contains("does not support")) ||
-          c.isInstanceOf[UnsupportedOperationException]),
-        s"$stmt -> ${e.getMessage}")
-    }
+      s"ALTER TABLE $CatName.events_ingest RENAME COLUMN props TO p")
+      .foreach { stmt =>
+        val e = intercept[Throwable] { sqlq(stmt).collect() }
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: chain(t.getCause)
+        assert(chain(e).exists(c =>
+            Option(c.getMessage).exists(m => m.contains("registry") ||
+              m.toLowerCase.contains("not supported")) ||
+            c.isInstanceOf[UnsupportedOperationException]),
+          s"$stmt -> ${e.getMessage}")
+      }
     // INSERT INTO: a NULL surrogate id lands through Catalog.append —
     // the engine assigns the next dense id and the row is readable via
     // both doors
