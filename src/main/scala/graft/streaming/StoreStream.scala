@@ -3,10 +3,11 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.store.Catalog
@@ -53,7 +54,7 @@ import graft.store.Catalog
   * checkpoint + tail deltas) and scans only the files the streamed
   * commits added — a CDC tick's cost, never the table's. */
 final class GraftStreamProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-store"
 
@@ -67,6 +68,65 @@ final class GraftStreamProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source =
     new GraftStoreSource(ctx.sparkSession, metadataPath, schema,
       parameters)
+
+  /** `writeStream.format(...)` INTO the store: each micro-batch lands
+    * through [[StreamIngest.commitBatch]] — batch rows plus the
+    * (ledger key, batchId) row in ONE atomic manifest swap, so
+    * delivery is exactly-once under at-least-once replay with NO dedup
+    * scan (the Delta txn-version pattern, already gate-proven for the
+    * foreachBatch form by `ext_stream_store_ingest`). Append-only by
+    * contract: aggregating modes need update/complete semantics the
+    * store's append path cannot express — route those through
+    * `foreachBatch` + the Scala API. The ledger key defaults to the
+    * query's checkpointLocation (stable across restarts); override
+    * with `ledgerQuery` when several queries share a checkpoint
+    * convention. `orderBy` fixes intra-batch id order (default: every
+    * column — deterministic for distinct rows). */
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    import GraftStoreSource.{opt, required}
+    if (partitionColumns.nonEmpty)
+      throw new UnsupportedOperationException(
+        "partitionBy is not supported: layout is engine-managed " +
+          "(compact/optimize)")
+    if (outputMode != OutputMode.Append())
+      throw new UnsupportedOperationException(
+        s"the graft-store sink is append-only; got $outputMode — " +
+          "update/complete modes need row replacement, use " +
+          "foreachBatch with the transactional Scala API (merge)")
+    val ledger = opt(parameters, "ledgerQuery")
+      .orElse(opt(parameters, "checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft-store sink needs a stable exactly-once identity: " +
+          "set a checkpointLocation (default ledger key) or " +
+          ".option(\"ledgerQuery\", <name>)"))
+    new GraftStoreSink(ctx.sparkSession,
+      required(parameters, "root"), required(parameters, "table"),
+      ledger,
+      opt(parameters, "orderBy").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Nil))
+  }
+}
+
+/** One store table as a V1 streaming sink (see
+  * [[GraftStreamProvider.createSink]]). */
+private[streaming] final class GraftStoreSink(spark: SparkSession,
+    root: String, table: String, ledgerKey: String,
+    orderBy: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    // snapshot the incrementally-planned frame (V1 sink caveat) before
+    // the transactional append re-plans it
+    val batch = org.apache.spark.sql.GraftSqlShim.batchFrame(spark,
+      data.toDF())
+    StreamIngest.commitBatch(new Catalog(spark, root), table,
+      ledgerKey, batchId, batch,
+      orderBy = orderBy): Unit
+  }
+
+  override def toString: String =
+    s"GraftStoreSink[root=$root, table=$table, ledger=$ledgerKey]"
 }
 
 private[streaming] object GraftStoreSource {

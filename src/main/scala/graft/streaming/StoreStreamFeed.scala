@@ -135,5 +135,65 @@ object StoreStreamFeed {
       .orderBy("ingest_id", "_change_type")
   }.copy(setup = Some(cdfPrepared.ensurePrepared _))
 
-  val all: Seq[Q] = Seq(tail, cdfStream)
+  private def sinkRoot(s: SparkSession): String =
+    new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      .stripSuffix("/") + "/graft_sinkstream_root"
+
+  /** Tail-root fixture piped through the streaming SINK twice: the
+    * first drain lands three ledgered micro-batches; the second —
+    * FRESH checkpoint, SAME ledger key (the crash-replay shape:
+    * at-least-once delivery) — re-delivers all three and the ledger
+    * must reject each. Loud fixture requires, oracle-checked state. */
+  private val sinkPrepared = new PreparedTables(
+    Seq("events.parquet"),
+    Seq("graft_sinkstream_root"), // the tail root belongs to tailPrepared
+    (s, d) => {
+      tailPrepared.ensurePrepared(s, d)
+      val dst = sinkRoot(s)
+      require(new Catalog(s, dst).version == 0L,
+        "stale graft_sinkstream_root survived fixture prep")
+      def pipe(): Unit = {
+        val q = s.readStream
+          .format(classOf[GraftStreamProvider].getName)
+          .option("root", tailRoot(s)).option("table", "events_ingest")
+          .option("maxVersionsPerBatch", "1")
+          .load()
+          .drop("ingest_id") // the sink's table assigns its own ids
+          .writeStream
+          .format(classOf[GraftStreamProvider].getName)
+          .option("root", dst).option("table", "events_ingest")
+          .option("ledgerQuery", "gate_sink")
+          .option("orderBy", "event_id")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_sink_ckpt").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      pipe()
+      val cat = new Catalog(s, dst)
+      val n1 = cat.read("events_ingest").count()
+      require(n1 > 0L, "sink run landed no rows")
+      require(cat.read("stream_offsets").count() == 3L,
+        "expected one ledger row per micro-batch")
+      pipe() // fresh checkpoint, same ledger: all batches rejected
+      require(cat.read("events_ingest").count() == n1,
+        "ledger replay duplicated rows through the sink")
+    })
+
+  /** The sink-landed table equals the numbered raw fixture — batch
+    * boundaries, the ledger, and the second (fully-rejected) run are
+    * all invisible to the oracle, which is the exactly-once claim. */
+  val sinkStream: Q = Q(
+    "ext_stream_store_sink",
+    s"""SELECT row_number() OVER (ORDER BY event_id) AS ingest_id,
+       |  event_id, ts, user_id, event_type, value, props
+       |FROM events WHERE event_id > 0 AND event_id <= ${3 * TailSlice}
+       |ORDER BY ingest_id""".stripMargin
+  ) { (s, d) =>
+    sinkPrepared.ensurePrepared(s, d)
+    new Catalog(s, sinkRoot(s)).read("events_ingest")
+      .orderBy("ingest_id")
+  }.copy(setup = Some(sinkPrepared.ensurePrepared _))
+
+  val all: Seq[Q] = Seq(tail, cdfStream, sinkStream)
 }

@@ -19,4 +19,14 @@ object GraftSqlShim {
   def streamingFrame(spark: SparkSession, batch: DataFrame): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
       batch.queryExecution.toRdd, batch.schema, isStreaming = true)
+
+  /** The inverse for a V1 streaming `Sink.addBatch` input: the frame a
+    * sink receives is planned incrementally and only valid inside the
+    * call — re-planning it in another query context misbehaves (the
+    * documented V1 sink caveat; DeltaSink snapshots the same way).
+    * Wrapping the INCREMENTAL execution's RDD as a plain batch frame
+    * pins the physical plan while staying lazy. */
+  def batchFrame(spark: SparkSession, streamed: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      streamed.queryExecution.toRdd, streamed.schema, isStreaming = false)
 }
