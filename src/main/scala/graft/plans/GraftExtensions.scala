@@ -149,5 +149,9 @@ object GraftExtensions {
     // analyze fine against a read-only DSv2 table and must be swapped
     // out before the optimizer's row-level rewrite rejects them
     e.injectPostHocResolutionRule(s => graft.store.sql.GraftSqlDmlRule(s))
+    // maintenance statements (OPTIMIZE / VACUUM) — a delegating parser
+    // that intercepts exactly those two shapes (DeltaSqlParser pattern)
+    e.injectParser((s, delegate) =>
+      new graft.store.sql.GraftSqlParser(s, delegate))
   }
 }

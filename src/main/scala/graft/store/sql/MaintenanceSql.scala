@@ -1,0 +1,132 @@
+package graft.store.sql
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+
+import graft.store.Catalog
+
+/** Maintenance statements as SQL (round 15) — the Delta-SQL surface for
+  * the engine's layout/retention ops, via a DELEGATING parser
+  * (`SparkSessionExtensions.injectParser`, the DeltaSqlParser pattern):
+  *
+  * {{{
+  *   OPTIMIZE <cat>.<table>                        -- id-range compact
+  *   OPTIMIZE <cat>.<table> INTO 8 FILES
+  *   OPTIMIZE <cat>.<table> ZORDER BY (c1, c2)     -- clustered rewrite
+  *   VACUUM <cat>.<table>                          -- default retention
+  *   VACUUM <cat>.<table> RETAIN 168 HOURS
+  * }}}
+  *
+  * Only these two statement shapes are intercepted — anything else goes
+  * verbatim to the delegate parser, so the extension is invisible to
+  * normal SQL. `<cat>` must be a registered
+  * [[GraftTableCatalog]] (checked at execution against the session
+  * conf, loudly); the commands route into [[Catalog.compact]] /
+  * [[Catalog.optimize]] / [[Catalog.vacuum]] — OCC, leases and the
+  * layout contracts unchanged. */
+final class GraftSqlParser(session: SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val t = sqlText.trim
+    val mo = OptimizeRe.matcher(t)
+    if (mo.matches()) {
+      val zorder = Option(mo.group(3)).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      GraftOptimizeCommand(mo.group(1), mo.group(2), zorder,
+        Option(mo.group(4)).map(_.toInt))
+    } else {
+      val mv = VacuumRe.matcher(t)
+      if (mv.matches())
+        GraftVacuumCommand(mv.group(1), mv.group(2),
+          Option(mv.group(3)).map(_.toLong * 3600L * 1000L))
+      else delegate.parsePlan(sqlText)
+    }
+  }
+
+  override def parseExpression(s: String): Expression =
+    delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseTableSchema(s: String): StructType =
+    delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType =
+    delegate.parseDataType(s)
+  override def parseRoutineParam(s: String): StructType =
+    delegate.parseRoutineParam(s)
+}
+
+private[sql] object GraftSqlParser {
+  private val Id = "([A-Za-z_][A-Za-z0-9_]*)"
+  val OptimizeRe: Pattern = Pattern.compile(
+    s"(?is)OPTIMIZE\\s+$Id\\.$Id" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?" +
+      "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?\\s*;?\\s*")
+  val VacuumRe: Pattern = Pattern.compile(
+    s"(?is)VACUUM\\s+$Id\\.$Id" +
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*")
+
+  /** Resolve a statement's catalog name to a graft store root — loud
+    * when the name is not a registered [[GraftTableCatalog]]. */
+  def rootOf(spark: SparkSession, catName: String, stmt: String): String = {
+    val implKey = s"spark.sql.catalog.$catName"
+    val impl = spark.conf.getOption(implKey)
+    if (!impl.contains(classOf[GraftTableCatalog].getName))
+      throw new IllegalArgumentException(
+        s"$stmt targets catalog '$catName', which is " +
+          impl.fold("not a registered catalog")(c => s"'$c'") +
+          s" — register the store first ($implKey=" +
+          s"${classOf[GraftTableCatalog].getName} + .root)")
+    spark.conf.getOption(s"$implKey.root").getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$catName' has no root configured ($implKey.root)"))
+  }
+}
+
+/** `OPTIMIZE` → [[Catalog.compact]] (no ZORDER clause) or
+  * [[Catalog.optimize]] (clustered). Layout-only; content invariance
+  * is the ext_store_optimize / ext_store_compact gate contract. */
+final case class GraftOptimizeCommand(catName: String, table: String,
+    zorderBy: Seq[String], numFiles: Option[Int])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.rootOf(spark, catName, "OPTIMIZE")
+    val cat = new Catalog(spark, root)
+    if (zorderBy.isEmpty) cat.compact(table, numFiles.getOrElse(1))
+    else cat.optimize(table, zorderBy, numFiles.getOrElse(32))
+    Nil
+  }
+}
+
+/** `VACUUM` → [[Catalog.vacuum]]; returns the number of files
+  * reclaimed (the engine's own return value). */
+final case class GraftVacuumCommand(catName: String, table: String,
+    retainMillis: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_files_deleted", IntegerType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.rootOf(spark, catName, "VACUUM")
+    val cat = new Catalog(spark, root)
+    val n = retainMillis match {
+      case Some(ms) => cat.vacuum(table, retainMillis = ms)
+      case None => cat.vacuum(table)
+    }
+    Seq(Row(n))
+  }
+}
