@@ -25,29 +25,40 @@ import graft.store.Catalog
   *   VACUUM <cat>.<table> RETAIN 168 HOURS
   * }}}
   *
-  * Only these two statement shapes are intercepted — anything else goes
-  * verbatim to the delegate parser, so the extension is invisible to
-  * normal SQL. `<cat>` must be a registered
-  * [[GraftTableCatalog]] (checked at execution against the session
-  * conf, loudly); the commands route into [[Catalog.compact]] /
-  * [[Catalog.optimize]] / [[Catalog.vacuum]] — OCC, leases and the
-  * layout contracts unchanged. */
+  * Only these two statement shapes are intercepted, and ONLY when
+  * `<cat>` resolves to a registered [[GraftTableCatalog]] in the
+  * session conf at parse time — a statement naming any other catalog
+  * (e.g. a coexisting Delta extension's) falls through verbatim to the
+  * delegate parser, so this extension never hijacks maintenance
+  * statements it does not own. Anything else also goes verbatim to the
+  * delegate, so the extension is invisible to normal SQL. The claimed
+  * commands route into [[Catalog.compact]] / [[Catalog.optimize]] /
+  * [[Catalog.vacuum]] — OCC, leases and the layout contracts
+  * unchanged (the execution-time catalog re-check stays as
+  * defense-in-depth against conf changes between parse and run). */
 final class GraftSqlParser(session: SparkSession,
     delegate: ParserInterface) extends ParserInterface {
 
   import GraftSqlParser._
 
+  /** Is `catName` registered as a graft catalog RIGHT NOW? Gate for
+    * claiming a statement — a foreign catalog's OPTIMIZE/VACUUM must
+    * reach its own extension through the delegate chain. */
+  private def ownsCatalog(catName: String): Boolean =
+    session.conf.getOption(s"spark.sql.catalog.$catName")
+      .contains(classOf[GraftTableCatalog].getName)
+
   override def parsePlan(sqlText: String): LogicalPlan = {
     val t = sqlText.trim
     val mo = OptimizeRe.matcher(t)
-    if (mo.matches()) {
+    if (mo.matches() && ownsCatalog(mo.group(1))) {
       val zorder = Option(mo.group(3)).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       GraftOptimizeCommand(mo.group(1), mo.group(2), zorder,
         Option(mo.group(4)).map(_.toInt))
     } else {
       val mv = VacuumRe.matcher(t)
-      if (mv.matches())
+      if (mv.matches() && ownsCatalog(mv.group(1)))
         GraftVacuumCommand(mv.group(1), mv.group(2),
           Option(mv.group(3)).map(_.toLong * 3600L * 1000L))
       else delegate.parsePlan(sqlText)

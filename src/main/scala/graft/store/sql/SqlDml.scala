@@ -278,12 +278,22 @@ final case class GraftMergeCommand(root: String, table: String,
     val src =
       if (!raw.columns.exists(_.equalsIgnoreCase(idCol))) raw
       else {
-        if (raw.filter(col(idCol).isNotNull).limit(1).count() > 0)
+        // snapshot ONCE before probing: the probe and the merge must
+        // see the same rows (a non-deterministic source could pass the
+        // null-probe on one execution and deliver non-NULL ids to the
+        // merge on the next), and a deterministic source must not pay
+        // a second full execution for the probe. The source is the
+        // small side by design (a CDC tick), so the materialization is
+        // batch-sized; Catalog.merge re-checkpoints from these cached
+        // blocks, not from the original plan.
+        import graft.core.Eager.EagerCheckpoint
+        val snap = raw.eagerCheckpoint()
+        if (snap.filter(col(idCol).isNotNull).limit(1).count() > 0)
           GraftSqlDml.dmlFail(
             s"'$idCol' is engine-assigned: a MERGE source carrying " +
               "non-NULL ids would be silently reassigned on insert — " +
               "drop the column or carry NULLs")
-        raw.drop(idCol)
+        snap.drop(idCol)
       }
     val (nUpd, nIns) = new Catalog(spark, root).merge(table, src, keyCol)
     Seq(Row(nUpd, nIns))

@@ -42,12 +42,19 @@ import graft.store.Catalog
   * `maxVersionsPerBatch=n` paces admission (the `maxFilesPerTrigger`
   * analogue): at most n commits per micro-batch. Pacing survives
   * restart through a progress file under the source's Spark-assigned
-  * `metadataPath` — a V1 source's `getOffset` must never regress
-  * below the checkpoint's committed offset, and the source object is
-  * rebuilt on restart, so the high-water mark is persisted at
-  * `getBatch` time (same recovery pattern as FileStreamSource's
-  * metadata log; atomic tmp+move, and the recovery `getBatch` replays
-  * from the engine's offset log regardless).
+  * `metadataPath` (atomic tmp+move). The file is written at two safe
+  * points ONLY: once at construction with the resolved
+  * `startingVersion` (so `latest` pins exactly once per checkpoint),
+  * and in `Source.commit(end)` — which the engine calls only AFTER
+  * the batch is durably recorded in its commit log. It must never be
+  * written at `getBatch` time: the file doubles as the `fromV`
+  * fallback when recovery replays `getBatch(None, toV)`, and a
+  * persist inside `getBatch` followed by a crash before the batch
+  * commit would make that replay resolve to the empty `(toV, toV]`
+  * range — the backfill silently lost. In-memory `lastEnd` still
+  * advances in `getBatch` so pacing works within a run; on restart
+  * the recovery `getBatch` replays from the engine's offset log and
+  * re-advances it before any new `getOffset`.
   *
   * At 100 TB: `getOffset` reads one version pointer; `getBatch` diffs
   * two manifests driver-side (∝ file count, through the parquet
@@ -231,6 +238,9 @@ private[streaming] final class GraftStoreSource(spark: SparkSession,
   }
 
   private var lastEnd: Long = startingVersion
+  // highest version durably recorded in the progress file (monotonic
+  // guard: an out-of-order commit callback must never move it back)
+  private var persistedV: Long = startingVersion
 
   /** The CONSUMER's schema — the one Spark resolved at `load()` time
     * and planned the query against (re-resolving here would desync from
@@ -254,7 +264,10 @@ private[streaming] final class GraftStoreSource(spark: SparkSession,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(startingVersion)
     val toV = versionOf(end)
-    if (toV > lastEnd) { lastEnd = toV; persist(toV) }
+    // in-memory only — persisting here would corrupt the start=None
+    // recovery fallback (see the class doc); durable progress moves
+    // forward in commit(end), after the engine's commit-log write
+    if (toV > lastEnd) lastEnd = toV
     val batch =
       if (cdf) cat.changesWithUpdates(table, fromV, toV)
       else cat.readAppends(table, fromV, toV)
@@ -285,7 +298,14 @@ private[streaming] final class GraftStoreSource(spark: SparkSession,
       batch.select(cols.toIndexedSeq: _*))
   }
 
-  override def commit(end: Offset): Unit = ()
+  /** Called by the engine once `end`'s batch is durably committed —
+    * the ONLY point where advancing the persisted high-water mark is
+    * safe for the `start=None` recovery fallback. */
+  override def commit(end: Offset): Unit = {
+    val v = versionOf(end)
+    if (v > lastEnd) lastEnd = v
+    if (v > persistedV) { persist(v); persistedV = v }
+  }
 
   override def stop(): Unit = ()
 

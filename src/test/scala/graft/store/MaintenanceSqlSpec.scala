@@ -64,18 +64,30 @@ class MaintenanceSqlSpec extends SparkSuite {
     assert(content(cat) == before, "vacuum touched live data")
   }
 
-  test("only the two maintenance shapes are intercepted: ordinary SQL " +
-    "parses through the delegate, unknown catalogs fail loudly, and a " +
+  test("only OUR catalogs' maintenance shapes are intercepted: ordinary " +
+    "SQL and foreign/unknown catalogs go to the delegate, and a " +
     "no-stats ZORDER column keeps the engine's loud error") {
     val (_, c) = fresh()
     // delegate statements still work (incl. ones CONTAINING keywords)
     assert(spark.sql("SELECT 'OPTIMIZE x.y' AS s").collect()(0)
       .getString(0) == "OPTIMIZE x.y")
+    // an UNREGISTERED catalog name is not ours to claim: the statement
+    // falls through to the delegate chain (where a coexisting
+    // extension, e.g. Delta, would see it) and dies as a plain Spark
+    // parse error — NOT our "register the store" execution error
     val e1 = intercept[Exception] {
       spark.sql("OPTIMIZE nosuchcat.t")
     }
-    assert(e1.getMessage.contains("register the store"),
-      e1.getMessage)
+    assert(!e1.getMessage.contains("register the store"), e1.getMessage)
+    // same for a catalog registered to a DIFFERENT implementation —
+    // its OPTIMIZE belongs to that extension's parser, never hijacked
+    spark.conf.set("spark.sql.catalog.foreigncat",
+      "org.example.SomeOtherCatalog")
+    try {
+      val ef = intercept[Exception] { spark.sql("OPTIMIZE foreigncat.t") }
+      assert(!ef.getMessage.contains("register the store"), ef.getMessage)
+      assert(!ef.getMessage.contains("graft"), ef.getMessage)
+    } finally spark.conf.unset("spark.sql.catalog.foreigncat")
     val e2 = intercept[Exception] {
       spark.sql(s"OPTIMIZE $c.orders_ingest ZORDER BY (o_orderstatus)")
     }

@@ -234,4 +234,78 @@ class StoreStreamSpec extends SparkSuite {
         .filter(col("event_id") > 100).count(),
       "restarted stream lost or replayed rows")
   }
+
+  test("a file added AND DV-masked inside the same tail range fails " +
+    "loudly (per-version audit): endpoint diffing alone would serve it " +
+    "pre-masked, silently folding the delete — and whether the stream " +
+    "failed would then depend on batch pacing") {
+    val root = freshRoot(1) // v1
+    val cat = new Catalog(spark, root)
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    cat.append("events_ingest",
+      ev.filter(col("event_id") > 100 && col("event_id") <= 200),
+      orderBy = Seq("event_id")) // v2 adds a file...
+    val victim = cat.read("events_ingest")
+      .filter(col("event_id") === 150L)
+      .select("ingest_id").collect()(0).getLong(0)
+    cat.delete("events_ingest", col("ingest_id") === victim) // ...v3 DVs it
+    // the tail range (1, 3] contains both the add and the mask: the
+    // v2-added entry exists at NEITHER endpoint in its unmasked form,
+    // so only the per-version delta audit can see the mutation
+    val e = intercept[IllegalStateException] {
+      cat.readAppends("events_ingest", 1L, 3L).collect()
+    }
+    assert(e.getMessage.contains("appends-only") &&
+      e.getMessage.contains("v3"), e.getMessage)
+    // same through the paced stream, regardless of where batch
+    // boundaries fall (here: one batch per commit)
+    val se = intercept[StreamingQueryException] {
+      drain(reader(root, "maxVersionsPerBatch" -> "1",
+        "startingVersion" -> "1"),
+        Files.createTempDirectory("ckpt-inrange-dv").toString)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(se).exists(c => String.valueOf(c.getMessage)
+      .contains("appends-only")), s"wrong failure: ${se.getMessage}")
+    // the INITIAL BACKFILL (fromVersion 0) is a snapshot read by
+    // contract (the Delta initial-snapshot shape): it serves the
+    // reconciled end state — masked — without auditing history
+    val backfill = cat.readAppends("events_ingest", 0L, 3L)
+    assert(backfill.count() == cat.read("events_ingest").count())
+    assert(backfill.filter(col("ingest_id") === victim).isEmpty)
+  }
+
+  test("the durable tail progress advances at COMMIT time, never at " +
+    "getBatch: a crash between the engine's offset write and the batch " +
+    "commit must not make recovery's getBatch(None, toV) resolve to " +
+    "the empty range") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = freshRoot(2)
+    val meta = Files.createTempDirectory("graft-progress-meta").toString
+    val params = Map("root" -> root, "table" -> "events_ingest")
+    val progress = java.nio.file.Paths.get(meta, "graft_tail_progress")
+    def persisted: Long =
+      new String(Files.readAllBytes(progress)).trim.toLong
+    val src = new GraftStoreSource(spark, meta, None, params)
+    assert(persisted == 0L,
+      "construction must persist the RESOLVED startingVersion")
+    val end = src.getOffset.get
+    src.getBatch(None, end) // backfill served, batch NOT yet committed
+    assert(persisted == 0L,
+      "getBatch advanced the durable progress — a crash before the " +
+        "batch commit would make recovery resolve the empty range")
+    // a source rebuilt BEFORE commit (the crash-recovery shape) still
+    // sees the original start: its getOffset must re-offer the range
+    val recovered = new GraftStoreSource(spark, meta, None, params)
+    assert(recovered.getOffset.nonEmpty,
+      "recovery lost the uncommitted backfill range")
+    // after the engine's commit callback the progress is durable...
+    src.commit(end)
+    assert(persisted == end.asInstanceOf[LongOffset].offset)
+    // ...and a post-commit rebuild has nothing new to offer
+    assert(new GraftStoreSource(spark, meta, None, params)
+      .getOffset.isEmpty)
+  }
 }
