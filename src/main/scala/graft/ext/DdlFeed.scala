@@ -65,7 +65,53 @@ object DdlFeed {
       "DROP TABLE left the scratch table visible")
     require(cat.version == 6L,
       s"ddl fixture ended at v${cat.version}, expected 6")
+
+    // ---- round 16: manifest-carried stats columns on a PURE-SQL table.
+    // CREATE TABLE designates 'user_id' via TBLPROPERTIES; three INSERT
+    // slices land with fully-overlapping user domains (every file
+    // covers the whole user range — the unclustered 100 TB trap);
+    // OPTIMIZE ZORDER BY through the SQL door then range-clusters on
+    // the designated column, and the require below PINS that a narrow
+    // user window now opens strictly fewer files than the table holds.
+    // Every step is SQL text — no Scala Catalog call in the lifecycle.
+    Tables.events(s, d).filter(col("event_id") <= 3 * SpanSlice)
+      .createOrReplaceTempView("graft_ddl_span_src")
+    s.sql(s"CREATE TABLE $CatName.span_metrics (m_id BIGINT NOT NULL, " +
+      "user_id BIGINT, n_events BIGINT, total_value DOUBLE) " +
+      "TBLPROPERTIES('id_column'='m_id','stats_columns'='user_id')")
+    (0 until 3).foreach { k =>
+      s.sql(
+        s"""INSERT INTO $CatName.span_metrics
+           |SELECT CAST(NULL AS BIGINT), user_id, COUNT(*),
+           |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+           |FROM graft_ddl_span_src
+           |WHERE event_id > ${k * SpanSlice}
+           |  AND event_id <= ${(k + 1) * SpanSlice}
+           |GROUP BY user_id""".stripMargin)
+    }
+    val preTotal = cat.liveFiles("span_metrics").size
+    val preHit = cat.rangeFiles("span_metrics", "user_id",
+      SpanLo, SpanHi)._1.size
+    require(preHit == preTotal && preTotal >= 3,
+      s"span fixture expected every file to cover the user window " +
+        s"pre-optimize ($preHit of $preTotal)")
+    s.sql(s"OPTIMIZE $CatName.span_metrics ZORDER BY (user_id) " +
+      "INTO 4 FILES")
+    val (hit, total) = cat.rangeFiles("span_metrics", "user_id",
+      SpanLo, SpanHi)
+    require(hit.nonEmpty && hit.size < total,
+      s"SQL-created table did not prune after OPTIMIZE ZORDER: " +
+        s"window [$SpanLo,$SpanHi] opens ${hit.size} of $total files — " +
+        "manifest-carried stats columns are not collecting")
   }
+
+  /** 300-event slices keep all three span INSERTs non-empty at every
+    * SF (sf0.001 has 1000 events); the [0,3] user window is a strict
+    * subset of every SF's user domain (0..14 at sf0.001), so the
+    * post-ZORDER prune claim holds at any scale the fixture runs at. */
+  private val SpanSlice = 300L
+  private val SpanLo = 0L
+  private val SpanHi = 3L
 
   val ddlLifecycle: Q = Q(
     "ext_store_ddl",
@@ -85,5 +131,53 @@ object DdlFeed {
       s"FROM $CatName.user_metrics ORDER BY m_id")
   }.copy(setup = Some(ensurePrepared _))
 
-  val all: Seq[Q] = Seq(ddlLifecycle)
+  /** Round 16: the manifest-carried stats-column lifecycle, end to end
+    * in SQL — CREATE TABLE designating `stats_columns`, three INSERTs
+    * whose files all straddle the user domain, `OPTIMIZE ... ZORDER BY`
+    * re-clustering on the designated column (fixture prep REQUIRES the
+    * post-optimize file prune: a narrow user window opens < total
+    * files — the [[graft.store.sql.GraftTableCatalog]] skipping now
+    * working on a dynamic table), then a range query the oracle
+    * replays. The 100 TB story this closes: a SQL user's CREATE
+    * TABLE'd fact table gets the same value-column file skipping as
+    * the engine's fixture tables — no full-scan trap. */
+  val statsLifecycle: Q = Q(
+    "ext_ddl_stats_prune",
+    s"""WITH src AS (SELECT * FROM events
+       |  WHERE event_id <= ${3 * SpanSlice}),
+       |s1 AS (SELECT user_id, COUNT(*) AS n_events,
+       |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+       |      AS total_value
+       |  FROM src WHERE event_id > 0 AND event_id <= $SpanSlice
+       |  GROUP BY user_id),
+       |s2 AS (SELECT user_id, COUNT(*) AS n_events,
+       |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+       |      AS total_value
+       |  FROM src WHERE event_id > $SpanSlice
+       |    AND event_id <= ${2 * SpanSlice} GROUP BY user_id),
+       |s3 AS (SELECT user_id, COUNT(*) AS n_events,
+       |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+       |      AS total_value
+       |  FROM src WHERE event_id > ${2 * SpanSlice}
+       |    AND event_id <= ${3 * SpanSlice} GROUP BY user_id),
+       |m AS (
+       |  SELECT row_number() OVER (ORDER BY user_id) AS m_id, *
+       |  FROM s1
+       |  UNION ALL
+       |  SELECT (SELECT COUNT(*) FROM s1)
+       |    + row_number() OVER (ORDER BY user_id) AS m_id, * FROM s2
+       |  UNION ALL
+       |  SELECT (SELECT COUNT(*) FROM s1) + (SELECT COUNT(*) FROM s2)
+       |    + row_number() OVER (ORDER BY user_id) AS m_id, * FROM s3)
+       |SELECT m_id, user_id, n_events, total_value FROM m
+       |WHERE user_id BETWEEN $SpanLo AND $SpanHi
+       |ORDER BY m_id""".stripMargin
+  ) { (s, d) =>
+    ensurePrepared(s, d)
+    s.sql(s"SELECT m_id, user_id, n_events, total_value " +
+      s"FROM $CatName.span_metrics " +
+      s"WHERE user_id BETWEEN $SpanLo AND $SpanHi ORDER BY m_id")
+  }.copy(setup = Some(ensurePrepared _))
+
+  val all: Seq[Q] = Seq(ddlLifecycle, statsLifecycle)
 }

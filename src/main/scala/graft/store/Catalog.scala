@@ -151,7 +151,21 @@ final class Catalog(val spark: SparkSession, val root: String) {
         * (a shallow clone of a registered table carries its source's id
         * column and effective schema in the manifest, so the clone is
         * fully writable without registration). */
-      idCol: Option[String] = None)
+      idCol: Option[String] = None,
+      /** Designated stats columns CARRIED IN THE MANIFEST (round 16):
+        * `None` falls back to the name-keyed [[Schemas.statsColumns]]
+        * registry (the fixture bootstrap); `Some` pins the list as
+        * table state — `CREATE TABLE`'d tables, clones (which inherit
+        * their source's effective list), and `setStatsColumns` DDL all
+        * ride it, so stage-time stats collection, `optimize ZORDER`,
+        * readRange/SQL-door file skipping, and merge OCC reconcile
+        * work on DYNAMIC tables exactly as on fixture tables. At
+        * 100 TB a dynamic table without value-column pruning is a
+        * full-scan trap; this is how it gets the same skipping. Like
+        * schema/idCol, the list versions with the manifest: time
+        * travel reads each snapshot's own list. `Some(Nil)` is
+        * "explicitly no stats" (overrides the registry). */
+      statsCols: Option[Seq[String]] = None)
 
   private type Manifest = Map[String, TableState]
 
@@ -200,18 +214,18 @@ final class Catalog(val spark: SparkSession, val root: String) {
     else parseManifest(Files.readAllBytes(p))
 
   private def stateFromDecoded(d: (Long, Option[String],
-      Map[String, String], Option[String],
+      Map[String, String], Option[String], Option[Seq[String]],
       Vector[(String, Long, Long, Map[String, (Long, Long)],
         Map[String, (String, String)], Option[(String, Long)], Long,
         Map[String, Long])])): TableState = {
-    val (maxId, schemaJson, checks, idCol, files) = d
+    val (maxId, schemaJson, checks, idCol, statsCols, files) = d
     TableState(maxId,
       canonFiles(files.map { case (p, mn, mx, cols, scols, dv, rows, nulls) =>
         FileEntry(p, mn, mx, cols, scols, dv, rows, nulls)
       }),
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]),
-      checks, idCol)
+      checks, idCol, statsCols)
   }
 
   private def fileEntryNode(fs: ArrayNode, f: FileEntry): Unit = {
@@ -264,7 +278,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   private def parseTableMeta(t: com.fasterxml.jackson.databind.JsonNode)
       : (Option[org.apache.spark.sql.types.StructType],
-         Map[String, String], Option[String]) = {
+         Map[String, String], Option[String], Option[Seq[String]]) = {
     val schema = Option(t.get("schema")).map(n =>
       org.apache.spark.sql.types.DataType.fromJson(n.asText())
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -272,7 +286,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
       cn.properties().asScala
         .map(ce => ce.getKey -> ce.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
-    (schema, checks, Option(t.get("idcol")).map(_.asText()))
+    val statsCols = Option(t.get("statscols")).map(
+      _.elements().asScala.map(_.asText()).toSeq)
+    (schema, checks, Option(t.get("idcol")).map(_.asText()), statsCols)
   }
 
   private def putTableMeta(t: ObjectNode, st: TableState): Unit = {
@@ -282,6 +298,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
     if (st.checks.nonEmpty) {
       val cn = t.putObject("checks")
       st.checks.toSeq.sortBy(_._1).foreach { case (n, e) => cn.put(n, e) }
+    }
+    st.statsCols.foreach { sc =>
+      val a = t.putArray("statscols"); sc.foreach(a.add)
     }
   }
 
@@ -296,9 +315,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
         val t = e.getValue
         val files = canonFiles(t.get("files").elements().asScala
           .map(parseFileEntry).toVector)
-        val (schema, checks, idCol) = parseTableMeta(t)
+        val (schema, checks, idCol, statsCols) = parseTableMeta(t)
         e.getKey -> TableState(t.get("maxId").asLong(), files, schema,
-          checks, idCol)
+          checks, idCol, statsCols)
       }.toMap
   }
 
@@ -310,6 +329,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       remove: Vector[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       checks: Map[String, String], idCol: Option[String],
+      /** Absolute post-commit stats-column list (like schema/idCol). */
+      statsCols: Option[Seq[String]] = None,
       /** DROP TABLE tombstone (round 15): the table's manifest key is
         * removed by this commit. History below stays readable (time
         * travel / restore replay OLD manifests); the files lose their
@@ -329,9 +350,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
           .map(parseFileEntry).toVector).getOrElse(Vector.empty)
         val remove = Option(t.get("remove")).map(_.elements().asScala
           .map(_.asText()).toVector).getOrElse(Vector.empty)
-        val (schema, checks, idCol) = parseTableMeta(t)
+        val (schema, checks, idCol, statsCols) = parseTableMeta(t)
         e.getKey -> TableDelta(t.get("maxId").asLong(), add, remove,
-          schema, checks, idCol)
+          schema, checks, idCol, statsCols)
       }
     }.toMap).getOrElse(Map.empty)
   }
@@ -365,7 +386,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val gone = td.remove.toSet
     TableState(td.maxId,
       canonFiles(prev.files.filterNot(f => gone(f.path)) ++ td.add),
-      td.schema, td.checks, td.idCol)
+      td.schema, td.checks, td.idCol, td.statsCols)
   }
 
   /** Every log file as (version, isCheckpoint, path); empty if no log. */
@@ -584,7 +605,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
             remove.foreach(rn.add)
           }
           Some(tbl -> TableDelta(st.maxId, add, remove, st.schema,
-            st.checks, st.idCol))
+            st.checks, st.idCol, st.statsCols))
         }
       }.toMap
     Files.createDirectories(logDir)
@@ -607,6 +628,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         committedAtMs,
         next.toSeq.sortBy(_._1).map { case (tbl, st) =>
           (tbl, st.maxId, st.schema.map(_.json), st.checks, st.idCol,
+            st.statsCols,
             st.files.map(f =>
               (f.path, f.minId, f.maxId, f.cols, f.scols, f.dv, f.rows,
                 f.nulls)):
@@ -775,12 +797,23 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * snapshot (initial backfill).
     *
     * Contract — loud, never silently partial:
-    *  - any commit in the range that REMOVED a file entry (COW
-    *    rewrite, delete, compaction, or a DV change on a pre-existing
-    *    file — entries key by (path, dv)) throws: an appends-only tail
-    *    cannot represent row removal or mutation; consumers that need
-    *    those read [[changesWithUpdates]] (the CDF mode of the same
-    *    streaming source);
+    *  - for a TAIL range (`fromVersion > 0`), any commit in the range
+    *    that removed a file entry (COW rewrite, delete, compaction,
+    *    DROP, or a DV change — entries key by (path, dv)) throws: an
+    *    appends-only tail cannot represent row removal or mutation;
+    *    consumers that need those read [[changesWithUpdates]] (the CDF
+    *    mode of the same streaming source). This is checked
+    *    per-VERSION over the range's deltas, not endpoint-to-endpoint,
+    *    so a file added and then mutated (DV-masked, rewritten, or
+    *    compacted) WITHIN the range fails just as loudly — endpoint
+    *    diffing alone would serve it pre-masked, silently folding the
+    *    mutation, and whether the stream failed would depend on batch
+    *    pacing;
+    *  - the INITIAL BACKFILL (`fromVersion = 0`) is a snapshot read,
+    *    not a range replay: it serves the END version's reconciled
+    *    state (DVs masked, rewrites folded) without auditing the
+    *    history below it — the Delta initial-snapshot contract. The
+    *    appends-only audit applies from the first tail batch on;
     *  - rows come back through the END version's schema (pre-evolution
     *    files NULL-backfill added columns, the batch-read rule); a
     *    consumer pinned to an OLDER schema is the streaming source's
@@ -805,17 +838,49 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val from = fromState.map(_.files).getOrElse(Vector.empty)
     val to = toState.map(_.files).getOrElse(Vector.empty)
     val fromKeys = from.map(f => (f.path, f.dv)).toSet
+    def nonAppend(detail: String): Nothing =
+      throw new IllegalStateException(
+        s"readAppends v$fromVersion..v$toVersion of '$table': the range " +
+          s"contains a non-append commit ($detail); an appends-only " +
+          "tail cannot represent row removal/mutation — read the " +
+          "change feed instead (readChangeFeed=true / " +
+          "changesWithUpdates)")
+    // Tail ranges audit EVERY version's delta, because the endpoint
+    // diff is blind to a file added and then mutated inside the range
+    // (its pre-mutation entry exists at neither endpoint — the rows
+    // would silently vanish). Any `remove` in a delta — COW, delete,
+    // compaction, or the remove+re-add a DV change replays as — is a
+    // mutation; so is a DROP tombstone. Cost: one small driver-side
+    // JSON per in-range commit, ∝ the streamed commits (the same
+    // per-version granularity [[changesWithUpdates]] already reads).
+    // The initial backfill (fromVersion 0) is a snapshot read by
+    // contract and skips the audit — see the method doc.
+    if (fromVersion > 0L)
+      ((fromVersion + 1) to toVersion).foreach { v =>
+        if (!Files.exists(deltaPath(v)))
+          throw new IllegalStateException(
+            s"readAppends v$fromVersion..v$toVersion of '$table': delta " +
+              s"v$v has been vacuumed; raise the vacuum retention " +
+              "window to keep the tail readable")
+        parseDelta(Files.readAllBytes(deltaPath(v))).get(table)
+          .foreach { td =>
+            if (td.dropped)
+              nonAppend(s"v$v drops the table")
+            if (td.remove.nonEmpty)
+              nonAppend(s"v$v removes ${td.remove.size} file entr" +
+                (if (td.remove.size == 1) "y" else "ies") +
+                s" — rewritten, deleted, compacted, or DV-masked; " +
+                s"first: ${td.remove.head}")
+          }
+      }
+    // endpoint diff as belt-and-braces (also covers fromVersion = 0
+    // inconsistencies that would indicate log corruption)
     val toKeys = to.map(f => (f.path, f.dv)).toSet
     val removed = from.filterNot(f => toKeys((f.path, f.dv)))
     if (removed.nonEmpty)
-      throw new IllegalStateException(
-        s"readAppends v$fromVersion..v$toVersion of '$table': the range " +
-          s"contains a non-append commit (${removed.size} file " +
-          "entr" + (if (removed.size == 1) "y" else "ies") +
-          " rewritten, deleted, or DV-masked — first: " +
-          s"${removed.head.path}); an appends-only tail cannot " +
-          "represent row removal/mutation — read the change feed " +
-          "instead (readChangeFeed=true / changesWithUpdates)")
+      nonAppend(s"${removed.size} file entr" +
+        (if (removed.size == 1) "y" else "ies") +
+        s" rewritten, deleted, or DV-masked — first: ${removed.head.path}")
     if (fromState.isDefined &&
         idColOf(fromState, table) != idColOf(toState, table))
       throw new IllegalStateException(
@@ -854,6 +919,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** Surrogate-id column: the manifest's (clones), else the registry's. */
   private def idColOf(st: Option[TableState], table: String): String =
     st.flatMap(_.idCol).getOrElse(Schemas.registry(table)._2)
+
+  /** Effective stats-column list: the manifest's (round 16 — CREATE
+    * TABLE'd tables, clones, setStatsColumns), else the name-keyed
+    * [[Schemas.statsColumns]] registry. Same resolution shape as
+    * schema/idCol — the registry is the fixture bootstrap, the
+    * manifest is the source of truth for dynamic tables. */
+  private def statsColsOf(st: Option[TableState],
+      table: String): Seq[String] =
+    st.flatMap(_.statsCols)
+      .getOrElse(Schemas.statsColumns.getOrElse(table, Nil))
 
   /** Scan a file-entry list through `schema`, MASKING deletion vectors
     * (round 15 merge-on-read): rows of a DV-carrying file whose id is in
@@ -1097,10 +1172,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
       else {
         val df = spark.read.schema(schema)
           .parquet(present.map(f => s"$root/${f.path}"): _*)
-        val statCols = Schemas.statsColumns.getOrElse(table, Nil)
+        val effStats = statsColsOf(st, table)
+        val statCols = effStats
           .filter(c => schema.fieldNames.contains(c))
           .filter(c => statLong(df, c).isDefined)
-        val strCols = Schemas.statsColumns.getOrElse(table, Nil)
+        val strCols = effStats
           .filter(c => schema.fieldNames.contains(c))
           .filter(c => schema(c).dataType ==
             org.apache.spark.sql.types.StringType)
@@ -1142,7 +1218,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // be wrong and readRange would prune by it. Claims for columns the
     // schema no longer carries (dropColumn) are legitimately
     // unverifiable and stay quiet.
-    val observableStats = Schemas.statsColumns.getOrElse(table, Nil)
+    val observableStats = statsColsOf(st, table)
       .filter(schema.fieldNames.contains).toSet
     val verdicts = entries.map { f =>
       val problem: String =
@@ -1396,7 +1472,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * their output file). The group name carries a UUID — two writers (even
     * in different processes) must never collide on a directory. */
   private def stageFiles(table: String, df: DataFrame,
-      idCol: String): Vector[FileEntry] = {
+      idCol: String,
+      /** The EFFECTIVE stats-column list for this write — callers
+        * resolve it through their own view of the table state
+        * ([[Tx.curState]] inside a transaction, so a table created or
+        * re-designated EARLIER IN THE SAME TX already collects the
+        * right stats; the current manifest at commit-replay time).
+        * Resolving here from the committed manifest would miss staged
+        * DDL. */
+      statsCols: Seq[String]): Vector[FileEntry] = {
     val snap = s"snap-${System.currentTimeMillis()}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val dir = s"$root/$table/$snap"
@@ -1406,10 +1490,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val written = spark.read.schema(df.schema).parquet(dir)
     // value stats ride the SAME single job as the id stats: one extra
     // min/max agg pair per designated column present in this schema
-    val statCols = Schemas.statsColumns.getOrElse(table, Nil)
+    val statCols = statsCols
       .filter(c => df.schema.fieldNames.contains(c))
       .filter(c => statLong(df, c).isDefined)
-    val strCols = Schemas.statsColumns.getOrElse(table, Nil)
+    val strCols = statsCols
       .filter(c => df.schema.fieldNames.contains(c))
       .filter(c => df.schema(c).dataType ==
         org.apache.spark.sql.types.StringType)
@@ -1562,7 +1646,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         keyCol: String): Option[Catalog.KeyDomain] = {
       import Catalog.{KeyDomain, LongDomain, StrDomain}
       val range: Option[KeyDomain] =
-        if (!Schemas.statsColumns.getOrElse(table, Nil).contains(keyCol))
+        if (!effStatsCols(table).contains(keyCol))
           None
         else statLong(src, keyCol) match {
           case Some(lc) =>
@@ -1659,6 +1743,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
         : (org.apache.spark.sql.types.StructType, String) =
       (schemaOf(Some(curState(table)), table),
         idColOf(Some(curState(table)), table))
+
+    /** Effective stats-column list through the IN-TX view — staged
+      * createTable/setStatsColumns earlier in this transaction are
+      * already visible to this transaction's own writes. */
+    private def effStatsCols(table: String): Seq[String] =
+      statsColsOf(Some(curState(table)), table)
 
     /** current in-tx view of a table (staged writes visible). Reading
       * registers the table in this transaction's read set: commit
@@ -1814,7 +1904,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       }
       val withIds = spark.createDataFrame(indexed, schema)
       enforceChecks(table, withIds)
-      val newFiles = stageFiles(table, withIds, idCol)
+      val newFiles = stageFiles(table, withIds, idCol, effStatsCols(table))
       val n = newFiles.map(f => f.maxId).maxOption.getOrElse(baseId)
       staged :+= Staged(table, prev.copy(maxId = math.max(n, baseId),
         files = prev.files ++ newFiles))
@@ -1839,7 +1929,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val all = readFiles(table, prev.files, schema, idCol)
         .repartitionByRange(math.max(1, numFiles), col(idCol))
         .sortWithinPartitions(idCol)
-      val newFiles = stageFiles(table, all, idCol)
+      val newFiles = stageFiles(table, all, idCol, effStatsCols(table))
       staged :+= Staged(table, prev.copy(files = newFiles))
     }
 
@@ -1883,9 +1973,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
           s"optimize: no column '$c' in '$table'")
         require(c != idCol,
           s"'$c' is the surrogate id — id clustering is compact()")
-        require(Schemas.statsColumns.getOrElse(table, Nil).contains(c),
-          s"optimize: '$c' carries no file stats (Schemas.statsColumns)" +
-            " — the clustered layout would have nothing to prune on")
+        require(effStatsCols(table).contains(c),
+          s"optimize: '$c' carries no file stats (designate it via " +
+            "createTable/setStatsColumns, or Schemas.statsColumns for " +
+            "fixture tables) — the clustered layout would have " +
+            "nothing to prune on")
       }
       val prev = curState(table)
       if (prev.files.isEmpty) return
@@ -1912,7 +2004,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         .repartitionByRange(math.max(1, numFiles), col("__graft_zk"))
         .sortWithinPartitions("__graft_zk")
         .drop("__graft_zk")
-      val newFiles = stageFiles(table, out, idCol)
+      val newFiles = stageFiles(table, out, idCol, effStatsCols(table))
       staged :+= Staged(table, prev.copy(files = newFiles))
     }
 
@@ -1951,7 +2043,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         enforceChecks(table, images)
         val deadByFile = collectDeadByFile(matched, idCol, hit)
         if (deadByFile.isEmpty) return // predicate matched nothing
-        val patch = stageFiles(table, images, idCol)
+        val patch = stageFiles(table, images, idCol, effStatsCols(table))
         staged :+= Staged(table, prev.copy(files =
           carried ++ dvMarked(hit, deadByFile) ++ patch))
       } else {
@@ -1959,7 +2051,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           df.withColumn(c, when(predicate, v).otherwise(col(c)))
         }
         enforceChecks(table, updated)
-        val newFiles = stageFiles(table, updated, idCol)
+        val newFiles = stageFiles(table, updated, idCol, effStatsCols(table))
         staged :+= Staged(table, prev.copy(files = carried ++ newFiles))
       }
     }
@@ -2046,7 +2138,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val newFiles =
         if (counts.getLong(0) == nDeleted) Vector.empty
         else stageFiles(table,
-          cur.filter(!coalesce(predicate, lit(false))), idCol)
+          cur.filter(!coalesce(predicate, lit(false))), idCol,
+          effStatsCols(table))
       staged :+= Staged(table, prev.copy(files = carried ++ newFiles))
       nDeleted
     }
@@ -2137,7 +2230,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
                   else if (f == keyCol) col(keyCol)
                   else col(s"s.$f").as(f)
                 }: _*)
-              val patch = stageFiles(table, images, idCol)
+              val patch = stageFiles(table, images, idCol, effStatsCols(table))
               staged :+= Staged(table, prev.copy(files =
                 carried ++ dvMarked(hit, deadByFile) ++ patch))
             }
@@ -2151,7 +2244,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
                 else when(col("__m"), col(s"s.$f"))
                   .otherwise(col(s"t.$f")).as(f)
               }: _*)
-            val rewritten = stageFiles(table, applied, idCol)
+            val rewritten = stageFiles(table, applied, idCol, effStatsCols(table))
             staged :+= Staged(table,
               prev.copy(files = carried ++ rewritten))
           }
@@ -2263,7 +2356,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           .withColumn("is_current",
             when(col("__close"), lit(false)).otherwise(col("is_current")))
           .select(schema.fieldNames.toIndexedSeq.map(col): _*)
-        val rewritten = stageFiles(table, closed, idCol)
+        val rewritten = stageFiles(table, closed, idCol, effStatsCols(table))
         staged :+= Staged(table, prev.copy(files = carried ++ rewritten))
       }
       // open a new current version for brand-new AND changed keys
@@ -2323,7 +2416,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
           count(when(inRange, 1)).as("nDel")).collect()(0)
         val newFiles =
           if (counts.getLong(0) == counts.getLong(1)) Vector.empty
-          else stageFiles(table, cur.filter(!inRange), idCol)
+          else stageFiles(table, cur.filter(!inRange), idCol,
+            effStatsCols(table))
         staged :+= Staged(table, prev.copy(files = carried ++ newFiles))
         counts.getLong(1)
       }
@@ -2355,7 +2449,19 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * name conflicts. */
     def createTable(table: String,
         schema: org.apache.spark.sql.types.StructType,
-        idCol: String): Unit = {
+        idCol: String,
+        /** Columns to collect per-file min/max stats for (round 16 —
+          * the manifest-carried analogue of [[Schemas.statsColumns]]):
+          * every subsequent write stages value stats for these in the
+          * same job as the id stats, enabling readRange/SQL-door file
+          * skipping, `optimize ZORDER`, and provable merge key-domain
+          * disjointness under OCC — the skipping a dynamic table needs
+          * to not be a full-scan trap at 100 TB. Must exist in the
+          * schema, not be the surrogate id, and be of a
+          * stats-normalizable type (BIGINT/INT/TIMESTAMP) or STRING
+          * (bounded UTF-8 prefix stats). Empty = no value-column
+          * skipping (id/row/null stats always collect). */
+        statsColumns: Seq[String] = Nil): Unit = {
       ensureLease()
       require(table.nonEmpty && !table.startsWith("_"),
         s"invalid table name '$table'")
@@ -2375,9 +2481,58 @@ final class Catalog(val spark: SparkSession, val root: String) {
         s"id column '$idCol' must be a non-nullable BIGINT; got " +
           s"${idField.dataType.simpleString}" +
           (if (idField.nullable) " (nullable)" else ""))
+      validateStatsColumns(table, schema, idCol, statsColumns)
       staged :+= Staged(table,
-        TableState(0L, Vector.empty, Some(schema), Map.empty, Some(idCol)))
+        TableState(0L, Vector.empty, Some(schema), Map.empty, Some(idCol),
+          statsCols =
+            if (statsColumns.isEmpty) None else Some(statsColumns)))
       strictTables += table
+    }
+
+    /** Re-designate a table's stats-column list (ALTER-shaped DDL,
+      * round 16): FUTURE writes collect per-file stats for `cols`;
+      * existing files keep whatever stats they were staged with
+      * (pruning on a stat-less file conservatively keeps it — never a
+      * correctness difference, so no rewrite is forced; run
+      * `optimize`/`compact` to rewrite the layout WITH the new stats).
+      * Works on any table — including registry fixtures, where the
+      * manifest list overrides [[Schemas.statsColumns]] from this
+      * commit on. Whole-table-dependent like all DDL. */
+    def setStatsColumns(table: String, cols: Seq[String]): Unit = {
+      ensureLease()
+      val cur = curState(table)
+      require(base.contains(table) || Schemas.registry.contains(table) ||
+        staged.exists(_.table == table),
+        s"no such table '$table'")
+      val (schema, idCol) = schemaIdOf(table)
+      validateStatsColumns(table, schema, idCol, cols)
+      staged :+= Staged(table, cur.copy(statsCols = Some(cols)))
+      strictTables += table
+    }
+
+    private def validateStatsColumns(table: String,
+        schema: org.apache.spark.sql.types.StructType, idCol: String,
+        cols: Seq[String]): Unit = {
+      require(cols.distinct.length == cols.length,
+        s"duplicate stats column in $cols")
+      cols.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"stats column '$c' is not in '$table''s schema")
+        require(c != idCol,
+          s"'$idCol' is the surrogate id — id stats always collect; " +
+            "designate VALUE columns only")
+        val dt = schema(c).dataType
+        val ok = dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType ||
+          dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.StringType
+        require(ok,
+          s"stats column '$c' has type ${dt.simpleString} — only " +
+            "BIGINT/INT/TIMESTAMP (orderable-Long stats) and STRING " +
+            "(bounded prefix stats) are stats-normalizable; a " +
+            "designated column that could never collect would be a " +
+            "silent no-op at 100 TB, so this fails loudly")
+      }
     }
 
     /** DROP TABLE (round 15): removes the table's manifest key as a
@@ -2443,7 +2598,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
       }
       staged :+= Staged(dst, st.copy(
         schema = Some(schemaOf(Some(st), src)),
-        idCol = Some(idColOf(Some(st), src))))
+        idCol = Some(idColOf(Some(st), src)),
+        // pin the source's EFFECTIVE stats list (round 16): a clone of
+        // a registry fixture keeps collecting the same value stats on
+        // its own writes and stays optimize-able — without pinning,
+        // the clone's name misses the registry and new files would
+        // silently lose skipping
+        statsCols = Some(statsColsOf(Some(st), src))))
       strictTables += dst
     }
 
@@ -2463,7 +2624,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
         // found by StoreFuzzSpec seed 31337; checks by round-12 review)
         val cur = curState(t)
         staged :+= Staged(t,
-          TableState(0L, Vector.empty, cur.schema, cur.checks, cur.idCol))
+          TableState(0L, Vector.empty, cur.schema, cur.checks, cur.idCol,
+            cur.statsCols))
       }
       strictTables ++= staged.map(_.table)
     }
@@ -2669,12 +2831,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val newChecks = tx.addedChecks.getOrElse(table, Map.empty)
     if (newChecks.nonEmpty) {
       if (st.files != b.files || st.maxId != b.maxId ||
-          st.schema != b.schema ||
+          st.schema != b.schema || st.statsCols != b.statsCols ||
           st.checks != b.checks ++ newChecks)
         conflict("check DDL mixed with other staged changes on this " +
           "table cannot reconcile")
-      if (c.schema != b.schema)
-        conflict("schema changed concurrently under an ADD CONSTRAINT")
+      if (c.schema != b.schema || c.statsCols != b.statsCols)
+        conflict("schema or stats designation changed concurrently " +
+          "under an ADD CONSTRAINT")
       if (newChecks.keySet.exists(c.checks.keySet))
         conflict("a check of the same name was added concurrently")
       val bPaths = b.files.toSet
@@ -2695,8 +2858,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
       return c.copy(checks = c.checks ++ newChecks)
     }
     if (st.schema != b.schema || st.checks != b.checks ||
-        c.schema != b.schema || c.checks != b.checks)
-      conflict("schema or CHECK set changed")
+        c.schema != b.schema || c.checks != b.checks ||
+        st.statsCols != b.statsCols || c.statsCols != b.statsCols)
+      conflict("schema, CHECK set, or stats designation changed")
     if (c.maxId < b.maxId)
       conflict("id high-water rewound (concurrent restore)")
     val stFiles = st.files.toSet
@@ -2756,13 +2920,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
           idCol)
           .withColumn(idCol, when(col(idCol) > b.maxId,
             col(idCol) + lit(curAlloc)).otherwise(col(idCol)))
-        val rebased = stageFiles(table, shifted, idCol)
+        val rebased = stageFiles(table, shifted, idCol,
+          statsColsOf(Some(c), table))
         tx.idShifts += table -> curAlloc
         (rebased, c.maxId + alloc)
       } else (added, math.max(c.maxId, st.maxId))
     TableState(finalMaxId,
       c.files.filterNot(removed.contains) ++ finalAdded,
-      c.schema, c.checks, c.idCol)
+      c.schema, c.checks, c.idCol, c.statsCols)
   }
 
   /** Bounded conflict retry for the one-op conveniences: the body is
@@ -2826,8 +2991,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
     retried(_.cloneTable(src, dst, versionAsOf, timestampAsOf))
 
   def createTable(table: String,
-      schema: org.apache.spark.sql.types.StructType, idCol: String): Unit =
-    retried(_.createTable(table, schema, idCol))
+      schema: org.apache.spark.sql.types.StructType, idCol: String,
+      statsColumns: Seq[String] = Nil): Unit =
+    retried(_.createTable(table, schema, idCol, statsColumns))
+
+  def setStatsColumns(table: String, cols: Seq[String]): Unit =
+    retried(_.setStatsColumns(table, cols))
 
   def dropTable(table: String): Unit =
     retried(_.dropTable(table))

@@ -83,6 +83,7 @@ private[store] object CheckpointIO {
       |  optional int64 dv_count;
       |  optional int64 n_rows;
       |  optional binary nulls_json (UTF8);
+      |  optional binary stats_cols_json (UTF8);
       |}""".stripMargin)
 
   private val mapper = new ObjectMapper()
@@ -140,12 +141,22 @@ private[store] object CheckpointIO {
     mapper.readTree(s).properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
 
+  private def statsColsJson(sc: Seq[String]): String = {
+    val n = mapper.createArrayNode()
+    sc.foreach(n.add)
+    mapper.writeValueAsString(n)
+  }
+
+  private def parseStatsCols(s: String): Seq[String] =
+    mapper.readTree(s).elements().asScala.map(_.asText()).toSeq
+
   /** Write the manifest as `target` (tmp + atomic rename). Rows sorted
     * by (table, kind, path) so the `table` column is globally sorted
     * across row groups — that order IS the targeted read's pruning. */
   def write(target: JPath, version: Long, committedAtMs: Long,
       tables: Seq[(String, Long, Option[String], Map[String, String],
-        Option[String], Seq[(String, Long, Long, Map[String, (Long, Long)],
+        Option[String], Option[Seq[String]],
+        Seq[(String, Long, Long, Map[String, (Long, Long)],
           Map[String, (String, String)], Option[(String, Long)], Long,
           Map[String, Long])])]): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
@@ -165,13 +176,15 @@ private[store] object CheckpointIO {
     val gf = new SimpleGroupFactory(Schema)
     try {
       tables.sortBy(_._1).foreach {
-        case (tbl, maxId, schemaJson, checks, idCol, files) =>
+        case (tbl, maxId, schemaJson, checks, idCol, statsCols, files) =>
           val m = gf.newGroup()
           m.append("table", tbl).append("kind", "m")
           m.append("max_id", maxId)
           schemaJson.foreach(m.append("schema_json", _))
           if (checks.nonEmpty) m.append("checks_json", checksJson(checks))
           idCol.foreach(m.append("id_col", _))
+          statsCols.foreach(sc =>
+            m.append("stats_cols_json", statsColsJson(sc)))
           w.write(m)
           files.sortBy(_._1).foreach {
             case (p, mn, mx, cols, scols, dv, rows, nulls) =>
@@ -216,7 +229,11 @@ private[store] object CheckpointIO {
   def read(p: JPath, table: Option[String])
       : Seq[(String, String, Group)] = {
     val c = conf()
-    c.set("parquet.read.schema", Schema.toString)
+    // read through the FILE's own schema (no projection): a checkpoint
+    // written before a format column existed (e.g. pre-round-16
+    // stats_cols_json) must stay readable — decode guards field
+    // presence per group instead of forcing the current schema
+    // onto old files
     val b = ParquetReader
       .builder(new GroupReadSupport(), new HPath(p.toString))
       .withConf(c)
@@ -237,13 +254,16 @@ private[store] object CheckpointIO {
   }
 
   private def optStr(g: Group, field: String): Option[String] =
-    if (g.getFieldRepetitionCount(field) > 0) Some(g.getString(field, 0))
+    if (!g.getType.containsField(field)) None // pre-format-column file
+    else if (g.getFieldRepetitionCount(field) > 0)
+      Some(g.getString(field, 0))
     else None
 
   /** Decode one table's rows into the pieces [[Catalog]] assembles:
-    * (maxId, schemaJson, checks, idCol, fileEntries). */
+    * (maxId, schemaJson, checks, idCol, statsCols, fileEntries). */
   def decodeTable(rows: Seq[(String, String, Group)])
       : Option[(Long, Option[String], Map[String, String], Option[String],
+          Option[Seq[String]],
           Vector[(String, Long, Long, Map[String, (Long, Long)],
             Map[String, (String, String)], Option[(String, Long)], Long,
             Map[String, Long])])] = {
@@ -267,7 +287,8 @@ private[store] object CheckpointIO {
       (m.getLong("max_id", 0), optStr(m, "schema_json"),
         optStr(m, "checks_json").map(parseChecks)
           .getOrElse(Map.empty[String, String]),
-        optStr(m, "id_col"), files)
+        optStr(m, "id_col"),
+        optStr(m, "stats_cols_json").map(parseStatsCols), files)
     }
   }
 }

@@ -133,8 +133,15 @@ final class GraftTableCatalog extends TableCatalog {
     * by `TBLPROPERTIES('id_column'='<col>')` and must appear in the
     * column list as a non-nullable BIGINT; without the property a
     * leading `row_id BIGINT NOT NULL` is added (engine-assigned either
-    * way — INSERT carries NULL for it). Partitioning clauses are
-    * rejected: layout is the engine's job (compact / optimize). */
+    * way — INSERT carries NULL for it).
+    * `TBLPROPERTIES('stats_columns'='c1,c2')` (round 16) designates the
+    * manifest-carried stats columns: every write collects per-file
+    * min/max for them, so the SQL door's file skipping
+    * ([[GraftScanBuilder]]), `OPTIMIZE ... ZORDER BY`, and readRange
+    * pruning work on SQL-created tables exactly as on fixtures —
+    * without it a dynamic table is a full-scan trap at 100 TB.
+    * Partitioning clauses are rejected: layout is the engine's job
+    * (compact / optimize). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -153,7 +160,9 @@ final class GraftTableCatalog extends TableCatalog {
             schema.fields),
           "row_id")
     }
-    cat.createTable(ident.name(), full, idCol)
+    val statsCols = Option(properties.get("stats_columns")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    cat.createTable(ident.name(), full, idCol, statsCols)
     loadTable(ident)
   }
 

@@ -102,6 +102,35 @@ class CloneSpec extends SparkSuite {
     assert(cat.read("users").filter(col("user_role") === "vip").count() == 0)
   }
 
+  test("a clone inherits its source's EFFECTIVE stats designation " +
+    "(round 16): new writes to the clone collect the registry-fixture " +
+    "stats, readRange prunes them, and OPTIMIZE ZORDER accepts the " +
+    "clone") {
+    val cat = freshCat()
+    // users carries registry stats on created_at; a clone's name misses
+    // the registry, so without the manifest-pinned list its new files
+    // would silently lose skipping
+    def batch(lo: Int, hi: Int) = (lo to hi).map(i =>
+      user(s"u$i", s"u$i@x.c")
+        .withColumn("created_at",
+          lit(new java.sql.Timestamp(i * 86400000L))))
+      .reduce(_ unionAll _)
+    cat.append("users", batch(1, 20))
+    cat.cloneTable("users", "users_live")
+    cat.append("users_live", batch(21, 40))
+    cat.append("users_live", batch(41, 60))
+    // day window inside the FIRST clone-written file's range only
+    // (stats normalize timestamps to epoch MICROS)
+    val lo = 21L * 86400000L * 1000L; val hi = 30L * 86400000L * 1000L
+    val (hit, total) = cat.rangeFiles("users_live", "created_at", lo, hi)
+    assert(total == 3 && hit.size == 1,
+      s"clone write lost inherited stats: ${hit.size} of $total files " +
+        "for a one-file window")
+    cat.optimize("users_live", Seq("created_at"), numFiles = 2)
+    assert(cat.read("users_live").count() == 60L)
+    assert(cat.fsck("users_live").collect().forall(_.getBoolean(2)))
+  }
+
   test("vacuum never reclaims source files a clone still references " +
     "(root-wide liveness), even at retain=0") {
     val cat = freshCat()

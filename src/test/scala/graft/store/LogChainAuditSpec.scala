@@ -39,10 +39,11 @@ class LogChainAuditSpec extends SparkSuite {
     assert(cv == 10L)
     val tables = CheckpointIO.read(ck, None).groupBy(_._1).toSeq
       .map { case (tbl, rows) =>
-        val (maxId, schemaJson, checks, idCol, files) =
+        val (maxId, schemaJson, checks, idCol, statsCols, files) =
           CheckpointIO.decodeTable(rows).get
         (tbl, if (tbl == "users") 99L else maxId, schemaJson, checks,
-          idCol, files: Seq[(String, Long, Long, Map[String, (Long, Long)],
+          idCol, statsCols,
+          files: Seq[(String, Long, Long, Map[String, (Long, Long)],
             Map[String, (String, String)], Option[(String, Long)], Long,
             Map[String, Long])])
       }

@@ -171,4 +171,121 @@ class StoreDdlSpec extends SparkSuite {
     assert(!cat.sqlTableNames().contains("metrics"),
       "conflicted append resurrected a dropped table")
   }
+
+  private val statShape = StructType(Seq(
+    StructField("m_id", LongType, nullable = false),
+    StructField("k", LongType),
+    StructField("tag", StringType),
+    StructField("score", DoubleType)))
+
+  private def kvRows(lo: Long, hi: Long) = {
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((lo to hi).map(i =>
+        Row(i, s"t${i % 7}", i * 1.5)), 2),
+      StructType(statShape.fields.filterNot(_.name == "m_id")))
+  }
+
+  test("manifest-carried stats columns (round 16): createTable " +
+    "designates them — even within the SAME transaction as the first " +
+    "append — files collect value stats, readRange prunes, and " +
+    "OPTIMIZE ZORDER accepts the dynamic table") {
+    val (cat, _) = fresh()
+    // createTable + first append in ONE tx: the staged designation must
+    // be visible to the tx's own write (stats resolution through the
+    // in-tx state, not the committed manifest)
+    cat.transaction { tx =>
+      tx.createTable("facts", statShape, "m_id",
+        statsColumns = Seq("k", "tag"))
+      tx.append("facts", kvRows(1, 100))
+    }
+    cat.append("facts", kvRows(101, 200))
+    cat.append("facts", kvRows(201, 300))
+    val (hit, total) = cat.rangeFiles("facts", "k", 1L, 50L)
+    assert(total >= 3 && hit.size < total,
+      s"designated Long column did not prune: ${hit.size} of $total")
+    val (shit, stotal) = cat.rangeFilesStr("facts", "tag", "t0", "t6")
+    assert(shit.size == stotal, "string stats bounds broke a full cover")
+    // pruning is sound: the range read equals the exact filter
+    assert(cat.readRange("facts", "k", 1L, 50L).count() == 50L)
+    // ZORDER on the designated column works on the dynamic table
+    cat.optimize("facts", Seq("k"), numFiles = 4)
+    val (hit2, total2) = cat.rangeFiles("facts", "k", 1L, 50L)
+    assert(total2 == 4 && hit2.size < total2,
+      s"post-ZORDER prune failed: ${hit2.size} of $total2")
+    assert(cat.readRange("facts", "k", 1L, 50L).count() == 50L)
+    // fsck verifies the stats claims on the dynamic table
+    assert(cat.fsck("facts").collect().forall(_.getBoolean(2)))
+  }
+
+  test("stats-column designation validates loudly: unknown column, " +
+    "surrogate id, non-normalizable type, duplicates — and " +
+    "setStatsColumns re-designates an existing table (future files " +
+    "collect; old files conservatively stay un-pruned)") {
+    val (cat, _) = fresh()
+    def msg(body: => Unit): String = intercept[Exception](body).getMessage
+    assert(msg(cat.createTable("t", statShape, "m_id",
+      statsColumns = Seq("nope"))).contains("not in"))
+    assert(msg(cat.createTable("t", statShape, "m_id",
+      statsColumns = Seq("m_id"))).contains("surrogate id"))
+    assert(msg(cat.createTable("t", statShape, "m_id",
+      statsColumns = Seq("score"))).contains("stats-normalizable"))
+    assert(msg(cat.createTable("t", statShape, "m_id",
+      statsColumns = Seq("k", "k"))).contains("duplicate"))
+
+    cat.createTable("t", statShape, "m_id") // no designation
+    cat.append("t", kvRows(1, 100))
+    assert(msg(cat.optimize("t", Seq("k")))
+      .contains("no file stats"))
+    val (hit0, total0) = cat.rangeFiles("t", "k", 1L, 10L)
+    assert(hit0.size == total0, "stat-less files must all be kept")
+    cat.setStatsColumns("t", Seq("k"))
+    cat.append("t", kvRows(101, 200))
+    // the pre-designation file has no k stats (kept); the new one does
+    val (hit1, total1) = cat.rangeFiles("t", "k", 1L, 10L)
+    assert(total1 == 2 && hit1.size == 1,
+      s"expected only the pre-designation file kept, got ${hit1.size} " +
+        s"of $total1")
+    // ...and OPTIMIZE is now accepted (rewrites WITH stats)
+    cat.optimize("t", Seq("k"), numFiles = 2)
+    assert(cat.readRange("t", "k", 1L, 10L).count() == 10L)
+    assert(cat.fsck("t").collect().forall(_.getBoolean(2)))
+  }
+
+  test("the manifest designation overrides the registry for fixture " +
+    "tables, survives the parquet checkpoint across a cold reopen, " +
+    "and versions with time travel") {
+    val (cat, _) = fresh()
+    cat.createTable("facts", statShape, "m_id",
+      statsColumns = Seq("k"))
+    cat.append("facts", kvRows(1, 100))        // v2
+    // push the log past a checkpoint (interval 10) WITHOUT touching
+    // 'facts' again: its stats designation must then be served from the
+    // parquet checkpoint's meta row, not a tail delta
+    import spark.implicits._
+    (1 to 9).foreach(i => cat.append("users",
+      Seq((s"u$i", "L", "0123456789", s"u$i@x.c", "h", "user",
+        new java.sql.Timestamp(i * 1000L)))
+        .toDF("first_name", "last_name", "phone", "email",
+          "password_hash", "user_role", "created_at")))
+    assert(cat.version >= Catalog.CheckpointInterval,
+      s"fixture did not cross a checkpoint (v${cat.version})")
+    val cold = new Catalog(spark, cat.root)
+    // cold write collects stats for the checkpoint-carried designation
+    cold.append("facts", kvRows(101, 200))
+    val (hit, total) = cold.rangeFiles("facts", "k", 150L, 160L)
+    assert(total == 2 && hit.size == 1,
+      s"checkpoint-carried designation lost: ${hit.size} of $total")
+    cold.optimize("facts", Seq("k"), numFiles = 2)
+
+    // registry override: users carries 'created_at' from the registry;
+    // re-designating through the manifest wins from that commit on
+    val vBefore = cold.version
+    cold.setStatsColumns("users", Seq("email"))
+    intercept[Exception] { cold.optimize("users", Seq("created_at")) }
+    // time travel reads the OLD designation epoch: the pre-override
+    // snapshot still validates stats claims through the registry list
+    assert(cold.readAt("users", vBefore).count() ==
+      cold.read("users").count())
+  }
 }
