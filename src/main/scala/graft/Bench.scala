@@ -97,6 +97,37 @@ object Bench {
   private def detailPath: java.nio.file.Path = java.nio.file.Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_QUERIES.json"))
 
+  /** Per-row drift guard (round 16): the builder's seal persists each
+    * row's reference seconds to `bench/BENCH_REFERENCE.json`
+    * (SPARK_GRAFT_BENCH_REF overrides); every bench run compares its
+    * own rows against it and carries the offenders in a `drift` key of
+    * the JSON — a machine-state episode (JIT churn, background load)
+    * is then visible IN THE RUN THAT SUFFERS IT, instead of surfacing
+    * one verdict later as an unexplained +11%% (the r14->r15 lesson).
+    * A row is flagged when it exceeds 1.5x its reference AND the
+    * excess is > 0.15 s (sub-second rows jitter by job-floor noise
+    * that means nothing at 100 TB). Empty on a clean run; absent
+    * reference file = empty (first seal bootstraps it). */
+  private def referencePath: java.nio.file.Path = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench/BENCH_REFERENCE.json"))
+
+  private[graft] def loadReference(): Map[String, Double] =
+    if (!java.nio.file.Files.exists(referencePath)) Map.empty
+    else {
+      val txt = java.nio.file.Files.readString(referencePath)
+      "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+
+  private[graft] def driftOf(results: Seq[(String, Double)],
+      ref: Map[String, Double]): Seq[(String, Double, Double)] =
+    results.flatMap { case (n, v) =>
+      ref.get(n) match {
+        case Some(r) if v > 1.5 * r && v - r > 0.15 => Some((n, v, r))
+        case _ => None
+      }
+    }
+
   private[graft] def fmtJson(results: Seq[(String, Double)],
       failed: Iterable[String], sfDir: String, runs: Int,
       full: Boolean): String = {
@@ -105,11 +136,24 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val drift = driftOf(results, loadReference())
+      .sortBy { case (n, v, r) => -(v / r) }
+    def driftJson(rows: Seq[(String, Double, Double)]): String = rows
+      .map { case (n, v, r) => f""""$n":"$v%.2f/$r%.2f"""" }
+      .mkString("{", ",", "}")
+    if (drift.nonEmpty) System.err.println(
+      s"[bench] DRIFT: ${drift.size} row(s) above 1.5x their seal " +
+        "reference — treat this run's absolute numbers as suspect: " +
+        drift.map { case (n, v, r) => f"$n $v%.2f/$r%.2f" }
+          .mkString(", "))
     if (full)
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":${qMap(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":${qMap(results)},"failed":$failedJson,"drift_n":${drift.size},"drift":${driftJson(drift)},"sf":"$sfDir"}"""
     else {
+      // the compact line must survive the driver's ~2000-char tail
+      // capture even on a pathological machine-state run: carry the
+      // count + the 5 worst offenders; the detail file has them all
       val headline = results.filter { case (k, _) => headlineNames(k) }
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qMap(headline)},"failed":$failedJson,"detail":"$detailPath","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qMap(headline)},"failed":$failedJson,"drift_n":${drift.size},"drift":${driftJson(drift.take(5))},"detail":"$detailPath","sf":"$sfDir"}"""
     }
   }
 

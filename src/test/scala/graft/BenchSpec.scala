@@ -28,6 +28,37 @@ class BenchSpec extends AnyFunSuite {
     assert(line.startsWith("""{"metric":"total""""))
   }
 
+  test("drift guard: rows above 1.5x their reference AND +0.15s are " +
+    "flagged; sub-threshold jitter and missing references are not") {
+    val ref = Map("a" -> 1.0, "b" -> 0.05, "c" -> 2.0)
+    val results = Seq(
+      "a" -> 1.9,   // 1.9x, +0.9s        -> flagged
+      "b" -> 0.12,  // 2.4x but +0.07s    -> noise floor, not flagged
+      "c" -> 2.6,   // 1.3x               -> inside band, not flagged
+      "d" -> 9.0)   // no reference       -> not flagged
+    val drift = Bench.driftOf(results, ref)
+    assert(drift.map(_._1) == Seq("a"), drift.toString)
+    // the JSON carries the flagged rows and the count; a clean run's
+    // drift object is empty
+    val line = Bench.fmtJson(Seq("a" -> 1.9), Nil, "/sf", 2, full = true)
+    assert(line.contains("\"drift_n\":"))
+    assert(Bench.driftOf(Seq("a" -> 1.0), ref).isEmpty)
+  }
+
+  test("a pathological all-drifted run still fits the contract line: " +
+    "the compact drift object is capped at the 5 worst rows") {
+    val results = SparkEntry.benchQueries.map(_.name -> 999.999)
+    val ref = results.map { case (n, _) => n -> 0.5 }.toMap
+    val drift = Bench.driftOf(results, ref)
+    assert(drift.size == results.size)
+    // cap check via string shape: at most 5 "name":"v/r" entries after
+    // "drift": in the compact form
+    val headline = results.filter(r => Bench.headlineNames(r._1))
+    val line = Bench.fmtJson(headline, Nil, "/root/testdata/sf0.1", 2,
+      full = false)
+    assert(line.length < 1900, s"contract line ${line.length} chars")
+  }
+
   test("every bench query belongs to exactly one family, and headline " +
     "names are real queries") {
     val names = SparkEntry.benchQueries.map(_.name)

@@ -1136,14 +1136,19 @@ class ExtSpec extends SparkSuite {
       "incremental merge diverged from the full recompute")
 
     // fan-out ops: the explode must sit above a row exchange, never
-    // directly on the file-split scan (the 10x sweep's single-task trap)
+    // directly on the file-split scan (the 10x sweep's single-task trap).
+    // ext_dedup_substring moved its explode into the STAGED gram-index
+    // writer (round 16) — its query plan now reads the index table with
+    // no Generate at all, which this pin also accepts (the staging
+    // writer keeps the narrow-rows-before-fan-out repartition).
     Seq(Dedup.substringSpans, TextAnalysis.subwordTokenize).foreach { q =>
+      q.setup.foreach(_(spark, sf))
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       // bottom-most hash exchange must sit BELOW the bottom-most
       // Generate in the top-down plan print (i.e. feed the explode)
       val gen = p.lastIndexOf("Generate")
       val exch = p.lastIndexOf("Exchange hashpartitioning")
-      assert(gen >= 0 && exch > gen,
+      assert(gen < 0 || exch > gen,
         s"${q.name}: expected a row exchange feeding the explode\n$p")
     }
   }

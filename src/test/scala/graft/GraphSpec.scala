@@ -93,29 +93,64 @@ class GraphSpec extends SparkSuite {
     assert(nEx <= 2, s"expected <=2 node-sized exchanges per round:\n$plan")
   }
 
-  test("pagerank SHIPPED unrolled plan: ten rounds, zero edge-sized " +
-    "exchanges — only node-sized aggregate exchanges") {
+  test("pagerank SHIPPED unrolled plan: the ten rounds' whole-stage " +
+    "codegen sources COLLAPSE to a handful of distinct bodies " +
+    "(useIdInClassName=false, the round-16 JIT-band cure) and the " +
+    "edge table is never exchanged or re-sorted") {
     import org.apache.spark.sql.execution._
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val plan = graft.ext.Graph.pagerank.fn(spark, sf)
-      .queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    assert(spark.conf.get("spark.sql.codegen.useIdInClassName") == "false",
+      "Sessions.tune must pin useIdInClassName=false — without it every " +
+        "unrolled round compiles its own large class (the measured " +
+        "graph-family JIT band)")
+    val (w, r0, n) = graft.ext.Graph.prInputs(spark, sf)
+    val base = graft.ext.Graph.PrScale * 15L / 100L / n
+    var ranks = r0
+    (1 to 10).foreach(_ =>
+      ranks = graft.ext.Graph.prRound(ranks, w, base))
+    val plan = ranks.queryExecution.executedPlan
+    plan.execute().count() // finalize the adaptive plan's stages
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: (kids.flatMap(walk) ++ p.subqueries.flatMap(walk))
+    }
+    val all = walk(plan)
+    val sources = all.collect { case w: WholeStageCodegenExec =>
+      w.doCodeGen()._2.body
+    }
+    assert(sources.size >= 8,
+      s"expected the unrolled loop to carry >=8 codegen stages, " +
+        s"found ${sources.size} — plan shape changed, re-pin this test")
+    // the pin: repeated round stages must SHARE bodies — at least 8
+    // of the loop's stages are served from the codegen cache instead
+    // of compiling their own class (without useIdInClassName=false,
+    // distinct == sources.size: zero sharing)
+    val distinct = sources.distinct.size
+    assert(sources.size - distinct >= 8,
+      s"only ${sources.size - distinct} of ${sources.size} codegen " +
+        "stages share a body ($distinct distinct) — the unrolled " +
+        "rounds are compiling per-round classes again (the measured " +
+        "graph-family JIT band)")
+    // the edge side (carries dg) is never exchanged or re-sorted
     def plainChainScan(p: SparkPlan): Option[RDDScanExec] = p match {
       case r: RDDScanExec => Some(r)
       case pr: ProjectExec => plainChainScan(pr.child)
       case f: FilterExec => plainChainScan(f.child)
       case _ => None
     }
-    val offenders = plan.collect {
+    val offenders = all.flatMap {
       case e: ShuffleExchangeExec => plainChainScan(e.child)
       case so: SortExec => plainChainScan(so.child)
-    }.flatten.filter(_.output.exists(_.name == "dg"))
+      case _ => None
+    }.filter(_.output.exists(_.name == "dg"))
     assert(offenders.isEmpty,
-      s"edge table re-shuffled/re-sorted inside the shipped loop:\n$plan")
-    val nEx = plan.collect { case e: ShuffleExchangeExec => e }.size
-    // 10 aggregate exchanges + the final top-20 ordering; nothing per
-    // round beyond the node-sized aggregate
-    assert(nEx <= 12, s"expected <=12 exchanges across the loop, got " +
-      s"$nEx:\n$plan")
+      "edge table re-shuffled/re-sorted inside the shipped loop")
   }
 
   test("pagerank top-20 equals a scalar fixed-point simulation, ranks " +
