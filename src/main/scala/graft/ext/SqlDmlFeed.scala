@@ -29,7 +29,13 @@ import graft.store.Catalog
   *     'merged': keys `<= 800` still present update in place
   *     (preserved ids), keys `> 800` insert with fresh dense ids
   *     continuing from the v1 high-water mark (deletes never lower
-  *     it).
+  *     it);
+  *  v5 SQL PARTIAL-SET `MERGE INTO` (round 16) with a `(820, 950]`
+  *     slice whose view triples `value` and re-types 'late': `WHEN
+  *     MATCHED THEN UPDATE SET value = s.value` rewrites ONLY the
+  *     value column — matched rows keep their standing event_type
+  *     ('merged' from v4) and every other column from the TARGET —
+  *     while unmatched keys `> 900` insert the full source row.
   * SqlDmlSpec pins the mechanics (DV sidecar, byte-identical
   * originals, CHECK enforcement, loud rejections); these rows pin the
   * cross-engine SEMANTICS of the SQL-door writes. */
@@ -39,6 +45,8 @@ object SqlDmlFeed {
   private val FlipId = 400L
   private val MergeLo = 700L
   private val MergeHi = 900L
+  private val PartialLo = 820L
+  private val PartialHi = 950L
 
   /** Catalog name for the SQL-DML fixture root. */
   private val CatName = "graftdml"
@@ -67,6 +75,21 @@ object SqlDmlFeed {
     "graft_sqldml_src"
   }
 
+  /** v5 source: the SET-expression pattern the partial merge documents
+    * — arithmetic is PRE-COMPUTED in the USING view (value x3), the
+    * MERGE assignment itself stays the same-name pass-through the
+    * engine executes. */
+  private def srcView2(s: SparkSession, d: String): String = {
+    Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") > PartialLo && col("event_id") <= PartialHi)
+      .withColumn("event_type", lit("late"))
+      .withColumn("value", col("value") * 3)
+      .withColumn("ingest_id", lit(null).cast("bigint"))
+      .createOrReplaceTempView("graft_sqldml_src2")
+    "graft_sqldml_src2"
+  }
+
   private def write(s: SparkSession, d: String): Unit = {
     val cat = new Catalog(s, rootDir(s))
     require(cat.version == 0L,
@@ -87,8 +110,15 @@ object SqlDmlFeed {
          |ON t.event_id = s.event_id
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    require(cat.version == 4L,
-      s"sql-dml fixture ended at v${cat.version}, expected 4")
+    // v5: PARTIAL-SET merge — only `value` rewrites on matched rows
+    val src2 = srcView2(s, d)
+    s.sql(
+      s"""MERGE INTO $CatName.events_ingest t USING $src2 s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(cat.version == 5L,
+      s"sql-dml fixture ended at v${cat.version}, expected 5")
     val dvLs = java.nio.file.Files.list(
       java.nio.file.Paths.get(rootDir(s), "_dv"))
     val nDv = try dvLs.count() finally dvLs.close()
@@ -119,17 +149,32 @@ object SqlDmlFeed {
        |ins AS (SELECT (SELECT MAX(ingest_id) FROM v1)
        |    + row_number() OVER (ORDER BY event_id) AS ingest_id, *
        |  FROM src
-       |  WHERE event_id NOT IN (SELECT event_id FROM v3))""".stripMargin
+       |  WHERE event_id NOT IN (SELECT event_id FROM v3)),
+       |state4 AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+       |  UNION ALL SELECT * FROM ins),
+       |src2 AS (SELECT event_id, ts, user_id, 'late' AS event_type,
+       |    value * 3 AS value, props
+       |  FROM f WHERE event_id > $PartialLo AND event_id <= $PartialHi),
+       |kept5 AS (SELECT * FROM state4
+       |  WHERE event_id NOT IN (SELECT event_id FROM src2)),
+       |upd5 AS (SELECT t.ingest_id, t.event_id, t.ts, t.user_id,
+       |    t.event_type, s.value AS value, t.props
+       |  FROM state4 t JOIN src2 s ON t.event_id = s.event_id),
+       |ins5 AS (SELECT (SELECT MAX(ingest_id) FROM state4)
+       |    + row_number() OVER (ORDER BY event_id) AS ingest_id, *
+       |  FROM src2
+       |  WHERE event_id NOT IN (SELECT event_id FROM state4))""".stripMargin
 
-  /** Final state after the three SQL-text mutations — read back through
-    * pure SQL as well (write AND read both cross the DSv2 door). */
+  /** Final state after the four SQL-text mutations (partial-SET merge
+    * included) — read back through pure SQL as well (write AND read
+    * both cross the DSv2 door). */
   val dmlState: Q = Q(
     "ext_sql_dml_state",
     s"""$replaySql
        |SELECT * FROM (
-       |  SELECT * FROM kept UNION ALL
-       |  SELECT * FROM upd UNION ALL
-       |  SELECT * FROM ins)
+       |  SELECT * FROM kept5 UNION ALL
+       |  SELECT * FROM upd5 UNION ALL
+       |  SELECT * FROM ins5)
        |ORDER BY ingest_id""".stripMargin
   ) { (s, d) =>
     ensurePrepared(s, d)

@@ -2167,12 +2167,38 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * rewrite + append swap into the manifest atomically with the rest
       * of the tx. */
     def merge(table: String, source: DataFrame,
-        keyCol: String): (Long, Long) = {
+        keyCol: String,
+        /** Partial-SET MERGE (round 16): `Some(cols)` restricts the
+          * MATCHED branch to rewriting only these columns from the
+          * source — every other column of a matched row keeps its
+          * TARGET value (the `WHEN MATCHED THEN UPDATE SET c = s.c`
+          * subset shape). Inserts are unaffected (source rows
+          * verbatim). `None` = the classic star merge (every non-key
+          * column from the source). Because partial post-images MIX
+          * target and source values, they are CHECK-validated
+          * directly (the star merge's source-only validation would
+          * miss a cross-column constraint). */
+        matchedCols: Option[Seq[String]] = None): (Long, Long) = {
       ensureLease()
       val (schema, idCol) = schemaIdOf(table)
       require(keyCol != idCol,
         s"merge key must be a natural key, not the surrogate id $idCol")
       val srcCols = schema.fieldNames.filterNot(_ == idCol).toSeq
+      matchedCols.foreach { cols =>
+        require(cols.nonEmpty, "partial merge with an empty SET")
+        require(cols.distinct.size == cols.size,
+          s"duplicate column in partial-merge SET $cols")
+        cols.foreach { c =>
+          require(srcCols.contains(c),
+            s"partial-merge SET column '$c' is not a writable column " +
+              s"of '$table'")
+          require(c != keyCol,
+            s"partial-merge SET cannot reassign the merge key '$keyCol'")
+        }
+      }
+      // does column f of a matched image take the SOURCE value?
+      val takesSrc: String => Boolean =
+        f => matchedCols.forall(_.contains(f))
       // materialize the source ONCE before anything reads it (same rule
       // as replaceWhere): the batch feeds the duplicate check, the CHECK
       // validation, the matched rewrite, the insert anti-join, AND the
@@ -2222,28 +2248,49 @@ final class Catalog(val spark: SparkSession, val root: String) {
               .join(broadcast(keys), Seq(keyCol), "left_semi")
             val deadByFile = collectDeadByFile(matchedRows, idCol, hit)
             if (deadByFile.nonEmpty) {
-              val images = matchedRows
-                .select(col(keyCol), col(idCol)).alias("t")
-                .join(broadcast(src).alias("s"), Seq(keyCol))
+              // partial SET keeps every un-SET column from the TARGET
+              // row, so the patch image projects the full matched row
+              // joined with the source and picks per column
+              val images = matchedRows.alias("t")
+                .join(broadcast(src).alias("s"),
+                  col(s"t.$keyCol") === col(s"s.$keyCol"))
                 .select(schema.fieldNames.toIndexedSeq.map { f =>
                   if (f == idCol) col(s"t.$f").as(f)
-                  else if (f == keyCol) col(keyCol)
-                  else col(s"s.$f").as(f)
+                  else if (f == keyCol) col(s"t.$f").as(f)
+                  else if (takesSrc(f)) col(s"s.$f").as(f)
+                  else col(s"t.$f").as(f)
                 }: _*)
+              // mixed post-images are validated directly (see the
+              // matchedCols scaladoc); the star merge keeps the
+              // cheaper source-only validation above
+              if (matchedCols.isDefined) enforceChecks(table, images)
               val patch = stageFiles(table, images, idCol, effStatsCols(table))
               staged :+= Staged(table, prev.copy(files =
                 carried ++ dvMarked(hit, deadByFile) ++ patch))
             }
           } else if (hit.nonEmpty) {
             val marked = src.withColumn("__m", lit(true))
-            val applied = readFiles(table, hit, schema, idCol).alias("t")
+            val hitFrame = readFiles(table, hit, schema, idCol)
+            val applied = hitFrame.alias("t")
               .join(broadcast(marked).alias("s"), Seq(keyCol), "left")
               .select(schema.fieldNames.toIndexedSeq.map { f =>
                 if (f == idCol) col(s"t.$f").as(f)
                 else if (f == keyCol) col(keyCol)
-                else when(col("__m"), col(s"s.$f"))
+                else if (takesSrc(f)) when(col("__m"), col(s"s.$f"))
                   .otherwise(col(s"t.$f")).as(f)
+                else col(s"t.$f").as(f)
               }: _*)
+            // partial SET: validate the MIXED matched post-images (the
+            // inner join restricts to matched rows only)
+            if (matchedCols.isDefined)
+              enforceChecks(table, hitFrame.alias("t")
+                .join(broadcast(src).alias("s"), Seq(keyCol))
+                .select(schema.fieldNames.toIndexedSeq.map { f =>
+                  if (f == idCol) col(s"t.$f").as(f)
+                  else if (f == keyCol) col(keyCol)
+                  else if (takesSrc(f)) col(s"s.$f").as(f)
+                  else col(s"t.$f").as(f)
+                }: _*))
             val rewritten = stageFiles(table, applied, idCol, effStatsCols(table))
             staged :+= Staged(table,
               prev.copy(files = carried ++ rewritten))
@@ -2958,8 +3005,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
       assignments: Map[String, Column]): Unit =
     retried(_.update(table, predicate, assignments))
 
-  def merge(table: String, source: DataFrame, keyCol: String): (Long, Long) =
-    retried(_.merge(table, source, keyCol))
+  def merge(table: String, source: DataFrame, keyCol: String,
+      matchedCols: Option[Seq[String]] = None): (Long, Long) =
+    retried(_.merge(table, source, keyCol, matchedCols))
 
   def addCheck(table: String, name: String, constraint: String): Unit =
     retried(_.addCheck(table, name, constraint))

@@ -42,10 +42,12 @@ import graft.store.Catalog
   *    change OCC read-set semantics — use the Scala API's transaction);
   *  - non-deterministic expressions (the Catalog revalidates predicates
   *    across OCC retries — two evaluations must agree);
-  *  - MERGE shapes beyond the keyed upsert [[Catalog.merge]] implements
-  *    (its matched branch takes EVERY non-key column from the source,
-  *    so a partial `UPDATE SET` would silently widen; conditional
-  *    actions / NOT MATCHED BY SOURCE have no engine analogue yet).
+  *  - MERGE shapes beyond the keyed upsert [[Catalog.merge]] implements:
+  *    the matched branch takes same-named SOURCE columns — a full star
+  *    or (round 16) any SUBSET, with un-SET columns keeping their
+  *    target values; arbitrary SET expressions, conditional actions,
+  *    and NOT MATCHED BY SOURCE still have no engine analogue and
+  *    throw pointed errors.
   *
   * Expressions cross from the analyzed command into the Catalog as SQL
   * text (`Expression.sql` with qualifiers stripped): the Catalog
@@ -104,8 +106,8 @@ final case class GraftSqlDmlRule(session: SparkSession)
             case _ => dmlFail(
               "MERGE through the SQL door takes exactly one " +
                 "unconditional WHEN MATCHED THEN UPDATE clause " +
-                "(Catalog.merge semantics: every matched target row is " +
-                "rewritten from the source)")
+                "(Catalog.merge semantics: matched target rows take " +
+                "the SET columns from the source)")
           }
           val insSets = notMatched match {
             case Seq(InsertAction(None, as)) => as
@@ -113,11 +115,23 @@ final case class GraftSqlDmlRule(session: SparkSession)
               "MERGE through the SQL door takes exactly one " +
                 "unconditional WHEN NOT MATCHED THEN INSERT clause")
           }
-          requireUpsertShape(upSets, "WHEN MATCHED THEN UPDATE",
-            rel, source, t, key)
-          requireUpsertShape(insSets, "WHEN NOT MATCHED THEN INSERT",
-            rel, source, t, key)
-          GraftMergeCommand(t.root, t.tableName, key, t.idCol, source)
+          // the MATCHED branch may SET a SUBSET of columns (round 16,
+          // partial-SET merge): un-SET columns keep their target
+          // values; INSERT must still cover every column
+          val matchedSet = upsertShape(upSets, "WHEN MATCHED THEN UPDATE",
+            rel, source, t, key, allowSubset = true)
+          upsertShape(insSets, "WHEN NOT MATCHED THEN INSERT",
+            rel, source, t, key, allowSubset = false)
+          val allCols = rel.table.schema().fieldNames
+            .filterNot(f => f.equalsIgnoreCase(t.idCol)
+              || f.equalsIgnoreCase(key)).map(_.toLowerCase).toSet
+          // schema-cased names for the engine; None = the star merge
+          val partial =
+            if (matchedSet == allCols) None
+            else Some(rel.table.schema().fieldNames
+              .filter(f => matchedSet.contains(f.toLowerCase)).toSeq)
+          GraftMergeCommand(t.root, t.tableName, key, t.idCol, source,
+            partial)
         case None => m
       }
 
@@ -191,14 +205,21 @@ private[sql] object GraftSqlDml {
       ((targetOut.contains(l) && sourceOut.contains(r)) ||
         (targetOut.contains(r) && sourceOut.contains(l)))
 
-  /** Both MERGE branches must express exactly [[Catalog.merge]]'s
-    * contract: every non-id target column takes the source's SAME-NAMED
-    * column (the star shape). The surrogate id may appear only as a
-    * pass-through of a source column named like it — enforced all-NULL
-    * at run time (ids are engine-assigned) — or a NULL literal. */
-  def requireUpsertShape(as: Seq[Assignment], branch: String,
+  /** Validate one MERGE branch against [[Catalog.merge]]'s contract
+    * and return the assigned non-id, non-key column set (lowercase).
+    * Every assignment must take the source's SAME-NAMED column (the
+    * only value shape the engine's single-source-batch execution can
+    * honor — an arbitrary expression would need per-branch source
+    * images); the surrogate id may appear only as a pass-through of a
+    * source column named like it — enforced all-NULL at run time (ids
+    * are engine-assigned) — or a NULL literal. With
+    * `allowSubset = false` (the INSERT branch, and the classic star
+    * UPDATE) every non-id column must be covered; with `true`
+    * (round 16, partial-SET MERGE) a subset is legal — un-SET columns
+    * keep their matched row's target values. */
+  def upsertShape(as: Seq[Assignment], branch: String,
       rel: DataSourceV2Relation, source: LogicalPlan, t: GraftTable,
-      key: String): Unit = {
+      key: String, allowSubset: Boolean): Set[String] = {
     val sourceOut = source.outputSet
     val assigned = as.map { a =>
       val name = topLevelColumn(a.key, s"MERGE $branch")
@@ -207,22 +228,23 @@ private[sql] object GraftSqlDml {
             if v.name.equalsIgnoreCase(name) && sourceOut.contains(v) => ()
         case Literal(null, _) if name.equalsIgnoreCase(t.idCol) => ()
         case v => dmlFail(
-          s"MERGE $branch must take every column from the source's " +
-            s"same-named column (Catalog.merge rewrites matched rows " +
-            s"wholesale and inserts source rows verbatim — a partial " +
-            s"SET would silently widen); '$name' is assigned ${v.sql}. " +
-            "Use UPDATE for column-targeted writes")
+          s"MERGE $branch assignments must take the source's " +
+            s"same-named column; '$name' is assigned ${v.sql}. " +
+            "Pre-compute expressions in the USING source (a view or " +
+            "subquery), or use UPDATE for column-targeted writes")
       }
       name.toLowerCase
     }.toSet
     val required = rel.table.schema().fieldNames
       .filterNot(_.equalsIgnoreCase(t.idCol)).map(_.toLowerCase).toSet
     val missing = required -- assigned
-    if (missing.nonEmpty) dmlFail(
+    if (missing.nonEmpty && !allowSubset) dmlFail(
       s"MERGE $branch covers ${assigned.size} of ${required.size} " +
         s"non-id columns; missing ${missing.toSeq.sorted.mkString(", ")} " +
-        "(Catalog.merge semantics take every non-key column from the " +
-        "source)")
+        "(INSERT takes every non-id column from the source)")
+    assigned
+      .filterNot(_.equalsIgnoreCase(t.idCol))
+      .filterNot(_.equalsIgnoreCase(key))
   }
 
   val countAttr: Seq[Attribute] = Seq(
@@ -270,7 +292,10 @@ final case class GraftUpdateCommand(root: String, table: String,
   * so it fails loudly instead. Returns (matched, inserted). */
 final case class GraftMergeCommand(root: String, table: String,
     keyCol: String, idCol: String,
-    source: LogicalPlan) extends LeafRunnableCommand {
+    source: LogicalPlan,
+    /** Partial-SET column subset (round 16) — see
+      * [[graft.store.Catalog]]'s `merge(matchedCols)`. */
+    matchedCols: Option[Seq[String]] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlDml.mergeAttrs
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -295,7 +320,8 @@ final case class GraftMergeCommand(root: String, table: String,
               "drop the column or carry NULLs")
         snap.drop(idCol)
       }
-    val (nUpd, nIns) = new Catalog(spark, root).merge(table, src, keyCol)
+    val (nUpd, nIns) = new Catalog(spark, root)
+      .merge(table, src, keyCol, matchedCols)
     Seq(Row(nUpd, nIns))
   }
 }

@@ -157,12 +157,22 @@ class SqlDmlSpec extends SparkSuite {
       .contains("subqueries"))
     assert(msgOf(s"UPDATE $c.events_ingest SET value = rand() " +
       "WHERE ingest_id = 1").contains("non-deterministic"))
+    // SET expressions beyond same-named source pass-through stay loud
+    // (the partial-SET round-16 feature covers subsets, not exprs)
+    assert(msgOf(
+      s"""MERGE INTO $c.events_ingest t USING sqldml_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET value = s.value * 2
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .contains("same-named"))
+    // the INSERT branch must still cover every non-id column
     assert(msgOf(
       s"""MERGE INTO $c.events_ingest t USING sqldml_src s
          |ON t.event_id = s.event_id
          |WHEN MATCHED THEN UPDATE SET value = s.value
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      .contains("every non-key column from the source"))
+         |WHEN NOT MATCHED THEN INSERT (event_id, value)
+         |  VALUES (s.event_id, s.value)""".stripMargin)
+      .contains("every non-id column"))
     assert(msgOf(
       s"""MERGE INTO $c.events_ingest t USING sqldml_src s
          |ON t.event_id = s.event_id
@@ -175,6 +185,61 @@ class SqlDmlSpec extends SparkSuite {
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       .contains("same"))
+  }
+
+  test("partial-SET MERGE (round 16): only the SET columns rewrite " +
+    "from the source, un-SET columns keep their TARGET values, the SQL " +
+    "door equals the Scala API, and mixed post-images are " +
+    "CHECK-validated") {
+    val (sqlRoot, c) = freshRoot()
+    val (apiRoot, _) = freshRoot()
+    val src = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") > 280 && col("event_id") <= 320)
+      .withColumn("event_type", lit("SHOULD_NOT_LAND_ON_MATCHED"))
+      .withColumn("value", col("value") + 1000)
+    src.withColumn("ingest_id", lit(null).cast("bigint"))
+      .createOrReplaceTempView("sqldml_partial_src")
+    val row = spark.sql(
+      s"""MERGE INTO $c.events_ingest t USING sqldml_partial_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+    val (nUpd, nIns) = new Catalog(spark, apiRoot)
+      .merge("events_ingest", src, "event_id",
+        matchedCols = Some(Seq("value")))
+    assert(row.getAs[Long]("num_updated_rows") == nUpd && nUpd > 0)
+    assert(row.getAs[Long]("num_inserted_rows") == nIns && nIns > 0)
+    assert(state(sqlRoot) == state(apiRoot))
+    val cat = new Catalog(spark, sqlRoot)
+    // matched rows (event_id <= 300 slice of the fixture) kept their
+    // original event_type and everything else except value
+    val matchedRows = cat.read("events_ingest")
+      .filter(col("event_id") > 280 && col("event_id") <= 300)
+    assert(matchedRows.filter(
+      col("event_type") === "SHOULD_NOT_LAND_ON_MATCHED").count() == 0,
+      "partial SET leaked a non-SET column onto matched rows")
+    assert(matchedRows.filter(col("value") >= 1000).count() ==
+      matchedRows.count(), "partial SET did not rewrite the SET column")
+    // inserts took the FULL source row
+    assert(cat.read("events_ingest")
+      .filter(col("event_type") === "SHOULD_NOT_LAND_ON_MATCHED")
+      .count() == nIns)
+    // CHECK over a MIXED image: constraint relates a target-kept column
+    // to the SET column — source-only validation could not see it
+    val (chkRoot, cc) = freshRoot()
+    val chkCat = new Catalog(spark, chkRoot)
+    chkCat.addCheck("events_ingest", "value_cap", "value < 900")
+    val v0 = chkCat.version
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cc.events_ingest t USING sqldml_partial_src s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = s.value
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("value_cap"), e.getMessage)
+    assert(chkCat.version == v0, "violating partial merge left a commit")
   }
 
   test("a MERGE source carrying non-NULL surrogate ids fails loudly " +
