@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
@@ -184,41 +183,59 @@ private[streaming] final class GraftStoreSource(spark: SparkSession,
 
   private def cat = new Catalog(spark, root)
 
-  /** High-water mark (highest version ever SERVED or resolved as the
-    * start), persisted under the Spark-assigned checkpoint metadata
-    * path: a restarted source must never offer an offset below the
-    * engine's committed one, and `startingVersion=latest` must resolve
-    * ONCE per checkpoint (first start pins it; a restart re-resolving
-    * 'latest' would silently skip the commits made while the stream
-    * was down). */
-  private val progressFile: Path = {
-    // the engine hands metadataPath as a Hadoop path STRING, which on a
-    // local checkpoint is a "file:/..." URI — Paths.get would treat
-    // that as a relative path and silently write a literal "file:/"
-    // tree under the CWD, breaking the restart guarantee whenever the
-    // working directory changes
-    val local = metadataPath.stripPrefix("file:")
-    require(local.startsWith("/"),
-      s"graft-store stream checkpoints must be local-fs paths (same " +
-        s"contract as the store itself); got '$metadataPath'")
-    Paths.get(local, "graft_tail_progress")
-  }
+  /** High-water mark (highest version ever COMMITTED or resolved as
+    * the start), persisted under the Spark-assigned checkpoint
+    * metadata path THROUGH THE CHECKPOINT'S OWN FILESYSTEM (round 16:
+    * Hadoop FileSystem/FileContext, not java.nio — an HDFS/object-
+    * store checkpoint works exactly like Spark's own offset log next
+    * to it; the old local-path requirement was the streaming tier's
+    * last filesystem assumption beyond the store root itself).
+    * `startingVersion=latest` must resolve ONCE per checkpoint (first
+    * start pins it; a restart re-resolving 'latest' would silently
+    * skip the commits made while the stream was down).
+    *
+    * Exactly-once NEVER depends on this file: recovery replays from
+    * the engine's offset log, and the file only advances in
+    * `commit(end)` — a STALE file can at most make `getOffset`
+    * re-offer already-committed ground, which the engine's own
+    * committed-offset tracking ignores (StoreStreamSpec pins the
+    * no-regress property). */
+  private val hadoopConf =
+    spark.sessionState.newHadoopConf()
+  private val progressPath =
+    new org.apache.hadoop.fs.Path(metadataPath, "graft_tail_progress")
 
   private def persist(v: Long): Unit = {
-    Files.createDirectories(progressFile.getParent)
-    val tmp = progressFile.resolveSibling(
-      s"${progressFile.getFileName}.tmp${System.nanoTime()}")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, progressFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      progressPath.toUri, hadoopConf)
+    val tmp = new org.apache.hadoop.fs.Path(progressPath.getParent,
+      s"${progressPath.getName}.tmp${System.nanoTime()}")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, progressPath,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readPersisted(): Option[Long] = {
+    val fs = progressPath.getFileSystem(hadoopConf)
+    if (!fs.exists(progressPath)) None
+    else {
+      val in = fs.open(progressPath)
+      try {
+        val len = fs.getFileStatus(progressPath).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0L, buf)
+        Some(new String(buf, StandardCharsets.UTF_8).trim.toLong)
+      } finally in.close()
+    }
   }
 
   private val startingVersion: Long = {
-    val persisted =
-      if (Files.exists(progressFile))
-        Some(new String(Files.readAllBytes(progressFile),
-          StandardCharsets.UTF_8).trim.toLong)
-      else None
+    val persisted = readPersisted()
     persisted.getOrElse {
       val resolved = opt(parameters, "startingVersion") match {
         case None => 0L

@@ -308,4 +308,31 @@ class StoreStreamSpec extends SparkSuite {
     assert(new GraftStoreSource(spark, meta, None, params)
       .getOffset.isEmpty)
   }
+
+  test("a STALE progress file cannot regress offsets: exactly-once " +
+    "recovery comes from the engine's offset log — a restart with " +
+    "tampered-low progress re-delivers nothing and loses nothing") {
+    val root = freshRoot(2)
+    val ckpt = Files.createTempDirectory("ckpt-stale-progress").toString
+    val (first, _) = drain(reader(root), ckpt)
+    assert(first.nonEmpty)
+    // tamper the durable progress back to 0 — the worst stale state a
+    // lost write or restored checkpoint copy could produce
+    val progress = java.nio.file.Paths.get(ckpt, "sources", "0",
+      "graft_tail_progress")
+    assert(Files.exists(progress), s"progress file not at $progress")
+    Files.write(progress, "0".getBytes)
+    // new data lands while the stream is down
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    new Catalog(spark, root).append("events_ingest",
+      ev.filter(col("event_id") > 200 && col("event_id") <= 250),
+      orderBy = Seq("event_id"))
+    val (second, _) = drain(reader(root), ckpt)
+    assert(second.nonEmpty &&
+      second.forall(_.getAs[Long]("event_id") > 200) &&
+      second.map(_.getAs[Long]("event_id")).toSet ==
+        (201L to 250L).toSet,
+      s"stale progress corrupted recovery: got ${second.size} rows")
+  }
 }
