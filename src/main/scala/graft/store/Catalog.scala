@@ -165,7 +165,22 @@ final class Catalog(val spark: SparkSession, val root: String) {
         * schema/idCol, the list versions with the manifest: time
         * travel reads each snapshot's own list. `Some(Nil)` is
         * "explicitly no stats" (overrides the registry). */
-      statsCols: Option[Seq[String]] = None)
+      statsCols: Option[Seq[String]] = None,
+      /** Column-rename history (round 16, the Delta column-mapping
+        * analogue without file rewrites): current logical name -> the
+        * PRIOR names this column carried, newest first. Files written
+        * before a rename keep their bytes and their old header name;
+        * readers build a union read schema (current + prior twins,
+        * nullable) and COALESCE — parquet by-name resolution
+        * NULL-backfills whichever name a file lacks, so exactly the
+        * name the file carries supplies the value (a genuine NULL
+        * stays NULL through the coalesce). New files always write the
+        * CURRENT name, so compaction/OPTIMIZE naturally migrate the
+        * layout. Like schema/idCol, the map versions with the
+        * manifest: time travel reads each snapshot through its own
+        * names, and clones inherit it. The surrogate id is not
+        * renameable (DV masks, dense-id plumbing). */
+      renames: Map[String, Seq[String]] = Map.empty)
 
   private type Manifest = Map[String, TableState]
 
@@ -215,17 +230,18 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   private def stateFromDecoded(d: (Long, Option[String],
       Map[String, String], Option[String], Option[Seq[String]],
+      Map[String, Seq[String]],
       Vector[(String, Long, Long, Map[String, (Long, Long)],
         Map[String, (String, String)], Option[(String, Long)], Long,
         Map[String, Long])])): TableState = {
-    val (maxId, schemaJson, checks, idCol, statsCols, files) = d
+    val (maxId, schemaJson, checks, idCol, statsCols, renames, files) = d
     TableState(maxId,
       canonFiles(files.map { case (p, mn, mx, cols, scols, dv, rows, nulls) =>
         FileEntry(p, mn, mx, cols, scols, dv, rows, nulls)
       }),
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]),
-      checks, idCol, statsCols)
+      checks, idCol, statsCols, renames)
   }
 
   private def fileEntryNode(fs: ArrayNode, f: FileEntry): Unit = {
@@ -278,7 +294,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   private def parseTableMeta(t: com.fasterxml.jackson.databind.JsonNode)
       : (Option[org.apache.spark.sql.types.StructType],
-         Map[String, String], Option[String], Option[Seq[String]]) = {
+         Map[String, String], Option[String], Option[Seq[String]],
+         Map[String, Seq[String]]) = {
     val schema = Option(t.get("schema")).map(n =>
       org.apache.spark.sql.types.DataType.fromJson(n.asText())
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -288,7 +305,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
     }.getOrElse(Map.empty[String, String])
     val statsCols = Option(t.get("statscols")).map(
       _.elements().asScala.map(_.asText()).toSeq)
-    (schema, checks, Option(t.get("idcol")).map(_.asText()), statsCols)
+    val renames = Option(t.get("renames")).map { rn =>
+      rn.properties().asScala.map(e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
+        .toMap
+    }.getOrElse(Map.empty[String, Seq[String]])
+    (schema, checks, Option(t.get("idcol")).map(_.asText()), statsCols,
+      renames)
   }
 
   private def putTableMeta(t: ObjectNode, st: TableState): Unit = {
@@ -301,6 +324,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
     }
     st.statsCols.foreach { sc =>
       val a = t.putArray("statscols"); sc.foreach(a.add)
+    }
+    if (st.renames.nonEmpty) {
+      val rn = t.putObject("renames")
+      st.renames.toSeq.sortBy(_._1).foreach { case (cur, priors) =>
+        val a = rn.putArray(cur); priors.foreach(a.add)
+      }
     }
   }
 
@@ -315,9 +344,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
         val t = e.getValue
         val files = canonFiles(t.get("files").elements().asScala
           .map(parseFileEntry).toVector)
-        val (schema, checks, idCol, statsCols) = parseTableMeta(t)
+        val (schema, checks, idCol, statsCols, renames) = parseTableMeta(t)
         e.getKey -> TableState(t.get("maxId").asLong(), files, schema,
-          checks, idCol, statsCols)
+          checks, idCol, statsCols, renames)
       }.toMap
   }
 
@@ -331,6 +360,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       checks: Map[String, String], idCol: Option[String],
       /** Absolute post-commit stats-column list (like schema/idCol). */
       statsCols: Option[Seq[String]] = None,
+      /** Absolute post-commit rename history (like schema/idCol). */
+      renames: Map[String, Seq[String]] = Map.empty,
       /** DROP TABLE tombstone (round 15): the table's manifest key is
         * removed by this commit. History below stays readable (time
         * travel / restore replay OLD manifests); the files lose their
@@ -350,9 +381,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
           .map(parseFileEntry).toVector).getOrElse(Vector.empty)
         val remove = Option(t.get("remove")).map(_.elements().asScala
           .map(_.asText()).toVector).getOrElse(Vector.empty)
-        val (schema, checks, idCol, statsCols) = parseTableMeta(t)
+        val (schema, checks, idCol, statsCols, renames) = parseTableMeta(t)
         e.getKey -> TableDelta(t.get("maxId").asLong(), add, remove,
-          schema, checks, idCol, statsCols)
+          schema, checks, idCol, statsCols, renames)
       }
     }.toMap).getOrElse(Map.empty)
   }
@@ -386,7 +417,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val gone = td.remove.toSet
     TableState(td.maxId,
       canonFiles(prev.files.filterNot(f => gone(f.path)) ++ td.add),
-      td.schema, td.checks, td.idCol, td.statsCols)
+      td.schema, td.checks, td.idCol, td.statsCols, td.renames)
   }
 
   /** Every log file as (version, isCheckpoint, path); empty if no log. */
@@ -605,7 +636,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
             remove.foreach(rn.add)
           }
           Some(tbl -> TableDelta(st.maxId, add, remove, st.schema,
-            st.checks, st.idCol, st.statsCols))
+            st.checks, st.idCol, st.statsCols, st.renames))
         }
       }.toMap
     Files.createDirectories(logDir)
@@ -628,7 +659,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         committedAtMs,
         next.toSeq.sortBy(_._1).map { case (tbl, st) =>
           (tbl, st.maxId, st.schema.map(_.json), st.checks, st.idCol,
-            st.statsCols,
+            st.statsCols, st.renames,
             st.files.map(f =>
               (f.path, f.minId, f.maxId, f.cols, f.scols, f.dv, f.rows,
                 f.nulls)):
@@ -911,10 +942,30 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   /** Effective schema of a table state: evolved override, else registry.
     * Pre-evolution parquet files read through a widened schema NULL-
-    * backfill the added columns (parquet by-name resolution). */
+    * backfill the added columns (parquet by-name resolution).
+    *
+    * Renamed columns (round 16) carry their PRIOR names in the field
+    * metadata under [[Catalog.PriorNamesKey]] — the one annotation
+    * point every reader flows through, so [[readFiles]], fsck, and the
+    * pruning surfaces resolve old-named files without threading the
+    * rename map through every call site. [[readFiles]] strips the
+    * metadata from its output, so result frames stay clean. */
   private def schemaOf(st: Option[TableState],
-      table: String): org.apache.spark.sql.types.StructType =
-    st.flatMap(_.schema).getOrElse(Schemas.registry(table)._1)
+      table: String): org.apache.spark.sql.types.StructType = {
+    val base = st.flatMap(_.schema).getOrElse(Schemas.registry(table)._1)
+    val renames = st.map(_.renames).getOrElse(Map.empty)
+    if (renames.isEmpty) base
+    else org.apache.spark.sql.types.StructType(base.fields.map { f =>
+      renames.get(f.name) match {
+        case Some(priors) if priors.nonEmpty =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putStringArray(Catalog.PriorNamesKey, priors.toArray)
+          f.copy(metadata = mb.build())
+        case _ => f
+      }
+    })
+  }
 
   /** Surrogate-id column: the manifest's (clones), else the registry's. */
   private def idColOf(st: Option[TableState], table: String): String =
@@ -944,10 +995,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
       schema: org.apache.spark.sql.types.StructType,
       idCol: String): DataFrame =
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        Catalog.stripPriorNames(schema))
     else {
-      val base = spark.read.schema(schema)
-        .parquet(files.map(f => s"$root/${f.path}"): _*)
+      val base = Catalog.readLogical(spark, schema,
+        files.map(f => s"$root/${f.path}"))
       val dvd = files.filter(_.dv.isDefined)
       if (dvd.isEmpty) base
       else {
@@ -1003,7 +1055,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * partial table. */
   private[store] def sqlSnapshot(table: String, version: Option[Long])
       : Option[(Vector[Catalog.SqlFile],
-          org.apache.spark.sql.types.StructType, String)] = {
+          org.apache.spark.sql.types.StructType, String,
+          Option[String])] = {
     val st = version match {
       case Some(v) => manifestAt(v).get(table)
       case None => tableState(table)
@@ -1019,11 +1072,41 @@ final class Catalog(val spark: SparkSession, val root: String) {
             s"vacuumed file(s) (first: ${gone.head}); raise the " +
             "vacuum retention window to keep older snapshots readable")
     }
+    // Rename migration guard (round 16): the SQL scan delegates to
+    // Spark's DSv2 parquet machinery over the snapshot's file list with
+    // ONE schema — it cannot coalesce a renamed column across files of
+    // different epochs the way the Scala readers do. A file staged
+    // BEFORE a rename is detected by its null-count map (it records
+    // every column the file was staged WITH); serving it by-name would
+    // silently NULL the renamed column. The refusal is raised at SCAN
+    // time (newScanBuilder), not here — metadata operations (ALTER
+    // TABLE's return value, DESCRIBE) must keep working. New files
+    // (and anything compact/OPTIMIZE rewrote) carry current names and
+    // scan normally.
+    val schema = schemaOf(st, table)
+    val renamed = schema.fields.filter(f =>
+      Catalog.priorsOf(f).nonEmpty).map(_.name)
+    val staleRenamed: Option[String] =
+      if (renamed.isEmpty) None
+      else {
+        val stale = files.filter { f =>
+          f.rows < 0L || // pre-null-stats file: epoch unknowable, refuse
+            !renamed.forall(f.nulls.contains)
+        }
+        if (stale.isEmpty) None
+        else Some(
+          s"table '$table' was column-renamed and ${stale.size} live " +
+            s"file(s) still carry a prior column name (first: " +
+            s"${stale.head.path}); the SQL door serves single-schema " +
+            "scans — run Catalog.compact/optimize (or SQL OPTIMIZE) " +
+            "to migrate the layout, read through the Scala API, or " +
+            "time-travel below the rename")
+      }
     Some((files.map(f =>
         Catalog.SqlFile(f.path, f.minId, f.maxId, f.cols, f.scols,
           f.dv.map(d => (d._1, DvIO.read(rootPath, d._1))), f.rows,
           f.nulls)),
-      schemaOf(st, table), idColOf(st, table)))
+      Catalog.stripPriorNames(schema), idColOf(st, table), staleRenamed))
   }
 
   /** Tables the SQL catalog lists: everything with manifest state plus
@@ -1046,9 +1129,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
       : DataFrame = {
     val st = tableState(table)
     val files = st.map(_.files).getOrElse(Vector.empty)
-    val kept = files.filter(_.cols.get(column)
-      .forall { case (mn, mx) => mx >= lo && mn <= hi })
     val schema = schemaOf(st, table)
+    // renamed columns: a file's stats live under whatever the column
+    // was called at stage time — consult every historical name
+    val keys = Catalog.statKeys(schema, column)
+    val kept = files.filter(f => Catalog.statLookup(f.cols, keys)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi })
     val scanned = readFiles(table, kept, schema, idColOf(st, table))
     val c = statLong(scanned, column).getOrElse(col(column).cast("long"))
     scanned.filter(c >= lo && c <= hi)
@@ -1070,9 +1156,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
       : DataFrame = {
     val st = tableState(table)
     val files = st.map(_.files).getOrElse(Vector.empty)
-    val kept =
-      Catalog.pruneByDomainStr[FileEntry](files, _.scols, column, lo, hi)
-    val scanned = readFiles(table, kept, schemaOf(st, table),
+    val schema = schemaOf(st, table)
+    val keys = Catalog.statKeys(schema, column)
+    val kept = files.filter(f => Catalog.statLookup(f.scols, keys)
+      .forall { case (mn, mx) =>
+        Catalog.utf8Compare(mx, lo) >= 0 && Catalog.utf8Compare(mn, hi) <= 0
+      })
+    val scanned = readFiles(table, kept, schema,
       idColOf(st, table))
     scanned.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
@@ -1089,9 +1179,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
       isNull: Boolean): DataFrame = {
     val st = tableState(table)
     val files = st.map(_.files).getOrElse(Vector.empty)
-    val kept = files.filter(f =>
-      Catalog.nullProbeKeeps(f.rows, f.nulls.get(column), isNull))
-    val scanned = readFiles(table, kept, schemaOf(st, table),
+    val schema = schemaOf(st, table)
+    val keys = Catalog.statKeys(schema, column)
+    val kept = files.filter(f => Catalog.nullProbeKeeps(f.rows,
+      Catalog.statLookup(f.nulls, keys), isNull))
+    val scanned = readFiles(table, kept, schema,
       idColOf(st, table))
     scanned.filter(if (isNull) col(column).isNull else col(column).isNotNull)
   }
@@ -1099,10 +1191,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** Files [[readWhereNull]] would open vs the live total (test hook). */
   private[graft] def nullProbeFiles(table: String, column: String,
       isNull: Boolean): (Seq[String], Int) = {
-    val files = readManifest().get(table).map(_.files)
-      .getOrElse(Vector.empty)
-    (files.filter(f =>
-      Catalog.nullProbeKeeps(f.rows, f.nulls.get(column), isNull))
+    val st = readManifest().get(table)
+    val files = st.map(_.files).getOrElse(Vector.empty)
+    val keys = Catalog.statKeys(schemaOf(st, table), column)
+    (files.filter(f => Catalog.nullProbeKeeps(f.rows,
+      Catalog.statLookup(f.nulls, keys), isNull))
       .map(_.path), files.size)
   }
 
@@ -1110,9 +1203,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * total (test hook for the skipping behavior). */
   private[graft] def rangeFiles(table: String, column: String,
       lo: Long, hi: Long): (Seq[String], Int) = {
-    val files = readManifest().get(table).map(_.files)
-      .getOrElse(Vector.empty)
-    (files.filter(_.cols.get(column)
+    val st = readManifest().get(table)
+    val files = st.map(_.files).getOrElse(Vector.empty)
+    val keys = Catalog.statKeys(schemaOf(st, table), column)
+    (files.filter(f => Catalog.statLookup(f.cols, keys)
       .forall { case (mn, mx) => mx >= lo && mn <= hi }).map(_.path),
       files.size)
   }
@@ -1120,10 +1214,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** String twin of [[rangeFiles]] (test hook). */
   private[graft] def rangeFilesStr(table: String, column: String,
       lo: String, hi: String): (Seq[String], Int) = {
-    val files = readManifest().get(table).map(_.files)
-      .getOrElse(Vector.empty)
-    (Catalog.pruneByDomainStr[FileEntry](files, _.scols, column, lo, hi)
-      .map(_.path), files.size)
+    val st = readManifest().get(table)
+    val files = st.map(_.files).getOrElse(Vector.empty)
+    val keys = Catalog.statKeys(schemaOf(st, table), column)
+    (files.filter(f => Catalog.statLookup(f.scols, keys)
+      .forall { case (mn, mx) =>
+        Catalog.utf8Compare(mx, lo) >= 0 && Catalog.utf8Compare(mn, hi) <= 0
+      }).map(_.path), files.size)
   }
 
   /** Live file list with id stats — the pruning metadata (test hook). */
@@ -1170,8 +1267,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
         Map[String, Long])] =
       if (present.isEmpty) Nil
       else {
-        val df = spark.read.schema(schema)
-          .parquet(present.map(f => s"$root/${f.path}"): _*)
+        val df = Catalog.readLogical(spark, schema,
+          present.map(f => s"$root/${f.path}"))
         val effStats = statsColsOf(st, table)
         val statCols = effStats
           .filter(c => schema.fieldNames.contains(c))
@@ -1686,17 +1783,25 @@ final class Catalog(val spark: SparkSession, val root: String) {
       range
     }
 
-    private def pruneByDomain(files: Vector[FileEntry], keyCol: String,
-        domain: Option[Catalog.KeyDomain]): Vector[FileEntry] =
+    private def pruneByDomain(table: String, files: Vector[FileEntry],
+        keyCol: String,
+        domain: Option[Catalog.KeyDomain]): Vector[FileEntry] = {
+      // a renamed merge key's stats live under historical names on
+      // pre-rename files — remap each entry's maps to the logical key
+      val keys = Catalog.statKeys(schemaIdOf(table)._1, keyCol)
+      def remap[A](m: Map[String, A]): Map[String, A] =
+        Catalog.statLookup(m, keys).map(v => Map(keyCol -> v))
+          .getOrElse(Map.empty)
       domain match {
         case Some(Catalog.LongDomain(lo, hi)) =>
-          Catalog.pruneByDomain[FileEntry](files, _.cols, keyCol,
-            Some((lo, hi)))
+          Catalog.pruneByDomain[FileEntry](files, f => remap(f.cols),
+            keyCol, Some((lo, hi)))
         case Some(Catalog.StrDomain(lo, hi)) =>
-          Catalog.pruneByDomainStr[FileEntry](files, _.scols, keyCol,
-            lo, hi)
+          Catalog.pruneByDomainStr[FileEntry](files, f => remap(f.scols),
+            keyCol, lo, hi)
         case None => files
       }
+    }
 
     /** Per-table id shift applied by a commit-time rebase (see
       * [[Catalog!.transaction]]): ids returned DURING the body are
@@ -1849,7 +1954,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(field.name)),
         s"column '${field.name}' already exists on '$table'")
       staged :+= Staged(table, prev.copy(schema =
-        Some(org.apache.spark.sql.types.StructType(schema.fields :+ field))))
+        Some(Catalog.stripPriorNames(
+          org.apache.spark.sql.types.StructType(schema.fields :+ field)))))
     }
 
     /** Schema evolution, narrowing half (Delta DROP COLUMN analogue):
@@ -1870,8 +1976,68 @@ final class Catalog(val spark: SparkSession, val root: String) {
       require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column '$name' does not exist on '$table'")
       staged :+= Staged(table, prev.copy(schema =
-        Some(org.apache.spark.sql.types.StructType(
-          schema.fields.filterNot(_.name.equalsIgnoreCase(name))))))
+        Some(Catalog.stripPriorNames(org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name.equalsIgnoreCase(name)))))))
+    }
+
+    /** RENAME COLUMN (round 16, closing SURVEY §7.7.2): a pure-metadata
+      * commit — no file is rewritten. The manifest records the column's
+      * PRIOR names (`TableState.renames`); readers union the current
+      * name with nullable prior-name twins and COALESCE, so files from
+      * every epoch resolve by exactly the name they carry, stats
+      * recorded under old names keep pruning, time travel reads each
+      * snapshot through its own names, and clones inherit the mapping.
+      * New files write the CURRENT name — compaction/OPTIMIZE migrate
+      * the physical layout incrementally.
+      *
+      * Loud guards: the surrogate id is not renameable (dense-id
+      * plumbing, DV masks); the target name must not collide with any
+      * CURRENT column or any HISTORICAL name still resolvable (the
+      * coalesce would pick the wrong bytes); a column referenced by a
+      * CHECK constraint must drop/re-add the check first (constraint
+      * text binds by name and would silently stop validating). */
+    def renameColumn(table: String, from: String, to: String): Unit = {
+      ensureLease(); strictTables += table
+      val prev = curState(table)
+      val (schema, idCol) = schemaIdOf(table)
+      require(from != to, s"rename '$from' onto itself")
+      require(schema.fieldNames.contains(from),
+        s"column '$from' does not exist on '$table'")
+      require(!from.equalsIgnoreCase(idCol),
+        s"cannot rename surrogate id column '$idCol' of '$table'")
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column '$to' already exists on '$table'")
+      val renames = prev.renames
+      val historical = renames.valuesIterator.flatten.toSet
+      require(!historical.exists(_.equalsIgnoreCase(to)),
+        s"'$to' is a historical name of a renamed column on '$table' " +
+          "— live files may still carry it, and the rename resolution " +
+          "would read their bytes; compact the table and vacuum first, " +
+          "or pick another name")
+      curState(table).checks.foreach { case (n, e) =>
+        require(!s"[^A-Za-z0-9_]${java.util.regex.Pattern.quote(from)}([^A-Za-z0-9_]|$$)".r
+            .findFirstIn(s" $e ").isDefined,
+          s"check '$n' ($e) references '$from' — constraint text binds " +
+            "by name; drop the check, rename, then re-add it against " +
+            "the new name")
+      }
+      val newSchema = org.apache.spark.sql.types.StructType(
+        Catalog.stripPriorNames(schema).fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      val priorChain = from +: renames.getOrElse(from, Nil)
+      staged :+= Staged(table, prev.copy(
+        schema = Some(newSchema),
+        renames = (renames - from) + (to -> priorChain),
+        // the stats designation follows the logical column — a
+        // registry-backed designation naming `from` is pinned into the
+        // manifest under the new name (the registry keeps the old one)
+        statsCols = prev.statsCols.map(_.map(c =>
+          if (c == from) to else c)).orElse {
+          val eff = Schemas.statsColumns.getOrElse(table, Nil)
+          if (eff.contains(from))
+            Some(eff.map(c => if (c == from) to else c))
+          else None
+        }))
     }
 
     /** Append rows, assigning dense surrogate ids; returns the LAST id
@@ -2225,7 +2391,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val keys = src.select(keyCol)
       // stats pre-prune: the hit-file semi-join reads only files whose
       // key range can intersect the batch domain (see pruneByDomain)
-      val cand = pruneByDomain(prev.files, keyCol, domain)
+      val cand = pruneByDomain(table, prev.files, keyCol, domain)
       val (nUpd, inserted) =
         if (cand.isEmpty) (0L, src)
         else {
@@ -2368,7 +2534,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // change detection and the new-key anti-join read the touched
       // range, never the whole dimension
       val live = readFiles(table,
-        pruneByDomain(prev.files, keyCol, domain), schema, idCol)
+        pruneByDomain(table, prev.files, keyCol, domain), schema, idCol)
       val cur = live.filter(col("is_current"))
       // keys whose current tracked values differ from the batch's
       // (null-safe difference on any tracked column)
@@ -2644,7 +2810,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           s0
       }
       staged :+= Staged(dst, st.copy(
-        schema = Some(schemaOf(Some(st), src)),
+        schema = Some(Catalog.stripPriorNames(schemaOf(Some(st), src))),
         idCol = Some(idColOf(Some(st), src)),
         // pin the source's EFFECTIVE stats list (round 16): a clone of
         // a registry fixture keeps collecting the same value stats on
@@ -2672,7 +2838,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         val cur = curState(t)
         staged :+= Staged(t,
           TableState(0L, Vector.empty, cur.schema, cur.checks, cur.idCol,
-            cur.statsCols))
+            cur.statsCols, cur.renames))
       }
       strictTables ++= staged.map(_.table)
     }
@@ -2879,12 +3045,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
     if (newChecks.nonEmpty) {
       if (st.files != b.files || st.maxId != b.maxId ||
           st.schema != b.schema || st.statsCols != b.statsCols ||
+          st.renames != b.renames ||
           st.checks != b.checks ++ newChecks)
         conflict("check DDL mixed with other staged changes on this " +
           "table cannot reconcile")
-      if (c.schema != b.schema || c.statsCols != b.statsCols)
-        conflict("schema or stats designation changed concurrently " +
-          "under an ADD CONSTRAINT")
+      if (c.schema != b.schema || c.statsCols != b.statsCols ||
+          c.renames != b.renames)
+        conflict("schema, stats designation, or renames changed " +
+          "concurrently under an ADD CONSTRAINT")
       if (newChecks.keySet.exists(c.checks.keySet))
         conflict("a check of the same name was added concurrently")
       val bPaths = b.files.toSet
@@ -2906,8 +3074,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
     }
     if (st.schema != b.schema || st.checks != b.checks ||
         c.schema != b.schema || c.checks != b.checks ||
-        st.statsCols != b.statsCols || c.statsCols != b.statsCols)
-      conflict("schema, CHECK set, or stats designation changed")
+        st.statsCols != b.statsCols || c.statsCols != b.statsCols ||
+        st.renames != b.renames || c.renames != b.renames)
+      conflict("schema, CHECK set, stats designation, or renames changed")
     if (c.maxId < b.maxId)
       conflict("id high-water rewound (concurrent restore)")
     val stFiles = st.files.toSet
@@ -2974,7 +3143,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       } else (added, math.max(c.maxId, st.maxId))
     TableState(finalMaxId,
       c.files.filterNot(removed.contains) ++ finalAdded,
-      c.schema, c.checks, c.idCol, c.statsCols)
+      c.schema, c.checks, c.idCol, c.statsCols, c.renames)
   }
 
   /** Bounded conflict retry for the one-op conveniences: the body is
@@ -3012,7 +3181,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def addCheck(table: String, name: String, constraint: String): Unit =
     retried(_.addCheck(table, name, constraint))
 
-  def addColumn(table: String,
+  def renameColumn(table: String, from: String, to: String): Unit =
+    retried(_.renameColumn(table, from, to))
+
+    def addColumn(table: String,
       field: org.apache.spark.sql.types.StructField): Unit =
     retried(_.addColumn(table, field))
 
@@ -3236,6 +3408,78 @@ object Catalog {
     * against the new state (the one-op conveniences do so themselves). */
   final class ConcurrentWriteException(msg: String)
     extends RuntimeException(msg)
+
+  /** Field-metadata key carrying a renamed column's PRIOR names (set
+    * by `schemaOf`, consumed by [[readLogical]] and the stat-key
+    * fallbacks; see `TableState.renames`). */
+  private[store] val PriorNamesKey = "graft.priorNames"
+
+  /** Prior names of a (possibly renamed) column, newest first. */
+  private[store] def priorsOf(
+      f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(PriorNamesKey))
+      f.metadata.getStringArray(PriorNamesKey).toSeq
+    else Nil
+
+  /** Every name stats/nulls for `column` may be recorded under in a
+    * file entry: the current name plus prior names (a file carries
+    * stats under whatever the column was called when it was staged). */
+  private[store] def statKeys(
+      schema: org.apache.spark.sql.types.StructType,
+      column: String): Seq[String] =
+    schema.fields.find(_.name == column) match {
+      case Some(f) => column +: priorsOf(f)
+      case None => Seq(column)
+    }
+
+  /** First recorded value among a column's stat keys (at most one name
+    * matches per file — a file was staged under exactly one epoch). */
+  private[store] def statLookup[A](m: Map[String, A],
+      keys: Seq[String]): Option[A] = keys.flatMap(m.get).headOption
+
+  private[store] def stripPriorNames(
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (!schema.fields.exists(_.metadata.contains(PriorNamesKey))) schema
+    else org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(PriorNamesKey)) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(PriorNamesKey)
+        f.copy(metadata = mb.build())
+      }
+    })
+
+  /** Read parquet `paths` through a LOGICAL schema whose renamed
+    * fields carry prior names in metadata (round 16): the physical
+    * read schema unions each renamed field with nullable twins under
+    * its prior names — parquet by-name resolution NULL-backfills
+    * whichever names a file lacks, so exactly the name each file
+    * carries supplies the value — and a COALESCE projects them back to
+    * the logical name (a genuine NULL stays NULL: every other twin is
+    * NULL-backfilled by construction). Tables that never renamed read
+    * exactly as before. */
+  private[store] def readLogical(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): DataFrame = {
+    val renamed = schema.fields.filter(f => priorsOf(f).nonEmpty)
+    if (renamed.isEmpty)
+      spark.read.schema(schema).parquet(paths: _*)
+    else {
+      val physical = org.apache.spark.sql.types.StructType(
+        stripPriorNames(schema).fields.flatMap { f =>
+          f +: priorsOf(schema(f.name)).map(p =>
+            org.apache.spark.sql.types.StructField(p, f.dataType,
+              nullable = true)).toArray
+        })
+      spark.read.schema(physical).parquet(paths: _*)
+        .select(schema.fields.map { f =>
+          val priors = priorsOf(f)
+          if (priors.isEmpty) col(f.name)
+          else coalesce((f.name +: priors).map(col): _*).as(f.name)
+        }.toIndexedSeq: _*)
+    }
+  }
 
   /** Plain (non-path-dependent) per-file descriptor handed to the SQL
     * front door: the pruning stats a scan needs and nothing else.

@@ -84,6 +84,7 @@ private[store] object CheckpointIO {
       |  optional int64 n_rows;
       |  optional binary nulls_json (UTF8);
       |  optional binary stats_cols_json (UTF8);
+      |  optional binary renames_json (UTF8);
       |}""".stripMargin)
 
   private val mapper = new ObjectMapper()
@@ -150,12 +151,25 @@ private[store] object CheckpointIO {
   private def parseStatsCols(s: String): Seq[String] =
     mapper.readTree(s).elements().asScala.map(_.asText()).toSeq
 
+  private def renamesJson(m: Map[String, Seq[String]]): String = {
+    val n = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (cur, priors) =>
+      val a = n.putArray(cur); priors.foreach(a.add)
+    }
+    mapper.writeValueAsString(n)
+  }
+
+  private def parseRenames(s: String): Map[String, Seq[String]] =
+    mapper.readTree(s).properties().asScala.map(e =>
+      e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
+      .toMap
+
   /** Write the manifest as `target` (tmp + atomic rename). Rows sorted
     * by (table, kind, path) so the `table` column is globally sorted
     * across row groups — that order IS the targeted read's pruning. */
   def write(target: JPath, version: Long, committedAtMs: Long,
       tables: Seq[(String, Long, Option[String], Map[String, String],
-        Option[String], Option[Seq[String]],
+        Option[String], Option[Seq[String]], Map[String, Seq[String]],
         Seq[(String, Long, Long, Map[String, (Long, Long)],
           Map[String, (String, String)], Option[(String, Long)], Long,
           Map[String, Long])])]): Unit = {
@@ -176,7 +190,8 @@ private[store] object CheckpointIO {
     val gf = new SimpleGroupFactory(Schema)
     try {
       tables.sortBy(_._1).foreach {
-        case (tbl, maxId, schemaJson, checks, idCol, statsCols, files) =>
+        case (tbl, maxId, schemaJson, checks, idCol, statsCols, renames,
+            files) =>
           val m = gf.newGroup()
           m.append("table", tbl).append("kind", "m")
           m.append("max_id", maxId)
@@ -185,6 +200,8 @@ private[store] object CheckpointIO {
           idCol.foreach(m.append("id_col", _))
           statsCols.foreach(sc =>
             m.append("stats_cols_json", statsColsJson(sc)))
+          if (renames.nonEmpty)
+            m.append("renames_json", renamesJson(renames))
           w.write(m)
           files.sortBy(_._1).foreach {
             case (p, mn, mx, cols, scols, dv, rows, nulls) =>
@@ -260,10 +277,11 @@ private[store] object CheckpointIO {
     else None
 
   /** Decode one table's rows into the pieces [[Catalog]] assembles:
-    * (maxId, schemaJson, checks, idCol, statsCols, fileEntries). */
+    * (maxId, schemaJson, checks, idCol, statsCols, renames,
+    * fileEntries). */
   def decodeTable(rows: Seq[(String, String, Group)])
       : Option[(Long, Option[String], Map[String, String], Option[String],
-          Option[Seq[String]],
+          Option[Seq[String]], Map[String, Seq[String]],
           Vector[(String, Long, Long, Map[String, (Long, Long)],
             Map[String, (String, String)], Option[(String, Long)], Long,
             Map[String, Long])])] = {
@@ -288,7 +306,9 @@ private[store] object CheckpointIO {
         optStr(m, "checks_json").map(parseChecks)
           .getOrElse(Map.empty[String, String]),
         optStr(m, "id_col"),
-        optStr(m, "stats_cols_json").map(parseStatsCols), files)
+        optStr(m, "stats_cols_json").map(parseStatsCols),
+        optStr(m, "renames_json").map(parseRenames)
+          .getOrElse(Map.empty[String, Seq[String]]), files)
     }
   }
 }

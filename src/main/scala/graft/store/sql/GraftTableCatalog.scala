@@ -112,9 +112,9 @@ final class GraftTableCatalog extends TableCatalog {
     requireNs(ident.namespace())
     val c = cat
     c.sqlSnapshot(ident.name(), version) match {
-      case Some((files, schema, idCol)) =>
+      case Some((files, schema, idCol, staleRenamed)) =>
         new GraftTable(c.spark, storeRoot, ident.name(), version,
-          files, schema, idCol)
+          files, schema, idCol, staleRenamed)
       case None =>
         throw new NoSuchTableException(
           ident.namespace().toSeq :+ ident.name())
@@ -200,11 +200,18 @@ final class GraftTableCatalog extends TableCatalog {
           if (d.fieldNames().length != 1)
             unsupported("nested column drops are not supported")
           tx.dropColumn(ident.name(), d.fieldNames()(0))
+        case r: TableChange.RenameColumn =>
+          // round 16: metadata-only rename (manifest prior-name map);
+          // Scala reads coalesce across epochs, SQL reads require the
+          // layout migrated (compact/OPTIMIZE) — see Catalog.renameColumn
+          if (r.fieldNames().length != 1)
+            unsupported("nested column renames are not supported")
+          tx.renameColumn(ident.name(), r.fieldNames()(0), r.newName())
         case other =>
           unsupported(s"${other.getClass.getSimpleName} is not " +
             "supported; supported shapes: ADD COLUMNS (nullable, no " +
-            "default/position/comment), DROP COLUMN. Constraints go " +
-            "through Catalog.addCheck")
+            "default/position/comment), DROP COLUMN, RENAME COLUMN. " +
+            "Constraints go through Catalog.addCheck")
       }
     }
     loadTable(ident)
@@ -245,7 +252,12 @@ private[sql] final class GraftTable(spark: SparkSession,
     private[sql] val travelVersion: Option[Long],
     files: Vector[Catalog.SqlFile],
     tableSchema: StructType,
-    private[sql] val idCol: String) extends Table
+    private[sql] val idCol: String,
+    /** Set when live files still carry a pre-rename column name: the
+      * single-schema DSv2 scan would silently NULL the renamed column,
+      * so scans refuse with this migration message; metadata ops
+      * (ALTER's return, DESCRIBE) keep working. */
+    staleRenamed: Option[String] = None) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -265,9 +277,11 @@ private[sql] final class GraftTable(spark: SparkSession,
       TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
+      : ScanBuilder = {
+    staleRenamed.foreach(msg => throw new IllegalStateException(msg))
     new GraftScanBuilder(spark, root, tableName, files, exposedSchema,
       idCol, options)
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

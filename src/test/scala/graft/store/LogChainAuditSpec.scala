@@ -39,10 +39,10 @@ class LogChainAuditSpec extends SparkSuite {
     assert(cv == 10L)
     val tables = CheckpointIO.read(ck, None).groupBy(_._1).toSeq
       .map { case (tbl, rows) =>
-        val (maxId, schemaJson, checks, idCol, statsCols, files) =
-          CheckpointIO.decodeTable(rows).get
+        val (maxId, schemaJson, checks, idCol, statsCols, renames,
+          files) = CheckpointIO.decodeTable(rows).get
         (tbl, if (tbl == "users") 99L else maxId, schemaJson, checks,
-          idCol, statsCols,
+          idCol, statsCols, renames,
           files: Seq[(String, Long, Long, Map[String, (Long, Long)],
             Map[String, (String, String)], Option[(String, Long)], Long,
             Map[String, Long])])

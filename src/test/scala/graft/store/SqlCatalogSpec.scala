@@ -134,12 +134,13 @@ class SqlCatalogSpec extends SparkSuite {
     "DROP, RENAME); INSERT INTO routes through the transactional " +
     "append (dense ids, NULL-id contract enforced)") {
     // round 15: CREATE/DROP/ALTER are supported for DYNAMIC tables
-    // (StoreDdlSpec); what stays loud is the shapes the engine cannot
-    // honor — dropping a registry table (identity lives in code, it
-    // would respawn) and renames
+    // (StoreDdlSpec); round 16 added RENAME COLUMN (RenameColumnSpec).
+    // What stays loud is the shapes the engine cannot honor — dropping
+    // a registry table (identity lives in code, it would respawn) and
+    // RENAME TABLE (the manifest key IS the identity)
     Seq(
       s"DROP TABLE $CatName.events_ingest",
-      s"ALTER TABLE $CatName.events_ingest RENAME COLUMN props TO p")
+      s"ALTER TABLE $CatName.events_ingest RENAME TO events2")
       .foreach { stmt =>
         val e = intercept[Throwable] { sqlq(stmt).collect() }
         def chain(t: Throwable): Seq[Throwable] =
