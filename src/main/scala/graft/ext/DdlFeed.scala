@@ -89,19 +89,28 @@ object DdlFeed {
            |  AND event_id <= ${(k + 1) * SpanSlice}
            |GROUP BY user_id""".stripMargin)
     }
+    // the prune REQUIRE uses an SF-ADAPTIVE window (first eighth of the
+    // observed user domain) so the claim holds at any fixture scale —
+    // at sf0.1 the user domain is sparse per slice and a tiny fixed
+    // window is not covered by every file's stats; the GATE query's
+    // constants below stay fixed (the DuckDB gate runs at sf0.01)
+    val dom = cat.read("span_metrics")
+      .agg(min(col("user_id")), max(col("user_id"))).collect()(0)
+    val (uLo, uHi) = (dom.getLong(0),
+      dom.getLong(0) + (dom.getLong(1) - dom.getLong(0)) / 8)
     val preTotal = cat.liveFiles("span_metrics").size
     val preHit = cat.rangeFiles("span_metrics", "user_id",
-      SpanLo, SpanHi)._1.size
+      uLo, uHi)._1.size
     require(preHit == preTotal && preTotal >= 3,
       s"span fixture expected every file to cover the user window " +
-        s"pre-optimize ($preHit of $preTotal)")
+        s"[$uLo,$uHi] pre-optimize ($preHit of $preTotal)")
     s.sql(s"OPTIMIZE $CatName.span_metrics ZORDER BY (user_id) " +
       "INTO 4 FILES")
     val (hit, total) = cat.rangeFiles("span_metrics", "user_id",
-      SpanLo, SpanHi)
+      uLo, uHi)
     require(hit.nonEmpty && hit.size < total,
       s"SQL-created table did not prune after OPTIMIZE ZORDER: " +
-        s"window [$SpanLo,$SpanHi] opens ${hit.size} of $total files — " +
+        s"window [$uLo,$uHi] opens ${hit.size} of $total files — " +
         "manifest-carried stats columns are not collecting")
   }
 
