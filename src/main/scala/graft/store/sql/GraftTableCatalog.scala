@@ -229,8 +229,15 @@ final class GraftTableCatalog extends TableCatalog {
     }
   }
 
+  /** SQL `ALTER TABLE <cat>.<t> RENAME TO <u>` → [[Catalog.renameTable]]
+    * (round 16): one atomic manifest-key move — files by reference,
+    * history below the rename readable under the old name. Registry
+    * tables stay loud (identity lives in code). */
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+      newIdent: Identifier): Unit = {
+    requireNs(oldIdent.namespace()); requireNs(newIdent.namespace())
+    cat.renameTable(oldIdent.name(), newIdent.name())
+  }
 }
 
 /** One store table pinned at one snapshot: the file list and schema are

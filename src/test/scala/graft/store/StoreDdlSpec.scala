@@ -188,6 +188,49 @@ class StoreDdlSpec extends SparkSuite {
       StructType(statShape.fields.filterNot(_.name == "m_id")))
   }
 
+  test("RENAME TABLE (round 16): one atomic zero-copy manifest-key " +
+    "move — new name serves the same rows and dense ids, old name is " +
+    "tombstoned with history readable below, both doors work, and " +
+    "registry/collision shapes stay loud") {
+    val (cat, c) = fresh()
+    cat.createTable("metrics", shape, "m_id")
+    import spark.implicits._
+    cat.append("metrics", Seq(("a", 1.0), ("b", 2.0)).toDF("name", "score"))
+    val vData = cat.version
+    val parquetBefore = cat.liveFiles("metrics").map(_._1).toSet
+    cat.renameTable("metrics", "kpis")
+    // zero-copy: same file entries under the new key
+    assert(cat.liveFiles("kpis").map(_._1).toSet == parquetBefore)
+    assert(cat.read("kpis").count() == 2)
+    assert(!cat.sqlTableNames().contains("metrics"))
+    // dense ids continue from the carried high-water mark
+    val id = cat.append("kpis", Seq(("c", 3.0)).toDF("name", "score"))
+    assert(id == 3L, s"rename rewound dense ids: $id")
+    // history below the rename reads the OLD name
+    assert(cat.readAt("metrics", vData).count() == 2)
+    intercept[Exception] { cat.read("metrics").collect() }
+    // cold reopen agrees
+    val cold = new Catalog(spark, cat.root)
+    assert(cold.read("kpis").count() == 3 &&
+      !cold.sqlTableNames().contains("metrics"))
+    // SQL door: ALTER TABLE ... RENAME TO, then read under the new name
+    spark.sql(s"ALTER TABLE $c.kpis RENAME TO scorecard")
+    assert(spark.sql(s"SELECT * FROM $c.scorecard").count() == 3)
+    // loud shapes
+    def msg(body: => Unit): String = intercept[Exception](body).getMessage
+    assert(msg(cat.renameTable("users", "users2")).contains("registry"))
+    assert(msg(cat.renameTable("scorecard", "users"))
+      .contains("registry"))
+    cat.createTable("other", shape, "m_id")
+    assert(msg(cat.renameTable("other", "scorecard"))
+      .contains("already exists"))
+    assert(msg(cat.renameTable("ghost", "g2")).contains("no such table"))
+    // the old name is reusable with a fresh identity
+    cat.createTable("metrics", shape, "m_id")
+    assert(cat.append("metrics", Seq(("x", 9.0)).toDF("name", "score"))
+      == 1L)
+  }
+
   test("manifest-carried stats columns (round 16): createTable " +
     "designates them — even within the SAME transaction as the first " +
     "append — files collect value stats, readRange prunes, and " +
