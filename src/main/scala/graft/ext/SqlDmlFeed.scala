@@ -32,10 +32,11 @@ import graft.store.Catalog
   *     it);
   *  v5 SQL PARTIAL-SET `MERGE INTO` (round 16) with a `(820, 950]`
   *     slice whose view triples `value` and re-types 'late': `WHEN
-  *     MATCHED THEN UPDATE SET value = s.value` rewrites ONLY the
-  *     value column — matched rows keep their standing event_type
-  *     ('merged' from v4) and every other column from the TARGET —
-  *     while unmatched keys `> 900` insert the full source row.
+  *     MATCHED THEN UPDATE SET value = s.value * 2` rewrites ONLY the
+  *     value column — through a SET EXPRESSION evaluated on the
+  *     source batch — while matched rows keep their standing
+  *     event_type ('merged' from v4) and every other column from the
+  *     TARGET, and unmatched keys `> 900` insert the full source row.
   * SqlDmlSpec pins the mechanics (DV sidecar, byte-identical
   * originals, CHECK enforcement, loud rejections); these rows pin the
   * cross-engine SEMANTICS of the SQL-door writes. */
@@ -75,10 +76,10 @@ object SqlDmlFeed {
     "graft_sqldml_src"
   }
 
-  /** v5 source: the SET-expression pattern the partial merge documents
-    * — arithmetic is PRE-COMPUTED in the USING view (value x3), the
-    * MERGE assignment itself stays the same-name pass-through the
-    * engine executes. */
+  /** v5 source: the view transforms value x3 (exercising view-side
+    * pre-computation) and the MERGE statement ADDS a SET expression
+    * (`s.value * 2`) on top — both layers of the round-16
+    * expression-capable partial merge in one fixture commit. */
   private def srcView2(s: SparkSession, d: String): String = {
     Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -110,12 +111,14 @@ object SqlDmlFeed {
          |ON t.event_id = s.event_id
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    // v5: PARTIAL-SET merge — only `value` rewrites on matched rows
+    // v5: PARTIAL-SET merge with a SET EXPRESSION — matched rows take
+    // value = s.value * 2 (evaluated on the source batch), everything
+    // else keeps its target value; inserts take the raw source row
     val src2 = srcView2(s, d)
     s.sql(
       s"""MERGE INTO $CatName.events_ingest t USING $src2 s
          |ON t.event_id = s.event_id
-         |WHEN MATCHED THEN UPDATE SET value = s.value
+         |WHEN MATCHED THEN UPDATE SET value = s.value * 2
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     require(cat.version == 5L,
       s"sql-dml fixture ended at v${cat.version}, expected 5")
@@ -158,7 +161,7 @@ object SqlDmlFeed {
        |kept5 AS (SELECT * FROM state4
        |  WHERE event_id NOT IN (SELECT event_id FROM src2)),
        |upd5 AS (SELECT t.ingest_id, t.event_id, t.ts, t.user_id,
-       |    t.event_type, s.value AS value, t.props
+       |    t.event_type, s.value * 2 AS value, t.props
        |  FROM state4 t JOIN src2 s ON t.event_id = s.event_id),
        |ins5 AS (SELECT (SELECT MAX(ingest_id) FROM state4)
        |    + row_number() OVER (ORDER BY event_id) AS ingest_id, *

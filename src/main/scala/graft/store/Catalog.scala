@@ -2334,37 +2334,48 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * of the tx. */
     def merge(table: String, source: DataFrame,
         keyCol: String,
-        /** Partial-SET MERGE (round 16): `Some(cols)` restricts the
-          * MATCHED branch to rewriting only these columns from the
-          * source — every other column of a matched row keeps its
-          * TARGET value (the `WHEN MATCHED THEN UPDATE SET c = s.c`
-          * subset shape). Inserts are unaffected (source rows
-          * verbatim). `None` = the classic star merge (every non-key
-          * column from the source). Because partial post-images MIX
-          * target and source values, they are CHECK-validated
+        /** Partial-SET MERGE (round 16): `Some(map)` restricts the
+          * MATCHED branch to rewriting only the mapped TARGET columns,
+          * each taking the named SOURCE column's value — every other
+          * column of a matched row keeps its TARGET value (the `WHEN
+          * MATCHED THEN UPDATE SET c = s.x` subset shape; the SQL door
+          * evaluates SET expressions into synthetic source columns and
+          * maps onto them). Inserts are unaffected (the table-shaped
+          * source columns verbatim; mapped extras are insert-invisible).
+          * `None` = the classic star merge (every non-key column from
+          * the same-named source column). Because partial post-images
+          * MIX target and source values, they are CHECK-validated
           * directly (the star merge's source-only validation would
           * miss a cross-column constraint). */
-        matchedCols: Option[Seq[String]] = None): (Long, Long) = {
+        matchedCols: Option[Map[String, String]] = None): (Long, Long) = {
       ensureLease()
       val (schema, idCol) = schemaIdOf(table)
       require(keyCol != idCol,
         s"merge key must be a natural key, not the surrogate id $idCol")
       val srcCols = schema.fieldNames.filterNot(_ == idCol).toSeq
-      matchedCols.foreach { cols =>
-        require(cols.nonEmpty, "partial merge with an empty SET")
-        require(cols.distinct.size == cols.size,
-          s"duplicate column in partial-merge SET $cols")
-        cols.foreach { c =>
+      matchedCols.foreach { m =>
+        require(m.nonEmpty, "partial merge with an empty SET")
+        m.foreach { case (c, from) =>
           require(srcCols.contains(c),
             s"partial-merge SET column '$c' is not a writable column " +
               s"of '$table'")
           require(c != keyCol,
             s"partial-merge SET cannot reassign the merge key '$keyCol'")
+          require(source.columns.contains(from),
+            s"partial-merge SET source column '$from' (for '$c') is " +
+              "not in the merge source")
         }
       }
-      // does column f of a matched image take the SOURCE value?
+      // does column f of a matched image take the SOURCE value, and
+      // from WHICH source column?
       val takesSrc: String => Boolean =
         f => matchedCols.forall(_.contains(f))
+      val srcNameOf: String => String =
+        f => matchedCols.flatMap(_.get(f)).getOrElse(f)
+      // the materialized batch carries the table-shaped columns plus
+      // any mapped extras (the SQL door's evaluated SET expressions)
+      val batchCols = srcCols ++ matchedCols.map(_.values.toSeq
+        .filterNot(srcCols.contains)).getOrElse(Nil).distinct
       // materialize the source ONCE before anything reads it (same rule
       // as replaceWhere): the batch feeds the duplicate check, the CHECK
       // validation, the matched rewrite, the insert anti-join, AND the
@@ -2373,7 +2384,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // record a different key domain) on the next
       val src = {
         import graft.core.Eager.EagerCheckpoint
-        source.select(srcCols.map(col): _*).eagerCheckpoint()
+        source.select(batchCols.map(col): _*).eagerCheckpoint()
       }
       val domain = markMergeDomain(table, src, keyCol)
       // NULL keys are exempt from the duplicate check: they can never
@@ -2423,7 +2434,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
                 .select(schema.fieldNames.toIndexedSeq.map { f =>
                   if (f == idCol) col(s"t.$f").as(f)
                   else if (f == keyCol) col(s"t.$f").as(f)
-                  else if (takesSrc(f)) col(s"s.$f").as(f)
+                  else if (takesSrc(f)) col(s"s.${srcNameOf(f)}").as(f)
                   else col(s"t.$f").as(f)
                 }: _*)
               // mixed post-images are validated directly (see the
@@ -2442,8 +2453,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
               .select(schema.fieldNames.toIndexedSeq.map { f =>
                 if (f == idCol) col(s"t.$f").as(f)
                 else if (f == keyCol) col(keyCol)
-                else if (takesSrc(f)) when(col("__m"), col(s"s.$f"))
-                  .otherwise(col(s"t.$f")).as(f)
+                else if (takesSrc(f))
+                  when(col("__m"), col(s"s.${srcNameOf(f)}"))
+                    .otherwise(col(s"t.$f")).as(f)
                 else col(s"t.$f").as(f)
               }: _*)
             // partial SET: validate the MIXED matched post-images (the
@@ -2454,7 +2466,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
                 .select(schema.fieldNames.toIndexedSeq.map { f =>
                   if (f == idCol) col(s"t.$f").as(f)
                   else if (f == keyCol) col(keyCol)
-                  else if (takesSrc(f)) col(s"s.$f").as(f)
+                  else if (takesSrc(f)) col(s"s.${srcNameOf(f)}").as(f)
                   else col(s"t.$f").as(f)
                 }: _*))
             val rewritten = stageFiles(table, applied, idCol, effStatsCols(table))
@@ -2470,12 +2482,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
           (matched,
             src.join(hitRows.select(keyCol), Seq(keyCol), "left_anti"))
         }
-      val nIns = inserted.count()
+      // inserts are the TABLE-shaped source rows; the mapped extras
+      // (evaluated SET expressions) are matched-branch-only
+      val insertRows = inserted.select(srcCols.map(col): _*)
+      val nIns = insertRows.count()
       // order by ALL source columns, not just the key: several NULL-key
       // rows are legal in one merge (they all insert), and the key alone
       // would leave their id assignment partition-order-dependent
       if (nIns > 0)
-        append(table, inserted, orderBy = keyCol +: srcCols.filterNot(_ == keyCol))
+        append(table, insertRows,
+          orderBy = keyCol +: srcCols.filterNot(_ == keyCol))
       (nUpd, nIns)
     }
 
@@ -3216,7 +3232,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     retried(_.update(table, predicate, assignments))
 
   def merge(table: String, source: DataFrame, keyCol: String,
-      matchedCols: Option[Seq[String]] = None): (Long, Long) =
+      matchedCols: Option[Map[String, String]] = None): (Long, Long) =
     retried(_.merge(table, source, keyCol, matchedCols))
 
   def addCheck(table: String, name: String, constraint: String): Unit =

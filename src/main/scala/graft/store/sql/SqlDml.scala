@@ -43,11 +43,12 @@ import graft.store.Catalog
   *  - non-deterministic expressions (the Catalog revalidates predicates
   *    across OCC retries — two evaluations must agree);
   *  - MERGE shapes beyond the keyed upsert [[Catalog.merge]] implements:
-  *    the matched branch takes same-named SOURCE columns — a full star
-  *    or (round 16) any SUBSET, with un-SET columns keeping their
-  *    target values; arbitrary SET expressions, conditional actions,
-  *    and NOT MATCHED BY SOURCE still have no engine analogue and
-  *    throw pointed errors.
+  *    the matched branch takes a full star, any SUBSET (un-SET columns
+  *    keep their target values), or deterministic SET EXPRESSIONS over
+  *    SOURCE columns (round 16 — evaluated on the source batch as
+  *    synthetic columns); expressions reading TARGET columns,
+  *    conditional actions, and NOT MATCHED BY SOURCE still have no
+  *    engine analogue and throw pointed errors.
   *
   * Expressions cross from the analyzed command into the Catalog as SQL
   * text (`Expression.sql` with qualifiers stripped): the Catalog
@@ -115,9 +116,11 @@ final case class GraftSqlDmlRule(session: SparkSession)
               "MERGE through the SQL door takes exactly one " +
                 "unconditional WHEN NOT MATCHED THEN INSERT clause")
           }
-          // the MATCHED branch may SET a SUBSET of columns (round 16,
+          // the MATCHED branch may SET a SUBSET of columns and use
+          // deterministic expressions over SOURCE columns (round 16,
           // partial-SET merge): un-SET columns keep their target
-          // values; INSERT must still cover every column
+          // values; INSERT must still cover every column with
+          // same-named pass-throughs
           val matchedSet = upsertShape(upSets, "WHEN MATCHED THEN UPDATE",
             rel, source, t, key, allowSubset = true)
           upsertShape(insSets, "WHEN NOT MATCHED THEN INSERT",
@@ -126,10 +129,14 @@ final case class GraftSqlDmlRule(session: SparkSession)
             .filterNot(f => f.equalsIgnoreCase(t.idCol)
               || f.equalsIgnoreCase(key)).map(_.toLowerCase).toSet
           // schema-cased names for the engine; None = the star merge
+          // (full coverage, all same-name pass-throughs)
+          val byName = matchedSet.toMap
           val partial =
-            if (matchedSet == allCols) None
+            if (matchedSet.map(_._1).toSet == allCols &&
+                matchedSet.forall(_._2.isEmpty)) None
             else Some(rel.table.schema().fieldNames
-              .filter(f => matchedSet.contains(f.toLowerCase)).toSeq)
+              .filter(f => byName.contains(f.toLowerCase))
+              .map(f => f -> byName(f.toLowerCase)).toSeq)
           GraftMergeCommand(t.root, t.tableName, key, t.idCol, source,
             partial)
         case None => m
@@ -206,45 +213,60 @@ private[sql] object GraftSqlDml {
         (targetOut.contains(r) && sourceOut.contains(l)))
 
   /** Validate one MERGE branch against [[Catalog.merge]]'s contract
-    * and return the assigned non-id, non-key column set (lowercase).
-    * Every assignment must take the source's SAME-NAMED column (the
-    * only value shape the engine's single-source-batch execution can
-    * honor — an arbitrary expression would need per-branch source
-    * images); the surrogate id may appear only as a pass-through of a
-    * source column named like it — enforced all-NULL at run time (ids
-    * are engine-assigned) — or a NULL literal. With
-    * `allowSubset = false` (the INSERT branch, and the classic star
-    * UPDATE) every non-id column must be covered; with `true`
-    * (round 16, partial-SET MERGE) a subset is legal — un-SET columns
-    * keep their matched row's target values. */
+    * and return the assigned non-id, non-key columns (lowercase) with
+    * each one's value shape: `None` = the source's same-named column,
+    * `Some(sql)` = a deterministic EXPRESSION over source columns
+    * (round 16: allowed on the MATCHED branch only — evaluated into a
+    * synthetic source column at run time; a reference to a TARGET
+    * column stays loud, since the engine's source batch cannot see
+    * matched target rows). The surrogate id may appear only as a
+    * pass-through of a source column named like it — enforced
+    * all-NULL at run time (ids are engine-assigned) — or a NULL
+    * literal. With `allowSubset = false` (the INSERT branch, and the
+    * classic star UPDATE) every non-id column must be covered and
+    * only same-named pass-throughs are legal (insert rows ARE source
+    * rows); with `true` a subset is legal — un-SET columns keep their
+    * matched row's target values. */
   def upsertShape(as: Seq[Assignment], branch: String,
       rel: DataSourceV2Relation, source: LogicalPlan, t: GraftTable,
-      key: String, allowSubset: Boolean): Set[String] = {
+      key: String, allowSubset: Boolean)
+      : Seq[(String, Option[String])] = {
     val sourceOut = source.outputSet
-    val assigned = as.map { a =>
+    val assigned: Seq[(String, Option[String])] = as.flatMap { a =>
       val name = topLevelColumn(a.key, s"MERGE $branch")
       a.value match {
         case v: AttributeReference
-            if v.name.equalsIgnoreCase(name) && sourceOut.contains(v) => ()
-        case Literal(null, _) if name.equalsIgnoreCase(t.idCol) => ()
+            if v.name.equalsIgnoreCase(name) && sourceOut.contains(v) =>
+          Some(name.toLowerCase -> None)
+        case Literal(null, _) if name.equalsIgnoreCase(t.idCol) => None
+        case v if allowSubset =>
+          if (!v.references.subsetOf(sourceOut)) dmlFail(
+            s"MERGE $branch: '$name' is assigned ${v.sql}, which " +
+              "references target columns — SET expressions may only " +
+              "read the USING source (the engine evaluates them on " +
+              "the source batch; matched target values are not in " +
+              "scope)")
+          Some(name.toLowerCase ->
+            Some(exprSql(v, s"MERGE $branch SET $name =")))
         case v => dmlFail(
           s"MERGE $branch assignments must take the source's " +
-            s"same-named column; '$name' is assigned ${v.sql}. " +
-            "Pre-compute expressions in the USING source (a view or " +
-            "subquery), or use UPDATE for column-targeted writes")
+            s"same-named column; '$name' is assigned ${v.sql} " +
+            "(INSERT rows are source rows verbatim)")
       }
-      name.toLowerCase
-    }.toSet
+    }
+    val names = assigned.map(_._1)
+    if (names.distinct.size != names.size) dmlFail(
+      s"MERGE $branch assigns a column twice")
     val required = rel.table.schema().fieldNames
       .filterNot(_.equalsIgnoreCase(t.idCol)).map(_.toLowerCase).toSet
-    val missing = required -- assigned
+    val missing = required -- names.toSet
     if (missing.nonEmpty && !allowSubset) dmlFail(
-      s"MERGE $branch covers ${assigned.size} of ${required.size} " +
+      s"MERGE $branch covers ${names.size} of ${required.size} " +
         s"non-id columns; missing ${missing.toSeq.sorted.mkString(", ")} " +
         "(INSERT takes every non-id column from the source)")
     assigned
-      .filterNot(_.equalsIgnoreCase(t.idCol))
-      .filterNot(_.equalsIgnoreCase(key))
+      .filterNot(_._1.equalsIgnoreCase(t.idCol))
+      .filterNot(_._1.equalsIgnoreCase(key))
   }
 
   val countAttr: Seq[Attribute] = Seq(
@@ -293,9 +315,13 @@ final case class GraftUpdateCommand(root: String, table: String,
 final case class GraftMergeCommand(root: String, table: String,
     keyCol: String, idCol: String,
     source: LogicalPlan,
-    /** Partial-SET column subset (round 16) — see
+    /** Partial-SET assignments (round 16): target column -> None (the
+      * source's same-named column) | Some(exprSql) (a deterministic
+      * expression over source columns, evaluated into a synthetic
+      * `__set_<col>` source column before the merge) — see
       * [[graft.store.Catalog]]'s `merge(matchedCols)`. */
-    matchedCols: Option[Seq[String]] = None) extends LeafRunnableCommand {
+    matchedSets: Option[Seq[(String, Option[String])]] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlDml.mergeAttrs
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -320,8 +346,22 @@ final case class GraftMergeCommand(root: String, table: String,
               "drop the column or carry NULLs")
         snap.drop(idCol)
       }
+    // evaluate SET expressions on the SOURCE batch as synthetic
+    // columns, then hand the engine a plain target->source-column map
+    val (srcFinal, matchedMap) = matchedSets match {
+      case None => (src, None)
+      case Some(sets) =>
+        val augmented = sets.foldLeft(src) {
+          case (df, (c, Some(sql))) => df.withColumn(s"__set_$c", expr(sql))
+          case (df, _) => df
+        }
+        (augmented, Some(sets.map {
+          case (c, Some(_)) => c -> s"__set_$c"
+          case (c, None) => c -> c
+        }.toMap))
+    }
     val (nUpd, nIns) = new Catalog(spark, root)
-      .merge(table, src, keyCol, matchedCols)
+      .merge(table, srcFinal, keyCol, matchedMap)
     Seq(Row(nUpd, nIns))
   }
 }

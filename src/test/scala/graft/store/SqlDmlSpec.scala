@@ -157,14 +157,22 @@ class SqlDmlSpec extends SparkSuite {
       .contains("subqueries"))
     assert(msgOf(s"UPDATE $c.events_ingest SET value = rand() " +
       "WHERE ingest_id = 1").contains("non-deterministic"))
-    // SET expressions beyond same-named source pass-through stay loud
-    // (the partial-SET round-16 feature covers subsets, not exprs)
+    // SET expressions may read SOURCE columns only: a target-column
+    // reference stays loud (the engine's source batch cannot see
+    // matched target rows)
     assert(msgOf(
       s"""MERGE INTO $c.events_ingest t USING sqldml_src s
          |ON t.event_id = s.event_id
-         |WHEN MATCHED THEN UPDATE SET value = s.value * 2
+         |WHEN MATCHED THEN UPDATE SET value = t.value + s.value
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      .contains("same-named"))
+      .contains("target columns"))
+    // ...and non-deterministic SET expressions stay loud
+    assert(msgOf(
+      s"""MERGE INTO $c.events_ingest t USING sqldml_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET value = rand()
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .contains("non-deterministic"))
     // the INSERT branch must still cover every non-id column
     assert(msgOf(
       s"""MERGE INTO $c.events_ingest t USING sqldml_src s
@@ -207,7 +215,7 @@ class SqlDmlSpec extends SparkSuite {
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
     val (nUpd, nIns) = new Catalog(spark, apiRoot)
       .merge("events_ingest", src, "event_id",
-        matchedCols = Some(Seq("value")))
+        matchedCols = Some(Map("value" -> "value")))
     assert(row.getAs[Long]("num_updated_rows") == nUpd && nUpd > 0)
     assert(row.getAs[Long]("num_inserted_rows") == nIns && nIns > 0)
     assert(state(sqlRoot) == state(apiRoot))
