@@ -56,6 +56,12 @@ class StoreFuzzSpec extends SparkSuite {
     // dead files are reclaimed), so time travel and restore are only
     // guaranteed for versions committed AFTER the latest vacuum
     var lastVacuumAt = 0L
+    // round 16: column-rename chains per table (current name of the
+    // fuzzed "phone" column; the model never reads it, so the value of
+    // the op is COMPOSITION — every later read, clone, compact,
+    // restore, reopen and time travel crosses the rename map)
+    val phoneCol = mutable.Map[String, String]().withDefaultValue("phone")
+    var renameSeq = 0
 
     def snapshot(): Map[String, Map[Long, (String, String)]] =
       tables.map { case (t, m) => t -> m.toMap }.toMap
@@ -71,7 +77,7 @@ class StoreFuzzSpec extends SparkSuite {
     for (step <- 1 to 50) {
       val t = tables.keys.toVector(rnd.nextInt(tables.size))
       val m = tables(t)
-      rnd.nextInt(17) match {
+      rnd.nextInt(19) match {
         case 0 | 1 | 2 => // append one row
           emails += 1
           val em = s"u$emails@x.c"
@@ -111,6 +117,7 @@ class StoreFuzzSpec extends SparkSuite {
             opLog += s"clone($t -> $dst)"
             tables(dst) = m.clone()
             maxId(dst) = maxId(t)
+            phoneCol(dst) = phoneCol(t)
           }
         case 10 => // REOPEN: fresh instance, cold cache — the full
           // checkpoint + tail-delta replay must reproduce the state
@@ -168,6 +175,38 @@ class StoreFuzzSpec extends SparkSuite {
             opLog += "dropTable(dyn)"
             tables.remove("dyn")
             maxId.remove("dyn")
+          }
+        case 17 => // RENAME COLUMN (round 16): chain-rename the phone
+          // column on the chosen table — pure metadata; later appends
+          // (which still ship a "phone" column) NULL-backfill it like
+          // any absent nullable column, and every subsequent read of
+          // the table crosses the coalesce map (cold reopen, clones,
+          // compaction folding, restore, and the time-travel section
+          // read pre-rename snapshots through their own names)
+          {
+            renameSeq += 1
+            val to = s"ph_$renameSeq"
+            cat.renameColumn(t, phoneCol(t), to)
+            opLog += s"renameColumn($t, ${phoneCol(t)} -> $to)"
+            phoneCol(t) = to
+          }
+        case 18 => // RENAME TABLE (round 16): atomic manifest-key move
+          // of the dynamic table; the model's key moves with it, old
+          // history keeps replaying under the old name (the
+          // time-travel section asserts per-snapshot names), and
+          // restore below a rename resurrects the old key
+          if (tables.contains("dyn") && !tables.contains("dyn_r")) {
+            cat.renameTable("dyn", "dyn_r")
+            opLog += "renameTable(dyn -> dyn_r)"
+            tables("dyn_r") = tables.remove("dyn").get
+            maxId("dyn_r") = maxId.remove("dyn").get
+            phoneCol("dyn_r") = phoneCol("dyn")
+            phoneCol.remove("dyn")
+          } else if (tables.contains("dyn_r")) {
+            cat.dropTable("dyn_r") // keep the name pool bounded
+            opLog += "dropTable(dyn_r)"
+            tables.remove("dyn_r")
+            maxId.remove("dyn_r")
           }
         case 9 => // write INTO a clone (divergence) if any exists
           val clones = tables.keys.filter(_.startsWith("snap_")).toVector
