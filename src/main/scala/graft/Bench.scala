@@ -111,12 +111,35 @@ object Bench {
   private def referencePath: java.nio.file.Path = java.nio.file.Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench/BENCH_REFERENCE.json"))
 
+  /** Proper JSON parse (Jackson rides Spark's classpath), reading ONLY
+    * the `rows` object — a regex scrape over the whole file would pull
+    * non-query numeric keys (totals, metadata) into the drift map and
+    * silently mis-anchor on any structural change to the file. A
+    * reference with no `rows` object (or unparseable) anchors nothing,
+    * loudly, rather than anchoring garbage. */
   private[graft] def loadReference(): Map[String, Double] =
     if (!java.nio.file.Files.exists(referencePath)) Map.empty
-    else {
-      val txt = java.nio.file.Files.readString(referencePath)
-      "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    else try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rows = mapper.readTree(referencePath.toFile).path("rows")
+      if (!rows.isObject) {
+        System.err.println(s"[bench] reference $referencePath has no " +
+          "'rows' object — drift guard disabled for this run")
+        Map.empty
+      } else {
+        val it = rows.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      }
+    } catch {
+      case ex: java.io.IOException =>
+        System.err.println(s"[bench] reference $referencePath " +
+          s"unparseable (${ex.getMessage}) — drift guard disabled")
+        Map.empty
     }
 
   private[graft] def driftOf(results: Seq[(String, Double)],

@@ -36,7 +36,13 @@ import graft.store.Catalog
   *     value column — through a SET EXPRESSION evaluated on the
   *     source batch — while matched rows keep their standing
   *     event_type ('merged' from v4) and every other column from the
-  *     TARGET, and unmatched keys `> 900` insert the full source row.
+  *     TARGET, and unmatched keys `> 900` insert the full source row;
+  *  v6 SQL TARGET-READING MERGE (round 17, SURVEY §7.7.3 closed) with
+  *     a `(930, 1000]` slice re-typed 'accum': `WHEN MATCHED THEN
+  *     UPDATE SET value = t.value + s.value` — THE incremental-
+  *     aggregate merge — reads the standing TARGET value on the
+  *     engine's per-pair joined images and lands old+delta, keeping
+  *     every other column from the target; keys `> 950` insert raw.
   * SqlDmlSpec pins the mechanics (DV sidecar, byte-identical
   * originals, CHECK enforcement, loud rejections); these rows pin the
   * cross-engine SEMANTICS of the SQL-door writes. */
@@ -48,6 +54,8 @@ object SqlDmlFeed {
   private val MergeHi = 900L
   private val PartialLo = 820L
   private val PartialHi = 950L
+  private val AccumLo = 930L
+  private val AccumHi = 1000L
 
   /** Catalog name for the SQL-DML fixture root. */
   private val CatName = "graftdml"
@@ -91,6 +99,19 @@ object SqlDmlFeed {
     "graft_sqldml_src2"
   }
 
+  /** v6 source: raw values re-typed 'accum' — the MERGE itself reads
+    * `t.value` so the accumulation lives in the statement, not the
+    * view. */
+  private def srcView3(s: SparkSession, d: String): String = {
+    Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") > AccumLo && col("event_id") <= AccumHi)
+      .withColumn("event_type", lit("accum"))
+      .withColumn("ingest_id", lit(null).cast("bigint"))
+      .createOrReplaceTempView("graft_sqldml_src3")
+    "graft_sqldml_src3"
+  }
+
   private def write(s: SparkSession, d: String): Unit = {
     val cat = new Catalog(s, rootDir(s))
     require(cat.version == 0L,
@@ -120,8 +141,16 @@ object SqlDmlFeed {
          |ON t.event_id = s.event_id
          |WHEN MATCHED THEN UPDATE SET value = s.value * 2
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    require(cat.version == 5L,
-      s"sql-dml fixture ended at v${cat.version}, expected 5")
+    // v6: TARGET-READING merge — matched rows land old+delta (the
+    // incremental-aggregate shape), inserts take the raw source row
+    val src3 = srcView3(s, d)
+    s.sql(
+      s"""MERGE INTO $CatName.events_ingest t USING $src3 s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET value = t.value + s.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(cat.version == 6L,
+      s"sql-dml fixture ended at v${cat.version}, expected 6")
     val dvLs = java.nio.file.Files.list(
       java.nio.file.Paths.get(rootDir(s), "_dv"))
     val nDv = try dvLs.count() finally dvLs.close()
@@ -166,18 +195,32 @@ object SqlDmlFeed {
        |ins5 AS (SELECT (SELECT MAX(ingest_id) FROM state4)
        |    + row_number() OVER (ORDER BY event_id) AS ingest_id, *
        |  FROM src2
-       |  WHERE event_id NOT IN (SELECT event_id FROM state4))""".stripMargin
+       |  WHERE event_id NOT IN (SELECT event_id FROM state4)),
+       |state5 AS (SELECT * FROM kept5 UNION ALL SELECT * FROM upd5
+       |  UNION ALL SELECT * FROM ins5),
+       |src3 AS (SELECT event_id, ts, user_id, 'accum' AS event_type,
+       |    value, props
+       |  FROM f WHERE event_id > $AccumLo AND event_id <= $AccumHi),
+       |kept6 AS (SELECT * FROM state5
+       |  WHERE event_id NOT IN (SELECT event_id FROM src3)),
+       |upd6 AS (SELECT t.ingest_id, t.event_id, t.ts, t.user_id,
+       |    t.event_type, t.value + s.value AS value, t.props
+       |  FROM state5 t JOIN src3 s ON t.event_id = s.event_id),
+       |ins6 AS (SELECT (SELECT MAX(ingest_id) FROM state5)
+       |    + row_number() OVER (ORDER BY event_id) AS ingest_id, *
+       |  FROM src3
+       |  WHERE event_id NOT IN (SELECT event_id FROM state5))""".stripMargin
 
-  /** Final state after the four SQL-text mutations (partial-SET merge
-    * included) — read back through pure SQL as well (write AND read
-    * both cross the DSv2 door). */
+  /** Final state after the five SQL-text mutations (partial-SET and
+    * target-reading merges included) — read back through pure SQL as
+    * well (write AND read both cross the DSv2 door). */
   val dmlState: Q = Q(
     "ext_sql_dml_state",
     s"""$replaySql
        |SELECT * FROM (
-       |  SELECT * FROM kept5 UNION ALL
-       |  SELECT * FROM upd5 UNION ALL
-       |  SELECT * FROM ins5)
+       |  SELECT * FROM kept6 UNION ALL
+       |  SELECT * FROM upd6 UNION ALL
+       |  SELECT * FROM ins6)
        |ORDER BY ingest_id""".stripMargin
   ) { (s, d) =>
     ensurePrepared(s, d)

@@ -180,7 +180,18 @@ final class Catalog(val spark: SparkSession, val root: String) {
         * manifest: time travel reads each snapshot through its own
         * names, and clones inherit it. The surrogate id is not
         * renameable (DV masks, dense-id plumbing). */
-      renames: Map[String, Seq[String]] = Map.empty)
+      renames: Map[String, Seq[String]] = Map.empty,
+      /** Directories (root-relative, = prior table names) this table's
+        * files lived under before a RENAME TABLE. File entries keep
+        * their old-name paths across a rename (zero-copy), so
+        * [[Catalog.vacuum]] on the NEW name must sweep the old
+        * directories too — without this record, dead pre-rename
+        * rewrites under the old path would be reclaimable only by
+        * vacuuming the OLD name, which no caller routes to after the
+        * rename (unbounded garbage). Chained renames accumulate;
+        * compaction never clears the list (cheap to re-sweep an empty
+        * dir, dangerous to forget a non-empty one). */
+      priorDirs: Seq[String] = Nil)
 
   private type Manifest = Map[String, TableState]
 
@@ -230,18 +241,19 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   private def stateFromDecoded(d: (Long, Option[String],
       Map[String, String], Option[String], Option[Seq[String]],
-      Map[String, Seq[String]],
+      Map[String, Seq[String]], Seq[String],
       Vector[(String, Long, Long, Map[String, (Long, Long)],
         Map[String, (String, String)], Option[(String, Long)], Long,
         Map[String, Long])])): TableState = {
-    val (maxId, schemaJson, checks, idCol, statsCols, renames, files) = d
+    val (maxId, schemaJson, checks, idCol, statsCols, renames, priorDirs,
+      files) = d
     TableState(maxId,
       canonFiles(files.map { case (p, mn, mx, cols, scols, dv, rows, nulls) =>
         FileEntry(p, mn, mx, cols, scols, dv, rows, nulls)
       }),
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]),
-      checks, idCol, statsCols, renames)
+      checks, idCol, statsCols, renames, priorDirs)
   }
 
   private def fileEntryNode(fs: ArrayNode, f: FileEntry): Unit = {
@@ -295,7 +307,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private def parseTableMeta(t: com.fasterxml.jackson.databind.JsonNode)
       : (Option[org.apache.spark.sql.types.StructType],
          Map[String, String], Option[String], Option[Seq[String]],
-         Map[String, Seq[String]]) = {
+         Map[String, Seq[String]], Seq[String]) = {
     val schema = Option(t.get("schema")).map(n =>
       org.apache.spark.sql.types.DataType.fromJson(n.asText())
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -310,8 +322,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
         e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
         .toMap
     }.getOrElse(Map.empty[String, Seq[String]])
+    val priorDirs = Option(t.get("priordirs")).map(
+      _.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     (schema, checks, Option(t.get("idcol")).map(_.asText()), statsCols,
-      renames)
+      renames, priorDirs)
   }
 
   private def putTableMeta(t: ObjectNode, st: TableState): Unit = {
@@ -331,6 +345,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
         val a = rn.putArray(cur); priors.foreach(a.add)
       }
     }
+    if (st.priorDirs.nonEmpty) {
+      val a = t.putArray("priordirs"); st.priorDirs.foreach(a.add)
+    }
   }
 
   /** Checkpoint format = the full-manifest format (every table, every
@@ -344,9 +361,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
         val t = e.getValue
         val files = canonFiles(t.get("files").elements().asScala
           .map(parseFileEntry).toVector)
-        val (schema, checks, idCol, statsCols, renames) = parseTableMeta(t)
+        val (schema, checks, idCol, statsCols, renames, priorDirs) =
+          parseTableMeta(t)
         e.getKey -> TableState(t.get("maxId").asLong(), files, schema,
-          checks, idCol, statsCols, renames)
+          checks, idCol, statsCols, renames, priorDirs)
       }.toMap
   }
 
@@ -362,6 +380,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       statsCols: Option[Seq[String]] = None,
       /** Absolute post-commit rename history (like schema/idCol). */
       renames: Map[String, Seq[String]] = Map.empty,
+      /** Absolute post-commit prior-directory list (like renames). */
+      priorDirs: Seq[String] = Nil,
       /** DROP TABLE tombstone (round 15): the table's manifest key is
         * removed by this commit. History below stays readable (time
         * travel / restore replay OLD manifests); the files lose their
@@ -381,9 +401,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
           .map(parseFileEntry).toVector).getOrElse(Vector.empty)
         val remove = Option(t.get("remove")).map(_.elements().asScala
           .map(_.asText()).toVector).getOrElse(Vector.empty)
-        val (schema, checks, idCol, statsCols, renames) = parseTableMeta(t)
+        val (schema, checks, idCol, statsCols, renames, priorDirs) =
+          parseTableMeta(t)
         e.getKey -> TableDelta(t.get("maxId").asLong(), add, remove,
-          schema, checks, idCol, statsCols, renames)
+          schema, checks, idCol, statsCols, renames, priorDirs)
       }
     }.toMap).getOrElse(Map.empty)
   }
@@ -417,7 +438,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val gone = td.remove.toSet
     TableState(td.maxId,
       canonFiles(prev.files.filterNot(f => gone(f.path)) ++ td.add),
-      td.schema, td.checks, td.idCol, td.statsCols, td.renames)
+      td.schema, td.checks, td.idCol, td.statsCols, td.renames,
+      td.priorDirs)
   }
 
   /** Every log file as (version, isCheckpoint, path); empty if no log. */
@@ -636,7 +658,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
             remove.foreach(rn.add)
           }
           Some(tbl -> TableDelta(st.maxId, add, remove, st.schema,
-            st.checks, st.idCol, st.statsCols, st.renames))
+            st.checks, st.idCol, st.statsCols, st.renames, st.priorDirs))
         }
       }.toMap
     Files.createDirectories(logDir)
@@ -659,7 +681,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         committedAtMs,
         next.toSeq.sortBy(_._1).map { case (tbl, st) =>
           (tbl, st.maxId, st.schema.map(_.json), st.checks, st.idCol,
-            st.statsCols, st.renames,
+            st.statsCols, st.renames, st.priorDirs,
             st.files.map(f =>
               (f.path, f.minId, f.maxId, f.cols, f.scols, f.dv, f.rows,
                 f.nulls)):
@@ -1056,7 +1078,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private[store] def sqlSnapshot(table: String, version: Option[Long])
       : Option[(Vector[Catalog.SqlFile],
           org.apache.spark.sql.types.StructType, String,
-          Option[String])] = {
+          Map[String, Seq[String]])] = {
     val st = version match {
       case Some(v) => manifestAt(v).get(table)
       case None => tableState(table)
@@ -1072,41 +1094,29 @@ final class Catalog(val spark: SparkSession, val root: String) {
             s"vacuumed file(s) (first: ${gone.head}); raise the " +
             "vacuum retention window to keep older snapshots readable")
     }
-    // Rename migration guard (round 16): the SQL scan delegates to
-    // Spark's DSv2 parquet machinery over the snapshot's file list with
-    // ONE schema — it cannot coalesce a renamed column across files of
-    // different epochs the way the Scala readers do. A file staged
-    // BEFORE a rename is detected by its null-count map (it records
-    // every column the file was staged WITH); serving it by-name would
-    // silently NULL the renamed column. The refusal is raised at SCAN
-    // time (newScanBuilder), not here — metadata operations (ALTER
-    // TABLE's return value, DESCRIBE) must keep working. New files
-    // (and anything compact/OPTIMIZE rewrote) carry current names and
-    // scan normally.
+    // Rename epochs (round 17, closing SURVEY §7.7.1): when live files
+    // still carry a pre-rename column name, the SQL scan reads
+    // prior-name twin columns and coalesces per row
+    // ([[graft.store.sql.RenameCoalescingScan]] — the Scala readers'
+    // readLogical shape), so SELECT works IMMEDIATELY after a rename,
+    // no compaction required. The priors map is passed only while
+    // stale files exist: a file staged AFTER the rename records null
+    // counts for every current column (the stage-time contract), so a
+    // fully migrated layout drops back to the vectorized single-schema
+    // fast path. Pre-null-stats files (rows < 0) can't prove their
+    // epoch and conservatively keep the coalescing read on.
     val schema = schemaOf(st, table)
-    val renamed = schema.fields.filter(f =>
-      Catalog.priorsOf(f).nonEmpty).map(_.name)
-    val staleRenamed: Option[String] =
-      if (renamed.isEmpty) None
-      else {
-        val stale = files.filter { f =>
-          f.rows < 0L || // pre-null-stats file: epoch unknowable, refuse
-            !renamed.forall(f.nulls.contains)
-        }
-        if (stale.isEmpty) None
-        else Some(
-          s"table '$table' was column-renamed and ${stale.size} live " +
-            s"file(s) still carry a prior column name (first: " +
-            s"${stale.head.path}); the SQL door serves single-schema " +
-            "scans — run Catalog.compact/optimize (or SQL OPTIMIZE) " +
-            "to migrate the layout, read through the Scala API, or " +
-            "time-travel below the rename")
-      }
+    val priorsMap: Map[String, Seq[String]] = schema.fields
+      .map(f => f.name -> Catalog.priorsOf(f))
+      .filter(_._2.nonEmpty).toMap
+    val staleExists = priorsMap.nonEmpty && files.exists(f =>
+      f.rows < 0L || !priorsMap.keys.forall(f.nulls.contains))
     Some((files.map(f =>
         Catalog.SqlFile(f.path, f.minId, f.maxId, f.cols, f.scols,
           f.dv.map(d => (d._1, DvIO.read(rootPath, d._1))), f.rows,
           f.nulls)),
-      Catalog.stripPriorNames(schema), idColOf(st, table), staleRenamed))
+      Catalog.stripPriorNames(schema), idColOf(st, table),
+      if (staleExists) priorsMap else Map.empty))
   }
 
   /** Tables the SQL catalog lists: everything with manifest state plus
@@ -1953,6 +1963,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val (schema, _) = schemaIdOf(table)
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(field.name)),
         s"column '${field.name}' already exists on '$table'")
+      // mirror renameColumn's historical-name guard: after
+      // renameColumn(a, b), live files still carry 'a' and the reader
+      // unions a prior-name twin for it — adding a NEW column 'a'
+      // would put the name in the physical read schema twice and brick
+      // every read of the table until the column is dropped
+      val historical = prev.renames.valuesIterator.flatten.toSet
+      require(!historical.exists(_.equalsIgnoreCase(field.name)),
+        s"'${field.name}' is a historical name of a renamed column on " +
+          s"'$table' — live files may still carry it and reads resolve " +
+          "it as the renamed column's prior-name twin; compact the " +
+          "table and vacuum first, or pick another name")
       staged :+= Staged(table, prev.copy(schema =
         Some(Catalog.stripPriorNames(
           org.apache.spark.sql.types.StructType(schema.fields :+ field)))))
@@ -2347,7 +2368,22 @@ final class Catalog(val spark: SparkSession, val root: String) {
           * MIX target and source values, they are CHECK-validated
           * directly (the star merge's source-only validation would
           * miss a cross-column constraint). */
-        matchedCols: Option[Map[String, String]] = None): (Long, Long) = {
+        matchedCols: Option[Map[String, String]] = None,
+        /** Target-reading SET expressions (round 17, closing SURVEY
+          * §7.7.3): target column -> deterministic SQL over aliases
+          * `t` (the MATCHED target row) and `s` (its source row) —
+          * `"total" -> "t.total + s.delta"` is THE incremental-
+          * aggregate merge. Evaluated on the per-pair JOINED images
+          * the partial-merge rewrite already stages (matched target
+          * row ⋈ source row), so cost stays change-proportional: the
+          * join reads only the TOUCHED files' matched rows against
+          * the broadcast batch. Every reference must be `t.`- or
+          * `s.`-qualified (bare names would be ambiguous across the
+          * pair); the merge key and surrogate id are not assignable;
+          * combines with `matchedCols` (disjoint column sets). Implies
+          * a partial merge: un-listed columns keep target values and
+          * the mixed post-images are CHECK-validated directly. */
+        matchedExprs: Map[String, String] = Map.empty): (Long, Long) = {
       ensureLease()
       val (schema, idCol) = schemaIdOf(table)
       require(keyCol != idCol,
@@ -2366,16 +2402,63 @@ final class Catalog(val spark: SparkSession, val root: String) {
               "not in the merge source")
         }
       }
+      // target-reading SET expressions: parse (unresolved) to audit the
+      // reference discipline and learn which extra SOURCE columns the
+      // batch must carry; full resolution + determinism is probed below
+      // against an empty joined shape, BEFORE any data moves
+      val exprSrcRefs: Seq[String] = matchedExprs.toSeq.flatMap {
+        case (c, sql) =>
+          require(srcCols.contains(c),
+            s"merge SET expression column '$c' is not a writable " +
+              s"column of '$table'")
+          require(c != keyCol,
+            s"merge SET expression cannot reassign the merge key " +
+              s"'$keyCol'")
+          require(!matchedCols.exists(_.contains(c)),
+            s"'$c' is assigned by both matchedCols and matchedExprs")
+          val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+          parsed.collect {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              u.nameParts match {
+                case Seq(q, n) if q.equalsIgnoreCase("t") =>
+                  require(schema.fieldNames.contains(n),
+                    s"SET $c = $sql reads t.$n, which is not a column " +
+                      s"of '$table'")
+                  None
+                case Seq(q, n) if q.equalsIgnoreCase("s") =>
+                  require(source.columns.contains(n),
+                    s"SET $c = $sql reads s.$n, which is not in the " +
+                      "merge source")
+                  Some(n)
+                case _ => throw new IllegalArgumentException(
+                  s"SET $c = $sql: every column reference must be " +
+                    "t.<col> (matched target row) or s.<col> (source " +
+                    s"row); got '${u.name}'")
+              }
+          }.flatten
+      }
       // does column f of a matched image take the SOURCE value, and
       // from WHICH source column?
+      val partialSet = matchedCols.isDefined || matchedExprs.nonEmpty
       val takesSrc: String => Boolean =
-        f => matchedCols.forall(_.contains(f))
+        f => if (!partialSet) true
+          else matchedCols.exists(_.contains(f))
       val srcNameOf: String => String =
         f => matchedCols.flatMap(_.get(f)).getOrElse(f)
+      // the matched image of column f, over the joined pair namespace
+      // (alias t = matched target row, alias s = source row)
+      val imageOf: String => Column = f =>
+        if (f == idCol || f == keyCol) col(s"t.$f")
+        else matchedExprs.get(f) match {
+          case Some(sql) => expr(sql)
+          case None =>
+            if (takesSrc(f)) col(s"s.${srcNameOf(f)}") else col(s"t.$f")
+        }
       // the materialized batch carries the table-shaped columns plus
       // any mapped extras (the SQL door's evaluated SET expressions)
-      val batchCols = srcCols ++ matchedCols.map(_.values.toSeq
-        .filterNot(srcCols.contains)).getOrElse(Nil).distinct
+      // plus every source column a target-reading expression names
+      val batchCols = (srcCols ++ matchedCols.map(_.values.toSeq)
+        .getOrElse(Nil) ++ exprSrcRefs).distinct
       // materialize the source ONCE before anything reads it (same rule
       // as replaceWhere): the batch feeds the duplicate check, the CHECK
       // validation, the matched rewrite, the insert anti-join, AND the
@@ -2393,11 +2476,35 @@ final class Catalog(val spark: SparkSession, val root: String) {
       require(src.filter(col(keyCol).isNotNull)
         .groupBy(keyCol).count().filter(col("count") > 1).isEmpty,
         s"ambiguous merge: source has duplicate '$keyCol' values")
-      // every newly-written value in a merge comes from the source batch
-      // (matched rewrites take source columns; inserts ARE source rows),
-      // so validating src once covers both branches — surviving target
-      // rows were validated by their own writing commit
-      enforceChecks(table, src)
+      // STAR merge: every newly-written value comes from the source
+      // batch (matched rewrites take source columns; inserts ARE source
+      // rows), so validating src once covers both branches — surviving
+      // target rows were validated by their own writing commit.
+      // PARTIAL merge: raw source values are NOT what lands — a matched
+      // row takes the mapped SET-expression value (e.g. `s.value / 10`),
+      // so validating src would falsely abort a merge whose landed
+      // images are all valid. Matched mixed post-images are validated
+      // at the rewrite (both MOR and COW branches below) and insert
+      // rows by [[append]] itself — nothing lands unvalidated.
+      if (!partialSet) enforceChecks(table, src)
+      // probe target-reading SET expressions against an EMPTY joined
+      // shape before any data moves: resolution errors (wrong types,
+      // misqualified names) and the determinism contract fail loudly
+      // even when this merge happens to match zero rows
+      if (matchedExprs.nonEmpty) {
+        val emptyTarget = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        val probe = emptyTarget.alias("t")
+          .join(src.limit(0).alias("s"),
+            col(s"t.$keyCol") === col(s"s.$keyCol"))
+          .select(schema.fieldNames.toIndexedSeq.map(f =>
+            imageOf(f).as(f)): _*)
+        require(probe.queryExecution.analyzed.expressions
+            .forall(_.deterministic),
+          "merge SET expressions must be deterministic — the engine " +
+            "re-evaluates them across OCC conflict retries, so two " +
+            "evaluations must agree")
+      }
       val prev = curState(table)
       val keys = src.select(keyCol)
       // stats pre-prune: the hit-file semi-join reads only files whose
@@ -2431,16 +2538,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
               val images = matchedRows.alias("t")
                 .join(broadcast(src).alias("s"),
                   col(s"t.$keyCol") === col(s"s.$keyCol"))
-                .select(schema.fieldNames.toIndexedSeq.map { f =>
-                  if (f == idCol) col(s"t.$f").as(f)
-                  else if (f == keyCol) col(s"t.$f").as(f)
-                  else if (takesSrc(f)) col(s"s.${srcNameOf(f)}").as(f)
-                  else col(s"t.$f").as(f)
-                }: _*)
+                .select(schema.fieldNames.toIndexedSeq.map(f =>
+                  imageOf(f).as(f)): _*)
               // mixed post-images are validated directly (see the
               // matchedCols scaladoc); the star merge keeps the
               // cheaper source-only validation above
-              if (matchedCols.isDefined) enforceChecks(table, images)
+              if (partialSet) enforceChecks(table, images)
               val patch = stageFiles(table, images, idCol, effStatsCols(table))
               staged :+= Staged(table, prev.copy(files =
                 carried ++ dvMarked(hit, deadByFile) ++ patch))
@@ -2448,27 +2551,24 @@ final class Catalog(val spark: SparkSession, val root: String) {
           } else if (hit.nonEmpty) {
             val marked = src.withColumn("__m", lit(true))
             val hitFrame = readFiles(table, hit, schema, idCol)
+            // explicit join condition (not USING): target-reading SET
+            // expressions address BOTH sides by alias, including the key
             val applied = hitFrame.alias("t")
-              .join(broadcast(marked).alias("s"), Seq(keyCol), "left")
+              .join(broadcast(marked).alias("s"),
+                col(s"t.$keyCol") === col(s"s.$keyCol"), "left")
               .select(schema.fieldNames.toIndexedSeq.map { f =>
-                if (f == idCol) col(s"t.$f").as(f)
-                else if (f == keyCol) col(keyCol)
-                else if (takesSrc(f))
-                  when(col("__m"), col(s"s.${srcNameOf(f)}"))
-                    .otherwise(col(s"t.$f")).as(f)
-                else col(s"t.$f").as(f)
+                if (f == idCol || f == keyCol) col(s"t.$f").as(f)
+                else when(col("__m"), imageOf(f))
+                  .otherwise(col(s"t.$f")).as(f)
               }: _*)
             // partial SET: validate the MIXED matched post-images (the
             // inner join restricts to matched rows only)
-            if (matchedCols.isDefined)
+            if (partialSet)
               enforceChecks(table, hitFrame.alias("t")
-                .join(broadcast(src).alias("s"), Seq(keyCol))
-                .select(schema.fieldNames.toIndexedSeq.map { f =>
-                  if (f == idCol) col(s"t.$f").as(f)
-                  else if (f == keyCol) col(keyCol)
-                  else if (takesSrc(f)) col(s"s.${srcNameOf(f)}").as(f)
-                  else col(s"t.$f").as(f)
-                }: _*))
+                .join(broadcast(src).alias("s"),
+                  col(s"t.$keyCol") === col(s"s.$keyCol"))
+                .select(schema.fieldNames.toIndexedSeq.map(f =>
+                  imageOf(f).as(f)): _*))
             val rewritten = stageFiles(table, applied, idCol, effStatsCols(table))
             staged :+= Staged(table,
               prev.copy(files = carried ++ rewritten))
@@ -2820,7 +2920,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val st = curState(from)
       staged :+= Staged(to, st.copy(
         schema = Some(Catalog.stripPriorNames(schemaOf(Some(st), from))),
-        idCol = Some(idColOf(Some(st), from))))
+        idCol = Some(idColOf(Some(st), from)),
+        // data files stay under the OLD-name directory (zero-copy), so
+        // the moved state records it: vacuum on the NEW name sweeps the
+        // prior directories too — otherwise dead pre-rename rewrites
+        // under `from/` would never be reclaimed (no caller vacuums the
+        // tombstoned old name). Chained renames accumulate.
+        priorDirs = (st.priorDirs :+ from).distinct.filterNot(_ == to)))
       staged :+= Staged(from, DroppedSentinel)
       strictTables += from
       strictTables += to
@@ -2895,7 +3001,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         val cur = curState(t)
         staged :+= Staged(t,
           TableState(0L, Vector.empty, cur.schema, cur.checks, cur.idCol,
-            cur.statsCols, cur.renames))
+            cur.statsCols, cur.renames, cur.priorDirs))
       }
       strictTables ++= staged.map(_.table)
     }
@@ -3132,7 +3238,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     if (st.schema != b.schema || st.checks != b.checks ||
         c.schema != b.schema || c.checks != b.checks ||
         st.statsCols != b.statsCols || c.statsCols != b.statsCols ||
-        st.renames != b.renames || c.renames != b.renames)
+        st.renames != b.renames || c.renames != b.renames ||
+        st.priorDirs != b.priorDirs || c.priorDirs != b.priorDirs)
       conflict("schema, CHECK set, stats designation, or renames changed")
     if (c.maxId < b.maxId)
       conflict("id high-water rewound (concurrent restore)")
@@ -3200,7 +3307,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       } else (added, math.max(c.maxId, st.maxId))
     TableState(finalMaxId,
       c.files.filterNot(removed.contains) ++ finalAdded,
-      c.schema, c.checks, c.idCol, c.statsCols, c.renames)
+      c.schema, c.checks, c.idCol, c.statsCols, c.renames, c.priorDirs)
   }
 
   /** Bounded conflict retry for the one-op conveniences: the body is
@@ -3232,8 +3339,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
     retried(_.update(table, predicate, assignments))
 
   def merge(table: String, source: DataFrame, keyCol: String,
-      matchedCols: Option[Map[String, String]] = None): (Long, Long) =
-    retried(_.merge(table, source, keyCol, matchedCols))
+      matchedCols: Option[Map[String, String]] = None,
+      matchedExprs: Map[String, String] = Map.empty): (Long, Long) =
+    retried(_.merge(table, source, keyCol, matchedCols, matchedExprs))
 
   def addCheck(table: String, name: String, constraint: String): Unit =
     retried(_.addCheck(table, name, constraint))
@@ -3347,10 +3455,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // liveness is ROOT-wide, not per-table: a shallow clone references its
     // source's files from another table entry, so vacuuming the source
     // must see the clone's references too
-    val live = readManifest().values.flatMap(_.files)
+    val manifest = readManifest()
+    val live = manifest.values.flatMap(_.files)
       .map(f => rootPath.resolve(f.path).toAbsolutePath.normalize).toSet
-    val tableDir = rootPath.resolve(table)
-    if (!Files.exists(tableDir)) 0
+    // a RENAMED table's files stay under the old-name directory
+    // (zero-copy move); sweep those too — vacuum(oldName) is routed to
+    // by nobody after the rename, so without this the old path collects
+    // unbounded dead rewrites (TableState.priorDirs)
+    val sweepDirs = (table +: manifest.get(table)
+        .map(_.priorDirs).getOrElse(Nil)).distinct
+      .map(rootPath.resolve(_)).filter(Files.exists(_))
+    if (sweepDirs.isEmpty) 0
     else {
       val now = System.currentTimeMillis()
       val leaseDir = rootPath.resolve(Catalog.LeaseDirName)
@@ -3375,20 +3490,23 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // data files first: only *.parquet, never a live one (markers and
       // .crc sidecars of partially-live groups are kept), never one still
       // inside the retention window
-      val it = Files.walk(tableDir)
-      val dead = try {
-        it.iterator().asScala
-          .filter(p => Files.isRegularFile(p)
-            && p.getFileName.toString.endsWith(".parquet"))
-          .filterNot(p => live.contains(p.toAbsolutePath.normalize))
-          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-          .toVector
-      } finally it.close()
+      val dead = sweepDirs.flatMap { tableDir =>
+        val it = Files.walk(tableDir)
+        try {
+          it.iterator().asScala
+            .filter(p => Files.isRegularFile(p)
+              && p.getFileName.toString.endsWith(".parquet"))
+            .filterNot(p => live.contains(p.toAbsolutePath.normalize))
+            .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+            .toVector
+        } finally it.close()
+      }
       dead.foreach(Files.delete)
       // then whole file groups with no parquet left (live OR retained —
       // a dir holding a file still in its grace window must survive so
       // the snapshot reader can resolve it): their markers and sidecars
       // go with them (deepest-first so children empty first)
+      sweepDirs.foreach { tableDir =>
       val it2 = Files.walk(tableDir)
       val dirs = try {
         it2.iterator().asScala.filter(Files.isDirectory(_)).toVector
@@ -3410,13 +3528,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
           victims.foreach(Files.deleteIfExists(_))
         }
       }
+      }
       // deletion-vector sidecars: same rules as data files — retire a
       // sidecar no current entry references once it ages past the
       // cutoff (a replaced DV, or one whose snapshot fell out of the
       // retention window; the lease floor covers in-flight writers)
       val dvDir = rootPath.resolve(DvIO.DirName)
       if (Files.exists(dvDir)) {
-        val liveDv = readManifest().values.flatMap(_.files)
+        val liveDv = manifest.values.flatMap(_.files)
           .flatMap(_.dv.map(d =>
             rootPath.resolve(d._1).toAbsolutePath.normalize)).toSet
         val dvIt = Files.list(dvDir)

@@ -85,6 +85,7 @@ private[store] object CheckpointIO {
       |  optional binary nulls_json (UTF8);
       |  optional binary stats_cols_json (UTF8);
       |  optional binary renames_json (UTF8);
+      |  optional binary prior_dirs_json (UTF8);
       |}""".stripMargin)
 
   private val mapper = new ObjectMapper()
@@ -164,12 +165,22 @@ private[store] object CheckpointIO {
       e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
       .toMap
 
+  private def priorDirsJson(ds: Seq[String]): String = {
+    val n = mapper.createArrayNode()
+    ds.foreach(n.add)
+    mapper.writeValueAsString(n)
+  }
+
+  private def parsePriorDirs(s: String): Seq[String] =
+    mapper.readTree(s).elements().asScala.map(_.asText()).toSeq
+
   /** Write the manifest as `target` (tmp + atomic rename). Rows sorted
     * by (table, kind, path) so the `table` column is globally sorted
     * across row groups — that order IS the targeted read's pruning. */
   def write(target: JPath, version: Long, committedAtMs: Long,
       tables: Seq[(String, Long, Option[String], Map[String, String],
         Option[String], Option[Seq[String]], Map[String, Seq[String]],
+        Seq[String],
         Seq[(String, Long, Long, Map[String, (Long, Long)],
           Map[String, (String, String)], Option[(String, Long)], Long,
           Map[String, Long])])]): Unit = {
@@ -191,7 +202,7 @@ private[store] object CheckpointIO {
     try {
       tables.sortBy(_._1).foreach {
         case (tbl, maxId, schemaJson, checks, idCol, statsCols, renames,
-            files) =>
+            priorDirs, files) =>
           val m = gf.newGroup()
           m.append("table", tbl).append("kind", "m")
           m.append("max_id", maxId)
@@ -202,6 +213,8 @@ private[store] object CheckpointIO {
             m.append("stats_cols_json", statsColsJson(sc)))
           if (renames.nonEmpty)
             m.append("renames_json", renamesJson(renames))
+          if (priorDirs.nonEmpty)
+            m.append("prior_dirs_json", priorDirsJson(priorDirs))
           w.write(m)
           files.sortBy(_._1).foreach {
             case (p, mn, mx, cols, scols, dv, rows, nulls) =>
@@ -277,11 +290,11 @@ private[store] object CheckpointIO {
     else None
 
   /** Decode one table's rows into the pieces [[Catalog]] assembles:
-    * (maxId, schemaJson, checks, idCol, statsCols, renames,
+    * (maxId, schemaJson, checks, idCol, statsCols, renames, priorDirs,
     * fileEntries). */
   def decodeTable(rows: Seq[(String, String, Group)])
       : Option[(Long, Option[String], Map[String, String], Option[String],
-          Option[Seq[String]], Map[String, Seq[String]],
+          Option[Seq[String]], Map[String, Seq[String]], Seq[String],
           Vector[(String, Long, Long, Map[String, (Long, Long)],
             Map[String, (String, String)], Option[(String, Long)], Long,
             Map[String, Long])])] = {
@@ -308,7 +321,9 @@ private[store] object CheckpointIO {
         optStr(m, "id_col"),
         optStr(m, "stats_cols_json").map(parseStatsCols),
         optStr(m, "renames_json").map(parseRenames)
-          .getOrElse(Map.empty[String, Seq[String]]), files)
+          .getOrElse(Map.empty[String, Seq[String]]),
+        optStr(m, "prior_dirs_json").map(parsePriorDirs).getOrElse(Nil),
+        files)
     }
   }
 }

@@ -112,9 +112,9 @@ final class GraftTableCatalog extends TableCatalog {
     requireNs(ident.namespace())
     val c = cat
     c.sqlSnapshot(ident.name(), version) match {
-      case Some((files, schema, idCol, staleRenamed)) =>
+      case Some((files, schema, idCol, renamedPriors)) =>
         new GraftTable(c.spark, storeRoot, ident.name(), version,
-          files, schema, idCol, staleRenamed)
+          files, schema, idCol, renamedPriors)
       case None =>
         throw new NoSuchTableException(
           ident.namespace().toSeq :+ ident.name())
@@ -260,11 +260,12 @@ private[sql] final class GraftTable(spark: SparkSession,
     files: Vector[Catalog.SqlFile],
     tableSchema: StructType,
     private[sql] val idCol: String,
-    /** Set when live files still carry a pre-rename column name: the
-      * single-schema DSv2 scan would silently NULL the renamed column,
-      * so scans refuse with this migration message; metadata ops
-      * (ALTER's return, DESCRIBE) keep working. */
-    staleRenamed: Option[String] = None) extends Table
+    /** Current name -> prior names (newest first) for columns whose
+      * pre-rename bytes still live in at least one file: scans read
+      * prior-name twins and coalesce across epochs
+      * ([[RenameCoalescingScan]]); empty for clean layouts (the
+      * vectorized fast path). */
+    renamedPriors: Map[String, Seq[String]] = Map.empty) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -284,11 +285,9 @@ private[sql] final class GraftTable(spark: SparkSession,
       TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = {
-    staleRenamed.foreach(msg => throw new IllegalStateException(msg))
+      : ScanBuilder =
     new GraftScanBuilder(spark, root, tableName, files, exposedSchema,
-      idCol, options)
-  }
+      idCol, options, renamedPriors)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -349,7 +348,10 @@ private[sql] final class GraftTable(spark: SparkSession,
 private[sql] final class GraftScanBuilder(spark: SparkSession, root: String,
     tableName: String, files: Vector[Catalog.SqlFile],
     tableSchema: StructType, idCol: String,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    /** Current name -> prior names for columns with pre-rename bytes
+      * still live; empty keeps the vectorized single-schema fast path. */
+    renamedPriors: Map[String, Seq[String]] = Map.empty)
     extends Dsv2Bridge with SupportsPushDownRequiredColumns {
 
   private var inner: Option[FileScanBuilder] = None
@@ -357,10 +359,28 @@ private[sql] final class GraftScanBuilder(spark: SparkSession, root: String,
   private[sql] var prunedCount: (Int, Int) = (files.size, files.size)
   private var kept: Vector[Catalog.SqlFile] = files
 
+  /** Nullable prior-name twin fields: included in the parquet table
+    * schema so by-name resolution binds whichever name each file
+    * carries (a file lacking a name NULL-backfills it) — the
+    * [[RenameCoalescingScan]] read shape. */
+  private val twinFields: Seq[org.apache.spark.sql.types.StructField] =
+    renamedPriors.toSeq.flatMap { case (cur, priors) =>
+      val dt = tableSchema(cur).dataType
+      priors.map(p =>
+        org.apache.spark.sql.types.StructField(p, dt, nullable = true))
+    }
+  private val innerTableSchema: StructType =
+    if (twinFields.isEmpty) tableSchema
+    else StructType(tableSchema.fields ++ twinFields)
+
+  /** What this scan OUTPUTS (pruned schema + DV-forced id; never the
+    * twins) — the coalescing wrapper projects down to it. */
+  private var outSchema: StructType = tableSchema
+
   private def mkInner(keptNow: Vector[Catalog.SqlFile]): FileScanBuilder = {
     kept = keptNow
     val pt = ParquetTable(s"graft:$tableName", spark, options,
-      keptNow.map(f => s"$root/${f.path}").toList, Some(tableSchema),
+      keptNow.map(f => s"$root/${f.path}").toList, Some(innerTableSchema),
       classOf[ParquetFileFormat])
     val b = pt.newScanBuilder(options)
     inner = Some(b)
@@ -373,9 +393,20 @@ private[sql] final class GraftScanBuilder(spark: SparkSession, root: String,
   override protected def pushGraft(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    val keptNow = StatsPrune.prune(files, idCol, filters)
+    // manifest-stats pruning sees EVERY filter (prior-name stats keep
+    // renamed columns prunable across epochs)...
+    val keptNow = StatsPrune.prune(files, idCol, filters, renamedPriors)
     prunedCount = (keptNow.size, files.size)
-    forwardFilters(mkInner(keptNow), filters)
+    // ...but filters touching a renamed column must NOT reach parquet
+    // while stale files live: record-level filtering treats an absent
+    // column as all-NULL and would silently drop every pre-rename row.
+    // They stay residual — Spark's Filter node evaluates them above
+    // the coalesced values.
+    val (safe, onRenamed) =
+      if (renamedPriors.isEmpty) (filters, Nil)
+      else filters.partition(_.references.toSeq.forall(a =>
+        !renamedPriors.keys.exists(_.equalsIgnoreCase(a.name))))
+    forwardFilters(mkInner(keptNow), safe) ++ onRenamed
   }
 
   override protected def pushedDelegate: Option[FileScanBuilder] = inner
@@ -384,21 +415,41 @@ private[sql] final class GraftScanBuilder(spark: SparkSession, root: String,
     // merge-on-read: the row mask needs the surrogate id — force it
     // into the read schema (Spark's projection above the scan restores
     // the user's column list); clean snapshots prune exactly as asked
-    val effective =
+    outSchema =
       if (kept.exists(_.dv.isDefined) &&
           !requiredSchema.fieldNames.contains(idCol))
         StructType(requiredSchema.fields :+ tableSchema(idCol))
       else requiredSchema
-    innerOrAll().pruneColumns(effective)
+    // rename epochs: the inner parquet read additionally needs each
+    // required renamed column's prior-name twins (coalesce inputs)
+    val withTwins =
+      if (renamedPriors.isEmpty) outSchema
+      else StructType(outSchema.fields ++ outSchema.fields.flatMap(f =>
+        renamedPriors.get(f.name).toSeq.flatten.map(p =>
+          org.apache.spark.sql.types.StructField(p, f.dataType,
+            nullable = true))))
+    innerOrAll().pruneColumns(withTwins)
   }
 
   override def build(): Scan = {
     val scan = innerOrAll().build()
     val dvd = kept.filter(_.dv.isDefined)
-    if (dvd.isEmpty) scan
-    else new DvMaskedScan(scan,
-      dvd.map(f => java.nio.file.Paths.get(root).resolve(f.path)
-        .toAbsolutePath.normalize.toString -> f.dv.get._2).toMap,
-      idCol)
+    val masked =
+      if (dvd.isEmpty) scan
+      else new DvMaskedScan(scan,
+        dvd.map(f => java.nio.file.Paths.get(root).resolve(f.path)
+          .toAbsolutePath.normalize.toString -> f.dv.get._2).toMap,
+        idCol)
+    if (renamedPriors.isEmpty) masked
+    else {
+      val innerRead = masked.readSchema()
+      val innerOrd = innerRead.fieldNames.zipWithIndex.toMap
+      val candidates = outSchema.fields.map { f =>
+        (f.name +: renamedPriors.getOrElse(f.name, Nil))
+          .flatMap(innerOrd.get).toArray
+      }
+      new RenameCoalescingScan(masked, outSchema, candidates,
+        innerRead.fields.map(_.dataType))
+    }
   }
 }

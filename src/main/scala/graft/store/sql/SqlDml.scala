@@ -44,11 +44,13 @@ import graft.store.Catalog
   *    across OCC retries — two evaluations must agree);
   *  - MERGE shapes beyond the keyed upsert [[Catalog.merge]] implements:
   *    the matched branch takes a full star, any SUBSET (un-SET columns
-  *    keep their target values), or deterministic SET EXPRESSIONS over
+  *    keep their target values), deterministic SET EXPRESSIONS over
   *    SOURCE columns (round 16 — evaluated on the source batch as
-  *    synthetic columns); expressions reading TARGET columns,
-  *    conditional actions, and NOT MATCHED BY SOURCE still have no
-  *    engine analogue and throw pointed errors.
+  *    synthetic columns), or TARGET-reading expressions like
+  *    `SET total = t.total + s.delta` (round 17 — evaluated on the
+  *    engine's per-pair joined images, the incremental-aggregate
+  *    merge); conditional actions and NOT MATCHED BY SOURCE still
+  *    have no engine analogue and throw pointed errors.
   *
   * Expressions cross from the analyzed command into the Catalog as SQL
   * text (`Expression.sql` with qualifiers stripped): the Catalog
@@ -133,7 +135,7 @@ final case class GraftSqlDmlRule(session: SparkSession)
           val byName = matchedSet.toMap
           val partial =
             if (matchedSet.map(_._1).toSet == allCols &&
-                matchedSet.forall(_._2.isEmpty)) None
+                matchedSet.forall(_._2 == SrcSame)) None
             else Some(rel.table.schema().fieldNames
               .filter(f => byName.contains(f.toLowerCase))
               .map(f => f -> byName(f.toLowerCase)).toSeq)
@@ -212,42 +214,105 @@ private[sql] object GraftSqlDml {
       ((targetOut.contains(l) && sourceOut.contains(r)) ||
         (targetOut.contains(r) && sourceOut.contains(l)))
 
+  /** Value shape of one MERGE SET assignment, as it crosses from the
+    * analyzed command into [[GraftMergeCommand]]. */
+  sealed trait SetValue extends Serializable
+  /** The source's same-named column (the star/pass-through shape). */
+  case object SrcSame extends SetValue
+  /** A deterministic expression over SOURCE columns only (round 16) —
+    * evaluated into a synthetic `__set_<col>` source column before the
+    * merge, so the engine still sees a plain column mapping. */
+  final case class SrcExpr(sql: String) extends SetValue
+  /** A deterministic expression reading TARGET columns (round 17,
+    * closing SURVEY §7.7.3 — `SET total = t.total + s.delta`): SQL over
+    * aliases `t`/`s`, handed to [[graft.store.Catalog]]'s
+    * `merge(matchedExprs)` which evaluates it on the per-pair joined
+    * images of the touched files (change-proportional — see the engine
+    * scaladoc). */
+  final case class PairExpr(sql: String) extends SetValue
+
+  /** Analyzed target-reading SET expression -> SQL over `t`/`s`
+    * aliases: each attribute is re-qualified by the side it resolved
+    * against, so the engine's joined-image evaluation binds exactly the
+    * columns the statement named. Same guards as [[exprSql]]. */
+  def pairExprSql(e: Expression, targetOut: AttributeSet,
+      sourceOut: AttributeSet, where: String): String = {
+    if (!e.deterministic) dmlFail(
+      s"$where: non-deterministic expression ${e.sql} — the engine " +
+        "re-evaluates SET expressions across OCC conflict retries, so " +
+        "two evaluations must agree")
+    if (e.exists(_.isInstanceOf[SubqueryExpression])) dmlFail(
+      s"$where: subqueries are not supported through the SQL door — " +
+        "they would read OUTSIDE the statement's OCC transaction; use " +
+        "Catalog.transaction for cross-table read-write atomicity")
+    e.transform {
+      case a: AttributeReference if targetOut.contains(a) =>
+        a.withQualifier(Seq("t"))
+      case a: AttributeReference if sourceOut.contains(a) =>
+        a.withQualifier(Seq("s"))
+    }.sql
+  }
+
   /** Validate one MERGE branch against [[Catalog.merge]]'s contract
     * and return the assigned non-id, non-key columns (lowercase) with
-    * each one's value shape: `None` = the source's same-named column,
-    * `Some(sql)` = a deterministic EXPRESSION over source columns
-    * (round 16: allowed on the MATCHED branch only — evaluated into a
-    * synthetic source column at run time; a reference to a TARGET
-    * column stays loud, since the engine's source batch cannot see
-    * matched target rows). The surrogate id may appear only as a
-    * pass-through of a source column named like it — enforced
-    * all-NULL at run time (ids are engine-assigned) — or a NULL
-    * literal. With `allowSubset = false` (the INSERT branch, and the
-    * classic star UPDATE) every non-id column must be covered and
+    * each one's [[SetValue]] shape: [[SrcSame]] = the source's
+    * same-named column, [[SrcExpr]] = a deterministic EXPRESSION over
+    * source columns (round 16 — evaluated into a synthetic source
+    * column at run time), [[PairExpr]] = a deterministic expression
+    * also reading TARGET columns (round 17 — evaluated on the engine's
+    * per-pair joined images; MATCHED branch only). The surrogate id may
+    * appear only as a pass-through of a source column named like it —
+    * enforced all-NULL at run time (ids are engine-assigned) — or a
+    * NULL literal. With `allowSubset = false` (the INSERT branch, and
+    * the classic star UPDATE) every non-id column must be covered and
     * only same-named pass-throughs are legal (insert rows ARE source
     * rows); with `true` a subset is legal — un-SET columns keep their
     * matched row's target values. */
   def upsertShape(as: Seq[Assignment], branch: String,
       rel: DataSourceV2Relation, source: LogicalPlan, t: GraftTable,
       key: String, allowSubset: Boolean)
-      : Seq[(String, Option[String])] = {
+      : Seq[(String, SetValue)] = {
+    val targetOut = rel.outputSet
     val sourceOut = source.outputSet
-    val assigned: Seq[(String, Option[String])] = as.flatMap { a =>
+    val assigned: Seq[(String, SetValue)] = as.flatMap { a =>
       val name = topLevelColumn(a.key, s"MERGE $branch")
       a.value match {
         case v: AttributeReference
             if v.name.equalsIgnoreCase(name) && sourceOut.contains(v) =>
-          Some(name.toLowerCase -> None)
+          Some(name.toLowerCase -> (SrcSame: SetValue))
         case Literal(null, _) if name.equalsIgnoreCase(t.idCol) => None
+        // the merge key and the surrogate id may ONLY appear as the
+        // same-named source pass-through (key) or a NULL literal /
+        // same-named all-NULL pass-through (id) — both handled above.
+        // Anything else (an expression, another column) would either
+        // rewrite the pairing key out from under the join or fight the
+        // engine's id assignment; fail HERE rather than silently
+        // dropping the assignment at the end (Catalog.merge's own
+        // reassign guard is unreachable from this door otherwise).
+        case v if name.equalsIgnoreCase(key) => dmlFail(
+          s"MERGE $branch cannot reassign the merge key '$key' " +
+            s"(assigned ${v.sql}); the key may only pass through the " +
+            "source's same-named column")
+        case v if name.equalsIgnoreCase(t.idCol) => dmlFail(
+          s"MERGE $branch cannot assign the surrogate id " +
+            s"'${t.idCol}' (assigned ${v.sql}); ids are " +
+            "engine-assigned — pass the source's all-NULL column or " +
+            "a NULL literal")
         case v if allowSubset =>
-          if (!v.references.subsetOf(sourceOut)) dmlFail(
+          if (v.references.subsetOf(sourceOut))
+            // source-only: evaluated on the source batch (cheapest)
+            Some(name.toLowerCase -> (SrcExpr(
+              exprSql(v, s"MERGE $branch SET $name =")): SetValue))
+          else if (v.references.subsetOf(sourceOut ++ targetOut))
+            // target-reading (round 17): evaluated on the engine's
+            // per-pair joined images — `SET total = t.total + s.delta`
+            Some(name.toLowerCase -> (PairExpr(
+              pairExprSql(v, targetOut, sourceOut,
+                s"MERGE $branch SET $name =")): SetValue))
+          else dmlFail(
             s"MERGE $branch: '$name' is assigned ${v.sql}, which " +
-              "references target columns — SET expressions may only " +
-              "read the USING source (the engine evaluates them on " +
-              "the source batch; matched target values are not in " +
-              "scope)")
-          Some(name.toLowerCase ->
-            Some(exprSql(v, s"MERGE $branch SET $name =")))
+              "references columns outside the target and the USING " +
+              "source")
         case v => dmlFail(
           s"MERGE $branch assignments must take the source's " +
             s"same-named column; '$name' is assigned ${v.sql} " +
@@ -315,12 +380,13 @@ final case class GraftUpdateCommand(root: String, table: String,
 final case class GraftMergeCommand(root: String, table: String,
     keyCol: String, idCol: String,
     source: LogicalPlan,
-    /** Partial-SET assignments (round 16): target column -> None (the
-      * source's same-named column) | Some(exprSql) (a deterministic
-      * expression over source columns, evaluated into a synthetic
-      * `__set_<col>` source column before the merge) — see
-      * [[graft.store.Catalog]]'s `merge(matchedCols)`. */
-    matchedSets: Option[Seq[(String, Option[String])]] = None)
+    /** Partial-SET assignments (rounds 16/17): target column -> its
+      * [[GraftSqlDml.SetValue]] shape — same-named pass-through,
+      * source-only expression (evaluated into a synthetic `__set_<col>`
+      * source column before the merge), or a target-reading `t`/`s`
+      * pair expression handed to the engine's `merge(matchedExprs)`
+      * joined-image evaluation. */
+    matchedSets: Option[Seq[(String, GraftSqlDml.SetValue)]] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlDml.mergeAttrs
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -346,22 +412,30 @@ final case class GraftMergeCommand(root: String, table: String,
               "drop the column or carry NULLs")
         snap.drop(idCol)
       }
-    // evaluate SET expressions on the SOURCE batch as synthetic
-    // columns, then hand the engine a plain target->source-column map
-    val (srcFinal, matchedMap) = matchedSets match {
-      case None => (src, None)
+    // evaluate source-only SET expressions on the SOURCE batch as
+    // synthetic columns (a plain target->source-column map for the
+    // engine); target-reading pair expressions pass through as SQL for
+    // the engine's joined-image evaluation
+    import GraftSqlDml.{PairExpr, SrcExpr, SrcSame}
+    val (srcFinal, matchedMap, matchedExprs) = matchedSets match {
+      case None => (src, None, Map.empty[String, String])
       case Some(sets) =>
         val augmented = sets.foldLeft(src) {
-          case (df, (c, Some(sql))) => df.withColumn(s"__set_$c", expr(sql))
+          case (df, (c, SrcExpr(sql))) =>
+            df.withColumn(s"__set_$c", expr(sql))
           case (df, _) => df
         }
-        (augmented, Some(sets.map {
-          case (c, Some(_)) => c -> s"__set_$c"
-          case (c, None) => c -> c
-        }.toMap))
+        val colsMap = sets.collect {
+          case (c, SrcExpr(_)) => c -> s"__set_$c"
+          case (c, SrcSame) => c -> c
+        }.toMap
+        val exprsMap = sets.collect {
+          case (c, PairExpr(sql)) => c -> sql
+        }.toMap
+        (augmented, if (colsMap.isEmpty) None else Some(colsMap), exprsMap)
     }
     val (nUpd, nIns) = new Catalog(spark, root)
-      .merge(table, srcFinal, keyCol, matchedMap)
+      .merge(table, srcFinal, keyCol, matchedMap, matchedExprs)
     Seq(Row(nUpd, nIns))
   }
 }

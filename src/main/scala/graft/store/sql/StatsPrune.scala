@@ -167,26 +167,37 @@ private[sql] object StatsPrune {
       case IsNotNull(a: Attribute) => a.name -> false
     }.toMap
 
-  /** Files surviving the stats test for `filters`. */
+  /** Files surviving the stats test for `filters`. `priors` maps a
+    * RENAMED column's current name to its prior names (newest first):
+    * a pre-rename file recorded its stats under the name it was staged
+    * with, and those stats describe the SAME logical column, so
+    * falling back per file keeps renamed columns prunable across
+    * epochs (a file recording neither name is kept — conservative). */
   def prune(files: Vector[Catalog.SqlFile], idCol: String,
-      filters: Seq[Expression]): Vector[Catalog.SqlFile] = {
+      filters: Seq[Expression],
+      priors: Map[String, Seq[String]] = Map.empty)
+      : Vector[Catalog.SqlFile] = {
     val w = windows(filters)
     val probes = nullProbes(filters)
     if (w.longs.isEmpty && w.strs.isEmpty && probes.isEmpty) return files
+    def statOf[A](c: String, get: String => Option[A]): Option[A] =
+      get(c).orElse(priors.getOrElse(c, Nil).iterator
+        .map(get).collectFirst { case Some(v) => v })
     files.filter { f =>
       val longsOk = w.longs.forall { case (c, (lo, hi)) =>
         val stat =
-          if (c == idCol) Some((f.minId, f.maxId)) else f.cols.get(c)
+          if (c == idCol) Some((f.minId, f.maxId))
+          else statOf(c, f.cols.get)
         stat.forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
       val strsOk = w.strs.forall { case (c, (lo, hi)) =>
-        f.scols.get(c).forall { case (smn, smx) =>
+        statOf(c, f.scols.get).forall { case (smn, smx) =>
           (lo == null || Catalog.utf8Compare(smx, lo) >= 0) &&
             (hi == null || Catalog.utf8Compare(smn, hi) <= 0)
         }
       }
       val nullsOk = probes.forall { case (c, isNull) =>
-        Catalog.nullProbeKeeps(f.rows, f.nulls.get(c), isNull)
+        Catalog.nullProbeKeeps(f.rows, statOf(c, f.nulls.get), isNull)
       }
       longsOk && strsOk && nullsOk
     }

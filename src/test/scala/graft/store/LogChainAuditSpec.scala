@@ -40,9 +40,9 @@ class LogChainAuditSpec extends SparkSuite {
     val tables = CheckpointIO.read(ck, None).groupBy(_._1).toSeq
       .map { case (tbl, rows) =>
         val (maxId, schemaJson, checks, idCol, statsCols, renames,
-          files) = CheckpointIO.decodeTable(rows).get
+          priorDirs, files) = CheckpointIO.decodeTable(rows).get
         (tbl, if (tbl == "users") 99L else maxId, schemaJson, checks,
-          idCol, statsCols, renames,
+          idCol, statsCols, renames, priorDirs,
           files: Seq[(String, Long, Long, Map[String, (Long, Long)],
             Map[String, (String, String)], Option[(String, Long)], Long,
             Map[String, Long])])

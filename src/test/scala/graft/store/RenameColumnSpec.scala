@@ -149,11 +149,27 @@ class RenameColumnSpec extends SparkSuite {
     assert(cat2.read("u").count() == 60)
     assert(msg(cat2.renameColumn("u", "tag", "key"))
       .contains("historical"))
+    // addColumn mirrors the historical-name guard (round 17): a NEW
+    // column named like a renamed-away one would appear in the physical
+    // read schema twice (itself + the prior-name twin) and brick every
+    // read of the table until dropped
+    assert(msg(cat2.addColumn("u",
+      StructField("key", StringType, nullable = true)))
+      .contains("historical"))
+    assert(msg(cat2.addColumn("u",
+      StructField("K", StringType, nullable = true)))
+      .contains("historical"), "historical guard must be case-insensitive")
+    // ...and the table is still fully readable afterwards
+    assert(cat2.read("u").count() == 60)
+    cat2.addColumn("u", StructField("fresh", StringType, nullable = true))
+    assert(cat2.read("u").filter(col("fresh").isNull).count() == 60)
   }
 
-  test("SQL door: ALTER TABLE RENAME COLUMN works as text; scans fail " +
-    "loudly while pre-rename files live and serve after compact " +
-    "migrates the layout; SQL time travel below the rename still reads") {
+  test("SQL door: ALTER TABLE RENAME COLUMN works as text; SELECT " +
+    "serves IMMEDIATELY across rename epochs (round 17 — coalescing " +
+    "scan, no forced compaction), filters on the renamed column are " +
+    "correct against pre-rename files, and SQL time travel below the " +
+    "rename still reads") {
     val (cat, c) = fresh()
     spark.sql(s"CREATE TABLE $c.t (m_id BIGINT NOT NULL, k BIGINT, " +
       "tag STRING) TBLPROPERTIES('id_column'='m_id')")
@@ -161,23 +177,58 @@ class RenameColumnSpec extends SparkSuite {
     cat.append("t", rows(61, 100))
     val vOld = cat.version
     spark.sql(s"ALTER TABLE $c.t RENAME COLUMN k TO key")
-    // pre-rename files live -> the scan is refused with the migration
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT key FROM $c.t").collect()
-    }
-    assert(e.getMessage.contains("compact"), e.getMessage)
+    // pre-rename files live -> the scan coalesces epochs per row: all
+    // 100 values serve under the new name, genuine NULLs preserved
+    // (rowsAs NULLs tag at every id % 10 == 0 — they must stay NULL)
+    val immediate = spark.sql(s"SELECT m_id, key, tag FROM $c.t")
+    assert(immediate.count() == 100)
+    assert(immediate.filter(col("key").isNull).count() == 0)
+    assert(immediate.filter(col("tag").isNull).count() == 10)
+    // a filter ON the renamed column evaluates against coalesced
+    // values — NOT pushed into parquet, where the absent column in
+    // old files would silently drop their rows
+    assert(spark.sql(s"SELECT * FROM $c.t WHERE key = 42").count() == 1)
+    assert(spark.sql(
+      s"SELECT sum(key) AS s FROM $c.t WHERE key > 90")
+      .collect()(0).getLong(0) == (91L to 100L).sum)
+    // mixed epochs: a post-rename append under the NEW name reads
+    // alongside the old files in one scan
+    cat.append("t", rowsAs("key", 101, 120))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.t WHERE key > 100")
+      .collect()(0).getLong(0) == 20)
     // time travel BELOW the rename serves (that snapshot has no map)
     assert(spark.sql(
       s"SELECT k FROM $c.t VERSION AS OF $vOld").count() == 100)
-    // compact migrates the layout to current names -> SQL serves
+    // compact migrates the layout -> same answers on the fast path
     cat.compact("t")
     val got = spark.sql(s"SELECT m_id, key, tag FROM $c.t")
-    assert(got.count() == 100)
+    assert(got.count() == 120)
     assert(got.filter(col("key").isNull).count() == 0)
     // and SQL DML works against the new name
     spark.sql(s"UPDATE $c.t SET tag = 'sqlup' WHERE key = 42")
     assert(spark.sql(
       s"SELECT * FROM $c.t WHERE tag = 'sqlup'").count() == 1)
+  }
+
+  test("SQL scans across rename epochs honour deletion vectors and " +
+    "SQL DML on the renamed column BEFORE any compaction") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.t (m_id BIGINT NOT NULL, k BIGINT, " +
+      "tag STRING) TBLPROPERTIES('id_column'='m_id')")
+    cat.append("t", rows(1, 50))
+    spark.sql(s"ALTER TABLE $c.t RENAME COLUMN k TO key")
+    // point SQL UPDATE through the DV path, keyed by the RENAMED name,
+    // while every live file still carries the old name
+    spark.sql(s"UPDATE $c.t SET tag = 'hit' WHERE m_id = 7")
+    assert(spark.sql(s"SELECT key FROM $c.t WHERE tag = 'hit'")
+      .collect()(0).getLong(0) == 7L)
+    // DELETE keyed by the renamed column; the DV mask and the epoch
+    // coalesce compose in one scan
+    spark.sql(s"DELETE FROM $c.t WHERE key = 9")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.t")
+      .collect()(0).getLong(0) == 49)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.t WHERE key = 9")
+      .collect()(0).getLong(0) == 0)
   }
 
   test("the rename survives the parquet checkpoint and a cold reopen") {

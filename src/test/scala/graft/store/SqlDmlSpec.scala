@@ -157,15 +157,6 @@ class SqlDmlSpec extends SparkSuite {
       .contains("subqueries"))
     assert(msgOf(s"UPDATE $c.events_ingest SET value = rand() " +
       "WHERE ingest_id = 1").contains("non-deterministic"))
-    // SET expressions may read SOURCE columns only: a target-column
-    // reference stays loud (the engine's source batch cannot see
-    // matched target rows)
-    assert(msgOf(
-      s"""MERGE INTO $c.events_ingest t USING sqldml_src s
-         |ON t.event_id = s.event_id
-         |WHEN MATCHED THEN UPDATE SET value = t.value + s.value
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      .contains("target columns"))
     // ...and non-deterministic SET expressions stay loud
     assert(msgOf(
       s"""MERGE INTO $c.events_ingest t USING sqldml_src s
@@ -173,6 +164,23 @@ class SqlDmlSpec extends SparkSuite {
          |WHEN MATCHED THEN UPDATE SET value = rand()
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       .contains("non-deterministic"))
+    // reassigning the MERGE KEY via a SET expression fails loudly —
+    // round-17 regression guard: the subset-SET acceptance must not
+    // swallow it after the fact (the statement would "succeed" while
+    // silently ignoring the assignment)
+    assert(msgOf(
+      s"""MERGE INTO $c.events_ingest t USING sqldml_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET event_id = s.user_id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .contains("merge key"))
+    // ...same for an expression landing on the surrogate id
+    assert(msgOf(
+      s"""MERGE INTO $c.events_ingest t USING sqldml_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET ingest_id = s.event_id + 1
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .contains("engine-assigned"))
     // the INSERT branch must still cover every non-id column
     assert(msgOf(
       s"""MERGE INTO $c.events_ingest t USING sqldml_src s
@@ -248,6 +256,189 @@ class SqlDmlSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("value_cap"), e.getMessage)
     assert(chkCat.version == v0, "violating partial merge left a commit")
+  }
+
+  test("partial-SET merge validates the LANDED images, not the raw " +
+    "source: a source value that violates a CHECK must not abort a " +
+    "merge whose SET expression lands a valid value") {
+    val (root, c) = freshRoot()
+    val cat = new Catalog(spark, root)
+    cat.addCheck("events_ingest", "value_cap", "value < 900")
+    // matched-only source (keys <= 300 all exist); raw value = 5000
+    // violates the cap, but SET value = s.value / 10 lands 500 — valid
+    graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") > 290 && col("event_id") <= 300)
+      .withColumn("value", lit(5000.0))
+      .withColumn("ingest_id", lit(null).cast("bigint"))
+      .createOrReplaceTempView("sqldml_landed_src")
+    val row = spark.sql(
+      s"""MERGE INTO $c.events_ingest t USING sqldml_landed_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET value = s.value / 10
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("num_updated_rows") > 0)
+    assert(row.getAs[Long]("num_inserted_rows") == 0)
+    val landed = cat.read("events_ingest")
+      .filter(col("event_id") > 290 && col("event_id") <= 300)
+    assert(landed.filter(col("value") =!= 500.0).count() == 0,
+      "SET expression value did not land")
+    // INSERT rows are still raw source rows — a violating insert keeps
+    // failing loudly even under a partial SET (validated by append)
+    graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") > 300 && col("event_id") <= 305)
+      .withColumn("value", lit(5000.0))
+      .withColumn("ingest_id", lit(null).cast("bigint"))
+      .createOrReplaceTempView("sqldml_landed_ins")
+    val v1 = cat.version
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $c.events_ingest t USING sqldml_landed_ins s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = s.value / 10
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("value_cap"), e.getMessage)
+    assert(cat.version == v1, "violating insert branch left a commit")
+  }
+
+  test("target-reading MERGE SET (round 17): SET value = t.value + " +
+    "s.value lands old+delta on matched rows through BOTH doors, " +
+    "un-SET columns keep target values, inserts take the raw source") {
+    val (sqlRoot, c) = freshRoot()
+    val (apiRoot, _) = freshRoot()
+    val src = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") > 280 && col("event_id") <= 320)
+      .withColumn("event_type", lit("delta"))
+      .withColumn("value", lit(7.0))
+    src.withColumn("ingest_id", lit(null).cast("bigint"))
+      .createOrReplaceTempView("sqldml_pair_src")
+    val beforeVals = new Catalog(spark, sqlRoot).read("events_ingest")
+      .filter(col("event_id") > 280 && col("event_id") <= 300)
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // SQL door: a pair expression + a same-named pass-through mixed
+    val row = spark.sql(
+      s"""MERGE INTO $c.events_ingest t USING sqldml_pair_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET value = t.value + s.value,
+         |  event_type = s.event_type
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+    // Scala door: same semantics via merge(matchedCols, matchedExprs)
+    val (nUpd, nIns) = new Catalog(spark, apiRoot)
+      .merge("events_ingest", src, "event_id",
+        matchedCols = Some(Map("event_type" -> "event_type")),
+        matchedExprs = Map("value" -> "t.value + s.value"))
+    assert(row.getAs[Long]("num_updated_rows") == nUpd && nUpd > 0)
+    assert(row.getAs[Long]("num_inserted_rows") == nIns && nIns > 0)
+    assert(state(sqlRoot) == state(apiRoot))
+    val after = new Catalog(spark, sqlRoot).read("events_ingest")
+      .filter(col("event_id") > 280 && col("event_id") <= 300)
+      .select("event_id", "value", "event_type", "user_id").collect()
+    after.foreach { r =>
+      assert(r.getDouble(1) == beforeVals(r.getLong(0)) + 7.0,
+        s"matched row ${r.getLong(0)}: expected old+7, got ${r.getDouble(1)}")
+      assert(r.getString(2) == "delta")
+    }
+    // inserts took the raw source row (value = 7.0, not old+7)
+    assert(new Catalog(spark, sqlRoot).read("events_ingest")
+      .filter(col("event_id") > 300).filter(col("value") =!= 7.0)
+      .count() == 0)
+  }
+
+  test("target-reading MERGE SET under COPY-ON-WRITE lands the same " +
+    "state as merge-on-read") {
+    val (morRoot, _) = freshRoot()
+    val (cowRoot, _) = freshRoot()
+    val src = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") > 280 && col("event_id") <= 320)
+      .withColumn("value", lit(3.5))
+    new Catalog(spark, morRoot).merge("events_ingest", src, "event_id",
+      matchedExprs = Map("value" -> "t.value + s.value"))
+    spark.conf.set("spark.graft.store.mergeOnRead", "off")
+    try new Catalog(spark, cowRoot).merge("events_ingest", src, "event_id",
+      matchedExprs = Map("value" -> "t.value + s.value"))
+    finally spark.conf.unset("spark.graft.store.mergeOnRead")
+    assert(state(morRoot) == state(cowRoot))
+  }
+
+  test("target-reading SET expressions: loud contracts (unqualified " +
+    "refs, unknown columns, non-determinism, key/id assignment) and " +
+    "CHECK validation on the landed mixed image") {
+    val (root, _) = freshRoot()
+    val cat = new Catalog(spark, root)
+    val src = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") > 290 && col("event_id") <= 300)
+      .withColumn("value", lit(7.0))
+    def msg(body: => Unit): String = intercept[Exception](body).getMessage
+    assert(msg(cat.merge("events_ingest", src, "event_id",
+      matchedExprs = Map("value" -> "value + 1")))
+      .contains("t.<col>"))
+    assert(msg(cat.merge("events_ingest", src, "event_id",
+      matchedExprs = Map("value" -> "t.nope + s.value")))
+      .contains("not a column"))
+    assert(msg(cat.merge("events_ingest", src, "event_id",
+      matchedExprs = Map("value" -> "t.value + s.nope")))
+      .contains("not in the merge source"))
+    assert(msg(cat.merge("events_ingest", src, "event_id",
+      matchedExprs = Map("value" -> "t.value + rand()")))
+      .contains("deterministic"))
+    assert(msg(cat.merge("events_ingest", src, "event_id",
+      matchedExprs = Map("event_id" -> "t.event_id + 1")))
+      .contains("merge key"))
+    assert(msg(cat.merge("events_ingest", src, "event_id",
+      matchedCols = Some(Map("value" -> "value")),
+      matchedExprs = Map("value" -> "t.value + s.value")))
+      .contains("both"))
+    // CHECK on the landed image: old+7000 breaches the cap -> abort
+    cat.addCheck("events_ingest", "value_cap", "value < 9000")
+    val v0 = cat.version
+    val e = intercept[Exception] {
+      cat.merge("events_ingest", src.withColumn("value", lit(9000.0)),
+        "event_id", matchedExprs = Map("value" -> "t.value + s.value"))
+    }
+    assert(e.getMessage.contains("value_cap"), e.getMessage)
+    assert(cat.version == v0, "violating target-reading merge committed")
+    // ...while a landed-valid image passes even though the raw source
+    // column (9000) violates the cap on its face
+    val (n2, _) = cat.merge("events_ingest",
+      src.withColumn("value", lit(9000.0)), "event_id",
+      matchedExprs = Map("value" -> "t.value + s.value / 100"))
+    assert(n2 > 0)
+  }
+
+  test("target-reading MERGE SET under OCC: a concurrent rewrite of " +
+    "the matched slice aborts the in-flight merge, and the retried " +
+    "convenience recomputes t.value against the WINNER's state") {
+    val (root, _) = freshRoot()
+    val cat = new Catalog(spark, root)
+    val src = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") === 150)
+      .withColumn("value", lit(5.0))
+    val base = cat.read("events_ingest")
+      .filter(col("event_id") === 150)
+      .select("value").collect()(0).getDouble(0)
+    intercept[Catalog.ConcurrentWriteException] {
+      cat.transaction { tx =>
+        tx.merge("events_ingest", src, "event_id",
+          matchedExprs = Map("value" -> "t.value + s.value"))
+        // concurrent winner rewrites the same key before the tx commits
+        cat.update("events_ingest", col("event_id") === 150,
+          Map("value" -> lit(1000.0)))
+      }
+    }
+    // the retried convenience re-reads t.value from the winner: 1005
+    cat.merge("events_ingest", src, "event_id",
+      matchedExprs = Map("value" -> "t.value + s.value"))
+    val got = cat.read("events_ingest").filter(col("event_id") === 150)
+      .select("value").collect()(0).getDouble(0)
+    assert(got == 1005.0,
+      s"expected winner-based 1005.0 (not ${base + 5.0}), got $got")
   }
 
   test("a MERGE source carrying non-NULL surrogate ids fails loudly " +

@@ -333,4 +333,47 @@ class StoreDdlSpec extends SparkSuite {
     assert(cold.readAt("users", vBefore).count() ==
       cold.read("users").count())
   }
+
+  test("vacuum on a RENAMED table sweeps the old-name directory " +
+    "(round 17): dead pre-rename rewrites are reclaimed by vacuuming " +
+    "the NEW name, live old-dir files survive") {
+    import scala.jdk.CollectionConverters._
+    val (cat, _) = fresh()
+    cat.createTable("metrics", shape, "m_id")
+    import spark.implicits._
+    cat.append("metrics",
+      (1 to 50).map(i => (s"n$i", i.toDouble)).toDF("name", "score"))
+    // a broad COW update leaves the original file dead under metrics/
+    cat.update("metrics", lit(true), Map("score" -> (col("score") + 1)))
+    cat.renameTable("metrics", "kpis")
+    val oldDir = java.nio.file.Paths.get(cat.root, "metrics")
+    def parquetUnder(d: java.nio.file.Path): Set[String] = {
+      if (!Files.exists(d)) return Set.empty
+      val w = Files.walk(d)
+      try w.iterator().asScala
+        .filter(p => Files.isRegularFile(p)
+          && p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+      finally w.close()
+    }
+    val before = parquetUnder(oldDir)
+    val liveOld = cat.liveFiles("kpis").map(_._1)
+      .filter(_.startsWith("metrics/")).toSet
+    assert(liveOld.nonEmpty, "rename should keep files under the old dir")
+    assert(before.size > liveOld.size,
+      "setup must leave dead files under the old dir")
+    val reclaimed = cat.vacuum("kpis", retainMillis = 0L)
+    assert(reclaimed > 0, "vacuum(newName) reclaimed nothing")
+    val after = parquetUnder(oldDir)
+    assert(after.map(p => java.nio.file.Paths.get(cat.root)
+        .relativize(java.nio.file.Paths.get(p)).toString) == liveOld,
+      s"old dir should hold exactly the live files, got $after")
+    assert(cat.read("kpis").count() == 50, "vacuum touched live data")
+    // a chained rename keeps accumulating: kpis -> scorecard still
+    // sweeps the original metrics/ directory
+    cat.update("kpis", lit(true), Map("score" -> (col("score") + 1)))
+    cat.renameTable("kpis", "scorecard")
+    assert(cat.vacuum("scorecard", retainMillis = 0L) > 0)
+    assert(cat.read("scorecard").count() == 50)
+  }
 }
