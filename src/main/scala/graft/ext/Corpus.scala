@@ -979,14 +979,32 @@ object Corpus {
         .limit(1).collect()(0)
       val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r.toLong, a, b, cnt))
-      // greedy left-to-right merge as a fold; lit() carries the corpus
-      // strings safely (never spliced into SQL text)
-      vocab = vocab.withColumn("syms",
+      // greedy left-to-right merge as a fold. The merge pair enters as
+      // a BROADCAST 1-row frame rather than literals (round 17, the
+      // ext_bpe_* weak-row fix): every round's merge plan is then
+      // STRUCTURALLY IDENTICAL, so analysis and codegen work is paid
+      // once instead of once per round — the fold itself compares the
+      // same string values either way. Strings still never splice into
+      // SQL text.
+      val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__ma",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__mb",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__mab",
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      val pair = s.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(a, b, a + b)), pairSchema)
+      vocab = vocab.crossJoin(broadcast(pair))
+        .withColumn("syms",
           aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
             when(size(acc) > 0
-                && try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                && try_element_at(acc, lit(-1)) === col("__ma")
+                && x === col("__mb"),
+              concat(slice(acc, lit(1), size(acc) - 1), array(col("__mab"))))
               .otherwise(concat(acc, array(x)))))
+        .drop("__ma", "__mb", "__mab")
         .eagerCheckpoint()
     }
     (merges.toSeq, vocab)

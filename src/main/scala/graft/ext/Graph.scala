@@ -508,23 +508,32 @@ object Graph {
     // job-floor-bound). The 2-round-unroll hash-min below, over the
     // BUCKETED staged edge table, is the measured floor; its per-round
     // cost is the irreducible Σ-degree message aggregate.
-    var last = lab
+    // Convergence probe FOLDED into the round aggregate (round 17):
+    // each node's own pre-round label rides the min-aggregate as a
+    // second column (`ol` — null on message rows, so max() recovers
+    // exactly the own-row value), and the probe is a narrow
+    // filter-limit over the just-checkpointed blocks instead of a
+    // node-sized join against the PREVIOUS checkpoint. Soundness:
+    // min-label propagation is monotone, so ONE full round that
+    // changes no label is a fixed point — probing only the window's
+    // last round can only stop earlier than the old cross-window
+    // compare, never later, and the fixed-point labels are identical.
+    val labT = lab.schema("lab").dataType
     var r = 0
     var converged = false
     while (r < cap && !converged) {
       lab = lab.join(symW, col("v") === col("s"))
-        .select(col("t").as("v"), col("lab"))
-        .union(lab.select(col("v"), col("lab")))
-        .groupBy("v").agg(min(col("lab")).as("lab"))
+        .select(col("t").as("v"), col("lab"),
+          lit(null).cast(labT).as("ol"))
+        .union(lab.select(col("v"), col("lab"), col("lab").as("ol")))
+        .groupBy("v").agg(min(col("lab")).as("lab"), max(col("ol")).as("ol"))
       r += 1
       if (r % CcCheckEvery == 0 || r == cap) {
         lab = lab.eagerCheckpoint()
-        converged = lab.select(col("v"), col("lab").as("nl"))
-          .join(last, Seq("v"))
-          .filter(col("nl") =!= col("lab"))
+        converged = lab.filter(col("lab") =!= col("ol"))
           .limit(1).isEmpty
-        last = lab
       }
+      lab = lab.select(col("v"), col("lab"))
     }
     require(converged,
       s"ccLabels: not converged within $cap rounds — raise the cap " +

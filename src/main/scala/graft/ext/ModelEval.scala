@@ -170,12 +170,34 @@ object ModelEval {
       var wv = Array.fill(Dim)(0.0)
       def snap(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // Round fusion (round 17, the ext_embed_logreg weak-row fix):
+      // weights enter each round's plan as a BROADCAST 1-row frame —
+      // not as literals — so every round is the STRUCTURALLY IDENTICAL
+      // plan and whole-stage codegen compiles the 65-aggregate stage
+      // ONCE (generated source references the broadcast at runtime; a
+      // literal weight vector baked 12 different sources and paid 12
+      // janino+JIT compiles, the dominant per-round cost at local
+      // scale). Arithmetic is unchanged: z folds the SAME strictly
+      // sequential VecDot over the same doubles, so scores and
+      // gradients stay bit-identical to the literal form.
+      val wSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("wb",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("wv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, false),
+          nullable = false)))
+      def wFrame(wb: Double, wv: Array[Double]) = s.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(wb, wv.toSeq)), wSchema)
+      val sigB = lit(1.0) / (lit(1.0) +
+        exp(-(col("wb") + vec_dot(s, col("wv"), col("e")))))
+      val gradColsB = sum(col("y") - sigB).as("g0") +:
+        (0 until Dim).map(j =>
+          sum(col("e").getItem(j) * (col("y") - sigB)).as(s"g${j + 1}"))
       (1 to GdRounds).foreach { _ =>
-        val sig = lit(1.0) / (lit(1.0) + exp(-z(wb, wv)))
-        val gradCols = sum(col("y") - sig).as("g0") +:
-          (0 until Dim).map(j =>
-            sum(col("e").getItem(j) * (col("y") - sig)).as(s"g${j + 1}"))
-        val r = f.agg(count(lit(1)).as("n"), gradCols: _*).collect()(0)
+        val r = f.crossJoin(broadcast(wFrame(wb, wv)))
+          .agg(count(lit(1)).as("n"), gradColsB: _*).collect()(0)
         val n = r.getLong(0).toDouble
         wb = snap(wb + GdLr * r.getDouble(1) / n)
         wv = Array.tabulate(Dim)(j =>

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Determinism, Q, Tables}
@@ -363,23 +364,50 @@ object Warehouse {
         floor(col("o_custkey").cast("decimal(38,0)") * 64 /
           (col("mxck") + 1)).cast("long"))
       .eagerCheckpoint() // scored three ways below — derive once
-    val rRank = BucketRank.rankAndExclSum(cust,
-      b1 = col("rec_days"), b1Desc = false, b2 = col("ckchunk"),
-      order = Seq(col("o_custkey")), weight = None)
-      .withColumnRenamed("rk", "rk_r")
-    val fRank = BucketRank.rankAndExclSum(rRank,
-      b1 = col("freq"), b1Desc = true, b2 = col("ckchunk"),
-      order = Seq(col("o_custkey")), weight = None)
-      .withColumnRenamed("rk", "rk_f")
-    val mRank = BucketRank.rankAndExclSum(fRank,
-      b1 = floor(col("mon") / 10000).cast("long"), b1Desc = true,
-      b2 = lit(0L),
-      order = Seq(col("mon").desc, col("o_custkey")), weight = None)
-      .withColumnRenamed("rk", "rk_m")
-    mRank.select(
-        BucketRank.ntileFromRank(col("rk_r"), col("nc"), 5).as("r_score"),
-        BucketRank.ntileFromRank(col("rk_f"), col("nc"), 5).as("f_score"),
-        BucketRank.ntileFromRank(col("rk_m"), col("nc"), 5).as("m_score"))
+    // ONE bucket-rank pass for all three dimensions (round 17, the
+    // ext_rfm_segments weak-row fix): instead of chaining three
+    // rankAndExclSum stages (~8 shuffle/window stages over the
+    // customer frame), each customer row explodes into three
+    // (dim, b1, b2, ov) keys normalized so every dimension ranks
+    // ASCENDING on (b1, b2; ov, custkey) — recency by (rec_days, ck),
+    // frequency by (-freq, ck), monetary by (-bucket; -mon, ck), each
+    // provably the oracle's (metric [DESC], o_custkey) total order.
+    // One histogram shuffle, ONE window over the dim-partitioned
+    // bucket frame, one within-bucket window, one pivot — the same
+    // exact offset+row_number global rank as rankAndExclSum (buckets
+    // tile each dimension's order), at a third of the passes. Scale
+    // shape unchanged: every full-frame operation is a key-equality
+    // hash aggregate or a bucket-partitioned window; the only
+    // global-order window runs over the bucket-domain frame.
+    // sum(decimal(12,2)) is decimal(22,2); ov carries -mon losslessly
+    val zeroD = lit(0).cast("decimal(22,2)")
+    val tri = cust.select(col("o_custkey"), col("nc"), explode(array(
+        struct(lit("r").as("dim"), col("rec_days").as("b1"),
+          col("ckchunk").as("b2"), zeroD.as("ov")),
+        struct(lit("f").as("dim"), (-col("freq")).as("b1"),
+          col("ckchunk").as("b2"), zeroD.as("ov")),
+        struct(lit("m").as("dim"),
+          (-floor(col("mon") / 10000)).cast("long").as("b1"),
+          lit(0L).as("b2"), (-col("mon")).cast("decimal(22,2)").as("ov"))
+      )).as("t"))
+      .select(col("o_custkey"), col("nc"), col("t.dim").as("dim"),
+        col("t.b1").as("b1"), col("t.b2").as("b2"), col("t.ov").as("ov"))
+    val grp = tri.groupBy("dim", "b1", "b2").agg(count(lit(1)).as("_c"))
+    val offs = grp
+      .withColumn("_coff", sum(col("_c")).over(
+        Window.partitionBy("dim").orderBy(col("b1").asc, col("b2").asc))
+        - col("_c"))
+      .select("dim", "b1", "b2", "_coff")
+    val ranked = tri.join(broadcast(offs), Seq("dim", "b1", "b2"))
+      .withColumn("rk", col("_coff") + row_number().over(
+        Window.partitionBy("dim", "b1", "b2")
+          .orderBy(col("ov").asc, col("o_custkey").asc)))
+      .select(col("o_custkey"), col("dim"),
+        BucketRank.ntileFromRank(col("rk"), col("nc"), 5).as("score"))
+    ranked.groupBy("o_custkey")
+      .agg(max(when(col("dim") === "r", col("score"))).as("r_score"),
+        max(when(col("dim") === "f", col("score"))).as("f_score"),
+        max(when(col("dim") === "m", col("score"))).as("m_score"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("r_score", "f_score", "m_score")
