@@ -1,27 +1,38 @@
 package graft.ext
 
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
 import org.apache.spark.sql.SparkSession
 
 /** Shared prepare-once machinery for the layout-at-rest operators
-  * ([[BucketedJoin]], [[PartitionedScan]], [[ZOrderLayout]]): each
-  * rewrites fixture tables into a managed layout ONCE per (warehouse,
-  * fixture dir, source mtime/size) and reuses the copies until either
-  * changes — the ingest-time cost model the 100 TB versions of these
-  * ops have. One implementation so a fix to the memo rule or the
-  * orphan-directory cleanup cannot silently miss a sibling.
+  * ([[BucketedJoin]], [[PartitionedScan]], [[ZOrderLayout]]) and the
+  * store-root fixtures: each rewrites fixture tables into a managed
+  * layout ONCE per (warehouse, fixture dir, source mtime/size) and
+  * reuses the copies until either changes — the ingest-time cost model
+  * the 100 TB versions of these ops have. One implementation so a fix
+  * to the memo rule or the orphan-directory cleanup cannot silently
+  * miss a sibling.
   *
-  * '''Single-process assumption.''' The memo is in-JVM; every fresh
-  * process re-stages on first use (drop + rewrite), which is idempotent
-  * alone but NOT safe against a concurrent graft process sharing the
-  * same warehouse dir (one deletes while the other reads/writes — e.g.
-  * `sbt test` and `graft.Verify` racing in one checkout produces stale
-  * reads). The driver, bench harness (sequential child JVMs), and
-  * Verify all run staging single-process by construction; keep dev
-  * runs that share a warehouse sequential too. A cross-process memo
-  * would need an on-disk key + OS lock + catalog re-registration
-  * (bucketing metadata included) — not worth the surface while every
-  * production path stages at ingest, once.
-  */
+  * '''Cross-process memo (round 17).''' The in-JVM `@volatile` key is
+  * only the fast path; staging itself runs under a per-warehouse OS
+  * file lock (`_graft_stage.lock`, `FileChannel.lock`, plus a JVM
+  * monitor — POSIX locks are process-scoped) and records an on-disk
+  * DONE MARKER per fixture (`_graft_staged_<table0>.marker`: the memo
+  * key + which managed tables were session-catalog-registered). A
+  * later instance — same or different process — ADOPTS the staged
+  * copies without the destructive drop+rewrite when the marker's key
+  * matches, every managed directory exists, and every
+  * catalog-registered table resolves in ITS session. Store-root
+  * fixtures (no session-catalog entries — graft Catalog state lives
+  * wholly on disk) therefore adopt across processes, which is exactly
+  * the `sbt test` + `graft.Verify` shared-checkout race the old
+  * single-process assumption documented: one process no longer deletes
+  * a root the other is mid-read. saveAsTable fixtures still restage
+  * per process (a fresh in-memory session catalog cannot adopt a
+  * registration it never made) — but serialized under the stage lock,
+  * so concurrent stagings cannot interleave destructively. The marker
+  * is deleted before a restage and written only after the writer
+  * succeeds, so a crash mid-stage can never leave an adoptable lie. */
 private[graft] final class PreparedTables(
     sourceFiles: Seq[String],
     managedTables: Seq[String],
@@ -43,15 +54,78 @@ private[graft] final class PreparedTables(
     (s.conf.get("spark.sql.warehouse.dir") +: d +: srcs).mkString("|")
   }
 
-  def ensurePrepared(s: SparkSession, d: String): Unit = synchronized {
+  private def warehousePath(s: SparkSession): Path =
+    Paths.get(new java.net.URI(
+      s.conf.get("spark.sql.warehouse.dir")).getPath)
+
+  private def markerPath(wh: Path): Path =
+    wh.resolve(s"_graft_staged_${managedTables.head}.marker")
+
+  def ensurePrepared(s: SparkSession, d: String): Unit = {
     val key = memoKey(s, d)
-    if (preparedKey != key) { prepare(s, d); preparedKey = key }
+    if (preparedKey == key) return // in-JVM fast path, no IO
+    val wh = warehousePath(s)
+    Files.createDirectories(wh)
+    PreparedTables.withStageLock(wh) {
+      if (preparedKey != key) { // may have raced another thread here
+        val marker = markerPath(wh)
+        val adopted = readMarker(marker) match {
+          case Some((mk, catTables)) if mk == key =>
+            managedTables.forall(t => Files.exists(wh.resolve(t))) &&
+              catTables.forall(t => s.catalog.tableExists(t))
+          case _ => false
+        }
+        if (!adopted) {
+          Files.deleteIfExists(marker) // a crash below must not leave a lie
+          prepare(s, d)
+          // record which managed tables this WRITER registered in the
+          // session catalog: adoption by a fresh process is legal only
+          // for fixtures whose state lives wholly on disk (none listed)
+          val catTables =
+            managedTables.filter(t => s.catalog.tableExists(t))
+          Files.write(marker,
+            s"$key\n${catTables.mkString(",")}".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+        }
+        preparedKey = key
+      }
+    }
+  }
+
+  private def readMarker(p: Path): Option[(String, Seq[String])] =
+    if (!Files.exists(p)) None
+    else {
+      val lines = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n", -1)
+      if (lines.isEmpty) None
+      else Some((lines(0),
+        lines.lift(1).map(_.split(",").filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)))
+    }
+
+  /** Unconditional restage for callers that need a fresh layout (the
+    * z-order spec): same lock + marker discipline as [[ensurePrepared]],
+    * never a silent reuse. */
+  def forcePrepare(s: SparkSession, d: String): Unit = {
+    val wh = warehousePath(s)
+    Files.createDirectories(wh)
+    PreparedTables.withStageLock(wh) {
+      Files.deleteIfExists(markerPath(wh))
+      prepare(s, d)
+      preparedKey = memoKey(s, d)
+      val catTables =
+        managedTables.filter(t => s.catalog.tableExists(t))
+      Files.write(markerPath(wh),
+        (preparedKey + "\n" + catTables.mkString(",")).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   /** Drop stale catalog entries AND any orphan managed-table directory a
     * previous process left (a fresh session's catalog doesn't know about
-    * them), then run the writer. Idempotent. */
-  def prepare(s: SparkSession, d: String): Unit = {
+    * them), then run the writer. Idempotent; callers hold the stage
+    * lock. */
+  private def prepare(s: SparkSession, d: String): Unit = {
     managedTables.foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
       val dir = java.nio.file.Paths.get(
@@ -63,5 +137,44 @@ private[graft] final class PreparedTables(
       }
     }
     writer(s, d)
+  }
+}
+
+private[graft] object PreparedTables {
+  /** Per-warehouse JVM monitors (POSIX locks are process-scoped: a
+    * second lock attempt from the same JVM throws instead of
+    * blocking, so same-JVM stagers serialize here first). */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Warehouses whose stage lock THIS thread already holds: fixture
+    * writers legitimately stage sub-fixtures (a streaming feed's
+    * writer prepares its replay source), so the lock must be
+    * REENTRANT per thread — `synchronized` already is, but a second
+    * `FileChannel.lock` from the same JVM throws
+    * OverlappingFileLockException instead of granting. */
+  private val holding = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue() = new java.util.HashSet[String]()
+  }
+
+  /** Run `f` holding the per-warehouse stage lock: JVM monitor + OS
+    * file lock, so stagings are serialized across threads AND
+    * processes sharing one warehouse; reentrant within a thread. */
+  private def withStageLock[A](wh: Path)(f: => A): A = {
+    val key = wh.toAbsolutePath.normalize.toString
+    if (holding.get().contains(key)) f
+    else monitors.computeIfAbsent(key, _ => new Object).synchronized {
+      val lockFile = wh.resolve("_graft_stage.lock")
+      val ch = java.nio.channels.FileChannel.open(lockFile,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        holding.get().add(key)
+        try f finally {
+          holding.get().remove(key)
+          lock.release()
+        }
+      } finally ch.close()
+    }
   }
 }

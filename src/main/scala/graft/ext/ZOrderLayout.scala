@@ -53,7 +53,8 @@ object ZOrderLayout {
   /** Write the z-ordered copy: range-shuffle on the Morton value, sort
     * within partitions, drop the helper column. 32 output slices stand
     * in for the cluster's per-executor writers. */
-  def prepare(s: SparkSession, d: String): Unit = prepared.prepare(s, d)
+  def prepare(s: SparkSession, d: String): Unit =
+    prepared.forcePrepare(s, d)
 
   private def write(s: SparkSession, d: String): Unit = {
     Tables.lineitem(s, d)

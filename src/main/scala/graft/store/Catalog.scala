@@ -42,20 +42,25 @@ import org.apache.spark.sql.functions._
   *    funnels every bulk load through one task. Dense `lastrowid` parity
   *    is preserved (SURVEY §7.4).
   *  - '''Multi-process safety, optimistic concurrency.''' A transaction
-  *    body runs against a snapshot with NO lock held; the OS file lock
-  *    (`FileChannel.lock` on `_manifest.lock`) plus a per-root in-JVM
-  *    monitor guard only the commit's validate-and-swap, which checks
-  *    that no staged table was committed concurrently (conflict =>
-  *    [[Catalog.ConcurrentWriteException]], Delta/Iceberg-style OCC).
-  *    Writers on disjoint tables of one root proceed fully in parallel;
-  *    two processes sharing a root never lose a commit (the reference
-  *    got this from MySQL, db.py:42-48).
+  *    body runs against a snapshot with NO lock held; the commit's
+  *    validate-and-swap alone runs under the [[CommitLock]] SPI
+  *    (round 17) — `file` = per-root JVM monitor + `FileChannel.lock`
+  *    on `_manifest.lock` (default, single-host/POSIX), `lease` = a
+  *    conditional-put lease (the object-store/multi-driver shape) —
+  *    and checks that no staged table was committed concurrently
+  *    (conflict => [[Catalog.ConcurrentWriteException]],
+  *    Delta/Iceberg-style OCC). Writers on disjoint tables of one root
+  *    proceed fully in parallel; two processes sharing a root never
+  *    lose a commit (the reference got this from MySQL, db.py:42-48).
   */
 final class Catalog(val spark: SparkSession, val root: String) {
 
   private val rootPath = Paths.get(root)
-  private val lockPath = rootPath.resolve("_manifest.lock")
   Files.createDirectories(rootPath)
+  /** The commit validate-and-swap mutex, behind the [[CommitLock]] SPI:
+    * `spark.graft.store.commitLock` picks `file` (POSIX lock, default)
+    * or `lease` (conditional-put lease — the object-store shape). */
+  private val commitLock: CommitLock = CommitLock.forRoot(spark, rootPath)
   // legacy-layout guard: a pre-round-14 store (single root manifest +
   // _history) would otherwise read back as EMPTY — and vacuum, seeing
   // no referenced files, could then delete its data. Fail loudly at
@@ -3410,16 +3415,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * a `transaction {}` BODY holds no lock (only its commit phase
     * does), so maintenance code needing mutual exclusion with commits
     * must take the locks explicitly. */
-  private def withCommitLock[A](f: => A): A =
-    Catalog.rootMonitor(rootPath.toAbsolutePath.normalize.toString)
-      .synchronized {
-        val ch = java.nio.channels.FileChannel.open(lockPath,
-          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-        try {
-          val lock = ch.lock()
-          try f finally lock.release()
-        } finally ch.close()
-      }
+  private def withCommitLock[A](f: => A): A = commitLock.withLock(f)
 
   /** Delete parquet files under the table's directory that no longer
     * appear in the manifest (left behind by COW updates and compaction).
@@ -3839,12 +3835,4 @@ object Catalog {
     * cleanup forever on an orphan. */
   val WriterLeaseTtlMillis: Long = 6L * 3600 * 1000
 
-  /** Per-root in-JVM monitors: POSIX file locks are process-scoped (a
-    * second lock attempt from the same JVM throws Overlapping-
-    * FileLockException instead of blocking), so same-JVM writers to one
-    * root serialize here first. */
-  private val monitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def rootMonitor(root: String): Object =
-    monitors.computeIfAbsent(root, _ => new Object)
 }

@@ -32,8 +32,16 @@ class StoreRaceFuzzSpec extends SparkSuite {
       .toDF("first_name", "last_name", "phone", "email", "password_hash",
         "user_role", "created_at")
 
-  test("two racing writers on one table: dense ids, no lost rows, no " +
-    "duplicates, all committed deletes and updates visible") {
+  for (lockMode <- Seq("file", "lease"))
+  test(s"two racing writers on one table [commitLock=$lockMode]: dense " +
+    "ids, no lost rows, no duplicates, all committed deletes and " +
+    "updates visible") {
+    spark.conf.set("spark.graft.store.commitLock", lockMode)
+    try raceOneTable()
+    finally spark.conf.unset("spark.graft.store.commitLock")
+  }
+
+  private def raceOneTable(): Unit = {
     val root = Files.createTempDirectory("graft_race").toString
     val perWriter = 12
     val appended = java.util.Collections.newSetFromMap(

@@ -1,0 +1,146 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import graft.SparkSuite
+
+/** [[CommitLock]] SPI unit semantics: mutual exclusion under
+  * contention for BOTH implementations, lease steal after TTL expiry
+  * (exactly one contender wins the steal), token-guarded release, and
+  * loud config validation. The cross-impl integration load lives in
+  * StoreRaceFuzzSpec (parameterized over `file`/`lease`). */
+class CommitLockSpec extends SparkSuite {
+
+  private def contend(lock: CommitLock, threads: Int,
+      iters: Int): (Long, Long) = {
+    // classic lost-update probe: unsynchronized read-modify-write on a
+    // plain var is racy UNLESS the lock serializes the critical section
+    var counter = 0L
+    var maxInside = 0L
+    val inside = new java.util.concurrent.atomic.AtomicLong(0)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(threads)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to threads).foreach { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try (1 to iters).foreach { _ =>
+            lock.withLock {
+              val now = inside.incrementAndGet()
+              maxInside = math.max(maxInside, now)
+              val v = counter
+              Thread.`yield`()
+              counter = v + 1
+              inside.decrementAndGet()
+            }
+          } catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "contenders hung")
+    assert(errs.isEmpty, s"contender threw: ${errs.peek()}")
+    (counter, maxInside)
+  }
+
+  test("both implementations serialize contending holders (no lost " +
+    "update, never two holders inside)") {
+    for (mode <- Seq("file", "lease")) {
+      val root = Files.createTempDirectory(s"graft-lock-$mode")
+      spark.conf.set("spark.graft.store.commitLock", mode)
+      try {
+        val lock = CommitLock.forRoot(spark, root)
+        val (counter, maxInside) = contend(lock, threads = 4, iters = 50)
+        assert(counter == 200L, s"[$mode] lost updates: $counter of 200")
+        assert(maxInside == 1L, s"[$mode] $maxInside holders inside")
+      } finally spark.conf.unset("spark.graft.store.commitLock")
+    }
+  }
+
+  test("lease: an expired lease (presumed-crashed holder) is stolen and " +
+    "the lock proceeds; exactly one contender wins the steal") {
+    val root = Files.createTempDirectory("graft-lock-steal")
+    val leasePath = root.resolve("_commit.lease")
+    // plant a lease whose mtime is far past a short TTL
+    Files.write(leasePath, "dead-holder-token".getBytes)
+    Files.setLastModifiedTime(leasePath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000L))
+    val lock = new LeaseCommitLock(root, new Object, ttlMillis = 500L)
+    // distinct monitors simulate separate processes (no JVM serialization)
+    val locks = (1 to 3).map(_ =>
+      new LeaseCommitLock(root, new Object, ttlMillis = 500L))
+    var won = 0
+    val pool = Executors.newFixedThreadPool(3)
+    val start = new CountDownLatch(1)
+    val mono = new Object
+    locks.foreach { l =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          l.withLock { mono.synchronized { won += 1 } }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS), "steal hung")
+    assert(won == 3, s"$won of 3 contenders got the lock after a steal")
+    assert(!Files.exists(leasePath), "released lease left on disk")
+    // the stale tombstones are cleaned up too
+    val ls = Files.list(root)
+    try assert(!ls.iterator().hasNext, "steal left debris under the root")
+    finally ls.close()
+  }
+
+  test("lease: release only removes the holder's OWN token") {
+    val root = Files.createTempDirectory("graft-lock-token")
+    val leasePath = root.resolve("_commit.lease")
+    val lock = new LeaseCommitLock(root, new Object, ttlMillis = 60000L)
+    lock.withLock {
+      // while held, simulate a (buggy/racing) overwrite by another party:
+      // release must NOT delete a lease that is no longer ours
+      Files.write(leasePath, "someone-else".getBytes)
+    }
+    assert(Files.exists(leasePath),
+      "release deleted a lease carrying another holder's token")
+  }
+
+  test("unknown commitLock mode fails loudly naming the key") {
+    val root = Files.createTempDirectory("graft-lock-bad")
+    spark.conf.set("spark.graft.store.commitLock", "zookeeper")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        CommitLock.forRoot(spark, root)
+      }
+      assert(e.getMessage.contains("spark.graft.store.commitLock"))
+    } finally spark.conf.unset("spark.graft.store.commitLock")
+  }
+
+  test("a store root on the lease lock runs full DML end to end") {
+    spark.conf.set("spark.graft.store.commitLock", "lease")
+    try {
+      val dir = Files.createTempDirectory("graft-lease-store").toString
+      val cat = new Catalog(spark, dir)
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      cat.createTable("m", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("m_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))), "m_id")
+      cat.append("m", Seq(("a", 1.0), ("b", 2.0)).toDF("name", "score"))
+      cat.update("m", col("name") === "a", Map("score" -> lit(9.0)))
+      cat.delete("m", col("name") === "b")
+      assert(cat.read("m").select("name", "score").as[(String, Double)]
+        .collect().toSet == Set(("a", 9.0)))
+      assert(!Files.exists(Paths.get(dir, "_commit.lease")),
+        "lease held after the commits finished")
+    } finally spark.conf.unset("spark.graft.store.commitLock")
+  }
+}
