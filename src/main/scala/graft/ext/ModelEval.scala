@@ -170,39 +170,68 @@ object ModelEval {
       var wv = Array.fill(Dim)(0.0)
       def snap(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      // Round fusion (round 17, the ext_embed_logreg weak-row fix):
-      // weights enter each round's plan as a BROADCAST 1-row frame —
-      // not as literals — so every round is the STRUCTURALLY IDENTICAL
-      // plan and whole-stage codegen compiles the 65-aggregate stage
-      // ONCE (generated source references the broadcast at runtime; a
-      // literal weight vector baked 12 different sources and paid 12
-      // janino+JIT compiles, the dominant per-round cost at local
-      // scale). Arithmetic is unchanged: z folds the SAME strictly
-      // sequential VecDot over the same doubles, so scores and
-      // gradients stay bit-identical to the literal form.
-      val wSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("wb",
-          org.apache.spark.sql.types.DoubleType, nullable = false),
-        org.apache.spark.sql.types.StructField("wv",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, false),
-          nullable = false)))
-      def wFrame(wb: Double, wv: Array[Double]) = s.createDataFrame(
-        java.util.Collections.singletonList(
-          org.apache.spark.sql.Row(wb, wv.toSeq)), wSchema)
-      val sigB = lit(1.0) / (lit(1.0) +
-        exp(-(col("wb") + vec_dot(s, col("wv"), col("e")))))
-      val gradColsB = sum(col("y") - sigB).as("g0") +:
-        (0 until Dim).map(j =>
-          sum(col("e").getItem(j) * (col("y") - sigB)).as(s"g${j + 1}"))
-      (1 to GdRounds).foreach { _ =>
-        val r = f.crossJoin(broadcast(wFrame(wb, wv)))
-          .agg(count(lit(1)).as("n"), gradColsB: _*).collect()(0)
-        val n = r.getLong(0).toDouble
-        wb = snap(wb + GdLr * r.getDouble(1) / n)
-        wv = Array.tabulate(Dim)(j =>
-          snap(wv(j) + GdLr * r.getDouble(j + 2) / n))
+      // Round fusion (round 17, the ext_embed_logreg weak-row fix).
+      // The frame is 2,000 rows x 65 dims at sf0.1 — each round's
+      // actual arithmetic is microseconds, and profiling showed the
+      // per-round cost was Catalyst re-ANALYZING and re-optimizing a
+      // 65-aggregate plan 12 times (literal weights made every round a
+      // new plan; even with weights as a broadcast relation, each
+      // round is a fresh QueryExecution through the full rule
+      // pipeline). The gradient is a fixed 65-number sufficient
+      // statistic over a cached frame — genuinely imperative
+      // per-partition work — so the inner loop runs as mapPartitions
+      // over the ONE converted-and-cached RDD with the weights in a
+      // broadcast: one job per round, no per-round analysis, no
+      // exchange. This is the documented last-resort mapPartitions
+      // case (the DataFrame form re-plans 12x for zero optimizer
+      // benefit — there is nothing to push down or reorder in a full
+      // fold), and the driver still only ever sees O(dims x
+      // partitions) numbers per round.
+      //
+      // Bit-exactness to the retired DataFrame form: the fold applies
+      // the SAME ops in the SAME order — z = wb + a strictly
+      // sequential dot (the VecDot order), sig via java.lang.Math.exp
+      // (what Catalyst's EXP codegen calls), per-column accumulators
+      // added in row order within a partition, partitions merged in
+      // partition-index order (the old final-agg merge order was
+      // ARRIVAL order, so any cross-partition last-ulp wiggle was
+      // already absorbed by the ROUND(6) snap both engines share).
+      val data = {
+        import s.implicits._
+        f.as[(Long, Array[Double])].rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
+      data.count() // materialize once, outside the round loop
+      (1 to GdRounds).foreach { _ =>
+        val bcW = s.sparkContext.broadcast((wb, wv))
+        val partials = data.mapPartitionsWithIndex { (pi, it) =>
+          val (wbL, wvL) = bcW.value
+          val acc = new Array[Double](Dim + 1)
+          var n = 0L
+          it.foreach { case (y, e) =>
+            var z = wbL
+            var i = 0
+            while (i < Dim) { z += wvL(i) * e(i); i += 1 }
+            val d = y.toDouble - 1.0 / (1.0 + java.lang.Math.exp(-z))
+            acc(0) += d
+            i = 0
+            while (i < Dim) { acc(i + 1) += e(i) * d; i += 1 }
+            n += 1
+          }
+          Iterator((pi, n, acc))
+        }.collect().sortBy(_._1)
+        bcW.destroy()
+        val n = partials.map(_._2).sum.toDouble
+        def tot(j: Int): Double = {
+          // partition-index-order merge: deterministic run over run
+          var t = 0.0
+          partials.foreach { case (_, _, a) => t += a(j) }
+          t
+        }
+        wb = snap(wb + GdLr * tot(0) / n)
+        wv = Array.tabulate(Dim)(j => snap(wv(j) + GdLr * tot(j + 1) / n))
+      }
+      data.unpersist(false)
       val acc = f.agg(TextAnalysis.r4(
         count(when((when(z(wb, wv) >= 0, lit(1L)).otherwise(lit(0L)))
           === col("y"), lit(1))),
