@@ -956,58 +956,86 @@ object Corpus {
   /** The k-round training loop shared by [[bpeTrain]] and [[bpeVocab]]:
     * returns the learned merge list and the post-merge vocabulary
     * (freq, syms) frame. */
+  /** One greedy left-to-right merge pass over a symbol sequence —
+    * byte-for-byte the retired Catalyst fold's semantics: `x` joins the
+    * accumulator's last symbol iff (last, x) = (a, b); the merged
+    * symbol a||b can never equal a (b nonempty), so the fold cannot
+    * cascade. Pure string equality — no floating point anywhere in the
+    * BPE loop, so the imperative form is EXACTLY the declarative one. */
+  private def mergeSyms(syms: Array[String], a: String, b: String,
+      ab: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out(out.length - 1) == a && syms(i) == b)
+        out(out.length - 1) = ab
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
   private def bpeLoop(s: SparkSession, d: String)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
-    import graft.core.Eager.EagerCheckpoint
+    // the only corpus-sized work: compress the token stream to
+    // (distinct word, freq) — map-side-combined, vocabulary-sized
+    // output regardless of corpus size. This stays declarative; the
+    // 100 TB cost model lives HERE.
     val words = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    var vocab = words.select(col("freq"),
+    // The k-round loop itself runs over the cached VOCABULARY RDD
+    // (round 17, the ext_bpe_* weak-row fix): each round is a fixed
+    // pair-count + argmax + array-local merge over a ~50k-row frame —
+    // work Catalyst can neither push down nor reorder, while a
+    // DataFrame loop re-analyzed and re-optimized a fresh plan every
+    // round (the dominant cost by 10x at this scale; measured
+    // bpe_train 7.5 -> 3.6 s via plan identity alone, and the
+    // remaining seconds were per-round analysis of the checkpoint-fed
+    // plans). Determinism is EXACT, not tolerance-based: counts are
+    // integer sums (associative/commutative), the argmax reduce
+    // applies the total order (cnt DESC, a ASC, b ASC) in UTF8String
+    // binary order — the same order Spark's orderBy and the DuckDB
+    // oracle's ORDER BY use — and the merge fold is pure string
+    // equality. Driver traffic per round is ONE (pair, cnt) triple.
+    import s.implicits._
+    var vocab: org.apache.spark.rdd.RDD[(Long, Array[String])] = words
+      .select(col("freq"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("syms"))
-      .eagerCheckpoint()
+      .as[(Long, Array[String])].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count() // materialize outside the timed rounds' lineage
     val merges = scala.collection.mutable
       .ArrayBuffer.empty[(Long, String, String, Long)]
+    def utf8Lt(x: String, y: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
     for (r <- 1 to BpeRounds) {
-      val top = vocab.filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(syms[i-1] as a, syms[i] as b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      val ((a, b), cnt) = vocab.flatMap { case (freq, syms) =>
+        if (syms.length < 2) Iterator.empty
+        else (0 until syms.length - 1).iterator
+          .map(i => ((syms(i), syms(i + 1)), freq))
+      }.reduceByKey(_ + _)
+        .reduce { (x, y) => // max under (cnt DESC, a ASC, b ASC)
+          val ((xa, xb), xc) = x
+          val ((ya, yb), yc) = y
+          if (xc > yc) x
+          else if (yc > xc) y
+          else if (utf8Lt(xa, ya)) x
+          else if (utf8Lt(ya, xa)) y
+          else if (utf8Lt(yb, xb)) y else x
+        }
       merges += ((r.toLong, a, b, cnt))
-      // greedy left-to-right merge as a fold. The merge pair enters as
-      // a BROADCAST 1-row frame rather than literals (round 17, the
-      // ext_bpe_* weak-row fix): every round's merge plan is then
-      // STRUCTURALLY IDENTICAL, so analysis and codegen work is paid
-      // once instead of once per round — the fold itself compares the
-      // same string values either way. Strings still never splice into
-      // SQL text.
-      val pairSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__ma",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("__mb",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("__mab",
-          org.apache.spark.sql.types.StringType, nullable = false)))
-      val pair = s.createDataFrame(
-        java.util.Collections.singletonList(
-          org.apache.spark.sql.Row(a, b, a + b)), pairSchema)
-      vocab = vocab.crossJoin(broadcast(pair))
-        .withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-            when(size(acc) > 0
-                && try_element_at(acc, lit(-1)) === col("__ma")
-                && x === col("__mb"),
-              concat(slice(acc, lit(1), size(acc) - 1), array(col("__mab"))))
-              .otherwise(concat(acc, array(x)))))
-        .drop("__ma", "__mb", "__mab")
-        .eagerCheckpoint()
+      val ab = a + b
+      val prev = vocab
+      vocab = prev
+        .map { case (freq, syms) => (freq, mergeSyms(syms, a, b, ab)) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vocab.count()
+      prev.unpersist(false)
     }
-    (merges.toSeq, vocab)
+    (merges.toSeq, vocab.toDF("freq", "syms"))
   }
 
   val bpeTrain: Q = Q(
