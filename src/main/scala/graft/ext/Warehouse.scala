@@ -345,17 +345,21 @@ object Warehouse {
       |ORDER BY r_score, f_score, m_score""".stripMargin
   ) { (s, d) =>
     val orders = Tables.orders(s, d)
-    val mx = orders.agg(max(col("o_orderdate")).as("mx"))
-    val custRaw = orders.groupBy("o_custkey")
+    // ONE customer aggregate; the corpus max date folds into the same
+    // bounds pass (max over per-customer last_order IS the global max),
+    // so the fact table is scanned once, not twice
+    val custAgg = orders.groupBy("o_custkey")
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(12,2)")).as("mon"))
-      .crossJoin(broadcast(mx))
+    val bounds = custAgg.agg(count(lit(1)).as("nc"),
+      max(col("o_custkey")).as("mxck"),
+      max(col("last_order")).as("mx"))
+    val custRaw = custAgg
+      .crossJoin(broadcast(bounds.select("mx")))
       .select(col("o_custkey"),
         datediff(col("mx"), col("last_order")).cast("long").as("rec_days"),
         col("freq"), col("mon"))
-    val bounds = custRaw.agg(count(lit(1)).as("nc"),
-      max(col("o_custkey")).as("mxck"))
     // 64-way monotone custkey split: spreads heavy value-ties across
     // partitions while preserving the (value, custkey) total order
     import graft.core.Eager.EagerCheckpoint
