@@ -33,13 +33,18 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
   * and re-locking throws; for `lease` it just avoids useless local
   * spin).
   *
-  * Caveats the production port must close (documented, not hidden):
-  * the local release's read-then-delete is not atomic (a real object
-  * store uses a conditional delete on the token/generation), and this
-  * v1 holder does not heartbeat — the TTL must exceed the slowest
-  * validate-and-swap (it re-validates rows under OCC reconcile), so
-  * the default is generous and configurable
-  * (`spark.graft.store.commitLease.ttlMs`). */
+  * Holders HEARTBEAT: while the lock is held, a daemon task refreshes
+  * the lease's mtime every ttl/3 (token-checked — a stolen lease is
+  * never resurrected), so a slow validate-and-swap (OCC reconcile
+  * re-validates rows) cannot be stolen from a LIVE holder no matter
+  * how long it runs; the TTL only bounds how long a CRASHED holder
+  * stalls contenders (`spark.graft.store.commitLease.ttlMs`,
+  * default 60 s).
+  *
+  * Caveat the production port must close (documented, not hidden):
+  * the local release's and heartbeat's read-then-write are not atomic
+  * (a real object store uses a conditional delete/update on the
+  * token/generation). */
 private[store] trait CommitLock {
   /** Run `f` holding the exclusive commit lock for this store root. */
   def withLock[A](f: => A): A
@@ -92,6 +97,19 @@ private[store] final class FileChannelCommitLock(rootPath: Path,
   * bounds how long one commit waits before failing loudly (a commit
   * that cannot get the lease for minutes signals an operational
   * problem, not a retryable race). */
+private[store] object LeaseCommitLock {
+  /** Shared daemon scheduler for lease heartbeats (one thread serves
+    * every held lease in the process; tasks are sub-millisecond file
+    * touches). */
+  private[store] val heartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-lease-heartbeat")
+        t.setDaemon(true)
+        t
+      })
+}
+
 private[store] final class LeaseCommitLock(rootPath: Path,
     monitor: Object, ttlMillis: Long,
     sleepMillis: Long = 25L,
@@ -101,7 +119,27 @@ private[store] final class LeaseCommitLock(rootPath: Path,
 
   override def withLock[A](f: => A): A = monitor.synchronized {
     val token = acquire()
-    try f finally release(token)
+    // heartbeat: keep a LIVE holder's lease fresh so contenders never
+    // steal mid-swap; token-checked so a somehow-stolen lease is not
+    // resurrected. Cancelled before release.
+    val beat = LeaseCommitLock.heartbeats.scheduleAtFixedRate(
+      new Runnable {
+        override def run(): Unit =
+          try {
+            val cur = new String(Files.readAllBytes(leasePath),
+              java.nio.charset.StandardCharsets.UTF_8)
+            if (cur == token)
+              Files.setLastModifiedTime(leasePath,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  System.currentTimeMillis()))
+          } catch { case _: java.io.IOException => () }
+      },
+      math.max(ttlMillis / 3, 20L), math.max(ttlMillis / 3, 20L),
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    try f finally {
+      beat.cancel(false)
+      release(token)
+    }
   }
 
   private def acquire(): String = {

@@ -96,6 +96,43 @@ class CommitLockSpec extends SparkSuite {
     finally ls.close()
   }
 
+  test("lease: a LIVE holder's heartbeat prevents a TTL steal however " +
+    "long the critical section runs; mutual exclusion holds throughout") {
+    val root = Files.createTempDirectory("graft-lock-beat")
+    val leasePath = root.resolve("_commit.lease")
+    // TTL far shorter than the critical section: without the heartbeat
+    // the contender would steal mid-hold
+    val holder = new LeaseCommitLock(root, new Object, ttlMillis = 300L)
+    val contender = new LeaseCommitLock(root, new Object, ttlMillis = 300L)
+    @volatile var stolenMidHold = false
+    @volatile var holderToken: String = null
+    @volatile var overlapped = false
+    @volatile var inside = false
+    val pool = Executors.newFixedThreadPool(2)
+    pool.submit(new Runnable {
+      override def run(): Unit = holder.withLock {
+        inside = true
+        holderToken = new String(Files.readAllBytes(leasePath))
+        Thread.sleep(1200) // 4x the TTL
+        val cur = new String(Files.readAllBytes(leasePath))
+        stolenMidHold = cur != holderToken
+        inside = false
+      }
+    })
+    Thread.sleep(150) // holder is inside before the contender arrives
+    pool.submit(new Runnable {
+      override def run(): Unit = contender.withLock {
+        if (inside) overlapped = true
+      }
+    })
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS), "heartbeat hung")
+    assert(!stolenMidHold,
+      "the lease was stolen from a live, heartbeating holder")
+    assert(!overlapped, "two holders were inside the critical section")
+    assert(!Files.exists(leasePath), "lease left after both released")
+  }
+
   test("lease: release only removes the holder's OWN token") {
     val root = Files.createTempDirectory("graft-lock-token")
     val leasePath = root.resolve("_commit.lease")
