@@ -77,7 +77,7 @@ class StoreFuzzSpec extends SparkSuite {
     for (step <- 1 to 50) {
       val t = tables.keys.toVector(rnd.nextInt(tables.size))
       val m = tables(t)
-      rnd.nextInt(19) match {
+      rnd.nextInt(20) match {
         case 0 | 1 | 2 => // append one row
           emails += 1
           val em = s"u$emails@x.c"
@@ -207,6 +207,35 @@ class StoreFuzzSpec extends SparkSuite {
             opLog += "dropTable(dyn_r)"
             tables.remove("dyn_r")
             maxId.remove("dyn_r")
+          }
+        case 19 => // target-reading MERGE (round 17): matched rows FOLD
+          // the standing role (`SET user_role = concat(t.user_role,
+          // '+', s.user_role)` — the incremental-aggregate shape), a
+          // fresh key inserts with a dense id; composes with DVs,
+          // renames (the source ships the CURRENT phone-chain name),
+          // compaction, clones, restore, reopen, and time travel
+          {
+            emails += 1
+            val newEm = s"u$emails@x.c"
+            val existing =
+              if (m.nonEmpty) Some(m.toVector(rnd.nextInt(m.size))._2._1)
+              else None
+            val batch = (existing.toSeq :+ newEm)
+              .map(em => userDf(em, "mg")).reduce(_ union _)
+              .withColumnRenamed("phone", phoneCol(t))
+            val (nU, nI) = cat.merge(t, batch, "email",
+              matchedExprs = Map("user_role" ->
+                "concat(t.user_role, '+', s.user_role)"))
+            opLog += s"mergeExpr($t, ${existing.getOrElse("-")} + $newEm)" +
+              s" -> ($nU, $nI)"
+            assert(nU == existing.size.toLong && nI == 1L,
+              s"merge counts ($nU, $nI), expected (${existing.size}, 1)")
+            existing.foreach { em =>
+              m.keys.filter(k => m(k)._1 == em)
+                .foreach(k => m(k) = (em, m(k)._2 + "+mg"))
+            }
+            maxId(t) = maxId(t) + 1
+            m(maxId(t)) = (newEm, "mg")
           }
         case 9 => // write INTO a clone (divergence) if any exists
           val clones = tables.keys.filter(_.startsWith("snap_")).toVector
