@@ -345,28 +345,28 @@ object Warehouse {
       |ORDER BY r_score, f_score, m_score""".stripMargin
   ) { (s, d) =>
     val orders = Tables.orders(s, d)
-    // the whole query is ONE action: custAgg is lazily cached for its
-    // two in-plan consumers (the bounds broadcast and the scored rows),
-    // and tri below for ITS two (histogram + rank join) — no separate
-    // materialization job, the job-count floor this row pays for
     val custAgg = orders.groupBy("o_custkey")
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(12,2)")).as("mon"))
-      .cache()
     // the corpus max date folds into the same bounds pass (max over
-    // per-customer last_order IS the global max) — one fact-table scan
+    // per-customer last_order IS the global max) — one fact-table scan.
+    // A lazy-cache single-action variant measured WORSE warm (1.40 vs
+    // 1.08-1.24 s: concurrent subtrees race to fill the cache), so the
+    // scored frame keeps the explicit checkpoint.
     val bounds = custAgg.agg(count(lit(1)).as("nc"),
       max(col("o_custkey")).as("mxck"),
       max(col("last_order")).as("mx"))
     // 64-way monotone custkey split: spreads heavy value-ties across
     // partitions while preserving the (value, custkey) total order
+    import graft.core.Eager.EagerCheckpoint
     val cust = custAgg.crossJoin(broadcast(bounds))
       .select(col("o_custkey"), col("nc"),
         datediff(col("mx"), col("last_order")).cast("long").as("rec_days"),
         col("freq"), col("mon"),
         floor(col("o_custkey").cast("decimal(38,0)") * 64 /
           (col("mxck") + 1)).cast("long").as("ckchunk"))
+      .eagerCheckpoint() // the tri-explode reads it for two consumers
     // ONE bucket-rank pass for all three dimensions (round 17, the
     // ext_rfm_segments weak-row fix): instead of chaining three
     // rankAndExclSum stages (~8 shuffle/window stages over the
@@ -395,7 +395,6 @@ object Warehouse {
       )).as("t"))
       .select(col("o_custkey"), col("nc"), col("t.dim").as("dim"),
         col("t.b1").as("b1"), col("t.b2").as("b2"), col("t.ov").as("ov"))
-      .cache() // histogram + rank join both read it, inside one action
     val grp = tri.groupBy("dim", "b1", "b2").agg(count(lit(1)).as("_c"))
     val offs = grp
       .withColumn("_coff", sum(col("_c")).over(
