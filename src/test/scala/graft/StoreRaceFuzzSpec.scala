@@ -140,6 +140,11 @@ class StoreRaceFuzzSpec extends SparkSuite {
     // instead of serializing through retries
     def domain(wid: Int): Long = if (wid == 1) 0L else 1000L
     val lastValue = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    // expected o_totalprice per key: star merges RESET it to the batch
+    // value (1.0); target-reading expr merges FOLD it (+1.0 per hit) —
+    // round 17, pinning the incremental-aggregate merge under the
+    // disjoint-domain OCC reconcile (not just retry)
+    val lastPrice = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Double]()
     val start = new CountDownLatch(1)
     val pool = Executors.newFixedThreadPool(2)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -162,11 +167,27 @@ class StoreRaceFuzzSpec extends SparkSuite {
         for (i <- 1 to rounds) {
           val status = s"w$wid-r$i"
           rnd.nextInt(4) match {
-            case 0 | 1 => // keyed upsert: repeats update, fresh inserts
+            case 0 | 1 => // keyed upsert: repeats update, fresh inserts;
+              // half the draws run the round-17 TARGET-READING partial
+              // merge (status from the source, totalprice folds t+s)
               val keys = Seq.fill(1 + rnd.nextInt(5))(
                 domain(wid) + 1 + rnd.nextInt(60)).distinct.map(_.toLong)
-              cat.merge("orders_ingest", batch(keys, status), "o_orderkey")
-              keys.foreach { k => lastValue.put(k, status); mine += k }
+              if (rnd.nextBoolean()) {
+                cat.merge("orders_ingest", batch(keys, status), "o_orderkey")
+                keys.foreach { k =>
+                  lastValue.put(k, status); lastPrice.put(k, 1.0); mine += k
+                }
+              } else {
+                cat.merge("orders_ingest", batch(keys, status), "o_orderkey",
+                  matchedCols = Some(Map("o_orderstatus" -> "o_orderstatus")),
+                  matchedExprs = Map("o_totalprice" ->
+                    "t.o_totalprice + s.o_totalprice"))
+                keys.foreach { k =>
+                  lastValue.put(k, status)
+                  if (mine(k)) lastPrice.put(k, lastPrice.get(k) + 1.0)
+                  else { lastPrice.put(k, 1.0); mine += k }
+                }
+              }
             case 2 => // pinned update on one owned key (hit-file rewrite
               // racing the other writer's merges through reconcile)
               if (mine.nonEmpty) {
@@ -178,18 +199,18 @@ class StoreRaceFuzzSpec extends SparkSuite {
                 val k = domain(wid) + 1 + rnd.nextInt(60)
                 cat.merge("orders_ingest", batch(Seq(k), status),
                   "o_orderkey")
-                lastValue.put(k, status); mine += k
+                lastValue.put(k, status); lastPrice.put(k, 1.0); mine += k
               }
             case 3 => // delete one owned key (a later merge re-inserts it)
               if (mine.nonEmpty) {
                 val k = mine.toVector(rnd.nextInt(mine.size))
                 cat.delete("orders_ingest", col("o_orderkey") === k)
-                lastValue.remove(k); mine -= k
+                lastValue.remove(k); lastPrice.remove(k); mine -= k
               } else {
                 val k = domain(wid) + 1 + rnd.nextInt(60)
                 cat.merge("orders_ingest", batch(Seq(k), status),
                   "o_orderkey")
-                lastValue.put(k, status); mine += k
+                lastValue.put(k, status); lastPrice.put(k, 1.0); mine += k
               }
           }
         }
@@ -204,8 +225,8 @@ class StoreRaceFuzzSpec extends SparkSuite {
 
     val cat = new Catalog(spark, root)
     val rows = cat.read("orders_ingest")
-      .select("o_orderkey", "o_orderstatus", "ingest_id")
-      .as[(Long, String, Long)].collect()
+      .select("o_orderkey", "o_orderstatus", "ingest_id", "o_totalprice")
+      .as[(Long, String, Long, Double)].collect()
     import scala.jdk.CollectionConverters._
     val expect = lastValue.asScala.toMap
     assert(rows.map(_._1).toSet == expect.keySet,
@@ -213,9 +234,18 @@ class StoreRaceFuzzSpec extends SparkSuite {
         s"expected ${expect.size}")
     assert(rows.length == expect.size,
       "a key appears more than once (lost-update anomaly)")
-    rows.foreach { case (k, v, _) =>
+    rows.foreach { case (k, v, _, _) =>
       assert(v == expect(k), s"key $k: got '$v', last merge was " +
         s"'${expect(k)}' (lost update)")
+    }
+    // the folded totalprice is per-key last-writer-exact too: star
+    // merges reset it, expr merges accumulated +1.0 per matched hit —
+    // a reconcile that replayed raw source values instead of the
+    // staged joined images would lose the fold
+    val priceExpect = lastPrice.asScala.toMap
+    rows.foreach { case (k, _, _, p) =>
+      assert(p == priceExpect(k),
+        s"key $k: totalprice $p, model ${priceExpect(k)} (fold lost)")
     }
     // id rebases under reconcile must never clone or collide an id
     // (deletes make gaps legal; uniqueness and the high-water bound are
