@@ -59,6 +59,22 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length < 1900, s"contract line ${line.length} chars")
   }
 
+  test("loadReference parses the shipped reference's rows object: only " +
+    "per-query numeric rows enter the drift map, never metadata keys") {
+    val ref = Bench.loadReference()
+    assert(ref.nonEmpty, "shipped bench/BENCH_REFERENCE.json unreadable")
+    assert(ref.keys.forall(!_.startsWith("_")),
+      s"metadata leaked into the drift map: ${ref.keys.filter(_.startsWith("_"))}")
+    assert(ref.values.forall(_ > 0.0))
+    assert(ref.contains("q1_pricing_summary"), "a known row is missing")
+    // every reference row names a registered bench query — a renamed
+    // or dropped query must re-anchor the reference, not silently
+    // stop being drift-guarded
+    val known = SparkEntry.benchQueries.map(_.name).toSet
+    val unknown = ref.keySet -- known
+    assert(unknown.isEmpty, s"reference rows for unknown queries: $unknown")
+  }
+
   test("every bench query belongs to exactly one family, and headline " +
     "names are real queries") {
     val names = SparkEntry.benchQueries.map(_.name)
