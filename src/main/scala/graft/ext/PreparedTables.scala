@@ -54,9 +54,20 @@ private[graft] final class PreparedTables(
     (s.conf.get("spark.sql.warehouse.dir") +: d +: srcs).mkString("|")
   }
 
-  private def warehousePath(s: SparkSession): Path =
-    Paths.get(new java.net.URI(
-      s.conf.get("spark.sql.warehouse.dir")).getPath)
+  /** Local path of `spark.sql.warehouse.dir`. Parsed via Hadoop `Path`,
+    * not `new java.net.URI(raw)`: Spark populates this conf from
+    * `Path.toString`, which does NOT percent-encode, so a warehouse dir
+    * containing a space (or any RFC-3986-reserved char) would throw
+    * URISyntaxException at staging time; and a scheme-less value must
+    * resolve against the process CWD the same way Spark itself resolves
+    * it, not surprise the caller with a URI-relative path. */
+  private def warehousePath(s: SparkSession): Path = {
+    val raw = s.conf.get("spark.sql.warehouse.dir")
+    val u = new org.apache.hadoop.fs.Path(raw).toUri
+    require(u.getScheme == null || u.getScheme == "file",
+      s"fixture staging needs a local warehouse dir; got '$raw'")
+    Paths.get(u.getPath).toAbsolutePath
+  }
 
   private def markerPath(wh: Path): Path =
     wh.resolve(s"_graft_staged_${managedTables.head}.marker")
@@ -128,8 +139,7 @@ private[graft] final class PreparedTables(
   private def prepare(s: SparkSession, d: String): Unit = {
     managedTables.foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = java.nio.file.Paths.get(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      val dir = warehousePath(s).resolve(t)
       if (java.nio.file.Files.exists(dir)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

@@ -669,6 +669,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s"v$newVersion.json.tmp")
     Files.write(tmp, mapper.writeValueAsBytes(rootNode))
+    // fencing check (round 18): a lease-mode holder paused past the TTL
+    // (GC pause, VM suspend) may have had its lease stolen — abort HERE,
+    // before the irreversible rename, so the stealer's commits are never
+    // clobbered. Throws ConcurrentWriteException; the retry machinery
+    // re-runs the body against the winner's state. No-op for file mode.
+    commitLock.verifyStillHeld()
     Files.move(tmp, deltaPath(newVersion),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // seed the cache with the REPLAYED form (canonical ordering — other

@@ -90,10 +90,18 @@ class CommitLockSpec extends SparkSuite {
     assert(pool.awaitTermination(60, TimeUnit.SECONDS), "steal hung")
     assert(won == 3, s"$won of 3 contenders got the lock after a steal")
     assert(!Files.exists(leasePath), "released lease left on disk")
-    // the stale tombstones are cleaned up too
+    // no stale-lease tombstones or other debris: the only residue is the
+    // LeaseStore's permanent side-lock file (deleting a lock file others
+    // may be blocked on is the classic POSIX two-holders race, so it
+    // stays — it is a fixture, not debris)
     val ls = Files.list(root)
-    try assert(!ls.iterator().hasNext, "steal left debris under the root")
-    finally ls.close()
+    try {
+      val names = ls.iterator()
+      val residue = new scala.collection.mutable.ArrayBuffer[String]()
+      while (names.hasNext) residue += names.next().getFileName.toString
+      assert(residue.sorted == Seq("_commit.lease.kv"),
+        s"steal left debris under the root: $residue")
+    } finally ls.close()
   }
 
   test("lease: a LIVE holder's heartbeat prevents a TTL steal however " +
@@ -144,6 +152,84 @@ class CommitLockSpec extends SparkSuite {
     }
     assert(Files.exists(leasePath),
       "release deleted a lease carrying another holder's token")
+  }
+
+  test("lease: fencing — a holder whose heartbeat froze past the TTL " +
+    "is stolen; verifyStillHeld fails its commit and its release and " +
+    "heartbeat both no-op against the stealer's lease") {
+    val root = Files.createTempDirectory("graft-lock-fence")
+    val leasePath = root.resolve("_commit.lease")
+    val real = new FileLeaseStore(leasePath)
+    // the "GC pause": suppress the holder's heartbeat touches while
+    // frozen — everything else (release, verify) still reaches the store
+    @volatile var frozen = false
+    val freezable = new LeaseStore {
+      override def createIfAbsent(t: String) = real.createIfAbsent(t)
+      override def readToken() = real.readToken()
+      override def touchIfToken(t: String) =
+        !frozen && real.touchIfToken(t)
+      override def deleteIfToken(t: String) = real.deleteIfToken(t)
+      override def stealIfExpired(ttl: Long) = real.stealIfExpired(ttl)
+    }
+    val holder = new LeaseCommitLock(root, new Object, ttlMillis = 300L,
+      store = freezable)
+    val contender = new LeaseCommitLock(root, new Object, ttlMillis = 300L)
+    @volatile var fenced = false
+    @volatile var holderReleaseDone = false
+    @volatile var stealerKeptLease = false
+    val pool = Executors.newFixedThreadPool(2)
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        try holder.withLock {
+          frozen = true
+          Thread.sleep(1200) // 4x TTL with the heartbeat frozen
+          frozen = false
+          holder.verifyStillHeld() // must throw: the lease was stolen
+        } catch {
+          case _: Catalog.ConcurrentWriteException => fenced = true
+        }
+        holderReleaseDone = true // withLock's finally (release) has run
+      }
+    })
+    Thread.sleep(400) // holder is frozen; TTL (300 ms) has lapsed
+    pool.submit(new Runnable {
+      override def run(): Unit = contender.withLock {
+        val mine = Files.readString(leasePath)
+        // hold while the paused holder wakes, gets fenced, and releases:
+        // its token-conditional release must not touch OUR lease
+        val deadline = System.currentTimeMillis() + 10000
+        while (!holderReleaseDone && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        stealerKeptLease = Files.exists(leasePath) &&
+          Files.readString(leasePath) == mine
+      }
+    })
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS), "fence test hung")
+    assert(fenced,
+      "verifyStillHeld did not fail the paused holder's commit")
+    assert(stealerKeptLease,
+      "the paused holder's release or heartbeat clobbered the stealer")
+    assert(!Files.exists(leasePath), "lease left after both released")
+  }
+
+  test("the lock mode is pinned per root: a second open with the OTHER " +
+    "commitLock mode fails loudly instead of silently racing") {
+    val root = Files.createTempDirectory("graft-lock-mode")
+    spark.conf.set("spark.graft.store.commitLock", "file")
+    try {
+      CommitLock.forRoot(spark, root) // pins 'file' in _commit.lockmode
+      spark.conf.set("spark.graft.store.commitLock", "lease")
+      val e = intercept[IllegalStateException] {
+        CommitLock.forRoot(spark, root)
+      }
+      assert(e.getMessage.contains("file") &&
+        e.getMessage.contains("lease"),
+        s"mismatch message must name both modes: ${e.getMessage}")
+      // same mode re-opens fine
+      spark.conf.set("spark.graft.store.commitLock", "file")
+      CommitLock.forRoot(spark, root)
+    } finally spark.conf.unset("spark.graft.store.commitLock")
   }
 
   test("unknown commitLock mode fails loudly naming the key") {
