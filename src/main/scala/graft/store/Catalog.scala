@@ -1,7 +1,6 @@
 package graft.store
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
@@ -53,20 +52,29 @@ import org.apache.spark.sql.functions._
   *    proceed fully in parallel; two processes sharing a root never
   *    lose a commit (the reference got this from MySQL, db.py:42-48).
   */
-final class Catalog(val spark: SparkSession, val root: String) {
+final class Catalog(val spark: SparkSession, val root: String,
+    /** Filesystem SPI for everything the store touches on disk
+      * (round 18): manifests, deltas, checkpoints, DV sidecars, writer
+      * leases, vacuum sweeps. Resolved from `spark.graft.store.io`
+      * (`local` default, `hadoop` for HDFS-class roots) by the public
+      * constructor; tests inject an impl directly to pin both under
+      * one fuzz model. */
+    private[store] val io: StoreIO) {
 
-  private val rootPath = Paths.get(root)
-  Files.createDirectories(rootPath)
+  def this(spark: SparkSession, root: String) =
+    this(spark, root, StoreIO.forRoot(spark, root))
+
+  io.mkdirs(root)
   /** The commit validate-and-swap mutex, behind the [[CommitLock]] SPI:
     * `spark.graft.store.commitLock` picks `file` (POSIX lock, default)
     * or `lease` (conditional-put lease — the object-store shape). */
-  private val commitLock: CommitLock = CommitLock.forRoot(spark, rootPath)
+  private val commitLock: CommitLock = CommitLock.forRoot(spark, root, io)
   // legacy-layout guard: a pre-round-14 store (single root manifest +
   // _history) would otherwise read back as EMPTY — and vacuum, seeing
   // no referenced files, could then delete its data. Fail loudly at
   // construction instead of silently serving zero rows.
-  if (Files.exists(rootPath.resolve("_manifest.json")) &&
-      !Files.exists(rootPath.resolve("_log")))
+  if (io.exists(io.resolve(root, "_manifest.json")) &&
+      !io.exists(io.resolve(root, "_log")))
     throw new IllegalStateException(
       s"store root '$root' uses the legacy single-manifest layout " +
         "(_manifest.json/_history); this build reads the round-14 " +
@@ -207,7 +215,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private val DroppedSentinel = TableState(Long.MinValue, Vector.empty)
 
   private val mapper = new ObjectMapper()
-  private val logDir = rootPath.resolve("_log")
+  private val logDir: String = io.resolve(root, "_log")
   /** Merge-on-read switch (`spark.graft.store.mergeOnRead`): `on` /
     * `auto` / ABSENT = point updates, point deletes, and merge matched
     * rows land as deletion vectors + patch files; `off` = always
@@ -229,20 +237,21 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private val checkpointFailStreak =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def deltaPath(v: Long) = logDir.resolve(s"v$v.json")
+  private def deltaPath(v: Long): String = io.resolve(logDir, s"v$v.json")
   /** Where NEW checkpoints land (parquet, round 15 — see
     * [[CheckpointIO]]); pre-round-15 JSON checkpoints remain readable
     * via the extension dispatch in [[readCheckpointFile]]. */
-  private def checkpointPath(v: Long) =
-    logDir.resolve(s"v$v.checkpoint.parquet")
+  private def checkpointPath(v: Long): String =
+    io.resolve(logDir, s"v$v.checkpoint.parquet")
 
   /** Parse a checkpoint in whichever format it was written. */
-  private def readCheckpointFile(p: java.nio.file.Path): Manifest =
-    if (p.getFileName.toString.endsWith(".parquet"))
-      CheckpointIO.read(p, None).groupBy(_._1).flatMap { case (tbl, rows) =>
-        CheckpointIO.decodeTable(rows).map(d => tbl -> stateFromDecoded(d))
+  private def readCheckpointFile(p: String): Manifest =
+    if (p.endsWith(".parquet"))
+      CheckpointIO.read(io, p, None).groupBy(_._1).flatMap {
+        case (tbl, rows) =>
+          CheckpointIO.decodeTable(rows).map(d => tbl -> stateFromDecoded(d))
       }
-    else parseManifest(Files.readAllBytes(p))
+    else parseManifest(io.readAllBytes(p))
 
   private def stateFromDecoded(d: (Long, Option[String],
       Map[String, String], Option[String], Option[Seq[String]],
@@ -448,24 +457,19 @@ final class Catalog(val spark: SparkSession, val root: String) {
   }
 
   /** Every log file as (version, isCheckpoint, path); empty if no log. */
-  private def listLog(): Vector[(Long, Boolean, java.nio.file.Path)] =
-    if (!Files.exists(logDir)) Vector.empty
-    else {
-      val ls = Files.list(logDir)
-      try {
-        ls.iterator().asScala.flatMap { p =>
-          val n = p.getFileName.toString
-          if (n.matches("v\\d+\\.json"))
-            Some((n.stripPrefix("v").stripSuffix(".json").toLong, false, p))
-          else if (n.matches("v\\d+\\.checkpoint\\.json"))
-            Some((n.stripPrefix("v").stripSuffix(".checkpoint.json").toLong,
-              true, p))
-          else if (n.matches("v\\d+\\.checkpoint\\.parquet"))
-            Some((n.stripPrefix("v")
-              .stripSuffix(".checkpoint.parquet").toLong, true, p))
-          else None
-        }.toVector
-      } finally ls.close()
+  private def listLog(): Vector[(Long, Boolean, String)] =
+    io.list(logDir).flatMap { e =>
+      val n = e.name
+      if (n.matches("v\\d+\\.json"))
+        Some((n.stripPrefix("v").stripSuffix(".json").toLong, false,
+          e.path))
+      else if (n.matches("v\\d+\\.checkpoint\\.json"))
+        Some((n.stripPrefix("v").stripSuffix(".checkpoint.json").toLong,
+          true, e.path))
+      else if (n.matches("v\\d+\\.checkpoint\\.parquet"))
+        Some((n.stripPrefix("v")
+          .stripSuffix(".checkpoint.parquet").toLong, true, e.path))
+      else None
     }
 
   /** Monotonic commit counter (0 = empty store). Every committed
@@ -495,11 +499,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
         case None => Map.empty
       }
       ((ckpt.map(_._1).getOrElse(0L) + 1) to v).foldLeft(base) { (m, i) =>
-        if (!Files.exists(deltaPath(i))) unavailable()
-        applyDelta(m, parseDelta(Files.readAllBytes(deltaPath(i))))
+        if (!io.exists(deltaPath(i))) unavailable()
+        applyDelta(m, parseDelta(io.readAllBytes(deltaPath(i))))
       }
     } catch {
-      case _: java.nio.file.NoSuchFileException => unavailable()
+      case _: StoreIO.NoSuchPath => unavailable()
     }
   }
 
@@ -533,12 +537,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
       val (mv, m) =
         try {
           if (c._1 < v &&
-              ((c._1 + 1) to v).forall(i => Files.exists(deltaPath(i))))
+              ((c._1 + 1) to v).forall(i => io.exists(deltaPath(i))))
             (v, ((c._1 + 1) to v).foldLeft(c._2)((m, i) =>
-              applyDelta(m, parseDelta(Files.readAllBytes(deltaPath(i))))))
+              applyDelta(m, parseDelta(io.readAllBytes(deltaPath(i))))))
           else (v, manifestAt(v))
         } catch {
-          case e @ (_: java.nio.file.NoSuchFileException |
+          case e @ (_: StoreIO.NoSuchPath |
                     _: IllegalArgumentException) =>
             val v2 = version
             if (v2 == v && e.isInstanceOf[IllegalArgumentException]) throw e
@@ -577,7 +581,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
         // a vacuum racing the targeted replay (file retired between the
         // listing and the read): the full path re-resolves the version
         // and retries once — same protocol as readManifest
-        case _: java.nio.file.NoSuchFileException |
+        case _: StoreIO.NoSuchPath |
              _: IllegalArgumentException =>
           readManifest().get(table)
       }
@@ -591,8 +595,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     if (!log.exists(_._1 == v)) return readManifest().get(table)
     val ckpt = log.filter(e => e._2 && e._1 <= v).maxByOption(_._1)
     val (baseV, base) = ckpt match {
-      case Some((cv, _, p)) if p.getFileName.toString.endsWith(".parquet") =>
-        (cv, CheckpointIO.decodeTable(CheckpointIO.read(p, Some(table)))
+      case Some((cv, _, p)) if p.endsWith(".parquet") =>
+        (cv, CheckpointIO.decodeTable(CheckpointIO.read(io, p, Some(table)))
           .map(stateFromDecoded))
       case Some(_) =>
         // legacy JSON checkpoint: no sub-file access — full parse
@@ -601,7 +605,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     }
     var st = base
     ((baseV + 1) to v).foreach { i =>
-      parseDelta(Files.readAllBytes(deltaPath(i))).get(table)
+      parseDelta(io.readAllBytes(deltaPath(i))).get(table)
         .foreach(td => st =
           if (td.dropped) None else Some(applyTableDelta(st, td)))
     }
@@ -666,17 +670,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
             st.checks, st.idCol, st.statsCols, st.renames, st.priorDirs))
         }
       }.toMap
-    Files.createDirectories(logDir)
-    val tmp = logDir.resolve(s"v$newVersion.json.tmp")
-    Files.write(tmp, mapper.writeValueAsBytes(rootNode))
+    io.mkdirs(logDir)
+    val tmp = io.resolve(logDir, s"v$newVersion.json.tmp")
+    io.write(tmp, mapper.writeValueAsBytes(rootNode))
     // fencing check (round 18): a lease-mode holder paused past the TTL
     // (GC pause, VM suspend) may have had its lease stolen — abort HERE,
     // before the irreversible rename, so the stealer's commits are never
     // clobbered. Throws ConcurrentWriteException; the retry machinery
     // re-runs the body against the winner's state. No-op for file mode.
     commitLock.verifyStillHeld()
-    Files.move(tmp, deltaPath(newVersion),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    io.rename(tmp, deltaPath(newVersion))
     // seed the cache with the REPLAYED form (canonical ordering — other
     // instances derive the same state from the log)
     val next = applyDelta(prev, delta)
@@ -688,7 +691,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // stamp, not checkpoint-write time: once vacuum retires the delta,
       // versionAsOf resolves TIMESTAMP AS OF through the checkpoint — a
       // late maintenance stamp would skew it
-      CheckpointIO.write(checkpointPath(newVersion), newVersion,
+      CheckpointIO.write(io, checkpointPath(newVersion), newVersion,
         committedAtMs,
         next.toSeq.sortBy(_._1).map { case (tbl, st) =>
           (tbl, st.maxId, st.schema.map(_.json), st.checks, st.idCol,
@@ -717,15 +720,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
         s"no snapshot of '$root' existed at $tsMillis (empty store)")
     val candidates = log.map { case (v, _, p) =>
       val at =
-        if (p.getFileName.toString.endsWith(".parquet"))
+        if (p.endsWith(".parquet"))
           // footer-only read; a half-written/corrupt checkpoint falls
           // back to mtime rather than failing a timestamp resolution
-          (try Some(CheckpointIO.stamp(p)._2).filter(_ > 0L)
+          (try Some(CheckpointIO.stamp(io, p)._2).filter(_ > 0L)
           catch { case _: Exception => None })
-            .getOrElse(Files.getLastModifiedTime(p).toMillis)
-        else Option(mapper.readTree(Files.readAllBytes(p))
+            .getOrElse(io.mtimeMs(p))
+        else Option(mapper.readTree(io.readAllBytes(p))
             .get("_committedAtMs")).map(_.asLong())
-          .getOrElse(Files.getLastModifiedTime(p).toMillis)
+          .getOrElse(io.mtimeMs(p))
       (v, at)
     }
     val eligible = candidates.filter(_._2 <= tsMillis)
@@ -753,7 +756,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val st = manifestAt(version).get(table)
     val files = st.map(_.files).getOrElse(Vector.empty)
     val gone = files.flatMap(f => f.path +: f.dv.map(_._1).toSeq)
-      .filterNot(p => Files.exists(rootPath.resolve(p)))
+      .filterNot(p => io.exists(io.resolve(root, p)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"snapshot v$version of '$table' references ${gone.size} " +
@@ -803,7 +806,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val added = to.filterNot(f => fromKeys((f.path, f.dv)))
     val gone = (removed ++ added)
       .flatMap(f => f.path +: f.dv.map(_._1).toSeq)
-      .filterNot(p => Files.exists(rootPath.resolve(p)))
+      .filterNot(p => io.exists(io.resolve(root, p)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"changefeed v$fromVersion..v$toVersion of '$table' references " +
@@ -921,12 +924,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // contract and skips the audit — see the method doc.
     if (fromVersion > 0L)
       ((fromVersion + 1) to toVersion).foreach { v =>
-        if (!Files.exists(deltaPath(v)))
+        if (!io.exists(deltaPath(v)))
           throw new IllegalStateException(
             s"readAppends v$fromVersion..v$toVersion of '$table': delta " +
               s"v$v has been vacuumed; raise the vacuum retention " +
               "window to keep the tail readable")
-        parseDelta(Files.readAllBytes(deltaPath(v))).get(table)
+        parseDelta(io.readAllBytes(deltaPath(v))).get(table)
           .foreach { td =>
             if (td.dropped)
               nonAppend(s"v$v drops the table")
@@ -952,7 +955,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           "surrogate-id column changed inside the range")
     val added = to.filterNot(f => fromKeys((f.path, f.dv)))
     val gone = added.flatMap(f => f.path +: f.dv.map(_._1).toSeq)
-      .filterNot(p => Files.exists(rootPath.resolve(p)))
+      .filterNot(p => io.exists(io.resolve(root, p)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"readAppends v$fromVersion..v$toVersion of '$table' references " +
@@ -1037,7 +1040,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
       if (dvd.isEmpty) base
       else {
         val pairs = dvd.flatMap { f =>
-          DvIO.read(rootPath, f.dv.get._1).map(id => (id, fileKey(f.path)))
+          DvIO.read(io, root, f.dv.get._1)
+            .map(id => (id, fileKey(f.path)))
         }
         val sp = spark
         import sp.implicits._
@@ -1054,24 +1058,22 @@ final class Catalog(val spark: SparkSession, val root: String) {
     }
 
   /** Executor-side file identity for a scanned row: `input_file_name()`
-    * with the scheme stripped — a PERCENT-ENCODED absolute path
-    * (input_file_name reports the URL-encoded URI, so '/my store/'
-    * appears as '/my%20store/'; comparisons must stay in encoded
-    * space). */
+    * with the scheme (and, for non-`file:` URIs, the authority)
+    * stripped — a PERCENT-ENCODED absolute path (input_file_name
+    * reports the URL-encoded URI, so '/my store/' appears as
+    * '/my%20store/'; comparisons must stay in encoded space). */
   private def srcFileKey: org.apache.spark.sql.Column =
-    regexp_replace(input_file_name(), "^file:/+", "/")
+    regexp_replace(
+      regexp_replace(input_file_name(), "^file:/+", "/"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
 
-  /** Driver-side twin of [[srcFileKey]]: the same percent-encoded
-    * absolute path for a manifest-relative path, via java.net.URI
-    * encoding. [[collectDeadByFile]] additionally fails LOUDLY when a
-    * scanned key matches no manifest entry, so any residual encoding
-    * divergence surfaces as an error — never as a silently-unmasked
-    * deletion vector. */
-  private def fileKey(rel: String): String = {
-    val u = rootPath.resolve(rel).toAbsolutePath.normalize
-      .toUri.toASCIIString
-    "/" + u.stripPrefix("file:").dropWhile(_ == '/')
-  }
+  /** Driver-side twin of [[srcFileKey]] ([[StoreIO.fileKeyOf]]): the
+    * same percent-encoded absolute path for a manifest-relative path.
+    * [[collectDeadByFile]] additionally fails LOUDLY when a scanned key
+    * matches no manifest entry, so any residual encoding divergence
+    * surfaces as an error — never as a silently-unmasked deletion
+    * vector. */
+  private def fileKey(rel: String): String = io.fileKeyOf(root, rel)
 
   def read(table: String): DataFrame = {
     val st = tableState(table)
@@ -1098,7 +1100,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val files = st.map(_.files).getOrElse(Vector.empty)
     if (version.isDefined) {
       val gone = files.flatMap(f => f.path +: f.dv.map(_._1).toSeq)
-        .filterNot(p => Files.exists(rootPath.resolve(p)))
+        .filterNot(p => io.exists(io.resolve(root, p)))
       if (gone.nonEmpty)
         throw new IllegalStateException(
           s"snapshot v${version.get} of '$table' references ${gone.size} " +
@@ -1124,7 +1126,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       f.rows < 0L || !priorsMap.keys.forall(f.nulls.contains))
     Some((files.map(f =>
         Catalog.SqlFile(f.path, f.minId, f.maxId, f.cols, f.scols,
-          f.dv.map(d => (d._1, DvIO.read(rootPath, d._1))), f.rows,
+          f.dv.map(d => (d._1, DvIO.read(io, root, d._1))), f.rows,
           f.nulls)),
       Catalog.stripPriorNames(schema), idColOf(st, table),
       if (staleExists) priorsMap else Map.empty))
@@ -1281,7 +1283,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val idCol = idColOf(st, table)
     val schema = schemaOf(st, table)
     val missing = entries.filterNot(f =>
-      Files.exists(rootPath.resolve(f.path)))
+      io.exists(io.resolve(root, f.path)))
     val present = entries.filterNot(missing.contains)
     val observedRows: Seq[(String, Long, Long, Long,
         Map[String, (Long, Long)], Map[String, (String, String)],
@@ -1310,9 +1312,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           })
         df.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
           .collect().toSeq.map { r =>
-            val abs = r.getString(0).stripPrefix("file://")
-            val rel = Paths.get(root).toAbsolutePath.normalize
-              .relativize(Paths.get(abs).toAbsolutePath.normalize).toString
+            val rel = io.scannedToRel(root, r.getString(0))
             val cols = statCols.flatMap { c =>
               val (i, j) = (r.fieldIndex(s"mn_$c"), r.fieldIndex(s"mx_$c"))
               if (r.isNullAt(i) || r.isNullAt(j)) None
@@ -1392,11 +1392,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // (and the update that wrote it) silently missed its target
       val dvProblem: String = f.dv match {
         case Some((dp, dn)) if problem.isEmpty =>
-          if (!Files.exists(rootPath.resolve(dp)))
+          if (!io.exists(io.resolve(root, dp)))
             s"deletion vector '$dp' missing on disk"
           else {
             try {
-              val ids = DvIO.read(rootPath, dp)
+              val ids = DvIO.read(io, root, dp)
               if (ids.length != dn)
                 s"deletion vector '$dp' carries ${ids.length} ids, " +
                   s"manifest claims $dn"
@@ -1435,36 +1435,27 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // in the checkpoint below it or added by a delta at or below it),
     // plus the current manifest for belt-and-braces. Clones are covered:
     // they reference their source's files from another table's entries.
-    val referenced: Set[java.nio.file.Path] = {
-      def abs(f: FileEntry) =
-        rootPath.resolve(f.path).toAbsolutePath.normalize
+    val referenced: Set[String] = {
+      def abs(f: FileEntry) = io.canon(io.resolve(root, f.path))
       val cur = m.values.flatMap(_.files).map(abs)
       val logged = listLog().flatMap { case (_, isCkpt, p) =>
         try {
           if (isCkpt)
-            parseManifest(Files.readAllBytes(p)).values
+            readCheckpointFile(p).values
               .flatMap(_.files).map(abs)
           else
-            parseDelta(Files.readAllBytes(p)).values
+            parseDelta(io.readAllBytes(p)).values
               .flatMap(_.add).map(abs)
         } catch { case _: Exception => Nil } // corrupt log: chain audit flags it
       }
       (cur ++ logged).toSet
     }
-    val tableDir = rootPath.resolve(table)
-    val orphans: Seq[(String, Long, Boolean, String)] =
-      if (!Files.exists(tableDir)) Nil
-      else {
-        val it = Files.walk(tableDir)
-        val found = try {
-          it.iterator().asScala
-            .filter(p => Files.isRegularFile(p)
-              && p.getFileName.toString.endsWith(".parquet"))
-            .filterNot(p => referenced.contains(p.toAbsolutePath.normalize))
-            .map(p => rootPath.toAbsolutePath.normalize
-              .relativize(p.toAbsolutePath.normalize).toString)
-            .toVector
-        } finally it.close()
+    val tableDir = io.resolve(root, table)
+    val orphans: Seq[(String, Long, Boolean, String)] = {
+        val found = io.walk(tableDir)
+          .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+          .filterNot(e => referenced.contains(e.path))
+          .map(e => io.relativize(root, e.path))
         found.sorted.map(o => (o, 0L, false,
           "orphan: referenced by no retained manifest (vacuum candidate " +
             "ONLY if the store is quiescent — on a live store this may be " +
@@ -1486,37 +1477,32 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * delta replay that should reproduce it. Driver-side metadata walk —
     * no data file is opened. */
   private def logChainProblems(): Seq[(String, Long, Boolean, String)] = {
-    if (!Files.exists(logDir)) return Nil
+    if (!io.exists(logDir)) return Nil
     val probs = Vector.newBuilder[(String, Long, Boolean, String)]
-    def rel(p: java.nio.file.Path): String =
-      rootPath.toAbsolutePath.normalize
-        .relativize(p.toAbsolutePath.normalize).toString
+    def rel(p: String): String = io.relativize(root, p)
     // stray files (tmp debris, foreign content)
-    val ls = Files.list(logDir)
-    try {
-      ls.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
-        val n = p.getFileName.toString
-        if (!n.matches("v\\d+\\.json") &&
-            !n.matches("v\\d+\\.checkpoint\\.json") &&
-            !n.matches("v\\d+\\.checkpoint\\.parquet"))
-          probs += ((rel(p), 0L, false,
-            "unrecognized file in the commit log (crashed commit's tmp " +
-              "or foreign debris; on a live store possibly an in-flight " +
-              "commit — audit quiescent)"))
-      }
-    } finally ls.close()
+    io.list(logDir).filterNot(_.isDir).foreach { e =>
+      val n = e.name
+      if (!n.matches("v\\d+\\.json") &&
+          !n.matches("v\\d+\\.checkpoint\\.json") &&
+          !n.matches("v\\d+\\.checkpoint\\.parquet"))
+        probs += ((rel(e.path), 0L, false,
+          "unrecognized file in the commit log (crashed commit's tmp " +
+            "or foreign debris; on a live store possibly an in-flight " +
+            "commit — audit quiescent)"))
+    }
     val log = listLog()
     if (log.isEmpty) return probs.result()
     // parseability (both checkpoint formats; a parquet checkpoint must
     // also carry a version footer AGREEING with its filename)
     val parsedDeltas = scala.collection.mutable.Map[Long, Map[String, TableDelta]]()
     val parsedCkpts = scala.collection.mutable.Map[Long, Manifest]()
-    val ckptPaths = scala.collection.mutable.Map[Long, java.nio.file.Path]()
+    val ckptPaths = scala.collection.mutable.Map[Long, String]()
     log.foreach { case (v, isCkpt, p) =>
       try {
         if (isCkpt) {
-          if (p.getFileName.toString.endsWith(".parquet")) {
-            val (fv, _) = CheckpointIO.stamp(p)
+          if (p.endsWith(".parquet")) {
+            val (fv, _) = CheckpointIO.stamp(io, p)
             if (fv != v)
               probs += ((rel(p), 0L, false,
                 s"checkpoint footer claims v$fv but the filename says " +
@@ -1524,7 +1510,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           }
           parsedCkpts(v) = readCheckpointFile(p); ckptPaths(v) = p
         }
-        else parsedDeltas(v) = parseDelta(Files.readAllBytes(p))
+        else parsedDeltas(v) = parseDelta(io.readAllBytes(p))
       } catch {
         case e: Exception =>
           probs += ((rel(p), 0L, false,
@@ -1635,9 +1621,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     stats.map { r =>
-      val abs = r.getString(0).stripPrefix("file://")
-      val rel = Paths.get(root).toAbsolutePath.normalize
-        .relativize(Paths.get(abs).toAbsolutePath.normalize).toString
+      val rel = io.scannedToRel(root, r.getString(0))
       val cols = statCols.flatMap { c =>
         val (mnI, mxI) = (r.fieldIndex(s"mn_$c"), r.fieldIndex(s"mx_$c"))
         if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
@@ -1840,16 +1824,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * staged-but-unreferenced files are structurally vacuum-proof —
       * including under `retainMillis = 0` and under bodies that outlive
       * the default retention window. */
-    private[Catalog] var lease: Option[java.nio.file.Path] = None
+    private[Catalog] var lease: Option[String] = None
     private[Catalog] def ensureLease(): Unit = if (lease.isEmpty) {
-      val dir = rootPath.resolve(Catalog.LeaseDirName)
-      Files.createDirectories(dir)
-      val p = dir.resolve(java.util.UUID.randomUUID().toString + ".lease")
-      Files.write(p, Array.emptyByteArray)
+      val dir = io.resolve(root, Catalog.LeaseDirName)
+      io.mkdirs(dir)
+      val p = io.resolve(dir,
+        java.util.UUID.randomUUID().toString + ".lease")
+      io.write(p, Array.emptyByteArray)
       lease = Some(p)
     }
     private[Catalog] def releaseLease(): Unit = {
-      lease.foreach(Files.deleteIfExists(_))
+      lease.foreach(io.deleteIfExists(_))
       lease = None
     }
 
@@ -1881,27 +1866,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
       * validates read tables exactly like written ones, so decisions
       * the body based on this view cannot be invalidated by a
       * concurrent commit (serializable, not just write-serializable). */
-    /** Executor-side file identity for a scanned row: `input_file_name()`
-    * with the scheme stripped — a PERCENT-ENCODED absolute path
-    * (input_file_name reports the URL-encoded URI, so '/my store/'
-    * appears as '/my%20store/'; comparisons must stay in encoded
-    * space). */
-  private def srcFileKey: org.apache.spark.sql.Column =
-    regexp_replace(input_file_name(), "^file:/+", "/")
-
-  /** Driver-side twin of [[srcFileKey]]: the same percent-encoded
-    * absolute path for a manifest-relative path, via java.net.URI
-    * encoding. [[collectDeadByFile]] additionally fails LOUDLY when a
-    * scanned key matches no manifest entry, so any residual encoding
-    * divergence surfaces as an error — never as a silently-unmasked
-    * deletion vector. */
-  private def fileKey(rel: String): String = {
-    val u = rootPath.resolve(rel).toAbsolutePath.normalize
-      .toUri.toASCIIString
-    "/" + u.stripPrefix("file:").dropWhile(_ == '/')
-  }
-
-  def read(table: String): DataFrame = {
+    def read(table: String): DataFrame = {
       readTables += table
       val st = curState(table)
       readFiles(table, st.files, schemaOf(Some(st), table),
@@ -2287,9 +2252,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
         deadByFile.get(f.path) match {
           case None => f
           case Some(ids) =>
-            val old = f.dv.map(d => DvIO.read(rootPath, d._1))
+            val old = f.dv.map(d => DvIO.read(io, root, d._1))
               .getOrElse(Array.empty[Long])
-            val (p, n) = DvIO.write(rootPath, old ++ ids)
+            val (p, n) = DvIO.write(io, root, old ++ ids)
             f.copy(dv = Some((p, n)))
         }
       }
@@ -2525,13 +2490,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
         if (cand.isEmpty) (0L, src)
         else {
           val live = readFiles(table, cand, schema, idCol)
-          val hitAbs = live.withColumn("__file", input_file_name())
+          val hitRel = live.withColumn("__file", input_file_name())
             .join(broadcast(keys), Seq(keyCol), "left_semi")
             .select("__file").distinct().collect()
-            .map(_.getString(0).stripPrefix("file://"))
-          val rootAbs = Paths.get(root).toAbsolutePath.normalize
-          val hitRel = hitAbs.map(p => rootAbs.relativize(
-            Paths.get(p).toAbsolutePath.normalize).toString).toSet
+            .map(r => io.scannedToRel(root, r.getString(0))).toSet
           val (hit, carried) = prev.files.partition(f => hitRel(f.path))
           if (hit.nonEmpty && mergeOnRead) {
             // merge-on-read (round 15): kill the matched target rows by
@@ -2678,13 +2640,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
         .eagerCheckpoint()
       val nClosed = changedKeys.count()
       if (nClosed > 0) {
-        val hitAbs = cur.withColumn("__file", input_file_name())
+        val hitRel = cur.withColumn("__file", input_file_name())
           .join(broadcast(changedKeys), Seq(keyCol), "left_semi")
           .select("__file").distinct().collect()
-          .map(_.getString(0).stripPrefix("file://"))
-        val rootAbs = Paths.get(root).toAbsolutePath.normalize
-        val hitRel = hitAbs.map(p => rootAbs.relativize(
-          Paths.get(p).toAbsolutePath.normalize).toString).toSet
+          .map(r => io.scannedToRel(root, r.getString(0))).toSet
         val (hit, carried) = prev.files.partition(f => hitRel(f.path))
         val marked = changedKeys.withColumn("__m", lit(true))
         val closed = readFiles(table, hit, schema, idCol)
@@ -2976,7 +2935,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
           val s0 = hist.getOrElse(src, throw new IllegalArgumentException(
             s"cannot clone '$src' at v$v: table did not exist then"))
           val gone = s0.files
-            .filterNot(f => Files.exists(rootPath.resolve(f.path)))
+            .filterNot(f => io.exists(io.resolve(root, f.path)))
           if (gone.nonEmpty)
             throw new IllegalStateException(
               s"cannot clone '$src' at v$v: ${gone.size} referenced " +
@@ -3039,7 +2998,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
             "already vacuumed past the retention window", e)
     }
     val gone = hist.values.flatMap(_.files)
-      .filterNot(f => Files.exists(rootPath.resolve(f.path)))
+      .filterNot(f => io.exists(io.resolve(root, f.path)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"cannot restore '$root' to v$version: ${gone.size} referenced " +
@@ -3459,29 +3418,25 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // must see the clone's references too
     val manifest = readManifest()
     val live = manifest.values.flatMap(_.files)
-      .map(f => rootPath.resolve(f.path).toAbsolutePath.normalize).toSet
+      .map(f => io.canon(io.resolve(root, f.path))).toSet
     // a RENAMED table's files stay under the old-name directory
     // (zero-copy move); sweep those too — vacuum(oldName) is routed to
     // by nobody after the rename, so without this the old path collects
     // unbounded dead rewrites (TableState.priorDirs)
     val sweepDirs = (table +: manifest.get(table)
         .map(_.priorDirs).getOrElse(Nil)).distinct
-      .map(rootPath.resolve(_)).filter(Files.exists(_))
+      .map(io.resolve(root, _)).filter(io.exists(_))
     if (sweepDirs.isEmpty) 0
     else {
       val now = System.currentTimeMillis()
-      val leaseDir = rootPath.resolve(Catalog.LeaseDirName)
-      val leaseFloor = if (!Files.exists(leaseDir)) None else {
-        val ls = Files.list(leaseDir)
-        val mtimes = try {
-          ls.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".lease"))
-            .map(p => (p, Files.getLastModifiedTime(p).toMillis)).toVector
-        } finally ls.close()
+      val leaseDir = io.resolve(root, Catalog.LeaseDirName)
+      val leaseFloor = {
+        val mtimes = io.list(leaseDir)
+          .filter(e => !e.isDir && e.name.endsWith(".lease"))
         val (stale, active) =
-          mtimes.partition(_._2 <= now - Catalog.WriterLeaseTtlMillis)
-        stale.foreach(p => Files.deleteIfExists(p._1))
-        active.map(_._2).minOption
+          mtimes.partition(_.mtimeMs <= now - Catalog.WriterLeaseTtlMillis)
+        stale.foreach(e => io.deleteIfExists(e.path))
+        active.map(_.mtimeMs).minOption
       }
       // a file is reclaimable only if dead past the retention window AND
       // older than every in-flight writer's lease (strictly: files a
@@ -3493,63 +3448,42 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // .crc sidecars of partially-live groups are kept), never one still
       // inside the retention window
       val dead = sweepDirs.flatMap { tableDir =>
-        val it = Files.walk(tableDir)
-        try {
-          it.iterator().asScala
-            .filter(p => Files.isRegularFile(p)
-              && p.getFileName.toString.endsWith(".parquet"))
-            .filterNot(p => live.contains(p.toAbsolutePath.normalize))
-            .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-            .toVector
-        } finally it.close()
+        io.walk(tableDir)
+          .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+          .filterNot(e => live.contains(e.path))
+          .filter(_.mtimeMs <= cutoff)
       }
-      dead.foreach(Files.delete)
+      dead.foreach(e => io.delete(e.path))
       // then whole file groups with no parquet left (live OR retained —
       // a dir holding a file still in its grace window must survive so
       // the snapshot reader can resolve it): their markers and sidecars
       // go with them (deepest-first so children empty first)
       sweepDirs.foreach { tableDir =>
-      val it2 = Files.walk(tableDir)
-      val dirs = try {
-        it2.iterator().asScala.filter(Files.isDirectory(_)).toVector
-          .sortBy(_.getNameCount)(Ordering[Int].reverse)
-      } finally it2.close()
-      dirs.filter(_ != tableDir).foreach { d =>
-        val sub = Files.walk(d)
-        val hasParquet = try {
-          sub.iterator().asScala.exists(p =>
-            Files.isRegularFile(p)
-              && p.getFileName.toString.endsWith(".parquet"))
-        } finally sub.close()
-        if (!hasParquet) {
-          val all = Files.walk(d)
-          val victims = try {
-            all.iterator().asScala.toVector
-              .sortBy(_.getNameCount)(Ordering[Int].reverse)
-          } finally all.close()
-          victims.foreach(Files.deleteIfExists(_))
+        val tableDirCanon = io.canon(tableDir)
+        val dirs = io.walk(tableDir).filter(_.isDir)
+          .sortBy(_.depth)(Ordering[Int].reverse)
+        dirs.filter(_.path != tableDirCanon).foreach { d =>
+          val sub = io.walk(d.path)
+          val hasParquet =
+            sub.exists(e => !e.isDir && e.name.endsWith(".parquet"))
+          if (!hasParquet)
+            sub.sortBy(_.depth)(Ordering[Int].reverse)
+              .foreach(v => io.deleteIfExists(v.path))
         }
-      }
       }
       // deletion-vector sidecars: same rules as data files — retire a
       // sidecar no current entry references once it ages past the
       // cutoff (a replaced DV, or one whose snapshot fell out of the
       // retention window; the lease floor covers in-flight writers)
-      val dvDir = rootPath.resolve(DvIO.DirName)
-      if (Files.exists(dvDir)) {
+      val dvDir = io.resolve(root, DvIO.DirName)
+      if (io.exists(dvDir)) {
         val liveDv = manifest.values.flatMap(_.files)
-          .flatMap(_.dv.map(d =>
-            rootPath.resolve(d._1).toAbsolutePath.normalize)).toSet
-        val dvIt = Files.list(dvDir)
-        val deadDv = try {
-          dvIt.iterator().asScala
-            .filter(p => Files.isRegularFile(p)
-              && p.getFileName.toString.endsWith(".dv"))
-            .filterNot(p => liveDv.contains(p.toAbsolutePath.normalize))
-            .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-            .toVector
-        } finally dvIt.close()
-        deadDv.foreach(Files.delete)
+          .flatMap(_.dv.map(d => io.canon(io.resolve(root, d._1)))).toSet
+        val deadDv = io.list(dvDir)
+          .filter(e => !e.isDir && e.name.endsWith(".dv"))
+          .filterNot(e => liveDv.contains(e.path))
+          .filter(_.mtimeMs <= cutoff)
+        deadDv.foreach(e => io.delete(e.path))
       }
       // retire commit-log files aged past the window: the time-travel
       // horizon IS the vacuum retention window, so snapshot availability
@@ -3566,14 +3500,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
       if (log.nonEmpty) {
         val cur = log.map(_._1).max
         val retained = log.filter { case (v, _, p) =>
-          v == cur || Files.getLastModifiedTime(p).toMillis > cutoff
+          v == cur || io.mtimeMs(p) > cutoff
         }.map(_._1)
         val floor = retained.minOption.getOrElse(cur)
         log.filter(e => e._2 && e._1 <= floor).map(_._1).maxOption
           .foreach { ckptFloor =>
             log.foreach { case (v, isCkpt, p) =>
               if (v < ckptFloor || (!isCkpt && v == ckptFloor))
-                Files.deleteIfExists(p)
+                io.deleteIfExists(p)
             }
           }
       }

@@ -1,7 +1,5 @@
 package graft.store
 
-import java.nio.file.{Files => JFiles, Path => JPath, StandardCopyOption}
-
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -53,9 +51,13 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   * Version + commit stamp ride the parquet FOOTER key-value metadata
   * ([[stamp]] reads just the footer — `versionAsOf` never replays
   * content to learn a timestamp). Writes go to a `.tmp` sibling then
-  * atomic-rename, same protocol as every other log file; the hadoop
-  * conf pins `RawLocalFileSystem` so no `.crc` sidecars land in
-  * `_log/` (fsck treats strays as problems). */
+  * atomic-rename, same protocol as every other log file. All IO runs
+  * through the store's [[StoreIO]] (round 18): the parquet
+  * reader/writer bind to its `hadoopConf` (which pins
+  * `RawLocalFileSystem` for `file:` paths so no `.crc` sidecars land
+  * in `_log/` — fsck treats strays as problems), and the tmp/rename
+  * protocol uses its primitives, so checkpoints live on whatever
+  * filesystem the root does. */
 private[store] object CheckpointIO {
 
   /** Small row groups so the sorted `table` column's per-group stats
@@ -90,12 +92,11 @@ private[store] object CheckpointIO {
 
   private val mapper = new ObjectMapper()
 
-  private def conf(): Configuration = {
-    val c = new Configuration(false)
-    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
-    c.setBoolean("fs.file.impl.disable.cache", true)
-    c
-  }
+  /** Fresh per-call copy of the store FS configuration:
+    * `GroupWriteSupport.setSchema` mutates the conf it is given, and a
+    * shared instance would race concurrent checkpoint writers. */
+  private def conf(io: StoreIO): Configuration =
+    new Configuration(io.hadoopConf)
 
   private def colsJson(m: Map[String, (Long, Long)]): String = {
     val n = mapper.createObjectNode()
@@ -177,21 +178,22 @@ private[store] object CheckpointIO {
   /** Write the manifest as `target` (tmp + atomic rename). Rows sorted
     * by (table, kind, path) so the `table` column is globally sorted
     * across row groups — that order IS the targeted read's pruning. */
-  def write(target: JPath, version: Long, committedAtMs: Long,
+  def write(io: StoreIO, target: String, version: Long,
+      committedAtMs: Long,
       tables: Seq[(String, Long, Option[String], Map[String, String],
         Option[String], Option[Seq[String]], Map[String, Seq[String]],
         Seq[String],
         Seq[(String, Long, Long, Map[String, (Long, Long)],
           Map[String, (String, String)], Option[(String, Long)], Long,
           Map[String, Long])])]): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    JFiles.deleteIfExists(tmp)
-    val c = conf()
+    val tmp = target + ".tmp"
+    io.deleteIfExists(tmp)
+    val c = conf(io)
     GroupWriteSupport.setSchema(Schema, c)
     val meta = Map(VersionKey -> version.toString,
       StampKey -> committedAtMs.toString)
     val w: ParquetWriter[Group] = ExampleParquetWriter
-      .builder(new HPath(tmp.toString))
+      .builder(new HPath(tmp))
       .withConf(c)
       .withType(Schema)
       .withExtraMetaData(meta.asJava)
@@ -233,14 +235,13 @@ private[store] object CheckpointIO {
           }
       }
     } finally w.close()
-    JFiles.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    io.rename(tmp, target)
   }
 
   /** (version, committedAtMs) from the footer metadata alone — no row
     * content is read. */
-  def stamp(p: JPath): (Long, Long) = {
-    val in = HadoopInputFile.fromPath(new HPath(p.toString), conf())
+  def stamp(io: StoreIO, p: String): (Long, Long) = {
+    val in = HadoopInputFile.fromPath(new HPath(p), conf(io))
     val r = ParquetFileReader.open(in)
     try {
       val kv = r.getFooter.getFileMetaData.getKeyValueMetaData
@@ -256,16 +257,16 @@ private[store] object CheckpointIO {
     * `table = t` predicate into the parquet read — row groups whose
     * `table` stats exclude `t` are skipped entirely (the checkpoint is
     * sorted by table), so cost follows the TABLE's entry count. */
-  def read(p: JPath, table: Option[String])
+  def read(io: StoreIO, p: String, table: Option[String])
       : Seq[(String, String, Group)] = {
-    val c = conf()
+    val c = conf(io)
     // read through the FILE's own schema (no projection): a checkpoint
     // written before a format column existed (e.g. pre-round-16
     // stats_cols_json) must stay readable — decode guards field
     // presence per group instead of forcing the current schema
     // onto old files
     val b = ParquetReader
-      .builder(new GroupReadSupport(), new HPath(p.toString))
+      .builder(new GroupReadSupport(), new HPath(p))
       .withConf(c)
     val reader = table match {
       case Some(t) => b.withFilter(FilterCompat.get(FilterApi.eq(

@@ -91,35 +91,48 @@ private[store] object CommitLock {
   /** Resolve the configured implementation for one store root.
     *
     * The chosen mode is PERSISTED in `_commit.lockmode` at first
-    * resolution (atomic create-if-absent; the loser of a first-open
-    * race re-reads the winner's choice): the two implementations take
-    * DISJOINT primitives (`_manifest.lock` vs `_commit.lease`), so two
-    * processes sharing a root but configured differently would get no
-    * mutual exclusion at all — exactly the lost-commit race the SPI
-    * exists to prevent. A mismatch therefore fails loudly here instead
-    * of silently racing. */
+    * resolution (atomic create-if-absent via the store's [[StoreIO]];
+    * the loser of a first-open race re-reads the winner's choice): the
+    * two implementations take DISJOINT primitives (`_manifest.lock` vs
+    * `_commit.lease`), so two processes sharing a root but configured
+    * differently would get no mutual exclusion at all — exactly the
+    * lost-commit race the SPI exists to prevent. A mismatch therefore
+    * fails loudly here instead of silently racing.
+    *
+    * Both SHIPPED implementations bind their primitive to a LOCAL
+    * path (POSIX locks / mtime leases); a root on HDFS or an object
+    * store must pair `lease` mode with a [[LeaseStore]] port (one
+    * conditional request per operation — see that trait's scaladoc),
+    * so a remote root without one fails loudly here rather than
+    * pretending to lock. */
   def forRoot(spark: org.apache.spark.sql.SparkSession,
-      rootPath: Path): CommitLock = {
+      root: String, io: StoreIO): CommitLock = {
     val mode = spark.conf.getOption("spark.graft.store.commitLock")
       .map(_.trim.toLowerCase).getOrElse("file")
     if (mode != "file" && mode != "lease")
       throw new IllegalArgumentException(
         s"spark.graft.store.commitLock must be 'file' or 'lease'; got '$mode'")
-    val marker = rootPath.resolve(ModeMarker)
-    try Files.write(marker, mode.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val marker = io.resolve(root, ModeMarker)
+    io.createIfAbsent(marker, mode.getBytes(StandardCharsets.UTF_8))
     val recorded =
-      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim
+      new String(io.readAllBytes(marker), StandardCharsets.UTF_8).trim
     if (recorded != mode)
       throw new IllegalStateException(
-        s"store root '$rootPath' was opened with " +
+        s"store root '$root' was opened with " +
           s"spark.graft.store.commitLock='$recorded' and is now being " +
           s"opened with '$mode': the two lock modes use disjoint " +
           "primitives and give NO mutual exclusion against each other. " +
           s"Set spark.graft.store.commitLock=$recorded, or delete " +
           s"$ModeMarker under the root if every process is being " +
           "migrated together")
+    val rootPath = StoreIO.localPathOf(root).getOrElse(
+      throw new IllegalStateException(
+        s"store root '$root' is not on a local filesystem: the shipped " +
+          "commit-lock primitives (POSIX file lock / mtime lease) " +
+          "cannot serialize commits there. Deploy with " +
+          "spark.graft.store.commitLock=lease and a LeaseStore port " +
+          "for the object store (one conditional request per " +
+          "operation — see LeaseStore's scaladoc)"))
     val key = rootPath.toAbsolutePath.normalize.toString
     mode match {
       case "file" => new FileChannelCommitLock(rootPath, monitorFor(key))

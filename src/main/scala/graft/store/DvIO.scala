@@ -1,7 +1,6 @@
 package graft.store
 
 import java.io.{DataInputStream, DataOutputStream}
-import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
 
 /** Deletion-vector sidecar IO (round 15 merge-on-read): one immutable
   * file under `_dv/` per (data file, commit) listing the surrogate ids
@@ -19,6 +18,12 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
   * and vacuum retires unreferenced sidecars by the same age rules as
   * data files.
   *
+  * IO goes through the [[StoreIO]] SPI (round 18) — sidecars live
+  * beside the data on whatever filesystem the root is on. Content is
+  * bounded (changed-rows-sized by the merge-on-read contract, and the
+  * driver materializes the id array either way), so whole-buffer
+  * read/write is the right shape on every FS.
+  *
   * Format: magic `GDV1`, int count, count longs ascending. Read is a
   * single buffered driver-side pass; [[read]] validates magic and
   * sortedness so fsck can diagnose corruption precisely. */
@@ -30,29 +35,28 @@ private[store] object DvIO {
   /** Write `ids` (deduped, sorted here) as a new sidecar (tmp + atomic
     * rename, same protocol as every log file); returns (root-relative
     * path, dead count) for the manifest entry. */
-  def write(root: Path, ids: Iterable[Long]): (String, Long) = {
+  def write(io: StoreIO, root: String,
+      ids: Iterable[Long]): (String, Long) = {
     val sorted = ids.toArray.distinct.sorted
     require(sorted.nonEmpty, "deletion vector must carry at least one id")
-    val dir = root.resolve(DirName)
-    Files.createDirectories(dir)
+    val dir = io.resolve(root, DirName)
+    io.mkdirs(dir)
     val name = s"${java.util.UUID.randomUUID().toString}.dv"
-    val tmp = dir.resolve(name + ".tmp")
-    val out = new DataOutputStream(new java.io.BufferedOutputStream(
-      Files.newOutputStream(tmp, StandardOpenOption.CREATE,
-        StandardOpenOption.TRUNCATE_EXISTING)))
-    try {
-      out.writeInt(Magic)
-      out.writeInt(sorted.length)
-      sorted.foreach(out.writeLong)
-    } finally out.close()
-    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val buf = new java.io.ByteArrayOutputStream(8 + sorted.length * 8)
+    val out = new DataOutputStream(buf)
+    out.writeInt(Magic)
+    out.writeInt(sorted.length)
+    sorted.foreach(out.writeLong)
+    out.flush()
+    val tmp = io.resolve(dir, name + ".tmp")
+    io.write(tmp, buf.toByteArray)
+    io.rename(tmp, io.resolve(dir, name))
     (s"$DirName/$name", sorted.length.toLong)
   }
 
-  def read(root: Path, rel: String): Array[Long] = {
-    val in = new DataInputStream(new java.io.BufferedInputStream(
-      Files.newInputStream(root.resolve(rel))))
+  def read(io: StoreIO, root: String, rel: String): Array[Long] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(
+      io.readAllBytes(io.resolve(root, rel))))
     try {
       val m = in.readInt()
       if (m != Magic) throw new IllegalStateException(

@@ -7,7 +7,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.functions._
 
-import graft.store.Catalog
+import graft.store.{Catalog, StoreIO}
 
 /** Model-based fuzz of the COW store: a random operation sequence runs
   * against BOTH the Catalog and a driver-side reference model; after
@@ -33,13 +33,21 @@ class StoreFuzzSpec extends SparkSuite {
       .as[(Long, String, String)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
 
+  // both StoreIO impls run the same model fuzz (round 18): the Hadoop
+  // binding must derive exactly the states the java.nio binding does
+  for (ioMode <- Seq("local", "hadoop"))
   test("random op sequences: store state equals the reference model " +
-    "after every step; clones freeze; history replays; vacuum(0) safe") {
+    "after every step; clones freeze; history replays; vacuum(0) safe " +
+    s"[io=$ioMode]") {
+    def mkCat(root: String): Catalog =
+      if (ioMode == "hadoop")
+        new Catalog(spark, root, StoreIO.hadoop(spark))
+      else new Catalog(spark, root)
     val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 2).getOrElse(42424242L))
     val root = Files.createTempDirectory("graft_fuzz").toString
     // var: the REOPEN op below swaps in a fresh instance (cold manifest
     // cache), fuzzing the log-structured checkpoint + delta replay path
-    var cat = new Catalog(spark, root)
+    var cat = mkCat(root)
     // a CHECK every fuzz row satisfies — clones inherit it, and the
     // restore section below proves it survives a root rewind for
     // tables born after the restore point (round-13 identity fix)
@@ -123,7 +131,7 @@ class StoreFuzzSpec extends SparkSuite {
           // checkpoint + tail-delta replay must reproduce the state
           // (round 14: this is the log-structured read path, and it
           // crosses checkpoint boundaries as versions accumulate)
-          cat = new Catalog(spark, root)
+          cat = mkCat(root)
           opLog += "reopen()"
         case 11 | 12 => // POINT update by surrogate id: the id-pinned
           // shape takes the round-15 merge-on-read path (deletion

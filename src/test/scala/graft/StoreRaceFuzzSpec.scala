@@ -7,7 +7,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.functions._
 
-import graft.store.Catalog
+import graft.store.{Catalog, StoreIO}
 
 /** Randomized concurrent-writer fuzz over the OCC reconcile path: two
   * writer threads (separate Catalog instances on one root) interleave
@@ -25,6 +25,14 @@ import graft.store.Catalog
   */
 class StoreRaceFuzzSpec extends SparkSuite {
   import spark.implicits._
+
+  /** Round-18 IO axis for the OCC races: `mkCat` binds a Catalog to
+    * the named [[StoreIO]] impl; the mixed-impl race below pins that
+    * two processes on one root need NOT agree on the binding (both
+    * impls speak the identical on-disk protocol). */
+  private def mkCat(root: String, ioMode: String = "local"): Catalog =
+    if (ioMode == "hadoop") new Catalog(spark, root, StoreIO.hadoop(spark))
+    else new Catalog(spark, root)
 
   private def userDf(email: String) =
     Seq(("F", "L", "0123456789", email, "h", "user",
@@ -56,7 +64,9 @@ class StoreRaceFuzzSpec extends SparkSuite {
 
     def writer(wid: Int): Runnable = () => {
       val rnd = new Random(1000 + wid)
-      val cat = new Catalog(spark, root)
+      // mixed-impl race: writer 0 commits through java.nio, writer 1
+      // through Hadoop-FS — the on-disk protocol is the contract
+      val cat = mkCat(root, if (wid % 2 == 1) "hadoop" else "local")
       start.await()
       try {
         for (i <- 1 to perWriter) {
@@ -101,7 +111,7 @@ class StoreRaceFuzzSpec extends SparkSuite {
     assert(pool.awaitTermination(300, TimeUnit.SECONDS), "writers hung")
     assert(errors.isEmpty, s"writer threw: ${errors.peek()}")
 
-    val cat = new Catalog(spark, root)
+    val cat = mkCat(root)
     val rows = cat.read("users").select("user_id", "email", "user_role")
       .as[(Long, String, String)].collect()
     val ids = rows.map(_._1).sorted
@@ -158,7 +168,8 @@ class StoreRaceFuzzSpec extends SparkSuite {
     def writer(wid: Int): Runnable = () => {
       val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED")
         .map(_.toLong + 100 + wid).getOrElse(7000L + wid))
-      val cat = new Catalog(spark, root)
+      // mixed-impl merge race (same contract as the append race above)
+      val cat = mkCat(root, if (wid % 2 == 1) "hadoop" else "local")
       // this writer's keys currently in the table (domains are disjoint,
       // so single-thread bookkeeping is exact)
       val mine = scala.collection.mutable.Set[Long]()
@@ -223,7 +234,7 @@ class StoreRaceFuzzSpec extends SparkSuite {
     assert(pool.awaitTermination(300, TimeUnit.SECONDS), "writers hung")
     assert(errors.isEmpty, s"merge writer threw: ${errors.peek()}")
 
-    val cat = new Catalog(spark, root)
+    val cat = mkCat(root)
     val rows = cat.read("orders_ingest")
       .select("o_orderkey", "o_orderstatus", "ingest_id", "o_totalprice")
       .as[(Long, String, Long, Double)].collect()
@@ -261,8 +272,8 @@ class StoreRaceFuzzSpec extends SparkSuite {
     "append (both land); a VIOLATING concurrent append fails the " +
     "constraint, not the data") {
     val root = Files.createTempDirectory("graft_check_race").toString
-    val catA = new Catalog(spark, root)
-    val catB = new Catalog(spark, root)
+    val catA = mkCat(root)
+    val catB = mkCat(root)
     catA.append("users", userDf("seed@x.c"))
     // conforming race: B's append commits BETWEEN A's snapshot and A's
     // validate-and-swap — the round-15 reconcile re-validates exactly

@@ -4,16 +4,26 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.store.Catalog
+import graft.store.{Catalog, StoreIO}
 
 /** COW store semantics (SURVEY §7.3/§7.4): dense id assignment, update
-  * isolation, atomic multi-table commit.
+  * isolation, atomic multi-table commit. Parameterized over BOTH
+  * [[StoreIO]] implementations (round 18): [[StoreSpec]] runs the
+  * default java.nio impl, [[StoreHadoopIOSpec]] the Hadoop-FileSystem
+  * impl over `RawLocalFileSystem` — one semantics contract, two IO
+  * bindings, so the HDFS/object-store path is pinned by the same
+  * assertions as the local one.
   */
-class StoreSpec extends SparkSuite {
+abstract class StoreSpecBase(ioMode: String) extends SparkSuite {
   import spark.implicits._
 
+  protected def mkCat(root: String): Catalog =
+    if (ioMode == "hadoop")
+      new Catalog(spark, root, StoreIO.hadoop(spark))
+    else new Catalog(spark, root)
+
   private def freshCat(): Catalog =
-    new Catalog(spark, Files.createTempDirectory("graft_store").toString)
+    mkCat(Files.createTempDirectory("graft_store").toString)
 
   private def user(fn: String, email: String) =
     Seq((fn, "L", "0123456789", email, "h", "user",
@@ -96,7 +106,7 @@ class StoreSpec extends SparkSuite {
   test("two catalogs on one root: concurrent appends lose nothing " +
     "(manifest file lock)") {
     val root = Files.createTempDirectory("graft_store").toString
-    val cats = Seq(new Catalog(spark, root), new Catalog(spark, root))
+    val cats = Seq(mkCat(root), mkCat(root))
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until 4).map { i =>
       new Thread(() => {
@@ -115,7 +125,7 @@ class StoreSpec extends SparkSuite {
   test("two catalogs on one root: concurrent MERGEs serialize losslessly " +
     "(each sees the prior commit; no lost update, ids stay dense)") {
     val root = Files.createTempDirectory("graft_store").toString
-    val cats = Seq(new Catalog(spark, root), new Catalog(spark, root))
+    val cats = Seq(mkCat(root), mkCat(root))
     cats.head.append("users", user("a", "a@x.c").unionAll(user("b", "b@x.c")))
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val jobs: Seq[() => Unit] = Seq(
@@ -145,8 +155,8 @@ class StoreSpec extends SparkSuite {
   test("OCC lock scope: a writer on a DISJOINT table commits while a " +
     "long transaction is still mid-body (no root-wide serialization)") {
     val root = Files.createTempDirectory("graft_store").toString
-    val catA = new Catalog(spark, root)
-    val catB = new Catalog(spark, root)
+    val catA = mkCat(root)
+    val catB = mkCat(root)
     catA.append("users", user("a", "a@x.c"))
     val entered = new java.util.concurrent.CountDownLatch(1)
     val release = new java.util.concurrent.CountDownLatch(1)
@@ -349,8 +359,8 @@ class StoreSpec extends SparkSuite {
   test("vacuum cannot reclaim an in-flight writer's staged files " +
     "(writer-lease guard, retainMillis = 0)") {
     val root = Files.createTempDirectory("graft_store").toString
-    val catA = new Catalog(spark, root)
-    val catB = new Catalog(spark, root)
+    val catA = mkCat(root)
+    val catB = mkCat(root)
     catA.append("users", user("a", "a@x.c"))
     val entered = new java.util.concurrent.CountDownLatch(1)
     val release = new java.util.concurrent.CountDownLatch(1)
@@ -630,8 +640,8 @@ class StoreSpec extends SparkSuite {
     "key ranges of one table both commit (stats prove disjointness); " +
     "overlapping domains still conflict") {
     val root = Files.createTempDirectory("graft_store").toString
-    val cat1 = new Catalog(spark, root)
-    val cat2 = new Catalog(spark, root)
+    val cat1 = mkCat(root)
+    val cat2 = mkCat(root)
     // seed two file groups with well-separated o_orderkey stats ranges
     cat1.append("orders_ingest", orderBatch(1L to 10L, "seed"))   // ids 1-10
     cat1.append("orders_ingest", orderBatch(100L to 110L, "seed")) // ids 11-21
@@ -687,8 +697,8 @@ class StoreSpec extends SparkSuite {
   test("disjoint-key SCD2 merges reconcile: two dimension loaders on " +
     "different key shards both commit; overlapping shards conflict") {
     val root = Files.createTempDirectory("graft_store").toString
-    val cat1 = new Catalog(spark, root)
-    val cat2 = new Catalog(spark, root)
+    val cat1 = mkCat(root)
+    val cat2 = mkCat(root)
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
     def batch(rows: (Long, String, String)*) =
@@ -933,7 +943,7 @@ class StoreSpec extends SparkSuite {
       "old snapshots read through their own schema")
     // the widened schema survives a fresh Catalog on the same root
     // (manifest-persisted, not in-memory)
-    val cat2 = new Catalog(spark, cat.root)
+    val cat2 = mkCat(cat.root)
     assert(cat2.read("users").columns.contains("loyalty_tier"))
     // guards: duplicate and non-nullable additions are rejected
     intercept[IllegalArgumentException] {
@@ -1034,7 +1044,7 @@ class StoreSpec extends SparkSuite {
     // valid writes still flow, and a SECOND catalog on the same root
     // sees the manifest-versioned checks (no in-memory state involved)
     cat.append("users", user("c", "c@x.c"))
-    val cat2 = new Catalog(spark, cat.root)
+    val cat2 = mkCat(cat.root)
     intercept[IllegalArgumentException] { cat2.append("users", bad) }
     assert(cat2.read("users").count() == 2)
     // NULL evaluates as pass (ANSI CHECK): a row with NULL phone lands
@@ -1218,7 +1228,7 @@ class StoreSpec extends SparkSuite {
     "whatever the interleaving, the summary stays exact and the ledger " +
     "holds one watermark") {
     val root = Files.createTempDirectory("graft_store").toString
-    new Catalog(spark, root).append("events_ingest",
+    mkCat(root).append("events_ingest",
       Seq((1L, new java.sql.Timestamp(1L), 1L, "view", 2.50, "{}"),
         (2L, new java.sql.Timestamp(2L), 1L, "click", 1.25, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
@@ -1229,7 +1239,7 @@ class StoreSpec extends SparkSuite {
         // may surface ConcurrentWriteException — an accepted outcome,
         // the caller re-ticks
         try graft.streaming.ChangefeedFollower
-          .tick(new Catalog(spark, root), "events_ingest", "qR"): Unit
+          .tick(mkCat(root), "events_ingest", "qR"): Unit
         catch {
           case _: graft.store.Catalog.ConcurrentWriteException => ()
           case t: Throwable => errs.add(t)
@@ -1239,7 +1249,7 @@ class StoreSpec extends SparkSuite {
     threads.foreach(_.start())
     threads.foreach(_.join(120000))
     assert(errs.isEmpty, s"unexpected failure: ${errs.peek()}")
-    val cat = new Catalog(spark, root)
+    val cat = mkCat(root)
     // catch-up tick for the case where BOTH racers lost to each other
     graft.streaming.ChangefeedFollower.tick(cat, "events_ingest", "qR")
     val got = cat.read("events_type_summary")
@@ -1260,7 +1270,7 @@ class StoreSpec extends SparkSuite {
     graft.ext.ReplaceFeed.ensurePrepared(spark, sf)
     val root = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
       .getPath.stripSuffix("/") + "/graft_rw_root"
-    val cat = new Catalog(spark, root)
+    val cat = mkCat(root)
     assert(cat.version == 2L)
     val zerosAtV1 = cat.readAt("orders_ingest", 1L)
       .filter(col("o_orderkey").between(1000, 2000) &&
@@ -1280,8 +1290,8 @@ class StoreSpec extends SparkSuite {
     "upserting different event_type ranges both commit (bounded string " +
     "stats prove disjointness); overlapping string domains conflict") {
     val root = Files.createTempDirectory("graft_store").toString
-    val cat1 = new Catalog(spark, root)
-    val cat2 = new Catalog(spark, root)
+    val cat1 = mkCat(root)
+    val cat2 = mkCat(root)
     // seed two file groups with separated event_type string ranges
     cat1.append("events_type_summary",
       typeSummary(Seq("alpha", "bravo", "charlie"), 1L),
@@ -1395,7 +1405,7 @@ class StoreSpec extends SparkSuite {
     intercept[IllegalArgumentException](cat.readAt("users", 7L))
     // a FRESH instance (cold cache) replays checkpoint + tail correctly
     // and keeps committing with dense ids
-    val cat2 = new Catalog(spark, cat.root)
+    val cat2 = mkCat(cat.root)
     assert(cat2.read("users").count() == 25L)
     assert(cat2.append("users", user("u26", "u26@x.c")) == 26L)
   }
@@ -1409,7 +1419,7 @@ class StoreSpec extends SparkSuite {
     val debris = java.nio.file.Paths.get(cat.root, "_log", "v99.json.tmp")
     Files.write(debris, "{\"torn".getBytes("UTF-8"))
     assert(cat.read("users").count() == 3, "tmp debris must not affect reads")
-    val cold = new Catalog(spark, cat.root)
+    val cold = mkCat(cat.root)
     assert(cold.read("users").count() == 3, "cold replay must skip tmp debris")
     assert(cold.append("users", user("d4", "d4@x.c")) == 4L,
       "commits must proceed past debris")
@@ -1425,9 +1435,13 @@ class StoreSpec extends SparkSuite {
     Files.write(root.resolve("_manifest.json"),
       """{"_version":3}""".getBytes("UTF-8"))
     val e = intercept[IllegalStateException] {
-      new Catalog(spark, root.toString)
+      mkCat(root.toString)
     }
     assert(e.getMessage.contains("legacy"), e.getMessage)
   }
 
 }
+
+class StoreSpec extends StoreSpecBase("local")
+
+class StoreHadoopIOSpec extends StoreSpecBase("hadoop")

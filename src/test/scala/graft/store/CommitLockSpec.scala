@@ -52,7 +52,7 @@ class CommitLockSpec extends SparkSuite {
       val root = Files.createTempDirectory(s"graft-lock-$mode")
       spark.conf.set("spark.graft.store.commitLock", mode)
       try {
-        val lock = CommitLock.forRoot(spark, root)
+        val lock = CommitLock.forRoot(spark, root.toString, new LocalStoreIO)
         val (counter, maxInside) = contend(lock, threads = 4, iters = 50)
         assert(counter == 200L, s"[$mode] lost updates: $counter of 200")
         assert(maxInside == 1L, s"[$mode] $maxInside holders inside")
@@ -218,17 +218,17 @@ class CommitLockSpec extends SparkSuite {
     val root = Files.createTempDirectory("graft-lock-mode")
     spark.conf.set("spark.graft.store.commitLock", "file")
     try {
-      CommitLock.forRoot(spark, root) // pins 'file' in _commit.lockmode
+      CommitLock.forRoot(spark, root.toString, new LocalStoreIO) // pins 'file' in _commit.lockmode
       spark.conf.set("spark.graft.store.commitLock", "lease")
       val e = intercept[IllegalStateException] {
-        CommitLock.forRoot(spark, root)
+        CommitLock.forRoot(spark, root.toString, new LocalStoreIO)
       }
       assert(e.getMessage.contains("file") &&
         e.getMessage.contains("lease"),
         s"mismatch message must name both modes: ${e.getMessage}")
       // same mode re-opens fine
       spark.conf.set("spark.graft.store.commitLock", "file")
-      CommitLock.forRoot(spark, root)
+      CommitLock.forRoot(spark, root.toString, new LocalStoreIO)
     } finally spark.conf.unset("spark.graft.store.commitLock")
   }
 
@@ -237,7 +237,7 @@ class CommitLockSpec extends SparkSuite {
     spark.conf.set("spark.graft.store.commitLock", "zookeeper")
     try {
       val e = intercept[IllegalArgumentException] {
-        CommitLock.forRoot(spark, root)
+        CommitLock.forRoot(spark, root.toString, new LocalStoreIO)
       }
       assert(e.getMessage.contains("spark.graft.store.commitLock"))
     } finally spark.conf.unset("spark.graft.store.commitLock")

@@ -35,9 +35,9 @@ class LogChainAuditSpec extends SparkSuite {
     // (readers entering via the checkpoint would disagree with readers
     // replaying deltas)
     val ck = logDir.resolve("v10.checkpoint.parquet")
-    val (cv, stampMs) = CheckpointIO.stamp(ck)
+    val (cv, stampMs) = CheckpointIO.stamp(new LocalStoreIO, ck.toString)
     assert(cv == 10L)
-    val tables = CheckpointIO.read(ck, None).groupBy(_._1).toSeq
+    val tables = CheckpointIO.read(new LocalStoreIO, ck.toString, None).groupBy(_._1).toSeq
       .map { case (tbl, rows) =>
         val (maxId, schemaJson, checks, idCol, statsCols, renames,
           priorDirs, files) = CheckpointIO.decodeTable(rows).get
@@ -47,7 +47,7 @@ class LogChainAuditSpec extends SparkSuite {
             Map[String, (String, String)], Option[(String, Long)], Long,
             Map[String, Long])])
       }
-    CheckpointIO.write(ck, cv, stampMs, tables)
+    CheckpointIO.write(new LocalStoreIO, ck.toString, cv, stampMs, tables)
     val flagged1 = new Catalog(spark, cat.root).fsck("users").collect()
       .filter(!_.getBoolean(2))
     assert(flagged1.exists(_.getString(3).contains("diverges")),
