@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
 /** Merge-on-read masking for the SQL front door: wraps the parquet scan
   * so rows a deletion vector marked dead never surface through
@@ -13,15 +14,20 @@ import org.apache.spark.sql.types.StructType
   * whenever the snapshot carries any DV (per-row file attribution is
   * what makes per-file masks applicable — a packed multi-file partition
   * doesn't delimit files in its row stream), then each partition whose
-  * file has a DV reads through a row filter on the surrogate-id column
-  * (binary search in the sorted dead-id array). A DV-carrying scan runs
-  * row-based end to end (Spark forbids mixing row and columnar
-  * partitions in one scan) — the price of pending merge-on-read churn,
-  * paid until compaction folds the DVs; clean snapshots never construct
-  * this wrapper and keep full vectorization. The id column is forced
-  * into the read schema by
-  * [[GraftScanBuilder]] when DVs exist; Spark's projection above the
-  * scan restores the user's column list. */
+  * file has a DV reads through a filter on the surrogate-id column
+  * (binary search in the sorted dead-id array).
+  *
+  * The scan stays VECTORIZED (round 18): when the inner parquet
+  * factory reads columnar, the mask computes one selection array per
+  * [[ColumnarBatch]] (survivor row ordinals) and serves the batch
+  * through zero-copy [[SelectedColumnVector]] views — the positional-
+  * delete shape every columnar engine uses. A batch with no dead rows
+  * passes through untouched, so the common mostly-clean case costs one
+  * binary-search pass over the id vector. Row-based inners (nested
+  * types, vectorization off) keep the row filter. The id column is
+  * forced into the read schema by [[GraftScanBuilder]] when DVs exist;
+  * Spark's projection above the scan restores the user's column
+  * list. */
 private[store] final class DvMaskedScan(
     private[store] val inner: Scan,
     dvByAbsPath: Map[String, Array[Long]], idCol: String)
@@ -65,11 +71,48 @@ private[sql] final class DvMaskedReaderFactory(
   }
 
   // Spark requires every partition of one scan to agree row-vs-columnar
-  // ("Cannot mix row-based and columnar input partitions"), so a
-  // DV-carrying snapshot reads the WHOLE scan row-based — the price of
-  // pending merge-on-read churn, paid until compaction folds the DVs
-  // (clean snapshots never reach this factory and keep vectorization)
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  // ("Cannot mix row-based and columnar input partitions"); delegating
+  // preserves the inner parquet factory's (conf-and-schema-based,
+  // partition-independent) answer, and the mask itself is columnar via
+  // selection vectors — see the class scaladoc
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val r = inner.createColumnarReader(p)
+    deadFor(p) match {
+      case None => r
+      case Some(dead) => new PartitionReader[ColumnarBatch] {
+        override def next(): Boolean = r.next()
+        override def get(): ColumnarBatch = {
+          val b = r.get()
+          val idVec = b.column(idOrdinal)
+          val n = b.numRows()
+          val sel = new Array[Int](n)
+          var k = 0
+          var i = 0
+          while (i < n) {
+            if (java.util.Arrays.binarySearch(dead, idVec.getLong(i)) < 0) {
+              sel(k) = i; k += 1
+            }
+            i += 1
+          }
+          if (k == n) b // no dead rows in this batch: zero cost
+          else {
+            val vecs = new Array[ColumnVector](b.numCols())
+            var c = 0
+            while (c < vecs.length) {
+              vecs(c) = new SelectedColumnVector(b.column(c), sel)
+              c += 1
+            }
+            new ColumnarBatch(vecs, k)
+          }
+        }
+        override def close(): Unit = r.close()
+      }
+    }
+  }
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {

@@ -434,12 +434,20 @@ private[sql] final class GraftScanBuilder(spark: SparkSession, root: String,
   override def build(): Scan = {
     val scan = innerOrAll().build()
     val dvd = kept.filter(_.dv.isDefined)
+    // DV attribution key = the partition file's DECODED absolute path
+    // ([[DvMaskedReaderFactory.deadFor]] reads `toPath.toUri.getPath`,
+    // which drops scheme + authority): scheme-less roots resolve via
+    // java.nio (local dev/CI), URI roots via Hadoop Path — both land in
+    // the same decoded-path comparison space
+    def dvKey(rel: String): String =
+      if (root.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+        new org.apache.hadoop.fs.Path(s"$root/$rel").toUri.getPath
+      else java.nio.file.Paths.get(root).resolve(rel)
+        .toAbsolutePath.normalize.toString
     val masked =
       if (dvd.isEmpty) scan
       else new DvMaskedScan(scan,
-        dvd.map(f => java.nio.file.Paths.get(root).resolve(f.path)
-          .toAbsolutePath.normalize.toString -> f.dv.get._2).toMap,
-        idCol)
+        dvd.map(f => dvKey(f.path) -> f.dv.get._2).toMap, idCol)
     if (renamedPriors.isEmpty) masked
     else {
       val innerRead = masked.readSchema()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
 /** Cross-rename-epoch reads for the SQL front door (round 17, closing
   * SURVEY §7.7.1): after `RENAME COLUMN a -> b`, live files written
@@ -24,17 +25,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * The wrapper PROJECTS the twins away: `readSchema` is exactly the
   * pruned schema Spark asked for (plus the DV-forced surrogate id when
   * merge-on-read masking is active — the proven-extra case), so the
-  * plan above sees only logical columns. Rows copy into a fresh
-  * [[GenericInternalRow]] (the inner reader reuses its row buffer).
-  * Like the DV mask, a stale-epoch scan runs row-based end to end —
-  * the price of pending rename churn, paid until compaction/OPTIMIZE
-  * migrate the layout; clean snapshots never construct this wrapper
-  * and keep full vectorization. Filters on renamed columns are NOT
-  * pushed into parquet while stale files live ([[GraftScanBuilder]]):
-  * parquet record-level filtering treats an absent column as all-NULL
-  * and would silently drop every pre-rename row; they stay in Spark's
-  * Filter node above and still prune files through the manifest stats
-  * (which [[StatsPrune]] consults under prior names too). */
+  * plan above sees only logical columns.
+  *
+  * The scan stays VECTORIZED (round 18): when the inner factory reads
+  * columnar, each renamed output column is served through a zero-copy
+  * [[CoalescedColumnVector]] view over its candidate vectors (one
+  * per-batch pick pass resolves which name supplies each row; plain
+  * columns pass through untouched), and composition with the DV mask's
+  * selection vectors is transparent — both speak the ColumnVector API.
+  * Row-based inners copy into a fresh [[GenericInternalRow]] as
+  * before. Filters on renamed columns are NOT pushed into parquet
+  * while stale files live ([[GraftScanBuilder]]): parquet record-level
+  * filtering treats an absent column as all-NULL and would silently
+  * drop every pre-rename row; they stay in Spark's Filter node above
+  * and still prune files through the manifest stats (which
+  * [[StatsPrune]] consults under prior names too). */
 private[store] final class RenameCoalescingScan(
     private[store] val inner: Scan,
     /** Output schema (twins projected away). */
@@ -64,9 +69,34 @@ private[sql] final class RenameCoalescingReaderFactory(
     inner: PartitionReaderFactory, candidates: Array[Array[Int]],
     innerTypes: Array[DataType]) extends PartitionReaderFactory {
 
-  // same row-vs-columnar rule as the DV mask: one scan must agree, so
-  // a stale-epoch snapshot reads row-based until the layout migrates
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  // same row-vs-columnar rule as the DV mask: one scan must agree;
+  // delegating preserves the inner chain's partition-independent answer
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val r = inner.createColumnarReader(p)
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = r.next()
+      override def get(): ColumnarBatch = {
+        val b = r.get()
+        val n = b.numRows()
+        val vecs = new Array[ColumnVector](candidates.length)
+        var i = 0
+        while (i < candidates.length) {
+          val cands = candidates(i)
+          vecs(i) =
+            if (cands.length == 1) b.column(cands(0)) // plain column
+            else CoalescedColumnVector.build(innerTypes(cands(0)),
+              cands.map(b.column), n)
+          i += 1
+        }
+        new ColumnarBatch(vecs, n)
+      }
+      override def close(): Unit = r.close()
+    }
+  }
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
