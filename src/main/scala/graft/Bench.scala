@@ -349,8 +349,7 @@ object Bench {
         // gate-only rows — the 10x sweep times those through the same
         // min-of-N protocol even though the headline bench skips them
         val want = ex.split(",").toSet
-        (SparkEntry.registry ++ SparkEntry.benchOnly)
-          .filter(q => want(q.name))
+        SparkEntry.registry.filter(q => want(q.name))
       case None => sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
         case Some(pats0) =>
           val pats = pats0.split(",").toSeq.filter(_.nonEmpty)

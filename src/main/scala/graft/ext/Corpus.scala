@@ -962,6 +962,23 @@ object Corpus {
     * symbol a||b can never equal a (b nonempty), so the fold cannot
     * cascade. Pure string equality — no floating point anywhere in the
     * BPE loop, so the imperative form is EXACTLY the declarative one. */
+  /** The (a, b) merge pairs learned so far, applied oldest-first — the
+    * same left-to-right greedy sequence the per-round materialized
+    * vocabulary walked, one word at a time. A MEMBER method, not a
+    * local def: executor closures call it through the object's static
+    * MODULE$ reference; a local def would lift with a captured outer
+    * and fail closure serialization. */
+  private def applyMerges(syms0: Array[String],
+      ms: Array[(String, String)]): Array[String] = {
+    var syms = syms0
+    var k = 0
+    while (k < ms.length) {
+      syms = mergeSyms(syms, ms(k)._1, ms(k)._2, ms(k)._1 + ms(k)._2)
+      k += 1
+    }
+    syms
+  }
+
   private def mergeSyms(syms: Array[String], a: String, b: String,
       ab: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
@@ -985,38 +1002,61 @@ object Corpus {
       .select(explode(toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
     // The k-round loop itself runs over the cached VOCABULARY RDD
-    // (round 17, the ext_bpe_* weak-row fix): each round is a fixed
-    // pair-count + argmax + array-local merge over a ~50k-row frame —
-    // work Catalyst can neither push down nor reorder, while a
+    // (round 17, the ext_bpe_* weak-row fix): per-round work is a
+    // fixed pair-count + argmax + array-local merge over a ~50k-row
+    // frame — work Catalyst can neither push down nor reorder, while a
     // DataFrame loop re-analyzed and re-optimized a fresh plan every
     // round (the dominant cost by 10x at this scale; measured
-    // bpe_train 7.5 -> 3.6 s via plan identity alone, and the
-    // remaining seconds were per-round analysis of the checkpoint-fed
-    // plans). Determinism is EXACT, not tolerance-based: counts are
-    // integer sums (associative/commutative), the argmax reduce
-    // applies the total order (cnt DESC, a ASC, b ASC) in UTF8String
-    // binary order — the same order Spark's orderBy and the DuckDB
-    // oracle's ORDER BY use — and the merge fold is pure string
-    // equality. Driver traffic per round is ONE (pair, cnt) triple.
+    // bpe_train 7.5 -> 3.6 s via plan identity alone).
+    //
+    // Round 18 (the remaining job-floor cut, 2 jobs/round -> 1): each
+    // round is now ONE shuffle-free job — per-partition pair-count
+    // HASH MAPS over the cached base vocabulary (the merges learned so
+    // far re-applied in-flight; array-local string work, O(rounds ×
+    // vocab) total) merged by treeReduce, argmax on the driver. No
+    // per-round persist/count job, no reduceByKey shuffle: the pair
+    // domain is vocabulary-bounded (tens of KB as a map), which is
+    // exactly the size class treeReduce is for. Determinism is EXACT,
+    // not tolerance-based: counts are integer sums merged
+    // associatively/commutatively across partition maps, and the
+    // argmax applies the total order (cnt DESC, a ASC, b ASC) in
+    // UTF8String binary order — the same order Spark's orderBy and the
+    // DuckDB oracle's ORDER BY use — over the ONE final map, so hash
+    // iteration order cannot matter. Driver traffic per round is one
+    // pair-domain map.
     import s.implicits._
-    var vocab: org.apache.spark.rdd.RDD[(Long, Array[String])] = words
+    val base: org.apache.spark.rdd.RDD[(Long, Array[String])] = words
       .select(col("freq"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("syms"))
       .as[(Long, Array[String])].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vocab.count() // materialize outside the timed rounds' lineage
+    base.count() // materialize outside the timed rounds' lineage
     val merges = scala.collection.mutable
       .ArrayBuffer.empty[(Long, String, String, Long)]
     def utf8Lt(x: String, y: String): Boolean =
       org.apache.spark.unsafe.types.UTF8String.fromString(x)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
     for (r <- 1 to BpeRounds) {
-      val ((a, b), cnt) = vocab.flatMap { case (freq, syms) =>
-        if (syms.length < 2) Iterator.empty
-        else (0 until syms.length - 1).iterator
-          .map(i => ((syms(i), syms(i + 1)), freq))
-      }.reduceByKey(_ + _)
+      val soFar = merges.toArray.map(m => (m._2, m._3))
+      val counts = base.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        it.foreach { case (freq, syms0) =>
+          val syms = applyMerges(syms0, soFar)
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            m.update(k, m.getOrElse(k, 0L) + freq)
+            i += 1
+          }
+        }
+        Iterator.single(m)
+      }.treeReduce { (x, y) =>
+        y.foreach { case (k, v) => x.update(k, x.getOrElse(k, 0L) + v) }
+        x
+      }
+      val ((a, b), cnt) = counts.iterator
         .reduce { (x, y) => // max under (cnt DESC, a ASC, b ASC)
           val ((xa, xb), xc) = x
           val ((ya, yb), yc) = y
@@ -1027,13 +1067,10 @@ object Corpus {
           else if (utf8Lt(yb, xb)) y else x
         }
       merges += ((r.toLong, a, b, cnt))
-      val ab = a + b
-      val prev = vocab
-      vocab = prev
-        .map { case (freq, syms) => (freq, mergeSyms(syms, a, b, ab)) }
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      vocab.count()
-      prev.unpersist(false)
+    }
+    val all = merges.toArray.map(m => (m._2, m._3))
+    val vocab = base.map { case (freq, syms) =>
+      (freq, applyMerges(syms, all))
     }
     (merges.toSeq, vocab.toDF("freq", "syms"))
   }

@@ -81,29 +81,35 @@ object IvfSearch {
   /** Offline-trained coarse quantizer: Lloyd's k-means over the corpus,
     * run entirely as DataFrame aggregates — no collect, no RNG. Init is
     * the deterministic seed set (the same K lowest vec_ids the gate op
-    * uses), iteration count is fixed, and each round is: assign every
-    * vector to its max-cosine centroid (broadcast cross product + one
-    * max_by, the [[assigned]] shape), then recompute each cell's mean
-    * per dimension (posexplode → per-(cell, dim) avg → re-form the array
-    * ordered by dim). A cell that loses all members keeps its previous
+    * uses), iteration count is fixed ([[TrainIters]]), and each round
+    * is: assign every vector to its max-cosine centroid (broadcast
+    * cross product + one max_by, the [[assigned]] shape), then
+    * recompute each cell's mean per dimension (posexplode →
+    * per-(cell, dim) avg → re-form the array ordered by dim), SNAPPED
+    * to ROUND(.,6). A cell that loses all members keeps its previous
     * centroid, so K never shrinks. Per-round state is K tiny rows,
     * eagerly checkpointed to cut the iterative lineage — the exact shape
     * an offline 100 TB centroid-training job has (the corpus is scanned
     * `iters` times; centroids live in a broadcast).
     *
-    * This is the "index you'd actually ship" path next to the gate op's
-    * 0-iteration seed quantizer (kept there for oracle parity — k-means
-    * means are parallel float sums, not bit-reproducible across engines).
-    * The recall spec asserts trained recall@10 >= the seed quantizer's
-    * on the fixture. */
+    * The round-6 snap (round 18, the [[Clustering]] recipe) is what
+    * makes this iterative float trainer cross-engine VALUE-EXACT:
+    * per-dimension means are the one parallel float reduction whose
+    * summation order differs between engines, and rounding each round's
+    * centroids re-synchronizes both before the next assignment — so
+    * the DuckDB oracle replays the whole training as chained CTEs and
+    * [[ivfTrained]] hash-checks the trained index end to end (until
+    * round 17 these rows were benched-only with recall specs; the
+    * specs remain). Cosines, norms, and the tie-breaks were already
+    * engine-exact (sequential folds + IEEE division). */
   def trainedCentroids(s: SparkSession, v: DataFrame,
-      iters: Int = 3): DataFrame = {
+      iters: Int = TrainIters): DataFrame = {
     var c = cents(v).eagerCheckpoint()
     for (_ <- 1 to iters) {
       val assign = assigned(s, v, c)
       val means = v.join(assign, Seq("vec_id"))
         .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("mx"))
+        .groupBy("cell", "pos").agg(round(avg(col("x")), 6).as("mx"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("mx")))), st => st("mx")).as("me"))
@@ -114,6 +120,41 @@ object IvfSearch {
         .eagerCheckpoint()
     }
     c
+  }
+
+  private[ext] val TrainIters = 3
+
+  /** DuckDB replay of [[trainedCentroids]]: `c0` is the seed set; each
+    * round assigns every vector to its max-cosine centroid of the
+    * previous round's table (ties to the lower cent_id —
+    * `max_by(struct(ccos, -cent_id))` ↔ `ORDER BY ccos DESC, cent_id`)
+    * and re-forms each cell's per-dimension ROUND(AVG, 6); an emptied
+    * cell keeps its previous centroid (LEFT JOIN + COALESCE in both
+    * engines). Ends by aliasing the final table as `cents`, so the
+    * search tail is the `ext_sim_ivf` oracle's verbatim. */
+  private def trainedCentsCtes: String = {
+    val rounds = (1 to TrainIters).map { r =>
+      s"""a$r AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${Similarity.dotSql("v.e", "c.ce")}
+         |          / (${Similarity.normSql("v.e")} * ${Similarity.normSql("c.ce")})
+         |          DESC, c.cent_id) AS arank
+         |    FROM v CROSS JOIN c${r - 1} c) s$r WHERE arank = 1),
+         |c$r AS (
+         |  SELECT p.cent_id, COALESCE(m.me, p.ce) AS ce
+         |  FROM c${r - 1} p LEFT JOIN (
+         |    SELECT cell AS cent_id, list(mv ORDER BY j) AS me FROM (
+         |      SELECT a$r.cell, j, ROUND(AVG(vv.e[j]), 6) AS mv
+         |      FROM a$r JOIN v vv USING (vec_id) CROSS JOIN
+         |        (SELECT unnest(generate_series(1, 64)) AS j) js
+         |      GROUP BY a$r.cell, j) g$r GROUP BY cent_id) m
+         |    USING (cent_id))""".stripMargin
+    }.mkString(",\n")
+    s"""c0 AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < $K),
+       |$rounds,
+       |cents AS (SELECT cent_id, ce FROM c$TrainIters)""".stripMargin
   }
 
   val ivf: Q = Q(
@@ -158,6 +199,62 @@ object IvfSearch {
        |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
   ) { (s, d) => searchAt(s, d) }
 
+  /** Gate row for the TRAINED IVF index (round 18 — the registry's last
+    * benched-only rows become oracle rows): the full production path —
+    * Lloyd's-trained coarse quantizer, ingest-staged centroid + cell
+    * tables, query-time probe ranking + candidate join + exact rerank —
+    * hash-checked against a DuckDB oracle that REPLAYS THE TRAINING
+    * ITSELF as chained CTEs ([[trainedCentsCtes]]; the round-6
+    * mean snap is what makes the iterative trainer cross-engine
+    * value-exact — the [[Clustering]] recipe). The search tail below
+    * `cents` is the `ext_sim_ivf` oracle's verbatim, so the two rows
+    * differ in exactly one thing: which quantizer defines the cells.
+    * Training + corpus assignment stay INGEST work (`setup` stages
+    * them outside Bench's timed window); the recall spec (IvfSpec)
+    * still pins trained recall >= seed recall. */
+  val ivfTrained: Q = Q(
+    "ext_sim_ivf_trained",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |$trainedCentsCtes,
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${Similarity.dotSql("v.e", "c.ce")}
+       |          / (${Similarity.normSql("v.e")} * ${Similarity.normSql("c.ce")})
+       |          DESC, c.cent_id) AS arank
+       |    FROM v CROSS JOIN cents c) s
+       |  WHERE arank = 1),
+       |pcells AS (
+       |  SELECT probe_id, cent_id AS cell FROM (
+       |    SELECT p.vec_id AS probe_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        ${Similarity.dotSql("p.e", "c.ce")}
+       |          / (${Similarity.normSql("p.e")} * ${Similarity.normSql("c.ce")})
+       |          DESC, c.cent_id) AS crank
+       |    FROM v p CROSS JOIN cents c WHERE p.vec_id < 5) r
+       |  WHERE crank <= $NProbe),
+       |cand AS (
+       |  SELECT pc.probe_id, a.vec_id AS neighbor_id
+       |  FROM pcells pc JOIN assigned a ON a.cell = pc.cell
+       |  WHERE a.vec_id <> pc.probe_id),
+       |scored AS (
+       |  SELECT cand.probe_id, cand.neighbor_id,
+       |    ROUND(${Similarity.dotSql("pe.e", "ne.e")}
+       |      / (${Similarity.normSql("pe.e")} * ${Similarity.normSql("ne.e")}),
+       |      6) AS cosine
+       |  FROM cand
+       |  JOIN v pe ON pe.vec_id = cand.probe_id
+       |  JOIN v ne ON ne.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+  ) { (s, d) => searchTrainedIndexed(s, d) }
+    .copy(setup = Some(ensureTrained _))
+
   /** The IVF search pipeline (exposed for the recall spec). */
   def searchAt(s: SparkSession, d: String): DataFrame = {
     val v = Similarity.vecs(s, d).eagerCheckpoint()
@@ -180,7 +277,10 @@ object IvfSearch {
   private val preparedTrained = new PreparedTables(
     Seq("embeddings.parquet"),
     Seq("graft_ivf_trained_cents", "graft_ivf_trained_cells"),
-    writeTrained)
+    writeTrained,
+    // r18: the trainer snaps means round-6 — a warehouse staged by the
+    // unsnapped trainer must restage, not serve the old centroids
+    version = "r18-snap6")
 
   def ensureTrained(s: SparkSession, d: String): Unit =
     preparedTrained.ensurePrepared(s, d)
@@ -405,5 +505,5 @@ object IvfSearch {
       .orderBy("cell")
   }
 
-  val all: Seq[Q] = Seq(ivf, semDedup, evalRecall, ivfStats)
+  val all: Seq[Q] = Seq(ivf, ivfTrained, semDedup, evalRecall, ivfStats)
 }

@@ -263,16 +263,20 @@ object PqSearch {
 
   /** Offline-trained codebooks: per-subspace Lloyd's k-means run as
     * DataFrame aggregates across ALL M subspaces at once — each round is
-    * one broadcast assignment join and one per-(m, code, dim) mean, so
-    * the corpus is scanned `iters` times total, not `iters * M` times.
-    * Init is the seed codebook; a codeword that loses all members keeps
-    * its previous value (Ks never shrinks); fixed iteration count, no
-    * RNG. The training analogue of [[IvfSearch.trainedCentroids]], one
-    * level down the quantization hierarchy. Query plan is unchanged —
-    * only the broadcast codebook rows differ (the spec pins that
-    * training does not collapse recall vs the seed quantizer). */
+    * one broadcast assignment join and one per-(m, code, dim) mean
+    * (SNAPPED to ROUND(.,6) — round 18, the [[Clustering]] recipe that
+    * makes the iterative trainer cross-engine value-exact, so
+    * [[pqTrained]] hash-checks training against a DuckDB CTE replay),
+    * and the corpus is scanned `iters` times total, not `iters * M`
+    * times. Init is the seed codebook; a codeword that loses all
+    * members keeps its previous value (Ks never shrinks); fixed
+    * iteration count ([[TrainIters]]), no RNG. The training analogue of
+    * [[IvfSearch.trainedCentroids]], one level down the quantization
+    * hierarchy. Query plan is unchanged — only the broadcast codebook
+    * rows differ (the spec pins that training does not collapse recall
+    * vs the seed quantizer). */
   def trainedCodebook(s: SparkSession, subs: DataFrame,
-      iters: Int = 3): DataFrame = {
+      iters: Int = TrainIters): DataFrame = {
     var cb = seedCodebook(subs).eagerCheckpoint()
     for (_ <- 1 to iters) {
       val assign = subs.join(broadcast(cb), Seq("m"))
@@ -281,7 +285,7 @@ object PqSearch {
           struct(l2(col("sv"), col("cw")), col("code"))).as("code"))
       val means = subs.join(assign, Seq("vec_id", "m"))
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("m", "code", "pos").agg(avg(col("x")).as("mx"))
+        .groupBy("m", "code", "pos").agg(round(avg(col("x")), 6).as("mx"))
         .groupBy("m", "code")
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("mx")))), st => st("mx")).as("mw"))
@@ -292,6 +296,75 @@ object PqSearch {
     }
     cb
   }
+
+  private[ext] val TrainIters = 3
+
+  /** DuckDB replay of [[trainedCodebook]] (the [[IvfSearch]] trained
+    * oracle one level down): each round re-encodes every (vector,
+    * subspace) to its min-L2 codeword of the previous round's codebook
+    * (ties to the lower code — `min_by(struct(l2, code))` ↔ `ORDER BY
+    * l2, code`) and re-forms each codeword's per-dimension
+    * ROUND(AVG, 6); an emptied codeword keeps its previous value. Ends
+    * by aliasing the final table as `cb`, so the ADC tail is the
+    * `ext_sim_pq` oracle's verbatim. */
+  private def trainedCbCtes: String = {
+    val rounds = (1 to TrainIters).map { r =>
+      s"""e$r AS (SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code, row_number() OVER (
+         |      PARTITION BY s.vec_id, s.m
+         |      ORDER BY ${l2Sql("s.sv", "c.cw")}, c.code) AS rn
+         |    FROM sub s JOIN cb${r - 1} c ON c.m = s.m) q$r WHERE rn = 1),
+         |cb$r AS (
+         |  SELECT p.m, p.code, COALESCE(mm.mw, p.cw) AS cw
+         |  FROM cb${r - 1} p LEFT JOIN (
+         |    SELECT m, code, list(mv ORDER BY j) AS mw FROM (
+         |      SELECT e.m, e.code, j, ROUND(AVG(s.sv[j]), 6) AS mv
+         |      FROM e$r e JOIN sub s ON s.vec_id = e.vec_id AND s.m = e.m
+         |      CROSS JOIN (SELECT unnest(generate_series(1, $SubD)) AS j) js
+         |      GROUP BY e.m, e.code, j) g$r GROUP BY m, code) mm
+         |    ON mm.m = p.m AND mm.code = p.code)""".stripMargin
+    }.mkString(",\n")
+    s"""cb0 AS (SELECT m, vec_id AS code, sv AS cw FROM sub
+       |  WHERE vec_id < $Ks),
+       |$rounds,
+       |cb AS (SELECT m, code, cw FROM cb$TrainIters)""".stripMargin
+  }
+
+  /** Gate row for the TRAINED product quantizer (round 18, twin of
+    * [[IvfSearch.ivfTrained]]): trained codebooks + ingest-staged code
+    * table + query-time ADC, oracle-replayed end to end — the training
+    * CTE chain feeds the `ext_sim_pq` oracle's encode/table/score tail
+    * verbatim. `setup` stages training + corpus encoding outside the
+    * timed window; PqSpec's recall assertions remain. */
+  val pqTrained: Q = Q(
+    "ext_sim_pq_trained",
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |u AS (SELECT vec_id, list_transform(e, x ->
+       |    x / ${Similarity.normSql("e")}) AS ue FROM v),
+       |sub AS (SELECT vec_id, m, ue[$SubD*m+1 : $SubD*m+$SubD] AS sv
+       |  FROM u CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1}))
+       |    AS m) ms),
+       |$trainedCbCtes,
+       |enc AS (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2Sql("s.sv", "c.cw")}, c.code) AS r
+       |    FROM sub s JOIN cb c ON c.m = s.m) q WHERE r = 1),
+       |tab AS (SELECT p.vec_id AS probe_id, c.m, c.code,
+       |    ${dotSql("p.sv", "c.cw")} AS part
+       |  FROM sub p JOIN cb c ON c.m = p.m WHERE p.vec_id < $NProbes),
+       |scored AS (SELECT t.probe_id, e.vec_id AS neighbor_id,
+       |    ROUND(list_reduce(list_prepend(0.0, list(t.part ORDER BY e.m)),
+       |      (acc, x) -> acc + x), 6) AS adc
+       |  FROM enc e JOIN tab t ON t.m = e.m AND t.code = e.code
+       |  WHERE e.vec_id <> t.probe_id
+       |  GROUP BY t.probe_id, e.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored)
+       |SELECT probe_id, neighbor_id, rank, adc FROM ranked
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+  ) { (s, d) => searchTrainedIndexed(s, d) }
+    .copy(setup = Some(ensureTrainedPq _))
 
   /** The PQ/ADC pipeline (exposed for the planted-duplicate spec). */
   def searchAt(s: SparkSession, d: String): DataFrame = {
@@ -313,7 +386,10 @@ object PqSearch {
   private val preparedTrainedPq = new PreparedTables(
     Seq("embeddings.parquet"),
     Seq("graft_pq_trained_cb", "graft_pq_trained_codes"),
-    writeTrainedPq)
+    writeTrainedPq,
+    // r18: the trainer snaps means round-6 — a warehouse staged by the
+    // unsnapped trainer must restage, not serve the old codebook
+    version = "r18-snap6")
 
   def ensureTrainedPq(s: SparkSession, d: String): Unit =
     preparedTrainedPq.ensurePrepared(s, d)
@@ -413,5 +489,5 @@ object PqSearch {
       .orderBy("probe_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(pq, ivfpq)
+  val all: Seq[Q] = Seq(pq, ivfpq, pqTrained)
 }

@@ -36,14 +36,21 @@ import org.apache.spark.sql.SparkSession
 private[graft] final class PreparedTables(
     sourceFiles: Seq[String],
     managedTables: Seq[String],
-    writer: (SparkSession, String) => Unit) {
+    writer: (SparkSession, String) => Unit,
+    /** Writer-logic version, part of the memo key: bump when the STAGED
+      * CONTENT for the same sources changes (e.g. a trainer starts
+      * snapping its means), so an already-staged warehouse restages
+      * instead of silently serving the old layout — source mtime/size
+      * alone cannot see a code change. */
+    version: String = "") {
 
   @volatile private var preparedKey: String = ""
 
   /** Memo key of the copies last written: warehouse dir + fixture dir +
-    * each source file's (mtime, size) — rewritten fixture content at the
-    * same path, or a different warehouse in the same JVM, triggers a
-    * re-prepare instead of silently reusing stale tables. */
+    * writer version + each source file's (mtime, size) — rewritten
+    * fixture content at the same path, a different warehouse in the
+    * same JVM, or a bumped writer version triggers a re-prepare instead
+    * of silently reusing stale tables. */
   private def memoKey(s: SparkSession, d: String): String = {
     val srcs = sourceFiles.map { f =>
       val p = java.nio.file.Paths.get(d, f)
@@ -51,7 +58,8 @@ private[graft] final class PreparedTables(
         s"$f:${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
       else s"$f:absent"
     }
-    (s.conf.get("spark.sql.warehouse.dir") +: d +: srcs).mkString("|")
+    (s.conf.get("spark.sql.warehouse.dir") +: d +: version +: srcs)
+      .mkString("|")
   }
 
   /** Local path of `spark.sql.warehouse.dir`. Parsed via Hadoop `Path`,
@@ -83,7 +91,8 @@ private[graft] final class PreparedTables(
         val adopted = readMarker(marker) match {
           case Some((mk, catTables)) if mk == key =>
             managedTables.forall(t => Files.exists(wh.resolve(t))) &&
-              catTables.forall(t => s.catalog.tableExists(t))
+              catTables.forall(t =>
+                s.catalog.tableExists(t) || adoptCatalogTable(s, wh, t))
           case _ => false
         }
         if (!adopted) {
@@ -102,6 +111,28 @@ private[graft] final class PreparedTables(
       }
     }
   }
+
+  /** Cross-process saveAsTable adoption (round 18, closing SURVEY
+    * §7.7.4): a fresh process's in-memory session catalog has no entry
+    * for a table another process staged with `saveAsTable`, so until
+    * now such fixtures restaged per process (slow-but-safe). The staged
+    * DATA is just a parquet directory under the warehouse, though — so
+    * when the marker's memo key matches, this registers that directory
+    * as an external parquet table in THIS session instead of
+    * rewriting. Reads are identical (same files, schema from the
+    * parquet footers); [[prepare]]'s drop+delete path still fully
+    * clears an external registration plus its directory on restage.
+    * Returns false (→ restage) if registration fails for any reason —
+    * adoption is an optimization, never a correctness gamble. */
+  private def adoptCatalogTable(s: SparkSession, wh: Path,
+      t: String): Boolean =
+    try {
+      val dir = wh.resolve(t)
+      Files.exists(dir) && {
+        s.sql(s"CREATE TABLE $t USING parquet LOCATION '$dir'")
+        s.catalog.tableExists(t)
+      }
+    } catch { case _: Exception => false }
 
   private def readMarker(p: Path): Option[(String, Seq[String])] =
     if (!Files.exists(p)) None

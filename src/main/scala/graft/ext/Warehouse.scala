@@ -319,7 +319,19 @@ object Warehouse {
     * buckets; the quintile is then pure arithmetic on (rank, n)
     * ([[BucketRank.ntileFromRank]], the exact ANSI ntile formula). The
     * oracle keeps the ntile window — the two forms are provably the
-    * same total order. */
+    * same total order.
+    *
+    * MEASURED FLOOR (round 18, the components discipline): the r17
+    * tri-explode fusion took this from 3 chained rank passes to one;
+    * r18 moved the checkpoint below the fact aggregate so the orders
+    * scan+shuffle runs exactly once. A paired A/B at sf0.1 then
+    * measured 1.18 s vs 1.15 s (min-of-2 each) — the remaining local
+    * multiple over DuckDB is Spark's per-job scheduling constant across
+    * the ~4 unavoidable actions (checkpoint, bounds broadcast, offset
+    * broadcast, final aggregate), not any data-proportional stage, and
+    * it vanishes against real data volumes. Kept on the weak list
+    * honestly; no further local cut is available without removing a
+    * broadcast the 100 TB plan needs. */
   val rfm: Q = Q(
     "ext_rfm_segments",
     """WITH m AS (SELECT MAX(o_orderdate) AS mx FROM orders),
@@ -345,28 +357,33 @@ object Warehouse {
       |ORDER BY r_score, f_score, m_score""".stripMargin
   ) { (s, d) =>
     val orders = Tables.orders(s, d)
+    // Round 18: the checkpoint moved BELOW the fact aggregate (was on
+    // the post-bounds scored frame), so the orders scan + customer
+    // shuffle runs exactly once — the bounds pass, the tri-explode
+    // histogram, and the final aggregate all replay a ~customers-sized
+    // checkpoint instead of re-resolving fact-table stages. A
+    // lazy-cache single-action variant measured WORSE warm (1.40 vs
+    // 1.08-1.24 s: concurrent subtrees race to fill the cache), so the
+    // explicit checkpoint stays.
+    import graft.core.Eager.EagerCheckpoint
     val custAgg = orders.groupBy("o_custkey")
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(12,2)")).as("mon"))
+      .eagerCheckpoint()
     // the corpus max date folds into the same bounds pass (max over
-    // per-customer last_order IS the global max) — one fact-table scan.
-    // A lazy-cache single-action variant measured WORSE warm (1.40 vs
-    // 1.08-1.24 s: concurrent subtrees race to fill the cache), so the
-    // scored frame keeps the explicit checkpoint.
+    // per-customer last_order IS the global max)
     val bounds = custAgg.agg(count(lit(1)).as("nc"),
       max(col("o_custkey")).as("mxck"),
       max(col("last_order")).as("mx"))
     // 64-way monotone custkey split: spreads heavy value-ties across
     // partitions while preserving the (value, custkey) total order
-    import graft.core.Eager.EagerCheckpoint
     val cust = custAgg.crossJoin(broadcast(bounds))
       .select(col("o_custkey"), col("nc"),
         datediff(col("mx"), col("last_order")).cast("long").as("rec_days"),
         col("freq"), col("mon"),
         floor(col("o_custkey").cast("decimal(38,0)") * 64 /
           (col("mxck") + 1)).cast("long").as("ckchunk"))
-      .eagerCheckpoint() // the tri-explode reads it for two consumers
     // ONE bucket-rank pass for all three dimensions (round 17, the
     // ext_rfm_segments weak-row fix): instead of chaining three
     // rankAndExclSum stages (~8 shuffle/window stages over the

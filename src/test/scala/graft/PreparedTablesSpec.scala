@@ -71,6 +71,82 @@ class PreparedTablesSpec extends SparkSuite {
     assert(writes.get() == 1, "a fresh instance restaged despite marker")
   }
 
+  test("saveAsTable fixture adopts across processes (round 18): a " +
+    "fresh instance whose session catalog lacks the registration " +
+    "re-registers the staged parquet dir instead of restaging") {
+    import spark.implicits._
+    val d = fixtureDir()
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    def mkPrepared() = new graft.ext.PreparedTables(
+      Seq("src.parquet"), Seq("graft_prep_spec_sat"),
+      (s, _) => {
+        writes.incrementAndGet()
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable("graft_prep_spec_sat")
+      })
+    mkPrepared().ensurePrepared(spark, d)
+    assert(writes.get() == 1)
+    assert(spark.table("graft_prep_spec_sat").count() == 2)
+    // simulate a FRESH PROCESS: new instance (empty in-JVM memo) AND a
+    // session catalog without the registration — the pre-round-18
+    // behavior was a full destructive restage here. DROP TABLE on a
+    // managed table deletes its directory (a real fresh process keeps
+    // both dir and marker, just not the in-memory entry), so park the
+    // staged files aside and restore them after the drop.
+    val dir = warehouse.resolve("graft_prep_spec_sat")
+    val parked = Files.createTempDirectory("graft-sat-park")
+    import scala.jdk.CollectionConverters._
+    val staged = Files.list(dir).iterator().asScala.toVector
+    staged.foreach(f => Files.copy(f, parked.resolve(f.getFileName)))
+    spark.sql("DROP TABLE graft_prep_spec_sat")
+    Files.createDirectories(dir)
+    staged.foreach(f =>
+      Files.copy(parked.resolve(f.getFileName), f))
+    val dataBefore = Files.list(dir).count()
+    mkPrepared().ensurePrepared(spark, d)
+    assert(writes.get() == 1,
+      "a fresh process restaged a saveAsTable fixture despite the marker")
+    assert(spark.catalog.tableExists("graft_prep_spec_sat"),
+      "adoption must re-register the staged directory")
+    assert(spark.table("graft_prep_spec_sat")
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")),
+      "adopted registration must serve the staged rows")
+    assert(Files.list(warehouse.resolve("graft_prep_spec_sat")).count()
+      == dataBefore, "adoption must not touch the staged files")
+    // and a content change still restages through the adopted state
+    Files.write(Paths.get(d, "src.parquet"), "changedcontent".getBytes)
+    Files.setLastModifiedTime(Paths.get(d, "src.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 2000))
+    mkPrepared().ensurePrepared(spark, d)
+    assert(writes.get() == 2)
+  }
+
+  test("writer version participates in the memo key (round 18): a " +
+    "version bump restages an already-staged warehouse instead of " +
+    "serving content the old writer produced") {
+    val d = fixtureDir()
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    def mkPrepared(ver: String) = new graft.ext.PreparedTables(
+      Seq("src.parquet"), Seq("graft_prep_spec_v"),
+      (s, _) => {
+        writes.incrementAndGet()
+        val dir = warehouse.resolve("graft_prep_spec_v")
+        Files.createDirectories(dir)
+        Files.write(dir.resolve("data.bin"), s"payload-$ver".getBytes)
+      }, version = ver)
+    mkPrepared("v1").ensurePrepared(spark, d)
+    assert(writes.get() == 1)
+    mkPrepared("v1").ensurePrepared(spark, d) // same version: adopt
+    assert(writes.get() == 1)
+    mkPrepared("v2").ensurePrepared(spark, d) // bumped: restage
+    assert(writes.get() == 2)
+    assert(new String(Files.readAllBytes(warehouse
+      .resolve("graft_prep_spec_v").resolve("data.bin"))) == "payload-v2")
+  }
+
   test("changed fixture content invalidates the marker: a fresh " +
     "instance restages instead of adopting stale copies") {
     val d = fixtureDir()
