@@ -671,7 +671,12 @@ final class Catalog(val spark: SparkSession, val root: String,
         }
       }.toMap
     io.mkdirs(logDir)
-    val tmp = io.resolve(logDir, s"v$newVersion.json.tmp")
+    // UUID-unique tmp: a paused-past-TTL lease holder and its stealer
+    // can both be inside writeCommit for the SAME version — a shared
+    // tmp name would let the loser overwrite the winner's staged bytes
+    // between its write and its publish
+    val tmp = io.resolve(logDir, s"v$newVersion.json." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     io.write(tmp, mapper.writeValueAsBytes(rootNode))
     // fencing check (round 18): a lease-mode holder paused past the TTL
     // (GC pause, VM suspend) may have had its lease stolen — abort HERE,
@@ -679,7 +684,19 @@ final class Catalog(val spark: SparkSession, val root: String,
     // clobbered. Throws ConcurrentWriteException; the retry machinery
     // re-runs the body against the winner's state. No-op for file mode.
     commitLock.verifyStillHeld()
-    io.rename(tmp, deltaPath(newVersion))
+    // store-side fence (round 18): the publish itself REFUSES an
+    // existing destination, so even a holder that slipped past the
+    // verify read cannot clobber a landed commit — it collides on the
+    // version file. On object-store ports this is ONE conditional put,
+    // i.e. the fencing token the lock scaladoc requires production
+    // deployments to carry into the store.
+    if (!io.renameIfAbsent(tmp, deltaPath(newVersion))) {
+      io.deleteIfExists(tmp)
+      throw new Catalog.ConcurrentWriteException(
+        s"commit v$newVersion of '$root' already exists: another " +
+          "writer published this version concurrently (lease stolen " +
+          "mid-commit?); re-run against the new state")
+    }
     // seed the cache with the REPLAYED form (canonical ordering — other
     // instances derive the same state from the log)
     val next = applyDelta(prev, delta)

@@ -79,6 +79,20 @@ private[graft] trait StoreIO {
     * per-FS contract). Replaces an existing destination. */
   def rename(src: String, dst: String): Unit
 
+  /** Atomic publish that REFUSES an existing destination — the commit
+    * fence at the storage layer (round 18): the delta-log publish uses
+    * this, so a writer that lost its lease mid-commit and slipped past
+    * the client-side fencing read can still never clobber the
+    * stealer's landed commit; it collides on the version file instead.
+    * True = published; false = the destination already exists (the
+    * caller surfaces an OCC conflict). Local: `Files.move(ATOMIC_MOVE)`
+    * without REPLACE (the JDK's unix impl existence-checks then
+    * renames); HDFS: `rename` natively refuses; S3/GCS ports: the
+    * conditional put (`If-None-Match: *` / `ifGenerationMatch=0`) —
+    * on those stores this primitive is PERFECTLY atomic, which is why
+    * the protocol routes the commit through it. */
+  def renameIfAbsent(src: String, dst: String): Boolean
+
   def delete(path: String): Unit
   def deleteIfExists(path: String): Boolean
 
@@ -165,8 +179,10 @@ private[graft] object StoreIO {
 
 /** `java.nio.file` implementation — the default for local/POSIX roots;
   * behavior (including path canonicalization and the percent-encoded
-  * file-key space) is exactly the pre-SPI store's. */
-private[graft] final class LocalStoreIO extends StoreIO {
+  * file-key space) is exactly the pre-SPI store's. Non-final so specs
+  * can interpose fault injection on single operations (the
+  * publish-fence race test overrides [[renameIfAbsent]]). */
+private[graft] class LocalStoreIO extends StoreIO {
 
   private def p(s: String) = Paths.get(s)
 
@@ -207,6 +223,23 @@ private[graft] final class LocalStoreIO extends StoreIO {
       StandardCopyOption.REPLACE_EXISTING)
     ()
   }
+
+  // explicit exists-check first: ATOMIC_MOVE alone maps to rename(2),
+  // which REPLACES an existing destination silently (the JDK only
+  // throws FileAlreadyExists on its non-atomic path). Check-then-rename
+  // is not atomic across processes, but the commit lock serializes
+  // writers and the check narrows the unfenced residue to nanoseconds —
+  // object-store ports get this primitive perfectly atomic via the
+  // conditional put (see the trait scaladoc).
+  override def renameIfAbsent(src: String, dst: String): Boolean =
+    !Files.exists(p(dst)) && {
+      try {
+        Files.move(p(src), p(dst), StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
 
   override def delete(path: String): Unit = Files.delete(p(path))
   override def deleteIfExists(path: String): Boolean =
@@ -343,6 +376,17 @@ private[graft] final class HadoopStoreIO(conf: Configuration)
       if (fs.exists(d)) fs.delete(d, false)
       if (!fs.rename(s, d))
         throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+  }
+
+  override def renameIfAbsent(src: String, dst: String): Boolean = {
+    val (fs, s) = fsOf(src)
+    val d = new HPath(dst)
+    // HDFS rename natively refuses an existing destination (false)
+    fs.rename(s, d) || {
+      if (!fs.exists(d))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+      false
     }
   }
 

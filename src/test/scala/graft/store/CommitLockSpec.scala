@@ -232,6 +232,52 @@ class CommitLockSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.store.commitLock")
   }
 
+  test("store-side publish fence (round 18): a writer whose version " +
+    "file lands concurrently collides on the publish instead of " +
+    "clobbering, and the retried convenience re-runs cleanly") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-fence").toString
+    val collided = new java.util.concurrent.atomic.AtomicInteger(0)
+    // fault injection: just before OUR publish of v2, a "concurrent
+    // winner" lands its own v2.json (same bytes — content is
+    // irrelevant to the fence; the version file existing is) — the
+    // paused-lease-holder interleaving with the client-side verify
+    // already passed
+    val evil = new LocalStoreIO {
+      override def renameIfAbsent(src: String, dst: String): Boolean = {
+        if (dst.endsWith("/v2.json") && collided.get() == 0) {
+          collided.incrementAndGet()
+          write(dst, readAllBytes(src))
+        }
+        super.renameIfAbsent(src, dst)
+      }
+    }
+    val cat = new Catalog(spark, root, evil)
+    def user(email: String) = {
+      val s = spark
+      import s.implicits._
+      Seq(("F", "L", "0123456789", email, "h", "user",
+        new java.sql.Timestamp(0L)))
+        .toDF("first_name", "last_name", "phone", "email",
+          "password_hash", "user_role", "created_at")
+    }
+    cat.append("users", user("a@x.c")) // v1, clean
+    cat.append("users", user("b@x.c")) // v2 publish collides, retries as v3
+    assert(collided.get() == 1, "the injected collision must have fired")
+    assert(cat.version == 3L,
+      s"expected the retry to land as v3, got v${cat.version}")
+    val rows = cat.read("users").select("user_id", "email")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // the injected v2 carries the SAME staged file as the failed
+    // attempt (bytes copied), so its row is visible once under v2's
+    // ids, and the retried append landed b@x.c again with the next id —
+    // exactly the semantics of losing an OCC race to a twin writer
+    assert(rows.map(_._1).sameElements(Array(1L, 2L, 3L)),
+      s"ids must stay dense across the fenced retry: ${rows.toSeq}")
+    assert(rows.count(_._2 == "b@x.c") == 2 &&
+      rows.count(_._2 == "a@x.c") == 1, s"unexpected rows: ${rows.toSeq}")
+  }
+
   test("unknown commitLock mode fails loudly naming the key") {
     val root = Files.createTempDirectory("graft-lock-bad")
     spark.conf.set("spark.graft.store.commitLock", "zookeeper")
