@@ -286,6 +286,39 @@ private[graft] class LocalStoreIO extends StoreIO {
   }
 }
 
+/** Object-store SEMANTICS binding (round 18): a [[LocalStoreIO]] that
+  * FORBIDS atomic rename — every publish maps to the primitives an
+  * S3/GCS port actually has, so the fuzz suites prove the commit
+  * protocol correct WITHOUT rename(2):
+  *
+  *  - [[rename]] (checkpoints, DV sidecars — always onto fresh or
+  *    self-owned names) = copy bytes + delete source, the S3
+  *    CopyObject+Delete shape;
+  *  - [[renameIfAbsent]] (THE commit publish) = conditional
+  *    create-if-absent of the destination with the source's bytes +
+  *    delete source — one `If-None-Match: *` put. This is exactly the
+  *    store-side fence the protocol routes the commit through, and on
+  *    a real object store it is PERFECTLY atomic (here the local
+  *    CREATE_NEW gives the same guarantee).
+  *
+  * A real S3 port swaps the byte copies for SDK calls; the SEMANTICS —
+  * what the protocol is allowed to assume — are pinned by running
+  * StoreFuzzSpec's model fuzz under this binding. Not selectable via
+  * conf (it is a proof harness, not a deployment target — deployments
+  * bind the SDK). */
+private[graft] class ObjectStoreSemanticsIO extends LocalStoreIO {
+  override def rename(src: String, dst: String): Unit = {
+    write(dst, readAllBytes(src))
+    deleteIfExists(src)
+    ()
+  }
+  override def renameIfAbsent(src: String, dst: String): Boolean = {
+    val published = createIfAbsent(dst, readAllBytes(src))
+    deleteIfExists(src)
+    published
+  }
+}
+
 /** Hadoop `FileSystem` implementation — HDFS and (with a conditional-
   * put rename port, see the trait scaladoc) object stores. CI pins the
   * contract against `RawLocalFileSystem`, whose rename maps to POSIX

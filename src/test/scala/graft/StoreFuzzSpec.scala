@@ -33,16 +33,21 @@ class StoreFuzzSpec extends SparkSuite {
       .as[(Long, String, String)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
 
-  // both StoreIO impls run the same model fuzz (round 18): the Hadoop
-  // binding must derive exactly the states the java.nio binding does
-  for (ioMode <- Seq("local", "hadoop"))
+  // every StoreIO binding runs the same model fuzz (round 18): the
+  // Hadoop binding must derive exactly the states the java.nio binding
+  // does, and the OBJECT-STORE-SEMANTICS binding (no atomic rename —
+  // publishes are conditional creates + copies, the S3 primitive set)
+  // proves the commit protocol never actually needs rename(2)
+  for (ioMode <- Seq("local", "hadoop", "object"))
   test("random op sequences: store state equals the reference model " +
     "after every step; clones freeze; history replays; vacuum(0) safe " +
     s"[io=$ioMode]") {
-    def mkCat(root: String): Catalog =
-      if (ioMode == "hadoop")
-        new Catalog(spark, root, StoreIO.hadoop(spark))
-      else new Catalog(spark, root)
+    def mkCat(root: String): Catalog = ioMode match {
+      case "hadoop" => new Catalog(spark, root, StoreIO.hadoop(spark))
+      case "object" =>
+        new Catalog(spark, root, new graft.store.ObjectStoreSemanticsIO)
+      case _ => new Catalog(spark, root)
+    }
     val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 2).getOrElse(42424242L))
     val root = Files.createTempDirectory("graft_fuzz").toString
     // var: the REOPEN op below swaps in a fresh instance (cold manifest

@@ -31,8 +31,12 @@ class StoreRaceFuzzSpec extends SparkSuite {
     * two processes on one root need NOT agree on the binding (both
     * impls speak the identical on-disk protocol). */
   private def mkCat(root: String, ioMode: String = "local"): Catalog =
-    if (ioMode == "hadoop") new Catalog(spark, root, StoreIO.hadoop(spark))
-    else new Catalog(spark, root)
+    ioMode match {
+      case "hadoop" => new Catalog(spark, root, StoreIO.hadoop(spark))
+      case "object" =>
+        new Catalog(spark, root, new graft.store.ObjectStoreSemanticsIO)
+      case _ => new Catalog(spark, root)
+    }
 
   private def userDf(email: String) =
     Seq(("F", "L", "0123456789", email, "h", "user",
@@ -67,6 +71,9 @@ class StoreRaceFuzzSpec extends SparkSuite {
       // mixed-impl race: writer 0 commits through java.nio, writer 1
       // through Hadoop-FS — the on-disk protocol is the contract
       val cat = mkCat(root, if (wid % 2 == 1) "hadoop" else "local")
+      // (the merge race below pairs java.nio with the OBJECT-STORE
+      // semantics binding, so the no-atomic-rename publish also runs
+      // under genuine two-writer contention)
       start.await()
       try {
         for (i <- 1 to perWriter) {
@@ -168,8 +175,10 @@ class StoreRaceFuzzSpec extends SparkSuite {
     def writer(wid: Int): Runnable = () => {
       val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED")
         .map(_.toLong + 100 + wid).getOrElse(7000L + wid))
-      // mixed-impl merge race (same contract as the append race above)
-      val cat = mkCat(root, if (wid % 2 == 1) "hadoop" else "local")
+      // mixed-impl merge race: one writer java.nio, one the
+      // object-store-semantics binding — conditional-create publishes
+      // under contention (the fence path), not just solo
+      val cat = mkCat(root, if (wid % 2 == 1) "object" else "local")
       // this writer's keys currently in the table (domains are disjoint,
       // so single-thread bookkeeping is exact)
       val mine = scala.collection.mutable.Set[Long]()
