@@ -75,19 +75,30 @@ final class GraftStreamProvider extends StreamSourceProvider
     new GraftStoreSource(ctx.sparkSession, metadataPath, schema,
       parameters)
 
-  /** `writeStream.format(...)` INTO the store: each micro-batch lands
-    * through [[StreamIngest.commitBatch]] — batch rows plus the
-    * (ledger key, batchId) row in ONE atomic manifest swap, so
-    * delivery is exactly-once under at-least-once replay with NO dedup
-    * scan (the Delta txn-version pattern, already gate-proven for the
-    * foreachBatch form by `ext_stream_store_ingest`). Append-only by
-    * contract: aggregating modes need update/complete semantics the
-    * store's append path cannot express — route those through
-    * `foreachBatch` + the Scala API. The ledger key defaults to the
-    * query's checkpointLocation (stable across restarts); override
-    * with `ledgerQuery` when several queries share a checkpoint
-    * convention. `orderBy` fixes intra-batch id order (default: every
-    * column — deterministic for distinct rows). */
+  /** `writeStream.format(...)` INTO the store, two modes:
+    *
+    *  - '''append''' (default): each micro-batch lands through
+    *    [[StreamIngest.commitBatch]] — batch rows plus the (ledger
+    *    key, batchId) row in ONE atomic manifest swap, so delivery is
+    *    exactly-once under at-least-once replay with NO dedup scan
+    *    (the Delta txn-version pattern, already gate-proven for the
+    *    foreachBatch form by `ext_stream_store_ingest`). `orderBy`
+    *    fixes intra-batch id order (default: every column —
+    *    deterministic for distinct rows).
+    *  - '''update + `.option("mergeKey", col)`''' (round 18 — the
+    *    CDC-apply / streaming-aggregate shape): each micro-batch
+    *    MERGES by the key through [[StreamIngest.mergeBatch]], so an
+    *    update-mode aggregation's changed-key emissions land as
+    *    upserts and the table converges to the latest per-key image —
+    *    exactly-once via the same atomic ledger co-commit (merge is
+    *    NOT naturally idempotent, which is why the ledger is
+    *    load-bearing here, not an optimization). Complete mode stays
+    *    unsupported (it re-emits the world; route a snapshot overwrite
+    *    through foreachBatch + replaceWhere).
+    *
+    * The ledger key defaults to the query's checkpointLocation (stable
+    * across restarts); override with `ledgerQuery` when several
+    * queries share a checkpoint convention. */
   override def createSink(ctx: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
@@ -96,22 +107,40 @@ final class GraftStreamProvider extends StreamSourceProvider
       throw new UnsupportedOperationException(
         "partitionBy is not supported: layout is engine-managed " +
           "(compact/optimize)")
-    if (outputMode != OutputMode.Append())
+    val mergeKey = opt(parameters, "mergeKey")
+    if (outputMode == OutputMode.Append() && mergeKey.isDefined)
       throw new UnsupportedOperationException(
-        s"the graft-store sink is append-only; got $outputMode — " +
-          "update/complete modes need row replacement, use " +
-          "foreachBatch with the transactional Scala API (merge)")
+        "mergeKey needs update output mode: append-mode batches are " +
+          "new rows by contract, an upsert there would silently drop " +
+          "duplicates — use .outputMode(\"update\")")
+    if (outputMode == OutputMode.Update() && mergeKey.isEmpty)
+      throw new UnsupportedOperationException(
+        "update output mode needs .option(\"mergeKey\", <natural key " +
+          "column>): the sink must know which rows an emission " +
+          "replaces")
+    if (outputMode != OutputMode.Append() &&
+        outputMode != OutputMode.Update())
+      throw new UnsupportedOperationException(
+        s"the graft-store sink supports append (new rows) and update " +
+          s"+ mergeKey (upserts); got $outputMode — complete mode " +
+          "re-emits the world, route it through foreachBatch + " +
+          "replaceWhere")
     val ledger = opt(parameters, "ledgerQuery")
       .orElse(opt(parameters, "checkpointLocation"))
       .getOrElse(throw new IllegalArgumentException(
         "the graft-store sink needs a stable exactly-once identity: " +
           "set a checkpointLocation (default ledger key) or " +
           ".option(\"ledgerQuery\", <name>)"))
-    new GraftStoreSink(ctx.sparkSession,
-      required(parameters, "root"), required(parameters, "table"),
-      ledger,
-      opt(parameters, "orderBy").map(_.split(",").map(_.trim).toSeq)
-        .getOrElse(Nil))
+    mergeKey match {
+      case Some(k) => new GraftStoreMergeSink(ctx.sparkSession,
+        required(parameters, "root"), required(parameters, "table"),
+        ledger, k)
+      case None => new GraftStoreSink(ctx.sparkSession,
+        required(parameters, "root"), required(parameters, "table"),
+        ledger,
+        opt(parameters, "orderBy").map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(Nil))
+    }
   }
 }
 
@@ -133,6 +162,24 @@ private[streaming] final class GraftStoreSink(spark: SparkSession,
 
   override def toString: String =
     s"GraftStoreSink[root=$root, table=$table, ledger=$ledgerKey]"
+}
+
+/** One store table as an UPSERT streaming sink (update mode +
+  * `mergeKey` — see [[GraftStreamProvider.createSink]]). */
+private[streaming] final class GraftStoreMergeSink(spark: SparkSession,
+    root: String, table: String, ledgerKey: String,
+    keyCol: String) extends Sink {
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    val batch = org.apache.spark.sql.GraftSqlShim.batchFrame(spark,
+      data.toDF())
+    StreamIngest.mergeBatch(new Catalog(spark, root), table,
+      ledgerKey, batchId, batch, keyCol): Unit
+  }
+
+  override def toString: String =
+    s"GraftStoreMergeSink[root=$root, table=$table, key=$keyCol, " +
+      s"ledger=$ledgerKey]"
 }
 
 private[streaming] object GraftStoreSource {

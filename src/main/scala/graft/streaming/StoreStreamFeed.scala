@@ -195,5 +195,101 @@ object StoreStreamFeed {
       .orderBy("ingest_id")
   }.copy(setup = Some(sinkPrepared.ensurePrepared _))
 
-  val all: Seq[Q] = Seq(tail, cdfStream, sinkStream)
+  private def upsertRoot(s: SparkSession): String =
+    new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      .stripSuffix("/") + "/graft_upsertstream_root"
+
+  /** UPDATE-MODE AGGREGATE through the MERGE SINK (round 18): a real
+    * `readStream` per-user rollup (count / decimal sum / max ts) over
+    * the three-batch replayed events stream lands its changed-key
+    * emissions as upserts keyed on user_id — the CDC-apply shape every
+    * warehouse's streaming-aggregate path needs. Exactly-once is
+    * load-bearing, not decorative: MERGE re-applied would regress keys
+    * to stale intermediate aggregates, so the second run (FRESH
+    * checkpoint — the agg re-computes batch 1's partial rollups —
+    * SAME ledger) must have every batch REJECTED or the final state
+    * visibly corrupts; the require + the oracle hash pin exactly
+    * that. */
+  private val upsertPrepared = new PreparedTables(
+    Seq("events.parquet"), Seq("graft_upsertstream_root"),
+    (s, d) => {
+      val dst = upsertRoot(s)
+      val cat = new Catalog(s, dst)
+      require(cat.version == 0L, "stale graft_upsertstream_root")
+      cat.createTable("user_rollup",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rollup_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_events",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("total_value",
+            org.apache.spark.sql.types.DecimalType(12, 2)),
+          org.apache.spark.sql.types.StructField("last_ts",
+            org.apache.spark.sql.types.TimestampType))),
+        "rollup_id")
+      def pipe(): Unit = {
+        val batch = s.read.parquet(s"$d/events.parquet")
+        val stream = StreamReplay.source(s, d, batch.schema)
+        val withTs =
+          if (batch.schema("ts").dataType ==
+              org.apache.spark.sql.types.LongType)
+            stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          else stream
+        val agg = withTs.groupBy("user_id").agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(10,2)"))
+              .cast("decimal(12,2)").as("total_value"),
+            max(col("ts")).as("last_ts"))
+        val q = agg.writeStream
+          .outputMode("update")
+          .format(classOf[GraftStreamProvider].getName)
+          .option("root", dst).option("table", "user_rollup")
+          .option("mergeKey", "user_id")
+          .option("ledgerQuery", "gate_upsert")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_upsert_ckpt").toString)
+          .start()
+        try {
+          q.processAllAvailable()
+          StreamReplay.requireMultiBatch(q)
+        } finally q.stop()
+      }
+      pipe()
+      val n1 = cat.read("user_rollup").count()
+      require(n1 > 0L, "merge sink landed no rollups")
+      require(cat.read("stream_offsets").count() == 3L,
+        "expected one ledger row per micro-batch")
+      val v1 = cat.version
+      pipe() // fresh checkpoint, same ledger: every replayed batch's
+             // stale partial aggregates must be REJECTED, not merged
+      require(cat.version == v1,
+        "ledger replay committed through the merge sink")
+    }, version = "dec12")
+
+  /** Final per-key state == the global rollup over the raw fixture:
+    * batch boundaries, intermediate update-mode emissions, the merge
+    * plumbing, and the fully-rejected replay run are all invisible —
+    * the exactly-once upsert claim, oracle-hashed. */
+  val upsertStream: Q = Q(
+    "ext_stream_store_upsert",
+    """SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+      |    AS total_value,
+      |  MAX(ts) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    upsertPrepared.ensurePrepared(s, d)
+    // exact decimal at rest; DOUBLE at the gate boundary (the money
+    // convention — graft.core.Determinism)
+    new Catalog(s, upsertRoot(s)).read("user_rollup")
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast("double").as("total_value"),
+        col("last_ts"))
+      .orderBy("user_id")
+  }.copy(setup = Some(upsertPrepared.ensurePrepared _))
+
+  val all: Seq[Q] = Seq(tail, cdfStream, sinkStream, upsertStream)
 }

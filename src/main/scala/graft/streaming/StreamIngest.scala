@@ -50,6 +50,33 @@ object StreamIngest {
       }
     }
 
+  /** The UPSERT twin of [[commitBatch]] (round 18 — the CDC-apply /
+    * update-mode-aggregate sink shape): each micro-batch MERGES into
+    * the table by `keyCol` and lands with its (query, batchId) ledger
+    * row in ONE atomic manifest swap. The ledger is what makes this
+    * exactly-once under at-least-once replay — MERGE is NOT naturally
+    * idempotent (re-applying a batch after later batches touched the
+    * same keys would regress them to stale images; a target-reading
+    * SET would double-apply), so replayed batch ids must be REJECTED,
+    * not re-merged, and the atomic co-commit guarantees a crash
+    * between the merge and the ledger write is impossible. Returns
+    * false on a rejected replay. */
+  def mergeBatch(cat: Catalog, table: String, query: String,
+      batchId: Long, rows: DataFrame, keyCol: String): Boolean =
+    cat.transaction { tx =>
+      import rows.sparkSession.implicits._
+      val replay = tx.read("stream_offsets")
+        .filter(col("query") === query && col("batch_id") === batchId)
+        .limit(1).count() > 0
+      if (replay) false
+      else {
+        tx.merge(table, rows, keyCol)
+        tx.append("stream_offsets",
+          Seq((query, batchId)).toDF("query", "batch_id"))
+        true
+      }
+    }
+
   /** Stream the `events` fixture into `events_ingest` and return the
     * number of rows THIS invocation landed (table growth across the run,
     * so pre-existing rows — or a fully-replayed no-op re-run — report 0,

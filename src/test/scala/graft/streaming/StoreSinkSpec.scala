@@ -101,7 +101,28 @@ class StoreSinkSpec extends SparkSuite {
         .option("checkpointLocation",
           Files.createTempDirectory("ckpt-c").toString)
         .outputMode("complete").start()
-    }.contains("append-only"))
+    }.contains("complete mode"))
+    // the round-18 merge-sink contract: each half of (update mode,
+    // mergeKey) is useless without the other — both misuses are loud
+    assert(msg {
+      src.groupBy("event_type").count().writeStream
+        .format(classOf[GraftStreamProvider].getName)
+        .option("root", b).option("table", "events_type_summary")
+        .option("ledgerQuery", "x")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ckpt-u").toString)
+        .outputMode("update").start()
+    }.contains("mergeKey"))
+    assert(msg {
+      src.writeStream
+        .format(classOf[GraftStreamProvider].getName)
+        .option("root", b).option("table", "events_ingest")
+        .option("ledgerQuery", "x")
+        .option("mergeKey", "event_id")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ckpt-m").toString)
+        .start() // append mode + mergeKey
+    }.contains("update output mode"))
     assert(msg {
       src.writeStream
         .format(classOf[GraftStreamProvider].getName)
