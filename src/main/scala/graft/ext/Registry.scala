@@ -17,7 +17,7 @@ object Registry {
       RangeLayout.all ++ FeatureGen.all ++ Survival.all ++ Clustering.all ++
       ModelEval.all ++
       BloomJoin.all ++ StoreFeed.all ++ ReplaceFeed.all ++ CloneFeed.all ++
-      OptimizeFeed.all ++ DdlFeed.all ++
+      OptimizeFeed.all ++ CompactSmallFeed.all ++ DdlFeed.all ++
       Scd2.all ++ SqlFront.all ++ DvFeed.all ++ SqlDmlFeed.all ++
       IncrView.all ++
       IndexMaintain.all ++ StreamIngestFeed.all ++ StoreFollow.all ++

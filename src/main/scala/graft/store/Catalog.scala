@@ -2113,6 +2113,60 @@ final class Catalog(val spark: SparkSession, val root: String,
       staged :+= Staged(table, prev.copy(files = newFiles))
     }
 
+    /** Selective small-file compaction (round 18 — Delta's bin-packing
+      * `OPTIMIZE` / auto-compaction analogue): folds ONLY the live
+      * files whose visible row count (physical rows minus DV-dead
+      * rows) is below `smallRows` into ~`targetRows`-row id-sorted
+      * bins, and leaves every other file byte-identical IN PLACE —
+      * unlike [[compact]], whose cost is O(table) because it rewrites
+      * the whole live set. Streaming sinks and frequent small merges
+      * mint one file group per commit; at 100 TB the maintenance pass
+      * that keeps read fan-in bounded must cost O(small-file bytes),
+      * not O(table bytes), or it can never be scheduled. Membership is
+      * decided from MANIFEST-resident row counts — zero storage RPCs
+      * (the same reason Delta keeps file sizes in its log: a
+      * maintenance planner that stats the object store per file is
+      * O(#files) round-trips before it moves a byte). Rows-as-proxy is
+      * deliberate: byte size tracks row count at fixed schema width,
+      * and row counts are already exact in every manifest entry.
+      *
+      * Folded files' deletion vectors fold away (their output carries
+      * no dv) and renamed columns migrate to current names, exactly as
+      * [[compact]]; a small file whose rows are ALL dead folds to
+      * nothing — auto-compaction doubles as DV garbage collection.
+      * Pre-round-15 entries with unknown row counts (`rows == -1`)
+      * are never classified small. OCC: the read set equals the
+      * removed set, so the commit file-level reconciles against
+      * concurrent appends/disjoint rewrites like any COW rewrite —
+      * a maintenance pass never serializes the ingest path behind it.
+      * No-ops (below `minSmallFiles` candidates) stage nothing.
+      *
+      * Returns the number of small files folded (0 = no-op). */
+    def compactSmall(table: String, smallRows: Long,
+        targetRows: Long, minSmallFiles: Int = 2): Int = {
+      require(smallRows > 0, s"smallRows must be positive: $smallRows")
+      require(targetRows >= smallRows,
+        s"targetRows ($targetRows) must be >= smallRows ($smallRows) " +
+          "— bins smaller than the threshold would stay compactable " +
+          "forever")
+      ensureLease()
+      val (schema, idCol) = schemaIdOf(table)
+      val prev = curState(table)
+      def live(f: FileEntry): Long = f.rows - f.dv.map(_._2).getOrElse(0L)
+      val small = prev.files.filter(f => f.rows >= 0 && live(f) < smallRows)
+      if (small.size < math.max(2, minSmallFiles)) return 0
+      val smallSet = small.map(_.path).toSet
+      val bins = math.max(1L, (small.map(live).sum + targetRows - 1)
+        / targetRows).toInt
+      val rows = readFiles(table, small, schema, idCol)
+        .repartitionByRange(bins, col(idCol))
+        .sortWithinPartitions(idCol)
+      val newFiles = stageFiles(table, rows, idCol, effStatsCols(table))
+      staged :+= Staged(table, prev.copy(files =
+        prev.files.filterNot(f => smallSet.contains(f.path)) ++ newFiles))
+      small.size
+    }
+
     /** Clustered compaction — `OPTIMIZE ... ZORDER BY` (Delta/Iceberg
       * analogue): a LAYOUT-ONLY commit that rewrites the live file set
       * clustered on one or two designated columns, so every file's
@@ -3355,6 +3409,10 @@ final class Catalog(val spark: SparkSession, val root: String,
 
   def compact(table: String, numFiles: Int = 1): Unit =
     retried(_.compact(table, numFiles))
+
+  def compactSmall(table: String, smallRows: Long, targetRows: Long,
+      minSmallFiles: Int = 2): Int =
+    retried(_.compactSmall(table, smallRows, targetRows, minSmallFiles))
 
   def optimize(table: String, clusterBy: Seq[String],
       numFiles: Int = 32): Unit =

@@ -96,6 +96,24 @@ final class GraftStreamProvider extends StreamSourceProvider
     *    unsupported (it re-emits the world; route a snapshot overwrite
     *    through foreachBatch + replaceWhere).
     *
+    * '''Auto-compaction''' (`.option("autoCompact", "true")`, round
+    * 18): a streaming sink mints one file group per micro-batch — at a
+    * 10 s trigger that is ~8,640 file groups/day/table, and read
+    * fan-in (and manifest growth) degrades until someone remembers to
+    * run maintenance. With the option set, after each LANDED batch the
+    * sink runs [[graft.store.Catalog.Tx.compactSmall]] in a follow-on
+    * transaction: only files below `autoCompactSmallRows` visible rows
+    * (default 100k) fold, into ~`autoCompactTargetRows` bins (default
+    * 1M ≈ a 100 MB parquet file at typical event widths), and only
+    * once `autoCompactMinFiles` (default 8) candidates accumulate —
+    * so steady state pays one small rewrite per ~8 batches, cost
+    * ∝ small-file bytes. It runs OUTSIDE the data commit: the batch's
+    * exactly-once ledger row is already durable, a compaction crash
+    * loses nothing (content-invariant layout op), and a lost OCC race
+    * against a concurrent writer is skipped — maintenance never fails
+    * or delays the stream, and never serializes other writers behind
+    * it. Sub-options without `autoCompact=true` fail loudly.
+    *
     * The ledger key defaults to the query's checkpointLocation (stable
     * across restarts); override with `ledgerQuery` when several
     * queries share a checkpoint convention. */
@@ -131,16 +149,60 @@ final class GraftStreamProvider extends StreamSourceProvider
         "the graft-store sink needs a stable exactly-once identity: " +
           "set a checkpointLocation (default ledger key) or " +
           ".option(\"ledgerQuery\", <name>)"))
+    val auto = AutoCompact.fromOptions(parameters)
     mergeKey match {
       case Some(k) => new GraftStoreMergeSink(ctx.sparkSession,
         required(parameters, "root"), required(parameters, "table"),
-        ledger, k)
+        ledger, k, auto)
       case None => new GraftStoreSink(ctx.sparkSession,
         required(parameters, "root"), required(parameters, "table"),
         ledger,
         opt(parameters, "orderBy").map(_.split(",").map(_.trim).toSeq)
-          .getOrElse(Nil))
+          .getOrElse(Nil), auto)
     }
+  }
+}
+
+/** Post-commit small-file maintenance policy for the store sinks (see
+  * [[GraftStreamProvider.createSink]]'s auto-compaction paragraph). */
+private[streaming] final case class AutoCompact(smallRows: Long,
+    targetRows: Long, minFiles: Int) {
+
+  /** Best-effort maintenance after a LANDED batch: content-invariant,
+    * so an OCC loss to a concurrent writer (another sink instance's
+    * compaction, a batch merge) is safely skipped — the candidates are
+    * still there for the next batch's pass. Any other failure
+    * propagates: a broken store must stop the stream, not be papered
+    * over. */
+  def run(cat: Catalog, table: String): Unit =
+    try cat.compactSmall(table, smallRows, targetRows, minFiles): Unit
+    catch { case _: Catalog.ConcurrentWriteException => () }
+}
+
+private[streaming] object AutoCompact {
+
+  def fromOptions(parameters: Map[String, String]): Option[AutoCompact] = {
+    import GraftStoreSource.opt
+    val enabled = opt(parameters, "autoCompact").exists { v =>
+      require(v == "true" || v == "false",
+        s"autoCompact must be true or false, got '$v'")
+      v.toBoolean
+    }
+    def num(key: String, default: Long): Long = {
+      val v = opt(parameters, key)
+      if (v.isDefined && !enabled)
+        throw new IllegalArgumentException(
+          s"$key is set but autoCompact is not enabled — set " +
+            ".option(\"autoCompact\", \"true\") or drop the tuning knob")
+      val n = v.map(_.toLong).getOrElse(default)
+      require(n > 0, s"$key must be positive, got $n")
+      n
+    }
+    val smallRows = num("autoCompactSmallRows", 100000L)
+    val targetRows = num("autoCompactTargetRows", 1000000L)
+    val minFiles = num("autoCompactMinFiles", 8L).toInt
+    if (enabled) Some(AutoCompact(smallRows, targetRows, minFiles))
+    else None
   }
 }
 
@@ -148,16 +210,19 @@ final class GraftStreamProvider extends StreamSourceProvider
   * [[GraftStreamProvider.createSink]]). */
 private[streaming] final class GraftStoreSink(spark: SparkSession,
     root: String, table: String, ledgerKey: String,
-    orderBy: Seq[String]) extends Sink {
+    orderBy: Seq[String],
+    autoCompact: Option[AutoCompact] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     // snapshot the incrementally-planned frame (V1 sink caveat) before
     // the transactional append re-plans it
     val batch = org.apache.spark.sql.GraftSqlShim.batchFrame(spark,
       data.toDF())
-    StreamIngest.commitBatch(new Catalog(spark, root), table,
+    val cat = new Catalog(spark, root)
+    val landed = StreamIngest.commitBatch(cat, table,
       ledgerKey, batchId, batch,
-      orderBy = orderBy): Unit
+      orderBy = orderBy)
+    if (landed) autoCompact.foreach(_.run(cat, table))
   }
 
   override def toString: String =
@@ -168,13 +233,16 @@ private[streaming] final class GraftStoreSink(spark: SparkSession,
   * `mergeKey` — see [[GraftStreamProvider.createSink]]). */
 private[streaming] final class GraftStoreMergeSink(spark: SparkSession,
     root: String, table: String, ledgerKey: String,
-    keyCol: String) extends Sink {
+    keyCol: String,
+    autoCompact: Option[AutoCompact] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     val batch = org.apache.spark.sql.GraftSqlShim.batchFrame(spark,
       data.toDF())
-    StreamIngest.mergeBatch(new Catalog(spark, root), table,
-      ledgerKey, batchId, batch, keyCol): Unit
+    val cat = new Catalog(spark, root)
+    val landed = StreamIngest.mergeBatch(cat, table,
+      ledgerKey, batchId, batch, keyCol)
+    if (landed) autoCompact.foreach(_.run(cat, table))
   }
 
   override def toString: String =

@@ -115,9 +115,21 @@ class StoreFuzzSpec extends SparkSuite {
             opLog += s"delete($t, $em)"
             m.keys.filter(k => m(k)._1 == em).toVector.foreach(m.remove)
           }
-        case 6 => // compact
-          cat.compact(t)
-          opLog += s"compact($t)"
+        case 6 => // compaction: whole-table, or the round-18 selective
+          // small-file fold (layout-only either way — the model is
+          // untouched; compactSmall composes the manifest-row-count
+          // candidate choice and DV folding/all-dead-file GC with
+          // every other op, incl. reads through rename chains and
+          // time travel over the folded layout)
+          if (rnd.nextBoolean()) {
+            cat.compact(t)
+            opLog += s"compact($t)"
+          } else {
+            val smallRows = 1L + rnd.nextInt(4)
+            val targetRows = smallRows * (1L + rnd.nextInt(5))
+            val n = cat.compactSmall(t, smallRows, targetRows)
+            opLog += s"compactSmall($t, $smallRows, $targetRows) -> $n"
+          }
         case 7 => // vacuum at retain=0 — must never break the CURRENT state
           cat.vacuum(t, retainMillis = 0L)
           opLog += s"vacuum($t)"

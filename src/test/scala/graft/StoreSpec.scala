@@ -413,6 +413,84 @@ abstract class StoreSpecBase(ioMode: String) extends SparkSuite {
     assert(cat.append("users", user("u5", "u5@x.c")) == 5L)
   }
 
+  test("compactSmall folds only sub-threshold files (DVs folded), " +
+    "carries large files by reference, and is content-invariant") {
+    val cat = freshCat()
+    // one large file group (12 rows) + six single-row small groups
+    val big = (1 to 12).map(i => (s"b$i", "L", "0123456789",
+      s"b$i@x.c", "h", "user", new java.sql.Timestamp(0L)))
+      .toDF("first_name", "last_name", "phone", "email", "password_hash",
+        "user_role", "created_at")
+    cat.append("users", big.coalesce(1), orderBy = Seq("email"))
+    (1 to 6).foreach(i => cat.append("users", user(s"s$i", s"s$i@x.c")))
+    // a merge-on-read point update marks a DV on one small file (and
+    // stages one more small patch file)
+    cat.update("users", col("user_id") === 14L,
+      Map("user_role" -> lit("admin")))
+    val expected = cat.read("users")
+      .select("user_id", "email", "user_role").as[(Long, String, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val beforeFiles = cat.liveFiles("users")
+    assert(beforeFiles.size >= 8, s"fixture: ${beforeFiles.size} files")
+    // the big append's file(s) hold ids 1..12; everything else is small
+    val bigPaths = beforeFiles.filter(_._3 <= 12L).map(_._1).toSet
+    assert(bigPaths.nonEmpty)
+    val folded = cat.compactSmall("users", smallRows = 5L,
+      targetRows = 100L)
+    assert(folded >= 6, s"expected >= 6 small files folded, got $folded")
+    val afterFiles = cat.liveFiles("users")
+    assert(bigPaths.subsetOf(afterFiles.map(_._1).toSet),
+      "the large file(s) must carry by reference, not be rewritten")
+    assert(afterFiles.size == bigPaths.size + 1,
+      s"large + one bin expected, got: $afterFiles")
+    val after = cat.read("users")
+      .select("user_id", "email", "user_role").as[(Long, String, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(after == expected, "compactSmall must not change content")
+    assert(after(14L)._2 == "admin",
+      "the DV-patched image must survive the fold")
+    // the folded bin carries no deletion vector: vacuum retires the
+    // dead small files and their sidecar
+    assert(cat.vacuum("users", retainMillis = 0) > 0)
+    assert(cat.read("users").count() == 18L)
+  }
+
+  test("compactSmall no-ops below minSmallFiles and never rewrites a " +
+    "table of large files") {
+    val cat = freshCat()
+    val big = (1 to 20).map(i => (s"b$i", "L", "0123456789",
+      s"b$i@x.c", "h", "user", new java.sql.Timestamp(0L)))
+      .toDF("first_name", "last_name", "phone", "email", "password_hash",
+        "user_role", "created_at")
+    cat.append("users", big.coalesce(1), orderBy = Seq("email"))
+    cat.append("users", user("s1", "s1@x.c"))
+    val v = cat.version
+    // one small candidate < minSmallFiles=2: stage nothing, commit
+    // nothing
+    assert(cat.compactSmall("users", smallRows = 10L,
+      targetRows = 100L) == 0)
+    // all files at/above the threshold: nothing is a candidate
+    assert(cat.compactSmall("users", smallRows = 1L,
+      targetRows = 100L) == 0)
+    assert(cat.version == v, "a no-op pass must not mint a commit")
+  }
+
+  test("compactSmall folds fully-dead small files to nothing " +
+    "(DV garbage collection)") {
+    val cat = freshCat()
+    cat.append("users", user("a", "a@x.c"))
+    cat.append("users", user("b", "b@x.c"))
+    assert(cat.delete("users", col("user_id") === 1L) == 1L)
+    assert(cat.delete("users", col("user_id") === 2L) == 1L)
+    assert(cat.compactSmall("users", smallRows = 10L,
+      targetRows = 100L) == 2)
+    assert(cat.liveFiles("users").isEmpty,
+      s"all-dead files fold away: ${cat.liveFiles("users")}")
+    assert(cat.read("users").count() == 0L)
+    // ids continue past the folded-away high-water mark
+    assert(cat.append("users", user("c", "c@x.c")) == 3L)
+  }
+
   test("default vacuum keeps freshly-dead files inside the retention " +
     "window, so a pre-vacuum reader snapshot still resolves") {
     val cat = freshCat()

@@ -84,6 +84,61 @@ class StoreSinkSpec extends SparkSuite {
       2L * rows(a).size)
   }
 
+  test("autoCompact at the sink: micro-batch file debris folds as the " +
+    "stream runs, content and ledger stay exact, tuning knobs without " +
+    "the switch are loud") {
+    val a = sourceRoot(6)
+    val b = Files.createTempDirectory("graft-sinkac").toString
+    val q = spark.readStream
+      .format(classOf[GraftStreamProvider].getName)
+      .option("root", a).option("table", "events_ingest")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .drop("ingest_id")
+      .writeStream
+      .format(classOf[GraftStreamProvider].getName)
+      .option("root", b).option("table", "events_ingest")
+      .option("ledgerQuery", "ac1")
+      .option("orderBy", "event_id")
+      .option("autoCompact", "true")
+      .option("autoCompactSmallRows", "150")
+      .option("autoCompactTargetRows", "600")
+      .option("autoCompactMinFiles", "3")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-ac").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    q.awaitTermination()
+    // content exact (ids included) AND the per-batch debris folded:
+    // 6 one-file batches under minFiles=3 leave at most 3 live files
+    assert(rows(b) == rows(a), "autoCompact sink lost/changed content")
+    val bCat = new Catalog(spark, b)
+    val live = bCat.liveFiles("events_ingest")
+    assert(live.size <= 3,
+      s"expected the 6 micro-batch files folded to <= 3, got: $live")
+    assert(bCat.read("stream_offsets")
+      .filter(col("query") === "ac1").count() == 6,
+      "exactly one ledger row per micro-batch, none for maintenance")
+    // the maintenance pass must never mint ledger rows or ids: a
+    // fresh-checkpoint replay is still fully rejected by the ledger
+    pipe(a, b, Files.createTempDirectory("ckpt-ac2").toString, "ac1")
+    assert(rows(b) == rows(a), "ledger replay after autoCompact duped")
+    // tuning knob without the switch: loud, pointed
+    assert(intercept[Exception] {
+      spark.readStream
+        .format(classOf[GraftStreamProvider].getName)
+        .option("root", a).option("table", "events_ingest").load()
+        .writeStream
+        .format(classOf[GraftStreamProvider].getName)
+        .option("root", b).option("table", "events_ingest")
+        .option("ledgerQuery", "ac2")
+        .option("autoCompactSmallRows", "10")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ckpt-ac3").toString)
+        .start()
+    }.getMessage.contains("autoCompact is not enabled"))
+  }
+
   test("out-of-contract sink shapes fail loudly: aggregate output " +
     "modes, partitionBy, and a missing exactly-once identity") {
     val a = sourceRoot(1)
