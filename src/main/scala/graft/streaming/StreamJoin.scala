@@ -134,6 +134,100 @@ object StreamJoin {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Stream-stream FULL OUTER interval join (round 18 — the last
+    * stream-stream join type): every purchase emits (matched, or one
+    * -1-extended row once the watermark passes its click window) AND
+    * every unmatched click emits its own -1-extended row once the
+    * watermark passes the LAST purchase that could still claim it
+    * (`c_ts + 1 h` — the engine derives the right side's eviction
+    * horizon from the same range condition). This is the
+    * reconciliation shape: joining a payments stream to a
+    * confirmations stream where BOTH orphan classes are the signal.
+    *
+    * Horizon contract: one closed-horizon cutoff serves both orphan
+    * classes, but their windows close at different times — a
+    * purchase's at `p_ts`, a click's at `c_ts + 1 h` — so the gate
+    * compares rows with `coalesce(p_ts, c_ts) <= max(ts) - 4 h`: an
+    * extra hour over the left join's 3 h cutoff, leaving >= 1 h of
+    * watermark margin past the LATER-closing click window (at 3 h a
+    * click's window would close exactly ON the final watermark and
+    * one row would hinge on eviction tie-breaking). The oracle
+    * mirrors the cutoff; filters live INSIDE the join inputs — a
+    * WHERE on event_type after a full join would silently drop every
+    * null-extended row of the other side.
+    *
+    * Scale shape: identical keyed state, bounded by the watermark
+    * horizon on both sides; the outer extension only defers eviction
+    * to each row's window close — state is (events/hour x horizon)
+    * regardless of stream length. */
+  def purchaseClicksFull(spark: SparkSession, dir: String): DataFrame =
+      graft.core.Sessions.withShufflePartitions(spark, 4) {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val name = "stream_fjoin_" + UUID.randomUUID().toString.replace("-", "")
+    def side(typ: String, idAs: String, tsAs: String) = {
+      val stream = StreamReplay.source(spark, dir, batch.schema)
+      val withTs =
+        if (batch.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else stream
+      withTs.filter(col("event_type") === typ)
+        .select(col("user_id").as(s"${idAs}_user"),
+          col("event_id").as(idAs), col("ts").as(tsAs))
+        .withWatermark(tsAs, "2 hours")
+    }
+    val purchases = side("purchase", "purchase_id", "p_ts")
+    val clicks = side("click", "click_id", "c_ts")
+    val joined = purchases.join(clicks,
+      col("purchase_id_user") === col("click_id_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") < col("p_ts"),
+      "fullOuter")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      StreamReplay.requireMultiBatch(q)
+    } finally q.stop()
+    val maxTsUs = batch
+      .select(max(if (batch.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        expr("timestamp_micros(ts div 1000)") else col("ts")).as("mt"))
+      .head().getTimestamp(0).toInstant
+    spark.table(name)
+      .filter(coalesce(col("p_ts"), col("c_ts")) <=
+        lit(maxTsUs.minusSeconds(4 * 3600)))
+      .select(
+        coalesce(col("purchase_id_user"), col("click_id_user"))
+          .as("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        (col("purchase_id").isNotNull && col("click_id").isNotNull)
+          .as("matched"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val streamFullJoin: graft.core.Q = graft.core.Q(
+    "ext_stream_full_join",
+    """WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+      |p AS (SELECT user_id, event_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id, ts FROM events
+      |  WHERE event_type = 'click')
+      |SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+      |  COALESCE(p.event_id, -1) AS purchase_id,
+      |  COALESCE(c.event_id, -1) AS click_id,
+      |  p.event_id IS NOT NULL AND c.event_id IS NOT NULL AS matched
+      |FROM p FULL JOIN c ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |CROSS JOIN mx
+      |WHERE COALESCE(p.ts, c.ts) <= mx.mt - INTERVAL 4 HOUR
+      |ORDER BY purchase_id, click_id""".stripMargin
+  )(purchaseClicksFull _)
+
   val streamLeftJoin: graft.core.Q = graft.core.Q(
     "ext_stream_left_join",
     """WITH mx AS (SELECT MAX(ts) AS mt FROM events)
@@ -157,5 +251,6 @@ object StreamJoin {
       |ORDER BY purchase_id, click_id""".stripMargin
   )(purchaseClicks _)
 
-  val all: Seq[graft.core.Q] = Seq(streamJoin, streamLeftJoin)
+  val all: Seq[graft.core.Q] =
+    Seq(streamJoin, streamLeftJoin, streamFullJoin)
 }
