@@ -77,11 +77,19 @@ class StoreRaceFuzzSpec extends SparkSuite {
       start.await()
       try {
         for (i <- 1 to perWriter) {
-          rnd.nextInt(4) match {
+          rnd.nextInt(5) match {
             case 0 | 1 =>
               val em = s"w$wid-$i@x.c"
               cat.append("users", userDf(em))
               appended.add(em)
+            case 4 =>
+              // round 18: selective small-file fold racing the other
+              // writer's appends/updates/deletes — content-invariant,
+              // so NO bookkeeping; OCC must reconcile it against
+              // disjoint concurrent commits and retry-recompute when
+              // the fold's victims were concurrently rewritten
+              cat.compactSmall("users", smallRows = 3L,
+                targetRows = 9L): Unit
             case 2 =>
               // delete one of THIS writer's earlier rows (no cross-thread
               // coordination needed for the invariant bookkeeping)
