@@ -21,6 +21,8 @@ import graft.store.Catalog
   *   OPTIMIZE <cat>.<table>                        -- id-range compact
   *   OPTIMIZE <cat>.<table> INTO 8 FILES
   *   OPTIMIZE <cat>.<table> ZORDER BY (c1, c2)     -- clustered rewrite
+  *   OPTIMIZE <cat>.<table> SMALL FILES            -- selective fold
+  *     [BELOW 100000 ROWS] [TARGET 1000000 ROWS]   --   (compactSmall)
   *   VACUUM <cat>.<table>                          -- default retention
   *   VACUUM <cat>.<table> RETAIN 168 HOURS
   * }}}
@@ -54,8 +56,25 @@ final class GraftSqlParser(session: SparkSession,
     if (mo.matches() && ownsCatalog(mo.group(1))) {
       val zorder = Option(mo.group(3)).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      GraftOptimizeCommand(mo.group(1), mo.group(2), zorder,
-        Option(mo.group(4)).map(_.toInt))
+      val smallFiles = mo.group(4) != null
+      if (smallFiles && zorder.nonEmpty)
+        throw new IllegalArgumentException(
+          "OPTIMIZE ... SMALL FILES cannot combine with ZORDER BY: the " +
+            "selective fold carries large files BY REFERENCE, a " +
+            "clustered rewrite touches the whole live set — run them " +
+            "as separate statements")
+      if (smallFiles && mo.group(7) != null)
+        throw new IllegalArgumentException(
+          "OPTIMIZE ... SMALL FILES sizes its bins by TARGET n ROWS, " +
+            "not INTO n FILES — the output file count follows the " +
+            "small-file volume")
+      if (smallFiles)
+        GraftCompactSmallCommand(mo.group(1), mo.group(2),
+          Option(mo.group(5)).map(_.toLong),
+          Option(mo.group(6)).map(_.toLong))
+      else
+        GraftOptimizeCommand(mo.group(1), mo.group(2), zorder,
+          Option(mo.group(7)).map(_.toInt))
     } else {
       val mv = VacuumRe.matcher(t)
       if (mv.matches() && ownsCatalog(mv.group(1)))
@@ -87,6 +106,9 @@ private[sql] object GraftSqlParser {
   val OptimizeRe: Pattern = Pattern.compile(
     s"(?is)OPTIMIZE\\s+$Id\\.$Id" +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?" +
+      "(?:\\s+(SMALL\\s+FILES)" +
+      "(?:\\s+BELOW\\s+(\\d+)\\s+ROWS)?" +
+      "(?:\\s+TARGET\\s+(\\d+)\\s+ROWS)?)?" +
       "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?\\s*;?\\s*")
   val VacuumRe: Pattern = Pattern.compile(
     s"(?is)VACUUM\\s+$Id\\.$Id" +
@@ -121,6 +143,31 @@ final case class GraftOptimizeCommand(catName: String, table: String,
     if (zorderBy.isEmpty) cat.compact(table, numFiles.getOrElse(1))
     else cat.optimize(table, zorderBy, numFiles.getOrElse(32))
     Nil
+  }
+}
+
+/** `OPTIMIZE ... SMALL FILES` → [[Catalog.compactSmall]]: the
+  * selective fold with the streaming sink's default thresholds when
+  * the clauses are omitted (BELOW 100000 ROWS / TARGET 1000000 ROWS ≈
+  * a 100 MB parquet file at typical event widths). Returns the number
+  * of small files folded — 0 is the honest no-op answer, not an
+  * error, so a scheduler can run the statement unconditionally. */
+final case class GraftCompactSmallCommand(catName: String, table: String,
+    belowRows: Option[Long], targetRows: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_files_folded", IntegerType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.rootOf(spark, catName, "OPTIMIZE")
+    val cat = new Catalog(spark, root)
+    val below = belowRows.getOrElse(100000L)
+    // an explicit BELOW above the default target lifts the target with
+    // it (bins below the threshold would stay compactable forever);
+    // an explicit TARGET below an explicit BELOW stays the engine's
+    // loud error — that one is a contradiction, not an ergonomics gap
+    val target = targetRows.getOrElse(math.max(1000000L, below))
+    Seq(Row(cat.compactSmall(table, below, target)))
   }
 }
 

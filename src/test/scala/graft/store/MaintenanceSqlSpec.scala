@@ -64,6 +64,46 @@ class MaintenanceSqlSpec extends SparkSuite {
     assert(content(cat) == before, "vacuum touched live data")
   }
 
+  test("OPTIMIZE ... SMALL FILES folds only sub-threshold files, " +
+    "reports the fold count (0 on re-run — scheduler-safe), honors " +
+    "clause defaults, and rejects contradictory shapes loudly") {
+    val (cat, c) = fresh()
+    val src = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    (1 to 3).foreach { i =>
+      cat.append("orders_ingest",
+        src.filter(col("o_orderkey") === 1200 + i),
+        orderBy = Seq("o_orderkey"))
+    }
+    val before = content(cat)
+    val filesBefore = nFiles(cat)
+    assert(filesBefore >= 7)
+    val folded = spark.sql(s"OPTIMIZE $c.orders_ingest SMALL FILES " +
+      "BELOW 100 ROWS TARGET 300 ROWS").collect()(0).getInt(0)
+    assert(folded == 3, s"expected the 3 one-row files folded: $folded")
+    assert(nFiles(cat) == filesBefore - 2, // 3 folded into 1 bin
+      s"files: $filesBefore -> ${nFiles(cat)}")
+    assert(content(cat) == before, "selective fold changed content")
+    // idempotent re-run: nothing small remains below 100 rows
+    assert(spark.sql(s"OPTIMIZE $c.orders_ingest SMALL FILES " +
+      "BELOW 100 ROWS TARGET 300 ROWS").collect()(0).getInt(0) == 0)
+    // engine defaults (BELOW 100000 ROWS): every remaining file is
+    // sub-threshold at this fixture scale — one bin results
+    assert(spark.sql(s"OPTIMIZE $c.orders_ingest SMALL FILES")
+      .collect()(0).getInt(0) == filesBefore - 2)
+    assert(nFiles(cat) == 1)
+    assert(content(cat) == before, "default fold changed content")
+    // contradictions are loud, with pointed routes
+    assert(intercept[Exception] {
+      spark.sql(s"OPTIMIZE $c.orders_ingest ZORDER BY (o_orderkey) " +
+        "SMALL FILES")
+    }.getMessage.contains("separate statements"))
+    assert(intercept[Exception] {
+      spark.sql(s"OPTIMIZE $c.orders_ingest SMALL FILES INTO 2 FILES")
+    }.getMessage.contains("TARGET n ROWS"))
+  }
+
   test("only OUR catalogs' maintenance shapes are intercepted: ordinary " +
     "SQL and foreign/unknown catalogs go to the delegate, and a " +
     "no-stats ZORDER column keeps the engine's loud error") {
