@@ -24,7 +24,16 @@ object BucketedJoin {
   private val prepared = new PreparedTables(
     Seq("orders.parquet", "lineitem.parquet"),
     Seq("graft_bkt_orders", "graft_bkt_lineitem"),
-    write)
+    write,
+    // adoption must carry the bucket spec — it lives in the catalog
+    // entry, not the parquet files; a plain registration would read
+    // correctly but shuffle the join again (the whole point lost)
+    adoptDdl = (s, t, loc) => {
+      val k = if (t == "graft_bkt_orders") "o_orderkey" else "l_orderkey"
+      Seq(s"CREATE TABLE $t (${s.table(t).schema.toDDL}) USING parquet " +
+        s"CLUSTERED BY ($k) SORTED BY ($k) INTO $Buckets BUCKETS " +
+        s"LOCATION '$loc'")
+    })
 
   def ensurePrepared(s: org.apache.spark.sql.SparkSession,
       d: String): Unit = prepared.ensurePrepared(s, d)

@@ -80,7 +80,18 @@ object Graph {
     * staging cost (it moved to ingest time with the rest). */
   private val preparedW = new PreparedTables(
     Seq("lineitem.parquet"), Seq("graft_graph_w", "graft_graph_deg"),
-    (s, d) => {
+    // adoption DDL is computed at STAGE time, so the bucket count is
+    // the stager's shuffle parallelism — the count the files really
+    // have; an adopter with a different session setting gets correct
+    // metadata (EnsureRequirements re-shuffles if its plans need to)
+    adoptDdl = (s, t, loc) => {
+      val k = if (t == "graft_graph_deg") "v" else "s"
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      Seq(s"CREATE TABLE $t (${s.table(t).schema.toDDL}) USING parquet " +
+        s"CLUSTERED BY ($k) SORTED BY ($k) INTO $p BUCKETS " +
+        s"LOCATION '$loc'")
+    },
+    writer = (s, d) => {
       prepared.ensurePrepared(s, d)
       val e0 = s.table("graft_graph_edges")
       val sym = e0.select(col("a").as("s"), col("b").as("t"))

@@ -37,7 +37,14 @@ object InvertedIndex {
     filter(split(text, "\\s+"), t => t =!= "")
 
   private val prepared = new PreparedTables(
-    Seq("documents.parquet"), Seq("graft_postings"), write)
+    Seq("documents.parquet"), Seq("graft_postings"), write,
+    // token-partitioned index: adoption must declare the partitioning
+    // and recover the per-token directories, or the pruned postings
+    // read serves nothing
+    adoptDdl = (s, t, loc) => Seq(
+      s"CREATE TABLE $t (${s.table(t).schema.toDDL}) USING parquet " +
+        s"PARTITIONED BY (token) LOCATION '$loc'",
+      s"MSCK REPAIR TABLE $t"))
 
   def ensurePrepared(s: SparkSession, d: String): Unit =
     prepared.ensurePrepared(s, d)

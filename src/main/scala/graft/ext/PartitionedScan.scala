@@ -25,7 +25,15 @@ object PartitionedScan {
   /** Prepare-once machinery shared with the other layout ops
     * ([[PreparedTables]]). */
   private val prepared = new PreparedTables(
-    Seq("events.parquet"), Seq("graft_part_events"), write)
+    Seq("events.parquet"), Seq("graft_part_events"), write,
+    // adoption must declare the partitioning AND recover the partition
+    // directories — registered unpartitioned, the table reads as zero
+    // rows (no data files at the root); registered without MSCK, the
+    // catalog knows no partitions
+    adoptDdl = (s, t, loc) => Seq(
+      s"CREATE TABLE $t (${s.table(t).schema.toDDL}) USING parquet " +
+        s"PARTITIONED BY (event_date) LOCATION '$loc'",
+      s"MSCK REPAIR TABLE $t"))
 
   def ensurePrepared(s: SparkSession, d: String): Unit =
     prepared.ensurePrepared(s, d)

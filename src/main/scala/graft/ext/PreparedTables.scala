@@ -24,15 +24,16 @@ import org.apache.spark.sql.SparkSession
   * matches, every managed directory exists, and every
   * catalog-registered table resolves in ITS session. Store-root
   * fixtures (no session-catalog entries — graft Catalog state lives
-  * wholly on disk) therefore adopt across processes, which is exactly
-  * the `sbt test` + `graft.Verify` shared-checkout race the old
+  * wholly on disk) adopt across processes, which is exactly the
+  * `sbt test` + `graft.Verify` shared-checkout race the old
   * single-process assumption documented: one process no longer deletes
-  * a root the other is mid-read. saveAsTable fixtures still restage
-  * per process (a fresh in-memory session catalog cannot adopt a
-  * registration it never made) — but serialized under the stage lock,
-  * so concurrent stagings cannot interleave destructively. The marker
-  * is deleted before a restage and written only after the writer
-  * succeeds, so a crash mid-stage can never leave an adoptable lie. */
+  * a root the other is mid-read. saveAsTable fixtures adopt too
+  * (round 18) by replaying STAGE-TIME adoption DDL recorded in the
+  * marker — see [[adoptDdl]]; plain re-registration is not enough,
+  * because bucket specs and partition discovery live in the catalog
+  * entry, not the parquet directory. The marker is deleted before a
+  * restage and written only after the writer succeeds, so a crash
+  * mid-stage can never leave an adoptable lie. */
 private[graft] final class PreparedTables(
     sourceFiles: Seq[String],
     managedTables: Seq[String],
@@ -42,7 +43,22 @@ private[graft] final class PreparedTables(
       * snapping its means), so an already-staged warehouse restages
       * instead of silently serving the old layout — source mtime/size
       * alone cannot see a code change. */
-    version: String = "") {
+    version: String = "",
+    /** Adoption DDL for one catalog-registered table, INVOKED AT STAGE
+      * TIME (with the stager's session, table name, staged location)
+      * and recorded in the done marker — an adopting process replays
+      * exactly these statements. Layout-carrying fixtures MUST
+      * override it: a plain `CREATE TABLE ... USING parquet LOCATION`
+      * silently drops the bucket spec (the join shuffles again) and
+      * reads a partitioned directory as zero rows — both wrong in
+      * ways the content gate cannot see. Stage-time evaluation is
+      * load-bearing for dynamic layouts too: a bucket count taken
+      * from the session conf (the graph loop tables) must be the
+      * STAGER's value, which the adopter's session cannot know. The
+      * default emits the explicit-schema plain registration, correct
+      * for unbucketed, unpartitioned fixtures only. */
+    adoptDdl: (SparkSession, String, String) => Seq[String] =
+      PreparedTables.plainAdoptDdl) {
 
   @volatile private var preparedKey: String = ""
 
@@ -89,23 +105,17 @@ private[graft] final class PreparedTables(
       if (preparedKey != key) { // may have raced another thread here
         val marker = markerPath(wh)
         val adopted = readMarker(marker) match {
-          case Some((mk, catTables)) if mk == key =>
+          case Some((mk, catTables, ddl)) if mk == key =>
             managedTables.forall(t => Files.exists(wh.resolve(t))) &&
               catTables.forall(t =>
-                s.catalog.tableExists(t) || adoptCatalogTable(s, wh, t))
+                s.catalog.tableExists(t) ||
+                  adoptCatalogTable(s, t, ddl.getOrElse(t, Nil)))
           case _ => false
         }
         if (!adopted) {
           Files.deleteIfExists(marker) // a crash below must not leave a lie
           prepare(s, d)
-          // record which managed tables this WRITER registered in the
-          // session catalog: adoption by a fresh process is legal only
-          // for fixtures whose state lives wholly on disk (none listed)
-          val catTables =
-            managedTables.filter(t => s.catalog.tableExists(t))
-          Files.write(marker,
-            s"$key\n${catTables.mkString(",")}".getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
+          writeMarker(s, wh, key)
         }
         preparedKey = key
       }
@@ -117,32 +127,62 @@ private[graft] final class PreparedTables(
     * for a table another process staged with `saveAsTable`, so until
     * now such fixtures restaged per process (slow-but-safe). The staged
     * DATA is just a parquet directory under the warehouse, though — so
-    * when the marker's memo key matches, this registers that directory
-    * as an external parquet table in THIS session instead of
-    * rewriting. Reads are identical (same files, schema from the
-    * parquet footers); [[prepare]]'s drop+delete path still fully
-    * clears an external registration plus its directory on restage.
-    * Returns false (→ restage) if registration fails for any reason —
-    * adoption is an optimization, never a correctness gamble. */
-  private def adoptCatalogTable(s: SparkSession, wh: Path,
-      t: String): Boolean =
+    * when the marker's memo key matches, this replays the STAGE-TIME
+    * adoption DDL the marker carries (see [[adoptDdl]]) instead of
+    * rewriting, preserving bucket specs and partition discovery that a
+    * bare external registration would silently drop. A readability
+    * probe guards the result: a mis-declared adoption (a partitioned
+    * directory registered unpartitioned) "succeeds" while serving zero
+    * rows, and every fixture here is non-empty — an empty or
+    * unreadable adoption falls back to restaging, as does a marker
+    * with no recorded DDL (pre-upgrade format). [[prepare]]'s
+    * drop+delete path still fully clears an external registration plus
+    * its directory on restage. Returns false (→ restage) if anything
+    * fails — adoption is an optimization, never a correctness
+    * gamble. */
+  private def adoptCatalogTable(s: SparkSession, t: String,
+      stmts: Seq[String]): Boolean =
     try {
-      val dir = wh.resolve(t)
-      Files.exists(dir) && {
-        s.sql(s"CREATE TABLE $t USING parquet LOCATION '$dir'")
-        s.catalog.tableExists(t)
+      stmts.nonEmpty && {
+        stmts.foreach(s.sql(_))
+        s.catalog.tableExists(t) && !s.table(t).isEmpty
       }
     } catch { case _: Exception => false }
 
-  private def readMarker(p: Path): Option[(String, Seq[String])] =
+  /** Marker format: memo key, CSV of catalog-registered tables, then
+    * one `<table>\u0001<statement>` line per adoption-DDL statement in
+    * replay order. */
+  private def writeMarker(s: SparkSession, wh: Path, key: String): Unit = {
+    val catTables = managedTables.filter(t => s.catalog.tableExists(t))
+    val ddlLines = catTables.flatMap { t =>
+      adoptDdl(s, t, wh.resolve(t).toString)
+        .map(stmt => s"$t\u0001$stmt")
+    }
+    Files.write(markerPath(wh),
+      (key +: catTables.mkString(",") +: ddlLines).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readMarker(p: Path)
+      : Option[(String, Seq[String], Map[String, Seq[String]])] =
     if (!Files.exists(p)) None
     else {
       val lines = new String(Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8).split("\n", -1)
       if (lines.isEmpty) None
-      else Some((lines(0),
-        lines.lift(1).map(_.split(",").filter(_.nonEmpty).toSeq)
-          .getOrElse(Nil)))
+      else {
+        val ddl = lines.drop(2).toSeq
+          .flatMap { l =>
+            l.split("\u0001", 2) match {
+              case Array(t, stmt) if stmt.nonEmpty => Some((t, stmt))
+              case _ => None
+            }
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        Some((lines(0),
+          lines.lift(1).map(_.split(",").filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil), ddl))
+      }
     }
 
   /** Unconditional restage for callers that need a fresh layout (the
@@ -182,6 +222,15 @@ private[graft] final class PreparedTables(
 }
 
 private[graft] object PreparedTables {
+
+  /** Default adoption DDL: explicit-schema plain external
+    * registration. Correct ONLY for unbucketed, unpartitioned
+    * fixtures — layout-carrying fixtures override [[PreparedTables]]'s
+    * `adoptDdl` with their CLUSTERED BY / PARTITIONED BY statements. */
+  def plainAdoptDdl(s: SparkSession, t: String, loc: String): Seq[String] =
+    Seq(s"CREATE TABLE $t (${s.table(t).schema.toDDL}) " +
+      s"USING parquet LOCATION '$loc'")
+
   /** Per-warehouse JVM monitors (POSIX locks are process-scoped: a
     * second lock attempt from the same JVM throws instead of
     * blocking, so same-JVM stagers serialize here first). */
