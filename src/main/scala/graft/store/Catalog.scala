@@ -684,12 +684,15 @@ final class Catalog(val spark: SparkSession, val root: String,
     // clobbered. Throws ConcurrentWriteException; the retry machinery
     // re-runs the body against the winner's state. No-op for file mode.
     commitLock.verifyStillHeld()
-    // store-side fence (round 18): the publish itself REFUSES an
-    // existing destination, so even a holder that slipped past the
-    // verify read cannot clobber a landed commit — it collides on the
-    // version file. On object-store ports this is ONE conditional put,
-    // i.e. the fencing token the lock scaladoc requires production
-    // deployments to carry into the store.
+    // store-side fence (round 18; hardened round 19): the publish
+    // refuses an existing destination. Per-impl guarantee (ADVICE r18):
+    // LocalStoreIO is genuinely ATOMIC (hard-link publish, link(2)
+    // EEXIST); object-store ports are atomic via ONE conditional put —
+    // the fencing token the lock scaladoc requires production
+    // deployments to carry into the store; HadoopStoreIO is a
+    // pre-checked best-effort refusal (atomic only on HDFS's native
+    // no-replace rename), with the residue serialized by the commit
+    // lock + verifyStillHeld above.
     if (!io.renameIfAbsent(tmp, deltaPath(newVersion))) {
       io.deleteIfExists(tmp)
       throw new Catalog.ConcurrentWriteException(

@@ -113,7 +113,26 @@ private[store] object CommitLock {
       throw new IllegalArgumentException(
         s"spark.graft.store.commitLock must be 'file' or 'lease'; got '$mode'")
     val marker = io.resolve(root, ModeMarker)
-    io.createIfAbsent(marker, mode.getBytes(StandardCharsets.UTF_8))
+    // Atomic first-write (round 19, ADVICE r18): HadoopStoreIO's
+    // createIfAbsent is exists-then-create on RawLocalFileSystem, so two
+    // processes first-opening one root with DIFFERENT lock modes could
+    // both believe they created the marker and proceed with disjoint
+    // primitives — the exact race the marker fails loudly on. Every
+    // reachable commit-lock root is local (enforced below), so the
+    // marker goes through java.nio CREATE_NEW (O_CREAT|O_EXCL, atomic
+    // on every local FS) whenever the path is locally addressable; a
+    // future conditional-create port keeps the io path.
+    StoreIO.localPathOf(root) match {
+      case Some(rp) =>
+        try {
+          java.nio.file.Files.write(rp.resolve(ModeMarker),
+            mode.getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+          ()
+        } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      case None =>
+        io.createIfAbsent(marker, mode.getBytes(StandardCharsets.UTF_8))
+    }
     val recorded =
       new String(io.readAllBytes(marker), StandardCharsets.UTF_8).trim
     if (recorded != mode)

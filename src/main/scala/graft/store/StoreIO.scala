@@ -224,21 +224,33 @@ private[graft] class LocalStoreIO extends StoreIO {
     ()
   }
 
-  // explicit exists-check first: ATOMIC_MOVE alone maps to rename(2),
-  // which REPLACES an existing destination silently (the JDK only
-  // throws FileAlreadyExists on its non-atomic path). Check-then-rename
-  // is not atomic across processes, but the commit lock serializes
-  // writers and the check narrows the unfenced residue to nanoseconds —
-  // object-store ports get this primitive perfectly atomic via the
-  // conditional put (see the trait scaladoc).
+  // ATOMIC conditional publish (round 19, ADVICE r18): link(2) fails
+  // with EEXIST atomically when the destination exists, so
+  // createLink + delete-src is a genuinely conditional rename on every
+  // POSIX filesystem — no check-then-move window at all (ATOMIC_MOVE
+  // alone maps to rename(2), which REPLACES silently; the old explicit
+  // exists-check left a nanosecond race). Filesystems without hard
+  // links fall back to the narrow check-then-move the commit lock
+  // serializes; object-store ports get the primitive perfectly atomic
+  // via the conditional put (see the trait scaladoc).
   override def renameIfAbsent(src: String, dst: String): Boolean =
-    !Files.exists(p(dst)) && {
-      try {
-        Files.move(p(src), p(dst), StandardCopyOption.ATOMIC_MOVE)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
+    try {
+      Files.createLink(p(dst), p(src))
+      Files.deleteIfExists(p(src))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        // no-hardlink fallback (FAT/exFAT, some network mounts):
+        // best-effort conditional, residue documented at the call site
+        !Files.exists(p(dst)) && {
+          try {
+            Files.move(p(src), p(dst), StandardCopyOption.ATOMIC_MOVE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        }
     }
 
   override def delete(path: String): Unit = Files.delete(p(path))
@@ -415,8 +427,19 @@ private[graft] final class HadoopStoreIO(conf: Configuration)
   override def renameIfAbsent(src: String, dst: String): Boolean = {
     val (fs, s) = fsOf(src)
     val d = new HPath(dst)
-    // HDFS rename natively refuses an existing destination (false)
-    fs.rename(s, d) || {
+    // Pre-check exists() (round 19, ADVICE r18 high): HDFS rename
+    // natively refuses an existing destination (returns false), but
+    // RawLocalFileSystem.rename delegates to File.renameTo — POSIX
+    // rename(2), which REPLACES the destination silently and returns
+    // true. Without the check, every local-path HadoopStoreIO
+    // deployment (the only reachable kind while CommitLock.forRoot
+    // requires local roots) had a publish that could clobber a landed
+    // commit, making the round-18 store-side fence a no-op there.
+    // Check-then-rename is not atomic, but the commit lock serializes
+    // writers and the fence narrows the residue; genuinely atomic
+    // publish needs HDFS's native refusal or a conditional-create port.
+    if (fs.exists(d)) false
+    else fs.rename(s, d) || {
       if (!fs.exists(d))
         throw new java.io.IOException(s"rename $src -> $dst failed")
       false
