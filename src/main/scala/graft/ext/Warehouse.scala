@@ -525,18 +525,29 @@ object Warehouse {
       |FROM monthly ORDER BY month""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val closes = Tables.orders(s, d).as("o")
-      .join(Tables.lineitem(s, d).as("l"),
-        col("l.l_orderkey") === col("o.o_orderkey"), "left")
-      .groupBy(col("o.o_orderkey"), col("o.o_orderdate"))
-      .agg(coalesce(max(col("l.l_shipdate")), first(col("o.o_orderdate")))
-        .as("close_ts"))
-    val deltas = closes.select(
-        date_format(col("o_orderdate"), "yyyy-MM").as("m"),
-        lit(1L).as("opened"), lit(0L).as("closed"))
-      .unionAll(closes.select(
-        date_format(col("close_ts"), "yyyy-MM").as("m"),
-        lit(0L).as("opened"), lit(1L).as("closed")))
+    // Round 19 (guide §2.3/§2.4): aggregate lineitem BEFORE the join —
+    // max(l_shipdate) per orderkey is a map-side-combined aggregate, so
+    // the orderkey exchange carries collapsed (orderkey, date) rows
+    // instead of every joined lineitem, and the old post-join
+    // (orderkey, orderdate)-keyed aggregate disappears (orders is PK on
+    // o_orderkey, so the left join is already one row per order). The
+    // opened/closed deltas then come from ONE pass over that frame via
+    // explode — the previous unionAll planned the closes subtree twice
+    // (plans/r19/ext_backlog_curve_{before,after}.txt).
+    val lastShip = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("max_ship"))
+    val closes = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      .join(lastShip, col("l_orderkey") === col("o_orderkey"), "left")
+      .select(col("o_orderdate"),
+        coalesce(col("max_ship"), col("o_orderdate")).as("close_ts"))
+    val deltas = closes.select(explode(array(
+        struct(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+          lit(1L).as("opened"), lit(0L).as("closed")),
+        struct(date_format(col("close_ts"), "yyyy-MM").as("m"),
+          lit(0L).as("opened"), lit(1L).as("closed")))).as("dd"))
+      .select(col("dd.m").as("m"), col("dd.opened").as("opened"),
+        col("dd.closed").as("closed"))
     val monthly = deltas.groupBy("m")
       .agg(sum(col("opened")).as("opened"), sum(col("closed")).as("closed"))
     monthly

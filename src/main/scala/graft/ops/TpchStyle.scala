@@ -574,10 +574,12 @@ object TpchStyle {
 
   /** Q21-style waiting suppliers: the double-correlated EXISTS / NOT
     * EXISTS (multi-supplier order where ONLY this supplier shipped late)
-    * decorrelated into one per-order aggregate — distinct supplier count
-    * and distinct LATE supplier count — joined back to the late lines.
-    * One extra shuffle on orderkey replaces two correlated probes; the
-    * oracle keeps the textbook EXISTS form to pin the equivalence.
+    * decorrelated into per-order WINDOW censuses — distinct supplier
+    * count and distinct LATE supplier count over the orderkey partition
+    * — filtered in place. One orderkey shuffle replaces two correlated
+    * probes (and, since round 19, the groupBy+join-back that planned
+    * the fact join twice); the oracle keeps the textbook EXISTS form to
+    * pin the equivalence.
     * "Late" is shipdate > orderdate + 90 days (the fixture carries no
     * commit/receipt dates). */
   val q21: Q = Q(
@@ -604,13 +606,22 @@ object TpchStyle {
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-    val perOrder = li.groupBy(col("l_orderkey").as("po_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey")))
-          .as("n_late_supp"))
-    li.filter(col("late"))
-      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
-      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    // per-order supplier censuses as WINDOW aggregates (round 19, guide
+    // §2.4): the previous groupBy + join-back planned the lineitem |><|
+    // orders subtree TWICE (once under the aggregate, once as the late
+    // side) and paid an Expand + two exchanges for the countDistinct
+    // pair + a SortMergeJoin back. One orderkey-keyed exchange now
+    // carries the joined frame once; collect_set drops nulls exactly as
+    // countDistinct does, so the (n_supp, n_late_supp) values — and the
+    // kept row set — are identical
+    // (plans/r19/q21_waiting_supplier_{before,after}.txt).
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+    li.withColumn("n_supp",
+        size(collect_set(col("l_suppkey")).over(wOrd)))
+      .withColumn("n_late_supp",
+        size(collect_set(when(col("late"), col("l_suppkey"))).over(wOrd)))
+      .filter(col("late") && col("n_supp") >= 2 && col("n_late_supp") === 1)
       .join(Tables.supplier(s, d).select("s_suppkey", "s_name",
         "s_nationkey"), col("s_suppkey") === col("l_suppkey"))
       .join(broadcast(Tables.nation(s, d)
@@ -675,10 +686,19 @@ object TpchStyle {
     val pc = cost
       .join(broadcast(selParts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
-    val mn = pc.groupBy(col("p_partkey").as("m_partkey"))
-      .agg(min(col("ps_cost")).as("min_cost"))
-    pc.join(mn, col("p_partkey") === col("m_partkey")
-        && col("ps_cost") === col("min_cost"))
+    // per-part minimum as a WINDOW over the pruned catalog (round 19,
+    // guide §2.4): the previous grouped-aggregate + equality self-join
+    // planned the ENTIRE cost subtree twice (no exchange reuse across
+    // the aggregate) — two full lineitem scans, two catalog aggregates,
+    // and a SortMergeJoin with two more exchanges. The window form
+    // scans lineitem once and replaces the self-join with one
+    // part-keyed exchange over the (tiny, post-aggregate) catalog;
+    // min-equality on the SAME double values keeps the kept row set
+    // bit-identical (plans/r19/q2_min_cost_supplier_{before,after}.txt).
+    val wPart = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_partkey")
+    pc.withColumn("min_cost", min(col("ps_cost")).over(wPart))
+      .filter(col("ps_cost") === col("min_cost"))
       .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
         "ps_cost")
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
