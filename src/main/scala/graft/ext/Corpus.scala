@@ -375,12 +375,19 @@ object Corpus {
     // component label = min(rep ids), so the min over the expanded
     // component is exactly the rep-level label.
     val p = Dedup.minhashRepPipeline(s, d)
-    val repLabels = solver(p.repPairs
+    // materialize the verified pair set ONCE (round 19, guide §1/§5):
+    // repPairs is the pipeline's most expensive unmaterialized subtree
+    // (candidate self-join + two shingle-intersection joins + two size
+    // joins) and was re-planned up to 4x below — under the solver, twice
+    // under crossReps' union, and under members. The checkpoint is
+    // pair-set-sized (bounded by near-dup mass, never corpus size).
+    val repPairs = p.repPairs.eagerCheckpoint()
+    val repLabels = solver(repPairs
       .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
     // docs in the pair graph: members of a rep with a cross pair, plus
     // members of surviving multi-member exact clusters (within pairs)
-    val crossReps = p.repPairs.select(col("rep_a").as("rep_id"))
-      .union(p.repPairs.select(col("rep_b").as("rep_id"))).distinct()
+    val crossReps = repPairs.select(col("rep_a").as("rep_id"))
+      .union(repPairs.select(col("rep_b").as("rep_id"))).distinct()
     val qual = crossReps.union(p.survivors).distinct()
     val labeled = qual
       .join(repLabels.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
@@ -388,9 +395,13 @@ object Corpus {
         .as("cluster_id"))
     val members = p.mem.select(col("doc_id"), col("rep_id"))
       .join(labeled, Seq("rep_id"))
-    val widths = members.groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"))
-    members.join(widths, Seq("cluster_id"))
+    // cluster width as a WINDOW over the member frame (round 19, guide
+    // §2.4 — literally the oracle's COUNT(*) OVER (PARTITION BY
+    // cluster_id)): the grouped-aggregate + join-back planned the
+    // members subtree twice and paid an extra exchange + join.
+    members
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
       .select(col("doc_id"), col("cluster_id"), col("n_members"))
       .orderBy("doc_id")
   }

@@ -167,6 +167,10 @@ object LangModel {
         .select(col("bg.w1"), col("bg.w2"))
         .groupBy("w1", "w2")
         .agg(count(lit(1)).cast("long").as("c2"))
+      // cnt deliberately NOT checkpointed (round-19 measured rejection:
+      // the fw/bw/nt/probe replans of this fixture-scale subtree are
+      // cheaper than the checkpoint barrier — A/B ~flat here, and the
+      // same checkpoint measured 2x SLOWER on ext_lm_kn_heldout)
       val fw = cnt.groupBy("w1")
         .agg(sum(col("c2")).as("ct"), count(lit(1)).as("n1fw"))
       val bw = cnt.groupBy("w2").agg(count(lit(1)).as("n1bw"))
@@ -271,6 +275,11 @@ object LangModel {
           "transform(sequence(0, size(ts)-2)," +
             " i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
         .select(col("doc_id"), col("held"), col("b.w1"), col("b.w2"))
+      // bg/cnt deliberately NOT checkpointed (round-19 measured
+      // rejection: checkpointing both measured 0.54 -> 1.10 s at the
+      // bench protocol — the replanned explode+agg over a fixture-scale
+      // base is cheaper than two materialization barriers; at 100 TB
+      // the tradeoff flips and this is the first site to revisit)
       val cnt = bg.filter(!col("held")).groupBy("w1", "w2")
         .agg(count(lit(1)).cast("long").as("c2"))
       val fw = cnt.groupBy("w1")

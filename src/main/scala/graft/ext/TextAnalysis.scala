@@ -484,6 +484,14 @@ object TextAnalysis {
     * [[LangModel.curriculumBuckets]]'s difficulty ordering. */
   private[ext] def nllPerDoc(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    // NOT checkpointed (round-19 measured rejection): tf feeds vocab,
+    // total and the probe — three plans of the tokenize+explode+agg
+    // subtree — but a paired A/B at the bench protocol measured the
+    // eager checkpoint SLOWER (ext_text_unigram_nll 0.67 -> 0.92 s;
+    // the barrier + materialization jobs cost more than the replans of
+    // a fixture-scale scan). At 100 TB the same site flips: three
+    // corpus-scale tokenize passes dwarf one vocabulary-frame
+    // materialization — re-measure before porting this decision.
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .groupBy("doc_id", "t")

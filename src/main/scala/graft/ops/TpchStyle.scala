@@ -563,11 +563,19 @@ object TpchStyle {
       .select("l_partkey", "l_quantity", "l_extendedprice")
       .join(broadcast(brandParts), col("p_partkey") === col("l_partkey"),
         "left_semi")
-    val a = pruned
-      .groupBy(col("l_partkey").as("a_partkey"))
-      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    // per-part average as a WINDOW over the pruned scan (round 19,
+    // guide §2.4, the q2/q21 rewrite): the grouped aggregate joined
+    // back to its own input planned the semi-joined lineitem scan
+    // twice; one partkey-keyed exchange now carries it once. Identical
+    // arithmetic (decimal sum -> double cast -> count division), so
+    // the kept rows and the final sum are bit-identical
+    // (plans/r19/q17_small_quantity_{before,after}.txt).
+    val wPart = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_partkey")
+    val avgQty = sum(Determinism.m(col("l_quantity"))).over(wPart)
+      .cast("double") / count(lit(1)).over(wPart)
     pruned
-      .join(a, col("a_partkey") === col("l_partkey"))
+      .withColumn("avg_qty", avgQty)
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
   }
