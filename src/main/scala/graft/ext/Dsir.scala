@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
+import graft.core.Eager.EagerCheckpoint
 import graft.ext.TextAnalysis.{countIn, countInSql, en, toks, toksSql}
 
 /** Data Selection with Importance Resampling (DSIR, Xie et al.
@@ -80,12 +81,20 @@ object Dsir {
       .select(col("doc_id"), col("tgt"),
         expr(s"cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint)" +
           s" % $B").as("bucket"))
-    val bk = bg.groupBy("bucket").agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(col("tgt"), 0L).otherwise(1L)).as("cs"))
-    val tot = bk.agg(sum("ct").as("nt"), sum("cs").as("ns"))
+    // ONE pass over the hashed-bigram stream (round 19, guide §1/§5):
+    // dtf is the finest aggregate, so the bucket censuses derive from
+    // IT (sum of tf == row count per bucket, exactly) instead of from
+    // bg — previously bg's scan+explode+md5 subtree was planned three
+    // times (bk, tot-via-bk, dtf). dtf is checkpointed once (per-doc
+    // hashed-vocabulary frame, thousands of times smaller than the
+    // bigram stream) and bk/tot/probe all read the materialized blocks.
     val dtf = bg.groupBy("doc_id", "tgt", "bucket")
       .agg(count(lit(1)).as("tf"))
+      .eagerCheckpoint()
+    val bk = dtf.groupBy("bucket").agg(
+      sum(when(col("tgt"), col("tf")).otherwise(0L)).as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(col("tf"))).as("cs"))
+    val tot = bk.agg(sum("ct").as("nt"), sum("cs").as("ns"))
     dtf.join(broadcast(bk), Seq("bucket"))
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"), col("tgt").as("is_target"))
