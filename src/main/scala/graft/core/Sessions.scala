@@ -66,6 +66,12 @@ object Sessions {
     // keep it out of the repo working tree
     .config("spark.sql.warehouse.dir",
       s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+    // streaming checkpoints on file: skip the local ChecksumFs CRC
+    // mirror (2 extra file ops per WAL entry / state commit per batch);
+    // non-file checkpoint schemes resolve unmodified — see
+    // RawLocalCheckpointFileManager. Overridable per session/query conf.
+    .config("spark.sql.streaming.checkpointFileManagerClass",
+      "graft.core.RawLocalCheckpointFileManager")
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
     * `n`, restoring the previous value after. Streaming queries use this:

@@ -125,6 +125,10 @@ private[store] object CommitLock {
     StoreIO.localPathOf(root) match {
       case Some(rp) =>
         try {
+          // the root may not exist yet for a caller that skips
+          // Catalog's mkdirs (FileSystem.create auto-created parents on
+          // the old io path; CREATE_NEW does not)
+          java.nio.file.Files.createDirectories(rp)
           java.nio.file.Files.write(rp.resolve(ModeMarker),
             mode.getBytes(StandardCharsets.UTF_8),
             StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)

@@ -233,14 +233,28 @@ private[graft] class LocalStoreIO extends StoreIO {
   // links fall back to the narrow check-then-move the commit lock
   // serializes; object-store ports get the primitive perfectly atomic
   // via the conditional put (see the trait scaladoc).
-  override def renameIfAbsent(src: String, dst: String): Boolean =
-    try {
-      Files.createLink(p(dst), p(src))
-      Files.deleteIfExists(p(src))
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case _: UnsupportedOperationException | _: java.io.IOException =>
+  override def renameIfAbsent(src: String, dst: String): Boolean = {
+    // The try/catch covers ONLY createLink (round 20, ADVICE r19): if
+    // the link lands but the source delete threw, falling through to
+    // the fallback would see dst existing and report false for a
+    // publish that SUCCEEDED — Catalog would then retry and
+    // double-apply a committed delta. A leftover src tmp is harmless;
+    // a wrong false is not.
+    val linked: Option[Boolean] =
+      try { Files.createLink(p(dst), p(src)); Some(true) }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => Some(false)
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          None // no hard links on this FS: take the fallback below
+      }
+    linked match {
+      case Some(ok) =>
+        if (ok) {
+          try Files.deleteIfExists(p(src))
+          catch { case _: java.io.IOException => () } // best-effort
+        }
+        ok
+      case None =>
         // no-hardlink fallback (FAT/exFAT, some network mounts):
         // best-effort conditional, residue documented at the call site
         !Files.exists(p(dst)) && {
@@ -252,6 +266,7 @@ private[graft] class LocalStoreIO extends StoreIO {
           }
         }
     }
+  }
 
   override def delete(path: String): Unit = Files.delete(p(path))
   override def deleteIfExists(path: String): Boolean =
