@@ -389,19 +389,31 @@ object Corpus {
     val crossReps = repPairs.select(col("rep_a").as("rep_id"))
       .union(repPairs.select(col("rep_b").as("rep_id"))).distinct()
     val qual = crossReps.union(p.survivors).distinct()
+    // labeled is REP-level (one row per rep in the pair graph) and read
+    // twice below — checkpoint it so neither consumer replans the
+    // survivors/qual chain; the barrier is over a frame bounded by the
+    // pair graph's rep count, never corpus size
     val labeled = qual
       .join(repLabels.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
       .select(col("rep_id"), coalesce(col("label"), col("rep_id"))
         .as("cluster_id"))
+      .eagerCheckpoint()
     val members = p.mem.select(col("doc_id"), col("rep_id"))
       .join(labeled, Seq("rep_id"))
-    // cluster width as a WINDOW over the member frame (round 19, guide
-    // §2.4 — literally the oracle's COUNT(*) OVER (PARTITION BY
-    // cluster_id)): the grouped-aggregate + join-back planned the
-    // members subtree twice and paid an extra exchange + join.
-    members
-      .withColumn("n_members", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+    // cluster widths at the REP level (round 20, guide §2.5): a member's
+    // count per cluster equals sum(csize) over the cluster's reps, so the
+    // aggregate runs over the tiny labeled frame with map-side partials —
+    // never over the member expansion. The round-19 window
+    // (count(*) over (partition by cluster_id)) materialized each
+    // cluster's full member list in ONE window task, a single-task
+    // hotspot under a giant near-dup cluster at 100 TB (unlike q17/q21's
+    // bounded per-part/per-order groups). The widths frame is one row
+    // per cluster; AQE broadcasts the join back — skew-immune.
+    val repSizes = p.mem.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id").as("rep_id"), col("csize"))
+    val widths = labeled.join(repSizes, Seq("rep_id"))
+      .groupBy("cluster_id").agg(sum(col("csize")).as("n_members"))
+    members.join(widths, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("n_members"))
       .orderBy("doc_id")
   }

@@ -270,34 +270,45 @@ object Dedup {
 
   private[ext] def minhashRepPipeline(s: SparkSession, d: String): RepPipeline = {
     val mem = clustered(s, d).eagerCheckpoint()
+    // Round 20 (guide §2.3/§2.4): the rep shingle set stays an ARRAY —
+    // one row per representative — instead of the exploded (doc_id, sh)
+    // frame of rounds 3-19. The exploded form forced (a) a
+    // groupBy(doc_id) exchange to rebuild signatures from rows the
+    // explode had just torn apart, (b) a two-sided exploded join + pair
+    // groupBy to count intersections, and (c) a separate sizes aggregate
+    // joined back twice. Array-resident sets make all three row-local:
+    // signatures are 16 transform/array_min projections (no exchange),
+    // and verification is size(array_intersect(...)) per candidate pair.
+    // Checkpoint bytes shrink too (same strings, one row per doc).
+    //
     // No explicit repartition by default (round-6 A/B, 27 runs per arm,
-    // min-of-3, committed in bench/BENCH_ATTRIBUTION.md): with serialized
-    // checkpoints + fast_md5 the AQE-coalesced width is uniformly fast
-    // and stable (minhash 1.95-2.26 s), while the round-5 width pin
-    // produced intermittent 3-7x episodes and one stuck-slow JVM. The
-    // round-4 "width lottery" the pin was built against was a symptom of
-    // the since-fixed per-row costs, not of AQE. dedupWidth stays as the
-    // scale knob: a 100 TB corpus sets it to size shingle partitions
-    // explicitly (and gains the shuffle reuse across the doc_id-keyed
-    // consumers); the fixture default (0) lets AQE decide.
-    val sh = widthed(repShingles(s, mem), s, col("doc_id"))
+    // min-of-3, committed in bench/BENCH_ATTRIBUTION.md); dedupWidth
+    // stays as the scale knob — a 100 TB corpus sets it to size the
+    // shingle-array partitions explicitly.
+    //
+    // size(w) >= 3 matches the exploded form exactly: a doc too short to
+    // shingle emitted zero rows there and is absent here.
+    val shArr = widthed(
+      mem.filter(col("doc_id") === col("rep_id") && size(col("w")) >= 3)
+        .select(col("doc_id"), col("csize"),
+          array_distinct(transform(
+            sequence(lit(1), size(col("w")) - 2),
+            i => concat_ws(" ", slice(col("w"), i, lit(3))))).as("shs")),
+      s, col("doc_id"))
       .eagerCheckpoint()
     // fast_md5 (thread-reused digest): ~20 md5 calls per shingle make
     // the built-in's per-row MessageDigest.getInstance the pipeline's
-    // dominant CPU term (see functions.FastMd5). The 16 min-aggregates
-    // run over BINARY digests (half the buffer compare/copy of hex
-    // strings; unsigned byte order == hex order, spec-pinned) and hex
+    // dominant CPU term (see functions.FastMd5). The 16 mins run over
+    // BINARY digests (half the buffer compare/copy of hex strings;
+    // unsigned byte order == hex order, spec-pinned) and hex
     // materializes once per signature, not once per shingle-hash.
     val m5 = (c: Column) => graft.functions.FastMd5.fast_md5(s, c)
     val m5b = (c: Column) => graft.functions.FastMd5.fast_md5_bin(s, c)
-    val sig = sh.groupBy("doc_id")
-      .agg(
-        min(m5b(concat(lit("0:"), col("sh")))).as("m0"),
-        (1 until NumHashes).map(j =>
-          min(m5b(concat(lit(s"$j:"), col("sh")))).as(s"m$j"))
-          :+ first(col("csize")).as("csize"): _*)
-      .select(col("doc_id") +: (0 until NumHashes).map(j =>
-        lower(hex(col(s"m$j"))).as(s"m$j")) :+ col("csize"): _*)
+    val sig = shArr.select(
+      col("doc_id") +: (0 until NumHashes).map(j =>
+        lower(hex(array_min(transform(col("shs"),
+          x => m5b(concat(lit(s"$j:"), x)))))).as(s"m$j"))
+        :+ col("csize"): _*)
     // one signature pass -> explode the 4 band keys; csize rides along so
     // bucket weight equals the oracle's per-document bucket size
     val bands = sig.select(col("doc_id"), col("csize"),
@@ -319,17 +330,19 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // verification: two key-equality joins attach each side's shingle
+    // array, then the intersection count is a row-local
+    // size(array_intersect(...)) — no exploded fan-out crossing an
+    // exchange, no pair re-aggregation, and the per-doc set sizes ride
+    // the same rows (the old sizes aggregate + two join-backs are gone)
     val inter = cand
-      .join(sh.as("sa"), col("sa.doc_id") === col("rep_a"))
-      .join(sh.as("sb"),
-        col("sb.doc_id") === col("rep_b") && col("sb.sh") === col("sa.sh"))
-      .groupBy("rep_a", "rep_b").agg(count(lit(1)).as("n_int"))
-    val jac = col("n_int") * lit(1.0) /
-      (col("za.n_sh") + col("zb.n_sh") - col("n_int"))
+      .join(shArr.select(col("doc_id").as("rep_a"),
+        col("shs").as("shs_a"), size(col("shs")).as("n_a")), Seq("rep_a"))
+      .join(shArr.select(col("doc_id").as("rep_b"),
+        col("shs").as("shs_b"), size(col("shs")).as("n_b")), Seq("rep_b"))
+    val nInt = size(array_intersect(col("shs_a"), col("shs_b"))).cast("long")
+    val jac = nInt * lit(1.0) / (col("n_a") + col("n_b") - nInt)
     val repPairs = inter
-      .join(sizes.as("za"), col("za.doc_id") === col("rep_a"))
-      .join(sizes.as("zb"), col("zb.doc_id") === col("rep_b"))
       .filter(jac >= 0.6)
       .select(col("rep_a"), col("rep_b"), round(jac, 4).as("jaccard"))
     // within-cluster pairs are candidates iff the cluster keeps at least
