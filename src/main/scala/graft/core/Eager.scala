@@ -32,5 +32,35 @@ object Eager {
       * `localCheckpoint(true)` for every pipeline intermediate. */
     def eagerCheckpoint(): Dataset[T] =
       ds.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+
+    /** SIZE-GATED eager checkpoint (round 20, guide §1.2/§5) for
+      * reuse-materialization sites whose trade flips with data volume:
+      * at fixture scale a checkpoint barrier costs more than replanning
+      * a small subtree 2-3x (the round-19 measured rejections:
+      * ext_text_unigram_nll 0.67 -> 0.92 s, ext_lm_kn_heldout 0.54 ->
+      * 1.10 s), while at corpus scale the replans each re-tokenize /
+      * re-decode the full input and dwarf one bounded materialization.
+      *
+      * The gate reads the subtree's INPUT volume — the sum of leaf
+      * relation statistics of the optimized plan (file sizes for
+      * parquet scans) — and checkpoints only above
+      * `spark.graft.checkpoint.minInputBytes` (default 8 GiB, ~64
+      * default-sized parquet splits: far above any fixture, far below
+      * any corpus worth three passes). Leaf stats, not output-size
+      * estimates: filter/aggregate selectivity estimates are
+      * unreliable, input bytes are known exactly, and what the gate
+      * must predict is the cost of RE-READING the input per replan. */
+    def eagerCheckpointAtScale(): Dataset[T] = {
+      val minBytes = BigInt(ds.sparkSession.conf
+        .get("spark.graft.checkpoint.minInputBytes", (8L << 30).toString)
+        .toLong)
+      // leaf stats off the ANALYZED plan: forcing optimizedPlan here
+      // would run a full optimizer pass on a throwaway QueryExecution
+      // (downstream consumers plan from ds.logicalPlan, not this QE) —
+      // measurable driver latency per call at fixture scale
+      val inputBytes = ds.queryExecution.analyzed.collectLeaves()
+        .map(_.stats.sizeInBytes).sum
+      if (inputBytes >= minBytes) eagerCheckpoint() else ds
+    }
   }
 }

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
+import graft.core.Eager.EagerCheckpoint
 import graft.functions.FastMd5.fast_md5
 
 /** [EXT] statistical-LM corpus operators: bigram conditional
@@ -167,15 +168,17 @@ object LangModel {
         .select(col("bg.w1"), col("bg.w2"))
         .groupBy("w1", "w2")
         .agg(count(lit(1)).cast("long").as("c2"))
-      // cnt deliberately NOT checkpointed (round-19 measured rejection:
-      // the fw/bw/nt/probe replans of this fixture-scale subtree are
-      // cheaper than the checkpoint barrier — A/B ~flat here, and the
-      // same checkpoint measured 2x SLOWER on ext_lm_kn_heldout)
-      val fw = cnt.groupBy("w1")
+      // cnt SIZE-GATED (round 20; the round-19 unconditional checkpoint
+      // was rejected — the fw/bw/nt/probe replans of a fixture-scale
+      // subtree are cheaper than the barrier, A/B ~flat here and 2x
+      // SLOWER on ext_lm_kn_heldout — but each replan re-tokenizes the
+      // corpus, which dominates at 100 TB; see eagerCheckpointAtScale)
+      val cntM = cnt.eagerCheckpointAtScale()
+      val fw = cntM.groupBy("w1")
         .agg(sum(col("c2")).as("ct"), count(lit(1)).as("n1fw"))
-      val bw = cnt.groupBy("w2").agg(count(lit(1)).as("n1bw"))
-      val nt = cnt.agg(count(lit(1)).as("ntypes"))
-      cnt.join(fw, Seq("w1")).join(bw, Seq("w2"))
+      val bw = cntM.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+      val nt = cntM.agg(count(lit(1)).as("ntypes"))
+      cntM.join(fw, Seq("w1")).join(bw, Seq("w2"))
         .crossJoin(broadcast(nt))
         .select(col("w1"), col("w2"), col("c2"),
           (greatest(col("c2") - lit(0.75), lit(0)) / col("ct").cast("double")
@@ -275,13 +278,16 @@ object LangModel {
           "transform(sequence(0, size(ts)-2)," +
             " i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
         .select(col("doc_id"), col("held"), col("b.w1"), col("b.w2"))
-      // bg/cnt deliberately NOT checkpointed (round-19 measured
-      // rejection: checkpointing both measured 0.54 -> 1.10 s at the
-      // bench protocol — the replanned explode+agg over a fixture-scale
-      // base is cheaper than two materialization barriers; at 100 TB
-      // the tradeoff flips and this is the first site to revisit)
+        // bg/cnt SIZE-GATED (round 20; the round-19 unconditional
+        // checkpoints were rejected — 0.54 -> 1.10 s at the bench
+        // protocol, the replanned explode+agg over a fixture-scale base
+        // is cheaper than two barriers — but each bg replan re-tokenizes
+        // the whole corpus, the dominant term at 100 TB; see
+        // eagerCheckpointAtScale)
+        .eagerCheckpointAtScale()
       val cnt = bg.filter(!col("held")).groupBy("w1", "w2")
         .agg(count(lit(1)).cast("long").as("c2"))
+        .eagerCheckpointAtScale()
       val fw = cnt.groupBy("w1")
         .agg(sum(col("c2")).as("ct"), count(lit(1)).as("n1fw"))
       val bw = cnt.groupBy("w2").agg(count(lit(1)).as("n1bw"))

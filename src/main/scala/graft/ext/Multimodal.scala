@@ -722,10 +722,15 @@ object Multimodal {
     ensurePrepared(s, d)
     import org.apache.spark.sql.expressions.Window
     implicit val enc = Encoders.product[FrameEnergy]
+    // SIZE-GATED checkpoint (round 20): fe is planned 3x below (tot,
+    // isl's probe side, and tot's copy under the join) — each replan
+    // re-DECODES every staged WAV blob. Too cheap to materialize at
+    // fixture scale (0.21 s row, r19 note), dominant at corpus scale;
+    // see eagerCheckpointAtScale.
     val fe = s.table("graft_audio").mapPartitions { rows =>
       rows.flatMap(r => frameEnergies(r.getLong(0),
         r.getAs[Array[Byte]](1)))
-    }.toDF()
+    }.toDF().eagerCheckpointAtScale()
     val tot = fe.groupBy("doc_id")
       .agg(count(lit(1)).as("nf"), sum(col("e")).cast("long").as("te"))
     val isl = fe.join(tot, Seq("doc_id"))

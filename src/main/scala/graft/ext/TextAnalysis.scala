@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
+import graft.core.Eager.EagerCheckpoint
 import graft.functions.RollingHash.rolling_hash
 
 /** [EXT] text-analysis operators over the `documents` fixture: language ID
@@ -484,18 +485,20 @@ object TextAnalysis {
     * [[LangModel.curriculumBuckets]]'s difficulty ordering. */
   private[ext] def nllPerDoc(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    // NOT checkpointed (round-19 measured rejection): tf feeds vocab,
-    // total and the probe — three plans of the tokenize+explode+agg
-    // subtree — but a paired A/B at the bench protocol measured the
-    // eager checkpoint SLOWER (ext_text_unigram_nll 0.67 -> 0.92 s;
-    // the barrier + materialization jobs cost more than the replans of
-    // a fixture-scale scan). At 100 TB the same site flips: three
-    // corpus-scale tokenize passes dwarf one vocabulary-frame
-    // materialization — re-measure before porting this decision.
+    // SIZE-GATED checkpoint (round 20): tf feeds vocab, total and the
+    // probe — three plans of the tokenize+explode+agg subtree. The
+    // round-19 unconditional checkpoint measured SLOWER at fixture
+    // scale (ext_text_unigram_nll 0.67 -> 0.92 s; the barrier +
+    // materialization jobs cost more than the replans of a small scan),
+    // but at 100 TB three corpus-scale tokenize passes dwarf one
+    // vocabulary-frame materialization. eagerCheckpointAtScale encodes
+    // exactly that flip: no-op below
+    // spark.graft.checkpoint.minInputBytes, checkpoint above.
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .groupBy("doc_id", "t")
       .agg(count(lit(1)).cast("long").as("tf"))
+      .eagerCheckpointAtScale()
     val vocab = tf.groupBy("t").agg(sum(col("tf")).cast("long").as("cnt"))
     val total = vocab.agg(sum(col("cnt")).cast("long").as("n"))
     tf.join(broadcast(vocab), Seq("t"))

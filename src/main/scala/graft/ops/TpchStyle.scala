@@ -109,19 +109,31 @@ object TpchStyle {
       |WHERE r_name = 'ASIA'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
   ) { (s, d) =>
+    // Round 20 (guide §3.2): the region filter is the query's selective
+    // predicate, but it used to apply only AFTER the
+    // customer x orders x lineitem join chain was built — every
+    // non-ASIA row paid the joins before dying. The ASIA nation-key set
+    // (a handful of rows) broadcast-prunes customer AND supplier BELOW
+    // the fact joins instead: c_nationkey = s_nationkey = n_nationkey
+    // makes the pushdown an exact implication, so the result is
+    // unchanged while the join inputs shrink by the region's share.
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
     val li = Tables.lineitem(s, d)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(asiaNations.select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("c_custkey") === col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
-      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+          .join(broadcast(asiaNations),
+            col("s_nationkey") === col("n_nationkey")),
         col("l_suppkey") === col("s_suppkey")
           && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(Tables.nation(s, d)),
-        col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
-        col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
