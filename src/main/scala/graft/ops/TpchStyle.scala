@@ -58,7 +58,13 @@ object TpchStyle {
 
   /** Q3-style shipping priority: selective dim filter -> two joins ->
     * grouped revenue -> top-10. Customer side is filtered before the join
-    * so AQE can broadcast it. */
+    * so AQE can broadcast it.
+    *
+    * At floor (r20 plan read, plans/r20/q3_shipping_priority_before.txt):
+    * both joins are BroadcastHashJoin on the filtered dims, lineitem is
+    * scanned once with l_shipdate pushed, and the only Exchange is the
+    * mandatory one under the final groupBy — one fact shuffle is the
+    * minimum this aggregation admits. */
   val q3: Q = Q(
     "q3_shipping_priority",
     """SELECT l_orderkey,
@@ -355,7 +361,12 @@ object TpchStyle {
     * aggregate shrinks lineitem to one row per order BEFORE any join), then
     * join back to orders and customer for the report columns. Doing the
     * HAVING reduction first is the 100 TB move — the join inputs are the
-    * filtered survivors, not the raw fact table. */
+    * filtered survivors, not the raw fact table.
+    *
+    * At floor (r20 plan read, plans/r20/q18_large_volume_before.txt): one
+    * lineitem scan, one Exchange for the orderkey aggregate, and both
+    * report joins come out BroadcastHashJoin over the HAVING survivors —
+    * no double-planned subtree, nothing left to remove. */
   val q18: Q = Q(
     "q18_large_volume",
     """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
